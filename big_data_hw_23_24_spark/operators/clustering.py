@@ -1,0 +1,125 @@
+"""k-center clustering: Farthest-First Traversal and the MRFFT pipeline.
+
+Reference: ``G016HW2.java``.
+
+* ``SequentialFFT`` (``G016HW2.java:114-154``): Gonzalez 2-approximation
+  — start from the first point, repeatedly add the point farthest from
+  the chosen centers, maintaining a running nearest-center distance
+  array for O(|P|·K) total work.
+* ``MRFFT`` (``G016HW2.java:164-220``): Round 1 runs SequentialFFT per
+  partition (composable coreset of L·K points, ``mapPartitions``),
+  Round 2 runs SequentialFFT on the collected coreset (driver), Round 3
+  broadcasts the K centers and takes the max over per-point min
+  distances → radius (a 2-approximation of the optimal k-center
+  radius, Second Assignment.pdf task 3).
+
+Spark-first shape here: Round 1 is ``mapInPandas`` with a vectorized
+NumPy kernel (Arrow batches, no Python row loop); Round 3 is a second
+``mapInPandas`` pass emitting one partial max per partition, reduced by
+a 1-row ``agg(max)`` — no shuffle at all on the data path, exactly the
+narrow map + tree-reduce the reference uses. The only driver-side data
+movement is the L·K-row coreset, bounded by design.
+
+Determinism caveat (SURVEY §7 risk 1): the result depends on the
+partition layout (which points share a partition, and which arrives
+first). The reference accepts this — its own goldens differ between
+L=4 and L=16 runs. Tests therefore assert the 2-approximation property
+and seeded reproducibility, not exact radii.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sequential_fft(points: np.ndarray, k: int) -> np.ndarray:
+    """Gonzalez farthest-first traversal over an (n, 2) float64 array.
+
+    Returns the (min(k, n), 2) chosen centers. First center is
+    ``points[0]`` (the reference's ``P.get(0)`` rule,
+    ``G016HW2.java:122``); the nearest-distance array is maintained
+    incrementally (``G016HW2.java:131-151``), here vectorized.
+    """
+    n = len(points)
+    if n == 0:
+        return points.reshape(0, 2)
+    k = min(k, n)
+    centers = np.empty((k, 2), dtype=np.float64)
+    centers[0] = points[0]
+    # squared distances to the nearest chosen center so far
+    d2 = ((points - points[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        nxt = int(np.argmax(d2))
+        centers[i] = points[nxt]
+        cand = ((points - points[nxt]) ** 2).sum(axis=1)
+        np.minimum(d2, cand, out=d2)
+    return centers
+
+
+def _partition_fft(k: int):
+    """mapInPandas kernel: local FFT coreset per partition (MRFFT R1)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b[["x", "y"]].to_numpy(dtype=np.float64) for b in batches]
+        if not parts:
+            return
+        pts = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        centers = sequential_fft(pts, k)
+        yield pd.DataFrame({"x": centers[:, 0], "y": centers[:, 1]})
+
+    return kernel
+
+
+def _partition_max_min_dist(centers: np.ndarray):
+    """mapInPandas kernel: per-partition max over min sq-distances (R3).
+
+    ``centers`` is captured in the task closure (small: K×2 floats —
+    the moral equivalent of the reference's ``sc.broadcast(C)``,
+    ``G016HW2.java:197``).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best = 0.0
+        for b in batches:
+            pts = b[["x", "y"]].to_numpy(dtype=np.float64)
+            if len(pts) == 0:
+                continue
+            # (n, k) pairwise squared distances, min over centers
+            d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            best = max(best, float(d2.min(axis=1).max()))
+        yield pd.DataFrame({"partial_max": [best]})
+
+    return kernel
+
+
+def mrfft(points: DataFrame, k: int, num_partitions: int | None = None
+          ) -> tuple[np.ndarray, float]:
+    """MRFFT: returns (centers (k,2), radius).
+
+    ``num_partitions`` pins L for reproducible tests; default keeps the
+    incoming partitioning (AQE-sized at scale).
+    """
+    df = points.select("x", "y")
+    if num_partitions is not None:
+        df = df.repartition(num_partitions)
+
+    # R1: per-partition coreset (executors) → driver collect of ≤ L·K rows
+    coreset_df = df.mapInPandas(_partition_fft(k), "x double, y double")
+    coreset = np.array([[r.x, r.y] for r in coreset_df.collect()],
+                       dtype=np.float64).reshape(-1, 2)
+
+    # R2: FFT on the coreset (driver, O(L·K²))
+    centers = sequential_fft(coreset, k)
+
+    # R3: broadcast centers, narrow map → per-partition partial max,
+    # 1-row final max. radius = sqrt(max min-dist) (G016HW2.java:212).
+    partials = df.mapInPandas(_partition_max_min_dist(centers),
+                              "partial_max double")
+    row = partials.agg(F.max("partial_max").alias("m")).collect()[0]
+    radius = float(row["m"]) ** 0.5
+    return centers, radius

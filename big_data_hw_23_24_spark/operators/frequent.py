@@ -1,0 +1,125 @@
+"""Frequent-items operators: exact histogram, reservoir, sticky sampling.
+
+Reference: ``G016HW3.java`` (streaming frequent items over an integer
+stream). Three estimators maintained side by side:
+
+* exact (``G016HW3.java:91-101, 148-172``): full histogram, report
+  items with count ≥ phi·n;
+* reservoir sampling of size m = ⌈1/phi⌉ (``G016HW3.java:103-120``):
+  item at global index g replaces a uniform slot with prob m/(g+1);
+  every item with frequency ≥ phi is in the sample in expectation;
+* sticky sampling (``G016HW3.java:122-133``): sampling rate
+  r = ln(1/(δ·phi))/ε; tracked keys always increment, new keys admitted
+  with prob r/n; report keys with count ≥ (phi−ε)·n — an
+  ε-approximate frequent-items guarantee with prob ≥ 1−δ.
+
+The batch/relational faces (exact histogram, thresholds, the ±
+annotation join) are DataFrame one-liners — distributed, shuffle-scalable.
+The two samplers are *sequential by definition* (their guarantees are
+stated over arrival order), so — exactly like the reference, which
+updates them in a driver loop per micro-batch — they run driver-side
+over each (n-capped, small) batch; see ``streaming/frequent_stream.py``
+for the Structured Streaming harness.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_frequent(df: DataFrame, item_col: str, phi: float,
+                   n: int | None = None) -> DataFrame:
+    """Items with count ≥ ⌈phi·n⌉ (G016HW3.java:152-158) → (item, cnt)."""
+    if n is None:
+        n = df.count()
+    thr = math.ceil(phi * n)
+    return (df.groupBy(F.col(item_col).alias("item"))
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= thr))
+
+
+def annotate_truth(estimated: DataFrame, true_frequent: DataFrame,
+                   item_col: str = "item") -> DataFrame:
+    """K4 '±' annotation: left join against the true-frequent set.
+
+    The reference's inner membership loop (``G016HW3.java:186-196``)
+    becomes a broadcast-able left join on the item key.
+    """
+    t = true_frequent.select(F.col(item_col).alias("_true_item")).distinct()
+    return (estimated
+            .join(t, estimated[item_col] == t["_true_item"], "left")
+            .withColumn("sign", F.when(F.col("_true_item").isNotNull(), "+")
+                        .otherwise("-"))
+            .drop("_true_item"))
+
+
+class ReservoirSampler:
+    """Fixed-size-m uniform sample over a sequential stream (K1).
+
+    Mirrors ``G016HW3.java:103-120``: for global index g (0-based),
+    keep if g < m, else replace a uniform slot with prob m/(g+1).
+    Seeded RNG replaces the reference's ``Math.random()`` so tests are
+    reproducible (SURVEY §7 risk 2).
+    """
+
+    def __init__(self, m: int, seed: int = 42):
+        self.m = m
+        self.sample: list[int] = []
+        self.g = 0  # items seen
+        self.rng = random.Random(seed)
+
+    def add(self, item: int) -> None:
+        if self.g < self.m:
+            self.sample.append(item)
+        else:
+            # prob m/(g+1) of replacing a uniform slot
+            if self.rng.random() < self.m / (self.g + 1):
+                self.sample[self.rng.randrange(self.m)] = item
+        self.g += 1
+
+    def add_many(self, items) -> None:
+        for it in items:
+            self.add(it)
+
+    def estimated_frequent(self) -> list[int]:
+        """Distinct sampled items, sorted (the reservoir's estimate)."""
+        return sorted(set(self.sample))
+
+
+class StickySampler:
+    """Sticky sampling for (phi, ε, δ)-approximate frequent items (K2).
+
+    Mirrors ``G016HW3.java:122-133`` with the fixed total stream length
+    n known up front (the assignment's setting): sampling rate
+    r = ln(1/(δ·phi))/ε, admission probability r/n per unseen item.
+    """
+
+    def __init__(self, phi: float, eps: float, delta: float, n: int,
+                 seed: int = 42):
+        self.phi, self.eps, self.delta, self.n = phi, eps, delta, n
+        self.r = math.log(1.0 / (delta * phi)) / eps
+        self.table: dict[int, int] = {}
+        self.rng = random.Random(seed)
+
+    def add(self, item: int) -> None:
+        if item in self.table:
+            self.table[item] += 1
+        elif self.rng.random() < self.r / self.n:
+            self.table[item] = 1
+
+    def add_many(self, items) -> None:
+        table, admit_p, rng = self.table, self.r / self.n, self.rng
+        for it in items:
+            if it in table:
+                table[it] += 1
+            elif rng.random() < admit_p:
+                table[it] = 1
+
+    def estimated_frequent(self) -> list[int]:
+        """Keys with count ≥ (phi−ε)·n (G016HW3.java:200-206), sorted."""
+        thr = (self.phi - self.eps) * self.n
+        return sorted(k for k, v in self.table.items() if v >= thr)

@@ -1,0 +1,143 @@
+"""Distance-based (M,D)-outlier detection, Spark-first.
+
+Reference semantics (verified against ``G019HW1.java``):
+
+* ``exactOutliers`` (``G019HW1.java:119-167``): a point is an outlier
+  iff at most M points (self included — the inner loop counts the point
+  against itself at distance 0) lie at Euclidean distance **strictly
+  less than** D. Reports the outlier count and the first K outliers by
+  non-decreasing neighbor count.
+* ``MRApproxOutliers`` (``G019HW1.java:177-284``; HW2 variant
+  ``G016HW2.java:229-316``): grid with cell side Λ = D/(2√2); per-cell
+  size; N3/N7 = total points in the 3×3 / 7×7 cell neighborhood (self
+  included). Sure outliers = Σ size over cells with N7 ≤ M; uncertain
+  = Σ size over cells with N3 ≤ M < N7; plus the first K cells by
+  non-decreasing size.
+
+Architecture vs the reference: the reference runs exact detection as a
+driver-side O(N²) double loop (gated at N ≤ 200 000) and MRApprox Step
+B as a driver loop over collected cells. Here **both** are single
+distributed DataFrame pipelines:
+
+* exact: grid-bucket points with cell side D, offset-explode the 3×3
+  neighborhood into an equi-join (a point's < D neighbors can only lie
+  in adjacent cells), then filter on true squared distance. This is a
+  hash join + hash aggregate — shuffle-scalable where the reference is
+  driver-bound; no N ≤ 200k guard needed.
+* approx: cell histogram → 7×7 offset-explode equi-join → conditional
+  aggregation; the whole thing is one Catalyst plan with map-side
+  partial aggregation (the reference's hand-coded ``reduceByKey``
+  combine comes free).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geometry import cell_ids, dist_sq, neighbor_offsets
+
+
+def _neighbor_counts(points: DataFrame, d: float) -> DataFrame:
+    """Per-point count of neighbors at distance < d (self included).
+
+    Scalable exact algorithm: bucket into a grid of side d; any pair at
+    distance < d falls in the same or Chebyshev-adjacent cells, so the
+    candidate set is an equi-join on shifted cell ids — O(N·density)
+    work instead of O(N²).
+    """
+    spark = points.sparkSession
+    pts = cell_ids(points, d)
+    offsets = neighbor_offsets(spark, 1)  # 3×3 — exact for cell side d
+
+    # Each point, re-keyed to every neighboring cell it must probe.
+    probes = (
+        pts.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("ci") + F.col("di")).alias("ci"),
+            (F.col("cj") + F.col("dj")).alias("cj"),
+            F.col("pid").alias("a_pid"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+        )
+    )
+    candidates = pts.select("ci", "cj",
+                            F.col("x").alias("bx"), F.col("y").alias("by"))
+    return (
+        probes.join(candidates, ["ci", "cj"])  # shuffled hash equi-join
+        .where(dist_sq(F.col("ax"), F.col("ay"),
+                       F.col("bx"), F.col("by")) < d * d)
+        .groupBy("a_pid", "ax", "ay")
+        .agg(F.count("*").alias("n_neighbors"))
+        .select(F.col("a_pid").alias("pid"),
+                F.col("ax").alias("x"), F.col("ay").alias("y"),
+                "n_neighbors")
+    )
+
+
+def exact_outliers(points: DataFrame, d: float, m: int) -> DataFrame:
+    """All exact (M,D)-outliers with their neighbor counts.
+
+    Input: DataFrame with columns (pid, x, y). Output: (pid, x, y,
+    n_neighbors) for every point with n_neighbors ≤ m (self included),
+    i.e. the reference's ``notOutliers.size() < M + 1`` rule.
+    Order with ``.orderBy('n_neighbors').limit(k)`` for the report —
+    Catalyst turns that into TakeOrderedAndProject (true top-k),
+    unlike the reference's full sort (``G019HW1.java:148-153``).
+    """
+    return _neighbor_counts(points, d).where(F.col("n_neighbors") <= m)
+
+
+def cell_grid_stats(points: DataFrame, d: float) -> DataFrame:
+    """Step A+B of MRApproxOutliers as one plan: per-cell (size, n3, n7).
+
+    Cell side Λ = D/(2√2) (``G019HW1.java:181``). The 7×7 neighborhood
+    sum is an offset-explode equi-join against the cell histogram; the
+    3×3 sum is the conditional slice |di|≤1 ∧ |dj|≤1 of the same
+    fan-out, so one join serves both.
+    """
+    lam = d / (2.0 * math.sqrt(2.0))
+    spark = points.sparkSession
+    cells = cell_ids(points, lam).groupBy("ci", "cj") \
+        .agg(F.count("*").alias("size"))
+    offsets = neighbor_offsets(spark, 3)  # 7×7
+
+    # Contribution of every cell to each neighbor's N7 (and N3 slice).
+    contribs = (
+        cells.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("ci") + F.col("di")).alias("ci"),
+            (F.col("cj") + F.col("dj")).alias("cj"),
+            F.col("size").alias("contrib"),
+            ((F.abs(F.col("di")) <= 1) & (F.abs(F.col("dj")) <= 1))
+            .alias("in3"),
+        )
+        .groupBy("ci", "cj")
+        .agg(F.sum("contrib").alias("n7"),
+             F.sum(F.when(F.col("in3"), F.col("contrib")).otherwise(0))
+             .alias("n3"))
+    )
+    # Inner join back to the histogram keeps only non-empty cells.
+    return cells.join(contribs, ["ci", "cj"]) \
+        .select("ci", "cj", "size", "n3", "n7")
+
+
+def mr_approx_outliers(points: DataFrame, d: float, m: int) -> DataFrame:
+    """One-row summary (sure_outliers, uncertain_points) — C2's report.
+
+    sure = Σ size where N7 ≤ M; uncertain = Σ size where N3 ≤ M < N7
+    (algebraically identical to the reference's
+    ``totalPoints - insideR7`` / ``insideR7 - insideR3`` accumulators,
+    ``G019HW1.java:262-275``).
+    """
+    stats = cell_grid_stats(points, d)
+    return stats.agg(
+        F.coalesce(F.sum(F.when(F.col("n7") <= m, F.col("size"))), F.lit(0))
+        .alias("sure_outliers"),
+        F.coalesce(
+            F.sum(F.when((F.col("n3") <= m) & (F.col("n7") > m),
+                         F.col("size"))), F.lit(0))
+        .alias("uncertain_points"),
+    )

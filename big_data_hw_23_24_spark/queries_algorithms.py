@@ -1,0 +1,213 @@
+"""Algorithmic composite queries (SURVEY.md §2.8: C1-C5, K1-K2).
+
+Points come from the deterministic events projection
+(``sources.tables.POINTS_FROM_EVENTS_SQL``) so every oracle can state
+the identical input. Default parameters D=1.0, M=10 are chosen to give
+non-trivial outputs on that projection (≈23% exact outliers at sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from .operators.frequent import ReservoirSampler, StickySampler
+from .operators.outliers import cell_grid_stats, exact_outliers, mr_approx_outliers
+from .queries import POINTS_CTE, _points, register
+from .sources.tables import load_table
+
+D, M = 1.0, 10
+LAM = D / (2.0 * math.sqrt(2.0))
+# repr() round-trips the exact double so DuckDB computes the identical
+# grid as the Spark plan.
+_CELLS_CTE = f"""
+cells AS (
+  SELECT CAST(floor(x / {LAM!r}) AS INT) AS ci,
+         CAST(floor(y / {LAM!r}) AS INT) AS cj,
+         count(*) AS size
+  FROM points GROUP BY 1, 2
+),
+stats AS (
+  SELECT a.ci, a.cj, a.size,
+         CAST(sum(CASE WHEN abs(b.ci - a.ci) <= 1
+                        AND abs(b.cj - a.cj) <= 1
+                       THEN b.size ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(b.size) AS BIGINT) AS n7
+  FROM cells a JOIN cells b
+    ON abs(b.ci - a.ci) <= 3 AND abs(b.cj - a.cj) <= 3
+  GROUP BY a.ci, a.cj, a.size
+)"""
+
+
+# --- C2 Step A: grid histogram (P1 + A1) ------------------------------------
+@register(
+    "cell_grid_histogram",
+    f"""
+    {POINTS_CTE},
+    {_CELLS_CTE}
+    SELECT ci, cj, size FROM cells
+    """,
+    doc="P1+A1: Λ-grid cell histogram (G019HW1.java:183-189)",
+)
+def cell_grid_histogram(spark, sf_dir):
+    return cell_grid_stats(_points(spark, sf_dir), D) \
+        .select("ci", "cj", "size")
+
+
+# --- C2: MRApproxOutliers summary -------------------------------------------
+# The reference computes Step B in a driver loop over collected cells
+# (G019HW1.java:209-270); our whole pipeline is one Catalyst plan. The
+# oracle uses the range-join formulation, the Spark plan the
+# offset-explode equi-join — same semantics, different physical shape.
+@register(
+    "mr_approx_outliers",
+    f"""
+    {POINTS_CTE},
+    {_CELLS_CTE}
+    SELECT CAST(sum(CASE WHEN n7 <= {M} THEN size ELSE 0 END) AS BIGINT)
+             AS sure_outliers,
+           CAST(sum(CASE WHEN n3 <= {M} AND n7 > {M} THEN size ELSE 0 END)
+             AS BIGINT) AS uncertain_points
+    FROM stats
+    """,
+    doc="C2 sure/uncertain outlier summary (G019HW1.java:272-275)",
+)
+def mr_approx(spark, sf_dir):
+    return mr_approx_outliers(_points(spark, sf_dir), D, M)
+
+
+# --- C2 top-K cells (O1/O2: sort + limit) -----------------------------------
+@register(
+    "smallest_cells_topk",
+    f"""
+    {POINTS_CTE},
+    {_CELLS_CTE}
+    SELECT ci, cj, size FROM cells
+    ORDER BY size, ci, cj LIMIT 10
+    """,
+    doc="O1+O2: first K cells by non-decreasing size "
+        "(TakeOrderedAndProject, vs the reference's full sortByKey)",
+)
+def smallest_cells_topk(spark, sf_dir):
+    cells = cell_grid_stats(_points(spark, sf_dir), D) \
+        .select("ci", "cj", "size")
+    return cells.orderBy("size", "ci", "cj").limit(10)
+
+
+# --- C1: exact outliers (J1 reshaped to a grid equi-join) -------------------
+# The oracle states the O(N²) theta-join definition; the Spark plan is
+# the scalable grid-bucketed equi-join (operators/outliers.py). Band
+# predicates in the oracle keep DuckDB's IEJoin fast at sf0.01.
+@register(
+    "exact_outliers",
+    f"""
+    {POINTS_CTE}
+    SELECT a.pid AS pid, count(*) AS n_neighbors
+    FROM points a JOIN points b
+      ON b.x BETWEEN a.x - {D} AND a.x + {D}
+     AND b.y BETWEEN a.y - {D} AND a.y + {D}
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {D} * {D}
+    GROUP BY a.pid
+    HAVING count(*) <= {M}
+    """,
+    doc="C1 exact (M,D)-outliers with neighbor counts "
+        "(G019HW1.java:119-143; self included, dist strictly < D)",
+)
+def exact_outliers_q(spark, sf_dir):
+    return exact_outliers(_points(spark, sf_dir), D, M) \
+        .select("pid", "n_neighbors")
+
+
+@register(
+    "exact_outliers_topk",
+    f"""
+    {POINTS_CTE}
+    SELECT a.pid AS pid, count(*) AS n_neighbors
+    FROM points a JOIN points b
+      ON b.x BETWEEN a.x - {D} AND a.x + {D}
+     AND b.y BETWEEN a.y - {D} AND a.y + {D}
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < {D} * {D}
+    GROUP BY a.pid
+    HAVING count(*) <= {M}
+    ORDER BY n_neighbors, pid LIMIT 10
+    """,
+    doc="C1 report: first K outliers by non-decreasing neighbor count "
+        "(G019HW1.java:148-166)",
+)
+def exact_outliers_topk(spark, sf_dir):
+    return exact_outliers(_points(spark, sf_dir), D, M) \
+        .select("pid", "n_neighbors") \
+        .orderBy("n_neighbors", "pid").limit(10)
+
+
+# --- C3/C4: MRFFT (iterative; rows-only check + property tests) -------------
+@register(
+    "mrfft_radius",
+    None,  # farthest-first traversal is iterative — not SQL-expressible
+    doc="C4 MRFFT: coreset mapInPandas → driver FFT → broadcast radius "
+        "(G016HW2.java:164-220); pinned L=8 for reproducibility",
+)
+def mrfft_radius(spark, sf_dir):
+    from .operators.clustering import mrfft
+
+    pts = _points(spark, sf_dir).select("x", "y")
+    _, radius = mrfft(pts, k=10, num_partitions=8)
+    return spark.createDataFrame([(10, float(radius))], "k int, radius double")
+
+
+@register(
+    "mrfft_centers",
+    None,
+    doc="C4 centers (k=10, L=8): the coreset-then-driver-FFT output",
+)
+def mrfft_centers(spark, sf_dir):
+    from .operators.clustering import mrfft
+
+    pts = _points(spark, sf_dir).select("x", "y")
+    centers, _ = mrfft(pts, k=10, num_partitions=8)
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(centers)]
+    return spark.createDataFrame(rows, "center_id int, x double, y double")
+
+
+# --- K1/K2: sequential samplers (seeded; rows-only) -------------------------
+# Sequential by definition (guarantees quantify over arrival order);
+# run driver-side over the ts-ordered item sequence exactly like the
+# reference's per-batch driver loop (G016HW3.java:104-134). The
+# streaming harness in streaming/frequent_stream.py feeds them
+# per-micro-batch; here the batch face replays the whole (n-capped)
+# sequence for a deterministic, seeded result.
+def _item_sequence(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select("user_id").orderBy("ts", "event_id").collect()
+    return [r.user_id for r in rows]
+
+
+@register(
+    "reservoir_sample_users",
+    None,
+    doc="K1 reservoir sampling, m=⌈1/phi⌉, phi=0.01, seed=42 "
+        "(G016HW3.java:103-120 semantics)",
+)
+def reservoir_sample_users(spark, sf_dir):
+    items = _item_sequence(spark, sf_dir)
+    sampler = ReservoirSampler(m=math.ceil(1 / 0.01), seed=42)
+    sampler.add_many(items)
+    rows = [(int(i),) for i in sampler.estimated_frequent()]
+    return spark.createDataFrame(rows, "item bigint")
+
+
+@register(
+    "sticky_sample_users",
+    None,
+    doc="K2 sticky sampling, phi=0.01 ε=0.005 δ=0.1, seed=42 "
+        "(G016HW3.java:122-133 semantics)",
+)
+def sticky_sample_users(spark, sf_dir):
+    items = _item_sequence(spark, sf_dir)
+    sampler = StickySampler(phi=0.01, eps=0.005, delta=0.1, n=len(items),
+                            seed=42)
+    sampler.add_many(items)
+    rows = [(int(k), int(v)) for k, v in sorted(sampler.table.items())
+            if v >= (0.01 - 0.005) * len(items)]
+    return spark.createDataFrame(rows, "item bigint, cnt bigint")

@@ -1,0 +1,495 @@
+"""Relational-spine queries (SURVEY.md §2.1-§2.7 + new standard surface).
+
+Each entry pairs an idiomatic DataFrame/Spark-SQL plan with a DuckDB
+oracle over the same parquet views. Scale notes are attached per query:
+every plan here is shuffle-scalable (hash agg with map-side partial,
+equi-joins, broadcast for dims, window functions partitioned on a key),
+no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .queries import register
+from .sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- A1/A8: TPC-H Q1-shaped pricing summary --------------------------------
+# Hash aggregate with map-side partial combine (the reference hand-codes
+# this via reduceByKey, G019HW1.java:188; Catalyst's HashAggregateExec
+# pair gives it for free). Group cardinality is tiny → final shuffle is
+# 32 rows regardless of input scale; filter pushed to parquet scan.
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1+A5+A8: grouped sums/avgs/count with pushed-down date filter",
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- P6/A1/C6: word count (WordCountExample.java:63-75) ---------------------
+# explode(split) → groupBy(word).count(): one shuffle on word with
+# partial aggregation; at 100 TB the shuffle carries one row per
+# distinct word per partition, not per token.
+@register(
+    "wordcount",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="C6 word count over documents.text",
+)
+def wordcount(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- A5/C6: average word length (WordCountExample.java:137-140) -------------
+@register(
+    "avg_word_length",
+    """
+    SELECT round(avg(length(word)), 4) AS avg_len, count(*) AS n_words
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    """,
+    doc="A5 global avg over exploded tokens",
+)
+def avg_word_length(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .agg(F.round(F.avg(F.length("word")), 4).alias("avg_len"),
+             F.count("*").alias("n_words"))
+    )
+
+
+# --- equi-join chain + agg: revenue per nation ------------------------------
+# nation/region are tiny → Catalyst broadcasts them (BroadcastHashJoin);
+# orders⋈customer shuffles on the join key only. At scale this is the
+# canonical star-schema join: fact shuffled once, dims broadcast.
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="star-schema equi-join chain with broadcast dims",
+)
+def revenue_by_nation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+# --- window: top-3 customers per nation by balance --------------------------
+# row_number over (nation, balance desc, key) — partitioned window, no
+# global sort; deterministic via the unique c_custkey tiebreaker.
+@register(
+    "top_customers_per_nation",
+    """
+    SELECT nation, c_custkey, acctbal, rn
+    FROM (
+      SELECT c_nationkey AS nation, c_custkey,
+             round(c_acctbal, 2) AS acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    """,
+    doc="O2-style top-k per group via ranking window",
+)
+def top_customers_per_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(),
+                                             F.col("c_custkey"))
+    return (
+        c.select(F.col("c_nationkey").alias("nation"), "c_custkey",
+                 F.round("c_acctbal", 2).alias("acctbal"),
+                 F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --- window: running total per customer -------------------------------------
+@register(
+    "running_order_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey), 2)
+             AS running_total
+    FROM orders
+    """,
+    doc="cumulative window aggregate (new surface; reference has none)",
+)
+def running_order_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# --- J4: semi / anti joins ---------------------------------------------------
+# The reference's membership probe (G016HW3.java:186-196) is a driver
+# loop; left-semi/anti shuffles only the key column.
+@register(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    doc="J4 as left-semi join",
+)
+def customers_with_open_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+        .select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="J4 complement as left-anti join",
+)
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name")
+
+
+# --- A6: distinct counts -----------------------------------------------------
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="A6 exact distinct count (DistinctItemsExample.py:21-26 semantics)",
+)
+def distinct_users_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- A9/K3: exact frequent items (batch form of G016HW3 exact) --------------
+# count per item + threshold on ceil(phi·n): two-level aggregate; the
+# scalar subquery total broadcasts. phi=0.007 chosen so the answer set
+# is non-empty but small on the near-uniform user_id distribution.
+@register(
+    "frequent_users_exact",
+    """
+    SELECT user_id, count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= ceil(0.007 * (SELECT count(*) FROM events))
+    """,
+    doc="A9 frequency-threshold selection (exact frequent items)",
+)
+def frequent_users_exact(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    n = e.count()  # bounded action: one scalar, mirrors streamLength[0]
+    import math
+    thr = math.ceil(0.007 * n)
+    return e.groupBy("user_id").agg(F.count("*").alias("cnt")) \
+        .where(F.col("cnt") >= thr)
+
+
+# --- set operations (new surface) -------------------------------------------
+@register(
+    "segment_set_ops",
+    """
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    UNION ALL
+    SELECT 'only_building' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    """,
+    doc="UNION/INTERSECT/EXCEPT (absent from the reference; SURVEY §2.9)",
+)
+def segment_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = c.where(F.col("c_acctbal") > 0).select("c_custkey")
+    both = building.intersect(positive).select(F.lit("both").alias("tag"),
+                                               "c_custkey")
+    only_b = building.exceptAll(positive).distinct().select(
+        F.lit("only_building").alias("tag"), "c_custkey")
+    return both.unionAll(only_b)
+
+
+# --- grouping sets / rollup --------------------------------------------------
+@register(
+    "sales_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (new surface)",
+)
+def sales_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- date/time functions -----------------------------------------------------
+@register(
+    "orders_by_month",
+    """
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="date part extraction + agg (new surface)",
+)
+def orders_by_month(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(F.count("*").alias("n_orders"),
+          F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+# --- A8: conditional aggregation --------------------------------------------
+@register(
+    "conditional_agg_priority",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A8 count-if accumulators as sum(CASE WHEN ...)",
+)
+def conditional_agg_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+        .alias("n_big"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .alias("n_finished"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- J3-shaped: broadcast dim join + top-k ----------------------------------
+# part is small → explicit broadcast hint (X4); top-k via
+# TakeOrderedAndProject (O2), deterministic through the unique brand
+# grouping + revenue/brand tiebreak.
+@register(
+    "top_brands_by_revenue",
+    """
+    SELECT p.p_brand AS brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY revenue DESC, brand
+    LIMIT 5
+    """,
+    doc="broadcast hash join + hash agg + top-k",
+)
+def top_brands_by_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "brand")
+        .limit(5)
+    )
+
+
+# --- JSON extraction over events.props --------------------------------------
+@register(
+    "props_k_stats",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON field extraction (new surface; events.props is a JSON string)",
+)
+def props_k_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("bigint")), 4)
+        .alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- array functions over embeddings ----------------------------------------
+# posexplode/unnest → per-vector aggregate. At scale this shuffles
+# dim× rows; for pure per-row stats prefer F.aggregate (queries_llm
+# does) — this query intentionally exercises the explode path.
+@register(
+    "embedding_stats",
+    """
+    SELECT vec_id, count(*) AS dim,
+           round(sum(CAST(v AS DOUBLE)), 4) AS sum_v,
+           round(max(CAST(v AS DOUBLE)), 4) AS max_v
+    FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+    GROUP BY vec_id
+    """,
+    doc="ArrayType explode + per-key aggregate (new surface)",
+)
+def embedding_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.explode("embedding").alias("v"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("dim"),
+             F.round(F.sum(F.col("v").cast("double")), 4).alias("sum_v"),
+             F.round(F.max(F.col("v").cast("double")), 4).alias("max_v"))
+    )
+
+
+# --- string functions --------------------------------------------------------
+@register(
+    "part_type_breakdown",
+    """
+    SELECT upper(substr(p_type, 1, 5)) AS type_prefix,
+           count(*) AS n, round(avg(p_retailprice), 4) AS avg_price,
+           min(p_size) AS min_size, max(p_size) AS max_size
+    FROM part GROUP BY 1
+    """,
+    doc="string scalar surface: upper/substr + agg",
+)
+def part_type_breakdown(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy(
+        F.upper(F.substring("p_type", 1, 5)).alias("type_prefix")
+    ).agg(F.count("*").alias("n"),
+          F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+          F.min("p_size").alias("min_size"),
+          F.max("p_size").alias("max_size"))
+
+
+# --- sessionization via lag window (new surface) ----------------------------
+@register(
+    "user_sessions",
+    """
+    SELECT user_id, count(*) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 1 HOUR THEN 1 ELSE 0 END
+               AS new_session
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_ts
+            FROM events)
+    )
+    WHERE new_session = 1
+    GROUP BY user_id
+    """,
+    doc="sessionization: lag window + gap predicate + count",
+)
+def user_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w)
+               > F.expr("INTERVAL 1 HOUR")),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    return flagged.where(F.col("new_session") == 1) \
+        .groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+
+
+# --- O1: global sort (range-partitioned in Spark) ---------------------------
+@register(
+    "suppliers_sorted",
+    """
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier ORDER BY acctbal DESC, s_suppkey
+    """,
+    doc="O1 distributed sort (sortByKey analogue, G019HW1.java:196)",
+)
+def suppliers_sorted(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", "s_name",
+                    F.round("s_acctbal", 2).alias("acctbal")) \
+        .orderBy(F.col("acctbal").desc(), "s_suppkey")

@@ -1,0 +1,55 @@
+"""Mirror of the driver's correctness gate: every registered query runs
+on Spark AND its DuckDB oracle, compared order-insensitively on sorted
+column names and exact values. Queries without an oracle get a
+rows-runnable check (deterministic schema, ≥0 rows).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+from big_data_hw_23_24_spark.sources.tables import TABLE_NAMES
+
+_ensure_loaded()
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # float32 → float64 etc. so dtype differences don't mask value equality
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(_REGISTRY))
+def test_query_matches_oracle(spark, name, sf_dir):
+    q = _REGISTRY[name]
+    got = q.spark_fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert got.shape[0] >= 0  # runnable + stable schema
+        assert list(got.columns)
+        return
+    con = _duck(sf_dir)
+    want = con.sql(q.oracle).df()
+    con.close()
+    assert sorted(got.columns) == sorted(want.columns), \
+        f"{name}: column mismatch {got.columns} vs {want.columns}"
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_exact=True,
+                                  check_dtype=False, obj=name)

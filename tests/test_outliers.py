@@ -1,0 +1,66 @@
+"""Golden + property tests for exact and approximate outlier detection.
+
+Goldens: TestN15 with D=1.0 M=3 K=9 L=2 → 9 exact outliers, 7 sure,
+4 uncertain (reference `Homework_1/Data/Example/Output_TestN15_1_3_9_2.pdf`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hw_23_24_spark.operators.outliers import (
+    cell_grid_stats,
+    exact_outliers,
+    mr_approx_outliers,
+)
+
+D, M = 1.0, 3
+
+
+def test_exact_outliers_testn15_golden(testn15):
+    out = exact_outliers(testn15, D, M)
+    assert out.count() == 9
+
+
+def test_mr_approx_testn15_golden(testn15):
+    row = mr_approx_outliers(testn15, D, M).collect()[0]
+    assert row["sure_outliers"] == 7
+    assert row["uncertain_points"] == 4
+
+
+def test_exact_matches_bruteforce(testn15):
+    # Grid-join exact algorithm == O(N²) brute force on the same points.
+    pts = [(r.x, r.y) for r in testn15.collect()]
+    brute = []
+    for x1, y1 in pts:
+        n = sum(1 for x2, y2 in pts if (x1 - x2) ** 2 + (y1 - y2) ** 2 < D * D)
+        if n <= M:
+            brute.append(((x1, y1), n))
+    got = {((r.x, r.y), r.n_neighbors)
+           for r in exact_outliers(testn15, D, M).collect()}
+    assert got == set(brute)
+
+
+def test_sandwich_property(testn15):
+    """sure ⊆ exact-outliers ⊆ sure ∪ uncertain (First Assignment.pdf)."""
+    n_exact = exact_outliers(testn15, D, M).count()
+    row = mr_approx_outliers(testn15, D, M).collect()[0]
+    assert row["sure_outliers"] <= n_exact
+    assert n_exact <= row["sure_outliers"] + row["uncertain_points"]
+
+
+def test_cell_stats_self_inclusion(testn15):
+    # every cell's N3/N7 include its own size
+    bad = cell_grid_stats(testn15, D).where(
+        (F.col("n3") < F.col("size")) | (F.col("n7") < F.col("n3"))
+    )
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_partition_invariance(testn15, n_parts):
+    df = testn15.repartition(n_parts)
+    row = mr_approx_outliers(df, D, M).collect()[0]
+    assert (row["sure_outliers"], row["uncertain_points"]) == (7, 4)
+    assert exact_outliers(df, D, M).count() == 9
