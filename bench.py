@@ -1,0 +1,67 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Headliners are the operators with published reference numbers
+(BASELINE.md): exact + approximate outlier detection, MRFFT, frequent
+items, word count — plus the star-schema join/agg spine. Each runs as
+one Catalyst plan; timing includes the action (count of the result,
+mirroring how the reference times each operator around its action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+from big_data_hw_23_24_spark.session import get_session
+
+HEADLINE = [
+    "mr_approx_outliers",     # C2 — the reference's centerpiece
+    "exact_outliers",         # C1 — grid equi-join (reference: O(N²) driver)
+    "mrfft_radius",           # C4 — coreset → FFT → broadcast radius
+    "frequent_users_exact",   # K3 batch face
+    "wordcount",              # C6
+    "pricing_summary",        # A1/A8 hash agg
+    "revenue_by_nation",      # star-schema joins
+    "top_customers_per_nation",  # window top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+    _ensure_loaded()
+
+    # Warm-up pass at the smallest sf: spins up Python workers, JIT +
+    # whole-stage codegen, parquet reader paths. The reference times
+    # its operators the same way — after the input RDD is cached and
+    # counted (G019HW1.java:68-73), i.e. excluding startup costs.
+    for name in HEADLINE:
+        _REGISTRY[name].spark_fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = _REGISTRY[name].spark_fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
