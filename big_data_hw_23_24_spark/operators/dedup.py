@@ -1,0 +1,253 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+North-star extension (BASELINE.json): the training-data-pipeline
+operators a 100 TB corpus needs. The reference has no dedup surface;
+the design is Spark-first throughout:
+
+* everything is JVM-side Column expressions (split/transform/xxhash64/
+  array_min) — no Python in the hot path;
+* exact dedup is a hash-groupBy (one shuffle on a 128-bit fingerprint);
+* MinHash-LSH shuffles only (band, band_hash) pairs — candidate
+  generation never compares documents pairwise, so it scales to
+  corpora where the O(n²) exact join is impossible;
+* the exact n-gram Jaccard join exists as the small-scale oracle and
+  as the verifier for LSH candidates.
+
+Shingling convention used everywhere: distinct word 3-grams of the
+space-tokenized text (empty tokens dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), " +", " ")
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy → (fingerprint, n_docs, keep_id).
+
+    One shuffle on md5(normalized text); ``keep_id`` = min id is the
+    canonical survivor. Only groups with duplicates are returned.
+    """
+    return (
+        docs.select(F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+                    F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    ``transform(sequence(...))`` + ``slice`` keeps shingling inside
+    whole-stage codegen; empty tokens from repeated spaces are dropped
+    first so the shingle set is insensitive to run-length of spaces.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return docs.withColumn(out_col, F.array_distinct(grams))
+
+
+def minhash_signature(shingled: DataFrame, num_hashes: int = 32,
+                      shingle_col: str = "shingles",
+                      out_col: str = "signature") -> DataFrame:
+    """MinHash signature: sig[i] = min over shingles of xxhash64(i, s).
+
+    Each hash function is the (seeded) 64-bit xxhash64 of the hash
+    index and the shingle — pure Column expressions, evaluated per row
+    with no explode, so the signature computation is a narrow map.
+    Empty shingle sets get a sentinel signature of Long.MAX_VALUE.
+    """
+    sig = F.array(*[
+        F.coalesce(
+            F.array_min(F.transform(
+                F.col(shingle_col), lambda s, i=i: F.xxhash64(F.lit(i), s))),
+            F.lit(2**63 - 1),
+        )
+        for i in range(num_hashes)
+    ])
+    return shingled.withColumn(out_col, sig)
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id",
+                        sig_col: str = "signature") -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of ≥1 band → (id_a, id_b).
+
+    Explode to one row per band, hash the band slice, self-join on
+    (band, band_hash): the shuffle key is the band hash, so work is
+    proportional to bucket sizes, never to n². Pairs are deduped
+    (a < b) across bands.
+    """
+    n_hashes_col = F.size(F.col(sig_col))
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    banded = signed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).join(signed.select(id_col, sig_col), id_col).select(
+        id_col, "band",
+        F.xxhash64(F.col("band"),
+                   F.concat_ws(",", F.slice(
+                       F.col(sig_col),
+                       F.col("band") * rows_per_band + 1,
+                       rows_per_band).cast("array<string>"))).alias("band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
+                   threshold: float, id_col: str = "doc_id",
+                   shingle_col: str = "shingles") -> DataFrame:
+    """Exact Jaccard on candidate pairs → (id_a, id_b, jaccard ≥ t).
+
+    Joins the shingle arrays back and computes
+    |A∩B| / |A∪B| with array intrinsics — candidates only, so the
+    expensive comparison runs on the LSH-pruned set.
+    """
+    sa = shingled.select(F.col(id_col).alias("id_a"),
+                         F.col(shingle_col).alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"),
+                         F.col(shingle_col).alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b",
+                F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
+                            num_hashes: int = 32, bands: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+
+    Approximate in candidate *generation* (recall < 1 for pairs near
+    the threshold), exact in *verification* — every returned pair
+    truly has Jaccard ≥ threshold. With b=8 bands of r=4 rows the
+    match probability is 1-(1-j⁴)⁸: ≈0.99 at j=0.8, ≈0.07 at j=0.3.
+    """
+    shingled = word_shingles(docs.select(id_col, text_col), text_col)
+    signed = minhash_signature(shingled, num_hashes)
+    pairs = lsh_candidate_pairs(signed, bands, id_col)
+    return jaccard_verify(pairs, shingled, threshold, id_col)
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ t via inverted shingle index.
+
+    Explode distinct shingles → self-equi-join on shingle → count
+    intersections per pair → join sizes. Work is Σ (docs per shingle)²
+    — fine when shared shingles are rare (true for 3-grams), and the
+    ground truth the LSH pipeline is tested against. This is the
+    oracle-checkable face; prefer ``minhash_near_duplicates`` at scale.
+    """
+    shingled = word_shingles(docs.select(id_col, text_col), text_col)
+    ex = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    sizes = shingled.select(id_col, F.size("shingles").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("ix"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .select("id_a", "id_b",
+                F.round(F.col("ix") / (F.col("sz_a") + F.col("sz_b")
+                                       - F.col("ix")), 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document → (id, simhash).
+
+    Explode tokens → xxhash64 per token → per-bit ±1 majority vote as
+    64 conditional sums in ONE hash aggregate — all JVM expressions.
+    Near-identical documents differ in few bits (compare with
+    ``bit_count(simhash_a ^ simhash_b)``).
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    tok = docs.select(F.col(id_col),
+                      F.explode(words).alias("word")) \
+        .withColumn("h", F.xxhash64("word"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: two fingerprints within Hamming k must agree
+    exactly on ≥1 of k+1 equal bit-chunks → equi-join per chunk, then
+    exact bit_count verify. Shuffle key is the 16-bit chunk value —
+    no pairwise scan.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    fps = simhash_fingerprints(docs, text_col, id_col)
+    banded = fps.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright(F.col("simhash"), c * width)
+                     .bitwiseAND((1 << width) - 1).alias("val"))
+            for c in range(chunks)
+        ])).alias("band"),
+    ).select(id_col, "simhash", "band.chunk", "band.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(
+                    F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

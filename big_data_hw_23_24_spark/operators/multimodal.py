@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+North-star extension. Images/audio/video ride through the engine as
+``binary`` columns with a typed metadata struct; decode/feature
+extraction runs as Arrow-batched ``mapInPandas`` kernels so bytes
+never round-trip through Python row objects.
+
+The actual codec step is STUBBED (media libraries are not in this
+container): ``decode_media`` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic bytes→metadata
+function (md5-derived dims) so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("checksum", T.StringType(), False),
+])
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Fake media table: UTF-8 bytes of documents.text as the payload.
+
+    Stands in for an image/audio corpus so the binary-column path has
+    driver-provided data to run on; schema is the real contract:
+    (media_id bigint, media binary, format string).
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        F.lit("text/plain").alias("format"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic stand-in for a codec: md5-derived dimensions."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 64 + int(h[:4], 16) % 1984
+    height = 64 + int(h[4:8], 16) % 1984
+    return h, width, height
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode binary payloads → metadata rows (mapInPandas kernel).
+
+    Real decoding needs image/audio codecs not present here — with
+    ``fake=False`` this raises ``NotImplementedError`` at plan
+    execution. ``fake=True`` runs the deterministic stand-in through
+    the identical Arrow path: per-batch pandas DataFrames in, typed
+    metadata out, so batch sizing/schema/serialization are exercised
+    for real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stand-in")
+            rows = {
+                "media_id": batch["media_id"],
+                "n_bytes": batch["media"].map(len).astype("int32"),
+                "format": batch["format"],
+            }
+            decoded = batch["media"].map(_fake_decode)
+            rows["checksum"] = decoded.map(lambda d: d[0])
+            rows["width"] = decoded.map(lambda d: d[1]).astype("int32")
+            rows["height"] = decoded.map(lambda d: d[2]).astype("int32")
+            yield pd.DataFrame(rows)[[f.name for f in MEDIA_META_SCHEMA]]
+
+    return media.mapInPandas(kernel, MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Plumbing for frame sampling: one row per sampled frame index.
+
+    For video payloads the real kernel would emit decoded frames; the
+    plan shape (posexplode of a frame-index sequence, then a decode
+    kernel per frame) is what matters at scale — the explode happens
+    before the heavy decode so frames parallelize across tasks.
+    """
+    n_frames = (F.length("media") / 100).cast("int")  # stub: 1 frame/100 B
+    return media.select(
+        "media_id",
+        F.posexplode(F.sequence(
+            F.lit(0),
+            F.greatest(n_frames - 1, F.lit(0)),
+            F.lit(every_nth))).alias("frame_pos", "frame_idx"),
+    )

@@ -1,0 +1,121 @@
+"""Text analysis operators: tokens, quality, language-ID, fingerprints.
+
+North-star extension: per-document scoring a training-data pipeline
+runs over every document. Everything is a narrow map of JVM Column
+expressions — no shuffle, no Python — so these pipelines stream at
+parquet-scan speed regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the heuristic detector.
+# Deliberately small + hard-coded: language ID at scale wants a real
+# model; this is the expression-only heuristic tier (SQL-expressible,
+# so the oracle can state it too).
+STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), " "), lambda w: w != "")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_text, avg_token_len)."""
+    words = _words(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_text"),
+        F.round(F.length(F.concat_ws("", words))
+                / F.greatest(F.size(words), F.lit(1)), 4)
+        .alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals + composite score per document.
+
+    Signals: length band, punctuation density, digit density, token
+    repetition (distinct/total). The composite is a transparent
+    weighted sum in [0,1] — a placeholder for a learned scorer, but
+    the *plumbing* (full-corpus narrow map) is the real thing.
+    """
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    words = _words(t)
+    punct = (F.length(t)
+             - F.length(F.regexp_replace(t, "[.,!?;:]", ""))) / n
+    digits = (F.length(t)
+              - F.length(F.regexp_replace(t, "[0-9]", ""))) / n
+    rep = F.size(F.array_distinct(words)) \
+        / F.greatest(F.size(words), F.lit(1))
+    length_ok = F.when((F.length(t) >= 100) & (F.length(t) <= 20000), 1.0) \
+        .otherwise(0.5)
+    score = (0.4 * length_ok + 0.3 * rep
+             + 0.2 * (1 - F.least(punct * 10, F.lit(1.0)))
+             + 0.1 * (1 - F.least(digits * 10, F.lit(1.0))))
+    return docs.select(
+        F.col(id_col),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digits, 6).alias("digit_ratio"),
+        F.round(rep, 6).alias("distinct_token_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def detect_language(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID → (doc_id, detected_lang, hits).
+
+    Counts distinct profile stopwords present per language; argmax
+    with lexicographic tie-break, 'und' (undetermined) when no
+    profile matches at all. Pure expressions → runs at scan speed and
+    has an exact SQL oracle.
+    """
+    words = F.array_distinct(_words(F.col(text_col)))
+    hit_cols = {
+        lang: F.size(F.array_intersect(
+            words, F.array(*[F.lit(w) for w in profile])))
+        for lang, profile in STOPWORD_PROFILES.items()
+    }
+    # argmax via array_max over (hits, reversed-lang) structs: struct
+    # comparison is lexicographic, so max hits wins and ties pick the
+    # alphabetically-first language deterministically.
+    langs = sorted(hit_cols)  # stable order
+    best = F.array_max(F.array(*[
+        F.struct(hit_cols[lang].alias("hits"),
+                 F.lit(-i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)
+    ]))
+    return docs.select(
+        F.col(id_col),
+        F.when(best.hits > 0, best.lang).otherwise("und")
+        .alias("detected_lang"),
+        best.hits.alias("hits"),
+    )
+
+
+def content_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, md5 fingerprint of normalized text, crc32, length).
+
+    The exact-dedup key, exposed as a standalone fingerprinting op.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), " +", " ")
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.crc32(norm).alias("crc"),
+        F.length(norm).alias("norm_len"),
+    )

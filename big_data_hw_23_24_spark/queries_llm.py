@@ -1,5 +1,261 @@
-"""LLM-data-pipeline queries (dedup, similarity, text analysis).
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — the north-star extensions, oracle-checked where
+SQL-expressible.
 
-Filled in as the operators land; see operators/dedup.py,
-operators/similarity.py, operators/textstats.py.
+Shingling/tokenization conventions are mirrored exactly between the
+Spark operators and the DuckDB oracle SQL (single-space split, empty
+tokens dropped, distinct word 3-grams).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    exact_duplicate_groups,
+    exact_jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from .operators.multimodal import decode_media, media_from_documents
+from .operators.similarity import cosine_topk, ivf_topk
+from .operators.textstats import (
+    content_fingerprints,
+    detect_language,
+    quality_scores,
+    token_stats,
+)
+from .queries import register
+from .sources.tables import load_table
+
+# DuckDB CTE mirroring operators.dedup.word_shingles (distinct word
+# 3-grams over non-empty space-split tokens).
+_SHINGLES_CTE = """
+w AS (
+  SELECT doc_id, word, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents)
+  WHERE word <> ''
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+  FROM w a
+  JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
+
+
+# --- exact dedup -------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM (SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+            AS fingerprint, doc_id FROM documents)
+    GROUP BY fingerprint HAVING count(*) > 1
+    """,
+    doc="exact dedup: hash-groupBy on normalized-text md5",
+)
+def dedup_exact_groups(spark, sf_dir):
+    return exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+# --- exact n-gram Jaccard pairs (ground truth for LSH) ----------------------
+@register(
+    "jaccard_pairs_exact",
+    f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(ix * 1.0 / (sa.sz + sb.sz - ix), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.7
+    """,
+    doc="exact all-pairs 3-gram Jaccard ≥ 0.7 via inverted shingle index",
+)
+def jaccard_pairs_exact(spark, sf_dir):
+    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.7)
+
+
+# --- MinHash-LSH near-dedup (approximate candidates, exact verify) ----------
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures are Spark-specific; recall vs the
+           # exact pairs is asserted in tests/test_dedup.py instead
+    doc="MinHash(32)+LSH(8×4) near-dup pairs, Jaccard-verified ≥ 0.7",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_near_duplicates(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.7)
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="64-bit SimHash near-dup pairs, Hamming ≤ 3, pigeonhole-banded",
+)
+def dedup_simhash(spark, sf_dir):
+    return simhash_near_duplicates(load_table(spark, sf_dir, "documents"),
+                                   max_hamming=3)
+
+
+# --- similarity search -------------------------------------------------------
+# Brute-force cosine is oracle-checked with DuckDB's
+# list_cosine_similarity (both sides compute in double); top-k rank is
+# tie-broken by neighbor id. Queries = vec_id < 5.
+@register(
+    "knn_cosine_bruteforce",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[]))
+                          DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+    doc="exact cosine top-10 for 5 query vectors (brute force baseline)",
+)
+def knn_cosine_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "knn_cosine_ivf",
+    None,  # ANN: recall measured against brute force in tests
+    doc="IVF ANN top-10 (16 lists, nprobe=4, k-means-lite on driver sample)",
+)
+def knn_cosine_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+# --- text analysis -----------------------------------------------------------
+@register(
+    "doc_token_stats",
+    """
+    SELECT doc_id, len(words) AS n_tokens, length(text) AS n_chars_text,
+           round(length(list_aggregate(words, 'string_agg', ''))
+                 * 1.0 / greatest(len(words), 1), 4) AS avg_token_len
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '),
+                             w -> w <> '') AS words
+          FROM documents)
+    """,
+    doc="token counting per document (narrow map)",
+)
+def doc_token_stats(spark, sf_dir):
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality_scores",
+    """
+    SELECT doc_id,
+           round(punct, 6) AS punct_ratio,
+           round(digits, 6) AS digit_ratio,
+           round(rep, 6) AS distinct_token_ratio,
+           round(0.4 * length_ok + 0.3 * rep
+                 + 0.2 * (1 - least(punct * 10, 1.0))
+                 + 0.1 * (1 - least(digits * 10, 1.0)), 6) AS quality_score
+    FROM (
+      SELECT doc_id,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               * 1.0 / greatest(length(text), 1) AS punct,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / greatest(length(text), 1) AS digits,
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                           w -> w <> '')))
+               * 1.0 / greatest(len(list_filter(string_split(lower(text), ' '),
+                                                w -> w <> '')), 1) AS rep,
+             CASE WHEN length(text) BETWEEN 100 AND 20000
+                  THEN 1.0 ELSE 0.5 END AS length_ok
+      FROM documents)
+    """,
+    doc="quality scoring: punct/digit density, repetition, length band",
+)
+def doc_quality_scores(spark, sf_dir):
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_language_id",
+    """
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang,
+           greatest(h_de, h_en, h_es, h_fr) AS hits
+    FROM (
+      SELECT doc_id,
+             len(list_intersect(words, ['der','die','und','ist','das'])) AS h_de,
+             len(list_intersect(words, ['the','and','of','to','is'])) AS h_en,
+             len(list_intersect(words, ['el','la','y','es','los'])) AS h_es,
+             len(list_intersect(words, ['le','la','et','est','les'])) AS h_fr
+      FROM (SELECT doc_id,
+                   list_distinct(list_filter(string_split(lower(text), ' '),
+                                             w -> w <> '')) AS words
+            FROM documents))
+    """,
+    doc="stopword-profile language ID (argmax, lexicographic ties)",
+)
+def doc_language_id(spark, sf_dir):
+    return detect_language(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS norm_len
+    FROM (SELECT doc_id, regexp_replace(lower(trim(text)), ' +', ' ', 'g')
+            AS norm FROM documents)
+    """,
+    doc="content fingerprinting (md5 of normalized text)",
+)
+def doc_fingerprints(spark, sf_dir):
+    return content_fingerprints(load_table(spark, sf_dir, "documents")) \
+        .drop("crc")  # crc32 has no DuckDB analogue; stays in the operator
+
+
+# --- multimodal plumbing -----------------------------------------------------
+# The fake decode is a pure function of the payload bytes, so the
+# Arrow/mapInPandas path has an exact SQL oracle: md5-derived dims over
+# the same UTF-8 payload.
+@register(
+    "media_decode_meta",
+    """
+    SELECT media_id, n_bytes, format, width, height, checksum FROM (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             'text/plain' AS format,
+             CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1984
+               AS INTEGER) AS width,
+             CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1984
+               AS INTEGER) AS height,
+             md5(text) AS checksum
+      FROM documents)
+    """,
+    doc="multimodal: binary payload → typed metadata via Arrow-batched "
+        "mapInPandas (deterministic fake codec; real codec stubbed)",
+)
+def media_decode_meta(spark, sf_dir):
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)

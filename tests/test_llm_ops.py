@@ -1,0 +1,133 @@
+"""Property tests for dedup / similarity / textstats / multimodal ops
+(the SQL-oracle parity lives in test_oracle_parity.py; these cover the
+approximate paths it can't)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        exact_jaccard_pairs, minhash_near_duplicates)
+
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in exact_jaccard_pairs(docs, 0.7).collect()}
+    lsh = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_near_duplicates(docs, 0.7).collect()}
+    # precision is exact by construction (verify step recomputes Jaccard)
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]
+    # recall: 1-(1-j^4)^8 ≥ 0.99 at j ≥ 0.8; planted dups are ≥ 0.7
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert len(lsh) >= 0.9 * len(high), (len(lsh), len(high))
+
+
+def test_exact_dup_groups_consistent_with_fingerprints(spark, docs):
+    from big_data_hw_23_24_spark.operators.dedup import exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs).collect()
+    n_docs = docs.count()
+    n_distinct = docs.select(F.lower(F.trim("text"))).distinct().count()
+    # Σ (n_docs - 1) over dup groups == total - distinct (normalized)
+    assert sum(g.n_docs - 1 for g in groups) >= n_docs - n_distinct
+    assert all(g.n_docs > 1 for g in groups)
+
+
+def test_simhash_near_dups_cover_exact_dups(spark, docs):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        exact_duplicate_groups, simhash_near_duplicates)
+
+    # identical texts → identical simhash → hamming 0
+    sim = {(r.id_a, r.id_b) for r in
+           simhash_near_duplicates(docs, max_hamming=3).collect()}
+    dup_groups = exact_duplicate_groups(docs)
+    ids = (docs.select("doc_id",
+                       F.md5(F.regexp_replace(F.lower(F.trim("text")),
+                                              " +", " ")).alias("fp"))
+           .join(dup_groups, dup_groups.fingerprint == F.col("fp"))
+           .groupBy("fp").agg(F.collect_list("doc_id").alias("ids"))
+           .collect())
+    for g in ids:
+        s = sorted(g.ids)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                assert (s[i], s[j]) in sim
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+
+    queries = emb.where(F.col("vec_id") < 20)
+    brute = cosine_topk(emb, queries, k=10).collect()
+    ivf = ivf_topk(emb, queries, k=10, n_lists=16, nprobe=8).collect()
+    b = {(r.query_id, r.neighbor_id) for r in brute}
+    v = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(b & v) / len(b)
+    assert recall >= 0.5, recall  # nprobe=8/16 → half the space scanned
+    # every IVF hit carries the true cosine (scores are exact)
+    bs = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bs:
+            assert r.cosine == bs[(r.query_id, r.neighbor_id)]
+
+
+def test_language_id_on_real_sentences(spark):
+    from big_data_hw_23_24_spark.operators.textstats import detect_language
+
+    samples = [
+        (1, "the cat and the dog of the house is to be found"),
+        (2, "der hund und die katze ist das beste tier"),
+        (3, "le chat et le chien est dans les maisons"),
+        (4, "el perro y la casa es de los gatos"),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {r.doc_id: r.detected_lang
+           for r in detect_language(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_multimodal_decode_stub_and_fake(spark, docs):
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        decode_media, media_from_documents)
+
+    media = media_from_documents(docs.limit(50))
+    meta = decode_media(media, fake=True)
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(64 <= r.width < 64 + 1984 and 64 <= r.height < 64 + 1984
+               for r in rows)
+    assert all(len(r.checksum) == 32 for r in rows)
+    # real path is stubbed: surfaces NotImplementedError at execution
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_media(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark, docs):
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        frame_sample_plan, media_from_documents)
+
+    media = media_from_documents(docs.limit(10))
+    frames = frame_sample_plan(media, every_nth=2).collect()
+    assert len(frames) > 10  # at least one frame per doc, most have more
+    assert all(r.frame_idx % 2 == 0 for r in frames)
