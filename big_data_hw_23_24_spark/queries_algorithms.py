@@ -198,6 +198,50 @@ def reservoir_sample_users(spark, sf_dir):
 
 
 @register(
+    "streaming_frequent_items",
+    None,
+    doc="C5 end-to-end: Structured Streaming foreachBatch harness over "
+        "deterministic file-source micro-batches of the events item "
+        "sequence; returns the sticky estimate with ± truth annotation "
+        "(G016HW3.java:39-231)",
+)
+def streaming_frequent_items(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from .streaming.frequent_stream import FrequentItemsMonitor, run_frequent_items
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id")
+    seq = (e.select(F.col("user_id").alias("item"), "ts", "event_id")
+           .withColumn("seq", F.row_number().over(w) - 1)
+           .select("seq", "item"))
+    total = seq.count()
+    n = int(total * 0.8)
+    d = tempfile.mkdtemp(prefix="sfi_stream_")
+    try:
+        chunk = max(1, total // 10)
+        rows = seq.orderBy("seq").collect()
+        t0 = 1_700_000_000
+        for i in range(0, total, chunk):
+            part = [(r.seq, r.item) for r in rows[i:i + chunk]]
+            spark.createDataFrame(part, "seq long, item long").coalesce(1) \
+                .write.mode("overwrite").parquet(os.path.join(d, f"b{i:07d}"))
+            for f in os.listdir(os.path.join(d, f"b{i:07d}")):
+                os.utime(os.path.join(d, f"b{i:07d}", f), (t0 + i, t0 + i))
+        stream = (spark.readStream.schema("seq long, item long")
+                  .option("maxFilesPerTrigger", 1).parquet(os.path.join(d, "b*")))
+        monitor = FrequentItemsMonitor(n=n, phi=0.007, eps=0.003, delta=0.1)
+        run_frequent_items(spark, stream, monitor, timeout_sec=120)
+        return monitor.report(spark)["sticky"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "sticky_sample_users",
     None,
     doc="K2 sticky sampling, phi=0.01 ε=0.005 δ=0.1, seed=42 "
