@@ -8,7 +8,7 @@ redundant ``sqrt`` for us, so we never introduce it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame  # noqa: F401 (DataFrame in sigs)
 from pyspark.sql import functions as F
 
 
@@ -29,15 +29,19 @@ def cell_ids(df: DataFrame, side: float,
              .withColumn("cj", F.floor(F.col(y) / side).cast("int"))
 
 
-def neighbor_offsets(spark, radius: int) -> DataFrame:
-    """Tiny DataFrame of Chebyshev-ball offsets ``(di, dj)``.
+def neighbor_offsets(radius: int) -> Column:
+    """Literal array of Chebyshev-ball offset structs ``(di, dj)``.
 
     Turning the reference's range scan over cells
     (``G019HW1.java:228-254``) into an offset-explode **equi**-join is
     the scale move: a (2r+1)² fan-out followed by a hash join on shifted
     keys shuffles O(cells·(2r+1)²) rows instead of requiring a
     broadcast nested-loop range join (or the reference's driver loop).
+    A literal array + ``explode`` keeps the fan-out inside whole-stage
+    codegen — no ExistingRDD scan, no broadcast cross join.
     """
     r = radius
-    rows = [(di, dj) for di in range(-r, r + 1) for dj in range(-r, r + 1)]
-    return spark.createDataFrame(rows, "di int, dj int")
+    return F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in range(-r, r + 1) for dj in range(-r, r + 1)
+    ])
