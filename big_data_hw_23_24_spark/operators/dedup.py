@@ -93,10 +93,13 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 8,
     """
     n_hashes_col = F.size(F.col(sig_col))
     rows_per_band = (n_hashes_col / bands).cast("int")
+    # carry sig_col through the explode — projecting it away and joining
+    # it back would cost a full extra shuffle of (docs × bands) rows
     banded = signed.select(
         F.col(id_col),
+        F.col(sig_col),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).join(signed.select(id_col, sig_col), id_col).select(
+    ).select(
         id_col, "band",
         F.xxhash64(F.col("band"),
                    F.concat_ws(",", F.slice(

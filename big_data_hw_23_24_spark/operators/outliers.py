@@ -65,8 +65,10 @@ def _neighbor_counts(points: DataFrame, d: float,
             .agg(F.count("*").alias("dcount")) \
             .where(F.col("dcount") <= prune_m) \
             .select("ci", "cj")
-        probe_side = dense.join(F.broadcast(sparse_cells),
-                                ["ci", "cj"], "left_semi") \
+        # no broadcast hint: sparse-cell count grows with the data, so a
+        # forced broadcast OOMs at scale — AQE picks broadcast when the
+        # cell list is actually small
+        probe_side = dense.join(sparse_cells, ["ci", "cj"], "left_semi") \
             .select(points.columns)
     pts = cell_ids(points, d)
     probe_pts = cell_ids(probe_side, d)

@@ -9,16 +9,21 @@ vectors; two search paths:
   partitioned window. The right baseline, and exactly what you run on
   a candidate set after any ANN pruning.
 * ``ivf_topk``: inverted-file ANN — k-means-lite centroids learned on
-  a driver sample (bounded, like MRFFT's coreset), corpus partitioned
-  by nearest centroid, queries probe only the ``nprobe`` nearest
-  lists. The scan is pruned by a factor ≈ n_lists/nprobe; at 100 TB
-  the cluster assignment is a one-off narrow map and the probe join is
-  an equi-join on list id.
+  a seeded uniform sample, corpus partitioned by nearest centroid via
+  an Arrow-batched pandas UDF over the broadcast centroid matrix,
+  queries probe only the ``nprobe`` nearest lists. The scan is pruned
+  by a factor ≈ n_lists/nprobe; at 100 TB the cluster assignment is a
+  one-off narrow map and the probe join is an equi-join on list id.
+
+Ranking note: the per-query window orders by the *unrounded* cosine
+(ties past the 6th decimal would otherwise resolve differently than an
+oracle ranking on the exact value); only the output column is rounded.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -36,12 +41,24 @@ def with_l2_norm(emb: DataFrame, vec_col: str = "embedding",
     return emb.withColumn(out_col, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Rank on the raw cosine, round only the reported value."""
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(),
+                                          F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cosine_raw"), 6).alias("cosine"), "rank")
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding"
                 ) -> DataFrame:
     """Exact top-k cosine neighbors per query → (query_id, neighbor_id,
     cosine, rank). Excludes self-matches. Deterministic: ties broken by
-    neighbor id."""
+    neighbor id on the unrounded score."""
     q = with_l2_norm(queries.select(F.col(id_col).alias("query_id"),
                                     F.col(vec_col).alias("q_vec")),
                      "q_vec", "q_norm")
@@ -52,14 +69,10 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("q_vec"), F.col("c_vec"))
-                        / (F.col("q_norm") * F.col("c_norm")), 6)
-                .alias("cosine"))
+                (_dot(F.col("q_vec"), F.col("c_vec"))
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("cosine_raw"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                          F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)) \
-        .where(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def _kmeans_lite(sample: np.ndarray, n_lists: int, iters: int = 8,
@@ -79,26 +92,28 @@ def _kmeans_lite(sample: np.ndarray, n_lists: int, iters: int = 8,
     return centroids
 
 
-def _nearest_lists_expr(centroids: np.ndarray, vec_col, n: int):
-    """Column: array of the n nearest centroid ids for a vector.
+def _nearest_lists_udf(centroids: np.ndarray, n: int):
+    """Arrow-batched pandas UDF: n nearest centroid ids per vector.
 
-    Centroid set is tiny (n_lists × dim floats) → embedded as a
-    literal array in the plan, the broadcast-variable pattern (X4).
-    Scoring is JVM-side: per centroid a dot-based distance, then the
-    ids sorted by (distance, id) via array_sort on structs.
+    The centroid matrix rides to executors as a closure-captured
+    ndarray (the broadcast-variable pattern, X4) — plan size stays
+    O(1) regardless of n_lists × dim, unlike inlining the centroids
+    as literal expressions, which blows up the Catalyst tree at the
+    thousands of lists a 100 TB index needs. Ties broken by list id
+    (stable argsort), matching the old (dist, id) struct sort.
     """
-    dists = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in c]),
-                           lambda a, b: (a.cast("double") - b)
-                           * (a.cast("double") - b)),
-                F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
-            F.lit(j).alias("list_id"))
-        for j, c in enumerate(centroids)
-    ])
-    return F.slice(F.transform(F.array_sort(dists), lambda s: s.list_id),
-                   1, n)
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cent_sq = (cent ** 2).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        # ||x - c||² = ||x||² - 2 x·c + ||c||² ; ||x||² constant per row
+        d = cent_sq[None, :] - 2.0 * (m @ cent.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return nearest
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -107,27 +122,31 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              sample_size: int = 10_000, seed: int = 42) -> DataFrame:
     """IVF approximate top-k cosine → same schema as ``cosine_topk``.
 
-    Train centroids on a bounded driver sample, assign each corpus
-    vector to its nearest list (narrow map), probe the nprobe nearest
-    lists per query (explode + equi-join on list_id), exact-score only
-    the probed lists. Recall < 1 by design; tests measure it against
-    ``cosine_topk``.
+    Train centroids on a seeded uniform sample (``df.sample`` — not
+    ``limit``, which is partition-order biased), assign each corpus
+    vector to its nearest list (narrow Arrow-batched map), probe the
+    nprobe nearest lists per query (explode + equi-join on list_id),
+    exact-score only the probed lists. Recall < 1 by design; tests
+    measure it against ``cosine_topk``.
     """
+    n = corpus.count()
+    frac = min(1.0, (sample_size * 1.25) / max(n, 1))
     sample = np.array(
         [r[0] for r in
-         corpus.select(vec_col).limit(sample_size).collect()],
+         corpus.select(vec_col).sample(fraction=frac, seed=seed)
+         .limit(sample_size).collect()],
         dtype=np.float64)
     centroids = _kmeans_lite(sample, n_lists, seed=seed)
 
+    assign1 = _nearest_lists_udf(centroids, 1)
+    assign_probe = _nearest_lists_udf(centroids, nprobe)
+
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
-    c = c.withColumn("list_id",
-                     _nearest_lists_expr(centroids, F.col("c_vec"), 1)[0])
+    c = c.withColumn("list_id", assign1(F.col("c_vec"))[0])
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    q = q.withColumn("probe",
-                     F.explode(_nearest_lists_expr(centroids,
-                                                   F.col("q_vec"), nprobe)))
+    q = q.withColumn("probe", F.explode(assign_probe(F.col("q_vec"))))
 
     nq = with_l2_norm(F.broadcast(q), "q_vec", "q_norm")
     nc = with_l2_norm(c, "c_vec", "c_norm")
@@ -135,11 +154,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         nq.join(nc, nq.probe == nc.list_id)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(_dot(F.col("q_vec"), F.col("c_vec"))
-                        / (F.col("q_norm") * F.col("c_norm")), 6)
-                .alias("cosine"))
+                (_dot(F.col("q_vec"), F.col("c_vec"))
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("cosine_raw"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                          F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)) \
-        .where(F.col("rank") <= k)
+    return _rank_topk(scored, k)

@@ -48,18 +48,37 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
 # --- exact dedup -------------------------------------------------------------
+# The synthetic corpus has no exact duplicates, so the check would pass
+# vacuously (0 rows from both engines). Instead dedup runs over
+# documents UNION ALL a mangled copy (uppercased, doubled+leading
+# whitespace, shifted ids) that normalization must collapse — every
+# fingerprint group provably has ≥2 members, so a green cell certifies
+# real grouping, not an empty intersection.
 @register(
     "dedup_exact_groups",
     """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper('  ' || replace(text, ' ', '  '))
+      FROM documents
+    )
     SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
     FROM (SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
-            AS fingerprint, doc_id FROM documents)
+            AS fingerprint, doc_id FROM all_docs)
     GROUP BY fingerprint HAVING count(*) > 1
     """,
-    doc="exact dedup: hash-groupBy on normalized-text md5",
+    doc="exact dedup: hash-groupBy on normalized-text md5 "
+        "(input salted with mangled duplicates so the check is non-vacuous)",
 )
 def dedup_exact_groups(spark, sf_dir):
-    return exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "),
+                         F.regexp_replace("text", " ", "  "))).alias("text"),
+    )
+    return exact_duplicate_groups(docs.unionAll(mangled))
 
 
 # --- exact n-gram Jaccard pairs (ground truth for LSH) ----------------------

@@ -329,8 +329,8 @@ def orders_by_month(spark, sf_dir):
     "conditional_agg_priority",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,

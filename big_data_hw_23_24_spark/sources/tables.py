@@ -22,9 +22,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet; Spark reads it as a
     nanos long (``spark.sql.legacy.parquet.nanosAsLong``, set by
-    session.py) and we convert to TimestampType here. The testdata's
-    ns values are all µs-aligned, so ``div 1000`` is lossless and
-    matches DuckDB's view of the same file exactly.
+    session.py) and we convert to TimestampType here. The conversion
+    must be *integer* division: ``(ts/1000).cast('long')`` goes through
+    a double whose ulp at 2024-epoch-ns magnitude (~1.7e18) is 256 ns,
+    truncating ~2% of µs-aligned values 1 µs low vs DuckDB's view of
+    the same file.
     """
     if name == "events":
         # runtime-settable SQLConf — the driver may hand us a session
@@ -32,7 +34,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -52,6 +52,21 @@ def test_exact_dup_groups_consistent_with_fingerprints(spark, docs):
     assert all(g.n_docs > 1 for g in groups)
 
 
+def test_exact_dup_groups_nonvacuous_on_salted_input(spark, docs):
+    """The registered query salts mangled duplicates in — every source
+    document must land in a dup group (no 0-rows-green vacuity)."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    groups = _REGISTRY["dedup_exact_groups"].spark_fn(spark, SF).collect()
+    n_docs = docs.count()
+    assert len(groups) > 0
+    assert sum(g.n_docs for g in groups) >= 2 * n_docs
+    assert all(g.n_docs >= 2 for g in groups)
+    # survivor is always an original (un-shifted) doc id
+    assert all(g.keep_id < 1000000 for g in groups)
+
+
 def test_simhash_near_dups_cover_exact_dups(spark, docs):
     from big_data_hw_23_24_spark.operators.dedup import (
         exact_duplicate_groups, simhash_near_duplicates)
@@ -79,11 +94,11 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
 
     queries = emb.where(F.col("vec_id") < 20)
     brute = cosine_topk(emb, queries, k=10).collect()
-    ivf = ivf_topk(emb, queries, k=10, n_lists=16, nprobe=8).collect()
+    ivf = ivf_topk(emb, queries, k=10, n_lists=16, nprobe=12).collect()
     b = {(r.query_id, r.neighbor_id) for r in brute}
     v = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(b & v) / len(b)
-    assert recall >= 0.5, recall  # nprobe=8/16 → half the space scanned
+    assert recall >= 0.8, recall  # nprobe=12/16 → 3/4 of the space scanned
     # every IVF hit carries the true cosine (scores are exact)
     bs = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
     for r in ivf:

@@ -84,6 +84,15 @@ def test_minhash_pipeline_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_lsh_banding_has_no_signature_joinback(spark):
+    # exactly 3 joins: band self-join + 2 shingle-verify joins — the
+    # signature is carried through the explode, never joined back
+    plan = _plan(spark, "dedup_minhash_lsh", "simple")
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins <= 3, plan
+
+
 @pytest.mark.parametrize("name", ["doc_quality_scores", "doc_language_id",
                                   "doc_token_stats"])
 def test_textstats_are_narrow_maps(spark, name):
