@@ -31,6 +31,11 @@ def run(spark: SparkSession, filename: str, d: float, m: int, k: int,
     from ..sources.tables import read_points_csv
 
     lines: list[str] = []
+    # pid is assigned BELOW the round-robin exchange (the project sits
+    # under Exchange RoundRobinPartitioning in the physical plan), so
+    # ids are minted in scan order: (split_id << 33) + offset, and file
+    # splits of a single CSV are ordered by byte offset → pid order IS
+    # file order (verified against TestN15 and uber-10k byte order).
     pts = read_points_csv(spark, filename, float32_parity=True) \
         .withColumn("pid", F.monotonically_increasing_id())
     pts = pts.repartition(l).cache()  # X1, as G019HW1.java:68

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pytest
 
 FIXTURES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
@@ -61,6 +62,99 @@ def test_hw1_uber10k_golden(spark):
     assert _grab(lines, r"Number of Outliers = (\d+)") == "236"
     assert _grab(lines, r"Number of sure outliers = (\d+)") == "165"
     assert _grab(lines, r"Number of uncertain points = (\d+)") == "195"
+
+
+@pytest.mark.slow
+def test_hw1_uber10k_wide_d_golden(spark):
+    """Output-uber10kD02M10K50L2.pdf: D=0.2 M=10 K=50 L=2 — full 50-cell
+    listing (the grid has exactly 50 non-empty cells at this D, so the
+    top-K set is tie-free even though listing order differs)."""
+    from big_data_hw_23_24_spark.apps.hw1 import run
+
+    lines = run(spark, UBER10K, 0.2, 10, 50, 2)
+    assert _grab(lines, r"Number of Outliers = (\d+)") == "4"
+    assert _grab(lines, r"Number of sure outliers = (\d+)") == "1"
+    assert _grab(lines, r"Number of uncertain points = (\d+)") == "19"
+    # exact outliers: 40.8674 has 1 neighbor, the other three tie at 7 —
+    # the golden's tie order is the reference's post-repartition collect
+    # order (nondeterministic across runs); ours ties by input position,
+    # so pin the leader exactly and the ties as a set
+    pts = [ln for ln in lines if ln.startswith("Point: ")]
+    assert pts[0] == "Point: (40.8674, -73.1731)"
+    assert set(pts[1:]) == {
+        "Point: (40.7829, -73.4372)", "Point: (40.7757, -73.4202)",
+        "Point: (41.0214, -73.6269)",
+    }
+    golden_cells = {
+        ((574, -1052), 1), ((573, -1053), 1), ((577, -1035), 1),
+        ((575, -1053), 1), ((575, -1042), 1), ((577, -1053), 1),
+        ((573, -1047), 1), ((579, -1050), 1), ((574, -1049), 1),
+        ((579, -1049), 1), ((577, -1040), 1), ((574, -1051), 1),
+        ((576, -1044), 1), ((574, -1054), 1), ((573, -1051), 1),
+        ((578, -1050), 1), ((577, -1052), 1), ((574, -1043), 1),
+        ((579, -1042), 1), ((580, -1042), 1), ((574, -1045), 2),
+        ((573, -1046), 2), ((576, -1051), 2), ((577, -1051), 2),
+        ((576, -1039), 2), ((575, -1043), 2), ((574, -1048), 2),
+        ((576, -1052), 2), ((578, -1044), 2), ((576, -1041), 2),
+        ((576, -1043), 2), ((577, -1050), 3), ((579, -1048), 3),
+        ((575, -1051), 3), ((579, -1045), 3), ((576, -1054), 3),
+        ((578, -1047), 3), ((575, -1049), 3), ((576, -1053), 3),
+        ((580, -1043), 4), ((576, -1042), 4), ((575, -1052), 5),
+        ((576, -1050), 6), ((578, -1048), 7), ((577, -1049), 8),
+        ((578, -1045), 8), ((577, -1048), 10), ((576, -1049), 12),
+        ((577, -1045), 15), ((575, -1045), 16),
+    }
+    got = set()
+    sizes = []
+    for ln in lines:
+        m = re.match(r"Cell: \((-?\d+), (-?\d+)\)\s+Size = (\d+)", ln)
+        if m:
+            got.add(((int(m.group(1)), int(m.group(2))), int(m.group(3))))
+            sizes.append(int(m.group(3)))
+    assert got == golden_cells
+    assert sizes == sorted(sizes)  # non-decreasing listing, as mandated
+
+
+@pytest.mark.slow
+def test_hw1_uber100k_golden(spark):
+    """output_uber100k_0.02_10_5_2.pdf: 673 exact / 435 sure / 658
+    uncertain — the scale point where the grid-join exact detector
+    diverges most from the reference's O(N²) loop (61.6 s there)."""
+    from big_data_hw_23_24_spark.apps.hw1 import run
+
+    lines = run(spark, "/root/reference/Homework_1/Data/uber-100k.csv",
+                0.02, 10, 5, 2)
+    assert _grab(lines, r"Number of points: (\d+)") == "100000"
+    assert _grab(lines, r"Number of Outliers = (\d+)") == "673"
+    assert _grab(lines, r"Number of sure outliers = (\d+)") == "435"
+    assert _grab(lines, r"Number of uncertain points = (\d+)") == "658"
+    # The golden's 5 printed points are an arbitrary subset of the many
+    # count-1 ties (reference prints its post-shuffle collect order);
+    # ours prints the 5 smallest input positions of that tie class —
+    # pinned here as the deterministic regression contract.
+    pts = [ln for ln in lines if ln.startswith("Point: ")]
+    assert pts == [
+        "Point: (40.9859, -74.1578)", "Point: (40.9148, -74.2213)",
+        "Point: (40.7232, -74.409)", "Point: (40.8152, -74.359)",
+        "Point: (40.8607, -73.527)",
+    ]
+    # and every golden-printed point truly belongs to the tie class:
+    # an exact outlier with neighbor count 1
+    from big_data_hw_23_24_spark.operators.outliers import exact_outliers
+    from big_data_hw_23_24_spark.sources.tables import read_points_csv
+    from pyspark.sql import functions as F
+
+    raw = read_points_csv(
+        spark, "/root/reference/Homework_1/Data/uber-100k.csv",
+        float32_parity=True).withColumn(
+        "pid", F.monotonically_increasing_id())
+    out = {(float(np.float32(r.x)), float(np.float32(r.y))): r.n_neighbors
+           for r in exact_outliers(raw, 0.02, 10).collect()}
+    for gx, gy in [(40.9148, -74.2213), (40.8674, -73.1731),
+                   (40.9552, -74.2396), (40.5608, -74.5518),
+                   (40.9924, -73.9904)]:
+        key = (float(np.float32(gx)), float(np.float32(gy)))
+        assert out.get(key) == 1, (gx, gy, out.get(key))
 
 
 def test_hw2_testn15_format_and_properties(spark):
