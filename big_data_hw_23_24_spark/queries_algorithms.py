@@ -206,37 +206,78 @@ def reservoir_sample_users(spark, sf_dir):
         "(G016HW3.java:39-231)",
 )
 def streaming_frequent_items(spark, sf_dir):
-    import os
     import shutil
     import tempfile
 
-    from pyspark.sql import Window as W
-
     from .streaming.frequent_stream import FrequentItemsMonitor, run_frequent_items
+    from .streaming.replay import write_microbatches
 
-    e = load_table(spark, sf_dir, "events")
-    w = W.orderBy("ts", "event_id")
-    seq = (e.select(F.col("user_id").alias("item"), "ts", "event_id")
-           .withColumn("seq", F.row_number().over(w) - 1)
-           .select("seq", "item"))
+    seq = _event_item_seq(spark, sf_dir)
     total = seq.count()
     n = int(total * 0.8)
     d = tempfile.mkdtemp(prefix="sfi_stream_")
     try:
-        chunk = max(1, total // 10)
-        rows = seq.orderBy("seq").collect()
-        t0 = 1_700_000_000
-        for i in range(0, total, chunk):
-            part = [(r.seq, r.item) for r in rows[i:i + chunk]]
-            spark.createDataFrame(part, "seq long, item long").coalesce(1) \
-                .write.mode("overwrite").parquet(os.path.join(d, f"b{i:07d}"))
-            for f in os.listdir(os.path.join(d, f"b{i:07d}")):
-                os.utime(os.path.join(d, f"b{i:07d}", f), (t0 + i, t0 + i))
+        glob = write_microbatches(seq, d, n_buckets=10)
         stream = (spark.readStream.schema("seq long, item long")
-                  .option("maxFilesPerTrigger", 1).parquet(os.path.join(d, "b*")))
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
         monitor = FrequentItemsMonitor(n=n, phi=0.007, eps=0.003, delta=0.1)
         run_frequent_items(spark, stream, monitor, timeout_sec=120)
         return monitor.report(spark)["sticky"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _event_item_seq(spark, sf_dir):
+    """(seq, item) = ts-ordered user_id sequence with a dense 0-based
+    index — the deterministic arrival order every streaming harness
+    replays."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.orderBy("ts", "event_id")
+    return (e.select(F.col("user_id").alias("item"), "ts", "event_id")
+            .withColumn("seq", F.row_number().over(w) - 1)
+            .select("seq", "item"))
+
+
+# --- DistinctItemsExample parity: streaming exact distinct-count -------------
+# Oracle-checkable because the monitor trims the crossing batch to
+# exactly n items in sequence order, making the answer a pure function
+# of the first ⌊0.8·N⌋ items of the ts-ordered stream.
+@register(
+    "streaming_distinct_count",
+    """
+    WITH seq AS (
+      SELECT user_id, row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM seq
+    WHERE rn <= (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) FROM events)
+    """,
+    doc="streaming exact distinct items over the first 80% of the "
+        "event stream (DistinctItemsExample.py:21-26 parity; "
+        "foreachBatch harness with distributed per-batch distinct)",
+)
+def streaming_distinct_count(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming.distinct_stream import DistinctItemsMonitor, run_distinct_items
+    from .streaming.replay import write_microbatches
+
+    seq = _event_item_seq(spark, sf_dir)
+    total = seq.count()
+    n = int(total * 0.8)
+    d = tempfile.mkdtemp(prefix="sdc_stream_")
+    try:
+        glob = write_microbatches(seq, d, n_buckets=10)
+        stream = (spark.readStream.schema("seq long, item long")
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        monitor = DistinctItemsMonitor(n=n)
+        run_distinct_items(spark, stream, monitor, timeout_sec=120)
+        return spark.createDataFrame([(monitor.distinct_count(),)],
+                                     "n_distinct bigint")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -324,6 +324,32 @@ def orders_by_month(spark, sf_dir):
           F.round(F.sum("o_totalprice"), 2).alias("total"))
 
 
+# --- event-time tumbling windows (SURVEY §2.9 new surface) -------------------
+# Batch face of streaming/windows.py: F.window over events.ts with a
+# plain date_trunc oracle (UTC session timezone on both engines). The
+# watermarked streaming face of the same plan is exercised in
+# tests/test_streaming.py.
+@register(
+    "events_by_window",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+             AS win_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="tumbling 1-hour event-time window count/sum per event_type "
+        "(F.window batch face; watermarked variant in streaming/)",
+)
+def events_by_window(spark, sf_dir):
+    from .streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour", keys=("event_type",))
+
+
 # --- A8: conditional aggregation --------------------------------------------
 @register(
     "conditional_agg_priority",

@@ -1,0 +1,85 @@
+"""Streaming exact distinct-count — parity with the reference's own
+PySpark template (``Homework_3/Assignment/DistinctItemsExample.py``).
+
+The template maintains a driver-side dict of seen items, merged from
+each micro-batch's ``map(item → (item,1)).reduceByKey().collectAsMap``
+(``DistinctItemsExample.py:21-26``), and stops once the stream length
+crosses a threshold. Structured-Streaming mapping here:
+
+* per-batch distinct runs DISTRIBUTED (``distinct()`` — the
+  reduceByKey), only the batch's distinct item values cross to the
+  driver set;
+* stop protocol = ``threading.Event`` + ``query.stop()``, exactly as
+  the template's semaphore (``DistinctItemsExample.py:68,100-106``);
+* the n-item cutoff trims the crossing batch to exactly n in sequence
+  order (HW3's trim rule, ``G016HW3.java:85-87`` — a deliberate
+  tightening of the template, which counts whole batches; trimming
+  makes the result a pure function of the item sequence and hence
+  oracle-checkable).
+
+At unbounded scale the driver set graduates to the stateful
+``stream.groupBy(item).count()`` (state-store backed); this harness is
+the n-capped parity face.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DistinctItemsMonitor:
+    """Driver-state monitor: exact distinct items over the first n."""
+
+    n: int
+    stream_length: int = 0
+    items: set = field(default_factory=set)
+    done: threading.Event = field(default_factory=threading.Event)
+
+    def process_batch(self, batch: DataFrame, epoch_id: int = 0,
+                      item_col: str = "item",
+                      order_col: str | None = "seq") -> None:
+        if self.done.is_set():
+            return
+        remaining = self.n - self.stream_length
+        rows = batch.select(item_col, *( [order_col] if order_col else [] ))
+        if order_col:
+            rows = rows.orderBy(order_col)
+        trimmed = rows.limit(remaining)
+        n_taken = trimmed.count()
+        if n_taken == 0:
+            if self.stream_length >= self.n:
+                self.done.set()
+            return
+        # distributed distinct; only distinct values reach the driver
+        # (DistinctItemsExample.py:21-26's reduceByKey+collectAsMap)
+        self.items.update(
+            r[0] for r in trimmed.select(item_col).distinct().collect())
+        self.stream_length += n_taken
+        if self.stream_length >= self.n:
+            self.done.set()
+
+    def distinct_count(self) -> int:
+        return len(self.items)
+
+
+def run_distinct_items(spark: SparkSession, stream: DataFrame,
+                       monitor: DistinctItemsMonitor,
+                       item_col: str = "item",
+                       order_col: str | None = "seq",
+                       timeout_sec: float = 60.0) -> DistinctItemsMonitor:
+    """Run the monitor over a streaming DF until n items are seen."""
+    query = (stream.writeStream
+             .foreachBatch(lambda df, eid: monitor.process_batch(
+                 df, eid, item_col=item_col, order_col=order_col))
+             .outputMode("update")
+             .trigger(processingTime="50 milliseconds")
+             .start())
+    monitor.done.wait(timeout=timeout_sec)
+    query.stop()
+    query.awaitTermination(30)
+    return monitor

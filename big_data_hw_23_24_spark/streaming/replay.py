@@ -1,0 +1,45 @@
+"""Deterministic file-source replay: turn a bounded DataFrame into an
+ordered sequence of parquet micro-batches for Structured Streaming
+tests (the sandbox stand-in for the reference's live socket ports
+8886-8889, ``G016HW3.java:76``).
+
+The batch files are produced by Spark itself — a bucketed,
+``partitionBy`` parquet write — never by collecting the sequence to
+the driver, so the generator scales with the data exactly like any
+other query. Batch ORDER is carried by file modification times: the
+file stream source sorts candidate files by (mtime, path), so setting
+mtime = t0 + bucket replays buckets in sequence order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_microbatches(df: DataFrame, out_dir: str, n_buckets: int = 10,
+                       order_col: str = "seq") -> str:
+    """Write ``df`` as ``n_buckets`` ordered parquet micro-batches.
+
+    ``df`` must carry a dense 0-based ``order_col``; rows land in
+    bucket ``order_col div ceil(total/n_buckets)``. One shuffle on the
+    bucket id (``repartition(bucket)`` → exactly one file per bucket),
+    no driver-side row materialization. Returns the glob to feed
+    ``spark.readStream``.
+    """
+    total = df.count()
+    chunk = max(1, -(-total // n_buckets))  # ceil
+    (df.withColumn("bucket", (F.col(order_col) / chunk).cast("long"))
+       .repartition(F.col("bucket"))
+       .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+    t0 = 1_700_000_000
+    for sub in sorted(os.listdir(out_dir)):
+        if not sub.startswith("bucket="):
+            continue
+        b = int(sub.split("=", 1)[1])
+        for f in os.listdir(os.path.join(out_dir, sub)):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(out_dir, sub, f), (t0 + b, t0 + b))
+    return os.path.join(out_dir, "bucket=*")

@@ -102,6 +102,131 @@ def test_stateful_streaming_histogram(spark, stream_dir):
     assert got == dict(Counter(items))
 
 
+def test_distinct_items_harness_matches_replay(spark, stream_dir):
+    """DistinctItemsExample parity: the foreachBatch distinct monitor
+    equals a direct distinct over the first n items."""
+    from big_data_hw_23_24_spark.streaming.distinct_stream import (
+        DistinctItemsMonitor,
+        run_distinct_items,
+    )
+
+    d, items = stream_dir
+    n = 800
+    monitor = DistinctItemsMonitor(n=n)
+    run_distinct_items(spark, _file_stream(spark, d), monitor,
+                       timeout_sec=90)
+    assert monitor.stream_length == n
+    assert monitor.items == set(items[:n])
+    assert monitor.distinct_count() == len(set(items[:n]))
+
+
+def test_spark_side_microbatch_writer_roundtrip(spark, stream_dir):
+    """write_microbatches (no driver collect) replays the identical
+    sequence: streaming histogram over its output == exact Counter."""
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+    from big_data_hw_23_24_spark.sources.tables import load_table
+    from pyspark.sql import Window as W
+
+    _, items = stream_dir
+    e = load_table(spark, SF, "events")
+    w = W.orderBy("ts", "event_id")
+    seq = (e.select(F.col("user_id").alias("item"), "ts", "event_id")
+           .withColumn("seq", F.row_number().over(w) - 1)
+           .select("seq", "item"))
+    d = tempfile.mkdtemp(prefix="replay_rt_")
+    try:
+        glob = write_microbatches(seq, d, n_buckets=10)
+        # bucket files carry strictly increasing mtimes → ordered replay
+        monitor = FrequentItemsMonitor(n=len(items), phi=0.05, eps=0.02,
+                                       delta=0.1)
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        run_frequent_items(spark, stream, monitor, timeout_sec=90)
+        assert monitor.stream_length == len(items)
+        assert monitor.histogram == dict(Counter(items))
+        # sequential estimator state == direct replay ⇒ arrival order
+        # was exactly seq order
+        rs = ReservoirSampler(m=monitor.reservoir.m, seed=42)
+        rs.add_many(items)
+        assert monitor.reservoir.sample == rs.sample
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_watermark_closes_and_bounds_state(spark, tmp_path):
+    """Append-mode watermark guarantees: a window is emitted exactly
+    once, only after the watermark passes its end, and evicted state
+    stays bounded. (Pre-aggregation late-row *dropping* is best-effort
+    in this Spark version — verified empirically: a late row with no
+    surviving state is admitted and folded into the closing window —
+    so the test pins the hard contract, not the best-effort filter.)"""
+    from big_data_hw_23_24_spark.streaming.windows import windowed_event_counts
+
+    schema = "ts timestamp, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts string, value double") \
+            .select(F.col("ts").cast("timestamp"), "value")
+
+    files = [
+        mk([("2024-01-01 10:15:00", 1.0), ("2024-01-01 10:45:00", 2.0),
+            ("2024-01-01 11:30:00", 3.0), ("2024-01-01 11:59:00", 4.0)]),
+        mk([("2024-01-01 12:10:00", 5.0)]),   # watermark → 11:10
+        mk([("2024-01-01 12:20:00", 6.0)]),   # watermark → 11:20
+    ]
+    d = str(tmp_path / "wm")
+    t0 = 1_700_000_000
+    for i, df in enumerate(files):
+        p = os.path.join(d, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t0 + i * 10, t0 + i * 10))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(os.path.join(d, "b*")))
+    agg = windowed_event_counts(stream, "1 hour", watermark_delay="1 hour")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("wm_out").start())
+    q.processAllAvailable()
+    progress = list(q.recentProgress)
+    q.stop()
+    rows = [(str(r.win_start), r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM wm_out").collect()]
+    # only [10:00,11:00) has closed (watermark reached 11:20 < 12:00);
+    # emitted exactly once, with exactly the on-time aggregate
+    assert rows == [("2024-01-01 10:00:00", 2, 3.0)]
+    # watermark advanced monotonically across batches
+    wms = [p["eventTime"]["watermark"] for p in progress
+           if "watermark" in p.get("eventTime", {})]
+    assert wms == sorted(wms)
+    # state bounded: closed windows are evicted, open ones retained
+    # ([11:00,12:00) and [12:00,13:00) at the end → ≤ 2 state rows)
+    last_state = [p for p in progress if p.get("stateOperators")][-1]
+    assert last_state["stateOperators"][0]["numRowsTotal"] <= 2
+
+
+def test_windowed_counts_streaming_matches_batch_face(spark, tmp_path):
+    """Complete-mode streaming windows == the batch face (the green
+    events_by_window oracle) over the same bounded input."""
+    from big_data_hw_23_24_spark.sources.tables import load_table
+    from big_data_hw_23_24_spark.streaming.windows import windowed_event_counts
+
+    ev = load_table(spark, SF, "events").select("ts", "value")
+    d = str(tmp_path / "evstream")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = (spark.readStream.schema("ts timestamp, value double")
+              .parquet(d))
+    agg = windowed_event_counts(stream, "1 day")
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("win_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.win_start, r.n_events, r.sum_value)
+           for r in spark.sql("SELECT * FROM win_out").collect()}
+    want = {(r.win_start, r.n_events, r.sum_value)
+            for r in windowed_event_counts(ev, "1 day").collect()}
+    assert got == want
+
+
 def test_rate_stream_planted_heavy_items(spark):
     n = 20_000
     monitor = FrequentItemsMonitor(n=n, phi=0.05, eps=0.02, delta=0.1)
