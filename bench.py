@@ -29,6 +29,9 @@ HEADLINE = [
     "pricing_summary",        # A1/A8 hash agg
     "revenue_by_nation",      # star-schema joins
     "top_customers_per_nation",  # window top-k
+    "dedup_minhash_lsh",      # LLM op: banded LSH near-dedup
+    "knn_cosine_bruteforce",  # LLM op: exact cosine top-k baseline
+    "events_by_window",       # event-time tumbling window agg
 ]
 
 
