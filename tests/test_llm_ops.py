@@ -41,6 +41,31 @@ def test_minhash_lsh_recall_and_precision(spark, docs):
     assert len(lsh) >= 0.9 * len(high), (len(lsh), len(high))
 
 
+def test_lsh_empty_shingle_docs_never_band(spark):
+    """Docs with < 3 words have an empty shingle set and would all share
+    the sentinel signature — banding them would produce a quadratic
+    candidate set among short docs. The guard must keep candidate
+    generation linear (here: zero candidates from 200 distinct short
+    docs) while real near-dups still surface."""
+    from big_data_hw_23_24_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_near_duplicates, minhash_signature,
+        word_shingles)
+
+    short = [(i, f"w{i} x") for i in range(200)]
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = short + [(1000, dup_text), (1001, dup_text)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    signed = minhash_signature(word_shingles(docs))
+    guarded = signed.where(F.size("shingles") > 0)
+    cands = lsh_candidate_pairs(guarded).collect()
+    # linear, not 200·199/2: only the planted identical pair survives
+    assert {(r.id_a, r.id_b) for r in cands} == {(1000, 1001)}
+
+    verified = minhash_near_duplicates(docs, threshold=0.7).collect()
+    assert {(r.id_a, r.id_b) for r in verified} == {(1000, 1001)}
+
+
 def test_exact_dup_groups_consistent_with_fingerprints(spark, docs):
     from big_data_hw_23_24_spark.operators.dedup import exact_duplicate_groups
 

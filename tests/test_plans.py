@@ -78,8 +78,19 @@ def test_knn_scores_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def _minhash_lazy_plan(spark):
+    # materialize=False: the registry entry eagerly checkpoints (its
+    # plan collapses to an RDD scan), so assert on the lazy pipeline
+    from big_data_hw_23_24_spark.operators.dedup import minhash_near_duplicates
+    from big_data_hw_23_24_spark.sources.tables import load_table
+    docs = load_table(spark, SF, "documents")
+    return explain_str(
+        minhash_near_duplicates(docs, threshold=0.7, materialize=False),
+        "simple")
+
+
 def test_minhash_pipeline_jvm_side(spark):
-    plan = _plan(spark, "dedup_minhash_lsh", "simple")
+    plan = _minhash_lazy_plan(spark)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
 
@@ -87,7 +98,7 @@ def test_minhash_pipeline_jvm_side(spark):
 def test_lsh_banding_has_no_signature_joinback(spark):
     # exactly 3 joins: band self-join + 2 shingle-verify joins — the
     # signature is carried through the explode, never joined back
-    plan = _plan(spark, "dedup_minhash_lsh", "simple")
+    plan = _minhash_lazy_plan(spark)
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert n_joins <= 3, plan
