@@ -258,6 +258,11 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
     64 conditional sums in ONE hash aggregate — all JVM expressions.
     Near-identical documents differ in few bits (compare with
     ``bit_count(simhash_a ^ simhash_b)``).
+
+    Contract (pinned by test): zero-token documents have NO fingerprint
+    row — the explode yields nothing to vote on — and therefore never
+    appear in near-dup pairs. Reports that must cover every doc id
+    should left-join fingerprints back to the corpus.
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     tok = docs.select(F.col(id_col),

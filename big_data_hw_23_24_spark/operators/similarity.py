@@ -107,11 +107,19 @@ def _nearest_lists_udf(centroids: np.ndarray, n: int):
 
     @F.pandas_udf("array<int>")
     def nearest(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        # ||x - c||² = ||x||² - 2 x·c + ||c||² ; ||x||² constant per row
-        d = cent_sq[None, :] - 2.0 * (m @ cent.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
-        return pd.Series(list(idx))
+        # null embeddings propagate as null assignments (np.stack would
+        # otherwise throw and fail the whole batch)
+        vals = vecs.to_numpy()
+        out = np.empty(len(vals), dtype=object)
+        mask = np.array([v is not None for v in vals], dtype=bool)
+        if mask.any():
+            m = np.stack(vals[mask]).astype(np.float64)
+            # ||x - c||² = ||x||² - 2 x·c + ||c||² ; ||x||² constant per row
+            d = cent_sq[None, :] - 2.0 * (m @ cent.T)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+            for pos, row in zip(np.flatnonzero(mask), idx):
+                out[pos] = row
+        return pd.Series(out)
 
     return nearest
 

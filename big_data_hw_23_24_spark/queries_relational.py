@@ -305,6 +305,27 @@ def sales_rollup(spark, sf_dir):
     )
 
 
+# CUBE is the other half of the declared grouping-sets surface: all 4
+# grouping combinations in one pass (Catalyst expands to a single
+# Expand + hash agg — one shuffle regardless of how many sets).
+@register(
+    "sales_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE totals over both grouping dimensions (new surface)",
+)
+def sales_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
 # --- date/time functions -----------------------------------------------------
 @register(
     "orders_by_month",
@@ -423,6 +444,53 @@ def props_k_stats(spark, sf_dir):
     )
 
 
+# --- MapType surface (SURVEY §2.9 array/map/JSON) ----------------------------
+# props JSON → map<string,bigint> via from_json + element_at; a per-user
+# event_type→count map built with map_from_entries, then read back with
+# element_at / map_keys / size. The map entries are sorted by key before
+# map construction so map_keys (which preserves entry order) is
+# deterministic. All map work is Spark-side; the oracle verifies the
+# same facts with plain relational SQL — MapType itself never crosses
+# the comparison boundary.
+@register(
+    "user_event_type_map",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+           count(*) FILTER (WHERE event_type = 'click') AS click_cnt,
+           count(*) FILTER (WHERE event_type = 'error') AS error_cnt,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS types_csv,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k
+    FROM events GROUP BY user_id
+    """,
+    doc="MapType surface: from_json→map, map_from_entries, element_at, "
+        "map_keys, size(map) (new surface)",
+)
+def user_event_type_map(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    pk = F.element_at(F.from_json("props", "map<string,bigint>"), "k")
+    counts = e.select("user_id", "event_type", pk.alias("pk")) \
+        .groupBy("user_id", "event_type") \
+        .agg(F.count("*").alias("cnt"), F.sum("pk").alias("sum_k"))
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m"),
+        F.sum("sum_k").alias("sum_k"),
+    )
+    zero = F.lit(0).cast("long")
+    return per_user.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), zero).alias("click_cnt"),
+        F.coalesce(F.element_at("m", "error"), zero).alias("error_cnt"),
+        F.array_join(F.map_keys("m"), ",").alias("types_csv"),
+        "sum_k",
+    )
+
+
 # --- array functions over embeddings ----------------------------------------
 # posexplode/unnest → per-vector aggregate. At scale this shuffles
 # dim× rows; for pure per-row stats prefer F.aggregate (queries_llm
@@ -519,3 +587,32 @@ def suppliers_sorted(spark, sf_dir):
     return s.select("s_suppkey", "s_name",
                     F.round("s_acctbal", 2).alias("acctbal")) \
         .orderBy(F.col("acctbal").desc(), "s_suppkey")
+
+
+# --- UDAF extension point (SURVEY §2.9) --------------------------------------
+# Custom grouped aggregate as a single FlatMapGroupsInPandas: one
+# shuffle on the key, Arrow-batched pandas kernel per group, no driver
+# collect. The kernel's linear interpolation matches ANSI
+# percentile_cont, which is the oracle.
+@register(
+    "acctbal_median_by_nation",
+    """
+    SELECT c_nationkey,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4)
+             AS median_acctbal,
+           count(c_acctbal) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="UDAF extension point: per-nation interpolated median via "
+        "applyInPandas grouped kernel (percentile_cont oracle)",
+)
+def acctbal_median_by_nation(spark, sf_dir):
+    from .operators.grouped import grouped_percentile
+
+    c = _t(spark, sf_dir, "customer")
+    out = grouped_percentile(c.select("c_nationkey", "c_acctbal"),
+                             ["c_nationkey"], "c_acctbal", 0.5,
+                             "median_acctbal")
+    return out.select("c_nationkey",
+                      F.round("median_acctbal", 4).alias("median_acctbal"),
+                      "n")

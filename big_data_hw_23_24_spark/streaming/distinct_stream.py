@@ -50,15 +50,18 @@ class DistinctItemsMonitor:
         if order_col:
             rows = rows.orderBy(order_col)
         trimmed = rows.limit(remaining)
-        n_taken = trimmed.count()
+        # ONE action per micro-batch: count + distributed distinct in a
+        # single aggregate (collect_set partial-aggregates map-side, so
+        # only distinct values reach the driver —
+        # DistinctItemsExample.py:21-26's reduceByKey+collectAsMap)
+        agg = trimmed.agg(F.count("*").alias("n"),
+                          F.collect_set(item_col).alias("vals")).collect()[0]
+        n_taken = agg["n"]
         if n_taken == 0:
             if self.stream_length >= self.n:
                 self.done.set()
             return
-        # distributed distinct; only distinct values reach the driver
-        # (DistinctItemsExample.py:21-26's reduceByKey+collectAsMap)
-        self.items.update(
-            r[0] for r in trimmed.select(item_col).distinct().collect())
+        self.items.update(agg["vals"])
         self.stream_length += n_taken
         if self.stream_length >= self.n:
             self.done.set()

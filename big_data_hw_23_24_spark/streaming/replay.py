@@ -31,7 +31,7 @@ def write_microbatches(df: DataFrame, out_dir: str, n_buckets: int = 10,
     """
     total = df.count()
     chunk = max(1, -(-total // n_buckets))  # ceil
-    (df.withColumn("bucket", (F.col(order_col) / chunk).cast("long"))
+    (df.withColumn("bucket", F.expr(f"{order_col} div {chunk}"))
        .repartition(F.col("bucket"))
        .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
     t0 = 1_700_000_000

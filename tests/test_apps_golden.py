@@ -16,6 +16,7 @@ import pytest
 FIXTURES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
 TESTN15 = os.path.join(FIXTURES, "testn15.csv")
 UBER10K = "/root/reference/Homework_1/Data/uber-10k.csv"
+UBER100K = "/root/reference/Homework_1/Data/uber-100k.csv"
 
 
 def _grab(lines, pattern):
@@ -122,7 +123,7 @@ def test_hw1_uber100k_golden(spark):
     diverges most from the reference's O(N²) loop (61.6 s there)."""
     from big_data_hw_23_24_spark.apps.hw1 import run
 
-    lines = run(spark, "/root/reference/Homework_1/Data/uber-100k.csv",
+    lines = run(spark, UBER100K,
                 0.02, 10, 5, 2)
     assert _grab(lines, r"Number of points: (\d+)") == "100000"
     assert _grab(lines, r"Number of Outliers = (\d+)") == "673"
@@ -145,7 +146,7 @@ def test_hw1_uber100k_golden(spark):
     from pyspark.sql import functions as F
 
     raw = read_points_csv(
-        spark, "/root/reference/Homework_1/Data/uber-100k.csv",
+        spark, UBER100K,
         float32_parity=True).withColumn(
         "pid", F.monotonically_increasing_id())
     out = {(float(np.float32(r.x)), float(np.float32(r.y))): r.n_neighbors

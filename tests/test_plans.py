@@ -104,6 +104,14 @@ def test_lsh_banding_has_no_signature_joinback(spark):
     assert n_joins <= 3, plan
 
 
+def test_udaf_is_single_grouped_pandas_kernel(spark):
+    # UDAF extension point: ONE FlatMapGroupsInPandas after the key
+    # shuffle — no driver collect, no per-row Python
+    plan = _plan(spark, "acctbal_median_by_nation", "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
 @pytest.mark.parametrize("name", ["doc_quality_scores", "doc_language_id",
                                   "doc_token_stats"])
 def test_textstats_are_narrow_maps(spark, name):

@@ -239,3 +239,35 @@ def test_rate_stream_planted_heavy_items(spark):
     assert true_items == list(range(10))
     sticky_items = sorted(r.item for r in rep["sticky"].collect())
     assert set(true_items) <= set(sticky_items)
+
+
+def test_rate_source_end_to_end_sticky_recovers_planted_heavies(spark):
+    """Full pipeline over the live rate source (the sandbox stand-in
+    for the reference's socket ports): n-item cutoff honored, exact
+    histogram equals the arithmetic item map over seq 0..n-1, and the
+    sticky sampler recovers every planted heavy item."""
+    n, phi, eps, delta = 20_000, 0.02, 0.01, 0.1
+    n_heavy, heavy_share = 10, 50
+    monitor = FrequentItemsMonitor(n=n, phi=phi, eps=eps, delta=delta)
+    stream = rate_item_stream(spark, rows_per_second=20_000,
+                              n_heavy=n_heavy, heavy_share=heavy_share)
+    run_frequent_items(spark, stream, monitor, timeout_sec=120)
+
+    assert monitor.stream_length == n
+    # seq is dense 0-based, so the first n items are a pure function of
+    # the arithmetic map — batch boundaries can't change the answer
+    expected = Counter(
+        v % n_heavy if v % 100 < heavy_share else v + 1_000_000
+        for v in range(n))
+    assert monitor.histogram == dict(expected)
+
+    # every heavy is truly frequent (1000 = n·heavy_share%/n_heavy
+    # occurrences ≥ phi·n = 400) and sticky recovers all of them
+    rep = monitor.report(spark)
+    true_items = {r.item for r in rep["true_frequent"].collect()}
+    assert set(range(n_heavy)) <= true_items
+    sticky_items = {r.item for r in rep["sticky"].collect()}
+    assert set(range(n_heavy)) <= sticky_items
+    # ± annotation: heavies are all annotated "+"
+    signs = {r.item: r.sign for r in rep["sticky"].collect()}
+    assert all(signs[i] == "+" for i in range(n_heavy))
