@@ -1,0 +1,76 @@
+"""As-of (time-travel) join — a join shape the reference lacks
+entirely (SURVEY.md §2.5: J1-J4 are its complete join surface) but
+that any time-series / feature-backfill pipeline needs: for each left
+row, attach the payload of the *latest* right row at-or-before the
+left row's time within the same key.
+
+Spark-first design: the naive formulation is an inequality join
+(``l.key = r.key AND r.t <= l.t`` + keep-latest), which Catalyst can
+only execute as a broadcast-nested-loop or a sort-merge with a
+per-key quadratic tail — both collapse at 100 TB. Instead we use the
+classic union+window rewrite:
+
+1. tag right rows (side=0) and left rows (side=1), align schemas,
+   union;
+2. one window per key ordered by ``(time, side, tiebreak)``:
+   ``last(payload, ignorenulls=True)`` over
+   ``rowsBetween(unboundedPreceding, currentRow)`` carries the most
+   recent right payload forward to every left row;
+3. keep the left rows and expand the carried payload.
+
+Cost: ONE shuffle of |left| + |right| rows on the key plus an
+in-partition sort — the same price as a plain equi-join, linear in
+input, no pairwise expansion. Skewed keys degrade to a sort of that
+key's rows, never to a cross product.
+
+Determinism: at equal times right rows sort *before* left rows
+(inclusive as-of), and right-vs-right ties are broken by
+``tiebreak_col`` ascending, so the carried payload is the one with the
+greatest ``(time, tiebreak)`` — matching an oracle's
+``ROW_NUMBER() OVER (ORDER BY t DESC, tiebreak DESC) = 1``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              left_key: str, right_key: str,
+              left_time: str, right_time: str,
+              payload_cols: list[str],
+              tiebreak_col: str | None = None) -> DataFrame:
+    """Backward (inclusive) as-of join.
+
+    Returns every ``left`` row's columns plus ``payload_cols`` from the
+    latest ``right`` row with ``right_time <= left_time`` and matching
+    key — nulls when no such row exists (left-join semantics).
+    ``payload_cols`` must not collide with ``left`` column names.
+    """
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak_col) if tiebreak_col is not None else F.lit(0))
+        .cast("long").alias("_tb"),
+        F.struct(*payload_cols).alias("_asof"),
+    )
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(r.schema["_asof"].dataType).alias("_asof"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    u = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType)) \
+         .unionByName(l)
+    w = (W.partitionBy("_k").orderBy("_t", "_side", "_tb")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        u.withColumn("_m", F.last("_asof", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select("_row.*", "_m.*")
+    )

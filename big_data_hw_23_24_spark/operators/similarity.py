@@ -166,3 +166,111 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  / (F.col("q_norm") * F.col("c_norm"))).alias("cosine_raw"))
     )
     return _rank_topk(scored, k)
+
+
+# --- embedding-cosine near-duplicate detection -------------------------------
+# The dedup face of the similarity surface: pairs of corpus vectors
+# with cosine ≥ threshold. Two paths, mirroring the MinHash/Jaccard
+# design in operators/dedup.py: an exact all-pairs form (the
+# small-scale oracle) and a random-hyperplane LSH form whose shuffle
+# key is a signature band — never a vector pair — for the 100 TB path.
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
+                 id_col: str = "vec_id", vec_col: str = "embedding"
+                 ) -> DataFrame:
+    """Exact all-pairs cosine near-dup → (id_a, id_b, cosine ≥ t).
+
+    A theta self-join (id_a < id_b) scored with JVM array intrinsics:
+    O(n²) comparisons by definition — the ground truth the LSH path is
+    verified against, and the oracle-checkable face. Small-scale only;
+    ``embedding_lsh_pairs`` is the scale path. The comparison uses the
+    ROUNDED cosine (6 dp) on both engines so a threshold-straddling
+    ulp can't flip membership between Spark and the oracle.
+    """
+    a = with_l2_norm(emb.select(F.col(id_col).alias("id_a"),
+                                F.col(vec_col).alias("va")), "va", "na")
+    b = with_l2_norm(emb.select(F.col(id_col).alias("id_b"),
+                                F.col(vec_col).alias("vb")), "vb", "nb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(_dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplane_sig_udf(planes: np.ndarray):
+    """Arrow-batched pandas UDF: sign-bit signature of v against the
+    closure-captured hyperplane matrix (dim × n_bits ≤ 64), packed into
+    one long. Null embeddings propagate as null signatures."""
+    mat = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = 1 << np.arange(mat.shape[1], dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        vals = vecs.to_numpy()
+        out = np.empty(len(vals), dtype=object)
+        mask = np.array([v is not None for v in vals], dtype=bool)
+        if mask.any():
+            m = np.stack(vals[mask]).astype(np.float64)
+            bits = (m @ mat) > 0
+            packed = (bits.astype(np.uint64) * weights) \
+                .sum(axis=1, dtype=np.uint64).view(np.int64)
+            for pos, v in zip(np.flatnonzero(mask), packed):
+                out[pos] = int(v)
+        return pd.Series(out)
+
+    return sig
+
+
+def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
+                        n_bits: int = 64, bands: int = 8, seed: int = 42,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs → (id_a, id_b, cosine ≥ t).
+
+    SimHash-for-vectors: sgn(v·h_i) bits from ``n_bits`` seeded Gaussian
+    hyperplanes (P[bit match] = 1 − θ/π), banded pigeonhole-style into
+    ``bands`` equal chunks; vectors agreeing on ≥1 whole band become
+    candidates via an equi-join on (band, chunk value), then candidates
+    are verified with the exact JVM cosine — so precision is 1 and only
+    recall is approximate (with 8 bands of 8 bits: ≈0.99 at cos 0.95,
+    ≈0.94 at 0.9, ≈0.03 of random pairs). Shuffle keys are band chunk
+    values — work scales with bucket sizes, never n². The one driver
+    action is a single-row ``first()`` to infer ``dim`` when not given.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).dropna().first()[0])
+    rng = np.random.default_rng(seed)
+    sig = _hyperplane_sig_udf(rng.standard_normal((dim, n_bits)))
+    width = n_bits // bands
+    s = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .where(F.col("v").isNotNull())
+         .withColumn("sig", sig("v")))
+    banded = s.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright(F.col("sig"), c * width)
+                     .bitwiseAND((1 << width) - 1).alias("val"))
+            for c in range(bands)
+        ])).alias("b"),
+    ).select("id", "v", F.col("b.chunk"), F.col("b.val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    na = F.sqrt(_dot(F.col("va"), F.col("va")))
+    nb = F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    return (
+        cand.select("id_a", "id_b",
+                    F.round(_dot(F.col("va"), F.col("vb")) / (na * nb), 6)
+                    .alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

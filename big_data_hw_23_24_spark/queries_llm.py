@@ -278,3 +278,43 @@ def doc_fingerprints(spark, sf_dir):
 def media_decode_meta(spark, sf_dir):
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return decode_media(media, fake=True)
+
+
+# --- embedding-cosine near-dup (the dedup face of similarity) ----------------
+# The synthetic embeddings are near-random (max pairwise cosine ≈ 0.51
+# at sf0.01), so the near-dup threshold sits at 0.4 to make the check
+# non-vacuous (59 pairs at sf0.01). Both engines compare the ROUNDED
+# cosine so a threshold-straddling ulp can't flip membership.
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.4
+    """,
+    doc="exact embedding-cosine near-dup pairs (small-scale oracle "
+        "face; embedding_lsh_pairs is the scale path)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from .operators.similarity import cosine_pairs
+
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "dedup_embedding_lsh",
+    None,
+    doc="random-hyperplane LSH near-dup: banded sign-bit signatures → "
+        "chunk equi-join candidates → exact-cosine verify (precision 1, "
+        "recall <1 by design at this low threshold; property-tested "
+        "against cosine_pairs with planted near-dups)",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    from .operators.similarity import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)

@@ -616,3 +616,70 @@ def acctbal_median_by_nation(spark, sf_dir):
     return out.select("c_nationkey",
                       F.round("median_acctbal", 4).alias("median_acctbal"),
                       "n")
+
+
+# --- as-of join (new surface; SURVEY §2.5 notes no as-of join exists
+# in the reference). Spark side is the union+window rewrite in
+# operators/joins.py — one shuffle on the key, no inequality join; the
+# oracle states the same semantics declaratively as the
+# row_number-over-inequality-join form (fine at oracle scale, not at
+# 100 TB — which is exactly why the engine ships the rewrite).
+@register(
+    "events_asof_orders",
+    """
+    WITH m AS (
+      SELECT e.event_id, e.user_id,
+             o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS asof_orderkey,
+           o_totalprice AS asof_totalprice
+    FROM m WHERE rn = 1
+    """,
+    doc="backward as-of join: each event annotated with the customer's "
+        "latest order at-or-before the event time (ties → max orderkey)",
+)
+def events_asof_orders(spark, sf_dir):
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"))
+    joined = asof_join(ev, od, "user_id", "o_custkey", "ts", "o_orderdate",
+                       ["asof_orderkey", "asof_totalprice"],
+                       tiebreak_col="asof_orderkey")
+    return joined.select("event_id", "user_id",
+                         "asof_orderkey", "asof_totalprice")
+
+
+# --- GROUPING SETS (completes the rollup/cube/sets trio of SURVEY
+# §2.9's declared grouping surface). Explicit disjoint sets — by
+# dimension A, by dimension B, and the grand total — with grouping_id
+# disambiguating NULL-as-group-all from NULL data. Catalyst expands to
+# a single Expand + hash aggregate: one shuffle however many sets.
+@register(
+    "sales_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit GROUPING SETS with grouping_id (new surface)",
+)
+def sales_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(F.grouping_id().alias("gid"),
+          F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+          F.count("*").alias("n"))

@@ -218,3 +218,50 @@ def test_ivf_plan_constant_in_n_lists_and_probe_all_exact(spark, emb):
                              nprobe=32).collect()}
     recall = len(brute & v32) / len(brute)
     assert recall >= 0.7, recall  # measured 0.82 with the fixed seed
+
+
+def test_embedding_lsh_recall_and_precision_on_planted_dups(spark):
+    """Plant true near-duplicate vectors (copy + small noise, cosine
+    ≥ ~0.95) among random ones; the hyperplane-LSH pairs must (a) be a
+    subset of the exact pairs with identical verified cosines —
+    precision 1 by construction — and (b) recover ≥ 90% of the planted
+    high-cosine pairs (8 bands × 8 bits → ≈0.99 expected at cos 0.95)."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_pairs, embedding_lsh_pairs)
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 32))
+    noisy = base[:20] + 0.08 * rng.standard_normal((20, 32))  # cos ≥ ~0.95
+    vecs = np.vstack([base, noisy]).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_pairs(emb, 0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_lsh_pairs(emb, 0.9, dim=32).collect()}
+    planted = {(i, 60 + i) for i in range(20)} & set(exact)
+    assert len(planted) >= 15  # the noise level really does plant dups
+    assert set(lsh) <= set(exact)
+    for pair, c in lsh.items():
+        assert c == exact[pair]
+    assert len(set(lsh) & planted) >= 0.9 * len(planted), \
+        (len(set(lsh) & planted), len(planted))
+
+
+def test_embedding_lsh_null_embeddings_excluded(spark):
+    """A null embedding row must neither crash the signature UDF nor
+    appear in any pair."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import embedding_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16).astype(np.float32).tolist()
+    rows = [(0, v), (1, v), (2, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_lsh_pairs(emb, 0.9, dim=16).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
+    assert got[0].cosine == 1.0
