@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",      # LLM op: banded LSH near-dedup
     "knn_cosine_bruteforce",  # LLM op: exact cosine top-k baseline
     "events_by_window",       # event-time tumbling window agg
+    "events_asof_orders",     # as-of join via union+window rewrite
 ]
 
 

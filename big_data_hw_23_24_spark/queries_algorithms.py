@@ -296,3 +296,75 @@ def sticky_sample_users(spark, sf_dir):
     rows = [(int(k), int(v)) for k, v in sorted(sampler.table.items())
             if v >= (0.01 - 0.005) * len(items)]
     return spark.createDataFrame(rows, "item bigint, cnt bigint")
+
+
+# --- stateful streaming sessionization (applyInPandasWithState) --------------
+# The streaming UDAF extension point: per-user gap sessions maintained
+# in the executor-side state store across micro-batches, NOT on the
+# driver (contrast the reference's driver HashMaps, G016HW3.java:67-72).
+# Oracle-checkable because (a) the replay is globally ts-ordered, so
+# state transitions are a pure function of the event sequence, and
+# (b) a per-user sentinel event 3 hours past the global max timestamp
+# closes every real session deterministically (the sentinel's own
+# 1-event session stays open and is never emitted).
+@register(
+    "streaming_sessions",
+    """
+    WITH brk AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_ts
+            FROM events)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="stateful streaming sessionization: applyInPandasWithState "
+        "kernel over replayed micro-batches, state-store-backed open "
+        "sessions, sentinel flush (batch lag-window oracle)",
+)
+def streaming_sessions(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from .streaming.replay import write_microbatches
+    from .streaming.sessions import run_sessionize
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # per-user sentinel 3h (> the 1h gap) past the global max ts closes
+    # every real session; computed relationally (scalar subquery), the
+    # only driver action is the streaming harness itself
+    max_ts = e.agg(F.max("ts").alias("m"))
+    sentinels = (e.select("user_id").distinct().crossJoin(max_ts)
+                 .select("user_id",
+                         (F.col("m") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+                         F.lit(None).cast("long").alias("event_id")))
+    allev = e.unionByName(sentinels)
+    w = W.orderBy("ts", "event_id")
+    seq = allev.withColumn("seq", F.row_number().over(w) - 1) \
+        .select("seq", "user_id", "ts")
+
+    d = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        glob = write_microbatches(seq, d, n_buckets=8)
+        stream = (spark.readStream
+                  .schema("seq long, user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        out = run_sessionize(spark, stream, gap_sec=3600)
+        # localCheckpoint: the memory-sink table is session-scoped; pin
+        # the rows so the returned DF survives later stream cleanup
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -271,3 +271,40 @@ def test_rate_source_end_to_end_sticky_recovers_planted_heavies(spark):
     # ± annotation: heavies are all annotated "+"
     signs = {r.item: r.sign for r in rep["sticky"].collect()}
     assert all(signs[i] == "+" for i in range(n_heavy))
+
+
+def test_sessionize_stream_carries_state_across_batches(spark, tmp_path):
+    """A session whose events straddle a micro-batch boundary must come
+    out as ONE session (state carry), and an in-batch gap must close a
+    session mid-stream. Two users:
+
+    * user 1: events at t0, t0+10m (batch 1) and t0+20m (batch 2) —
+      one session of 3 despite the batch break;
+    * user 2: events at t0 and t0+3h in batch 1 — the first closes
+      mid-batch, the second is flushed by the sentinel.
+    Sentinels at t0+300h close all open sessions."""
+    import pandas as pd
+
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+    from big_data_hw_23_24_spark.streaming.sessions import run_sessionize
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mins = lambda m: (t0 + pd.Timedelta(minutes=m)).to_pydatetime()
+    rows = [  # (seq, user_id, ts) — 3 buckets of 2
+        (0, 1, mins(0)), (1, 1, mins(10)),
+        (2, 2, mins(0)), (3, 2, mins(180)),
+        (4, 1, mins(20)),
+        (5, 1, mins(18000)), (6, 2, mins(18000)),  # sentinels
+    ]
+    df = spark.createDataFrame(rows, "seq long, user_id long, ts timestamp")
+    glob = write_microbatches(df, str(tmp_path / "mb"), n_buckets=4)
+    stream = (spark.readStream.schema("seq long, user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(glob))
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in run_sessionize(spark, stream, gap_sec=3600).collect()}
+    want = {
+        (1, mins(0), mins(20), 3),
+        (2, mins(0), mins(0), 1),
+        (2, mins(180), mins(180), 1),
+    }
+    assert got == want
