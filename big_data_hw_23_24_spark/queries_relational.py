@@ -683,3 +683,45 @@ def sales_grouping_sets(spark, sf_dir):
     ).agg(F.grouping_id().alias("gid"),
           F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
           F.count("*").alias("n"))
+
+
+# --- skew-safe exact distinct (operators/skew.py) ----------------------------
+# Same answer as distinct_users_by_type, different physical strategy:
+# COUNT(DISTINCT) salted by hash(value) % 8 so a hot group spreads
+# over 8 reducers — the shape that keeps exact distinct counting alive
+# when one key owns a double-digit share of a 100 TB table. Exact by
+# construction (disjoint value partitions), hence the same oracle.
+@register(
+    "distinct_users_salted",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="skew-safe exact distinct count: two-stage salted aggregation "
+        "(hash-partitioned distinct-value space, summed per-salt counts)",
+)
+def distinct_users_salted(spark, sf_dir):
+    from .operators.skew import salted_count_distinct
+
+    e = _t(spark, sf_dir, "events")
+    return salted_count_distinct(e, "event_type", "user_id", n_salts=8)
+
+
+# --- sketch aggregates (idiomatic alternates to K2/A6; SURVEY §2.4) ----------
+# HyperLogLog distinct-count sketch: mergeable executor-side state,
+# the unbounded-cardinality replacement for the driver-side set in
+# DistinctItemsExample.py:21-26. Approximate → no SQL oracle; the
+# property test bounds the error against the exact count and checks
+# sketch *mergeability* (union of partial sketches == whole-data
+# estimate), which is the property that makes it scale.
+@register(
+    "approx_distinct_users_hll",
+    None,
+    doc="HLL sketch distinct-count per event_type (lgConfigK=14; "
+        "error-bounded + mergeability property tests vs exact)",
+)
+def approx_distinct_users_hll(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))).alias("n_approx")))

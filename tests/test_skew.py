@@ -1,0 +1,67 @@
+"""Skew-mitigation + sketch operators: result parity with the unsalted
+plans on adversarially skewed inputs, and HLL error/merge bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _skewed(spark, n_hot=20_000, n_cold=50):
+    """One key owns ~99.8% of rows — the shape that pins one reducer."""
+    hot = spark.range(n_hot).select(
+        F.lit(7).alias("k"), (F.col("id") % 500).alias("v"))
+    cold = spark.range(n_cold).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    return hot.unionAll(cold)
+
+
+def test_salted_join_equals_plain_join_on_skew(spark):
+    from big_data_hw_23_24_spark.operators.skew import salted_join
+
+    fact = _skewed(spark)
+    dim = spark.range(10).select(F.col("id").alias("k"),
+                                 (F.col("id") * 100).alias("w"))
+    plain = fact.join(dim, "k").select("k", "v", "w")
+    salted = salted_join(fact, dim, "k", n_salts=8).select("k", "v", "w")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_count_distinct_exact_on_skew(spark):
+    from big_data_hw_23_24_spark.operators.skew import salted_count_distinct
+
+    df = _skewed(spark)
+    got = {r.k: r.n_distinct
+           for r in salted_count_distinct(df, "k", "v").collect()}
+    want = {r.k: r.nd for r in
+            df.groupBy("k").agg(F.count_distinct("v").alias("nd")).collect()}
+    assert got == want  # exact, not approximate
+
+
+def test_hll_error_bound_and_mergeability(spark):
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events")
+    exact = {r.event_type: r.nd for r in
+             e.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("nd")).collect()}
+    approx = {r.event_type: r.n_approx for r in
+              e.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", F.lit(14)))
+                  .alias("n_approx")).collect()}
+    for k, nd in exact.items():
+        assert abs(approx[k] - nd) <= max(2, 0.05 * nd), (k, approx[k], nd)
+
+    # mergeability: per-month partial sketches unioned == whole estimate
+    partial = (e.withColumn("m", F.month("ts"))
+               .groupBy("event_type", "m")
+               .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")))
+    merged = {r.event_type: r.est for r in
+              partial.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est")).collect()}
+    assert merged == {k: v for k, v in approx.items()}
