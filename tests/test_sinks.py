@@ -58,3 +58,42 @@ def test_json_roundtrip(spark, tmp_path):
     write_json(res, out, coalesce=1)
     back = (spark.read.schema(res.schema).json(out)).select(*res.columns)
     assert _as_sets(back) == _as_sets(res)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with ZERO exchanges — the write-time shuffle replaces every
+    read-time one (the 100 TB repeated-join pattern)."""
+    from big_data_hw_23_24_spark.sources.sinks import write_bucketed_table
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, SF, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the test tables fit the broadcast threshold; disable it so the
+        # plan shows the shape big tables would take (sort-merge)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(orders, "t_orders_b", "o_orderkey", 8)
+        write_bucketed_table(li, "t_lineitem_b", "l_orderkey", 8)
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey) \
+            .groupBy("o_custkey").agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself is exchange-free; only the final groupBy
+        # aggregation may shuffle
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in join_part, join_part
+        # and it computes the right thing
+        direct = orders.join(li, orders.o_orderkey == li.l_orderkey) \
+            .groupBy("o_custkey").agg(F.sum("l_quantity").alias("q"))
+        assert {(r.o_custkey, r.q) for r in joined.collect()} \
+            == {(r.o_custkey, r.q) for r in direct.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
