@@ -74,3 +74,37 @@ def asof_join(left: DataFrame, right: DataFrame,
         .where(F.col("_side") == 1)
         .select("_row.*", "_m.*")
     )
+
+
+def time_bucket_range_join(left: DataFrame, right: DataFrame,
+                           left_key: str, right_key: str,
+                           left_time: str, right_time: str,
+                           window_sec: int) -> DataFrame:
+    """Interval join: all (left, right) pairs with matching key and
+    ``right_time ∈ [left_time, left_time + window_sec)``.
+
+    Same scale problem as the as-of join — the naive form is an
+    inequality join — solved with the same family of rewrite the
+    engine uses for the Chebyshev cell join (offset-explode,
+    ``operators/outliers.py``): quantize time into buckets exactly
+    ``window_sec`` wide, explode each left row to its bucket and the
+    next (a window starting anywhere inside bucket b ends inside
+    b or b+1, never later), hash equi-join on (key, bucket), then
+    apply the exact range predicate. ONE shuffle keyed on
+    (key, bucket); each right row carries a single bucket so no pair
+    is produced twice. Cost: 2× left-side duplication, linear.
+
+    Column names of ``left`` and ``right`` must be disjoint.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_time)) / F.lit(window_sec))
+    rb = F.floor(F.unix_timestamp(F.col(right_time)) / F.lit(window_sec))
+    l = left.withColumn("_b", F.explode(F.array(lb, lb + 1)))
+    r = right.withColumn("_b", rb)
+    return (
+        l.join(r, (F.col(left_key) == F.col(right_key))
+               & (l["_b"] == r["_b"]))
+        .where((F.col(right_time) >= F.col(left_time))
+               & (F.col(right_time)
+                  < F.col(left_time) + F.expr(f"INTERVAL {window_sec} SECONDS")))
+        .drop("_b")
+    )

@@ -725,3 +725,38 @@ def approx_distinct_users_hll(spark, sf_dir):
     return (e.groupBy("event_type")
             .agg(F.hll_sketch_estimate(
                 F.hll_sketch_agg("user_id", F.lit(14))).alias("n_approx")))
+
+
+# --- interval (range) join via bucket-explode (operators/joins.py) -----------
+# For each order: how many of that customer's events land in the 3
+# days after the order. The oracle is the declarative inequality join;
+# the Spark plan is the (key, time-bucket) equi-join rewrite — the
+# shape that keeps a time-window join linear at 100 TB.
+@register(
+    "order_events_3d",
+    """
+    SELECT o.o_orderkey,
+           CAST(count(e.event_id) AS BIGINT) AS n_events_3d
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="interval join: per-order count of same-customer events within "
+        "3 days, bucket-explode equi-join rewrite",
+)
+def order_events_3d(spark, sf_dir):
+    from .operators.joins import time_bucket_range_join
+
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                            "o_orderdate")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = time_bucket_range_join(od, ev, "o_custkey", "user_id",
+                                   "o_orderdate", "ts", 3 * 86400)
+    counts = pairs.groupBy("o_orderkey") \
+        .agg(F.count("event_id").alias("n_events_3d"))
+    return (od.select("o_orderkey")
+            .join(counts, "o_orderkey", "left")
+            .select("o_orderkey",
+                    F.coalesce("n_events_3d", F.lit(0)).alias("n_events_3d")))

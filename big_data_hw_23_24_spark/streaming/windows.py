@@ -41,3 +41,20 @@ def windowed_event_counts(events: DataFrame,
                 F.col("w.end").alias("win_end"),
                 *keys, "n_events", "sum_value")
     )
+
+
+def deduped_stream(events: DataFrame, id_cols: tuple[str, ...] = ("event_id",),
+                   ts_col: str = "ts",
+                   watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on ``id_cols`` with bounded state.
+
+    ``dropDuplicatesWithinWatermark``: a duplicate arriving within
+    ``watermark_delay`` of the first sighting is dropped; state for an
+    id is evicted once the watermark passes, so memory is bounded by
+    the ids seen per watermark window — the only dedup contract that
+    works on an unbounded stream (plain ``dropDuplicates`` would hold
+    every id ever seen). The batch face of the same semantic is
+    ``operators/dedup.py::exact_duplicate_groups``.
+    """
+    return (events.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(list(id_cols)))

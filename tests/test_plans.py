@@ -175,3 +175,13 @@ def test_streaming_sessions_kernel_is_arrow_stateful(spark):
     row = out[0].iloc[0]
     assert (row.user_id, row.n_events) == (7, 2)
     assert "session_start" in SESSION_SCHEMA and "n_events" in STATE_SCHEMA
+
+
+def test_interval_join_is_equi_join(spark):
+    # bucket-explode rewrite: the time-range pairing is a hash equi-join
+    # on (key, bucket); the inequality survives only as a post-filter
+    plan = _plan(spark, "order_events_3d", "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))

@@ -308,3 +308,31 @@ def test_sessionize_stream_carries_state_across_batches(spark, tmp_path):
         (2, mins(180), mins(180), 1),
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event ids re-sent in a later micro-batch (within the
+    watermark) must be emitted exactly once; distinct ids all survive."""
+    import pandas as pd
+
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+    from big_data_hw_23_24_spark.streaming.windows import deduped_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda m: (t0 + pd.Timedelta(minutes=m)).to_pydatetime()
+    rows = [  # (seq, event_id, ts): ids 10,11 duplicated across batches
+        (0, 10, mk(0)), (1, 11, mk(1)),
+        (2, 10, mk(2)), (3, 12, mk(3)),
+        (4, 11, mk(4)), (5, 13, mk(5)),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_id long, ts timestamp")
+    glob = write_microbatches(df, str(tmp_path / "dd"), n_buckets=3)
+    stream = (spark.readStream.schema("seq long, event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(glob))
+    name = "dedup_out"
+    q = (deduped_stream(stream, ("event_id",))
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table(name).groupBy("event_id").count().collect()
+    assert {r.event_id: r["count"] for r in got} == {10: 1, 11: 1, 12: 1, 13: 1}
