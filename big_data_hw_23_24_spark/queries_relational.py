@@ -760,3 +760,54 @@ def order_events_3d(spark, sf_dir):
             .join(counts, "o_orderkey", "left")
             .select("o_orderkey",
                     F.coalesce("n_events_3d", F.lit(0)).alias("n_events_3d")))
+
+
+# --- pivot (wide conditional aggregation; new surface) -----------------------
+# Explicit value list so the plan is a single hash aggregate (without
+# it Spark runs an extra distinct pass to discover columns — a full
+# scan a 100 TB pipeline shouldn't pay). The oracle states the same
+# table as CASE WHEN sums, which is exactly what pivot compiles to.
+@register(
+    "returns_pivot_by_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity
+                          ELSE 0 END), 2) AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity
+                          ELSE 0 END), 2) AS qty_O,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot: per-returnflag quantities spread over linestatus "
+        "columns (explicit value list, one hash aggregate)",
+)
+def returns_pivot_by_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (li.groupBy("l_returnflag")
+               .pivot("l_linestatus", ["F", "O"])
+               .agg(F.round(F.sum("l_quantity"), 2)))
+    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    return (pivoted
+            .select("l_returnflag",
+                    F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+                    F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"))
+            .join(counts, "l_returnflag"))
+
+
+# --- approximate quantiles (GK sketch; new surface) --------------------------
+# percentile_approx: single-pass mergeable quantile sketch — the
+# distributed replacement for an exact sort when "the p99 within 1%"
+# is the question. Approximate → no SQL oracle; the property test
+# bounds each estimate between neighboring exact percentiles.
+@register(
+    "price_quantiles_approx",
+    None,
+    doc="percentile_approx p50/p90/p99 of l_extendedprice per "
+        "returnflag (accuracy 10000; error-bounded vs exact in tests)",
+)
+def price_quantiles_approx(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice",
+                                     [0.5, 0.9, 0.99], 10000)
+                 .alias("quantiles")))

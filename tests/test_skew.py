@@ -65,3 +65,26 @@ def test_hll_error_bound_and_mergeability(spark):
               .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                    .alias("est")).collect()}
     assert merged == {k: v for k, v in approx.items()}
+
+
+def test_percentile_approx_brackets_exact(spark):
+    """Each approximate quantile must land within the exact
+    [p-0.01, p+0.01] percentile bracket (GK sketch guarantee at
+    accuracy 10000 ⇒ ε ≤ 1/10000, slack for ties)."""
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    approx = {r.l_returnflag: r.quantiles for r in
+              li.groupBy("l_returnflag")
+              .agg(F.percentile_approx("l_extendedprice",
+                                       [0.5, 0.9, 0.99], 10000)
+                   .alias("quantiles")).collect()}
+    for flag, (a50, a90, a99) in approx.items():
+        vals = sorted(r.l_extendedprice for r in
+                      li.where(F.col("l_returnflag") == flag)
+                      .select("l_extendedprice").collect())
+        n = len(vals)
+        for p, est in [(0.5, a50), (0.9, a90), (0.99, a99)]:
+            lo = vals[max(0, int((p - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((p + 0.01) * n))]
+            assert lo <= est <= hi, (flag, p, est, lo, hi)
