@@ -811,3 +811,36 @@ def price_quantiles_approx(spark, sf_dir):
             .agg(F.percentile_approx("l_extendedprice",
                                      [0.5, 0.9, 0.99], 10000)
                  .alias("quantiles")))
+
+
+# --- full outer join (completes the join-shape surface: inner/semi/
+# anti/left/theta/asof/interval are covered elsewhere). Heavy buyers
+# (>=14 orders) FULL OUTER active users (>=70 events): 6 of 256 keys
+# overlap at sf0.01, so both exclusive sides are non-vacuously
+# exercised. Coalesced key, null counts → -1 sentinel for hashing.
+@register(
+    "buyers_full_outer_active",
+    """
+    WITH big AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                 FROM orders GROUP BY 1 HAVING count(*) >= 14),
+         act AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                 FROM events GROUP BY 1 HAVING count(*) >= 70)
+    SELECT coalesce(o_custkey, user_id) AS key_id,
+           coalesce(n_orders, -1) AS n_orders,
+           coalesce(n_events, -1) AS n_events
+    FROM big FULL OUTER JOIN act ON o_custkey = user_id
+    """,
+    doc="FULL OUTER join of two filtered aggregates (both exclusive "
+        "sides non-empty); hash equi-join, null-safe output",
+)
+def buyers_full_outer_active(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    big = (od.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+           .where(F.col("n_orders") >= 14))
+    act = (ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+           .where(F.col("n_events") >= 70))
+    return (big.join(act, big.o_custkey == act.user_id, "full_outer")
+            .select(F.coalesce("o_custkey", "user_id").alias("key_id"),
+                    F.coalesce("n_orders", F.lit(-1)).alias("n_orders"),
+                    F.coalesce("n_events", F.lit(-1)).alias("n_events")))

@@ -224,3 +224,22 @@ def test_wordcount_app(spark, tmp_path):
     assert lines[0] == "Number of distinct words = 3"
     assert lines[1] == "Total word occurrences = 6"
     assert lines[2] == "Average word length = 1.0"
+
+
+def test_dedup_report_app(spark):
+    """The dedup-report CLI face: exact groups and LSH pairs over the
+    sf0.001 documents corpus, report lines well-formed and counts
+    consistent with the operators it wraps."""
+    from big_data_hw_23_24_spark.apps.dedup_report import run
+    from big_data_hw_23_24_spark.operators.dedup import exact_duplicate_groups
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    lines = run(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert lines[0].startswith("Documents = ")
+    n_docs = int(lines[0].split("= ")[1])
+    assert n_docs == load_table(spark, "/root/testdata/sf0.001",
+                                "documents").count()
+    direct = exact_duplicate_groups(
+        load_table(spark, "/root/testdata/sf0.001", "documents")).count()
+    assert f"Exact duplicate groups = {direct} " in lines[1]
+    assert lines[-1].startswith("Upper-bound drop fraction = ")
