@@ -33,6 +33,8 @@ HEADLINE = [
     "knn_cosine_bruteforce",  # LLM op: exact cosine top-k baseline
     "events_by_window",       # event-time tumbling window agg
     "events_asof_orders",     # as-of join via union+window rewrite
+    "order_events_3d",        # interval join via bucket-explode rewrite
+    "dedup_embedding_lsh",    # hyperplane-LSH embedding near-dedup
 ]
 
 

@@ -352,6 +352,9 @@ def streaming_sessions(spark, sf_dir):
                          (F.col("m") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
                          F.lit(None).cast("long").alias("event_id")))
     allev = e.unionByName(sentinels)
+    # single-partition ordering window: replay-harness-only (the same
+    # convention as _event_item_seq) — a production deployment consumes
+    # an already time-ordered source instead of sequencing it here
     w = W.orderBy("ts", "event_id")
     seq = allev.withColumn("seq", F.row_number().over(w) - 1) \
         .select("seq", "user_id", "ts")

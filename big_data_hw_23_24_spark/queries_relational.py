@@ -783,15 +783,18 @@ def order_events_3d(spark, sf_dir):
 )
 def returns_pivot_by_status(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # count rides inside the pivot so the table is scanned ONCE (a
+    # separate counts+join would read it twice); n = Σ per-status counts
     pivoted = (li.groupBy("l_returnflag")
                .pivot("l_linestatus", ["F", "O"])
-               .agg(F.round(F.sum("l_quantity"), 2)))
-    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
-    return (pivoted
-            .select("l_returnflag",
-                    F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
-                    F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"))
-            .join(counts, "l_returnflag"))
+               .agg(F.round(F.sum("l_quantity"), 2).alias("qty"),
+                    F.count(F.lit(1)).alias("cnt")))
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("qty_F"),
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("qty_O"),
+        (F.coalesce(F.col("F_cnt"), F.lit(0))
+         + F.coalesce(F.col("O_cnt"), F.lit(0))).alias("n"))
 
 
 # --- approximate quantiles (GK sketch; new surface) --------------------------
