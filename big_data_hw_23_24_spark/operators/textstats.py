@@ -8,7 +8,7 @@ parquet-scan speed regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the heuristic detector.
@@ -103,6 +103,76 @@ def detect_language(docs: DataFrame, text_col: str = "text",
         F.when(best.hits > 0, best.lang).otherwise("und")
         .alias("detected_lang"),
         best.hits.alias("hits"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k TF-IDF terms per document → (doc_id, term, tf, df, tfidf, rank).
+
+    Classic corpus weighting a training-data pipeline uses for keyword
+    extraction and topic balance. Two aggregates + one join, all on
+    shuffle-friendly keys:
+
+    * ``tf``: one hash aggregate on (doc_id, term) — the exploded token
+      stream never materializes per-document vectors;
+    * ``df``: derived from the *already aggregated* tf table (one row
+      per (doc, term)), so document frequency costs a second small
+      aggregate on term, not a rescan of the corpus;
+    * join tf↔df on ``term`` — at corpus scale the vocabulary side is
+      Zipf-skewed but small relative to the token stream; AQE picks
+      broadcast when it fits, plain hash join otherwise.
+
+    The corpus size N is a single bounded driver scalar (``count()``),
+    the same bounded-action pattern as ``frequent_users_exact``.
+    idf = ln((N+1)/(df+1)) (smoothed); ranking is on the *unrounded*
+    score with term as tie-break, so the reported rank is stable under
+    output rounding.
+    """
+    words = _words(F.col(text_col))
+    n_docs = docs.count()
+    tf = (docs.select(F.col(id_col), F.explode(words).alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("term"))
+    return (tf.join(df, "term")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df",
+                    F.round(score, 6).alias("tfidf"), "rank"))
+
+
+def token_chunks(docs: DataFrame, size: int = 64, stride: int = 48,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Overlapping fixed-size token windows → (doc_id, chunk_id,
+    n_chunk_tokens, chunk_text).
+
+    The chunking step of a training pipeline (context windows with
+    overlap). Chunk i covers tokens [i·stride, i·stride + size);
+    the number of chunks is 1 + ⌈max(n−size, 0)/stride⌉, so every
+    token lands in ≥1 chunk and the final partial chunk is kept.
+    Zero-token documents produce no chunks.
+
+    Pure JVM expressions (split → sequence → explode → slice): a
+    narrow map plus one explode, no shuffle — chunking streams at
+    parquet-scan speed and parallelizes over input splits. Token =
+    non-empty segment of a single-space split; original case kept.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    toked = docs.select(F.col(id_col), words.alias("_w"),
+                        F.size(words).alias("_n")).where(F.col("_n") > 0)
+    n_last = F.ceil(F.greatest(F.col("_n") - size, F.lit(0)) / stride) \
+        .cast("int")
+    chunk = toked.select(
+        id_col, "_w",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_id"))
+    piece = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, size)
+    return chunk.select(
+        id_col, "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
     )
 
 

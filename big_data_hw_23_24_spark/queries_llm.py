@@ -254,6 +254,74 @@ def doc_fingerprints(spark, sf_dir):
         .drop("crc")  # crc32 has no DuckDB analogue; stays in the operator
 
 
+# --- TF-IDF keyword extraction ----------------------------------------------
+# Both engines rank on the UNROUNDED score (tf and df are exact
+# integers, so tf·ln((N+1)/(df+1)) is bit-identical IEEE math) with
+# term as tie-break, and round only the reported value.
+@register(
+    "doc_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                w -> w <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rank FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) DESC,
+                        tf.term) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+    doc="top-3 TF-IDF terms per document (tf agg → df agg → join → "
+        "window top-k; smoothed idf)",
+)
+def doc_tfidf_top_terms(spark, sf_dir):
+    from .operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+# --- document chunking (context windows with overlap) ------------------------
+# DuckDB list slicing is 1-based inclusive, so words[a+1 : a+size]
+# mirrors Spark's slice(words, a+1, size) exactly.
+@register(
+    "doc_chunks",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    c AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0)
+    SELECT doc_id, chunk_id,
+           len(words[chunk_id * 48 + 1 : chunk_id * 48 + 64])
+             AS n_chunk_tokens,
+           array_to_string(words[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text
+    FROM (SELECT doc_id, words,
+                 unnest(generate_series(
+                   0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT)))
+                   AS chunk_id
+          FROM c)
+    """,
+    doc="overlapping token chunking (size 64, stride 48): "
+        "split → sequence → explode → slice, shuffle-free",
+)
+def doc_chunks(spark, sf_dir):
+    from .operators.textstats import token_chunks
+
+    return token_chunks(load_table(spark, sf_dir, "documents"),
+                        size=64, stride=48)
+
+
 # --- multimodal plumbing -----------------------------------------------------
 # The fake decode is a pure function of the payload bytes, so the
 # Arrow/mapInPandas path has an exact SQL oracle: md5-derived dims over

@@ -251,6 +251,57 @@ def test_embedding_lsh_recall_and_precision_on_planted_dups(spark):
         (len(set(lsh) & planted), len(planted))
 
 
+def test_token_chunks_cover_every_token_with_overlap(spark):
+    """Every token index lands in ≥1 chunk; consecutive chunks overlap
+    by size−stride tokens; zero-token docs produce no chunks; a doc
+    with exactly `size` tokens produces exactly one chunk."""
+    from big_data_hw_23_24_spark.operators.textstats import token_chunks
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(150))),   # 3 chunks
+        (2, " ".join(f"u{i}" for i in range(64))),    # exactly one
+        (3, "a b"),                                   # one partial chunk
+        (4, ""), (5, "   "),                          # no chunks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = token_chunks(docs, size=64, stride=48).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 64
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "a b"
+    ch1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in ch1] == [0, 1, 2]
+    # coverage: chunk i starts at 48·i, so union covers [0, 150)
+    covered = set()
+    for r in ch1:
+        covered.update(range(r.chunk_id * 48,
+                             r.chunk_id * 48 + r.n_chunk_tokens))
+    assert covered == set(range(150))
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert ch1[0].chunk_text.split()[-16:] == ch1[1].chunk_text.split()[:16]
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    """A term unique to one doc must outrank corpus-wide stopwords at
+    equal tf; df in the output is the true document frequency."""
+    from big_data_hw_23_24_spark.operators.textstats import tfidf_top_terms
+
+    rows = [(i, f"common filler words everywhere special{i} "
+                "common filler words everywhere") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tfidf_top_terms(docs, k=1).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.term == f"special{r.doc_id}"  # rare term wins rank 1
+        assert r.df == 1 and r.tf == 1 and r.rank == 1
+    # stopwords appear in all 10 docs → df = 10
+    all3 = tfidf_top_terms(docs, k=5).collect()
+    dfs = {r.term: r.df for r in all3}
+    assert dfs.get("common") == 10 and dfs.get("filler") == 10
+
+
 def test_embedding_lsh_null_embeddings_excluded(spark):
     """A null embedding row must neither crash the signature UDF nor
     appear in any pair."""
