@@ -57,6 +57,60 @@ def annotate_truth(estimated: DataFrame, true_frequent: DataFrame,
             .drop("_true_item"))
 
 
+def cms_table(items: DataFrame, item_col: str, depth: int = 5,
+              width: int = 2048) -> DataFrame:
+    """Count-min sketch as a ``(row, bucket, cnt)`` DataFrame.
+
+    The idiomatic-Spark alternative to sticky sampling named in SURVEY
+    §2.4 (K2): a fixed-size mergeable summary with one-sided error
+    (estimates only over-count, by ≤ e/width · N with prob ≥ 1−e^−depth).
+    Each item votes into one bucket per row via the fixed-width hash
+    ``xxhash64(row, item)``.
+
+    Scale shape: the explode is a narrow map (depth rows per item) and
+    the aggregate partial-combines map-side, so at most depth·width
+    rows per partition reach the shuffle — the sketch costs one
+    bounded-output pass over the stream regardless of N. Sketches of
+    disjoint slices merge by SUM on (row, bucket), which is what makes
+    per-partition / per-day sketches composable at 100 TB.
+    """
+    d = items.select(
+        F.col(item_col).alias("_item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
+    return (d.groupBy("row",
+                      F.pmod(F.xxhash64("row", "_item"),
+                             F.lit(width)).alias("bucket"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches of disjoint streams: SUM per (row, bucket)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame, item_col: str,
+                 depth: int = 5, width: int = 2048) -> DataFrame:
+    """Point-query the sketch for each distinct candidate → (item, est).
+
+    est = min over rows of the item's bucket count (0 if the bucket is
+    empty — the item was never inserted). The sketch side is bounded by
+    depth·width rows *by construction*, so it is always broadcast: the
+    probe is a map-side join however many candidates stream through.
+    """
+    cand = (candidates.select(F.col(item_col).alias("item")).distinct()
+            .select("item",
+                    F.explode(F.sequence(F.lit(0),
+                                         F.lit(depth - 1))).alias("row"))
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("row", "item"), F.lit(width))))
+    return (cand.join(F.broadcast(sketch), ["row", "bucket"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
+
+
 class ReservoirSampler:
     """Fixed-size-m uniform sample over a sequential stream (K1).
 

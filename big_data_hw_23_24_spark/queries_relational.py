@@ -257,6 +257,33 @@ def frequent_users_exact(spark, sf_dir):
         .where(F.col("cnt") >= thr)
 
 
+# --- K2 alternative: count-min sketch frequent items ------------------------
+# The mergeable-sketch face of frequent-items (SURVEY §2.4 names CMS as
+# the idiomatic Spark sibling of sticky sampling). One-sided error →
+# the answer is a provable SUPERSET of frequent_users_exact; the
+# overestimate bound and mergeability are property-tested
+# (tests/test_streaming.py). xxhash64 buckets are Spark-specific, so
+# the registry check is rows-only.
+@register(
+    "frequent_users_cms",
+    None,
+    doc="count-min sketch (depth 5 × width 2048) frequent items: "
+        "bounded-size mergeable sketch + broadcast point queries",
+)
+def frequent_users_cms(spark, sf_dir):
+    import math
+
+    from .operators.frequent import cms_estimate, cms_table
+
+    e = _t(spark, sf_dir, "events")
+    n = e.count()  # bounded action: one scalar, as frequent_users_exact
+    thr = math.ceil(0.007 * n)
+    sketch = cms_table(e, "user_id")
+    est = cms_estimate(sketch, e.select("user_id"), "user_id")
+    return (est.where(F.col("est") >= thr)
+            .select(F.col("item").alias("user_id"), "est"))
+
+
 # --- set operations (new surface) -------------------------------------------
 @register(
     "segment_set_ops",

@@ -336,3 +336,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.table(name).groupBy("event_id").count().collect()
     assert {r.event_id: r["count"] for r in got} == {10: 1, 11: 1, 12: 1, 13: 1}
+
+
+def test_cms_overestimates_only_and_covers_exact_frequent(spark):
+    """CMS guarantees: (a) est ≥ true count for EVERY item (one-sided
+    error); (b) the CMS-frequent set at threshold t is a superset of
+    the exact-frequent set; (c) with width ≫ distinct items the
+    overestimate stays within the e/width·N bound."""
+    import math
+
+    from big_data_hw_23_24_spark.operators.frequent import (
+        cms_estimate, cms_table, exact_frequent)
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    n = e.count()
+    true = {r.user_id: r.cnt for r in
+            e.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    sketch = cms_table(e, "user_id", depth=5, width=2048)
+    est = {r.item: r.est for r in
+           cms_estimate(sketch, e.select("user_id"), "user_id",
+                        depth=5, width=2048).collect()}
+    assert set(est) == set(true)
+    assert all(est[u] >= c for u, c in true.items())
+    bound = math.e / 2048 * n  # classic CMS overestimate bound
+    over = [est[u] - c for u, c in true.items()]
+    # w.h.p. bound holds for the max; assert the 99th pct to be safe
+    over.sort()
+    assert over[int(0.99 * len(over))] <= bound, (max(over), bound)
+
+    thr = math.ceil(0.007 * n)
+    exact = {r.item for r in exact_frequent(e, "user_id", 0.007, n).collect()}
+    cms_freq = {u for u, c in est.items() if c >= thr}
+    assert exact <= cms_freq
+
+
+def test_cms_merge_of_disjoint_slices_equals_whole(spark):
+    """Sketching two disjoint halves and merging must equal sketching
+    the union — the composability that makes per-day sketches work."""
+    from big_data_hw_23_24_spark.operators.frequent import cms_merge, cms_table
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events") \
+        .select("user_id")
+    a, b = e.where(F.col("user_id") % 2 == 0), e.where(F.col("user_id") % 2 == 1)
+    whole = {(r.row, r.bucket): r.cnt
+             for r in cms_table(e, "user_id", 4, 512).collect()}
+    merged = {(r.row, r.bucket): r.cnt
+              for r in cms_merge(cms_table(a, "user_id", 4, 512),
+                                 cms_table(b, "user_id", 4, 512)).collect()}
+    assert merged == whole
