@@ -322,6 +322,39 @@ def doc_chunks(spark, sf_dir):
                         size=64, stride=48)
 
 
+# --- Python UDTF extension point ---------------------------------------------
+# One row per kept sentence via LATERAL split_sentences(text); the
+# oracle states the same split/trim/drop-empties rule with unnest +
+# a per-doc ordinal window. INTEGER casts mirror Spark's int columns.
+@register(
+    "doc_sentences_udtf",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS INTEGER) AS sent_idx,
+           s AS sentence,
+           CAST(length(s) AS INTEGER) AS n_chars
+    FROM (SELECT doc_id, trim(unnest(string_split(text, '.')), ' ') AS s,
+                 generate_subscripts(string_split(text, '.'), 1) AS i
+          FROM documents)
+    WHERE s <> ''
+    """,
+    doc="Python UDTF (LATERAL table function): sentence explode — the "
+        "UDTF half of SURVEY §2.9's extension point; Arrow-batched, "
+        "kept off benched paths by design",
+)
+def doc_sentences_udtf(spark, sf_dir):
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+    """)
+
+
 # --- multimodal plumbing -----------------------------------------------------
 # The fake decode is a pure function of the payload bytes, so the
 # Arrow/mapInPandas path has an exact SQL oracle: md5-derived dims over

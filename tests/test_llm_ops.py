@@ -316,3 +316,23 @@ def test_embedding_lsh_null_embeddings_excluded(spark):
     got = embedding_lsh_pairs(emb, 0.9, dim=16).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
     assert got[0].cosine == 1.0
+
+
+def test_udtf_sentence_split_edge_cases(spark):
+    """Null text yields no rows; empty/whitespace segments are dropped;
+    sent_idx counts only kept sentences."""
+    from big_data_hw_23_24_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    rows = [(1, "One. Two.. Three ."), (2, None), (3, "..."), (4, "solo")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("_udtf_edge")
+    got = spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM _udtf_edge d, LATERAL split_sentences(d.text) s
+    """).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    assert by_doc == {1: [(0, "One"), (1, "Two"), (2, "Three")],
+                      4: [(0, "solo")]}
