@@ -184,6 +184,40 @@ def running_order_total(spark, sf_dir):
     )
 
 
+# --- rolling time-range window (RANGE frame; new surface) -------------------
+# The other window-frame class: running_order_total uses a ROWS frame,
+# this one a RANGE frame over event time — per customer, the sum and
+# count of orders in the trailing 30 calendar days. Ordering is on the
+# epoch-day int (Spark RANGE frames need a numeric key); peers within
+# the same day share one frame, so the result is tie-order independent.
+# One shuffle on o_custkey, frames evaluated in a single window pass.
+@register(
+    "customer_rolling_30d",
+    """
+    SELECT o_orderkey, o_custkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_day,
+           round(sum(o_totalprice) OVER w, 2) AS sum_30d,
+           count(*) OVER w AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                 RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing-30-day RANGE-frame window per customer (new surface: "
+        "time-range frames; ROWS frames covered by running_order_total)",
+)
+def customer_rolling_30d(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.unix_date(F.to_date("o_orderdate")))
+         .rangeBetween(-29, 0))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+        F.count("*").over(w).alias("n_30d"),
+    )
+
+
 # --- J4: semi / anti joins ---------------------------------------------------
 # The reference's membership probe (G016HW3.java:186-196) is a driver
 # loop; left-semi/anti shuffles only the key column.
