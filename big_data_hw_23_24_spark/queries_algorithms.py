@@ -371,3 +371,75 @@ def streaming_sessions(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- watermarked stream-stream interval join ---------------------------------
+# The streaming face of order_events_3d: orders and events replayed as
+# two independent micro-batched file streams, inner-joined live on
+# (customer key, event ts within 3 days of the order) with watermarks
+# on both sides so join state self-evicts. The matched pairs are then
+# finished with the same relational aggregate as the batch query, so
+# the batch inequality-join oracle applies verbatim — a green row
+# certifies the stream-stream join loses and invents nothing on an
+# in-order replay.
+@register(
+    "streaming_order_events_3d",
+    """
+    SELECT o.o_orderkey,
+           CAST(count(e.event_id) AS BIGINT) AS n_events_3d
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="watermarked stream-stream interval join (new surface): two "
+        "replayed streams, state-store-buffered inner join, batch "
+        "finishing aggregate; oracle = the batch inequality join",
+)
+def streaming_order_events_3d(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from .streaming.joins import run_interval_join
+    from .streaming.replay import write_microbatches
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    # replay-harness-only global sequencing (same convention as
+    # streaming_sessions): production consumes already-ordered sources
+    od_seq = od.withColumn(
+        "seq", F.row_number().over(W.orderBy("o_orderdate", "o_orderkey")) - 1)
+    ev_seq = ev.withColumn(
+        "seq", F.row_number().over(W.orderBy("ts", "event_id")) - 1)
+
+    d = tempfile.mkdtemp(prefix="ssjoin_stream_")
+    try:
+        og = write_microbatches(od_seq, f"{d}/orders", n_buckets=6)
+        eg = write_microbatches(ev_seq, f"{d}/events", n_buckets=6)
+        os_ = (spark.readStream
+               .schema("o_orderkey long, o_custkey long, "
+                       "o_orderdate timestamp, seq long")
+               .option("maxFilesPerTrigger", 1).parquet(og)
+               .drop("seq"))
+        es = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp, seq long")
+              .option("maxFilesPerTrigger", 1).parquet(eg)
+              .drop("seq"))
+        pairs = run_interval_join(
+            spark, os_, es, "o_custkey", "user_id", "o_orderdate", "ts",
+            3 * 86400, watermark_delay="1 hour")
+        counts = pairs.groupBy("o_orderkey") \
+            .agg(F.count("event_id").alias("n_events_3d"))
+        out = (od.select("o_orderkey")
+               .join(counts, "o_orderkey", "left")
+               .select("o_orderkey",
+                       F.coalesce("n_events_3d", F.lit(0))
+                       .alias("n_events_3d")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -386,3 +386,38 @@ def test_cms_merge_of_disjoint_slices_equals_whole(spark):
               for r in cms_merge(cms_table(a, "user_id", 4, 512),
                                  cms_table(b, "user_id", 4, 512)).collect()}
     assert merged == whole
+
+
+def test_stream_stream_interval_join_matches_across_batches(spark, tmp_path):
+    """A right-side row arriving many micro-batches after its left match
+    must still join (state-store buffering); rows outside the window or
+    key never match."""
+    import pandas as pd
+
+    from big_data_hw_23_24_spark.streaming.joins import run_interval_join
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    mk = lambda h: (t0 + pd.Timedelta(hours=h)).to_pydatetime()
+    orders = spark.createDataFrame(
+        [(0, 100, 7, mk(0)), (1, 101, 7, mk(1)), (2, 200, 9, mk(0))],
+        "seq long, o_orderkey long, o_custkey long, o_orderdate timestamp")
+    events = spark.createDataFrame(
+        [(0, 1000, 7, mk(1)),      # batch 1: matches orders 100 (and 101 at =)
+         (1, 1001, 7, mk(49)),     # batch 2: in 72h window of both orders
+         (2, 1002, 7, mk(100)),    # batch 3: outside both 72h windows
+         (3, 1003, 8, mk(2))],     # wrong key
+        "seq long, event_id long, user_id long, ts timestamp")
+    og = write_microbatches(orders, str(tmp_path / "o"), n_buckets=1)
+    eg = write_microbatches(events, str(tmp_path / "e"), n_buckets=4)
+    os_ = (spark.readStream
+           .schema("seq long, o_orderkey long, o_custkey long, "
+                   "o_orderdate timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(og).drop("seq"))
+    es = (spark.readStream
+          .schema("seq long, event_id long, user_id long, ts timestamp")
+          .option("maxFilesPerTrigger", 1).parquet(eg).drop("seq"))
+    pairs = run_interval_join(spark, os_, es, "o_custkey", "user_id",
+                              "o_orderdate", "ts", 3 * 86400)
+    got = {(r.o_orderkey, r.event_id) for r in pairs.collect()}
+    assert got == {(100, 1000), (101, 1000), (100, 1001), (101, 1001)}
