@@ -634,6 +634,49 @@ def user_sessions(spark, sf_dir):
         .groupBy("user_id").agg(F.count("*").alias("n_sessions"))
 
 
+# --- built-in session windows (session_window) -------------------------------
+# Third face of sessionization: user_sessions is the gaps-and-islands
+# rewrite, streaming_sessions the stateful-kernel face; this is Spark's
+# NATIVE session_window aggregate — one hash/sort aggregate per key,
+# sessions merged by the engine, no window-function pass. Spark defines
+# the session end as last_event + gap; the oracle states the same
+# (max(ts) + INTERVAL 1 HOUR) over the lag-window islands.
+@register(
+    "sessions_builtin_window",
+    """
+    WITH brk AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM brk
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="native session_window aggregate (gap 1h): engine-merged "
+        "sessions in one aggregate, no lag-window pass (new surface)",
+)
+def sessions_builtin_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id",
+                      F.session_window("ts", "1 hour").alias("sw"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"),
+                    "n_events"))
+
+
 # --- O1: global sort (range-partitioned in Spark) ---------------------------
 @register(
     "suppliers_sorted",
