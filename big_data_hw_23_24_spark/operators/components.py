@@ -1,0 +1,86 @@
+"""Connected components over near-duplicate pair graphs.
+
+The last step of corpus deduplication: LSH/SimHash/Jaccard emit *pairs*
+(a, b), but dropping duplicates needs *groups* — if a~b and b~c, then
+{a, b, c} is one component and one survivor is kept. Pair lists don't
+give that (neither a dedup report nor a survivor choice is well-defined
+on pairs alone when duplicates chain).
+
+Algorithm: iterative min-label propagation. Every vertex starts
+labelled with its own id; each round, every vertex takes the min of its
+label and its neighbours' labels; at fixpoint label(v) = min vertex id
+in v's component — a deterministic, order-independent canonical
+representative (and the natural ``keep_id``).
+
+Scale shape: one hash-aggregate + one equi-join per round, all keyed on
+vertex ids — no pairwise blowup beyond the input edge list. Lineage is
+truncated every round with ``localCheckpoint`` (iterative plans
+otherwise grow unboundedly), and convergence is detected with a bounded
+count action, the same driver-side iteration contract as MRFFT
+(SURVEY §3.2: driver-controlled rounds are the accepted shape for
+iterative algorithms). Rounds needed = graph diameter; near-dup
+components are overwhelmingly tiny (pairs/triples), so propagation
+converges in 2-3 rounds on real corpora. For adversarial long-chain
+graphs the classic O(log n)-round alternating large-star/small-star
+algorithm is the drop-in upgrade; the per-round dataflow here is its
+building block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(id_a, id_b) undirected pairs → (doc_id, component).
+
+    ``component`` is the min vertex id of the component. Only vertices
+    appearing in ≥1 edge are returned (singletons are trivially their
+    own component). Raises if ``max_iter`` rounds don't converge —
+    by then the graph has diameter > max_iter and needs the
+    star-contraction variant, not silence.
+    """
+    sym = (edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
+           .unionByName(
+               edges.select(F.col(id_b).alias("node"),
+                            F.col(id_a).alias("nbr")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select("node").distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        # min neighbour label per node, one join + one aggregate
+        nbr_min = (sym.join(labels.select(F.col("node").alias("nbr"),
+                                          F.col("label").alias("nbr_label")),
+                            "nbr")
+                   .groupBy("node").agg(F.min("nbr_label").alias("nmin")))
+        new_labels = (labels.join(nbr_min, "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nmin", "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())  # bounded: 0 or 1 rows
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds "
+        "(graph diameter too large — use star-contraction)")
+
+
+def dedup_survivors(components: DataFrame) -> DataFrame:
+    """(doc_id, component) → per-component survivor summary:
+    (component, n_docs, keep_id, n_dropped). keep_id = the canonical
+    min id, i.e. the component label itself."""
+    return (components.groupBy("component")
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.col("component").alias("keep_id"),
+                    F.col("n_docs"),
+                    (F.col("n_docs") - 1).alias("n_dropped")))

@@ -126,6 +126,50 @@ def dedup_simhash(spark, sf_dir):
                                    max_hamming=3)
 
 
+# --- dedup components (pairs → groups) ---------------------------------------
+# Transitive closure of the near-dup relation: the step that turns pair
+# lists into dedup groups with a canonical survivor (min id). Spark
+# side: iterative min-label propagation (driver-bounded rounds, the
+# MRFFT iteration contract); oracle side: DuckDB recursive CTE over the
+# same exact-Jaccard ≥ 0.7 edges — one of the few iterative operators
+# with a full value-checked oracle.
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(lbl) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="connected components over exact-Jaccard ≥ 0.7 pairs: "
+        "iterative min-label propagation vs recursive-CTE oracle",
+)
+def dedup_components(spark, sf_dir):
+    from .operators.components import connected_components
+
+    pairs = exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.7)
+    return connected_components(pairs)
+
+
 # --- similarity search -------------------------------------------------------
 # Brute-force cosine is oracle-checked with DuckDB's
 # list_cosine_similarity (both sides compute in double); top-k rank is

@@ -336,3 +336,42 @@ def test_udtf_sentence_split_edge_cases(spark):
         by_doc.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
     assert by_doc == {1: [(0, "One"), (1, "Two"), (2, "Three")],
                       4: [(0, "solo")]}
+
+
+def test_connected_components_chains_and_survivors(spark):
+    """A chained dup relation (a~b, b~c, c~d) must collapse into ONE
+    component labelled by the min id — pairs alone can't say that —
+    and disjoint components stay separate. Survivor summary counts
+    drops per group."""
+    from big_data_hw_23_24_spark.operators.components import (
+        connected_components, dedup_survivors)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain → {1,2,3,4}
+         (10, 11),                    # pair → {10,11}
+         (20, 21), (21, 22), (20, 22)],  # triangle → {20,21,22}
+        "id_a long, id_b long")
+    comp = {r.doc_id: r.component
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+    surv = {r.keep_id: (r.n_docs, r.n_dropped)
+            for r in dedup_survivors(connected_components(edges)).collect()}
+    assert surv == {1: (4, 3), 10: (2, 1), 20: (3, 2)}
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    """A path graph longer than max_iter rounds must raise, not return
+    a half-propagated labelling."""
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.components import (
+        connected_components)
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                 "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(path, max_iter=2)
+    comp = {r.doc_id: r.component
+            for r in connected_components(path, max_iter=15).collect()}
+    assert set(comp.values()) == {0}
