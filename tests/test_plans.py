@@ -185,3 +185,46 @@ def test_interval_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert any(j in plan for j in
                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+
+def test_token_chunks_is_exchange_free(spark):
+    # chunking = narrow map + explode: no shuffle, no Python on the path
+    plan = _plan(spark, "doc_chunks", "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_tfidf_two_aggregates_one_join_no_cartesian(spark):
+    # tf hash-agg → df agg from the tf table → equi-join on term →
+    # per-doc window; never a cartesian or nested-loop pairing
+    plan = _plan(spark, "doc_tfidf_top_terms", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final pairs
+    assert "Window" in plan
+
+
+def test_cms_estimate_broadcasts_bounded_sketch(spark):
+    # the sketch side is depth*width rows by construction → its probe
+    # join must be a broadcast hash join, and everything stays JVM-side
+    plan = _plan(spark, "frequent_users_cms", "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_sessions_builtin_single_aggregate_no_window_function(spark):
+    # native session_window: sessions merge inside the aggregate —
+    # no lag/row_number window pass, exactly one key shuffle
+    plan = _plan(spark, "sessions_builtin_window", "simple")
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_rolling_30d_single_window_pass(spark):
+    # one shuffle on o_custkey, one Window evaluating both frames
+    plan = _plan(spark, "customer_rolling_30d", "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan
