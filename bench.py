@@ -35,6 +35,11 @@ HEADLINE = [
     "events_asof_orders",     # as-of join via union+window rewrite
     "order_events_3d",        # interval join via bucket-explode rewrite
     "dedup_embedding_lsh",    # hyperplane-LSH embedding near-dedup
+    "doc_tfidf_top_terms",    # LLM op: TF-IDF keyword extraction
+    "doc_chunks",             # LLM op: overlapping token chunking
+    "frequent_users_cms",     # count-min sketch heavy hitters
+    "sessions_builtin_window",  # native session_window aggregate
+    "customer_rolling_30d",   # RANGE-frame rolling window
 ]
 
 

@@ -43,18 +43,32 @@ def run(spark: SparkSession, path: str, threshold: float = 0.7,
 
     mh = minhash_near_duplicates(docs, threshold=threshold)
     mh_pairs = mh.count()
-    mh_docs = (mh.select(F.col("id_b").alias("d")).distinct().count())
+
+    # pairs → transitive components: the droppable count is exact
+    # (Σ (component size − 1)), not the distinct-id_b estimate a pair
+    # list alone supports — chained dups (a~b, b~c) count correctly
+    if mh_pairs:
+        from ..operators.components import (
+            connected_components, dedup_survivors)
+
+        surv = dedup_survivors(
+            connected_components(mh.select("id_a", "id_b")))
+        agg = surv.agg(F.count("*").alias("g"),
+                       F.sum("n_dropped").alias("d")).collect()[0]
+        mh_groups, mh_drop = agg["g"], int(agg["d"])
+    else:
+        mh_groups = mh_drop = 0
 
     sh = simhash_near_duplicates(docs, max_hamming=max_hamming)
     sh_pairs = sh.count()
 
-    drop_frac = (ex_extra + mh_docs) / max(n_docs, 1)
+    drop_frac = (ex_extra + mh_drop) / max(n_docs, 1)
     return [
         f"Documents = {n_docs}",
         f"Exact duplicate groups = {ex_groups} "
         f"(redundant copies = {ex_extra})",
         f"MinHash-LSH near-dup pairs (J >= {threshold}) = {mh_pairs} "
-        f"(droppable docs = {mh_docs})",
+        f"(components = {mh_groups}, droppable docs = {mh_drop})",
         f"SimHash pairs (hamming <= {max_hamming}) = {sh_pairs}",
         f"Upper-bound drop fraction = {drop_frac:.4f}",
     ]
