@@ -634,6 +634,33 @@ def user_sessions(spark, sf_dir):
         .groupBy("user_id").agg(F.count("*").alias("n_sessions"))
 
 
+# --- scalar subquery (SQL face) ----------------------------------------------
+# Catalyst runs the subquery as its own job and folds the scalar into
+# the main scan's filter — the relational analogue of the reference's
+# two-action pattern (count() → threshold → filter, G016HW3.java:152).
+# The average is over exact integers (p_size), so both engines derive
+# the identical double and the comparison can't flip on summation
+# order. Also exercises the spark.sql() entry path (most queries here
+# use the DataFrame API).
+@register(
+    "parts_above_avg_size",
+    """
+    SELECT p_partkey, p_type, p_size
+    FROM part
+    WHERE p_size > (SELECT avg(p_size) FROM part)
+    """,
+    doc="scalar subquery via spark.sql (new surface: subquery folding, "
+        "SQL entry path)",
+)
+def parts_above_avg_size(spark, sf_dir):
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_parts_v")
+    return spark.sql("""
+        SELECT p_partkey, p_type, p_size
+        FROM _parts_v
+        WHERE p_size > (SELECT avg(p_size) FROM _parts_v)
+    """)
+
+
 # --- built-in session windows (session_window) -------------------------------
 # Third face of sessionization: user_sessions is the gaps-and-islands
 # rewrite, streaming_sessions the stateful-kernel face; this is Spark's

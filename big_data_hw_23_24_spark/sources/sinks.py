@@ -71,3 +71,21 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
+                         n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-partitioned, sorted parquet — data skipping for readers.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` makes both the
+    per-FILE and per-ROW-GROUP min/max statistics on ``sort_cols``
+    disjoint (touching only at range boundaries). Parquet readers
+    evaluate pushed filters against those statistics before decoding,
+    so a point or range predicate on the sort key skips every
+    non-overlapping row group — the single-dimension version of
+    Z-ordering, and the cheapest data-layout lever a 100 TB table has:
+    one write-time shuffle buys every subsequent scan its pruning.
+    """
+    (df.repartitionByRange(n_files, *sort_cols)
+       .sortWithinPartitions(*sort_cols)
+       .write.mode(mode).parquet(path))
