@@ -634,6 +634,43 @@ def user_sessions(spark, sf_dir):
         .groupBy("user_id").agg(F.count("*").alias("n_sessions"))
 
 
+# --- bloom-filter semi-join pruning ------------------------------------------
+# Physical optimization with zero semantic footprint: lineitem is
+# pre-filtered by a Bloom filter of the (small) qualifying part keys
+# before the real join, so only plausible rows shuffle. No false
+# negatives → identical answer to the plain join, which is exactly
+# what the oracle states. At 100 TB this is the difference between
+# shuffling the full fact table and shuffling ~selectivity of it.
+@register(
+    "parts_size50_revenue_bloom",
+    """
+    SELECT p.p_partkey, p.p_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 50
+    GROUP BY p.p_partkey, p.p_name
+    """,
+    doc="bloom-filter semi-join prune + exact join: transparent "
+        "physical optimization, plain-join oracle",
+)
+def parts_size50_revenue_bloom(spark, sf_dir):
+    from .operators.bloom import bloom_semi_prune
+
+    dim = (_t(spark, sf_dir, "part")
+           .where(F.col("p_size") == 50)
+           .select("p_partkey", "p_name"))
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    pruned = bloom_semi_prune(fact, dim, "l_partkey", "p_partkey")
+    return (pruned.join(dim, pruned.l_partkey == dim.p_partkey)
+            .groupBy("p_partkey", "p_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
 # --- scalar subquery (SQL face) ----------------------------------------------
 # Catalyst runs the subquery as its own job and folds the scalar into
 # the main scan's filter — the relational analogue of the reference's

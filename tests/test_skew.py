@@ -88,3 +88,34 @@ def test_percentile_approx_brackets_exact(spark):
             lo = vals[max(0, int((p - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((p + 0.01) * n))]
             assert lo <= est <= hi, (flag, p, est, lo, hi)
+
+
+def test_bloom_prune_no_false_negatives_and_prunes_most(spark):
+    """Every true match must survive the prune (prune→join == join),
+    and with 100 dim keys out of 100k fact keys the filter must drop
+    the overwhelming majority of non-matching rows."""
+    from big_data_hw_23_24_spark.operators.bloom import (
+        bloom_build, bloom_might_contain, bloom_semi_prune)
+
+    fact = spark.range(100_000).selectExpr("id AS fk", "id % 7 AS payload")
+    dim = spark.range(100).selectExpr("id * 997 AS dk")  # sparse keys
+    pruned = bloom_semi_prune(fact, dim, "fk", "dk")
+
+    true_matches = {r.fk for r in
+                    fact.join(dim, fact.fk == dim.dk, "left_semi").collect()}
+    kept = {r.fk for r in pruned.collect()}
+    assert true_matches <= kept              # no false negatives
+    fpr = (len(kept) - len(true_matches)) / 100_000
+    assert fpr < 0.01, fpr                   # m=2^16, k=5, n=100 → tiny
+
+    # prune → exact join ≡ exact join (the transparency contract)
+    j1 = sorted((r.fk, r.dk) for r in
+                pruned.join(dim, pruned.fk == dim.dk).collect())
+    j2 = sorted((r.fk, r.dk) for r in
+                fact.join(dim, fact.fk == dim.dk).collect())
+    assert j1 == j2
+
+    # empty dimension → filter with all bits unset → everything pruned
+    empty = bloom_might_contain(
+        fact, bloom_build(dim.where("dk < 0"), "dk"), "fk")
+    assert empty.count() == 0
