@@ -69,3 +69,36 @@ def test_range_join_matches_bruteforce(spark, left, right, window):
             for rid, rk, rt in rrows
             if rk == k and t <= rt < t + datetime.timedelta(seconds=window)}
     assert got == want
+
+
+@given(n=st.integers(0, 200), size=st.integers(1, 40),
+       stride_frac=st.integers(1, 10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_token_chunks_random_shapes(spark, n, size, stride_frac):
+    """For arbitrary (n_tokens, size, stride ≤ size): chunks tile the
+    token range with the exact formula count, every token is covered,
+    and concatenating stride-aligned prefixes reconstructs the doc."""
+    import math
+
+    from big_data_hw_23_24_spark.operators.textstats import token_chunks
+
+    stride = max(1, size * stride_frac // 10)  # 10%..100% of size
+    text = " ".join(f"w{i}" for i in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(token_chunks(docs, size=size, stride=stride).collect(),
+                 key=lambda r: r.chunk_id)
+    if n == 0:
+        assert got == []
+        return
+    expect_chunks = 1 + math.ceil(max(n - size, 0) / stride)
+    assert len(got) == expect_chunks
+    covered = set()
+    for r in got:
+        start = r.chunk_id * stride
+        toks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert toks == [f"w{i}" for i in
+                        range(start, min(start + size, n))]
+        assert r.n_chunk_tokens == len(toks)
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n))

@@ -421,3 +421,35 @@ def test_stream_stream_interval_join_matches_across_batches(spark, tmp_path):
                               "o_orderdate", "ts", 3 * 86400)
     got = {(r.o_orderkey, r.event_id) for r in pairs.collect()}
     assert got == {(100, 1000), (101, 1000), (100, 1001), (101, 1001)}
+
+
+def test_cms_accumulated_over_microbatches_equals_whole(spark, tmp_path):
+    """Maintaining a CMS over a stream = merging per-batch sketches in
+    foreachBatch; the accumulated sketch must equal the batch sketch of
+    the whole stream (the mergeability contract, live)."""
+    from big_data_hw_23_24_spark.operators.frequent import cms_merge, cms_table
+    from big_data_hw_23_24_spark.sources.tables import load_table
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+
+    e = (load_table(spark, "/root/testdata/sf0.001", "events")
+         .select("event_id", "user_id"))
+    seq = e.withColumnRenamed("event_id", "seq")
+    glob = write_microbatches(seq, str(tmp_path / "cms"), n_buckets=5)
+    stream = (spark.readStream.schema("seq long, user_id long")
+              .option("maxFilesPerTrigger", 1).parquet(glob))
+
+    acc = []  # accumulated sketch rows across batches
+
+    def on_batch(batch, epoch_id):
+        sk = cms_table(batch, "user_id", depth=4, width=512)
+        acc.append(sk.localCheckpoint(eager=True))
+
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(acc) >= 2  # really exercised multiple micro-batches
+
+    merged = {(r.row, r.bucket): r.cnt for r in cms_merge(*acc).collect()}
+    whole = {(r.row, r.bucket): r.cnt
+             for r in cms_table(e, "user_id", depth=4, width=512).collect()}
+    assert merged == whole
