@@ -12,18 +12,21 @@ label and its neighbours' labels; at fixpoint label(v) = min vertex id
 in v's component — a deterministic, order-independent canonical
 representative (and the natural ``keep_id``).
 
-Scale shape: one hash-aggregate + one equi-join per round, all keyed on
-vertex ids — no pairwise blowup beyond the input edge list. Lineage is
-truncated every round with ``localCheckpoint`` (iterative plans
-otherwise grow unboundedly), and convergence is detected with a bounded
-count action, the same driver-side iteration contract as MRFFT
-(SURVEY §3.2: driver-controlled rounds are the accepted shape for
-iterative algorithms). Rounds needed = graph diameter; near-dup
-components are overwhelmingly tiny (pairs/triples), so propagation
-converges in 2-3 rounds on real corpora. For adversarial long-chain
-graphs the classic O(log n)-round alternating large-star/small-star
-algorithm is the drop-in upgrade; the per-round dataflow here is its
-building block.
+Scale shape: each round is (a) one neighbour-min pass — equi-join +
+hash aggregate on vertex ids, no pairwise blowup beyond the edge list —
+and (b) one POINTER-JUMPING pass — ``label(v) ← label(label(v))`` via a
+self-join of the label table — which contracts label chains
+geometrically, so convergence needs O(log diameter) rounds, not
+O(diameter) (neighbour propagation alone walks one hop per round and
+dies on long chains; this is the same contraction idea as the
+alternating-star algorithms). Lineage is truncated every round with
+``localCheckpoint`` (iterative plans otherwise grow unboundedly), and
+convergence is detected with a bounded count action, the same
+driver-side iteration contract as MRFFT (SURVEY §3.2: driver-controlled
+rounds are the accepted shape for iterative algorithms). Near-dup
+components are overwhelmingly tiny (pairs/triples) and converge in 2-3
+rounds; the default ``max_iter=25`` covers diameters ≈ 2²⁵ thanks to
+the jumping step.
 """
 
 from __future__ import annotations
@@ -52,16 +55,26 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     labels = (sym.select("node").distinct()
               .withColumn("label", F.col("node")))
     for _ in range(max_iter):
-        # min neighbour label per node, one join + one aggregate
+        # (a) min neighbour label per node: one join + one aggregate
         nbr_min = (sym.join(labels.select(F.col("node").alias("nbr"),
                                           F.col("label").alias("nbr_label")),
                             "nbr")
                    .groupBy("node").agg(F.min("nbr_label").alias("nmin")))
-        new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nmin", "label"))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
+        stepped = (labels.join(nbr_min, "node", "left")
+                   .select("node",
+                           F.least("label", F.coalesce("nmin", "label"))
+                           .alias("label")))
+        # (b) pointer jumping: label(v) ← label(label(v)) — label
+        # chains halve every round, giving O(log diameter) convergence
+        jumped = (stepped.alias("s")
+                  .join(stepped.select(F.col("node").alias("label"),
+                                       F.col("label").alias("ll"))
+                        .alias("p"),
+                        "label", "left")
+                  .select("node",
+                          F.least("label", F.coalesce("ll", "label"))
+                          .alias("label")))
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.label") != F.col("o.label"))
@@ -72,7 +85,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                  F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds "
-        "(graph diameter too large — use star-contraction)")
+        "(pathological labelling — raise max_iter)")
 
 
 def dedup_survivors(components: DataFrame) -> DataFrame:

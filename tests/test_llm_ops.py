@@ -360,18 +360,20 @@ def test_connected_components_chains_and_survivors(spark):
     assert surv == {1: (4, 3), 10: (2, 1), 20: (3, 2)}
 
 
-def test_connected_components_raises_past_max_iter(spark):
-    """A path graph longer than max_iter rounds must raise, not return
-    a half-propagated labelling."""
+def test_connected_components_long_chain_log_rounds_and_max_iter(spark):
+    """Pointer jumping must collapse a 400-node path within ~log₂(400)
+    rounds (plain propagation would need 400); an infeasibly small
+    max_iter must raise, not return a half-propagated labelling."""
     import pytest as _pytest
 
     from big_data_hw_23_24_spark.operators.components import (
         connected_components)
 
-    path = spark.createDataFrame([(i, i + 1) for i in range(12)],
+    path = spark.createDataFrame([(i, i + 1) for i in range(399)],
                                  "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(path, max_iter=2)
     comp = {r.doc_id: r.component
-            for r in connected_components(path, max_iter=15).collect()}
+            for r in connected_components(path, max_iter=14).collect()}
+    assert len(comp) == 400
     assert set(comp.values()) == {0}
