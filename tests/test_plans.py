@@ -228,3 +228,15 @@ def test_rolling_30d_single_window_pass(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_probe_is_mapside_then_hash_join(spark):
+    # the bloom probe is a ONE-row IdentityBroadcast evaluated at the
+    # fact scan (the single BroadcastNestedLoopJoin below is that 1-row
+    # cross — bounded by construction); the real join stays hash, and
+    # nothing runs in Python
+    plan = _plan(spark, "parts_size50_revenue_bloom", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
