@@ -189,3 +189,65 @@ def content_fingerprints(docs: DataFrame, text_col: str = "text",
         F.crc32(norm).alias("crc"),
         F.length(norm).alias("norm_len"),
     )
+
+
+PII_PATTERNS: dict[str, str] = {
+    # identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    # character classes + bounded repetition only, no lookaround
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^ ]+",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII/contact surface scan → (doc_id, n_emails,
+    n_urls, has_pii).
+
+    The redaction-triage step of a training pipeline: count pattern
+    hits per document so downstream stages can drop, redact, or route.
+    Pure ``regexp_count`` expressions — a narrow map at scan speed —
+    with patterns restricted to the regex subset Java and RE2 evaluate
+    identically, so the scan is exactly SQL-oracle-checkable.
+    """
+    n_emails = F.regexp_count(F.col(text_col),
+                              F.lit(PII_PATTERNS["emails"]))
+    n_urls = F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["urls"]))
+    return docs.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        ((n_emails + n_urls) > 0).alias("has_pii"),
+    )
+
+
+def contamination_scan(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: per-document count of word n-grams
+    shared with ANY benchmark document → (doc_id, n_shared, contaminated).
+
+    The eval-set contamination check a training pipeline runs before
+    training: documents overlapping the benchmark in ≥1 long n-gram
+    (8 by default, the common convention) are flagged for exclusion.
+
+    Scale shape: the benchmark side reduces to its DISTINCT shingle set
+    — eval suites are tiny next to a corpus — and is broadcast, so the
+    check is a map-side semi-join over the exploded corpus shingles:
+    no shuffle of corpus data at all. Corpus docs shorter than n words
+    have no shingles and report 0.
+    """
+    from .dedup import word_shingles
+
+    doc_sh = (word_shingles(docs.select(id_col, text_col), text_col, n)
+              .select(id_col, F.explode("shingles").alias("shingle")))
+    bench_sh = (word_shingles(benchmark.select(text_col), text_col, n)
+                .select(F.explode("shingles").alias("shingle"))
+                .distinct())
+    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .groupBy(id_col).agg(F.count("*").alias("n_shared")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    (F.coalesce("n_shared", F.lit(0)) > 0)
+                    .alias("contaminated")))

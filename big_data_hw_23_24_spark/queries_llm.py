@@ -399,6 +399,90 @@ def doc_sentences_udtf(spark, sf_dir):
     """)
 
 
+# --- PII / contact-surface scan ----------------------------------------------
+# Patterns restricted to the regex subset Java and RE2 evaluate
+# identically (character classes + bounded repetition, no lookaround).
+# The synthetic corpus contains no contacts, so — like
+# dedup_exact_groups — the input is salted with a copy carrying one
+# injected email + URL per doc, making every salted row a non-vacuous
+# positive while originals pin the zero case.
+@register(
+    "doc_pii_scan",
+    r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             text || ' contact' || doc_id ||
+             '@example.com see http://ex.com/page/' || doc_id
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER)
+             AS n_urls,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(text, 'https?://[^ ]+')) > 0 AS has_pii
+    FROM all_docs
+    """,
+    doc="PII/contact scan: regexp_count narrow map (emails + URLs), "
+        "salted with injected contacts so the check is non-vacuous",
+)
+def doc_pii_scan(spark, sf_dir):
+    from .operators.textstats import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" contact"), F.col("doc_id"),
+                 F.lit("@example.com see http://ex.com/page/"),
+                 F.col("doc_id")).alias("text"))
+    return pii_scan(docs.unionAll(salted))
+
+
+# --- benchmark decontamination -----------------------------------------------
+# Eval-set contamination check: docs sharing ≥1 word 8-gram with the
+# benchmark set (here: documents 0-4 verbatim, so the sources
+# themselves flag as fully contaminated — non-vacuous by construction).
+@register(
+    "doc_contamination_scan",
+    """
+    WITH toked AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+               AS words
+      FROM documents
+    ),
+    sh8 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(words) - 7),
+               i -> array_to_string(words[i : i + 7], ' ')))) AS shingle
+      FROM toked WHERE len(words) >= 8
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id < 5),
+    hits AS (
+      SELECT doc_id, count(*) AS n_shared
+      FROM sh8 WHERE shingle IN (SELECT shingle FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    doc="benchmark decontamination: word-8-gram overlap vs a broadcast "
+        "benchmark shingle set (map-side semi-join, no corpus shuffle)",
+)
+def doc_contamination_scan(spark, sf_dir):
+    from .operators.textstats import contamination_scan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_scan(docs, docs.where(F.col("doc_id") < 5), n=8)
+
+
 # --- multimodal plumbing -----------------------------------------------------
 # The fake decode is a pure function of the payload bytes, so the
 # Arrow/mapInPandas path has an exact SQL oracle: md5-derived dims over

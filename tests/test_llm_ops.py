@@ -377,3 +377,42 @@ def test_connected_components_long_chain_log_rounds_and_max_iter(spark):
             for r in connected_components(path, max_iter=14).collect()}
     assert len(comp) == 400
     assert set(comp.values()) == {0}
+
+
+def test_pii_scan_counts_and_flag(spark):
+    from big_data_hw_23_24_spark.operators.textstats import pii_scan
+
+    rows = [
+        (1, "mail me at a.b+c@x-mail.co.uk and b@y.io or visit "
+            "https://ex.com/a?q=1 plus http://plain.org"),
+        (2, "no contacts here at all"),
+        (3, "not-an-email @ nowhere.com and ftp://old.school"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_emails, r.n_urls, r.has_pii)
+           for r in pii_scan(docs).collect()}
+    assert got[1] == (2, 2, True)
+    assert got[2] == (0, 0, False)
+    assert got[3] == (0, 0, False)
+
+
+def test_contamination_scan_flags_overlap_only(spark):
+    """Docs sharing an 8-gram with the benchmark flag positive with the
+    exact shared-shingle count; shorter-than-8-word docs report 0."""
+    from big_data_hw_23_24_spark.operators.textstats import contamination_scan
+
+    bench_text = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, bench_text),                               # the benchmark doc
+        (2, "zz " + bench_text[:43]),  # contains words one..eight shifted
+        (3, "completely different words with no overlap at all here"),
+        (4, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_shared, r.contaminated)
+           for r in contamination_scan(
+               docs, docs.where("doc_id = 1"), n=8).collect()}
+    assert got[1] == (3, True)     # 10 words → 3 distinct 8-grams, all shared
+    assert got[2] == (1, True)     # "one..eight" survives the shift
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
