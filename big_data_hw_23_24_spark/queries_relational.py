@@ -318,6 +318,25 @@ def frequent_users_cms(spark, sf_dir):
             .select(F.col("item").alias("user_id"), "est"))
 
 
+# --- stratified sampling (sampleBy) ------------------------------------------
+# The executor-side sampling face (K1/K2 are sequential driver-state
+# samplers): per-stratum Bernoulli sampling with a fixed seed —
+# deterministic in Spark but not SQL-expressible (the hash-based coin
+# flips are engine-internal), so the registry check is rows-only and
+# the statistical contract (per-stratum fraction, subset property)
+# lives in tests/test_streaming.py.
+@register(
+    "stratified_event_sample",
+    None,
+    doc="seeded stratified sample: 20% of clicks, 5% of views, 0% of "
+        "the rest (df.sampleBy — executor-side, no driver state)",
+)
+def stratified_event_sample(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.sampleBy("event_type", {"click": 0.2, "view": 0.05}, seed=42)
+            .select("event_id", "event_type", "user_id"))
+
+
 # --- set operations (new surface) -------------------------------------------
 @register(
     "segment_set_ops",

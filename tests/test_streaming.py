@@ -453,3 +453,31 @@ def test_cms_accumulated_over_microbatches_equals_whole(spark, tmp_path):
     whole = {(r.row, r.bucket): r.cnt
              for r in cms_table(e, "user_id", depth=4, width=512).collect()}
     assert merged == whole
+
+
+def test_stratified_sample_fractions_and_subset(spark):
+    """sampleBy contract: the sample is a subset of the source, only
+    requested strata appear, per-stratum fractions land near target,
+    and the fixed seed makes the draw reproducible."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    fn = _REGISTRY["stratified_event_sample"].spark_fn
+    got = fn(spark, "/root/testdata/sf0.01").collect()
+    again = fn(spark, "/root/testdata/sf0.01").collect()
+    assert sorted(r.event_id for r in got) == \
+        sorted(r.event_id for r in again)  # seeded → reproducible
+
+    from big_data_hw_23_24_spark.sources.tables import load_table
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    totals = {r.event_type: r.n for r in
+              e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    ids = {r.event_id for r in e.select("event_id").collect()}
+    by_type = {}
+    for r in got:
+        assert r.event_id in ids
+        by_type.setdefault(r.event_type, 0)
+        by_type[r.event_type] += 1
+    assert set(by_type) <= {"click", "view"}  # unlisted strata dropped
+    assert 0.1 < by_type["click"] / totals["click"] < 0.3
+    assert 0.01 < by_type["view"] / totals["view"] < 0.1
