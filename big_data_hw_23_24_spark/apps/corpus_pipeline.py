@@ -1,0 +1,121 @@
+"""CLI app: end-to-end training-corpus preparation pipeline.
+
+Composes the engine's LLM-data operators into the standard
+corpus-preparation flow, parquet in → parquet out:
+
+  1. score    — quality + language ID (narrow maps, scan speed)
+  2. filter   — keep docs above --min-quality in --langs
+  3. dedup    — MinHash-LSH near-dup pairs → connected components →
+                keep the canonical min-id survivor per group
+  4. decontam — drop docs sharing a word 8-gram with an optional
+                benchmark parquet (--benchmark)
+  5. chunk    — overlapping token windows (--chunk-size/--stride)
+  6. write    — sorted parquet (doc_id order → disjoint row-group
+                stats for downstream data skipping)
+
+Every stage is a DataFrame transformation; the only driver actions are
+the stage-count report lines. Usage:
+
+  python -m big_data_hw_23_24_spark.apps.corpus_pipeline \
+      <corpus.parquet> <out_dir> [--min-quality 0.5] [--langs en,de]
+      [--threshold 0.7] [--benchmark bench.parquet]
+      [--chunk-size 64] [--stride 48]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run(spark: SparkSession, in_path: str, out_dir: str,
+        min_quality: float = 0.5, langs: tuple[str, ...] = (),
+        threshold: float = 0.7, benchmark_path: str | None = None,
+        chunk_size: int = 64, stride: int = 48) -> list[str]:
+    from ..operators.components import connected_components
+    from ..operators.dedup import minhash_near_duplicates
+    from ..operators.textstats import (
+        contamination_scan, detect_language, quality_scores, token_chunks)
+    from ..sources.sinks import write_sorted_parquet
+
+    docs = spark.read.parquet(in_path).select("doc_id", "text").cache()
+    n_in = docs.count()
+
+    # 1-2: score and filter (two narrow maps joined on doc_id)
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    kept = docs.join(q.where(F.col("quality_score") >= min_quality),
+                     "doc_id")
+    if langs:
+        lid = detect_language(docs).select("doc_id", "detected_lang")
+        kept = kept.join(lid, "doc_id") \
+            .where(F.col("detected_lang").isin(*langs)) \
+            .drop("detected_lang")
+    kept = kept.select("doc_id", "text").cache()
+    n_kept = kept.count()
+
+    # 3: near-dedup — drop every non-canonical member of a component
+    pairs = minhash_near_duplicates(kept, threshold=threshold)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")) \
+        .select("doc_id")
+    deduped = kept.join(losers, "doc_id", "left_anti").cache()
+    n_dedup = deduped.count()
+
+    # 4: decontamination against an optional benchmark corpus
+    n_contaminated = 0
+    if benchmark_path is not None:
+        bench = spark.read.parquet(benchmark_path).select("text")
+        scan = contamination_scan(deduped, bench)
+        flagged = scan.where("contaminated").select("doc_id")
+        n_contaminated = flagged.count()
+        deduped = deduped.join(flagged, "doc_id", "left_anti")
+
+    # 5-6: chunk and write, sorted for data skipping
+    chunks = token_chunks(deduped, size=chunk_size, stride=stride)
+    write_sorted_parquet(chunks, out_dir, ["doc_id", "chunk_id"])
+    n_chunks = spark.read.parquet(out_dir).count()
+
+    return [
+        f"Documents in = {n_in}",
+        f"After quality/lang filter = {n_kept}",
+        f"After near-dedup = {n_dedup} "
+        f"(dropped {n_kept - n_dedup} non-canonical dups)",
+        f"Dropped as benchmark-contaminated = {n_contaminated}",
+        f"Chunks out = {n_chunks} "
+        f"(size {chunk_size}, stride {stride}) -> {out_dir}",
+    ]
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print("Usage: corpus_pipeline <corpus.parquet> <out_dir> "
+              "[--min-quality Q] [--langs a,b] [--threshold T] "
+              "[--benchmark p.parquet] [--chunk-size N] [--stride N]")
+        return 1
+    in_path, out_dir = argv[0], argv[1]
+    opts = {"--min-quality": 0.5, "--threshold": 0.7,
+            "--chunk-size": 64, "--stride": 48,
+            "--langs": "", "--benchmark": None}
+    it = iter(argv[2:])
+    for a in it:
+        if a in opts:
+            opts[a] = next(it)
+    from ..session import get_session
+
+    spark = get_session("CorpusPipeline")
+    langs = tuple(x for x in str(opts["--langs"]).split(",") if x)
+    for line in run(spark, in_path, out_dir,
+                    min_quality=float(opts["--min-quality"]),
+                    langs=langs,
+                    threshold=float(opts["--threshold"]),
+                    benchmark_path=opts["--benchmark"],
+                    chunk_size=int(opts["--chunk-size"]),
+                    stride=int(opts["--stride"])):
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

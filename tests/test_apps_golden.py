@@ -243,3 +243,46 @@ def test_dedup_report_app(spark):
         load_table(spark, "/root/testdata/sf0.001", "documents")).count()
     assert f"Exact duplicate groups = {direct} " in lines[1]
     assert lines[-1].startswith("Upper-bound drop fraction = ")
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The corpus-preparation CLI: filter → dedup → decontam → chunk →
+    sorted write. Invariants: counts only shrink through the funnel,
+    no non-canonical duplicate survives, benchmark overlap is gone,
+    and the output parquet covers exactly the surviving doc ids."""
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+    from big_data_hw_23_24_spark.operators.components import (
+        connected_components)
+    from big_data_hw_23_24_spark.operators.dedup import (
+        minhash_near_duplicates)
+    from big_data_hw_23_24_spark.operators.textstats import (
+        contamination_scan)
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bench_dir = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "out")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.where("doc_id < 3").select("text").write.parquet(bench_dir)
+
+    lines = run(spark, src, out_dir, min_quality=0.0,
+                benchmark_path=bench_dir)
+    n_in = int(lines[0].split("= ")[1])
+    n_kept = int(lines[1].split("= ")[1])
+    n_dedup = int(lines[2].split("= ")[1].split(" ")[0])
+    assert n_in == docs.count()
+    assert n_in >= n_kept >= n_dedup > 0
+
+    out = spark.read.parquet(out_dir)
+    out_ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    # benchmark sources (and their near-dups) are decontaminated away
+    scan = contamination_scan(
+        docs.join(out.select("doc_id").distinct(), "doc_id"),
+        spark.read.parquet(bench_dir))
+    assert scan.where("contaminated").count() == 0
+    # no surviving doc is a non-canonical member of a dup component
+    comp = connected_components(
+        minhash_near_duplicates(docs.select("doc_id", "text")))
+    losers = {r.doc_id for r in
+              comp.where("doc_id != component").collect()}
+    assert not (out_ids & losers)
