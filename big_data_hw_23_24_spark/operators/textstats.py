@@ -251,3 +251,15 @@ def contamination_scan(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                     F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
                     (F.coalesce("n_shared", F.lit(0)) > 0)
                     .alias("contaminated")))
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII redaction → (doc_id, text) with emails/URLs replaced by
+    [EMAIL]/[URL] placeholders — the acting sibling of ``pii_scan``,
+    the same Java∩RE2 patterns, still a pure narrow map."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col),
+                         PII_PATTERNS["emails"], "[EMAIL]"),
+        PII_PATTERNS["urls"], "[URL]")
+    return docs.select(F.col(id_col), redacted.alias(text_col))

@@ -443,6 +443,40 @@ def doc_pii_scan(spark, sf_dir):
     return pii_scan(docs.unionAll(salted))
 
 
+@register(
+    "doc_pii_redact",
+    r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             text || ' contact' || doc_id ||
+             '@example.com see http://ex.com/page/' || doc_id
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+               'g'),
+             'https?://[^ ]+', '[URL]', 'g') AS text
+    FROM all_docs
+    """,
+    doc="PII redaction: emails/URLs replaced with placeholders over the "
+        "same salted input as doc_pii_scan (global regexp_replace)",
+)
+def doc_pii_redact(spark, sf_dir):
+    from .operators.textstats import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" contact"), F.col("doc_id"),
+                 F.lit("@example.com see http://ex.com/page/"),
+                 F.col("doc_id")).alias("text"))
+    return redact_pii(docs.unionAll(salted))
+
+
 # --- benchmark decontamination -----------------------------------------------
 # Eval-set contamination check: docs sharing ≥1 word 8-gram with the
 # benchmark set (here: documents 0-4 verbatim, so the sources
