@@ -226,28 +226,37 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
     ground truth the LSH pipeline is tested against. This is the
     oracle-checkable face; prefer ``minhash_near_duplicates`` at scale.
     """
-    shingled = word_shingles(docs.select(id_col, text_col), text_col)
-    ex = shingled.select(id_col, F.explode("shingles").alias("shingle"))
-    sizes = shingled.select(id_col, F.size("shingles").alias("sz"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("ix"))
-    )
-    return (
-        inter
-        .join(sizes.select(F.col(id_col).alias("id_a"),
-                           F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"),
-                           F.col("sz").alias("sz_b")), "id_b")
-        .select("id_a", "id_b",
-                F.round(F.col("ix") / (F.col("sz_a") + F.col("sz_b")
-                                       - F.col("ix")), 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    # the shingle expression feeds four branches (a/b explode + two
+    # size joins): persist it for the duration, checkpoint the small
+    # pair result, release — same pattern as minhash_near_duplicates
+    shingled = word_shingles(docs.select(id_col, text_col), text_col) \
+        .select(id_col, "shingles").persist()
+    try:
+        ex = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+        sizes = shingled.select(id_col, F.size("shingles").alias("sz"))
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("ix"))
+        )
+        return (
+            inter
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("sz").alias("sz_b")), "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("ix") / (F.col("sz_a") + F.col("sz_b")
+                                           - F.col("ix")), 6)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shingled.unpersist()
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
