@@ -113,7 +113,8 @@ def test_udaf_is_single_grouped_pandas_kernel(spark):
 
 
 @pytest.mark.parametrize("name", ["doc_quality_scores", "doc_language_id",
-                                  "doc_token_stats"])
+                                  "doc_token_stats", "doc_pii_scan",
+                                  "doc_pii_redact"])
 def test_textstats_are_narrow_maps(spark, name):
     # no shuffle at all: scan → project, exchange-free
     plan = _plan(spark, name, "simple")
