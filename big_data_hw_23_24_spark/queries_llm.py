@@ -170,6 +170,45 @@ def dedup_components(spark, sf_dir):
     return connected_components(pairs)
 
 
+@register(
+    "dedup_survivor_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT component AS keep_id, count(*) AS n_docs,
+           count(*) - 1 AS n_dropped
+    FROM comp GROUP BY component
+    """,
+    doc="per-component survivor summary (keep min-id, drop the rest) — "
+        "the aggregation the corpus pipeline and dedup report act on",
+)
+def dedup_survivor_groups(spark, sf_dir):
+    from .operators.components import connected_components, dedup_survivors
+
+    pairs = exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.7)
+    return dedup_survivors(connected_components(pairs))
+
+
 # --- similarity search -------------------------------------------------------
 # Brute-force cosine is oracle-checked with DuckDB's
 # list_cosine_similarity (both sides compute in double); top-k rank is
