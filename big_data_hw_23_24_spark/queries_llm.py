@@ -582,6 +582,44 @@ def media_decode_meta(spark, sf_dir):
     return decode_media(media, fake=True)
 
 
+# --- embedding quantization --------------------------------------------------
+# Codes are serialized to a CSV string so the value-hash compares a
+# scalar; both engines compute codes with the RAW max-abs scale and
+# round only the reported scale. floor(x + 0.5) rounding is used
+# because round() half-even vs half-away differs across engines.
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id, round(m, 6) AS scale,
+           array_to_string(codes, ',') AS codes_str,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS l1
+    FROM (
+      SELECT vec_id, m,
+             CASE WHEN m > 0
+                  THEN list_transform(x, v ->
+                         CAST(floor(v / m * 127.0 + 0.5) AS INTEGER))
+                  ELSE list_transform(x, v -> 0) END AS codes
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           v -> abs(v))) AS m
+            FROM embeddings)
+    )
+    """,
+    doc="symmetric per-vector int8 quantization (4x embedding storage "
+        "cut): max-abs scale, floor-based half-up rounding, narrow map",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    from .operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.concat_ws(",", F.col("codes")).alias("codes_str"),
+        F.aggregate("codes", F.lit(0),
+                    lambda acc, v: acc + F.abs(v)).cast("bigint").alias("l1"),
+    )
+
+
 # --- embedding-cosine near-dup (the dedup face of similarity) ----------------
 # The synthetic embeddings are near-random (max pairwise cosine ≈ 0.51
 # at sf0.01), so the near-dup threshold sits at 0.4 to make the check

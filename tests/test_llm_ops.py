@@ -416,3 +416,31 @@ def test_contamination_scan_flags_overlap_only(spark):
     assert got[2] == (1, True)     # "one..eight" survives the shift
     assert got[3] == (0, False)
     assert got[4] == (0, False)
+
+
+def test_quantize_embeddings_reconstruction_error_bound(spark, emb):
+    """Dequantized vectors (code · scale/127, with the raw scale) must
+    reconstruct every element within half a quantization step, codes
+    stay in [-127, 127], and the zero vector round-trips to zeros."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        quantize_embeddings)
+
+    sample = emb.limit(50)
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in sample.collect()}
+    got = quantize_embeddings(sample).collect()
+    assert len(got) == 50
+    for r in got:
+        x = orig[r.vec_id]
+        m = np.abs(x).max()
+        codes = np.asarray(r.codes)
+        assert codes.min() >= -127 and codes.max() <= 127
+        recon = codes * m / 127.0
+        assert np.abs(recon - x).max() <= m / 254 + 1e-12
+
+    zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])],
+                                 "vec_id long, embedding array<float>")
+    z = quantize_embeddings(zero).collect()[0]
+    assert z.scale == 0.0 and list(z.codes) == [0, 0, 0]
