@@ -444,3 +444,23 @@ def test_quantize_embeddings_reconstruction_error_bound(spark, emb):
                                  "vec_id long, embedding array<float>")
     z = quantize_embeddings(zero).collect()[0]
     assert z.scale == 0.0 and list(z.codes) == [0, 0, 0]
+
+
+def test_quantized_topk_recall_and_exact_scores(spark, emb):
+    """Quantized-scan + exact-rerank search: every reported cosine is
+    the true cosine, and recall vs brute force stays high (int8 ranks
+    the shortlist; the float table settles the final order)."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_topk, quantized_topk)
+
+    queries = emb.where(F.col("vec_id") < 20)
+    brute = cosine_topk(emb, queries, k=10).collect()
+    quant = quantized_topk(emb, queries, k=10, rerank_factor=4).collect()
+    b = {(r.query_id, r.neighbor_id) for r in brute}
+    v = {(r.query_id, r.neighbor_id) for r in quant}
+    recall = len(b & v) / len(b)
+    assert recall >= 0.9, recall
+    bs = {(r.query_id, r.neighbor_id): r.cosine for r in brute}
+    for r in quant:
+        if (r.query_id, r.neighbor_id) in bs:
+            assert r.cosine == bs[(r.query_id, r.neighbor_id)]
