@@ -40,6 +40,7 @@ HEADLINE = [
     "frequent_users_cms",     # count-min sketch heavy hitters
     "sessions_builtin_window",  # native session_window aggregate
     "customer_rolling_30d",   # RANGE-frame rolling window
+    "knn_cosine_quantized",   # LLM op: int8-scan + exact-rerank search
 ]
 
 
