@@ -41,41 +41,49 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
     from ..sources.sinks import write_sorted_parquet
 
     docs = spark.read.parquet(in_path).select("doc_id", "text").cache()
-    n_in = docs.count()
+    cached = [docs]
+    try:
+        n_in = docs.count()
 
-    # 1-2: score and filter (two narrow maps joined on doc_id)
-    q = quality_scores(docs).select("doc_id", "quality_score")
-    kept = docs.join(q.where(F.col("quality_score") >= min_quality),
-                     "doc_id")
-    if langs:
-        lid = detect_language(docs).select("doc_id", "detected_lang")
-        kept = kept.join(lid, "doc_id") \
-            .where(F.col("detected_lang").isin(*langs)) \
-            .drop("detected_lang")
-    kept = kept.select("doc_id", "text").cache()
-    n_kept = kept.count()
+        # 1-2: score and filter (two narrow maps joined on doc_id)
+        q = quality_scores(docs).select("doc_id", "quality_score")
+        kept = docs.join(q.where(F.col("quality_score") >= min_quality),
+                         "doc_id")
+        if langs:
+            lid = detect_language(docs).select("doc_id", "detected_lang")
+            kept = kept.join(lid, "doc_id") \
+                .where(F.col("detected_lang").isin(*langs)) \
+                .drop("detected_lang")
+        kept = kept.select("doc_id", "text").cache()
+        cached.append(kept)
+        n_kept = kept.count()
 
-    # 3: near-dedup — drop every non-canonical member of a component
-    pairs = minhash_near_duplicates(kept, threshold=threshold)
-    comp = connected_components(pairs)
-    losers = comp.where(F.col("doc_id") != F.col("component")) \
-        .select("doc_id")
-    deduped = kept.join(losers, "doc_id", "left_anti").cache()
-    n_dedup = deduped.count()
+        # 3: near-dedup — drop every non-canonical member of a component
+        pairs = minhash_near_duplicates(kept, threshold=threshold)
+        comp = connected_components(pairs)
+        losers = comp.where(F.col("doc_id") != F.col("component")) \
+            .select("doc_id")
+        deduped = kept.join(losers, "doc_id", "left_anti").cache()
+        cached.append(deduped)
+        n_dedup = deduped.count()
 
-    # 4: decontamination against an optional benchmark corpus
-    n_contaminated = 0
-    if benchmark_path is not None:
-        bench = spark.read.parquet(benchmark_path).select("text")
-        scan = contamination_scan(deduped, bench)
-        flagged = scan.where("contaminated").select("doc_id")
-        n_contaminated = flagged.count()
-        deduped = deduped.join(flagged, "doc_id", "left_anti")
+        # 4: decontamination against an optional benchmark corpus
+        n_contaminated = 0
+        if benchmark_path is not None:
+            bench = spark.read.parquet(benchmark_path).select("text")
+            scan = contamination_scan(deduped, bench)
+            flagged = scan.where("contaminated").select("doc_id")
+            n_contaminated = flagged.count()
+            deduped = deduped.join(flagged, "doc_id", "left_anti")
 
-    # 5-6: chunk and write, sorted for data skipping
-    chunks = token_chunks(deduped, size=chunk_size, stride=stride)
-    write_sorted_parquet(chunks, out_dir, ["doc_id", "chunk_id"])
-    n_chunks = spark.read.parquet(out_dir).count()
+        # 5-6: chunk and write, sorted for data skipping
+        chunks = token_chunks(deduped, size=chunk_size, stride=stride)
+        write_sorted_parquet(chunks, out_dir, ["doc_id", "chunk_id"])
+        n_chunks = spark.read.parquet(out_dir).count()
+    finally:
+        # a shared session outlives this run — release executor storage
+        for df in cached:
+            df.unpersist()
 
     return [
         f"Documents in = {n_in}",

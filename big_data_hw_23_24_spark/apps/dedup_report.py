@@ -34,33 +34,38 @@ def run(spark: SparkSession, path: str, threshold: float = 0.7,
     )
 
     docs = spark.read.parquet(path).select("doc_id", "text").cache()
-    n_docs = docs.count()
-
     exact = exact_duplicate_groups(docs).cache()
-    ex_groups = exact.count()
-    ex_extra = (exact.agg(F.sum(F.col("n_docs") - 1)).collect()[0][0]
-                or 0)
+    try:
+        n_docs = docs.count()
 
-    mh = minhash_near_duplicates(docs, threshold=threshold)
-    mh_pairs = mh.count()
+        ex_groups = exact.count()
+        ex_extra = (exact.agg(F.sum(F.col("n_docs") - 1)).collect()[0][0]
+                    or 0)
 
-    # pairs → transitive components: the droppable count is exact
-    # (Σ (component size − 1)), not the distinct-id_b estimate a pair
-    # list alone supports — chained dups (a~b, b~c) count correctly
-    if mh_pairs:
-        from ..operators.components import (
-            connected_components, dedup_survivors)
+        mh = minhash_near_duplicates(docs, threshold=threshold)
+        mh_pairs = mh.count()
 
-        surv = dedup_survivors(
-            connected_components(mh.select("id_a", "id_b")))
-        agg = surv.agg(F.count("*").alias("g"),
-                       F.sum("n_dropped").alias("d")).collect()[0]
-        mh_groups, mh_drop = agg["g"], int(agg["d"])
-    else:
-        mh_groups = mh_drop = 0
+        # pairs → transitive components: the droppable count is exact
+        # (Σ (component size − 1)), not the distinct-id_b estimate a pair
+        # list alone supports — chained dups (a~b, b~c) count correctly
+        if mh_pairs:
+            from ..operators.components import (
+                connected_components, dedup_survivors)
 
-    sh = simhash_near_duplicates(docs, max_hamming=max_hamming)
-    sh_pairs = sh.count()
+            surv = dedup_survivors(
+                connected_components(mh.select("id_a", "id_b")))
+            agg = surv.agg(F.count("*").alias("g"),
+                           F.sum("n_dropped").alias("d")).collect()[0]
+            mh_groups, mh_drop = agg["g"], int(agg["d"])
+        else:
+            mh_groups = mh_drop = 0
+
+        sh = simhash_near_duplicates(docs, max_hamming=max_hamming)
+        sh_pairs = sh.count()
+    finally:
+        # a shared session outlives this run — release executor storage
+        exact.unpersist()
+        docs.unpersist()
 
     drop_frac = (ex_extra + mh_drop) / max(n_docs, 1)
     return [

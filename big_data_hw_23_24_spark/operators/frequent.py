@@ -73,6 +73,12 @@ def cms_table(items: DataFrame, item_col: str, depth: int = 5,
     bounded-output pass over the stream regardless of N. Sketches of
     disjoint slices merge by SUM on (row, bucket), which is what makes
     per-partition / per-day sketches composable at 100 TB.
+
+    The sketch carries its own ``depth``/``width`` as constant columns:
+    a probe or merge with mismatched geometry would silently hash into
+    the wrong buckets and can UNDER-count (breaking the one-sided-error
+    guarantee), so ``cms_estimate``/``cms_merge`` read and validate the
+    geometry from the sketch itself instead of trusting call sites.
     """
     d = items.select(
         F.col(item_col).alias("_item"),
@@ -80,33 +86,59 @@ def cms_table(items: DataFrame, item_col: str, depth: int = 5,
     return (d.groupBy("row",
                       F.pmod(F.xxhash64("row", "_item"),
                              F.lit(width)).alias("bucket"))
-            .agg(F.count("*").alias("cnt")))
+            .agg(F.count("*").alias("cnt"))
+            .withColumns({"depth": F.lit(depth), "width": F.lit(width)}))
+
+
+def _cms_geometry(sketch: DataFrame) -> tuple[int, int]:
+    """Read the (depth, width) carried by the sketch; O(1) driver pull."""
+    if "depth" not in sketch.columns or "width" not in sketch.columns:
+        raise ValueError("not a CMS sketch: missing depth/width columns "
+                         "(build it with cms_table)")
+    row = sketch.select("depth", "width").first()
+    if row is None:
+        raise ValueError("empty CMS sketch: geometry unknown")
+    return row["depth"], row["width"]
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Merge CMS sketches of disjoint streams: SUM per (row, bucket)."""
+    """Merge CMS sketches of disjoint streams: SUM per (row, bucket).
+
+    Refuses to merge sketches with different (depth, width) — summing
+    across geometries is meaningless.
+    """
+    geoms = {_cms_geometry(s) for s in sketches}
+    if len(geoms) > 1:
+        raise ValueError(f"cannot merge CMS sketches of different "
+                         f"geometries: {sorted(geoms)}")
+    (depth, width), = geoms
     merged = sketches[0]
     for s in sketches[1:]:
         merged = merged.unionByName(s)
-    return merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return (merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+            .withColumns({"depth": F.lit(depth), "width": F.lit(width)}))
 
 
-def cms_estimate(sketch: DataFrame, candidates: DataFrame, item_col: str,
-                 depth: int = 5, width: int = 2048) -> DataFrame:
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 item_col: str) -> DataFrame:
     """Point-query the sketch for each distinct candidate → (item, est).
 
     est = min over rows of the item's bucket count (0 if the bucket is
-    empty — the item was never inserted). The sketch side is bounded by
+    empty — the item was never inserted). The probe hashes with the
+    (depth, width) carried BY the sketch, so a call site can never
+    probe with mismatched geometry. The sketch side is bounded by
     depth·width rows *by construction*, so it is always broadcast: the
     probe is a map-side join however many candidates stream through.
     """
+    depth, width = _cms_geometry(sketch)
     cand = (candidates.select(F.col(item_col).alias("item")).distinct()
             .select("item",
                     F.explode(F.sequence(F.lit(0),
                                          F.lit(depth - 1))).alias("row"))
             .withColumn("bucket",
                         F.pmod(F.xxhash64("row", "item"), F.lit(width))))
-    return (cand.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return (cand.join(F.broadcast(sketch.select("row", "bucket", "cnt")),
+                      ["row", "bucket"], "left")
             .groupBy("item")
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est")))
 

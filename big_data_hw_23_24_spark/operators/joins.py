@@ -49,7 +49,10 @@ def asof_join(left: DataFrame, right: DataFrame,
     key — nulls when no such row exists (left-join semantics).
     ``payload_cols`` must not collide with ``left`` column names.
     """
-    r = right.select(
+    # Null right times sort FIRST in the window, so without this guard a
+    # null-time row's payload would be carried to every left row of its
+    # key — the documented contract (r.t <= l.t) excludes such rows.
+    r = right.where(F.col(right_time).isNotNull()).select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),

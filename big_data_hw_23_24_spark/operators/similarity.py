@@ -277,7 +277,8 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
 
 
 def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        id_col: str = "vec_id",
+                        round_scale: bool = True) -> DataFrame:
     """Symmetric per-vector int8 quantization → (vec_id, scale, codes).
 
     The storage-compression step of an embedding pipeline: float32 →
@@ -289,6 +290,13 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     codes. Dequantization is ``code · m / 127``, with per-element
     error ≤ m/254 — pinned by test. Pure array intrinsics over a
     narrow map: streams at scan speed.
+
+    ``round_scale=True`` (the reporting face, and the oracle
+    convention) rounds the emitted scale to 6 dp; dequantization
+    consumers MUST pass ``round_scale=False`` so codes and scale use
+    the same raw max-abs value — dequantizing with the rounded scale
+    introduces ulp-level drift that can flip shortlist membership at a
+    rerank cut even though cosine itself is scale-invariant.
     """
     xd = F.col(vec_col).cast("array<double>")
     m = F.array_max(F.transform(xd, lambda v: F.abs(v)))
@@ -297,7 +305,7 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
         .otherwise(F.transform(xd, lambda v: F.lit(0)))
     return emb.select(
         F.col(id_col),
-        F.round(m, 6).alias("scale"),
+        (F.round(m, 6) if round_scale else m).alias("scale"),
         codes.alias("codes"),
     )
 
@@ -318,7 +326,8 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     a true top-k neighbor falls outside the quantized top
     ``rerank_factor·k`` (property-tested ≥ 0.9 at the defaults).
     """
-    deq = quantize_embeddings(corpus, vec_col, id_col).select(
+    deq = quantize_embeddings(corpus, vec_col, id_col,
+                              round_scale=False).select(
         id_col,
         F.transform("codes",
                     lambda c: c * F.col("scale") / 127.0).alias(vec_col))

@@ -65,5 +65,10 @@ def run_interval_join(spark, left: DataFrame, right: DataFrame,
              .outputMode("append")
              .trigger(availableNow=True)
              .start())
-    query.awaitTermination(timeout_sec)
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"stream-stream interval join did not finish within "
+            f"{timeout_sec}s; refusing to return a partial result")
     return spark.table(name)

@@ -116,5 +116,10 @@ def run_sessionize(spark, stream: DataFrame, gap_sec: int = 3600,
              .outputMode("append")
              .trigger(availableNow=True)
              .start())
-    query.awaitTermination(timeout_sec)
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"sessionize stream did not finish within {timeout_sec}s; "
+            f"refusing to return a partial result")
     return spark.table(name)

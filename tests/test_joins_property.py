@@ -48,6 +48,30 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     assert got == want
 
 
+def test_asof_join_ignores_null_right_times(spark):
+    """A right row with NULL time must match NO left row (contract:
+    r.t <= l.t). Nulls sort first in the carry-forward window, so
+    without the explicit filter its payload would leak into every
+    left row of the key."""
+    from big_data_hw_23_24_spark.operators.joins import asof_join
+
+    l = spark.createDataFrame([(0, 1, 10)], "lid long, k long, t long")
+    r = spark.createDataFrame([(7, 1, None, 777), (8, 1, 5, 55)],
+                              "rid long, rk long, rt long, pay long")
+    got = {(row.lid, row.rid, row.pay) for row in
+           asof_join(l, r, "k", "rk", "t", "rt",
+                     ["rid", "pay"], tiebreak_col="rid").collect()}
+    assert got == {(0, 8, 55)}
+
+    # when the null-time row is the ONLY candidate: no match at all
+    r2 = spark.createDataFrame([(7, 1, None, 777)],
+                               "rid long, rk long, rt long, pay long")
+    got2 = {(row.lid, row.rid, row.pay) for row in
+            asof_join(l, r2, "k", "rk", "t", "rt",
+                      ["rid", "pay"], tiebreak_col="rid").collect()}
+    assert got2 == {(0, None, None)}
+
+
 @given(left=_rows, right=_rows, window=st.integers(1, 20))
 @settings(**_SETTINGS)
 def test_range_join_matches_bruteforce(spark, left, right, window):

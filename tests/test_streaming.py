@@ -355,8 +355,7 @@ def test_cms_overestimates_only_and_covers_exact_frequent(spark):
             e.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
     sketch = cms_table(e, "user_id", depth=5, width=2048)
     est = {r.item: r.est for r in
-           cms_estimate(sketch, e.select("user_id"), "user_id",
-                        depth=5, width=2048).collect()}
+           cms_estimate(sketch, e.select("user_id"), "user_id").collect()}
     assert set(est) == set(true)
     assert all(est[u] >= c for u, c in true.items())
     bound = math.e / 2048 * n  # classic CMS overestimate bound
@@ -386,6 +385,31 @@ def test_cms_merge_of_disjoint_slices_equals_whole(spark):
               for r in cms_merge(cms_table(a, "user_id", 4, 512),
                                  cms_table(b, "user_id", 4, 512)).collect()}
     assert merged == whole
+
+
+def test_cms_geometry_carried_and_mismatch_rejected(spark):
+    """The sketch carries its (depth, width); probing reads them from
+    the sketch, and merging sketches of different geometries raises
+    instead of silently under-counting."""
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.frequent import (
+        cms_estimate, cms_merge, cms_table)
+
+    e = spark.range(100).select((F.col("id") % 7).alias("user_id"))
+    a = cms_table(e, "user_id", depth=4, width=512)
+    b = cms_table(e, "user_id", depth=5, width=512)
+    with _pytest.raises(ValueError, match="geometries"):
+        cms_merge(a, b).collect()
+    # probe uses the carried geometry: exact counts for a tiny domain
+    est = {r.item: r.est for r in
+           cms_estimate(a, e.select("user_id"), "user_id").collect()}
+    true = {r.user_id: r.cnt for r in
+            e.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert all(est[u] >= c for u, c in true.items())
+    # not-a-sketch input is rejected up front
+    with _pytest.raises(ValueError, match="missing depth/width"):
+        cms_estimate(a.drop("depth"), e, "user_id")
 
 
 def test_stream_stream_interval_join_matches_across_batches(spark, tmp_path):
