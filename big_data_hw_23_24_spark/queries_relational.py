@@ -987,20 +987,50 @@ def returns_pivot_by_status(spark, sf_dir):
 # --- approximate quantiles (GK sketch; new surface) --------------------------
 # percentile_approx: single-pass mergeable quantile sketch — the
 # distributed replacement for an exact sort when "the p99 within 1%"
-# is the question. Approximate → no SQL oracle; the property test
-# bounds each estimate between neighboring exact percentiles.
+# is the question. Output shape: scalar p50/p90/p99 columns (exact,
+# interpolated — both engines compute the same (n-1)·p lerp, so the
+# values hash-match DuckDB's quantile_cont) plus approx_in_bracket,
+# which asserts the GK estimates land inside the exact [p−0.005,
+# p+0.005] percentile brackets (sketch guarantee: rank error ≤
+# 1/accuracy = 1e-4, ample slack). A sketch failure flips the flag to
+# false and breaks the hash — the approximate path is semantically
+# checked, not just run. Scale note: the exact-percentile columns are
+# the oracle face (per-group sort buffer — fine at test SF, not the
+# 100 TB answer); the sketch IS the 100 TB path, and the flag is what
+# verifies it.
 @register(
     "price_quantiles_approx",
-    None,
-    doc="percentile_approx p50/p90/p99 of l_extendedprice per "
-        "returnflag (accuracy 10000; error-bounded vs exact in tests)",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           TRUE AS approx_in_bracket
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact p50/p90/p99 of l_extendedprice per returnflag "
+        "(quantile_cont-comparable) + bracket check of the "
+        "percentile_approx GK sketch at accuracy 10000",
 )
 def price_quantiles_approx(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.percentile_approx("l_extendedprice",
-                                     [0.5, 0.9, 0.99], 10000)
-                 .alias("quantiles")))
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
+        .alias("_p"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+        .alias("_a"),
+        F.expr("percentile(l_extendedprice, array(0.495D, 0.895D, 0.985D))")
+        .alias("_lo"),
+        F.expr("percentile(l_extendedprice, array(0.505D, 0.905D, 0.995D))")
+        .alias("_hi"))
+    in_bracket = F.expr(
+        "forall(sequence(0, 2), i -> _lo[i] <= _a[i] AND _a[i] <= _hi[i])")
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 4).alias("p50"),
+        F.round(F.col("_p")[1], 4).alias("p90"),
+        F.round(F.col("_p")[2], 4).alias("p99"),
+        in_bracket.alias("approx_in_bracket"))
 
 
 # --- full outer join (completes the join-shape surface: inner/semi/
