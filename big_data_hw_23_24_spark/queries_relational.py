@@ -293,16 +293,29 @@ def frequent_users_exact(spark, sf_dir):
 
 # --- K2 alternative: count-min sketch frequent items ------------------------
 # The mergeable-sketch face of frequent-items (SURVEY §2.4 names CMS as
-# the idiomatic Spark sibling of sticky sampling). One-sided error →
-# the answer is a provable SUPERSET of frequent_users_exact; the
-# overestimate bound and mergeability are property-tested
-# (tests/test_streaming.py). xxhash64 buckets are Spark-specific, so
-# the registry check is rows-only.
+# the idiomatic Spark sibling of sticky sampling). xxhash64 bucket
+# values are Spark-specific, but the sketch's CLAIM is SQL-stateable:
+# one-sided error ⇒ every exact-frequent user is CMS-selected
+# (superset) with est ≥ true count. So the query returns, per
+# exact-frequent user, the exact count plus the two guarantee flags;
+# the oracle is the exact histogram with literal TRUE flags. A sketch
+# violation (missed user or under-count) flips a flag or drops a row
+# and breaks the hash — the sketch is semantically checked, not just
+# run. Overestimate bound + mergeability remain property-tested
+# (tests/test_streaming.py).
 @register(
     "frequent_users_cms",
-    None,
-    doc="count-min sketch (depth 5 × width 2048) frequent items: "
-        "bounded-size mergeable sketch + broadcast point queries",
+    """
+    WITH n AS (SELECT count(*) AS n FROM events),
+         h AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+               FROM events GROUP BY 1)
+    SELECT user_id, true_cnt,
+           TRUE AS cms_selected, TRUE AS est_ge_true
+    FROM h, n WHERE true_cnt >= ceil(0.007 * n.n)
+    """,
+    doc="count-min sketch (depth 5 × width 2048) guarantee check: "
+        "every exact-frequent user must be CMS-selected with "
+        "est >= true count (one-sided error, superset property)",
 )
 def frequent_users_cms(spark, sf_dir):
     import math
@@ -312,10 +325,15 @@ def frequent_users_cms(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     n = e.count()  # bounded action: one scalar, as frequent_users_exact
     thr = math.ceil(0.007 * n)
+    exact = (e.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+             .where(F.col("true_cnt") >= thr))
     sketch = cms_table(e, "user_id")
     est = cms_estimate(sketch, e.select("user_id"), "user_id")
-    return (est.where(F.col("est") >= thr)
-            .select(F.col("item").alias("user_id"), "est"))
+    return (exact.join(est, exact.user_id == est.item)
+            .select("user_id", "true_cnt",
+                    (F.col("est") >= thr).alias("cms_selected"),
+                    (F.col("est") >= F.col("true_cnt"))
+                    .alias("est_ge_true")))
 
 
 # --- stratified sampling (sampleBy) ------------------------------------------
