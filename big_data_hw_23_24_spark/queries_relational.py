@@ -521,6 +521,47 @@ def top_brands_by_revenue(spark, sf_dir):
     )
 
 
+# --- skew-mitigated join (operators/skew.py registry face) ------------------
+# A deliberately skewed fact⋈dim join: ~75% of event rows are remapped
+# to the single hot key 1, the shape that funnels one reducer in a
+# plain shuffle join. salted_join scatters the hot key across 8
+# synthetic sub-keys (dim rows replicated ×8, fact rows spread by a
+# deterministic hash salt) and must return EXACTLY the plain inner
+# join — which is the oracle. At 100 TB this is the fallback when the
+# dim side is too big to broadcast and AQE's skew split isn't enough.
+@register(
+    "events_customer_salted_join",
+    """
+    SELECT c.c_nationkey AS nation,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 1 ELSE user_id END
+                   AS skew_key,
+                 value
+          FROM events) e
+    JOIN customer c ON e.skew_key = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="skewed events⋈customer join through salted_join (8 salts, "
+        "deterministic hash salt) — result equals the plain join",
+)
+def events_customer_salted_join(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 4 != 0, F.lit(1))
+        .otherwise(F.col("user_id")).alias("skew_key"),
+        "event_id", "value")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_key"), "c_nationkey")
+    joined = salted_join(e, c, "skew_key", n_salts=8,
+                         salt_col=F.pmod(F.xxhash64("event_id"),
+                                         F.lit(8)).cast("int"))
+    return (joined.groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 # --- JSON extraction over events.props --------------------------------------
 @register(
     "props_k_stats",

@@ -206,6 +206,15 @@ def test_tfidf_two_aggregates_one_join_no_cartesian(spark):
     assert "Window" in plan
 
 
+def test_salted_join_query_joins_on_salt_key(spark):
+    # the equi-join must include the synthetic _salt key (hot key
+    # spread over n_salts reducers) and stay JVM-side
+    plan = _plan(spark, "events_customer_salted_join", "simple")
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_cms_estimate_broadcasts_bounded_sketch(spark):
     # the sketch side is depth*width rows by construction → its probe
     # join must be a broadcast hash join, and everything stays JVM-side
