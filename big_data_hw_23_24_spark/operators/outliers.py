@@ -117,25 +117,57 @@ def exact_outliers(points: DataFrame, d: float, m: int) -> DataFrame:
         .where(F.col("n_neighbors") <= m)
 
 
-def cell_grid_stats(points: DataFrame, d: float) -> DataFrame:
+def cell_grid_stats(points: DataFrame, d: float,
+                    m: int | None = None) -> DataFrame:
     """Step A+B of MRApproxOutliers as one plan: per-cell (size, n3, n7).
 
     Cell side Λ = D/(2√2) (``G019HW1.java:181``). The 7×7 neighborhood
     sum is an offset-explode equi-join against the cell histogram; the
     3×3 sum is the conditional slice |di|≤1 ∧ |dj|≤1 of the same
     fan-out, so one join serves both.
+
+    ``m`` encodes the HW2 size>M short-circuit (``G016HW2.java:
+    256-260``): a cell with size > M already has n3 ≥ size > M from its
+    self-contribution alone, so it can never be sure or uncertain —
+    computing its neighborhood is wasted work. With ``m`` set, only
+    size ≤ M cells are exploded as TARGETS (probing the full histogram,
+    which still contributes to THEIR counts), cutting the 49× fan-out
+    to the small-cell subset and dropping size > M cells from the
+    output, exactly as the reference skips them in its Step-B loop.
     """
     lam = d / (2.0 * math.sqrt(2.0))
     cells = cell_ids(points, lam).groupBy("ci", "cj") \
         .agg(F.count("*").alias("size"))
-
-    # Contribution of every cell to each 7×7 neighbor, tagged with
-    # whether it lands in the 3×3 slice and whether it is the cell's
-    # own (0,0) contribution. ONE aggregation then yields size, n3 and
-    # n7 simultaneously; empty target cells are exactly those that
-    # never receive a self-contribution → filtered, no join-back, and
-    # the input is scanned once.
     o = F.col("o")
+
+    if m is not None:
+        targets = cells.where(F.col("size") <= m)
+        probes = targets.select(
+            "ci", "cj", "size", F.explode(neighbor_offsets(3)).alias("o"),
+        ).select(
+            "ci", "cj", "size",
+            (F.col("ci") + o.di).alias("pci"),
+            (F.col("cj") + o.dj).alias("pcj"),
+            ((F.abs(o.di) <= 1) & (F.abs(o.dj) <= 1)).alias("in3"),
+        )
+        neigh = cells.select(F.col("ci").alias("pci"),
+                             F.col("cj").alias("pcj"),
+                             F.col("size").alias("contrib"))
+        return (
+            probes.join(neigh, ["pci", "pcj"])  # self lands via (0,0)
+            .groupBy("ci", "cj", "size")
+            .agg(F.sum(F.when(F.col("in3"), F.col("contrib")).otherwise(0))
+                 .alias("n3"),
+                 F.sum("contrib").alias("n7"))
+            .select("ci", "cj", "size", "n3", "n7")
+        )
+
+    # Full-stats path: contribution of every cell to each 7×7 neighbor,
+    # tagged with whether it lands in the 3×3 slice and whether it is
+    # the cell's own (0,0) contribution. ONE aggregation then yields
+    # size, n3 and n7 simultaneously; empty target cells are exactly
+    # those that never receive a self-contribution → filtered, no
+    # join-back, and the input is scanned once.
     contribs = cells.select(
         "ci", "cj", "size", F.explode(neighbor_offsets(3)).alias("o"),
     ).select(
@@ -162,9 +194,11 @@ def mr_approx_outliers(points: DataFrame, d: float, m: int) -> DataFrame:
     sure = Σ size where N7 ≤ M; uncertain = Σ size where N3 ≤ M < N7
     (algebraically identical to the reference's
     ``totalPoints - insideR7`` / ``insideR7 - insideR3`` accumulators,
-    ``G019HW1.java:262-275``).
+    ``G019HW1.java:262-275``). Runs the size>M short-circuit path —
+    cells skipped by it can satisfy neither predicate, so the sums are
+    unchanged.
     """
-    stats = cell_grid_stats(points, d)
+    stats = cell_grid_stats(points, d, m=m)
     return stats.agg(
         F.coalesce(F.sum(F.when(F.col("n7") <= m, F.col("size"))), F.lit(0))
         .alias("sure_outliers"),

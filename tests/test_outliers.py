@@ -58,6 +58,25 @@ def test_cell_stats_self_inclusion(testn15):
     assert bad.count() == 0
 
 
+def test_size_gt_m_short_circuit_matches_full_stats(spark, testn15):
+    """The HW2 size>M skip (G016HW2.java:256-260): the pruned path must
+    return exactly the full-stats rows restricted to size ≤ M cells —
+    same n3/n7 — and fan out strictly fewer probe rows."""
+    full = {(r.ci, r.cj): (r.size, r.n3, r.n7)
+            for r in cell_grid_stats(testn15, D).collect()}
+    pruned = {(r.ci, r.cj): (r.size, r.n3, r.n7)
+              for r in cell_grid_stats(testn15, D, m=M).collect()}
+    assert pruned == {k: v for k, v in full.items() if v[0] <= M}
+    assert any(v[0] > M for v in full.values())  # the skip is non-vacuous
+
+    # the 49× explode targets only the small cells: the plan filters on
+    # size BELOW the Generate, which the full path never does
+    plan = cell_grid_stats(testn15, D, m=M)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "(size" in plan and "<= 3" in plan, plan
+
+
 @pytest.mark.parametrize("n_parts", [1, 7])
 def test_partition_invariance(testn15, n_parts):
     df = testn15.repartition(n_parts)
