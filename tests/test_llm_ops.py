@@ -220,6 +220,42 @@ def test_ivf_plan_constant_in_n_lists_and_probe_all_exact(spark, emb):
     assert recall >= 0.7, recall  # measured 0.82 with the fixed seed
 
 
+def test_ivf_recall_curve_at_256_lists_on_clustered_corpus(spark):
+    """The 100 TB story runs IVF at hundreds of lists, not the sf0.01
+    default 16 — pin the recall/nprobe curve at that geometry. 20k
+    clustered vectors (the regime IVF is built for), n_lists=256:
+    nprobe=32 must hold recall ≥ 0.8 vs brute force, and recall must
+    not degrade as nprobe grows. No timing gate."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+
+    rng = np.random.default_rng(7)
+    n, dim, n_clusters = 20_000, 64, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    assign = rng.integers(0, n_clusters, size=n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dim))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    emb_big = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>") \
+        .repartition(16).cache()
+    queries = emb_big.where(F.col("vec_id") < 20)
+
+    brute = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb_big, queries, k=10).collect()}
+    recalls = {}
+    for nprobe in (8, 32):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb_big, queries, k=10, n_lists=256,
+                                 nprobe=nprobe).collect()}
+        recalls[nprobe] = len(brute & got) / len(brute)
+    emb_big.unpersist()
+    assert recalls[32] >= 0.8, recalls
+    assert recalls[8] <= recalls[32] + 1e-9, recalls  # monotone in nprobe
+    assert recalls[8] >= 0.4, recalls  # 8/256 lists on clustered data
+
+
 def test_embedding_lsh_recall_and_precision_on_planted_dups(spark):
     """Plant true near-duplicate vectors (copy + small noise, cosine
     ≥ ~0.95) among random ones; the hyperplane-LSH pairs must (a) be a
