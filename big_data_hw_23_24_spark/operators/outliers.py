@@ -141,6 +141,12 @@ def cell_grid_stats(points: DataFrame, d: float,
     o = F.col("o")
 
     if m is not None:
+        # the histogram feeds BOTH join sides; without lineage
+        # truncation Catalyst plans two full point scans (2× the
+        # dominant cost at scale, a terrible trade for the skip).
+        # Lazy localCheckpoint materializes the (small) cell histogram
+        # once on first action — same pattern as connected components.
+        cells = cells.localCheckpoint(eager=False)
         targets = cells.where(F.col("size") <= m)
         probes = targets.select(
             "ci", "cj", "size", F.explode(neighbor_offsets(3)).alias("o"),

@@ -172,7 +172,10 @@ def top_customers_per_nation(spark, sf_dir):
              AS running_total
     FROM orders
     """,
-    doc="cumulative window aggregate (new surface; reference has none)",
+    doc="cumulative window aggregate (new surface; reference has none). "
+        "Redundant face: customer_rolling_30d carries the same "
+        "ROWS-frame running total inside the driver's checked window; "
+        "this standalone form stays pytest-oracle-checked",
 )
 def running_order_total(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -184,37 +187,50 @@ def running_order_total(spark, sf_dir):
     )
 
 
-# --- rolling time-range window (RANGE frame; new surface) -------------------
-# The other window-frame class: running_order_total uses a ROWS frame,
-# this one a RANGE frame over event time — per customer, the sum and
-# count of orders in the trailing 30 calendar days. Ordering is on the
-# epoch-day int (Spark RANGE frames need a numeric key); peers within
-# the same day share one frame, so the result is tie-order independent.
-# One shuffle on o_custkey, frames evaluated in a single window pass.
+# --- rolling time-range window (RANGE + ROWS frames; new surface) -----------
+# Both window-frame classes in one pass: a RANGE frame over event time
+# (per customer, sum/count of orders in the trailing 30 calendar days —
+# ordering on the epoch-day int since Spark RANGE frames need a numeric
+# key; same-day peers share one frame, so the result is tie-order
+# independent) PLUS the ROWS-frame cumulative running total that
+# ``running_order_total`` demonstrates standalone (that query is now a
+# redundant face kept out of the driver window). Same partition key →
+# one shuffle on o_custkey, both frames evaluated in a single window
+# pass (plan-asserted). The ROWS ordering adds o_orderkey as a
+# deterministic tiebreak so the cumulative sum is replay-stable.
 @register(
     "customer_rolling_30d",
     """
     SELECT o_orderkey, o_custkey,
            strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_day,
            round(sum(o_totalprice) OVER w, 2) AS sum_30d,
-           count(*) OVER w AS n_30d
+           count(*) OVER w AS n_30d,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2)
+             AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
                  RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
     """,
-    doc="trailing-30-day RANGE-frame window per customer (new surface: "
-        "time-range frames; ROWS frames covered by running_order_total)",
+    doc="trailing-30-day RANGE-frame window + cumulative ROWS-frame "
+        "running total per customer, one shuffle, one window pass",
 )
 def customer_rolling_30d(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = (W.partitionBy("o_custkey")
          .orderBy(F.unix_date(F.to_date("o_orderdate")))
          .rangeBetween(-29, 0))
+    wr = (W.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(W.unboundedPreceding, 0))
     return o.select(
         "o_orderkey", "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
         F.count("*").over(w).alias("n_30d"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
     )
 
 
@@ -749,14 +765,53 @@ def parts_size50_revenue_bloom(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
+# --- scalar subquery + bloom prune, one driver-checked face ------------------
+# Consolidated window face: the scalar-subquery dim filter (avg p_size,
+# computed by Catalyst as its own job and folded into the filter — the
+# relational analogue of the reference's two-action count()→threshold→
+# filter pattern, G016HW3.java:152) SELECTS the dim rows, and the
+# bloom-filter semi-prune cuts the fact scan to matching keys before
+# the exact join — both §2.9 faces exercised in one oracle-checked
+# query so each keeps driver-green evidence inside the ~50-query
+# window. The standalone faces (parts_above_avg_size,
+# parts_size50_revenue_bloom) remain registered below the window,
+# pytest-oracle-checked. avg(p_size) is over exact integers, so both
+# engines derive the identical double.
+@register(
+    "parts_above_avg_revenue_bloom",
+    """
+    SELECT p.p_brand AS brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > (SELECT avg(p_size) FROM part)
+    GROUP BY 1
+    """,
+    doc="scalar-subquery dim filter (avg p_size) + bloom semi-prune of "
+        "the fact scan + exact join/agg; plain-join oracle",
+)
+def parts_above_avg_revenue_bloom(spark, sf_dir):
+    from .operators.bloom import bloom_semi_prune
+
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_parts_v")
+    dim = spark.sql("""
+        SELECT p_partkey, p_brand FROM _parts_v
+        WHERE p_size > (SELECT avg(p_size) FROM _parts_v)
+    """)
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    pruned = bloom_semi_prune(fact, dim, "l_partkey", "p_partkey")
+    return (pruned.join(dim, pruned.l_partkey == dim.p_partkey)
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
 # --- scalar subquery (SQL face) ----------------------------------------------
-# Catalyst runs the subquery as its own job and folds the scalar into
-# the main scan's filter — the relational analogue of the reference's
-# two-action pattern (count() → threshold → filter, G016HW3.java:152).
-# The average is over exact integers (p_size), so both engines derive
-# the identical double and the comparison can't flip on summation
-# order. Also exercises the spark.sql() entry path (most queries here
-# use the DataFrame API).
+# Standalone face of the scalar-subquery fold; the driver-window
+# evidence for it lives in parts_above_avg_revenue_bloom (above).
 @register(
     "parts_above_avg_size",
     """

@@ -43,11 +43,17 @@ def test_star_join_broadcasts_dims(spark):
     assert "CartesianProduct" not in explain_str(df, "simple")
 
 
-def test_mr_approx_is_single_scan_no_join(spark):
+def test_mr_approx_single_point_scan_checkpointed_histogram(spark):
+    # the size>M short-circuit joins small targets against the cell
+    # histogram; the histogram is lazily checkpointed so BOTH join
+    # sides read the same materialized RDD — the point scan happens
+    # exactly once (a second 100 TB scan would cost more than the
+    # 49× fan-out it saves), and the fan-out explode runs once, on
+    # the filtered small-cell side only
     plan = _plan(spark, "mr_approx_outliers", "simple")
-    # one parquet scan, zero joins: histogram → offset explode → agg
-    assert plan.count("FileScan parquet") == 1
-    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 0  # scan inside checkpoint
+    assert plan.count("ExistingRDD") == 2       # same RDD, both sides
+    assert plan.count("Generate") == 1
     assert "CartesianProduct" not in plan
 
 
@@ -233,10 +239,12 @@ def test_sessions_builtin_single_aggregate_no_window_function(spark):
 
 
 def test_rolling_30d_single_window_pass(spark):
-    # one shuffle on o_custkey, one Window evaluating both frames
+    # ONE shuffle on o_custkey serves both frames; the RANGE (epoch-day
+    # order) and ROWS (date+key order) frames need different sorts, so
+    # two Window nodes are expected — but never a second Exchange
     plan = _plan(spark, "customer_rolling_30d", "simple")
     assert plan.count("Exchange") == 1, plan
-    assert plan.count("Window") == 1, plan
+    assert plan.count("Window") == 2, plan
     assert "CartesianProduct" not in plan
 
 
@@ -250,3 +258,10 @@ def test_bloom_prune_probe_is_mapside_then_hash_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    # the consolidated window face adds a scalar subquery on the dim
+    # side; the bloom + hash-join shape must be preserved
+    plan2 = _plan(spark, "parts_above_avg_revenue_bloom", "simple")
+    assert "BroadcastHashJoin" in plan2
+    assert plan2.count("BroadcastNestedLoopJoin") == 1
+    assert "Subquery" in plan2 or "scalar-subquery" in plan2, plan2
+    assert "BatchEvalPython" not in plan2

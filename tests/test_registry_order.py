@@ -1,0 +1,72 @@
+"""Registration-order invariants.
+
+The round driver checks only the FIRST ~50 registered queries against
+their DuckDB oracles (r03 cut off at 50/74 and the whole LLM surface
+went unverified). These tests pin the contract that keeps that from
+regressing: the checked window is exactly the oracle-bearing surface,
+and everything after it is either no-oracle-by-design or a redundant
+face whose semantics a window query already covers.
+"""
+
+from __future__ import annotations
+
+from big_data_hw_23_24_spark.queries import (
+    _CHECKED_WINDOW,
+    _ensure_loaded,
+    _REGISTRY,
+)
+
+_ensure_loaded()
+
+
+def test_window_is_at_most_50_and_all_exist():
+    assert len(_CHECKED_WINDOW) <= 50
+    assert len(set(_CHECKED_WINDOW)) == len(_CHECKED_WINDOW)
+    missing = [n for n in _CHECKED_WINDOW if n not in _REGISTRY]
+    assert not missing, missing
+
+
+def test_registry_starts_with_the_checked_window():
+    names = list(_REGISTRY)
+    assert tuple(names[:len(_CHECKED_WINDOW)]) == _CHECKED_WINDOW
+
+
+def test_every_window_query_has_an_oracle():
+    no_oracle = [n for n in _CHECKED_WINDOW if _REGISTRY[n].oracle is None]
+    assert not no_oracle, no_oracle
+
+
+def test_every_oracle_bearing_query_outside_window_is_documented():
+    """An oracle-bearing query BELOW the window gets no driver row — a
+    silent evidence gap unless it is a declared redundant face. Keep
+    this list in sync deliberately, never by accident."""
+    declared_redundant = {
+        # semantics driver-checked by the named window query
+        "running_order_total",       # ⊂ customer_rolling_30d
+        "sales_rollup",              # ⊂ sales_grouping_sets
+        "sales_cube",                # ⊂ sales_grouping_sets
+        "distinct_users_salted",     # same oracle as distinct_users_by_type
+        "parts_above_avg_size",      # ⊂ parts_above_avg_revenue_bloom
+        "parts_size50_revenue_bloom",  # ⊂ parts_above_avg_revenue_bloom
+        "order_events_3d",           # same join as streaming_order_events_3d
+        "user_sessions",             # ⊂ sessions_builtin_window (same oracle
+                                     #   semantics, gaps-and-islands face)
+        "exact_outliers_topk",       # top-k face of exact_outliers (O2 green
+                                     #   via smallest_cells_topk)
+        "top_customers_per_nation",  # window-rank face; windows green via
+                                     #   customer_rolling_30d
+        "top_brands_by_revenue",     # join+agg+top-k ⊂ other green faces
+        "revenue_by_nation",         # star join; broadcast plan-asserted in
+                                     #   test_plans.py
+        "orders_by_month",           # date bucketing ⊂ events_by_window
+        "props_k_stats",             # JSON face; MapType green via
+                                     #   user_event_type_map
+        "approx_distinct_users_hll", # sketch face; exact green via
+                                     #   distinct_users_by_type
+        "part_type_breakdown",       # plain group-agg ⊂ many green faces
+    }
+    tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
+    undocumented = [n for n in tail
+                    if _REGISTRY[n].oracle is not None
+                    and n not in declared_redundant]
+    assert not undocumented, undocumented
