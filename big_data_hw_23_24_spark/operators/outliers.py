@@ -128,47 +128,25 @@ def cell_grid_stats(points: DataFrame, d: float,
 
     ``m`` encodes the HW2 size>M short-circuit (``G016HW2.java:
     256-260``): a cell with size > M already has n3 ≥ size > M from its
-    self-contribution alone, so it can never be sure or uncertain —
-    computing its neighborhood is wasted work. With ``m`` set, only
-    size ≤ M cells are exploded as TARGETS (probing the full histogram,
-    which still contributes to THEIR counts), cutting the 49× fan-out
-    to the small-cell subset and dropping size > M cells from the
-    output, exactly as the reference skips them in its Step-B loop.
+    self-contribution alone, so it can never be sure or uncertain — the
+    reference's Step-B driver loop skips it, and here it is dropped by
+    a ``size ≤ m`` filter on the aggregated stats, inside the same
+    single-scan plan. A join formulation that additionally skips the
+    49× explode for big cells was built and measured, then rejected:
+    the histogram feeds both join sides, so it needs either two full
+    point scans or a localCheckpoint barrier (2× the dominant cost at
+    100 TB, or pinned executor memory + an AQE-opaque ExistingRDD), and
+    benched 1.65 s vs 1.1 s for this form at sf0.1. The explode the
+    join saves is CELL-scale — every big cell must still fan out as a
+    *contributor* to its small neighbors — so the saving cannot grow
+    with the data while the extra scan does.
     """
     lam = d / (2.0 * math.sqrt(2.0))
     cells = cell_ids(points, lam).groupBy("ci", "cj") \
         .agg(F.count("*").alias("size"))
     o = F.col("o")
 
-    if m is not None:
-        # the histogram feeds BOTH join sides; without lineage
-        # truncation Catalyst plans two full point scans (2× the
-        # dominant cost at scale, a terrible trade for the skip).
-        # Lazy localCheckpoint materializes the (small) cell histogram
-        # once on first action — same pattern as connected components.
-        cells = cells.localCheckpoint(eager=False)
-        targets = cells.where(F.col("size") <= m)
-        probes = targets.select(
-            "ci", "cj", "size", F.explode(neighbor_offsets(3)).alias("o"),
-        ).select(
-            "ci", "cj", "size",
-            (F.col("ci") + o.di).alias("pci"),
-            (F.col("cj") + o.dj).alias("pcj"),
-            ((F.abs(o.di) <= 1) & (F.abs(o.dj) <= 1)).alias("in3"),
-        )
-        neigh = cells.select(F.col("ci").alias("pci"),
-                             F.col("cj").alias("pcj"),
-                             F.col("size").alias("contrib"))
-        return (
-            probes.join(neigh, ["pci", "pcj"])  # self lands via (0,0)
-            .groupBy("ci", "cj", "size")
-            .agg(F.sum(F.when(F.col("in3"), F.col("contrib")).otherwise(0))
-                 .alias("n3"),
-                 F.sum("contrib").alias("n7"))
-            .select("ci", "cj", "size", "n3", "n7")
-        )
-
-    # Full-stats path: contribution of every cell to each 7×7 neighbor,
+    # Single-scan path: contribution of every cell to each 7×7 neighbor,
     # tagged with whether it lands in the 3×3 slice and whether it is
     # the cell's own (0,0) contribution. ONE aggregation then yields
     # size, n3 and n7 simultaneously; empty target cells are exactly
@@ -189,7 +167,8 @@ def cell_grid_stats(points: DataFrame, d: float,
              F.sum(F.when(F.col("in3"), F.col("contrib")).otherwise(0))
              .alias("n3"),
              F.sum("contrib").alias("n7"))
-        .where(F.col("size").isNotNull())
+        .where(F.col("size").isNotNull() if m is None
+               else F.col("size") <= m)
         .select("ci", "cj", "size", "n3", "n7")
     )
 

@@ -69,12 +69,17 @@ def test_size_gt_m_short_circuit_matches_full_stats(spark, testn15):
     assert pruned == {k: v for k, v in full.items() if v[0] <= M}
     assert any(v[0] > M for v in full.values())  # the skip is non-vacuous
 
-    # the 49× explode targets only the small cells: the plan filters on
-    # size BELOW the Generate, which the full path never does
+    # the skip is a size ≤ M filter on the aggregated stats inside the
+    # same single-scan no-join plan (the full path filters on
+    # isnotnull(size) instead — never on a threshold)
     plan = cell_grid_stats(testn15, D, m=M)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Generate explode" in plan
+    assert "Join" not in plan
     assert "(size" in plan and "<= 3" in plan, plan
+    full_plan = cell_grid_stats(testn15, D)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "<= 3" not in full_plan
 
 
 @pytest.mark.parametrize("n_parts", [1, 7])

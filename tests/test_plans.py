@@ -43,16 +43,15 @@ def test_star_join_broadcasts_dims(spark):
     assert "CartesianProduct" not in explain_str(df, "simple")
 
 
-def test_mr_approx_single_point_scan_checkpointed_histogram(spark):
-    # the size>M short-circuit joins small targets against the cell
-    # histogram; the histogram is lazily checkpointed so BOTH join
-    # sides read the same materialized RDD — the point scan happens
-    # exactly once (a second 100 TB scan would cost more than the
-    # 49× fan-out it saves), and the fan-out explode runs once, on
-    # the filtered small-cell side only
+def test_mr_approx_is_single_scan_no_join(spark):
+    # one parquet scan, zero joins: histogram → offset explode → agg,
+    # with the size>M short-circuit as a post-aggregation filter (a
+    # join formulation that also skips the cell-scale explode needs a
+    # second point scan or a checkpoint barrier — measured worse; see
+    # cell_grid_stats docstring)
     plan = _plan(spark, "mr_approx_outliers", "simple")
-    assert plan.count("FileScan parquet") == 0  # scan inside checkpoint
-    assert plan.count("ExistingRDD") == 2       # same RDD, both sides
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
     assert plan.count("Generate") == 1
     assert "CartesianProduct" not in plan
 
