@@ -1,0 +1,74 @@
+"""Deterministic content-hash dataset splits (train/val/test).
+
+A training-data pipeline needs splits that are (a) reproducible across
+runs and engines, (b) stable under re-ingestion — a document's split
+must not depend on row order, partitioning, or a session seed — and
+(c) leakage-resistant: the SAME content always lands in the SAME
+split. Random sampling (``df.sample``/``sampleBy``) gives none of
+these; hashing the content does.
+
+Design: bucket = the first ``bucket_chars`` hex digits of
+``md5(key)``, compared lexicographically against cumulative-fraction
+thresholds. Everything stays a narrow JVM-side map — no shuffle, no
+state, no seed — and the identical expression is computable in any
+engine with ``md5`` (the DuckDB oracle uses the same substring
+compare, so the assignment is value-checked end to end).
+
+Near-duplicate documents hash to different buckets, so run
+deduplication (``operators.dedup``) BEFORE splitting when leakage
+through near-dups matters; content-hash splitting guarantees identity
+leakage only.
+
+Scale shape: one pass, zero shuffles, trivially parallel at 100 TB.
+md5 is overkill-strong for bucketing but is the one hash every engine
+computes bit-identically on UTF-8 text, which is what makes the split
+portable; xxhash64 would be faster but is Spark-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_thresholds(fractions: dict[str, float],
+                     bucket_chars: int = 4) -> list[tuple[str, str]]:
+    """(name, upper-bound hex) per split, cumulative, last bound open.
+
+    Bounds are zero-padded lowercase hex of ``floor(cum_frac * 16^n)``
+    so a lexicographic compare on the hex prefix is an integer compare.
+    The final split takes the remainder (its bound is ignored), so the
+    fractions need not sum to exactly 1.0.
+    """
+    if not fractions:
+        raise ValueError("at least one split required")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"negative fraction in {fractions}")
+    space = 16 ** bucket_chars
+    out, cum = [], 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        bound = min(int(cum * space), space)
+        out.append((name, format(bound, f"0{bucket_chars}x")))
+    return out
+
+
+def hash_split(df: DataFrame, key: Column | str,
+               fractions: dict[str, float] | None = None,
+               bucket_chars: int = 4,
+               out_col: str = "split") -> DataFrame:
+    """Assign each row a deterministic split from its content hash.
+
+    ``key`` is the column (or Column expression) whose md5 decides the
+    bucket — typically the document text (content-keyed: re-ingested
+    copies land identically) or a stable id. Adds ``bucket`` (the hex
+    prefix) and ``out_col``; never drops or reorders rows.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    key = F.col(key) if isinstance(key, str) else key
+    bucket = F.substring(F.md5(key), 1, bucket_chars)
+    bounds = split_thresholds(fractions, bucket_chars)
+    assign = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        assign = F.when(bucket < bound, name).otherwise(assign)
+    return df.withColumn("bucket", bucket).withColumn(out_col, assign)

@@ -103,8 +103,8 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "wordcount",
     "avg_word_length",
     "customer_rolling_30d",
-    "customers_with_open_orders",
-    "customers_without_orders",
+    "customer_order_membership",
+    "doc_train_val_split",
     "distinct_users_by_type",
     "frequent_users_exact",
     "frequent_users_cms",

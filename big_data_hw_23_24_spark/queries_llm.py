@@ -710,3 +710,28 @@ def dedup_embedding_lsh(spark, sf_dir):
     from .operators.similarity import embedding_lsh_pairs
 
     return embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+# --- deterministic content-hash train/val/test split -------------------------
+# The corpus-prep step random sampling can't give: a reproducible,
+# engine-portable, re-ingestion-stable split. Both engines compute the
+# identical md5-hex-prefix bucket and the identical lexicographic
+# thresholds (0.8/0.1/0.1 → 'cccc'/'e666' over a 16^4 bucket space), so
+# every document's assignment is value-checked, not just the counts.
+@register(
+    "doc_train_val_split",
+    """
+    SELECT doc_id, substr(md5(text), 1, 4) AS bucket,
+           CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="deterministic content-hash train/val/test split (0.8/0.1/0.1); "
+        "narrow map, zero shuffle, stable across engines and re-ingestion",
+)
+def doc_train_val_split(spark, sf_dir):
+    from .operators.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "text").select("doc_id", "bucket", "split")

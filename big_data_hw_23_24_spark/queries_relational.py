@@ -267,6 +267,32 @@ def customers_without_orders(spark, sf_dir):
         .select("c_custkey", "c_name")
 
 
+# Window face for J4: semi and anti against the SAME predicate in one
+# result, tagged — both branches are non-vacuous (1451/49 at sf0.01),
+# unlike customers_without_orders whose 0-row green was vacuous.
+@register(
+    "customer_order_membership",
+    """
+    SELECT c_custkey, c_name, 'open' AS membership FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT c_custkey, c_name, 'none_open' AS membership FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'O')
+    """,
+    doc="J4 semi + anti join on one predicate, tagged (both non-empty)",
+)
+def customer_order_membership(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    cond = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond, "left_semi") \
+        .select("c_custkey", "c_name", F.lit("open").alias("membership"))
+    anti = c.join(o, cond, "left_anti") \
+        .select("c_custkey", "c_name", F.lit("none_open").alias("membership"))
+    return semi.unionAll(anti)
+
+
 # --- A6: distinct counts -----------------------------------------------------
 @register(
     "distinct_users_by_type",

@@ -500,3 +500,51 @@ def test_quantized_topk_recall_and_exact_scores(spark, emb):
     for r in quant:
         if (r.query_id, r.neighbor_id) in bs:
             assert r.cosine == bs[(r.query_id, r.neighbor_id)]
+
+
+# --- deterministic content-hash splits ---------------------------------------
+def test_split_thresholds_hex_bounds():
+    from big_data_hw_23_24_spark.operators.splits import split_thresholds
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert bounds == [("train", "cccc"), ("val", "e666"), ("test", "10000")]
+    # two-way 50/50 at 2 hex chars
+    assert split_thresholds({"a": 0.5, "b": 0.5}, 2) == [
+        ("a", "80"), ("b", "100")]
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"a": -0.1, "b": 1.1})
+
+
+def test_hash_split_deterministic_and_total(spark, docs):
+    from big_data_hw_23_24_spark.operators.splits import hash_split
+
+    out = hash_split(docs, "text").select("doc_id", "split")
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    # re-run on a reshuffled input: identical assignment (order/partition
+    # independence is the whole point vs df.sample)
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.repartition(7).orderBy(F.desc("doc_id")),
+                             "text").select("doc_id", "split").collect()}
+    assert a == b
+    assert len(a) == docs.count()  # total: no rows dropped
+    # fractions land near 0.8/0.1/0.1 (binomial tolerance at n=500)
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.7 <= c["train"] / len(a) <= 0.9
+
+
+def test_hash_split_content_keyed_leakage_guarantee(spark, docs):
+    from big_data_hw_23_24_spark.operators.splits import hash_split
+
+    # identical content with DIFFERENT ids must land in the same split
+    clones = docs.select((F.col("doc_id") + 9_000_000).alias("doc_id"),
+                         "text")
+    both = hash_split(docs.select("doc_id", "text").unionAll(clones), "text")
+    n_splits = (both.withColumn("orig", F.col("doc_id") % 9_000_000)
+                .groupBy("orig")
+                .agg(F.countDistinct("split").alias("k"))
+                .agg(F.max("k")).collect()[0][0])
+    assert n_splits == 1

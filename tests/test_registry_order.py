@@ -64,6 +64,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "approx_distinct_users_hll", # sketch face; exact green via
                                      #   distinct_users_by_type
         "part_type_breakdown",       # plain group-agg ⊂ many green faces
+        "customers_with_open_orders",  # semi face ⊂ customer_order_membership
+        "customers_without_orders",  # anti face ⊂ customer_order_membership
+                                     #   (and was a vacuous 0-row green)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
