@@ -20,6 +20,11 @@ a 1-row ``agg(max)`` — no shuffle at all on the data path, exactly the
 narrow map + tree-reduce the reference uses. The only driver-side data
 movement is the L·K-row coreset, bounded by design.
 
+Also here: ``kmeans_fit``, distributed Lloyd's k-means over embedding
+vectors (no reference counterpart — the north-star trainer for IVF
+centroids). It follows the same iteration contract as MRFFT: bounded
+driver state, one bounded-shuffle distributed job per round.
+
 Determinism caveat (SURVEY §7 risk 1): the result depends on the
 partition layout (which points share a partition, and which arrives
 first). The reference accepts this — its own goldens differ between
@@ -123,3 +128,76 @@ def mrfft(points: DataFrame, k: int, num_partitions: int | None = None
     row = partials.agg(F.max("partial_max").alias("m")).collect()[0]
     radius = float(row["m"]) ** 0.5
     return centers, radius
+
+
+def kmeans_fit(df: DataFrame, k: int, vec_col: str = "embedding",
+               iters: int = 10, tol: float = 1e-6,
+               sample_size: int = 10_000, seed: int = 42
+               ) -> tuple[np.ndarray, list[float]]:
+    """Distributed Lloyd's k-means over a vector column → (centroids
+    (k, dim), per-iteration mean cost). The trainer for IVF centroids
+    when a sample isn't representative enough (``ivf_topk(...,
+    centroids=...)`` accepts the result).
+
+    Same iteration contract as MRFFT above: per round, ONE distributed
+    job whose shuffle is bounded by the model size, never the data —
+    assign each vector to its nearest centroid (closure-captured
+    ndarray, Arrow-batched narrow map), then ``posexplode`` to
+    (list, pos, x) and hash-aggregate sum/sum-sq/count per (list, pos).
+    Map-side partial aggregation compresses every partition to at most
+    k·dim rows before the exchange, so the shuffle moves O(partitions ·
+    k · dim) bytes regardless of corpus size; the driver touches only
+    the k×dim sufficient statistics (the L·K-coreset bound again).
+
+    The Lloyd cost Σ‖x − c(x)‖² is recovered from those same
+    statistics — Σx² − 2Σ⟨c, S_c⟩ + Σ n_c‖c‖² — so cost tracking adds
+    no extra pass. Init is k-means on a bounded seeded driver sample
+    (what FAISS does for IVF training); empty clusters keep their
+    previous centroid. Stops early when no centroid moves more than
+    ``tol`` (L∞ on the shift).
+    """
+    from .similarity import _kmeans_lite, _nearest_lists_udf
+
+    vecs = df.select(F.col(vec_col).alias("v")).where(F.col("v").isNotNull())
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("kmeans_fit: no non-null vectors")
+    frac = min(1.0, (sample_size * 1.25) / n)
+    sample = np.array(
+        [r[0] for r in vecs.sample(fraction=frac, seed=seed)
+         .limit(sample_size).collect()], dtype=np.float64)
+    centroids = _kmeans_lite(sample, k, seed=seed)
+    k, dim = centroids.shape
+
+    costs: list[float] = []
+    for _ in range(iters):
+        assign = _nearest_lists_udf(centroids, 1)
+        stats = (
+            vecs.withColumn("list_id", assign(F.col("v"))[0])
+            .select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum("x").alias("s"),
+                 F.sum(F.col("x") * F.col("x")).alias("sq"),
+                 F.count("*").alias("cnt"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        sq_total = 0.0
+        for r in stats:
+            sums[r.list_id, r.pos] = r.s
+            counts[r.list_id] = r.cnt  # same for every pos of a list
+            sq_total += r.sq
+        # Lloyd cost of the CURRENT assignment under the current centers
+        cost = (sq_total
+                - 2.0 * float((centroids * sums).sum())
+                + float(counts @ (centroids ** 2).sum(axis=1)))
+        costs.append(cost / n)
+        nonempty = counts > 0
+        new_c = centroids.copy()
+        new_c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        shift = float(np.abs(new_c - centroids).max())
+        centroids = new_c
+        if shift < tol:
+            break
+    return centroids, costs

@@ -127,7 +127,8 @@ def _nearest_lists_udf(centroids: np.ndarray, n: int):
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_lists: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             sample_size: int = 10_000, seed: int = 42) -> DataFrame:
+             sample_size: int = 10_000, seed: int = 42,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """IVF approximate top-k cosine → same schema as ``cosine_topk``.
 
     Train centroids on a seeded uniform sample (``df.sample`` — not
@@ -135,16 +136,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     vector to its nearest list (narrow Arrow-batched map), probe the
     nprobe nearest lists per query (explode + equi-join on list_id),
     exact-score only the probed lists. Recall < 1 by design; tests
-    measure it against ``cosine_topk``.
+    measure it against ``cosine_topk``. Pass ``centroids`` (e.g. from
+    ``clustering.kmeans_fit``, the full-corpus distributed trainer) to
+    skip the sample-trained codebook.
     """
-    n = corpus.count()
-    frac = min(1.0, (sample_size * 1.25) / max(n, 1))
-    sample = np.array(
-        [r[0] for r in
-         corpus.select(vec_col).sample(fraction=frac, seed=seed)
-         .limit(sample_size).collect()],
-        dtype=np.float64)
-    centroids = _kmeans_lite(sample, n_lists, seed=seed)
+    if centroids is None:
+        n = corpus.count()
+        frac = min(1.0, (sample_size * 1.25) / max(n, 1))
+        sample = np.array(
+            [r[0] for r in
+             corpus.select(vec_col).sample(fraction=frac, seed=seed)
+             .limit(sample_size).collect()],
+            dtype=np.float64)
+        centroids = _kmeans_lite(sample, n_lists, seed=seed)
 
     assign1 = _nearest_lists_udf(centroids, 1)
     assign_probe = _nearest_lists_udf(centroids, nprobe)

@@ -735,3 +735,34 @@ def doc_train_val_split(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return hash_split(docs, "text").select("doc_id", "bucket", "split")
+
+
+# --- distributed k-means (IVF codebook training) -----------------------------
+# Iterative, init-dependent → no SQL oracle (the MRFFT category);
+# the Lloyd guarantees (cost monotonicity, blob recovery, IVF recall
+# with trained centroids) are property-tested in tests/test_clustering.
+@register(
+    "embedding_kmeans_sizes",
+    None,
+    doc="distributed Lloyd's k-means over embeddings → cluster sizes "
+        "(bounded-shuffle sufficient-statistics iteration; trains the "
+        "IVF codebook at full-corpus scale)",
+)
+def embedding_kmeans_sizes(spark, sf_dir):
+    import numpy as np
+
+    from .operators.clustering import kmeans_fit
+    from .operators.similarity import _nearest_lists_udf
+
+    # cache only for the training iterations; the returned (lazy) plan
+    # re-reads parquet once rather than leaking the cache past the call
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        cent, _ = kmeans_fit(emb, k=8, iters=4, seed=42)
+    finally:
+        emb.unpersist()
+    assign = _nearest_lists_udf(cent, 1)
+    return (emb.select(assign(F.col("embedding"))[0].alias("cluster_id"))
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_vecs"))
+            .orderBy("cluster_id"))

@@ -101,3 +101,65 @@ def test_mrfft_feeds_outlier_pipeline(spark):
     assert row["sure_outliers"] >= 20
     # clusters themselves are dense → not flagged
     assert row["sure_outliers"] + row["uncertain_points"] <= 100
+
+
+# --- distributed Lloyd's k-means ---------------------------------------------
+def _blob_df(spark, centers, per=60, jitter=0.05, dim=8, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for ci, c in enumerate(centers):
+        pts = np.asarray(c)[None, :] + rng.normal(0, jitter, (per, dim))
+        rows += [(ci * per + i, [float(v) for v in p])
+                 for i, p in enumerate(pts)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.clustering import kmeans_fit
+
+    true = np.eye(3, 8) * 10.0  # 3 well-separated blob centers in 8-dim
+    df = _blob_df(spark, true).cache()
+    cent, costs = kmeans_fit(df, k=3, iters=10, seed=1)
+    # each true center has a recovered centroid within the jitter scale
+    d = np.sqrt(((true[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2))
+    assert d.min(axis=1).max() < 0.5
+    # and the match is a bijection (no two blobs share a centroid)
+    assert len(set(d.argmin(axis=1))) == 3
+
+
+def test_kmeans_cost_monotone_nonincreasing(spark):
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.clustering import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(v) for v in rng.normal(0, 1, 6)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, costs = kmeans_fit(df.cache(), k=8, iters=6, seed=2)
+    assert len(costs) >= 2
+    for a, b in zip(costs, costs[1:]):
+        assert b <= a + 1e-9  # Lloyd guarantee
+
+
+def test_kmeans_centroids_feed_ivf(spark):
+    from big_data_hw_23_24_spark.operators.clustering import kmeans_fit
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+    q = emb.limit(8).cache()
+    cent, _ = kmeans_fit(emb, k=16, iters=4, seed=5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, q, k=5, n_lists=16, nprobe=8,
+                                centroids=cent).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # nprobe=8 of 16 lists on near-random vectors
