@@ -222,19 +222,28 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
         .select(id_col, F.size("shingles").alias("n_sh"), "signature") \
         .persist()
     try:
-        # no eager count: the checkpoint job below populates the cache
-        # in-flight (racing join branches may duplicate a partition,
-        # which measures cheaper than a dedicated materialization job)
+        # eager count populates the cache in ONE deterministic narrow
+        # job before the self-join's two branches scan it. (A prior
+        # revision let the join populate the cache "in flight"; the
+        # race meant both branches — and the broadcast below — could
+        # recompute the 32-hash signature from scratch, measured up to
+        # 6× slower and growing run-over-run at sf0.1.)
+        signed.count()
+        # checkpoint the candidate pairs ONCE: both the broadcast
+        # candidate-id set and the verify join read them, and without
+        # truncation the broadcast thread would re-execute the entire
+        # banded self-join as a private subplan
         pairs = lsh_candidate_pairs(
-            signed.where(F.col("n_sh") > 0), bands, id_col)
+            signed.where(F.col("n_sh") > 0), bands, id_col) \
+            .localCheckpoint(eager=True)
         cand_ids = pairs.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
         cand_shingled = word_shingles(
             docs.join(F.broadcast(cand_ids), id_col, "semi"), text_col)
-        result = jaccard_verify(pairs, cand_shingled, threshold, id_col)
-        # materialize the pairs while the cache is alive; truncating
-        # lineage makes it safe to unpersist before the caller acts
-        return result.localCheckpoint(eager=True)
+        # lineage is pairs (checkpointed) + candidate re-shingle (narrow
+        # over the semi-joined corpus) — independent of the cache, so
+        # returning lazily is safe after unpersist
+        return jaccard_verify(pairs, cand_shingled, threshold, id_col)
     finally:
         signed.unpersist()
 
