@@ -358,3 +358,41 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Dedup an ingestion batch against an existing corpus →
+    (doc_id, fingerprint, status) for every NEW document, with status
+
+    * ``dup_of_corpus`` — normalized fingerprint already in the corpus;
+    * ``dup_in_batch``  — first seen earlier (lower id) in this batch;
+    * ``novel``         — safe to append.
+
+    The continuous-ingestion face of ``exact_duplicate_groups``: a
+    pipeline re-crawling the web dedups each day's batch against the
+    accumulated corpus without ever re-grouping the corpus itself.
+    Scale shape: the corpus side is reduced to DISTINCT fingerprints —
+    32-byte rows, no text — before the join, so corpus text is scanned
+    once and never shuffled; in steady state that fingerprint set is a
+    bucketed table the join co-locates with (sources/sinks.py
+    write_bucketed_table). The batch side takes one window over its
+    own fingerprints (batch ≪ corpus) and one equi-join; AQE
+    broadcasts the batch when it is small. Corpus-dup wins over
+    batch-dup when both hold, so statuses are join-order independent.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(normalized_text(F.col(text_col)))
+    batch = new_docs.select(F.col(id_col), fp.alias("fingerprint"))
+    seen = (corpus.select(fp.alias("fingerprint")).distinct()
+            .withColumn("in_corpus", F.lit(True)))
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy(id_col))
+    return (batch.withColumn("rn", rn)
+            .join(seen, "fingerprint", "left")
+            .select(id_col, "fingerprint",
+                    F.when(F.col("in_corpus"), "dup_of_corpus")
+                    .when(F.col("rn") > 1, "dup_in_batch")
+                    .otherwise("novel").alias("status")))

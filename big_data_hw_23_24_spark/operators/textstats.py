@@ -176,6 +176,52 @@ def token_chunks(docs: DataFrame, size: int = 64, stride: int = 48,
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Repetition quality signals → (doc_id, n_tokens, top_token_frac,
+    dup_bigram_frac).
+
+    The boilerplate/degenerate-text detectors a corpus-cleaning
+    pipeline runs alongside ``quality_scores`` (the C4/Gopher-style
+    repetition rules): the fraction of tokens that are the single most
+    frequent token, and the fraction of adjacent word bigrams that are
+    repeats of an earlier bigram in the same document. High values
+    flag keyword-stuffed, template, or looping text.
+
+    Shape: the bigram signal is a pure narrow map (transform over the
+    split array — no shuffle); the top-token signal is one hash
+    aggregate on (doc_id, word) + a per-document max — the same
+    shuffle key as ``tfidf_top_terms``, partitioned by document so
+    skew is bounded by document length. Documents with <1 token score
+    0 on both; with <2 tokens, 0 on bigrams.
+    """
+    words = _words(F.col(text_col))
+    # CASE WHEN is evaluated lazily per row, so the sequence/element_at
+    # branch never sees a <2-token array (ANSI mode would reject the
+    # out-of-bounds index otherwise)
+    bigrams = F.when(F.size(words) >= 2, F.transform(
+        F.sequence(F.lit(2), F.size(words)),
+        lambda i: F.concat_ws(" ", F.element_at(words, i - 1),
+                              F.element_at(words, i)))
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.greatest(F.size(words) - 1, F.lit(0))
+    dup_bg = F.when(
+        F.size(words) >= 2,
+        (n_bg - F.size(F.array_distinct(bigrams))) / n_bg
+    ).otherwise(0.0)
+    narrow = docs.select(F.col(id_col), F.size(words).alias("n_tokens"),
+                         F.round(dup_bg, 6).alias("dup_bigram_frac"))
+    top = (docs.select(F.col(id_col), F.explode(words).alias("w"))
+           .groupBy(id_col, "w").agg(F.count("*").alias("c"))
+           .groupBy(id_col).agg(F.max("c").alias("top_c")))
+    return (narrow.join(top, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.round(F.coalesce(F.col("top_c"), F.lit(0))
+                            / F.greatest("n_tokens", F.lit(1)), 6)
+                    .alias("top_token_frac"),
+                    "dup_bigram_frac"))
+
+
 def content_fingerprints(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """(doc_id, md5 fingerprint of normalized text, crc32, length).

@@ -1,0 +1,95 @@
+"""Tokenizer-training preparation operators: BPE pair statistics and
+vocabulary-coverage curves.
+
+North-star extension: before an LLM trains, a tokenizer trains — and
+the data-heavy part of BPE/unigram training is exactly two corpus
+aggregates: (1) symbol-pair frequencies for merge selection, (2) the
+token-frequency curve that sizes the vocabulary. Both are expressed
+here with the classic scale trick: aggregate the corpus down to its
+VOCABULARY first (one shuffle over the token stream; the vocabulary is
+Zipf-bounded and orders of magnitude smaller), then do all per-word
+work — character-pair explosion, ranking, cumulative sums — on the
+vocabulary table. At 100 TB the token stream is trillions of rows but
+the vocabulary is ~10⁷; every operator below touches the big side
+exactly once, in a map-side-combining hash aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import _words
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n_occ) over lower-cased space-split tokens — the
+    vocabulary table every op in this module starts from. One hash
+    aggregate with map-side combine; the corpus is scanned once."""
+    return (docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("n_occ")))
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-character-pair frequencies for BPE merge selection →
+    (pair, n_occurrences, n_distinct_words).
+
+    The first (and by far most expensive) step of byte-pair-encoding
+    training: count every adjacent symbol pair in the corpus, weighted
+    by word frequency. The pair explosion runs over the *vocabulary*,
+    never the token stream — a word appearing 10⁹ times contributes
+    its pairs once, carried by its count — so the wide intermediate is
+    bounded by Σ|word| over distinct words, and the final aggregate by
+    the symbol-pair space (≤ charset²). Overlapping pairs counted at
+    every position, the textbook formulation ("aaa" → "aa" twice).
+    """
+    vocab = word_counts(docs, text_col)
+    pairs = (
+        vocab.where(F.length("word") >= 2)
+        .select("word", "n_occ",
+                F.explode(F.sequence(F.lit(1), F.length("word") - 1))
+                .alias("i"))
+        .select("word", "n_occ",
+                F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"))
+    )
+    return (pairs.groupBy("pair")
+            .agg(F.sum("n_occ").cast("long").alias("n_occurrences"),
+                 F.count_distinct("word").alias("n_distinct_words")))
+
+
+def vocab_coverage(docs: DataFrame,
+                   targets: Sequence[float] = (0.5, 0.9, 0.99),
+                   text_col: str = "text") -> DataFrame:
+    """Vocabulary sizing: for each coverage target p, the smallest
+    top-frequency vocabulary covering ≥ p of all token occurrences →
+    (coverage_target, vocab_size, tokens_covered, total_tokens).
+
+    The curve that picks a tokenizer's vocab size (and, inverted, the
+    OOV rate any fixed vocabulary implies). Ranking + cumulative sum
+    run on the aggregated vocabulary table; the single-partition
+    ordered window is deliberate and safe — the vocabulary is the
+    Zipf-bounded small side (~10⁷ rows at web scale, KBs here), not
+    the corpus. Ties broken by word ascending so the curve is
+    deterministic. Targets must be in (0, 1]; each always has an
+    answer because cum reaches total at the last row.
+    """
+    counts = word_counts(docs, text_col)
+    order = [F.col("n_occ").desc(), F.col("word")]
+    w_cum = (Window.orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        F.sum("n_occ").over(w_cum).alias("cum"),
+        F.sum("n_occ").over(w_all).alias("total"),
+    )
+    tgt = F.explode(F.array(*[F.lit(float(p)) for p in targets]))
+    return (ranked.select("rank", "cum", "total",
+                          tgt.alias("coverage_target"))
+            .where(F.col("cum") >= F.col("coverage_target") * F.col("total"))
+            .groupBy("coverage_target")
+            .agg(F.min("rank").cast("long").alias("vocab_size"),
+                 F.min_by("cum", "rank").cast("long").alias("tokens_covered"),
+                 F.max("total").cast("long").alias("total_tokens")))

@@ -766,3 +766,176 @@ def embedding_kmeans_sizes(spark, sf_dir):
             .groupBy("cluster_id")
             .agg(F.count("*").alias("n_vecs"))
             .orderBy("cluster_id"))
+
+
+# --- incremental batch-vs-corpus dedup ---------------------------------------
+# The synthetic corpus has no duplicates, so the batch is constructed
+# to exercise every status non-vacuously: mangled copies of doc_id%10=0
+# (normalization must collapse them → dup_of_corpus), novel rewrites of
+# doc_id%10=1 (→ novel), and a second copy of each rewrite under a
+# higher id (→ dup_in_batch). Both engines build the identical batch.
+@register(
+    "dedup_incremental",
+    """
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             upper('  ' || replace(text, ' ', '  ')) AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zzznovel'
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' zzznovel'
+      FROM documents WHERE doc_id % 10 = 1
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+               AS fingerprint,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                               ' +', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM batch
+    ),
+    seen AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT f.doc_id, f.fingerprint,
+           CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_of_corpus'
+                WHEN f.rn > 1 THEN 'dup_in_batch'
+                ELSE 'novel' END AS status
+    FROM fp f LEFT JOIN seen s ON s.fingerprint = f.fingerprint
+    """,
+    doc="incremental ingestion dedup: batch fingerprints vs the corpus "
+        "DISTINCT-fingerprint set (novel / dup_of_corpus / dup_in_batch)",
+)
+def dedup_incremental(spark, sf_dir):
+    from .operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "),
+                         F.regexp_replace("text", " ", "  "))).alias("text"))
+    novel = docs.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zzznovel")).alias("text"))
+    again = novel.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return incremental_dedup(mangled.unionAll(novel).unionAll(again), docs)
+
+
+# --- BPE pair statistics (tokenizer training, step 1) ------------------------
+@register(
+    "bpe_pair_counts",
+    """
+    WITH vocab AS (
+      SELECT word, count(*) AS n_occ
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, n_occ, word
+      FROM (SELECT word, n_occ,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM vocab WHERE length(word) >= 2)
+    )
+    SELECT pair, sum(n_occ)::BIGINT AS n_occurrences,
+           count(DISTINCT word)::BIGINT AS n_distinct_words
+    FROM pairs GROUP BY pair
+    """,
+    doc="BPE merge-selection statistics: adjacent char-pair frequencies "
+        "exploded from the aggregated vocabulary, never the token stream",
+)
+def bpe_pair_counts(spark, sf_dir):
+    from .operators.tokenizer import bpe_pair_counts as _bpe
+
+    return _bpe(load_table(spark, sf_dir, "documents"))
+
+
+# --- vocabulary coverage curve (tokenizer training, step 2) ------------------
+@register(
+    "vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT word, count(*) AS n_occ
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+      SELECT sum(n_occ) OVER (ORDER BY n_occ DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (ORDER BY n_occ DESC, word) AS rank,
+             sum(n_occ) OVER () AS total
+      FROM counts
+    )
+    SELECT p AS coverage_target,
+           min(rank)::BIGINT AS vocab_size,
+           min_by(cum, rank)::BIGINT AS tokens_covered,
+           max(total)::BIGINT AS total_tokens
+    FROM ranked,
+         (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p)
+    WHERE cum >= p * total
+    GROUP BY p
+    """,
+    doc="vocabulary sizing: smallest top-frequency vocab covering "
+        "50/90/99% of token occurrences (cumsum over the vocab table)",
+)
+def vocab_coverage(spark, sf_dir):
+    from .operators.tokenizer import vocab_coverage as _vc
+
+    return _vc(load_table(spark, sf_dir, "documents"))
+
+
+# --- repetition quality signals ----------------------------------------------
+@register(
+    "doc_repetition_scores",
+    """
+    WITH w AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word,
+                   generate_subscripts(string_split(lower(text), ' '), 1)
+                     AS i
+            FROM documents)
+      WHERE word <> ''
+    ),
+    bg AS (
+      SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ),
+    bgs AS (
+      SELECT doc_id, count(*) AS n_bg, count(DISTINCT bigram) AS n_dist
+      FROM bg GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+    ),
+    tops AS (
+      SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n_tokens
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_tokens, 0) AS n_tokens,
+           round(coalesce(t.top_c, 0)
+                 / greatest(coalesce(t.n_tokens, 1), 1), 6)
+             AS top_token_frac,
+           round(CASE WHEN coalesce(b.n_bg, 0) > 0
+                      THEN (b.n_bg - b.n_dist) / b.n_bg
+                      ELSE 0 END, 6) AS dup_bigram_frac
+    FROM documents d
+    LEFT JOIN tops t ON t.doc_id = d.doc_id
+    LEFT JOIN bgs b ON b.doc_id = d.doc_id
+    """,
+    doc="C4/Gopher-style repetition signals: top-token fraction + "
+        "duplicated-bigram fraction per document",
+)
+def doc_repetition_scores(spark, sf_dir):
+    from .operators.textstats import repetition_scores
+
+    return repetition_scores(load_table(spark, sf_dir, "documents"))

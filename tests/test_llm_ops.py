@@ -548,3 +548,94 @@ def test_hash_split_content_keyed_leakage_guarantee(spark, docs):
                 .agg(F.countDistinct("split").alias("k"))
                 .agg(F.max("k")).collect()[0][0])
     assert n_splits == 1
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    from big_data_hw_23_24_spark.operators.tokenizer import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "Aaa"), (3, "x")], ["doc_id", "text"])
+    got = {r.pair: (r.n_occurrences, r.n_distinct_words)
+           for r in bpe_pair_counts(docs).collect()}
+    # vocab: aaa×2 (lowercased), ab×1; "x" has no pairs
+    # "aaa" → aa at positions 1,2 → 2 per occurrence × 2 occurrences
+    assert got == {"aa": (4, 1), "ab": (1, 1)}
+
+
+def test_vocab_coverage_zipf_hand_case(spark):
+    from big_data_hw_23_24_spark.operators.tokenizer import vocab_coverage
+
+    # counts: the×6, a×3, b×1 → total 10; cum: 6, 9, 10
+    text = " ".join(["the"] * 6 + ["a"] * 3 + ["b"])
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = {r.coverage_target: r for r in
+            vocab_coverage(docs, targets=(0.5, 0.9, 1.0)).collect()}
+    assert rows[0.5].vocab_size == 1 and rows[0.5].tokens_covered == 6
+    assert rows[0.9].vocab_size == 2 and rows[0.9].tokens_covered == 9
+    assert rows[1.0].vocab_size == 3 and rows[1.0].tokens_covered == 10
+    assert all(r.total_tokens == 10 for r in rows.values())
+
+
+def test_vocab_coverage_monotone_on_corpus(spark, docs):
+    from big_data_hw_23_24_spark.operators.tokenizer import vocab_coverage
+
+    rows = sorted(vocab_coverage(docs).collect(),
+                  key=lambda r: r.coverage_target)
+    sizes = [r.vocab_size for r in rows]
+    covered = [r.tokens_covered for r in rows]
+    assert sizes == sorted(sizes) and covered == sorted(covered)
+    assert all(r.tokens_covered >= r.coverage_target * r.total_tokens
+               for r in rows)
+    # exact minimality vs an independent driver-side computation
+    from collections import Counter
+
+    counts = Counter(w for (t,) in docs.select("text").collect()
+                     for w in t.lower().split(" ") if w)
+    freqs = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    for r in rows:
+        cum = need = 0
+        for _, c in freqs:
+            cum += c
+            need += 1
+            if cum >= r.coverage_target * total:
+                break
+        assert (r.vocab_size, r.tokens_covered, r.total_tokens) == \
+            (need, cum, total), r.coverage_target
+
+
+def test_repetition_scores_planted_extremes(spark):
+    from big_data_hw_23_24_spark.operators.textstats import repetition_scores
+
+    docs = spark.createDataFrame([
+        (1, "spam spam spam spam"),          # degenerate loop
+        (2, "all words here are distinct"),  # clean text
+        (3, "one"),                          # too short for bigrams
+        (4, ""),                             # empty
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert got[1].top_token_frac == 1.0
+    # bigrams: 3 total, 1 distinct ("spam spam") → 2/3 duplicated
+    assert got[1].dup_bigram_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2].top_token_frac == pytest.approx(1 / 5, abs=1e-6)
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[3].n_tokens == 1 and got[3].dup_bigram_frac == 0.0
+    assert got[4].n_tokens == 0 and got[4].top_token_frac == 0.0
+
+
+def test_incremental_dedup_statuses_and_precedence(spark):
+    from big_data_hw_23_24_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two")], ["doc_id", "text"])
+    batch = spark.createDataFrame([
+        (10, "  OLD  doc one"),   # normalizes to corpus doc 1
+        (11, "fresh content"),    # novel
+        (12, "fresh content"),    # batch dup of 11
+        (13, "old doc two"),      # corpus dup AND would be rn=1 —
+        (14, "old doc two"),      # corpus status must win for both
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r.status
+           for r in incremental_dedup(batch, corpus).collect()}
+    assert got == {10: "dup_of_corpus", 11: "novel", 12: "dup_in_batch",
+                   13: "dup_of_corpus", 14: "dup_of_corpus"}

@@ -67,6 +67,15 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "customers_with_open_orders",  # semi face ⊂ customer_order_membership
         "customers_without_orders",  # anti face ⊂ customer_order_membership
                                      #   (and was a vacuous 0-row green)
+        # rotated out in r5 AFTER earning green rows in r03+r04, to
+        # free window slots for never-checked queries; operators stay
+        # green via in-window siblings
+        "avg_word_length",           # A5 avg/sum ⊂ pricing_summary;
+                                     #   tokenize ⊂ wordcount
+        "suppliers_sorted",          # O1 ordered output ⊂ smallest_cells_topk
+        "distinct_users_by_type",    # A6 ⊂ streaming_distinct_count
+        "embedding_stats",           # global max/avg ⊂ pricing_summary +
+                                     #   conditional_agg_priority
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
