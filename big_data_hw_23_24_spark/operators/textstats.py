@@ -188,13 +188,17 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
     repeats of an earlier bigram in the same document. High values
     flag keyword-stuffed, template, or looping text.
 
-    Shape: the bigram signal is a pure narrow map (transform over the
-    split array — no shuffle); the top-token signal is one hash
-    aggregate on (doc_id, word) + a per-document max — the same
-    shuffle key as ``tfidf_top_terms``, partitioned by document so
-    skew is bounded by document length. Documents with <1 token score
-    0 on both; with <2 tokens, 0 on bigrams.
+    Shape: ONE shuffle of the compact documents (repartition on
+    doc_id) and nothing else — HashPartitioning(doc_id) satisfies both
+    downstream aggregates' clustering ((doc_id, word) then doc_id), so
+    the exploded token stream is never shuffled, and the narrow
+    signals ride through the aggregates as grouping-constant first()
+    values instead of a join (asserted in tests/test_plans.py). Skew
+    is bounded by document length. Documents with <1 token score 0 on
+    both; with <2 tokens, 0 on bigrams.
     """
+    base = docs.select(F.col(id_col), F.col(text_col)) \
+        .repartition(F.col(id_col))
     words = _words(F.col(text_col))
     # CASE WHEN is evaluated lazily per row, so the sequence/element_at
     # branch never sees a <2-token array (ANSI mode would reject the
@@ -209,14 +213,22 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
         F.size(words) >= 2,
         (n_bg - F.size(F.array_distinct(bigrams))) / n_bg
     ).otherwise(0.0)
-    narrow = docs.select(F.col(id_col), F.size(words).alias("n_tokens"),
-                         F.round(dup_bg, 6).alias("dup_bigram_frac"))
-    top = (docs.select(F.col(id_col), F.explode(words).alias("w"))
-           .groupBy(id_col, "w").agg(F.count("*").alias("c"))
-           .groupBy(id_col).agg(F.max("c").alias("top_c")))
-    return (narrow.join(top, id_col, "left")
+    # explode_outer + count(w): empty documents keep their row (c=0 →
+    # top_token_frac 0) without the size>0 filter a plain explode
+    # implies, so no second scan or join is ever needed
+    ex = base.select(F.col(id_col), F.size(words).alias("n_tokens"),
+                     F.round(dup_bg, 6).alias("dup_bigram_frac"),
+                     F.explode_outer(words).alias("w"))
+    return (ex.groupBy(id_col, "w")
+            .agg(F.count("w").alias("c"),
+                 F.first("n_tokens").alias("n_tokens"),
+                 F.first("dup_bigram_frac").alias("dup_bigram_frac"))
+            .groupBy(id_col)
+            .agg(F.max("c").alias("top_c"),
+                 F.first("n_tokens").alias("n_tokens"),
+                 F.first("dup_bigram_frac").alias("dup_bigram_frac"))
             .select(id_col, "n_tokens",
-                    F.round(F.coalesce(F.col("top_c"), F.lit(0))
+                    F.round(F.col("top_c")
                             / F.greatest("n_tokens", F.lit(1)), 6)
                     .alias("top_token_frac"),
                     "dup_bigram_frac"))

@@ -264,3 +264,19 @@ def test_bloom_prune_probe_is_mapside_then_hash_join(spark):
     assert plan2.count("BroadcastNestedLoopJoin") == 1
     assert "Subquery" in plan2 or "scalar-subquery" in plan2, plan2
     assert "BatchEvalPython" not in plan2
+
+
+def test_repetition_scores_single_exchange_no_join(spark):
+    # one repartition of the compact docs; the exploded token stream is
+    # never shuffled and the narrow signals ride through the aggregates
+    # instead of a join
+    plan = _plan(spark, "doc_repetition_scores")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_bpe_pair_counts_two_aggregate_shuffles(spark):
+    # token-stream → vocab agg, vocab pairs → pair agg; nothing else
+    plan = _plan(spark, "bpe_pair_counts")
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
