@@ -1,0 +1,61 @@
+"""Sequence packing: concatenate documents shard-by-shard and cut the
+token stream into fixed-capacity context windows.
+
+North-star extension: the last step before tokens reach a trainer.
+GPT-style packing concatenates documents and slices the stream at the
+context length, so every training sequence is exactly full; what a
+pipeline needs from the data engine is the doc→window assignment (which
+documents, and how many of their tokens, land in which window).
+
+Scale shape: packing is done WITHIN each shard (``source``), which is
+how production pipelines do it — a global concatenation order would
+serialize the corpus through one task for zero training benefit. The
+window function partitions by shard, so shards pack in parallel; the
+per-shard running offset is one window pass over (doc_id-ordered)
+compact rows, and the bin fan-out is a narrow ``sequence``/``explode``
+(a document touches ⌈n_tokens/capacity⌉+1 bins at most). One shuffle
+on the shard key, total. Deterministic: doc_id order within shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(docs: DataFrame, capacity: int = 256,
+                   shard_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """→ (shard, bin_id, doc_id, n_tokens_in_bin): which slice of each
+    document lands in which fixed-``capacity`` context window.
+
+    Within a shard, documents are concatenated in ``id_col`` order;
+    token t of the concatenation lands in bin ⌊t/capacity⌋. A document
+    spanning a bin boundary is split across consecutive bins (the
+    trainer's document-boundary attention mask handles the rest — that
+    is downstream of the data engine). Zero-token documents occupy no
+    bin. Every bin except a shard's last holds exactly ``capacity``
+    tokens: Σ n_tokens_in_bin over a bin telescopes to
+    min(capacity, shard_total − bin_id·capacity).
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    toks = (docs.select(F.col(shard_col).alias("shard"), F.col(id_col),
+                        F.size(words).alias("n_tokens"))
+            .where(F.col("n_tokens") > 0))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pos = toks.select(
+        "shard", id_col, "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"))
+    first_bin = F.floor(F.col("off") / capacity)
+    last_bin = F.floor((F.col("off") + F.col("n_tokens") - 1) / capacity)
+    spans = pos.select(
+        "shard", id_col, "n_tokens", "off",
+        F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"))
+    lo = F.greatest(F.col("bin_id") * capacity, F.col("off"))
+    hi = F.least((F.col("bin_id") + 1) * capacity,
+                 F.col("off") + F.col("n_tokens"))
+    return spans.select("shard", "bin_id", id_col,
+                        (hi - lo).cast("long").alias("n_tokens_in_bin"))

@@ -72,3 +72,47 @@ def hash_split(df: DataFrame, key: Column | str,
     for name, bound in reversed(bounds[:-1]):
         assign = F.when(bucket < bound, name).otherwise(assign)
     return df.withColumn("bucket", bucket).withColumn(out_col, assign)
+
+
+def mix_sources(df: DataFrame, rates: dict[str, float],
+                key: Column | str = "text",
+                source_col: str = "source",
+                default_rate: float = 0.0,
+                bucket_chars: int = 4) -> DataFrame:
+    """Deterministic per-source downsampling to target mixture rates
+    → input rows + (bucket, keep_rate, keep).
+
+    The data-mixing step of corpus assembly: up/down-weighting sources
+    (web / code / reference / …) to a target recipe. Each source keeps
+    the fraction ``rates[source]`` of its rows (sources absent from
+    ``rates`` keep ``default_rate``), decided by the same content-hash
+    bucket as ``hash_split`` — so the sample is reproducible across
+    runs and engines, stable under re-ingestion, and consistent: a
+    source at rate 0.3 keeps a SUBSET of what it would keep at 0.5,
+    which lets a pipeline tighten the mix without re-shuffling history.
+    Pure narrow map, zero shuffle; callers filter on ``keep``.
+    """
+    if any(not 0 <= r <= 1 for r in rates.values()):
+        raise ValueError(f"rates must be in [0,1]: {rates}")
+    if not 0 <= default_rate <= 1:
+        raise ValueError(f"default_rate must be in [0,1]: {default_rate}")
+    key = F.col(key) if isinstance(key, str) else key
+    space = 16 ** bucket_chars
+    bucket = F.substring(F.md5(key), 1, bucket_chars)
+
+    def bound(rate: float) -> str:
+        b = min(int(rate * space), space)
+        # a full-space bound would format one char longer and compare
+        # lexicographically SMALLER than letter-leading buckets; "g"
+        # sorts after every hex digit, so rate 1.0 keeps everything
+        return "g" if b == space else format(b, f"0{bucket_chars}x")
+
+    rate_col = F.lit(default_rate)
+    thresh = F.lit(bound(default_rate))
+    for src, rate in sorted(rates.items()):
+        is_src = F.col(source_col) == src
+        rate_col = F.when(is_src, F.lit(rate)).otherwise(rate_col)
+        thresh = F.when(is_src, F.lit(bound(rate))).otherwise(thresh)
+    return (df.withColumn("bucket", bucket)
+            .withColumn("keep_rate", rate_col)
+            .withColumn("keep", bucket < thresh))

@@ -81,10 +81,8 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "dedup_survivor_groups",
     "knn_cosine_bruteforce",
     "knn_cosine_quantized",
-    "doc_token_stats",
     "doc_quality_scores",
     "doc_language_id",
-    "doc_fingerprints",
     "doc_tfidf_top_terms",
     "doc_chunks",
     "doc_sentences_udtf",
@@ -98,6 +96,8 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "bpe_pair_counts",
     "vocab_coverage",
     "doc_repetition_scores",
+    "doc_pack_sequences",
+    "corpus_source_mix",
     # reference-algorithm + streaming oracle queries
     "cell_grid_histogram",
     "mr_approx_outliers",

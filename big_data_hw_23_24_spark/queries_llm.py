@@ -939,3 +939,77 @@ def doc_repetition_scores(spark, sf_dir):
     from .operators.textstats import repetition_scores
 
     return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --- sequence packing (context-window assembly) ------------------------------
+@register(
+    "doc_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, source AS shard,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT shard, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+      FROM toks WHERE n_tokens > 0
+    ),
+    spans AS (
+      SELECT shard, doc_id, n_tokens, off,
+             unnest(generate_series((off // 256)::BIGINT,
+                                    ((off + n_tokens - 1) // 256)::BIGINT))
+               AS bin_id
+      FROM pos
+    )
+    SELECT shard, bin_id, doc_id,
+           (least((bin_id + 1) * 256, off + n_tokens)
+            - greatest(bin_id * 256, off))::BIGINT AS n_tokens_in_bin
+    FROM spans
+    """,
+    doc="GPT-style sequence packing: per-shard concatenation order, "
+        "fixed 256-token context windows, doc→window token assignment",
+)
+def doc_pack_sequences(spark, sf_dir):
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), 256)
+
+
+# --- source mixing (corpus recipe) -------------------------------------------
+# A graded mixture over the synthetic sources: full src0, half src1,
+# a quarter src2, a tenth src3, 5% of everything else — every rate
+# band exercised, every row's keep decision value-checked.
+@register(
+    "corpus_source_mix",
+    """
+    WITH rated AS (
+      SELECT doc_id, source, substr(md5(text), 1, 4) AS bucket,
+             CASE source WHEN 'src0' THEN 1.0::DOUBLE
+                         WHEN 'src1' THEN 0.5::DOUBLE
+                         WHEN 'src2' THEN 0.25::DOUBLE
+                         WHEN 'src3' THEN 0.1::DOUBLE
+                         ELSE 0.05::DOUBLE END AS keep_rate,
+             CASE source WHEN 'src0' THEN 'g'
+                         WHEN 'src1' THEN '8000'
+                         WHEN 'src2' THEN '4000'
+                         WHEN 'src3' THEN '1999'
+                         ELSE '0ccc' END AS bound
+      FROM documents
+    )
+    SELECT doc_id, source, bucket, keep_rate, bucket < bound AS keep
+    FROM rated
+    """,
+    doc="deterministic data-mixing: per-source content-hash downsampling "
+        "to a target corpus recipe (1.0/0.5/0.25/0.1/0.05 rate bands)",
+)
+def corpus_source_mix(spark, sf_dir):
+    from .operators.splits import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    return (mix_sources(docs, rates, default_rate=0.05)
+            .select("doc_id", "source", "bucket", "keep_rate", "keep"))

@@ -639,3 +639,61 @@ def test_incremental_dedup_statuses_and_precedence(spark):
            for r in incremental_dedup(batch, corpus).collect()}
     assert got == {10: "dup_of_corpus", 11: "novel", 12: "dup_in_batch",
                    13: "dup_of_corpus", 14: "dup_of_corpus"}
+
+
+def test_pack_sequences_telescoping_and_coverage(spark, docs):
+    from big_data_hw_23_24_spark.operators.packing import pack_sequences
+
+    C = 256
+    packed = pack_sequences(docs, C).collect()
+    # per-document coverage: slices sum to the doc's token count
+    per_doc = {}
+    for r in packed:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tokens_in_bin
+        assert 1 <= r.n_tokens_in_bin <= C
+    n_tok = {r.doc_id: r.n_tokens for r in docs.selectExpr(
+        "doc_id",
+        "size(filter(split(text, ' '), w -> w != '')) AS n_tokens")
+        .collect() if r.n_tokens > 0}
+    assert per_doc == n_tok
+    # telescoping: every bin but a shard's last holds exactly C tokens
+    bins = {}
+    for r in packed:
+        bins.setdefault(r.shard, {})
+        bins[r.shard][r.bin_id] = bins[r.shard].get(r.bin_id, 0) \
+            + r.n_tokens_in_bin
+    for shard, by_bin in bins.items():
+        assert sorted(by_bin) == list(range(len(by_bin)))  # contiguous
+        last = max(by_bin)
+        for b, tokens in by_bin.items():
+            assert tokens == C or (b == last and tokens <= C), (shard, b)
+
+
+def test_pack_sequences_hand_case_split_across_bins(spark):
+    from big_data_hw_23_24_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "s", " ".join(["w"] * 3)), (2, "s", " ".join(["w"] * 4)),
+         (3, "s", ""), (4, "t", "w w")],
+        ["doc_id", "source", "text"])
+    got = {(r.shard, r.bin_id, r.doc_id): r.n_tokens_in_bin
+           for r in pack_sequences(docs, capacity=4).collect()}
+    # shard s: doc1 tokens 0-2 (bin 0), doc2 tokens 3-6 (bins 0+1)
+    assert got == {("s", 0, 1): 3, ("s", 0, 2): 1, ("s", 1, 2): 3,
+                   ("t", 0, 4): 2}
+
+
+def test_mix_sources_rates_and_subset_consistency(spark, docs):
+    from big_data_hw_23_24_spark.operators.splits import mix_sources
+
+    lo = mix_sources(docs, {"src0": 0.3}, default_rate=0.0)
+    hi = mix_sources(docs, {"src0": 0.6}, default_rate=0.0)
+    kept_lo = {r.doc_id for r in lo.where("keep").collect()}
+    kept_hi = {r.doc_id for r in hi.where("keep").collect()}
+    assert kept_lo <= kept_hi  # tightening the mix only removes rows
+    n_src0 = docs.where("source = 'src0'").count()
+    assert 0 < len(kept_lo) < len(kept_hi) <= n_src0
+    # rate 1.0 keeps EVERY row including letter-leading hash buckets
+    full = mix_sources(docs, {"src0": 1.0}, default_rate=1.0)
+    assert full.where("NOT keep").count() == 0
+    assert full.count() == docs.count()

@@ -76,6 +76,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "distinct_users_by_type",    # A6 ⊂ streaming_distinct_count
         "embedding_stats",           # global max/avg ⊂ pricing_summary +
                                      #   conditional_agg_priority
+        "doc_fingerprints",          # md5-of-normalized-text ⊂
+                                     #   dedup_exact_groups + dedup_incremental
+        "doc_token_stats",           # per-doc n_tokens ⊂ doc_repetition_scores;
+                                     #   ratio signals ⊂ doc_quality_scores
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
