@@ -41,6 +41,14 @@ HEADLINE = [
     "sessions_builtin_window",  # native session_window aggregate
     "customer_rolling_30d",   # RANGE-frame rolling window
     "knn_cosine_quantized",   # LLM op: int8-scan + exact-rerank search
+    # r5 additions — the headline set widened from 20 to 26 queries, so
+    # compare per-query (not the total) across rounds
+    "dedup_incremental",      # batch-vs-corpus fingerprint dedup
+    "bpe_pair_counts",        # tokenizer prep: vocab-exploded pair counts
+    "vocab_coverage",         # tokenizer prep: coverage curve
+    "doc_repetition_scores",  # repetition quality signals, 1-shuffle plan
+    "doc_pack_sequences",     # per-shard context-window packing
+    "corpus_source_mix",      # deterministic data-mixing sampler
 ]
 
 
