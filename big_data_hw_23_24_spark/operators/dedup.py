@@ -382,11 +382,25 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
     broadcasts the batch when it is small. Corpus-dup wins over
     batch-dup when both hold, so statuses are join-order independent.
     """
+    fp = F.md5(normalized_text(F.col(text_col)))
+    seen = corpus.select(fp.alias("fingerprint")).distinct()
+    return incremental_dedup_against_fingerprints(
+        new_docs, seen, text_col=text_col, id_col=id_col)
+
+
+def incremental_dedup_against_fingerprints(
+        new_docs: DataFrame, fingerprints: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``incremental_dedup`` against an already-materialized corpus
+    fingerprint store (a ``fingerprint`` column) — the steady-state
+    form: a continuously-ingesting pipeline keeps the store on disk
+    (ideally bucketed on fingerprint, sources/sinks.py) and never
+    re-reads corpus text at all. Same contract and statuses."""
     from pyspark.sql import Window
 
     fp = F.md5(normalized_text(F.col(text_col)))
     batch = new_docs.select(F.col(id_col), fp.alias("fingerprint"))
-    seen = (corpus.select(fp.alias("fingerprint")).distinct()
+    seen = (fingerprints.select("fingerprint").distinct()
             .withColumn("in_corpus", F.lit(True)))
     rn = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(id_col))

@@ -76,7 +76,6 @@ _LOADED = False
 _CHECKED_WINDOW: tuple[str, ...] = (
     # LLM-pipeline surface (never driver-checked in r03 — first now)
     "dedup_exact_groups",
-    "jaccard_pairs_exact",
     "dedup_components",
     "dedup_survivor_groups",
     "knn_cosine_bruteforce",
@@ -98,6 +97,7 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "doc_repetition_scores",
     "doc_pack_sequences",
     "corpus_source_mix",
+    "streaming_ingest_dedup",
     # reference-algorithm + streaming oracle queries
     "cell_grid_histogram",
     "mr_approx_outliers",

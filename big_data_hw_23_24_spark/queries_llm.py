@@ -1013,3 +1013,99 @@ def corpus_source_mix(spark, sf_dir):
     rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
     return (mix_sources(docs, rates, default_rate=0.05)
             .select("doc_id", "source", "bucket", "keep_rate", "keep"))
+
+
+# --- streaming continuous-ingestion dedup ------------------------------------
+# E38 composed with the idempotent sink (E28) behind a real
+# Structured Streaming query: the salted corpus replays as 10 ordered
+# micro-batches (originals first in doc_id order, then mangled copies
+# of every 5th doc, then doubled novel rewrites), and each epoch dedups
+# against fingerprints accumulated in strictly-earlier epochs. The
+# final status table is deterministic — the oracle recomputes the
+# identical epoch assignment (row_number over doc_id, div ceil(N/10))
+# and the identical three-way status rules in SQL.
+@register(
+    "streaming_ingest_dedup",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper('  ' || replace(text, ' ', '  '))
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 3000000 + 2 * doc_id + dup.k, text || ' zzznovel'
+      FROM documents, (SELECT unnest([0, 1]) AS k) dup
+      WHERE doc_id % 5 = 1
+    ),
+    seqd AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY doc_id) - 1 AS seq,
+             (SELECT (count(*) + 9) // 10 FROM all_docs) AS chunk
+      FROM all_docs
+    ),
+    ep AS (
+      SELECT doc_id, epoch, fingerprint,
+             row_number() OVER (PARTITION BY epoch, fingerprint
+                                ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, (seq // chunk)::INT AS epoch,
+                   md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                     AS fingerprint
+            FROM seqd)
+    )
+    SELECT e.doc_id, e.fingerprint,
+           CASE WHEN EXISTS (SELECT 1 FROM ep p
+                             WHERE p.fingerprint = e.fingerprint
+                               AND p.epoch < e.epoch)
+                  THEN 'dup_of_corpus'
+                WHEN e.rn > 1 THEN 'dup_in_batch'
+                ELSE 'novel' END AS status,
+           e.epoch
+    FROM ep e
+    """,
+    doc="continuous-ingestion dedup over real micro-batches: per-epoch "
+        "statuses vs the accumulated fingerprint store, idempotent "
+        "epoch-keyed appends",
+)
+def streaming_ingest_dedup(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .streaming.ingest_dedup import StreamingIngestDedup
+    from .streaming.replay import write_microbatches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "),
+                         F.regexp_replace("text", " ", "  "))).alias("text"))
+    novel = docs.where(F.col("doc_id") % 5 == 1) \
+        .select("doc_id", F.concat("text", F.lit(" zzznovel")).alias("text"))
+    doubled = novel.select(
+        (3000000 + 2 * F.col("doc_id")).alias("doc_id"), "text").unionAll(
+        novel.select((3000000 + 2 * F.col("doc_id") + 1).alias("doc_id"),
+                     "text"))
+    all_docs = docs.unionAll(mangled).unionAll(doubled)
+    # global seq for the replay harness only (bounded salted corpus)
+    seqd = all_docs.withColumn(
+        "seq", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    d = tempfile.mkdtemp(prefix="ingest_stream_")
+    store = tempfile.mkdtemp(prefix="ingest_store_")
+    try:
+        glob = write_microbatches(seqd, d, n_buckets=10)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, seq long")
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        pipe = StreamingIngestDedup(spark, store)
+        q = (stream.writeStream.foreachBatch(pipe)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        # materialize before the store directory is removed
+        return (pipe.statuses()
+                .select("doc_id", "fingerprint", "status",
+                        F.col("epoch").cast("int").alias("epoch"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)

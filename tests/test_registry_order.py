@@ -80,6 +80,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   dedup_exact_groups + dedup_incremental
         "doc_token_stats",           # per-doc n_tokens ⊂ doc_repetition_scores;
                                      #   ratio signals ⊂ doc_quality_scores
+        "jaccard_pairs_exact",       # identical shingle CTE + pairs computation
+                                     #   embedded in dedup_components' oracle
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

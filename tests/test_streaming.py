@@ -542,3 +542,51 @@ def test_idempotent_sink_replayed_epoch_does_not_duplicate(spark, tmp_path):
     extra = spark.createDataFrame([(100, 0)], "seq long, value long")
     sink(extra, 99)
     assert sink.read(spark).count() == 41
+
+
+def test_streaming_ingest_dedup_accumulates_and_replays_idempotently(
+        spark, tmp_path):
+    """E38+E28 composed: per-epoch dedup against prior epochs' store,
+    novel fingerprints appended, replayed epochs idempotent."""
+    import os
+
+    from big_data_hw_23_24_spark.streaming.ingest_dedup import (
+        StreamingIngestDedup)
+
+    batches = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        [(4, "alpha"), (5, "gamma")],
+        [(6, "gamma"), (7, "beta"), (8, "delta")],
+    ]
+    d = str(tmp_path / "docs")
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = os.path.join(d, f"batch_{i}")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t0 + i, t0 + i))
+
+    pipe = StreamingIngestDedup(spark, str(tmp_path / "store"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(d, "batch_*")))
+    q = (stream.writeStream.foreachBatch(pipe)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    expect = {1: "novel", 2: "novel", 3: "dup_in_batch",
+              4: "dup_of_corpus", 5: "novel",
+              6: "dup_of_corpus", 7: "dup_of_corpus", 8: "novel"}
+    got = {r.doc_id: r.status for r in pipe.statuses().collect()}
+    assert got == expect
+    # the store holds exactly the distinct corpus: alpha, beta, gamma, delta
+    fps = pipe.corpus_fingerprints().collect()
+    assert len(fps) == 4 == len({r.fingerprint for r in fps})
+
+    # replay epoch 1 (failure-recovery path): identical store + statuses
+    before = sorted(r.fingerprint for r in fps)
+    pipe(spark.createDataFrame(batches[1], "doc_id long, text string"), 1)
+    assert sorted(
+        r.fingerprint for r in pipe.corpus_fingerprints().collect()) == before
+    assert {r.doc_id: r.status for r in pipe.statuses().collect()} == expect
