@@ -68,9 +68,9 @@ _LOADED = False
 # semantics are already driver-checked by a window query (e.g.
 # rollup/cube ⊂ grouping sets, running total ⊂ customer_rolling_30d),
 # and (c) faces rotated out AFTER earning a green driver row, to make
-# room for never-checked queries (r5: avg_word_length, suppliers_sorted,
-# distinct_users_by_type, embedding_stats — each green in r03+r04 and
-# each with an in-window sibling covering its operator); all of them
+# room for never-checked queries — each with an in-window sibling
+# covering its operator (the full annotated list lives in
+# tests/test_registry_order.py::declared_redundant); all of them
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
@@ -78,7 +78,7 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "dedup_exact_groups",
     "dedup_components",
     "dedup_survivor_groups",
-    "knn_cosine_bruteforce",
+    "knn_cosine_filtered",
     "knn_cosine_quantized",
     "doc_quality_scores",
     "doc_language_id",

@@ -1109,3 +1109,42 @@ def streaming_ingest_dedup(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
+
+
+# --- filtered vector search --------------------------------------------------
+# The vector-DB "filtered ANN" pattern: a metadata predicate restricts
+# the searchable corpus BEFORE any distance is computed (pre-filter),
+# rather than over-fetching and post-filtering top-k — at 100 TB the
+# semi-join prunes the scan to the eligible fraction and the distance
+# kernel never touches an ineligible vector. Joins embeddings to their
+# documents on the shared id space.
+@register(
+    "knn_cosine_filtered",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[]))
+                          DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+        AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+    ) WHERE rank <= 10
+    """,
+    doc="filtered vector search: metadata pre-filter (documents.lang) "
+        "semi-joined into the corpus before the exact cosine top-10",
+)
+def knn_cosine_filtered(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    eligible = (load_table(spark, sf_dir, "documents")
+                .where(F.col("lang") == "en")
+                .select(F.col("doc_id").alias("vec_id")))
+    corpus = emb.join(eligible, "vec_id", "semi")
+    return cosine_topk(corpus, emb.where(F.col("vec_id") < 5), k=10)

@@ -82,6 +82,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   ratio signals ⊂ doc_quality_scores
         "jaccard_pairs_exact",       # identical shingle CTE + pairs computation
                                      #   embedded in dedup_components' oracle
+        "knn_cosine_bruteforce",     # cosine_topk ⊂ knn_cosine_filtered
+                                     #   (same operator + metadata pre-filter)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
