@@ -93,3 +93,37 @@ def vocab_coverage(docs: DataFrame,
             .agg(F.min("rank").cast("long").alias("vocab_size"),
                  F.min_by("cum", "rank").cast("long").alias("tokens_covered"),
                  F.max("total").cast("long").alias("total_tokens")))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM scoring → (doc_id, n_tokens, avg_neg_logprob): the
+    perplexity-proxy quality filter (KenLM-style pipelines score docs
+    against an n-gram LM and drop the tails; the unigram tier is the
+    expression-only, exactly-oracle-checkable form of the same shape).
+
+    p(w) = count(w)/total over THIS corpus with add-one smoothing over
+    the observed vocabulary; a document's score is the mean of
+    -ln p(w) over its tokens — high = improbable/garbled text, low =
+    stopword soup. Two aggregates (the shared vocabulary table + one
+    (doc_id, word) aggregate) and one join on ``word``; the vocabulary
+    side is Zipf-small, so AQE broadcasts it and the token stream
+    shuffles once on (doc_id, word) — the tfidf_top_terms shape.
+    Documents with no tokens are kept with score 0 so corpus-wide
+    coverage is preserved for downstream filters.
+    """
+    vocab = word_counts(docs, text_col)
+    n_vocab = vocab.count()
+    w_tot = Window.partitionBy()
+    vocab = vocab.withColumn("total", F.sum("n_occ").over(w_tot))
+    tok = (docs.select(F.col(id_col),
+                       F.explode_outer(_words(F.col(text_col))).alias("word"))
+           .groupBy(id_col, "word").agg(F.count("word").alias("c")))
+    neg_lp = -F.log((F.col("n_occ") + 1.0)
+                    / (F.col("total") + F.lit(float(n_vocab))))
+    return (tok.join(vocab, "word", "left")
+            .groupBy(id_col)
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.round(F.coalesce(
+                     F.sum(F.col("c") * neg_lp) / F.sum("c"), F.lit(0.0)),
+                     6).alias("avg_neg_logprob")))

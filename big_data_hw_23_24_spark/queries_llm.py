@@ -1148,3 +1148,46 @@ def knn_cosine_filtered(spark, sf_dir):
                 .select(F.col("doc_id").alias("vec_id")))
     corpus = emb.join(eligible, "vec_id", "semi")
     return cosine_topk(corpus, emb.where(F.col("vec_id") < 5), k=10)
+
+
+# --- unigram-LM quality scoring (perplexity proxy) ---------------------------
+# Registered BELOW the checked window (r5's window is full and every
+# slot has a never-checked query earning its first row); queued to
+# rotate in next round — see tests/test_registry_order.py.
+@register(
+    "doc_unigram_logprob",
+    """
+    WITH vocab AS (
+      SELECT word, count(*) AS n_occ
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    tot AS (SELECT sum(n_occ)::DOUBLE AS total,
+                   count(*)::DOUBLE AS n_vocab FROM vocab),
+    tok AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word
+    ),
+    scored AS (
+      SELECT t.doc_id, t.c,
+             -ln((v.n_occ + 1.0) / (tot.total + tot.n_vocab)) AS neg_lp
+      FROM tok t JOIN vocab v USING (word), tot
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.score, 0.0) AS avg_neg_logprob
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                      round(sum(c * neg_lp) / sum(c), 6) AS score
+               FROM scored GROUP BY doc_id) s USING (doc_id)
+    """,
+    doc="unigram-LM perplexity-proxy quality scoring: corpus-estimated "
+        "add-one-smoothed -ln p(w), averaged per document",
+)
+def doc_unigram_logprob(spark, sf_dir):
+    from .operators.tokenizer import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -697,3 +697,19 @@ def test_mix_sources_rates_and_subset_consistency(spark, docs):
     full = mix_sources(docs, {"src0": 1.0}, default_rate=1.0)
     assert full.where("NOT keep").count() == 0
     assert full.count() == docs.count()
+
+
+def test_unigram_logprob_orders_rare_above_common(spark):
+    from big_data_hw_23_24_spark.operators.tokenizer import unigram_logprob
+
+    docs = spark.createDataFrame([
+        (1, "the the the the"),          # most common token only
+        (2, "the qzx the vbn"),          # half rare tokens
+        (3, "qzx vbn wpl jkt"),          # all singletons
+        (4, ""),                         # empty → kept, score 0
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    assert got[1].avg_neg_logprob < got[2].avg_neg_logprob \
+        < got[3].avg_neg_logprob
+    assert got[4].n_tokens == 0 and got[4].avg_neg_logprob == 0.0
+    assert all(got[i].avg_neg_logprob > 0 for i in (1, 2, 3))

@@ -85,8 +85,15 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "knn_cosine_bruteforce",     # cosine_topk ⊂ knn_cosine_filtered
                                      #   (same operator + metadata pre-filter)
     }
+    # genuinely-new ops added after this round's window filled; each
+    # waits for the next rotation (once the current window earns its
+    # rows) and is full-value oracle-compared in test_oracle_parity
+    # meanwhile
+    queued_for_rotation = {
+        "doc_unigram_logprob",       # unigram-LM perplexity-proxy scoring
+    }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
-                    and n not in declared_redundant]
+                    and n not in declared_redundant | queued_for_rotation]
     assert not undocumented, undocumented
