@@ -3,13 +3,16 @@
 Composes the engine's LLM-data operators into the standard
 corpus-preparation flow, parquet in → parquet out:
 
+  0. mix      — optional per-source downsampling to a target recipe
+                (--mix-rates src0=1.0,src1=0.5 [--mix-default 0.05])
   1. score    — quality + language ID (narrow maps, scan speed)
   2. filter   — keep docs above --min-quality in --langs
   3. dedup    — MinHash-LSH near-dup pairs → connected components →
                 keep the canonical min-id survivor per group
   4. decontam — drop docs sharing a word 8-gram with an optional
                 benchmark parquet (--benchmark)
-  5. chunk    — overlapping token windows (--chunk-size/--stride)
+  5. chunk    — overlapping token windows (--chunk-size/--stride), or
+                per-shard context-window packing (--pack CAPACITY)
   6. write    — sorted parquet (doc_id order → disjoint row-group
                 stats for downstream data skipping)
 
@@ -20,6 +23,7 @@ the stage-count report lines. Usage:
       <corpus.parquet> <out_dir> [--min-quality 0.5] [--langs en,de]
       [--threshold 0.7] [--benchmark bench.parquet]
       [--chunk-size 64] [--stride 48]
+      [--mix-rates src=rate,...] [--mix-default 0.05] [--pack 256]
 """
 
 from __future__ import annotations
@@ -33,14 +37,30 @@ from pyspark.sql import functions as F
 def run(spark: SparkSession, in_path: str, out_dir: str,
         min_quality: float = 0.5, langs: tuple[str, ...] = (),
         threshold: float = 0.7, benchmark_path: str | None = None,
-        chunk_size: int = 64, stride: int = 48) -> list[str]:
+        chunk_size: int = 64, stride: int = 48,
+        mix_rates: dict[str, float] | None = None,
+        mix_default: float = 0.05,
+        pack_capacity: int | None = None) -> list[str]:
     from ..operators.components import connected_components
     from ..operators.dedup import minhash_near_duplicates
+    from ..operators.packing import pack_sequences
+    from ..operators.splits import mix_sources
     from ..operators.textstats import (
         contamination_scan, detect_language, quality_scores, token_chunks)
     from ..sources.sinks import write_sorted_parquet
 
-    docs = spark.read.parquet(in_path).select("doc_id", "text").cache()
+    raw = spark.read.parquet(in_path)
+    cols = ["doc_id", "text"] + (["source"] if "source" in raw.columns else [])
+    docs = raw.select(*cols)
+
+    # 0: optional source mixing (narrow map; before anything shuffles)
+    n_premix = None
+    if mix_rates is not None:
+        n_premix = docs.count()
+        docs = (mix_sources(docs, mix_rates, default_rate=mix_default)
+                .where("keep").select(*cols))
+
+    docs = docs.cache()
     cached = [docs]
     try:
         n_in = docs.count()
@@ -54,7 +74,7 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
             kept = kept.join(lid, "doc_id") \
                 .where(F.col("detected_lang").isin(*langs)) \
                 .drop("detected_lang")
-        kept = kept.select("doc_id", "text").cache()
+        kept = kept.select(*cols).cache()
         cached.append(kept)
         n_kept = kept.count()
 
@@ -76,23 +96,35 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
             n_contaminated = flagged.count()
             deduped = deduped.join(flagged, "doc_id", "left_anti")
 
-        # 5-6: chunk and write, sorted for data skipping
-        chunks = token_chunks(deduped, size=chunk_size, stride=stride)
-        write_sorted_parquet(chunks, out_dir, ["doc_id", "chunk_id"])
-        n_chunks = spark.read.parquet(out_dir).count()
+        # 5-6: chunk (or pack) and write, sorted for data skipping
+        if pack_capacity is not None:
+            shard = F.col("source") if "source" in cols else F.lit("all")
+            packed = pack_sequences(
+                deduped.withColumn("_shard", shard), pack_capacity,
+                shard_col="_shard")
+            write_sorted_parquet(packed, out_dir,
+                                 ["shard", "bin_id", "doc_id"])
+            last = (f"Packed slices out = {spark.read.parquet(out_dir).count()} "
+                    f"(capacity {pack_capacity}) -> {out_dir}")
+        else:
+            chunks = token_chunks(deduped, size=chunk_size, stride=stride)
+            write_sorted_parquet(chunks, out_dir, ["doc_id", "chunk_id"])
+            last = (f"Chunks out = {spark.read.parquet(out_dir).count()} "
+                    f"(size {chunk_size}, stride {stride}) -> {out_dir}")
     finally:
         # a shared session outlives this run — release executor storage
         for df in cached:
             df.unpersist()
 
-    return [
+    head = [] if n_premix is None else \
+        [f"Documents before mixing = {n_premix}"]
+    return head + [
         f"Documents in = {n_in}",
         f"After quality/lang filter = {n_kept}",
         f"After near-dedup = {n_dedup} "
         f"(dropped {n_kept - n_dedup} non-canonical dups)",
         f"Dropped as benchmark-contaminated = {n_contaminated}",
-        f"Chunks out = {n_chunks} "
-        f"(size {chunk_size}, stride {stride}) -> {out_dir}",
+        last,
     ]
 
 
@@ -105,7 +137,8 @@ def main(argv: list[str]) -> int:
     in_path, out_dir = argv[0], argv[1]
     opts = {"--min-quality": 0.5, "--threshold": 0.7,
             "--chunk-size": 64, "--stride": 48,
-            "--langs": "", "--benchmark": None}
+            "--langs": "", "--benchmark": None,
+            "--mix-rates": None, "--mix-default": 0.05, "--pack": None}
     it = iter(argv[2:])
     for a in it:
         if a in opts:
@@ -114,13 +147,22 @@ def main(argv: list[str]) -> int:
 
     spark = get_session("CorpusPipeline")
     langs = tuple(x for x in str(opts["--langs"]).split(",") if x)
+    mix_rates = None
+    if opts["--mix-rates"] is not None:
+        mix_rates = {k: float(v) for k, v in
+                     (kv.split("=") for kv in
+                      str(opts["--mix-rates"]).split(","))}
     for line in run(spark, in_path, out_dir,
                     min_quality=float(opts["--min-quality"]),
                     langs=langs,
                     threshold=float(opts["--threshold"]),
                     benchmark_path=opts["--benchmark"],
                     chunk_size=int(opts["--chunk-size"]),
-                    stride=int(opts["--stride"])):
+                    stride=int(opts["--stride"]),
+                    mix_rates=mix_rates,
+                    mix_default=float(opts["--mix-default"]),
+                    pack_capacity=None if opts["--pack"] is None
+                    else int(opts["--pack"])):
         print(line)
     return 0
 

@@ -286,3 +286,42 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     losers = {r.doc_id for r in
               comp.where("doc_id != component").collect()}
     assert not (out_ids & losers)
+
+
+def test_corpus_pipeline_mix_and_pack_path(spark, tmp_path):
+    """The r5 stages: source mixing shrinks the corpus up front and
+    --pack replaces chunking with per-shard context-window packing;
+    every packed slice belongs to a surviving doc and every non-final
+    bin of a shard is exactly full."""
+    from pyspark.sql import functions as F
+
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_dir = str(tmp_path / "out")
+    rates = {"src0": 1.0, "src1": 1.0, "src2": 0.5}
+    lines = run(spark, src, out_dir, min_quality=0.0,
+                mix_rates=rates, mix_default=0.0, pack_capacity=32)
+    n_premix = int(lines[0].split("= ")[1])
+    n_in = int(lines[1].split("= ")[1])
+    assert n_premix == spark.read.parquet(src).count()
+    # default 0.0 drops every unlisted source; src0+src1 kept whole
+    per_src = {r.source: r.cnt for r in
+               spark.read.parquet(src).groupBy("source")
+               .agg(F.count("*").alias("cnt")).collect()}
+    assert per_src["src0"] + per_src["src1"] <= n_in \
+        <= per_src["src0"] + per_src["src1"] + per_src["src2"]
+
+    out = spark.read.parquet(out_dir)
+    assert set(out.columns) == {"shard", "bin_id", "doc_id",
+                                "n_tokens_in_bin"}
+    assert {r.shard for r in out.select("shard").distinct().collect()} \
+        <= {"src0", "src1", "src2"}
+    # telescoping per shard
+    bins = out.groupBy("shard", "bin_id") \
+        .agg(F.sum("n_tokens_in_bin").alias("t")).collect()
+    last = {}
+    for r in bins:
+        last[r.shard] = max(last.get(r.shard, -1), r.bin_id)
+    for r in bins:
+        assert r.t == 32 or r.bin_id == last[r.shard]
