@@ -221,6 +221,7 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
     signed = minhash_signature(shingled, num_hashes) \
         .select(id_col, F.size("shingles").alias("n_sh"), "signature") \
         .persist()
+    pairs = None
     try:
         # eager count populates the cache in ONE deterministic narrow
         # job before the self-join's two branches scan it. (A prior
@@ -229,23 +230,29 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
         # recompute the 32-hash signature from scratch, measured up to
         # 6× slower and growing run-over-run at sf0.1.)
         signed.count()
-        # checkpoint the candidate pairs ONCE: both the broadcast
+        # persist+count the candidate pairs ONCE: both the broadcast
         # candidate-id set and the verify join read them, and without
-        # truncation the broadcast thread would re-execute the entire
-        # banded self-join as a private subplan
+        # materialization the broadcast thread would re-execute the
+        # entire banded self-join as a private subplan
         pairs = lsh_candidate_pairs(
-            signed.where(F.col("n_sh") > 0), bands, id_col) \
-            .localCheckpoint(eager=True)
+            signed.where(F.col("n_sh") > 0), bands, id_col).persist()
+        pairs.count()
         cand_ids = pairs.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
         cand_shingled = word_shingles(
             docs.join(F.broadcast(cand_ids), id_col, "semi"), text_col)
-        # lineage is pairs (checkpointed) + candidate re-shingle (narrow
-        # over the semi-joined corpus) — independent of the cache, so
-        # returning lazily is safe after unpersist
-        return jaccard_verify(pairs, cand_shingled, threshold, id_col)
+        # materialize the SMALL verified-pair result and release every
+        # intermediate deterministically in the finally below. (A prior
+        # revision localCheckpointed the candidate pairs and returned
+        # lazily; each call then left checkpoint blocks in executor
+        # storage until Python GC reached the DataFrame — repeated runs
+        # measured 2.3 s to 22 s at sf0.1 as storage pressure built.)
+        return jaccard_verify(pairs, cand_shingled, threshold, id_col) \
+            .localCheckpoint(eager=True)
     finally:
         signed.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
 
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
