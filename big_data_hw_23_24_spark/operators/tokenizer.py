@@ -112,11 +112,18 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     Documents with no tokens are kept with score 0 so corpus-wide
     coverage is preserved for downstream filters.
     """
-    vocab = word_counts(docs, text_col)
+    # one repartition of the compact documents feeds BOTH branches
+    # (ReuseExchange): the (doc_id, word) aggregate and the final
+    # per-doc aggregate are satisfied by HashPartitioning(doc_id), so
+    # the exploded token stream itself is never shuffled — only the
+    # Zipf-small vocabulary aggregate and its one-row total window are
+    base = docs.select(F.col(id_col), F.col(text_col)) \
+        .repartition(F.col(id_col))
+    vocab = word_counts(base, text_col)
     n_vocab = vocab.count()
     w_tot = Window.partitionBy()
     vocab = vocab.withColumn("total", F.sum("n_occ").over(w_tot))
-    tok = (docs.select(F.col(id_col),
+    tok = (base.select(F.col(id_col),
                        F.explode_outer(_words(F.col(text_col))).alias("word"))
            .groupBy(id_col, "word").agg(F.count("word").alias("c")))
     neg_lp = -F.log((F.col("n_occ") + 1.0)

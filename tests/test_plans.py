@@ -280,3 +280,35 @@ def test_bpe_pair_counts_two_aggregate_shuffles(spark):
     plan = _plan(spark, "bpe_pair_counts")
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
+
+
+def test_pack_sequences_single_shuffle_no_join(spark):
+    # the per-shard window is the only exchange; bin fan-out is narrow
+    plan = _plan(spark, "doc_pack_sequences")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_corpus_source_mix_zero_shuffle(spark):
+    # pure narrow map: content-hash bucket + per-source threshold
+    plan = _plan(spark, "corpus_source_mix")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_unigram_logprob_token_stream_never_shuffled(spark):
+    # doc-side exchanges repartition the COMPACT documents; the
+    # exploded token stream reaches both aggregates unshuffled, and
+    # the vocab side broadcasts into the join
+    plan = _plan(spark, "doc_unigram_logprob", mode="formatted")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    # token-stream branch = everything between the join and the vocab
+    # side's BroadcastExchange: its only Exchange is the compact-doc
+    # repartition feeding the Generate directly off the scan — both
+    # aggregates above it run shuffle-free
+    branch = tree.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    ops = [l.strip(" :+-") for l in branch.splitlines() if l.strip(" :+-")]
+    assert [o.split(" (")[0].strip() for o in ops[1:]] == \
+        ["HashAggregate", "HashAggregate", "Generate", "Exchange",
+         "Scan parquet"]
