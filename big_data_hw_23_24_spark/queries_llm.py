@@ -1191,3 +1191,53 @@ def doc_unigram_logprob(spark, sf_dir):
     from .operators.tokenizer import unigram_logprob
 
     return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# --- nearest-centroid assignment (IVF kernel, oracle-checked) ----------------
+# embedding_kmeans_sizes is no-oracle by design (iterative training),
+# but the ASSIGNMENT kernel at its core — nearest centroid by squared
+# L2 — is deterministic given fixed centroids. This face fixes the
+# centroids to the first four corpus vectors and value-checks every
+# vector's assignment and distance; tests/test_llm_ops.py then pins the
+# Arrow UDF kernel (_nearest_lists_udf) to this JVM-expression face, so
+# the driver row transitively covers the IVF routing kernel. Argmin
+# margins dwarf cross-engine summation-order error (measured ≥ 3e-7 at
+# the checked SFs vs ~1e-14 float noise). Queued for window rotation.
+@register(
+    "embedding_nearest_centroid",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+    d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+      FROM e, c
+    ),
+    r AS (SELECT vec_id, centroid_id, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, centroid_id) AS rn
+          FROM d)
+    SELECT vec_id, centroid_id, round(dist, 6) AS dist_sq
+    FROM r WHERE rn = 1
+    """,
+    doc="nearest-centroid assignment over 4 fixed centroids: the IVF "
+        "routing kernel as a value-checked JVM-expression face",
+)
+def embedding_nearest_centroid(spark, sf_dir):
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (emb.crossJoin(F.broadcast(cents))
+            .select("vec_id",
+                    F.struct(dist.alias("d"),
+                             F.col("centroid_id").alias("cid")).alias("s"))
+            .groupBy("vec_id").agg(F.min("s").alias("b"))
+            .select("vec_id", F.col("b.cid").alias("centroid_id"),
+                    F.round(F.col("b.d"), 6).alias("dist_sq")))

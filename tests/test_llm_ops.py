@@ -713,3 +713,28 @@ def test_unigram_logprob_orders_rare_above_common(spark):
         < got[3].avg_neg_logprob
     assert got[4].n_tokens == 0 and got[4].avg_neg_logprob == 0.0
     assert all(got[i].avg_neg_logprob > 0 for i in (1, 2, 3))
+
+
+def test_nearest_lists_udf_matches_jvm_assignment_face(spark, emb):
+    """Bridges the oracle-checked embedding_nearest_centroid face to
+    the Arrow kernel IVF actually routes with: identical assignments
+    on the full corpus (argmin margins ≥ 3e-7 » float noise)."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        _nearest_lists_udf)
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    jvm = {r.vec_id: r.centroid_id
+           for r in _REGISTRY["embedding_nearest_centroid"]
+           .spark_fn(spark, SF).collect()}
+    cents = np.array(
+        [r.embedding for r in
+         emb.where("vec_id < 4").orderBy("vec_id").collect()],
+        dtype=np.float32)
+    assign = _nearest_lists_udf(cents, 1)
+    udf = {r.vec_id: r.lid for r in
+           emb.select("vec_id",
+                      assign(F.col("embedding"))[0].alias("lid")).collect()}
+    assert udf == jvm
