@@ -1204,3 +1204,38 @@ def buyers_full_outer_active(spark, sf_dir):
             .select(F.coalesce("o_custkey", "user_id").alias("key_id"),
                     F.coalesce("n_orders", F.lit(-1)).alias("n_orders"),
                     F.coalesce("n_events", F.lit(-1)).alias("n_events")))
+
+
+# --- event-time HOPPING window (the third window kind) -----------------------
+# Tumbling (events_by_window) and session (sessions_builtin_window)
+# faces are driver-green; this adds the overlapping-window face:
+# 1-hour windows every 30 minutes, so each event contributes to
+# exactly 2 windows. Spark expands rows engine-side (no self-join);
+# the oracle states the same two aligned window starts explicitly via
+# time_bucket. Queued for window rotation (r5's window is full).
+@register(
+    "events_by_hopping_window",
+    """
+    WITH g AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS grid,
+             event_type, value
+      FROM events
+    ),
+    x AS (
+      SELECT unnest([grid, grid - INTERVAL 30 MINUTE]) AS win_start,
+             event_type, value
+      FROM g
+    )
+    SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM x GROUP BY 1, 2, 3
+    """,
+    doc="hopping event-time window (1h every 30min): engine-side row "
+        "expansion, each event in exactly window/slide windows",
+)
+def events_by_hopping_window(spark, sf_dir):
+    from .streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour", keys=("event_type",),
+                                 slide_duration="30 minutes")

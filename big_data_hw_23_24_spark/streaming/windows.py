@@ -24,16 +24,20 @@ def windowed_event_counts(events: DataFrame,
                           window_duration: str = "1 hour",
                           ts_col: str = "ts",
                           keys: tuple[str, ...] = (),
-                          watermark_delay: str | None = None) -> DataFrame:
-    """Tumbling event-time window → (win_start, win_end, *keys,
-    n_events, sum_value). Pass ``watermark_delay`` on a streaming DF to
-    bound state; omit it for the batch face.
+                          watermark_delay: str | None = None,
+                          slide_duration: str | None = None) -> DataFrame:
+    """Tumbling — or, with ``slide_duration``, hopping — event-time
+    window → (win_start, win_end, *keys, n_events, sum_value). A
+    hopping event lands in window/slide overlapping windows (the
+    engine's Expand, no self-join). Pass ``watermark_delay`` on a
+    streaming DF to bound state; omit it for the batch face.
     """
     src = events
     if watermark_delay is not None:
         src = src.withWatermark(ts_col, watermark_delay)
     return (
-        src.groupBy(F.window(ts_col, window_duration).alias("w"),
+        src.groupBy(F.window(ts_col, window_duration,
+                             slide_duration or window_duration).alias("w"),
                     *[F.col(k) for k in keys])
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 2).alias("sum_value"))

@@ -92,6 +92,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     queued_for_rotation = {
         "doc_unigram_logprob",       # unigram-LM perplexity-proxy scoring
         "embedding_nearest_centroid",  # IVF routing kernel, JVM face
+        "events_by_hopping_window",  # overlapping-window face
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
