@@ -590,3 +590,53 @@ def test_streaming_ingest_dedup_accumulates_and_replays_idempotently(
     assert sorted(
         r.fingerprint for r in pipe.corpus_fingerprints().collect()) == before
     assert {r.doc_id: r.status for r in pipe.statuses().collect()} == expect
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Recovery contract: a query restarted on the SAME checkpoint
+    location processes only files it has not yet committed — epochs
+    keep increasing, already-ingested docs are not re-statused, and
+    cross-restart dedup still sees the pre-restart corpus."""
+    import os
+
+    from big_data_hw_23_24_spark.streaming.ingest_dedup import (
+        StreamingIngestDedup)
+
+    d = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = 1_700_000_000
+
+    def write_batch(i, rows):
+        p = os.path.join(d, f"batch_{i}")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t0 + i, t0 + i))
+
+    def run_once(pipe):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(d, "batch_*")))
+        q = (stream.writeStream.foreachBatch(pipe)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    pipe = StreamingIngestDedup(spark, str(tmp_path / "store"))
+    write_batch(0, [(1, "alpha"), (2, "beta")])
+    write_batch(1, [(3, "alpha"), (4, "gamma")])
+    run_once(pipe)
+    first = {r.doc_id: (r.status, r.epoch) for r in
+             pipe.statuses().collect()}
+    assert {k: v[0] for k, v in first.items()} == \
+        {1: "novel", 2: "novel", 3: "dup_of_corpus", 4: "novel"}
+
+    # restart with one NEW file: only it is processed, at a later epoch
+    write_batch(2, [(5, "beta"), (6, "delta")])
+    run_once(pipe)
+    after = {r.doc_id: (r.status, r.epoch) for r in
+             pipe.statuses().collect()}
+    assert {k: v for k, v in after.items() if k <= 4} == first
+    assert after[5][0] == "dup_of_corpus"  # pre-restart corpus visible
+    assert after[6][0] == "novel"
+    assert after[5][1] > max(v[1] for k, v in first.items())
