@@ -134,3 +134,84 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                  F.round(F.coalesce(
                      F.sum(F.col("c") * neg_lp) / F.sum("c"), F.lit(0.0)),
                      6).alias("avg_neg_logprob")))
+
+
+def _merge_pair(symbols, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) symbol pairs — the BPE apply step — as a pure JVM
+    higher-order fold (no Python, no shuffle): the accumulator carries
+    (emitted symbols, pending symbol) and each step either completes a
+    merge, flushes the pending symbol, or starts a new pending one."""
+    merged = F.lit(left + right)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"))
+
+    def step(acc, s):
+        hit = acc.pend.eqNullSafe(F.lit(left)) & (s == F.lit(right))
+        flushed = F.when(acc.pend.isNotNull(),
+                         F.concat(acc.out, F.array(acc.pend))) \
+            .otherwise(acc.out)
+        return F.when(hit, F.struct(
+            F.concat(acc.out, F.array(merged)).alias("out"),
+            F.lit(None).cast("string").alias("pend"))) \
+            .otherwise(F.struct(flushed.alias("out"), s.alias("pend")))
+
+    def finish(acc):
+        return F.when(acc.pend.isNotNull(),
+                      F.concat(acc.out, F.array(acc.pend))).otherwise(acc.out)
+
+    return F.aggregate(symbols, init, step, finish)
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding training: learn ``n_merges`` merges over the
+    corpus → [(left, right, pair_count), ...] in merge order.
+
+    The full iterative BPE loop, Spark-first end to end. The working
+    state is the VOCABULARY as symbol arrays (word → [chars...] with a
+    count), never the corpus: each round is (1) one vocab-scale
+    explode+aggregate for adjacent-pair counts, (2) a bounded driver
+    action taking the argmax pair (count desc, then lexicographic — a
+    deterministic tie-break the driver's ~KB of state mirrors MRFFT's
+    coreset collect), (3) a narrow JVM fold (``_merge_pair``) applying
+    the merge greedily left-to-right — no Python touches a symbol.
+    Lineage is truncated every round (localCheckpoint) so the plan
+    stays flat across iterations, the connected-components contract.
+
+    No SQL oracle by design (iterative argmax, SURVEY §5's MRFFT
+    category): tests pin the merge sequence to an independent pure-
+    Python BPE reference on planted corpora instead.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    vocab = (word_counts(docs, text_col)
+             .select(F.split("word", "").alias("syms"), "n_occ")
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (vocab.where(F.size("syms") >= 2)
+                     .select("n_occ", F.explode(F.sequence(
+                         F.lit(1), F.size("syms") - 1)).alias("i"),
+                         "syms")
+                     .select(F.col("syms")[F.col("i") - 1].alias("a"),
+                             F.col("syms")[F.col("i")].alias("b"),
+                             "n_occ"))
+            best = (pairs.groupBy("a", "b")
+                    .agg(F.sum("n_occ").cast("long").alias("cnt"))
+                    .orderBy(F.col("cnt").desc(), "a", "b")
+                    .take(1))
+            if not best:
+                break
+            a, b, cnt = best[0].a, best[0].b, best[0].cnt
+            merges.append((a, b, int(cnt)))
+            nxt = vocab.select(
+                _merge_pair(F.col("syms"), a, b).alias("syms"), "n_occ") \
+                .localCheckpoint(eager=True)
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges

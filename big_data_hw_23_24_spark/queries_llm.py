@@ -1241,3 +1241,23 @@ def embedding_nearest_centroid(spark, sf_dir):
             .groupBy("vec_id").agg(F.min("s").alias("b"))
             .select("vec_id", F.col("b.cid").alias("centroid_id"),
                     F.round(F.col("b.d"), 6).alias("dist_sq")))
+
+
+# --- full BPE training loop --------------------------------------------------
+# Iterative argmax → no SQL oracle (the MRFFT/k-means category);
+# tests/test_llm_ops.py pins the merge sequence to an independent
+# pure-Python BPE reference exactly.
+@register(
+    "bpe_learned_merges",
+    None,
+    doc="distributed BPE training: 8 learned merges over the corpus "
+        "(vocab-scale pair aggregate + bounded argmax + JVM merge fold "
+        "per round)",
+)
+def bpe_learned_merges(spark, sf_dir):
+    from .operators.tokenizer import bpe_train
+
+    merges = bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, pair_count long")

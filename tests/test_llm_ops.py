@@ -738,3 +738,64 @@ def test_nearest_lists_udf_matches_jvm_assignment_face(spark, emb):
            emb.select("vec_id",
                       assign(F.col("embedding"))[0].alias("lid")).collect()}
     assert udf == jvm
+
+
+def _ref_bpe(word_counts, n):
+    """Independent pure-Python BPE reference (greedy left-to-right
+    apply, count-desc/lexicographic argmax) for exact comparison."""
+    vocab = {}
+    for w, c in word_counts.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + c
+    merges = []
+    for _ in range(n):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from collections import Counter
+
+    from big_data_hw_23_24_spark.operators.tokenizer import bpe_train
+
+    corpus = ("hug " * 10 + "pug " * 5 + "pun " * 12 + "bun " * 4
+              + "hugs " * 5 + "aaa " * 3).strip()
+    docs = spark.createDataFrame([(1, corpus)], ["doc_id", "text"])
+    got = bpe_train(docs, n_merges=6)
+    want = _ref_bpe(Counter(corpus.split(" ")), 6)
+    assert got == want
+    # the overlapping-pair + chained-merge word: "aaa" must merge
+    # greedily left-to-right, so ("a","a") counting saw 6 occurrences
+    aa = [m for m in got if m[0] == m[1] == "a"]
+    assert not aa or aa[0][2] == 6
+
+
+def test_bpe_train_merge_fold_edge_cases(spark):
+    from big_data_hw_23_24_spark.operators.tokenizer import bpe_train
+
+    # single-char words produce no pairs; empty corpus stops early
+    docs = spark.createDataFrame([(1, "a b c a b a")], ["doc_id", "text"])
+    got = bpe_train(docs, n_merges=3)
+    assert got == []
+    assert bpe_train(docs, n_merges=0) == []
