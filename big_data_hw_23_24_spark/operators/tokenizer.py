@@ -215,3 +215,38 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     finally:
         vocab.unpersist()
     return merges
+
+
+def bpe_encode(docs: DataFrame, merges: Sequence[tuple[str, str]],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge list to the corpus → (doc_id, n_words,
+    n_symbols, symbols): the tokenize step that turns text into BPE
+    symbols for counting, packing, and batching.
+
+    Encoding is a pure narrow map: per word, the merge list is applied
+    in training order, each application the same JVM ``_merge_pair``
+    fold used in training — so train and encode can never disagree on
+    greedy semantics. The merge list is bounded (a tokenizer's merge
+    table), compiled into the expression tree once; no Python, no
+    shuffle, no join — the corpus streams through at scan speed.
+    Lossless by construction: concatenating a word's symbols restores
+    the word (property-tested), so n_symbols is the real post-BPE
+    sequence length packing should budget for.
+    """
+    words = _words(F.col(text_col))
+    enc = lambda w: _encode_word(w, merges)  # noqa: E731
+    symbols = F.flatten(F.transform(words, enc))
+    per_word = F.transform(words, lambda w: F.size(enc(w)))
+    return docs.select(
+        F.col(id_col), F.size(words).alias("n_words"),
+        F.aggregate(per_word, F.lit(0), lambda a, x: a + x)
+        .alias("n_symbols"),
+        symbols.alias("symbols"))
+
+
+def _encode_word(word, merges: Sequence[tuple[str, str]]):
+    syms = F.split(word, "")
+    for a, b in merges:
+        syms = _merge_pair(syms, a, b)
+    return syms

@@ -1261,3 +1261,20 @@ def bpe_learned_merges(spark, sf_dir):
     rows = [(i, a, b, c) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "step int, left string, right string, pair_count long")
+
+
+@register(
+    "doc_bpe_tokens",
+    None,  # merges come from the iterative trainer → rows-only; the
+           # encode fold itself is pinned to a pure-Python reference
+           # and the lossless round-trip invariant in tests
+    doc="BPE-encode the corpus with 8 learned merges → per-doc word "
+        "and symbol counts (narrow JVM fold, no Python, no shuffle)",
+)
+def doc_bpe_tokens(spark, sf_dir):
+    from .operators.tokenizer import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [(a, b) for a, b, _ in bpe_train(docs, n_merges=8)]
+    return (bpe_encode(docs, merges)
+            .select("doc_id", "n_words", "n_symbols"))

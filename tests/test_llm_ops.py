@@ -799,3 +799,42 @@ def test_bpe_train_merge_fold_edge_cases(spark):
     got = bpe_train(docs, n_merges=3)
     assert got == []
     assert bpe_train(docs, n_merges=0) == []
+
+
+def test_bpe_encode_round_trip_and_agrees_with_reference(spark):
+    from collections import Counter
+
+    from big_data_hw_23_24_spark.operators.tokenizer import (
+        bpe_encode, bpe_train)
+
+    corpus = ("hug " * 10 + "pug " * 5 + "pun " * 12 + "bun " * 4
+              + "hugs " * 5 + "aaa " * 3).strip()
+    docs = spark.createDataFrame(
+        [(1, corpus), (2, "hug pun zzz"), (3, "")], ["doc_id", "text"])
+    merges = [(a, b) for a, b, _ in bpe_train(docs.where("doc_id = 1"), 6)]
+    enc = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    # lossless: concatenated symbols restore the exact token stream
+    for d, text in [(1, corpus), (2, "hug pun zzz"), (3, "")]:
+        words = [w for w in text.split(" ") if w]
+        assert "".join(enc[d].symbols) == "".join(words)
+        assert enc[d].n_words == len(words)
+        assert enc[d].n_symbols == len(enc[d].symbols)
+        assert enc[d].n_symbols <= sum(len(w) for w in words)
+    # encode agrees with the pure-Python reference applied per word
+    def ref_encode(w):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+    words1 = [w for w in corpus.split(" ") if w]
+    assert enc[1].symbols == [s for w in words1 for s in ref_encode(w)]
+    # merges actually compress the planted corpus
+    assert enc[1].n_symbols < sum(len(w) for w in words1)
