@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 def pack_sequences(docs: DataFrame, capacity: int = 256,
                    shard_col: str = "source", text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   length_col: str | None = None) -> DataFrame:
     """→ (shard, bin_id, doc_id, n_tokens_in_bin): which slice of each
     document lands in which fixed-``capacity`` context window.
 
@@ -37,12 +38,21 @@ def pack_sequences(docs: DataFrame, capacity: int = 256,
     bin. Every bin except a shard's last holds exactly ``capacity``
     tokens: Σ n_tokens_in_bin over a bin telescopes to
     min(capacity, shard_total − bin_id·capacity).
+
+    By default a document's length is its whitespace token count; pass
+    ``length_col`` to budget by a precomputed measure instead — e.g.
+    ``bpe_encode``'s ``n_symbols``, so windows are sized in the units
+    the trainer actually consumes.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    if length_col is not None:
+        n = F.col(length_col).cast("long")
+    else:
+        n = F.size(F.filter(F.split(F.col(text_col), " "),
+                            lambda w: w != ""))
     toks = (docs.select(F.col(shard_col).alias("shard"), F.col(id_col),
-                        F.size(words).alias("n_tokens"))
+                        n.alias("n_tokens"))
             .where(F.col("n_tokens") > 0))
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -838,3 +838,29 @@ def test_bpe_encode_round_trip_and_agrees_with_reference(spark):
     assert enc[1].symbols == [s for w in words1 for s in ref_encode(w)]
     # merges actually compress the planted corpus
     assert enc[1].n_symbols < sum(len(w) for w in words1)
+
+
+def test_pack_sequences_by_bpe_symbol_length(spark):
+    """Packing budgeted in BPE symbols: windows telescope on the
+    encoded lengths, and every doc's slices sum to its n_symbols."""
+    from big_data_hw_23_24_spark.operators.packing import pack_sequences
+    from big_data_hw_23_24_spark.operators.tokenizer import (
+        bpe_encode, bpe_train)
+
+    docs = spark.createDataFrame(
+        [(i, "s", "hug pug pun bun hugs " * (i + 1)) for i in range(6)],
+        ["doc_id", "source", "text"])
+    merges = [(a, b) for a, b, _ in bpe_train(docs, 4)]
+    enc = bpe_encode(docs, merges).select("doc_id", "n_symbols")
+    sized = docs.join(enc, "doc_id")
+    C = 16
+    packed = pack_sequences(sized, C, length_col="n_symbols").collect()
+    want = {r.doc_id: r.n_symbols for r in enc.collect()}
+    per_doc = {}
+    bins = {}
+    for r in packed:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tokens_in_bin
+        bins[r.bin_id] = bins.get(r.bin_id, 0) + r.n_tokens_in_bin
+    assert per_doc == want
+    last = max(bins)
+    assert all(t == C or b == last for b, t in bins.items())
