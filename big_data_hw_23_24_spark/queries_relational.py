@@ -1239,3 +1239,34 @@ def events_by_hopping_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return windowed_event_counts(ev, "1 hour", keys=("event_type",),
                                  slide_duration="30 minutes")
+
+
+# --- ntile decile ranking (the remaining ranking-function face) --------------
+# row_number/rank faces are driver-green; ntile completes the ranking
+# family: equal-frequency deciles over the customer dimension (global
+# ordered window — deliberate: deciles are global by definition and
+# the dimension table is the small side; fact-table quantiles use
+# percentile_approx, E14). Deterministic via the unique key tiebreak.
+# Queued for window rotation.
+@register(
+    "customer_balance_deciles",
+    """
+    SELECT decile, count(*) AS n_customers,
+           round(min(bal), 2) AS lo, round(max(bal), 2) AS hi
+    FROM (SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+                 c_acctbal AS bal
+          FROM customer)
+    GROUP BY decile
+    """,
+    doc="equal-frequency balance deciles via ntile (ranking family "
+        "completion next to row_number/rank faces)",
+)
+def customer_balance_deciles(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return (c.select(F.ntile(10).over(w).alias("decile"),
+                     F.col("c_acctbal").alias("bal"))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.min("bal"), 2).alias("lo"),
+                 F.round(F.max("bal"), 2).alias("hi")))

@@ -93,6 +93,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_unigram_logprob",       # unigram-LM perplexity-proxy scoring
         "embedding_nearest_centroid",  # IVF routing kernel, JVM face
         "events_by_hopping_window",  # overlapping-window face
+        "customer_balance_deciles",  # ntile ranking face
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
