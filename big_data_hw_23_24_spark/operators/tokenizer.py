@@ -250,3 +250,54 @@ def _encode_word(word, merges: Sequence[tuple[str, str]]):
     for a, b in merges:
         syms = _merge_pair(syms, a, b)
     return syms
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Conditional bigram-LM scoring → (doc_id, n_bigrams,
+    avg_neg_logprob): the next tier above ``unigram_logprob`` on the
+    KenLM-style quality-filter ladder — score each document by the
+    mean of -ln p(w_i | w_{i-1}) with add-one smoothing,
+    p(w|v) = (c(v,w)+1)/(c(v)+|V|).
+
+    Scale shape mirrors the unigram op: the corpus aggregates down to
+    its bigram and unigram tables once (both Zipf-bounded), the
+    document side explodes its adjacent pairs and aggregates per
+    (doc_id, prev, word) — so each distinct bigram of a document joins
+    once, not once per occurrence — and both LM tables broadcast into
+    the join (AQE; at web scale the bigram table may need a plain hash
+    join, which is the same plan minus the broadcast). Documents with
+    fewer than 2 tokens are kept with score 0.
+    """
+    words = _words(F.col(text_col))
+    # CASE guards the <2-token branch for ANSI mode, as in textstats
+    doc_pairs = F.when(F.size(words) >= 2, F.transform(
+        F.sequence(F.lit(2), F.size(words)),
+        lambda i: F.struct(F.element_at(words, i - 1).alias("prev"),
+                           F.element_at(words, i).alias("word")))
+    ).otherwise(F.array().cast("array<struct<prev:string,word:string>>"))
+
+    base = docs.select(F.col(id_col), F.col(text_col)) \
+        .repartition(F.col(id_col))
+    uni = word_counts(base, text_col)
+    n_vocab = uni.count()
+    ex = base.select(F.col(id_col),
+                     F.explode_outer(doc_pairs).alias("p"))
+    per = (ex.groupBy(id_col, "p.prev", "p.word")
+           .agg(F.count("p").alias("c")))
+    big = (base.select(F.explode(doc_pairs).alias("p"))
+           .groupBy("p.prev", "p.word").agg(F.count("*").alias("c_vw")))
+    neg_lp = -F.log((F.coalesce("c_vw", F.lit(0)) + 1.0)
+                    / (F.coalesce("n_occ", F.lit(0))
+                       + F.lit(float(n_vocab))))
+    # explicit CASE guard: neg_lp is non-null even on the null-key row
+    # a <2-token doc contributes, so the numerator is 0.0 (not NULL)
+    # and a bare division would raise DIVIDE_BY_ZERO under ANSI mode
+    avg = F.when(F.sum("c") > 0,
+                 F.round(F.sum(F.col("c") * neg_lp) / F.sum("c"), 6)) \
+        .otherwise(F.lit(0.0))
+    return (per.join(big, ["prev", "word"], "left")
+            .join(uni.withColumnRenamed("word", "prev"), ["prev"], "left")
+            .groupBy(id_col)
+            .agg(F.sum("c").cast("long").alias("n_bigrams"),
+                 avg.alias("avg_neg_logprob")))

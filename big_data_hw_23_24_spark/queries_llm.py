@@ -1278,3 +1278,50 @@ def doc_bpe_tokens(spark, sf_dir):
     merges = [(a, b) for a, b, _ in bpe_train(docs, n_merges=8)]
     return (bpe_encode(docs, merges)
             .select("doc_id", "n_words", "n_symbols"))
+
+
+# --- bigram-LM quality scoring (conditional perplexity proxy) ----------------
+# The tier above doc_unigram_logprob on the LM-filter ladder; queued
+# for window rotation like its sibling.
+@register(
+    "doc_bigram_logprob",
+    """
+    WITH w AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word,
+                   generate_subscripts(string_split(lower(text), ' '), 1)
+                     AS i
+            FROM documents)
+      WHERE word <> ''
+    ),
+    uni AS (SELECT word, count(*) AS n_occ FROM w GROUP BY word),
+    nv AS (SELECT count(*)::DOUBLE AS n_vocab FROM uni),
+    bg AS (SELECT a.doc_id, a.word AS prev, b.word AS word
+           FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    big AS (SELECT prev, word, count(*) AS c_vw FROM bg
+            GROUP BY prev, word),
+    per AS (SELECT doc_id, prev, word, count(*) AS c FROM bg
+            GROUP BY doc_id, prev, word),
+    sc AS (
+      SELECT p.doc_id, p.c,
+             -ln((g.c_vw + 1.0) / (u.n_occ + nv.n_vocab)) AS neg_lp
+      FROM per p
+      JOIN big g USING (prev, word)
+      JOIN uni u ON u.word = p.prev, nv
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.score, 0.0) AS avg_neg_logprob
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                      round(sum(c * neg_lp) / sum(c), 6) AS score
+               FROM sc GROUP BY doc_id) s USING (doc_id)
+    """,
+    doc="conditional bigram-LM perplexity proxy: add-one-smoothed "
+        "-ln p(w|prev) averaged per document",
+)
+def doc_bigram_logprob(spark, sf_dir):
+    from .operators.tokenizer import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -864,3 +864,17 @@ def test_pack_sequences_by_bpe_symbol_length(spark):
     assert per_doc == want
     last = max(bins)
     assert all(t == C or b == last for b, t in bins.items())
+
+
+def test_bigram_logprob_rewards_common_transitions(spark):
+    from big_data_hw_23_24_spark.operators.tokenizer import bigram_logprob
+
+    docs = spark.createDataFrame([
+        (1, "the cat sat " * 8),        # repeated common transitions
+        (2, "the sat cat the on dog"),  # same words, scrambled order
+        (3, "one"),                     # no bigrams
+    ], ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert got[1].avg_neg_logprob < got[2].avg_neg_logprob
+    assert got[3].n_bigrams == 0 and got[3].avg_neg_logprob == 0.0
+    assert got[1].n_bigrams == 8 * 3 - 1

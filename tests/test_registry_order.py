@@ -94,6 +94,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "embedding_nearest_centroid",  # IVF routing kernel, JVM face
         "events_by_hopping_window",  # overlapping-window face
         "customer_balance_deciles",  # ntile ranking face
+        "doc_bigram_logprob",        # conditional-LM scoring tier
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
