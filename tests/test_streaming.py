@@ -640,3 +640,41 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     assert after[5][0] == "dup_of_corpus"  # pre-restart corpus visible
     assert after[6][0] == "novel"
     assert after[5][1] > max(v[1] for k, v in first.items())
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join: each micro-batch of events joins the static
+    customer dimension (broadcast per batch, no stream state) — the
+    canonical streaming-enrichment pattern. Result equals the batch
+    join over the full input."""
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    dim = load_table(spark, SF, "customer") \
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    ev = load_table(spark, SF, "events") \
+        .select("event_id", "user_id", "value").limit(300)
+    d = str(tmp_path / "ev")
+    t0 = 1_700_000_000
+    rows = ev.collect()
+    for i in range(3):
+        p = os.path.join(d, f"b{i}")
+        spark.createDataFrame(rows[i * 100:(i + 1) * 100],
+                              ev.schema).coalesce(1) \
+            .write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t0 + i, t0 + i))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(d, "b*")))
+    joined = stream.join(F.broadcast(dim), "user_id", "inner")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("ss_join_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.event_id, r.c_nationkey) for r in
+           spark.sql("SELECT event_id, c_nationkey FROM ss_join_out")
+           .collect()}
+    want = {(r.event_id, r.c_nationkey) for r in
+            ev.join(dim, "user_id").collect()}
+    assert got == want and len(got) > 0
