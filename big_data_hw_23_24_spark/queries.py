@@ -77,16 +77,12 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     # LLM-pipeline surface (never driver-checked in r03 — first now)
     "dedup_exact_groups",
     "dedup_components",
-    "dedup_survivor_groups",
     "knn_cosine_filtered",
     "knn_cosine_quantized",
-    "doc_quality_scores",
-    "doc_language_id",
     "doc_tfidf_top_terms",
     "doc_chunks",
     "doc_sentences_udtf",
     "doc_pii_scan",
-    "doc_pii_redact",
     "doc_contamination_scan",
     "media_decode_meta",
     "embedding_quantize_int8",
@@ -98,8 +94,14 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "doc_pack_sequences",
     "corpus_source_mix",
     "streaming_ingest_dedup",
+    # LM-scoring tier + §2.9 faces queued since r5 — never driver-checked
+    # before r6; rotated in over five multi-green redundant faces
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "embedding_nearest_centroid",
+    "events_by_hopping_window",
+    "customer_balance_deciles",
     # reference-algorithm + streaming oracle queries
-    "cell_grid_histogram",
     "mr_approx_outliers",
     "smallest_cells_topk",
     "exact_outliers",

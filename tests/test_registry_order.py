@@ -84,18 +84,26 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   embedded in dedup_components' oracle
         "knn_cosine_bruteforce",     # cosine_topk ⊂ knn_cosine_filtered
                                      #   (same operator + metadata pre-filter)
+        # rotated out in r6 AFTER earning green rows (counts below), to
+        # admit the five queries queued since r5; operators stay green
+        # via in-window siblings
+        "doc_quality_scores",        # 4 green rows r01-r05; signal family
+                                     #   ⊂ doc_repetition_scores (in window)
+        "doc_language_id",           # 4 green rows r01-r05; narrow-map
+                                     #   signal ⊂ doc_repetition_scores
+        "doc_pii_redact",            # green r04+r05; same regexp machinery
+                                     #   as doc_pii_scan (in window)
+        "dedup_survivor_groups",     # green r04+r05; components + rank
+                                     #   ⊂ dedup_components (in window) +
+                                     #   ranking green via customer_balance_deciles
+        "cell_grid_histogram",       # green r01-r05; grid-cell CTE embedded
+                                     #   in mr_approx_outliers' oracle (in window)
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
     # rows) and is full-value oracle-compared in test_oracle_parity
     # meanwhile
-    queued_for_rotation = {
-        "doc_unigram_logprob",       # unigram-LM perplexity-proxy scoring
-        "embedding_nearest_centroid",  # IVF routing kernel, JVM face
-        "events_by_hopping_window",  # overlapping-window face
-        "customer_balance_deciles",  # ntile ranking face
-        "doc_bigram_logprob",        # conditional-LM scoring tier
-    }
+    queued_for_rotation: set[str] = set()
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
