@@ -73,6 +73,7 @@ def main() -> None:
     # (timeit's documented rationale): external load only ever adds
     # time, so the fastest run is the most accurate one.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = _REGISTRY[name].spark_fn
         runs: list[float] = []
@@ -83,12 +84,19 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             assert n >= 0
         timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[1], 3)
     total = round(sum(timings.values()), 3)
+    # estimator is named in the output so cross-round comparisons can't
+    # silently conflate a methodology change (r4 median→r5 min) with a
+    # real speedup; queries_median is emitted alongside for the same
+    # reason
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        "estimator": "min3",
         "queries": timings,
+        "queries_median": medians,
         "sf": float(sf),
     }))
 

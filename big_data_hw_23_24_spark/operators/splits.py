@@ -98,6 +98,20 @@ def mix_sources(df: DataFrame, rates: dict[str, float],
         raise ValueError(f"default_rate must be in [0,1]: {default_rate}")
     key = F.col(key) if isinstance(key, str) else key
     space = 16 ** bucket_chars
+    # keep-fractions are floored to 1/space granularity (bucket_chars=4
+    # → 1/65536 ≈ 1.5e-5). A nonzero rate that floors to zero buckets
+    # would silently keep NO rows — that's a config error, not a
+    # sampling decision, so fail loudly and point at the fix. (Note
+    # boundary rows near a threshold can flip when bucket_chars
+    # changes; pick the width once per corpus.)
+    unrepresentable = {s: r for s, r in
+                       {**rates, "<default>": default_rate}.items()
+                       if 0 < r and int(r * space) == 0}
+    if unrepresentable:
+        raise ValueError(
+            f"rates {unrepresentable} are below 1/{space} and would keep "
+            f"zero rows at bucket_chars={bucket_chars}; raise bucket_chars "
+            f"(8 gives ~2.3e-10 granularity)")
     bucket = F.substring(F.md5(key), 1, bucket_chars)
 
     def bound(rate: float) -> str:

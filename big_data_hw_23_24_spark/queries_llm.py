@@ -1100,7 +1100,9 @@ def streaming_ingest_dedup(spark, sf_dir):
         pipe = StreamingIngestDedup(spark, store)
         q = (stream.writeStream.foreachBatch(pipe)
              .trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        # fail loudly on timeout — a silent partial status table would
+        # surface as a confusing oracle hash mismatch downstream
+        assert q.awaitTermination(180), "ingest-dedup stream timed out"
         # materialize before the store directory is removed
         return (pipe.statuses()
                 .select("doc_id", "fingerprint", "status",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -55,11 +56,25 @@ class StreamingIngestDedup:
     def corpus_fingerprints(self, before_epoch: int | None = None
                             ) -> DataFrame:
         """The accumulated store (optionally epochs < ``before_epoch``);
-        empty-schema DataFrame before the first commit."""
+        empty-schema DataFrame before the first commit.
+
+        Only the two signals that genuinely mean "no epoch committed
+        yet" — the store directory not existing, or existing with no
+        epoch directories (AnalysisException from the empty glob) — map
+        to an empty corpus. Anything else (permissions, corrupt
+        parquet) propagates: treating a failed store read as an empty
+        corpus would status every batch doc "novel" and silently append
+        duplicate fingerprints."""
+        if not os.path.isdir(self.fp_writer.root):
+            return self.spark.createDataFrame([], _FP_SCHEMA)
         try:
             fps = self.fp_writer.read(self.spark)
-        except Exception:  # no epoch committed yet
-            return self.spark.createDataFrame([], _FP_SCHEMA)
+        except AnalysisException as e:
+            # dir exists but holds no epoch=* yet (e.g. created by a
+            # concurrent writer that hasn't committed)
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], _FP_SCHEMA)
+            raise
         if before_epoch is not None:
             fps = fps.where(F.col("epoch") < before_epoch)
         return fps.select("fingerprint")

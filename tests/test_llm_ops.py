@@ -697,6 +697,12 @@ def test_mix_sources_rates_and_subset_consistency(spark, docs):
     full = mix_sources(docs, {"src0": 1.0}, default_rate=1.0)
     assert full.where("NOT keep").count() == 0
     assert full.count() == docs.count()
+    # a nonzero rate below the 1/16^4 bucket granularity would silently
+    # keep zero rows — must fail loudly instead
+    with pytest.raises(ValueError, match="bucket_chars"):
+        mix_sources(docs, {"src0": 1e-6})
+    # the same rate IS representable at bucket_chars=8
+    mix_sources(docs, {"src0": 1e-6}, bucket_chars=8)
 
 
 def test_unigram_logprob_orders_rare_above_common(spark):
