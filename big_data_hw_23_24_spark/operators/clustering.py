@@ -130,6 +130,48 @@ def mrfft(points: DataFrame, k: int, num_partitions: int | None = None
     return centers, radius
 
 
+def lloyd_round(vecs: DataFrame, centroids: DataFrame,
+                vec_col: str = "v", id_col: str = "vec_id",
+                round_to: int = 6) -> DataFrame:
+    """One Lloyd round's sufficient statistics from FIXED centroids →
+    (centroid_id, pos, sum_x, sum_sq, cnt): exactly what ``kmeans_fit``
+    aggregates each iteration (assign to nearest centroid by squared
+    L2, then per-(cluster, dimension) sum / sum-of-squares / count —
+    the k·dim-bounded state the next centroids and the Lloyd cost are
+    both derived from).
+
+    This is the deterministic, SQL-expressible face of the iterative
+    trainer (the ``embedding_nearest_centroid`` move applied to the
+    whole round): ``centroids`` is a bounded (centroid_id, cv) table
+    broadcast into a JVM-expression argmin — the trainer's Arrow
+    kernel computes the same assignment (pinned to this face in
+    tests), and the aggregate is the same hash aggregate with
+    map-side combine, so the shuffle stays O(k · dim) regardless of
+    corpus size. Sums are rounded so cross-engine summation order
+    can't flip value checks; ties broken by centroid_id ascending,
+    matching the trainer's argmin-of-ordered-scan.
+    """
+    dist = F.aggregate(
+        F.zip_with(vec_col, "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    assigned = (
+        vecs.where(F.col(vec_col).isNotNull())
+        .crossJoin(F.broadcast(centroids))
+        .select(F.col(id_col), F.col(vec_col).alias("v"),
+                F.struct(dist.alias("d"),
+                         F.col("centroid_id").alias("cid")).alias("s"))
+        .groupBy(id_col)
+        .agg(F.min("s").alias("b"), F.first("v").alias("v")))
+    return (assigned
+            .select(F.col("b.cid").alias("centroid_id"),
+                    F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.sum("x"), round_to).alias("sum_x"),
+                 F.round(F.sum(F.col("x") * F.col("x")),
+                         round_to).alias("sum_sq"),
+                 F.count("*").alias("cnt")))
+
+
 def kmeans_fit(df: DataFrame, k: int, vec_col: str = "embedding",
                iters: int = 10, tol: float = 1e-6,
                sample_size: int = 10_000, seed: int = 42

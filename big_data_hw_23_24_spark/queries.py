@@ -85,7 +85,6 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "doc_pii_scan",
     "doc_contamination_scan",
     "media_decode_meta",
-    "embedding_quantize_int8",
     "dedup_embedding_cosine",
     "dedup_incremental",
     "bpe_pair_counts",
@@ -101,6 +100,12 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "embedding_nearest_centroid",
     "events_by_hopping_window",
     "customer_balance_deciles",
+    # r6 conversions: formerly rows-only ops given full SQL oracles
+    # (pinned-merge BPE encode, one Lloyd round, C5 exact histogram),
+    # rotated in over three multi-green redundant faces
+    "doc_bpe_tokens",
+    "embedding_lloyd_round",
+    "streaming_frequent_exact",
     # reference-algorithm + streaming oracle queries
     "mr_approx_outliers",
     "smallest_cells_topk",
@@ -113,7 +118,6 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "wordcount",
     "customer_rolling_30d",
     "customer_order_membership",
-    "doc_train_val_split",
     "frequent_users_exact",
     "frequent_users_cms",
     "segment_set_ops",
@@ -121,7 +125,6 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "conditional_agg_priority",
     "user_event_type_map",
     "parts_above_avg_revenue_bloom",
-    "sessions_builtin_window",
     "acctbal_median_by_nation",
     "events_asof_orders",
     "sales_grouping_sets",

@@ -197,19 +197,16 @@ def reservoir_sample_users(spark, sf_dir):
     return spark.createDataFrame(rows, "item bigint")
 
 
-@register(
-    "streaming_frequent_items",
-    None,
-    doc="C5 end-to-end: Structured Streaming foreachBatch harness over "
-        "deterministic file-source micro-batches of the events item "
-        "sequence; returns the sticky estimate with ± truth annotation "
-        "(G016HW3.java:39-231)",
-)
-def streaming_frequent_items(spark, sf_dir):
+def _run_c5_harness(spark, sf_dir, phi=0.007, eps=0.003, delta=0.1):
+    """Run the C5 streaming harness over deterministic file-replay
+    micro-batches of the first 80% of the ts-ordered event item
+    sequence; returns the finished monitor (exact histogram +
+    reservoir + sticky)."""
     import shutil
     import tempfile
 
-    from .streaming.frequent_stream import FrequentItemsMonitor, run_frequent_items
+    from .streaming.frequent_stream import (FrequentItemsMonitor,
+                                            run_frequent_items)
     from .streaming.replay import write_microbatches
 
     seq = _event_item_seq(spark, sf_dir)
@@ -220,11 +217,57 @@ def streaming_frequent_items(spark, sf_dir):
         glob = write_microbatches(seq, d, n_buckets=10)
         stream = (spark.readStream.schema("seq long, item long")
                   .option("maxFilesPerTrigger", 1).parquet(glob))
-        monitor = FrequentItemsMonitor(n=n, phi=0.007, eps=0.003, delta=0.1)
+        monitor = FrequentItemsMonitor(n=n, phi=phi, eps=eps, delta=delta)
         run_frequent_items(spark, stream, monitor, timeout_sec=120)
-        return monitor.report(spark)["sticky"]
+        assert monitor.stream_length == n, \
+            f"harness saw {monitor.stream_length} of {n} items"
+        return monitor
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_frequent_items",
+    None,
+    doc="C5 end-to-end: Structured Streaming foreachBatch harness over "
+        "deterministic file-source micro-batches of the events item "
+        "sequence; returns the sticky estimate with ± truth annotation "
+        "(G016HW3.java:39-231); rows-only (seeded RNG samplers)",
+)
+def streaming_frequent_items(spark, sf_dir):
+    monitor = _run_c5_harness(spark, sf_dir)
+    return monitor.report(spark)["sticky"]
+
+
+# The exact branch of the same harness IS oracle-checkable: the monitor
+# trims the crossing micro-batch to exactly n items in seq order, so
+# the true-frequent set is a pure function of the first ⌊0.8·N⌋ items
+# of the ts-ordered stream — the streaming_ingest_dedup recomputation
+# move applied to C5's histogram.
+@register(
+    "streaming_frequent_exact",
+    """
+    WITH seq AS (
+      SELECT user_id AS item,
+             row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    n AS (SELECT CAST(floor(count(*) * 0.8) AS BIGINT) AS n FROM events),
+    h AS (
+      SELECT item, count(*) AS cnt
+      FROM seq, n WHERE rn <= n.n GROUP BY item
+    )
+    SELECT item, cnt::BIGINT AS cnt
+    FROM h, n WHERE cnt >= 0.007 * n.n
+    """,
+    doc="C5 exact true-frequent items (phi=0.007) over the first 80% "
+        "of the event stream, computed by the real foreachBatch "
+        "micro-batch harness and value-checked against full-sequence "
+        "SQL recomputation (G016HW3.java:91-101,148-160)",
+)
+def streaming_frequent_exact(spark, sf_dir):
+    monitor = _run_c5_harness(spark, sf_dir)
+    return monitor.true_frequent(spark)
 
 
 def _event_item_seq(spark, sf_dir):

@@ -1245,6 +1245,54 @@ def embedding_nearest_centroid(spark, sf_dir):
                     F.round(F.col("b.d"), 6).alias("dist_sq")))
 
 
+# --- one Lloyd round from fixed centroids (k-means oracle face) --------------
+# kmeans_fit is no-oracle by design (iterative), but each round's
+# distributed work — assign to nearest centroid, aggregate per-
+# (cluster, dim) sum / sum-sq / count — is deterministic given fixed
+# centroids. This face fixes them to the first four corpus vectors and
+# value-checks the FULL sufficient-statistics table the trainer
+# iterates on (next centroids AND the Lloyd cost are pure functions of
+# these rows), extending driver coverage from the routing kernel
+# (embedding_nearest_centroid) to the whole training round.
+@register(
+    "embedding_lloyd_round",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+    d AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+      FROM e, c
+    ),
+    a AS (SELECT vec_id, v, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, centroid_id) AS rn
+          FROM d),
+    x AS (SELECT centroid_id, unnest(v) AS x,
+                 generate_subscripts(v, 1) - 1 AS pos
+          FROM a WHERE rn = 1)
+    SELECT centroid_id, pos::INT AS pos,
+           round(sum(x), 6) AS sum_x,
+           round(sum(x * x), 6) AS sum_sq,
+           count(*)::BIGINT AS cnt
+    FROM x GROUP BY centroid_id, pos
+    """,
+    doc="one Lloyd k-means round from 4 fixed centroids: per-(cluster, "
+        "dim) sum/sum-sq/count sufficient statistics, value-checked",
+)
+def embedding_lloyd_round(spark, sf_dir):
+    from .operators.clustering import lloyd_round
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    return lloyd_round(emb, cents)
+
+
 # --- full BPE training loop --------------------------------------------------
 # Iterative argmax → no SQL oracle (the MRFFT/k-means category);
 # tests/test_llm_ops.py pins the merge sequence to an independent
@@ -1265,20 +1313,68 @@ def bpe_learned_merges(spark, sf_dir):
         rows, "step int, left string, right string, pair_count long")
 
 
+# Pinned merge table for the oracle-checked encode face: the realistic
+# production shape (a pre-trained tokenizer's merge list is a fixed
+# artifact applied to new corpora), and what makes the greedy fold
+# SQL-checkable. Multi-level merges (th+e after t+h) exercise
+# multi-char symbol folding. Training itself stays rows-only in
+# bpe_learned_merges (iterative argmax).
+_PINNED_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB SQL computing the identical greedy BPE encode.
+
+    Each symbol is framed as ``\\x02sym\\x03``; a merge (a, b) is then
+    ``replace(s, '\\x02a\\x03\\x02b\\x03', '\\x02ab\\x03')`` applied in
+    training order. String replace is left-to-right non-overlapping
+    and the per-symbol framing makes every match a full-symbol pair
+    (no cross-boundary or run artifacts — a consumed match never eats
+    the next pair's delimiter), so the fold semantics of
+    ``tokenizer._merge_pair`` are reproduced exactly; verified against
+    the pure-Python reference in tests. Frame chars never occur in
+    text (control bytes).
+    """
+    sl, sr = "\x02", "\x03"
+    expr = ("array_to_string(list_transform(string_split(word, ''), "
+            f"c -> '{sl}' || c || '{sr}'), '')")
+    for a, b in _PINNED_BPE_MERGES:
+        expr = f"replace({expr}, '{sl}{a}{sr}{sl}{b}{sr}', '{sl}{a}{b}{sr}')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ),
+    enc AS (SELECT doc_id, {expr} AS s FROM w),
+    per AS (
+      SELECT doc_id, count(*) AS n_words,
+             sum(length(s) - length(replace(s, '{sr}', ''))) AS n_symbols
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(p.n_words, 0)::INT AS n_words,
+           coalesce(p.n_symbols, 0)::INT AS n_symbols
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
 @register(
     "doc_bpe_tokens",
-    None,  # merges come from the iterative trainer → rows-only; the
-           # encode fold itself is pinned to a pure-Python reference
-           # and the lossless round-trip invariant in tests
-    doc="BPE-encode the corpus with 8 learned merges → per-doc word "
-        "and symbol counts (narrow JVM fold, no Python, no shuffle)",
+    _bpe_oracle_sql(),
+    doc="BPE-encode the corpus with the pinned 8-merge table → per-doc "
+        "word and symbol counts (narrow JVM fold, no Python, no "
+        "shuffle); oracle emulates the greedy fold with framed-symbol "
+        "string replaces",
 )
 def doc_bpe_tokens(spark, sf_dir):
-    from .operators.tokenizer import bpe_encode, bpe_train
+    from .operators.tokenizer import bpe_encode
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = [(a, b) for a, b, _ in bpe_train(docs, n_merges=8)]
-    return (bpe_encode(docs, merges)
+    return (bpe_encode(docs, _PINNED_BPE_MERGES)
             .select("doc_id", "n_words", "n_symbols"))
 
 

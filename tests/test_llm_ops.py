@@ -746,6 +746,39 @@ def test_nearest_lists_udf_matches_jvm_assignment_face(spark, emb):
     assert udf == jvm
 
 
+def test_lloyd_round_face_matches_trainer_aggregate(spark, emb):
+    """Bridges the oracle-checked embedding_lloyd_round face to the
+    aggregate kmeans_fit actually iterates on: same fixed centroids →
+    identical per-(cluster, dim) sufficient statistics from the
+    trainer's Arrow-kernel path (assign → posexplode → hash agg)."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        _nearest_lists_udf)
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    face = {(r.centroid_id, r.pos): (r.sum_x, r.sum_sq, r.cnt)
+            for r in _REGISTRY["embedding_lloyd_round"]
+            .spark_fn(spark, SF).collect()}
+    cents = np.array(
+        [r.embedding for r in
+         emb.where("vec_id < 4").orderBy("vec_id").collect()],
+        dtype=np.float64)
+    assign = _nearest_lists_udf(cents, 1)
+    trainer = (emb.select(F.col("embedding").cast("array<double>")
+                          .alias("v"))
+               .withColumn("list_id", assign(F.col("v"))[0])
+               .select("list_id", F.posexplode("v").alias("pos", "x"))
+               .groupBy("list_id", "pos")
+               .agg(F.round(F.sum("x"), 6).alias("s"),
+                    F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sq"),
+                    F.count("*").alias("cnt")))
+    got = {(r.list_id, r.pos): (r.s, r.sq, r.cnt)
+           for r in trainer.collect()}
+    assert got == face
+
+
 def _ref_bpe(word_counts, n):
     """Independent pure-Python BPE reference (greedy left-to-right
     apply, count-desc/lexicographic argmax) for exact comparison."""

@@ -98,6 +98,15 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   ranking green via customer_balance_deciles
         "cell_grid_histogram",       # green r01-r05; grid-cell CTE embedded
                                      #   in mr_approx_outliers' oracle (in window)
+        "embedding_quantize_int8",   # green r04+r05; quantize step composed
+                                     #   and re-checked inside
+                                     #   knn_cosine_quantized (in window)
+        "doc_train_val_split",       # green r04+r05; content-hash bucket
+                                     #   machinery ⊂ corpus_source_mix
+                                     #   (in window, same splits.py core)
+        "sessions_builtin_window",   # green r03-r05; identical session
+                                     #   semantics + oracle shape as
+                                     #   streaming_sessions (in window)
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
