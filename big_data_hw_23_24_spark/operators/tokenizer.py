@@ -120,14 +120,17 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     base = docs.select(F.col(id_col), F.col(text_col)) \
         .repartition(F.col(id_col))
     vocab = word_counts(base, text_col)
-    n_vocab = vocab.count()
+    # |V| rides the same vocab-scale window that computes the token
+    # total — no eager driver action, so scoring is ONE Spark job
+    # instead of a count() pass plus the real one
     w_tot = Window.partitionBy()
-    vocab = vocab.withColumn("total", F.sum("n_occ").over(w_tot))
+    vocab = vocab.withColumn("total", F.sum("n_occ").over(w_tot)) \
+                 .withColumn("n_vocab", F.count("*").over(w_tot))
     tok = (base.select(F.col(id_col),
                        F.explode_outer(_words(F.col(text_col))).alias("word"))
            .groupBy(id_col, "word").agg(F.count("word").alias("c")))
     neg_lp = -F.log((F.col("n_occ") + 1.0)
-                    / (F.col("total") + F.lit(float(n_vocab))))
+                    / (F.col("total") + F.col("n_vocab")))
     return (tok.join(vocab, "word", "left")
             .groupBy(id_col)
             .agg(F.sum("c").cast("long").alias("n_tokens"),
@@ -280,7 +283,13 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     base = docs.select(F.col(id_col), F.col(text_col)) \
         .repartition(F.col(id_col))
     uni = word_counts(base, text_col)
-    n_vocab = uni.count()
+    # |V| folded into the plan as a vocab-scale window count (the
+    # unigram_logprob move): one Spark job, no eager driver action.
+    # Every real ``prev`` matches the unigram table (same corpus), so
+    # n_vocab is only null on the null-key row a <2-token doc
+    # contributes — where c = 0 and the CASE guard below already
+    # yields 0.0.
+    uni = uni.withColumn("n_vocab", F.count("*").over(Window.partitionBy()))
     ex = base.select(F.col(id_col),
                      F.explode_outer(doc_pairs).alias("p"))
     per = (ex.groupBy(id_col, "p.prev", "p.word")
@@ -288,8 +297,7 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     big = (base.select(F.explode(doc_pairs).alias("p"))
            .groupBy("p.prev", "p.word").agg(F.count("*").alias("c_vw")))
     neg_lp = -F.log((F.coalesce("c_vw", F.lit(0)) + 1.0)
-                    / (F.coalesce("n_occ", F.lit(0))
-                       + F.lit(float(n_vocab))))
+                    / (F.coalesce("n_occ", F.lit(0)) + F.col("n_vocab")))
     # explicit CASE guard: neg_lp is non-null even on the null-key row
     # a <2-token doc contributes, so the numerator is 0.0 (not NULL)
     # and a bare division would raise DIVIDE_BY_ZERO under ANSI mode

@@ -1258,14 +1258,18 @@ def events_by_hopping_window(spark, sf_dir):
           FROM customer)
     GROUP BY decile
     """,
-    doc="equal-frequency balance deciles via ntile (ranking family "
-        "completion next to row_number/rank faces)",
+    doc="equal-frequency balance deciles with exact ntile semantics, "
+        "computed by the scalable global-rank operator (range "
+        "repartition + per-partition offsets) instead of a "
+        "single-reducer ntile window — same values, no "
+        "Exchange SinglePartition (operators/ranking.py)",
 )
 def customer_balance_deciles(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return (c.select(F.ntile(10).over(w).alias("decile"),
-                     F.col("c_acctbal").alias("bal"))
+    from .operators.ranking import global_ntile
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("bal"), "c_custkey")
+    return (global_ntile(c, 10, ["bal", "c_custkey"], out_col="decile")
             .groupBy("decile")
             .agg(F.count("*").alias("n_customers"),
                  F.round(F.min("bal"), 2).alias("lo"),

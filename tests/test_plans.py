@@ -304,6 +304,95 @@ def _branch_ops(tree: str, start: str, stop: str) -> list[str]:
     return [o.split(" (")[0].strip() for o in ops[1:]]
 
 
+# Queries whose spark_fn EXECUTES on construction (streaming harnesses,
+# iterative trainers, driver-sequential samplers): the DataFrame they
+# return is materialized (localCheckpoint / createDataFrame), so there
+# is no lazy plan to inspect — and running them here would re-run whole
+# harnesses. Each is individually plan- or property-covered elsewhere.
+_EAGER_HARNESS_QUERIES = {
+    "streaming_ingest_dedup", "streaming_distinct_count",
+    "streaming_sessions", "streaming_order_events_3d",
+    "streaming_frequent_items", "streaming_frequent_exact",
+    "mrfft_radius", "mrfft_centers", "bpe_learned_merges",
+    "embedding_kmeans_sizes", "reservoir_sample_users",
+    "sticky_sample_users",
+}
+
+# The ONLY operators allowed a partitionless (single-partition) Window:
+# tokenizer ranking/total windows that run on the aggregated,
+# Zipf-bounded VOCABULARY table — never on a corpus-sized side.
+_VOCAB_SCALE_WINDOW_ALLOWLIST = {
+    "vocab_coverage", "doc_unigram_logprob", "doc_bigram_logprob",
+}
+
+
+def _has_partitionless_window(plan: str) -> bool:
+    """True if any Window node sits on an Exchange SinglePartition
+    (directly or through the sort AQE inserts) — the signature of a
+    global, single-reducer window."""
+    import re
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow \[", ln):
+            for nxt in lines[i + 1:i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    return True
+    return False
+
+
+def test_registry_wide_no_partitionless_window_outside_allowlist(spark):
+    # a single-partition window on a corpus-scale side is the quiet
+    # scale killer (all rows through one reducer); pin that it can
+    # only ever appear in the declared vocab-scale operators
+    offenders = []
+    for name, q in _REGISTRY.items():
+        if name in _EAGER_HARNESS_QUERIES | _VOCAB_SCALE_WINDOW_ALLOWLIST:
+            continue
+        if _has_partitionless_window(
+                explain_str(q.spark_fn(spark, SF), "simple")):
+            offenders.append(name)
+    assert not offenders, offenders
+    # the allowlisted plans DO carry one (guards the detector itself)
+    assert _has_partitionless_window(
+        explain_str(_REGISTRY["vocab_coverage"].spark_fn(spark, SF),
+                    "simple"))
+
+
+def test_bigram_logprob_doc_side_joins_per_distinct_no_cartesian(spark):
+    # the doc side aggregates to one row per DISTINCT (doc, prev, word)
+    # BEFORE joining the LM tables — so the join keys are hash
+    # equi-joins, nothing is cartesian, and no window function touches
+    # the doc/token side (the lone Window is the vocab-scale |V| fold,
+    # sitting on the Zipf-small unigram table)
+    plan = _plan(spark, "doc_bigram_logprob", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # ≥3 aggregate pairs: per-(doc,prev,word), bigram LM, unigram LM
+    assert plan.count("HashAggregate") >= 6, plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 2, plan  # per→bigram, →unigram; nothing else
+    assert plan.count("Window [") == 1, plan  # the |V| fold only
+
+
+def test_lm_scoring_plan_construction_launches_no_jobs(spark):
+    # |V| is folded into the plan as a vocab-scale window count —
+    # building either LM-scoring DataFrame must launch ZERO Spark jobs
+    # (the old shape ran an eager vocab.count() per call)
+    from big_data_hw_23_24_spark.operators.tokenizer import (
+        bigram_logprob, unigram_logprob)
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")  # footer-read job here
+    sc = spark.sparkContext
+    before = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+    unigram_logprob(docs)
+    bigram_logprob(docs)
+    after = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before, "plan construction ran eager Spark jobs"
+
+
 def test_unigram_logprob_token_stream_never_shuffled(spark):
     # doc-side exchanges repartition the COMPACT documents; the
     # exploded token stream reaches both aggregates unshuffled, and
