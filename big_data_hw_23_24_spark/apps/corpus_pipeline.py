@@ -11,6 +11,12 @@ corpus-preparation flow, parquet in → parquet out:
                 keep the canonical min-id survivor per group
   4. decontam — drop docs sharing a word 8-gram with an optional
                 benchmark parquet (--benchmark)
+  4b. lm-band — optional unigram-LM perplexity-proxy filter
+                (--lm-band LO:HI): keep docs whose avg -ln p(w) lies
+                inside the band — high tail is garbled text, low tail
+                is boilerplate/stopword soup (the KenLM-filter shape).
+                The LM is estimated over the SURVIVING corpus, after
+                dedup, so near-dup clusters can't skew the model.
   5. chunk    — overlapping token windows (--chunk-size/--stride), or
                 per-shard context-window packing (--pack CAPACITY)
   6. write    — sorted parquet (doc_id order → disjoint row-group
@@ -24,6 +30,7 @@ the stage-count report lines. Usage:
       [--threshold 0.7] [--benchmark bench.parquet]
       [--chunk-size 64] [--stride 48]
       [--mix-rates src=rate,...] [--mix-default 0.05] [--pack 256]
+      [--lm-band 2.5:7.0]
 """
 
 from __future__ import annotations
@@ -40,7 +47,8 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         chunk_size: int = 64, stride: int = 48,
         mix_rates: dict[str, float] | None = None,
         mix_default: float = 0.05,
-        pack_capacity: int | None = None) -> list[str]:
+        pack_capacity: int | None = None,
+        lm_band: tuple[float, float] | None = None) -> list[str]:
     from ..operators.components import connected_components
     from ..operators.dedup import minhash_near_duplicates
     from ..operators.packing import pack_sequences
@@ -96,6 +104,21 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
             n_contaminated = flagged.count()
             deduped = deduped.join(flagged, "doc_id", "left_anti")
 
+        # 4b: unigram-LM perplexity-proxy band filter (post-dedup so
+        # duplicate clusters can't skew the corpus LM estimate)
+        n_lm_dropped = 0
+        if lm_band is not None:
+            from ..operators.tokenizer import unigram_logprob
+
+            lo, hi = lm_band
+            keep_ids = (unigram_logprob(deduped)
+                        .where(F.col("avg_neg_logprob").between(lo, hi))
+                        .select("doc_id"))
+            n_before_lm = deduped.count()
+            deduped = deduped.join(keep_ids, "doc_id", "semi").cache()
+            cached.append(deduped)
+            n_lm_dropped = n_before_lm - deduped.count()
+
         # 5-6: chunk (or pack) and write, sorted for data skipping
         if pack_capacity is not None:
             shard = F.col("source") if "source" in cols else F.lit("all")
@@ -124,6 +147,7 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         f"After near-dedup = {n_dedup} "
         f"(dropped {n_kept - n_dedup} non-canonical dups)",
         f"Dropped as benchmark-contaminated = {n_contaminated}",
+        f"Dropped by unigram-LM band = {n_lm_dropped}",
         last,
     ]
 
@@ -132,13 +156,15 @@ def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print("Usage: corpus_pipeline <corpus.parquet> <out_dir> "
               "[--min-quality Q] [--langs a,b] [--threshold T] "
-              "[--benchmark p.parquet] [--chunk-size N] [--stride N]")
+              "[--benchmark p.parquet] [--chunk-size N] [--stride N] "
+              "[--lm-band LO:HI]")
         return 1
     in_path, out_dir = argv[0], argv[1]
     opts = {"--min-quality": 0.5, "--threshold": 0.7,
             "--chunk-size": 64, "--stride": 48,
             "--langs": "", "--benchmark": None,
-            "--mix-rates": None, "--mix-default": 0.05, "--pack": None}
+            "--mix-rates": None, "--mix-default": 0.05, "--pack": None,
+            "--lm-band": None}
     it = iter(argv[2:])
     for a in it:
         if a in opts:
@@ -152,6 +178,10 @@ def main(argv: list[str]) -> int:
         mix_rates = {k: float(v) for k, v in
                      (kv.split("=") for kv in
                       str(opts["--mix-rates"]).split(","))}
+    lm_band = None
+    if opts["--lm-band"] is not None:
+        lo, hi = str(opts["--lm-band"]).split(":")
+        lm_band = (float(lo), float(hi))
     for line in run(spark, in_path, out_dir,
                     min_quality=float(opts["--min-quality"]),
                     langs=langs,
@@ -162,7 +192,8 @@ def main(argv: list[str]) -> int:
                     mix_rates=mix_rates,
                     mix_default=float(opts["--mix-default"]),
                     pack_capacity=None if opts["--pack"] is None
-                    else int(opts["--pack"])):
+                    else int(opts["--pack"]),
+                    lm_band=lm_band):
         print(line)
     return 0
 

@@ -288,6 +288,43 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert not (out_ids & losers)
 
 
+def test_corpus_pipeline_lm_band_filter(spark, tmp_path):
+    """The r6 stage: --lm-band drops both perplexity-proxy tails after
+    dedup. Non-vacuous (some docs drop, some survive) and exact: the
+    surviving ids are precisely the in-band ids of an independent
+    recomputation over the same post-dedup corpus."""
+    from pyspark.sql import functions as F
+
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+    from big_data_hw_23_24_spark.operators.components import (
+        connected_components)
+    from big_data_hw_23_24_spark.operators.dedup import (
+        minhash_near_duplicates)
+    from big_data_hw_23_24_spark.operators.tokenizer import unigram_logprob
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_dir = str(tmp_path / "out")
+    docs = spark.read.parquet(src).select("doc_id", "text")
+    comp = connected_components(minhash_near_duplicates(docs))
+    deduped = docs.join(comp.where("doc_id != component")
+                        .select("doc_id"), "doc_id", "left_anti")
+    scores = unigram_logprob(deduped)
+    lo, hi = scores.approxQuantile("avg_neg_logprob", [0.1, 0.9], 0.0)
+    in_band = {r.doc_id for r in
+               scores.where(F.col("avg_neg_logprob").between(lo, hi))
+               .collect()}
+    n_dedup = deduped.count()
+    assert 0 < len(in_band) < n_dedup  # the band is non-vacuous
+
+    lines = run(spark, src, out_dir, min_quality=0.0, lm_band=(lo, hi))
+    n_lm_dropped = int(next(l for l in lines if "unigram-LM" in l)
+                       .split("= ")[1])
+    assert n_lm_dropped == n_dedup - len(in_band) > 0
+    out_ids = {r.doc_id for r in spark.read.parquet(out_dir)
+               .select("doc_id").distinct().collect()}
+    assert out_ids == in_band
+
+
 def test_corpus_pipeline_mix_and_pack_path(spark, tmp_path):
     """The r5 stages: source mixing shrinks the corpus up front and
     --pack replaces chunking with per-shard context-window packing;
