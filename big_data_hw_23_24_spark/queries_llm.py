@@ -1293,6 +1293,93 @@ def embedding_lloyd_round(spark, sf_dir):
     return lloyd_round(emb, cents)
 
 
+# --- product quantization (PQ) faces -----------------------------------------
+# pq_train is rows-only (per-subspace k-means on a driver sample); the
+# deterministic kernels — encode against FIXED codebooks and the ADC
+# lookup-table search — carry full oracles, the nearest-centroid move
+# applied per subspace. Codebooks fix centroid c of subspace j to
+# subvector j of corpus vector c (m=8 subspaces × 8 dims, k=16).
+_PQ_SQL_BASE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    sv AS (SELECT e.vec_id, js.j,
+                  e.v[js.j * 8 + 1 : js.j * 8 + 8] AS sub
+           FROM e, js),
+    cb AS (SELECT j, vec_id::INT AS centroid_id, sub AS cv
+           FROM sv WHERE vec_id < 16),
+    d AS (
+      SELECT s.vec_id, s.j, c.centroid_id,
+             list_sum(list_transform(range(1, len(s.sub) + 1),
+                                     i -> (s.sub[i] - c.cv[i]) ^ 2)) AS dist
+      FROM sv s JOIN cb c ON c.j = s.j
+    ),
+    codes AS (
+      SELECT vec_id, j, centroid_id AS code, dist FROM (
+        SELECT vec_id, j, centroid_id, dist,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, centroid_id) AS rn
+        FROM d) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    _PQ_SQL_BASE + """
+    SELECT vec_id, j::INT AS j, code, round(dist, 6) AS dist_sq
+    FROM codes
+    """,
+    doc="PQ encode against fixed codebooks (m=8, k=16): per-subspace "
+        "nearest-centroid codes + quantization error, long form "
+        "(operators/pq.py; Jegou et al. 2011)",
+)
+def embedding_pq_codes(spark, sf_dir):
+    from .operators.pq import fixed_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, fixed_codebooks(emb, m=8, k=16), m=8)
+
+
+@register(
+    "knn_pq_adc",
+    _PQ_SQL_BASE + """,
+    lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.centroid_id AS code,
+             round(list_sum(list_transform(range(1, len(s.sub) + 1),
+                                           i -> (s.sub[i] - c.cv[i]) ^ 2)),
+                   6) AS d
+      FROM sv s JOIN cb c ON c.j = s.j
+      WHERE s.vec_id < 5
+    ),
+    scored AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             round(sum(l.d), 6) AS adist
+      FROM codes co JOIN lut l ON l.j = co.j AND l.code = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+    doc="PQ asymmetric-distance top-10: corpus scanned as 8-byte codes "
+        "joined to the broadcast per-query LUT, per-cell distances "
+        "rounded before summing so ranks are engine-stable",
+)
+def knn_pq_adc(spark, sf_dir):
+    from .operators.pq import fixed_codebooks, pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = fixed_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, cb, m=8).select("vec_id", "j", "code")
+    return pq_adc_topk(codes, emb.where(F.col("vec_id") < 5), cb, m=8,
+                       k_top=10, exclude_self=True)
+
+
 # --- full BPE training loop --------------------------------------------------
 # Iterative argmax → no SQL oracle (the MRFFT/k-means category);
 # tests/test_llm_ops.py pins the merge sequence to an independent

@@ -304,6 +304,26 @@ def _branch_ops(tree: str, start: str, stop: str) -> list[str]:
     return [o.split(" (")[0].strip() for o in ops[1:]]
 
 
+def test_pq_encode_is_broadcast_join_no_python(spark):
+    # the m·k codebook side broadcasts; the corpus explode is narrow
+    # and everything stays JVM-side
+    plan = _plan(spark, "embedding_pq_codes", "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_no_cartesian_no_python(spark):
+    # the LUT (|queries|·m·k rows) broadcasts into the codes join; the
+    # raw-vector table is never scanned on the corpus side of the join
+    plan = _plan(spark, "knn_pq_adc", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 # Queries whose spark_fn EXECUTES on construction (streaming harnesses,
 # iterative trainers, driver-sequential samplers): the DataFrame they
 # return is materialized (localCheckpoint / createDataFrame), so there
