@@ -311,6 +311,75 @@ def contamination_scan(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                     .alias("contaminated")))
 
 
+def _ngram_pairs(docs: DataFrame, n: int, text_col: str,
+                 id_col: str) -> DataFrame:
+    """(doc_id, ngram, c): occurrence counts of every word n-gram per
+    document — the shared base table of the boilerplate ops. Narrow
+    explode + ONE hash aggregate on (doc, ngram); at corpus scale this
+    is the table to checkpoint once and feed both consumers."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
+            .groupBy(id_col, "ngram").agg(F.count("*").alias("c")))
+
+
+def boilerplate_ngrams(docs: DataFrame, n: int = 8, min_docs: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide repeated-n-gram mining → (ngram, n_docs, n_occ):
+    every word n-gram appearing in at least ``min_docs`` distinct
+    documents — headers, footers, license blocks, navigation chrome —
+    the map stage of repeated-paragraph removal (CCNet/RefinedWeb-style
+    boilerplate cleaning; the cross-document sibling of the in-document
+    ``repetition_scores``).
+
+    Scale shape: the (doc, ngram) aggregate bounds the second shuffle
+    to one row per distinct pair, and the output is threshold-pruned;
+    raise ``min_docs`` with corpus size so the mined set stays
+    broadcastable for ``doc_boilerplate_share``.
+    """
+    return (_ngram_pairs(docs, n, text_col, id_col)
+            .groupBy("ngram")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("c").cast("long").alias("n_occ"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def doc_boilerplate_share(docs: DataFrame, n: int = 8, min_docs: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document boilerplate exposure → (doc_id, n_ngrams,
+    n_boiler, boiler_share): how much of a document's n-gram stream is
+    corpus-level boilerplate (``boilerplate_ngrams`` with the same
+    parameters). The filter signal for dropping template-heavy pages
+    before training; documents shorter than ``n`` words report 0/0/0.
+
+    The mined boilerplate set joins in AQE-broadcast (it is threshold-
+    pruned and Zipf-bounded); the doc side reuses the (doc, ngram)
+    aggregate, so nothing corpus-sized shuffles twice.
+    """
+    pairs = _ngram_pairs(docs, n, text_col, id_col)
+    boiler = boilerplate_ngrams(docs, n, min_docs, text_col, id_col) \
+        .select("ngram")
+    totals = pairs.groupBy(id_col).agg(F.sum("c").alias("n_ngrams"))
+    hits = (pairs.join(boiler, "ngram", "left_semi")
+            .groupBy(id_col).agg(F.sum("c").alias("n_boiler")))
+    return (docs.select(id_col).join(totals, id_col, "left")
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_ngrams", F.lit(0)).cast("long")
+                    .alias("n_ngrams"),
+                    F.coalesce("n_boiler", F.lit(0)).cast("long")
+                    .alias("n_boiler"),
+                    F.round(F.coalesce(F.col("n_boiler")
+                                       / F.col("n_ngrams"), F.lit(0.0)), 6)
+                    .alias("boiler_share")))
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """PII redaction → (doc_id, text) with emails/URLs replaced by

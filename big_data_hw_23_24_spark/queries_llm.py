@@ -1293,6 +1293,77 @@ def embedding_lloyd_round(spark, sf_dir):
     return lloyd_round(emb, cents)
 
 
+# --- cross-document boilerplate mining ---------------------------------------
+# The map stage of repeated-paragraph removal (CCNet/RefinedWeb-style
+# cleaning): mine word 8-grams shared by ≥3 documents, then score each
+# document's exposure to the mined set. Both queries share the
+# (doc, ngram) CTE so the oracles state the same dataflow the Spark
+# plans execute.
+_BOILER_SQL_BASE = """
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(ws) - 7),
+                    i -> array_to_string(ws[i + 1 : i + 8], ' '))) AS ngram
+      FROM f WHERE len(ws) >= 8
+    ),
+    pairs AS (SELECT doc_id, ngram, count(*) AS c
+              FROM g GROUP BY doc_id, ngram),
+    boiler AS (
+      SELECT ngram, count(*) AS n_docs, sum(c)::BIGINT AS n_occ
+      FROM pairs GROUP BY ngram HAVING count(*) >= 3
+    )
+"""
+
+
+@register(
+    "corpus_boilerplate_ngrams",
+    _BOILER_SQL_BASE + """
+    SELECT ngram, n_docs, n_occ FROM boiler
+    """,
+    doc="cross-document boilerplate mining: word 8-grams in >=3 docs "
+        "with doc and occurrence counts (operators/textstats.py)",
+)
+def corpus_boilerplate_ngrams(spark, sf_dir):
+    from .operators.textstats import boilerplate_ngrams
+
+    return boilerplate_ngrams(load_table(spark, sf_dir, "documents"),
+                              n=8, min_docs=3)
+
+
+@register(
+    "doc_boilerplate_share",
+    _BOILER_SQL_BASE + """,
+    totals AS (SELECT doc_id, sum(c)::BIGINT AS n_ngrams
+               FROM pairs GROUP BY doc_id),
+    hits AS (
+      SELECT p.doc_id, sum(p.c)::BIGINT AS n_boiler
+      FROM pairs p WHERE p.ngram IN (SELECT ngram FROM boiler)
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_ngrams, 0) AS n_ngrams,
+           coalesce(h.n_boiler, 0) AS n_boiler,
+           round(coalesce(h.n_boiler / t.n_ngrams, 0.0), 6)
+             AS boiler_share
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="per-document boilerplate exposure: fraction of the doc's "
+        "8-gram stream that is corpus-level boilerplate — the "
+        "template-page drop signal",
+)
+def doc_boilerplate_share(spark, sf_dir):
+    from .operators.textstats import doc_boilerplate_share as share
+
+    return share(load_table(spark, sf_dir, "documents"), n=8, min_docs=3)
+
+
 # --- product quantization (PQ) faces -----------------------------------------
 # pq_train is rows-only (per-subspace k-means on a driver sample); the
 # deterministic kernels — encode against FIXED codebooks and the ADC

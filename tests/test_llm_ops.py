@@ -779,6 +779,37 @@ def test_lloyd_round_face_matches_trainer_aggregate(spark, emb):
     assert got == face
 
 
+def test_boilerplate_ngrams_planted_template(spark):
+    """A planted footer shared by 3 docs is mined (with exact doc and
+    occurrence counts); a 2-doc overlap and unique text are not."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        boilerplate_ngrams, doc_boilerplate_share)
+
+    footer = "this site is provided as is without any warranty"  # 9 words
+    docs = spark.createDataFrame([
+        (1, "alpha beta " + footer),
+        (2, "gamma delta " + footer),
+        (3, footer + " epsilon zeta"),
+        (4, "pair one shared run of exactly eight words x"),
+        (5, "pair one shared run of exactly eight words y"),
+        (6, "totally unique text with no repeats at all here"),
+        (7, "short"),
+    ], ["doc_id", "text"])
+    mined = {r.ngram: (r.n_docs, r.n_occ)
+             for r in boilerplate_ngrams(docs, n=8, min_docs=3).collect()}
+    # the 9-word footer yields 2 overlapping 8-grams, each in 3 docs
+    assert len(mined) == 2
+    assert all(v == (3, 3) for v in mined.values())
+    share = {r.doc_id: r for r in
+             doc_boilerplate_share(docs, n=8, min_docs=3).collect()}
+    assert len(share) == 7  # every doc kept, even the short one
+    assert share[7].n_ngrams == 0 and share[7].boiler_share == 0.0
+    assert share[4].n_boiler == 0  # 2-doc overlap is below min_docs
+    # doc 3: 11 words → 4 ngrams, 2 of them boilerplate
+    assert (share[3].n_ngrams, share[3].n_boiler) == (4, 2)
+    assert share[3].boiler_share == 0.5
+
+
 def test_pq_encode_matches_numpy_argmin(spark, emb):
     """PQ codes vs a straight numpy per-subspace argmin on the same
     fixed codebooks — and quantization errors are the true squared

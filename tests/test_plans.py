@@ -324,6 +324,16 @@ def test_pq_adc_no_cartesian_no_python(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_boilerplate_share_no_cartesian_no_python(spark):
+    # the mined boilerplate set is threshold-pruned and joins semi/
+    # broadcast; everything stays JVM-side with no pairwise scan
+    plan = _plan(spark, "doc_boilerplate_share", "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 # Queries whose spark_fn EXECUTES on construction (streaming harnesses,
 # iterative trainers, driver-sequential samplers): the DataFrame they
 # return is materialized (localCheckpoint / createDataFrame), so there
