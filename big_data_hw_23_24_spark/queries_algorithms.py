@@ -325,6 +325,43 @@ def streaming_distinct_count(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# The state-store sibling of streaming_distinct_count: Spark's own
+# dropDuplicates stateful operator over the same replayed stream.
+# Oracle-checkable because the operator's contract — every distinct key
+# emitted exactly once across all micro-batches — is arrival-order
+# independent (no n-trim here; state covers the whole stream).
+@register(
+    "streaming_dropdup_items",
+    """
+    SELECT DISTINCT user_id AS item FROM events
+    """,
+    doc="streaming stateful dedup via Spark's dropDuplicates state "
+        "store: each distinct event user emitted exactly once over "
+        "deterministic file-replay micro-batches (idiomatic scale face "
+        "of DistinctItemsExample.py:21-26; state in RocksDB on a "
+        "cluster, dropDuplicatesWithinWatermark bounds it)",
+)
+def streaming_dropdup_items(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming.distinct_stream import streaming_distinct_keys
+    from .streaming.replay import write_microbatches
+
+    seq = _event_item_seq(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="sdd_stream_")
+    try:
+        glob = write_microbatches(seq, d, n_buckets=10)
+        stream = (spark.readStream.schema("seq long, item long")
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        items = streaming_distinct_keys(stream)
+        assert len(items) == len(set(items)), "key emitted twice"
+        return spark.createDataFrame([(int(i),) for i in sorted(items)],
+                                     "item bigint")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @register(
     "sticky_sample_users",
     None,

@@ -86,3 +86,32 @@ def run_distinct_items(spark: SparkSession, stream: DataFrame,
     query.stop()
     query.awaitTermination(30)
     return monitor
+
+
+def streaming_distinct_keys(stream: DataFrame, item_col: str = "item",
+                            timeout_sec: float = 120.0) -> list:
+    """The idiomatic state-store face of streaming dedup: Spark's own
+    ``dropDuplicates`` operator keeps per-key state in the state store
+    (RocksDB/HDFS-backed on a cluster — scales past driver memory,
+    exactly-once across restarts via checkpointing) and each
+    micro-batch emits only NEVER-SEEN keys. Returns the emitted key
+    list (each distinct key exactly once, which is the operator's
+    contract and what the SQL oracle recomputes).
+
+    State here is unbounded by design (the bounded-state variant is
+    ``dropDuplicatesWithinWatermark``, which expires keys older than
+    the watermark — same plan shape, demonstrated in tests; its output
+    depends on watermark progression, so the no-expiry face is the
+    oracle-checkable one).
+    """
+    out: list = []
+    query = (stream.select(item_col).dropDuplicates([item_col])
+             .writeStream
+             .foreachBatch(lambda df, eid: out.extend(
+                 r[0] for r in df.collect()))
+             .outputMode("update")
+             .trigger(availableNow=True)
+             .start())
+    assert query.awaitTermination(timeout_sec), \
+        "streaming dropDuplicates timed out"
+    return out

@@ -117,6 +117,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "knn_pq_adc",                # PQ asymmetric-distance search (r6)
         "corpus_boilerplate_ngrams",  # cross-doc repeated-ngram mining (r6)
         "doc_boilerplate_share",     # per-doc boilerplate exposure (r6)
+        "streaming_dropdup_items",   # state-store dropDuplicates face (r6)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

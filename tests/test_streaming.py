@@ -338,6 +338,22 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert {r.event_id: r["count"] for r in got} == {10: 1, 11: 1, 12: 1, 13: 1}
 
 
+def test_streaming_distinct_keys_emits_each_key_once(spark, tmp_path):
+    """The no-expiry dropDuplicates face: every distinct key emitted
+    exactly once across micro-batches, repeats suppressed by state."""
+    from big_data_hw_23_24_spark.streaming.distinct_stream import (
+        streaming_distinct_keys)
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+
+    rows = [(i, v) for i, v in enumerate([7, 8, 7, 9, 8, 7, 10, 9])]
+    df = spark.createDataFrame(rows, "seq long, item long")
+    glob = write_microbatches(df, str(tmp_path / "ddk"), n_buckets=4)
+    stream = (spark.readStream.schema("seq long, item long")
+              .option("maxFilesPerTrigger", 1).parquet(glob))
+    out = streaming_distinct_keys(stream)
+    assert sorted(out) == [7, 8, 9, 10]
+
+
 def test_cms_overestimates_only_and_covers_exact_frequent(spark):
     """CMS guarantees: (a) est ≥ true count for EVERY item (one-sided
     error); (b) the CMS-frequent set at threshold t is a superset of
