@@ -49,6 +49,9 @@ HEADLINE = [
     "doc_repetition_scores",  # repetition quality signals, 1-shuffle plan
     "doc_pack_sequences",     # per-shard context-window packing
     "corpus_source_mix",      # deterministic data-mixing sampler
+    # r6 additions (set now 28 — compare per-query across rounds)
+    "knn_pq_adc",             # PQ code-scan ADC search + LUT broadcast
+    "doc_boilerplate_share",  # cross-doc boilerplate exposure scoring
 ]
 
 
