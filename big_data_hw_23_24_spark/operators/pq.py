@@ -126,6 +126,41 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k_top))
 
 
+def pq_rerank_topk(corpus: DataFrame, codes: DataFrame,
+                   queries: DataFrame, codebooks: DataFrame, m: int,
+                   k_top: int = 10, fetch: int = 40,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   round_to: int = 6) -> DataFrame:
+    """The full production PQ search path → (query_id, neighbor_id,
+    dist_sq, rank): ADC over the code table produces a ``fetch``-deep
+    shortlist (code-bytes scan only), then EXACT squared-L2 reranks
+    just those |queries|·fetch pairs against the raw vectors — the
+    ``quantized_topk`` two-stage shape with PQ as the cheap stage.
+
+    The rerank join touches the raw-vector table once, filtered to the
+    shortlist (an equi-join on the neighbor id — AQE broadcasts the
+    shortlist side); exact distances are rounded before ranking, ties
+    broken by neighbor id, so results are engine-stable end to end.
+    """
+    short = pq_adc_topk(codes, queries, codebooks, m, k_top=fetch,
+                        exclude_self=True,
+                        vec_col=vec_col, id_col=id_col) \
+        .select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("nv"))
+    dist = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (short.join(F.broadcast(q), "query_id").join(c, "neighbor_id")
+            .select("query_id", "neighbor_id",
+                    F.round(dist, round_to).alias("dist_sq"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_top))
+
+
 def pq_train(df: DataFrame, m: int, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              sample_size: int = 10_000, seed: int = 42) -> DataFrame:

@@ -1451,6 +1451,57 @@ def knn_pq_adc(spark, sf_dir):
                        k_top=10, exclude_self=True)
 
 
+@register(
+    "knn_pq_rerank",
+    _PQ_SQL_BASE + """,
+    lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.centroid_id AS code,
+             round(list_sum(list_transform(range(1, len(s.sub) + 1),
+                                           i -> (s.sub[i] - c.cv[i]) ^ 2)),
+                   6) AS d
+      FROM sv s JOIN cb c ON c.j = s.j
+      WHERE s.vec_id < 5
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT l.query_id, co.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY l.query_id
+                 ORDER BY round(sum(l.d), 6), co.vec_id) AS srank
+        FROM codes co JOIN lut l ON l.j = co.j AND l.code = co.code
+        WHERE co.vec_id <> l.query_id
+        GROUP BY l.query_id, co.vec_id)
+      WHERE srank <= 40
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> (q.v[i] - n.v[i]) ^ 2)), 6) AS dist_sq
+      FROM short s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_sq, rank FROM (
+      SELECT query_id, neighbor_id, dist_sq,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_sq, neighbor_id) AS rank
+      FROM exact)
+    WHERE rank <= 10
+    """,
+    doc="the full production PQ path: 40-deep ADC shortlist over code "
+        "bytes, then exact squared-L2 rerank of only the shortlisted "
+        "pairs against raw vectors (the quantized_topk two-stage shape)",
+)
+def knn_pq_rerank(spark, sf_dir):
+    from .operators.pq import fixed_codebooks, pq_encode, pq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = fixed_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, cb, m=8).select("vec_id", "j", "code")
+    return pq_rerank_topk(emb, codes, emb.where(F.col("vec_id") < 5),
+                          cb, m=8, k_top=10, fetch=40)
+
+
 # --- full BPE training loop --------------------------------------------------
 # Iterative argmax → no SQL oracle (the MRFFT/k-means category);
 # tests/test_llm_ops.py pins the merge sequence to an independent

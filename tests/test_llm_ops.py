@@ -868,6 +868,43 @@ def test_pq_trained_adc_shortlist_recall(spark, emb):
     assert hits / total >= 0.7, hits / total
 
 
+def test_pq_rerank_returns_exact_best_of_shortlist(spark, emb):
+    """Rerank output == the exact-L2 best 10 of the ADC shortlist, and
+    its recall can only match-or-beat plain ADC top-10 (same trained
+    codebooks)."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.pq import (pq_adc_topk,
+                                                      pq_encode,
+                                                      pq_rerank_topk,
+                                                      pq_train)
+
+    m = 16
+    cb = pq_train(emb, m=m, k=16)
+    codes = pq_encode(emb, cb, m=m).select("vec_id", "j", "code")
+    queries = emb.where("vec_id < 20")
+    short = {}
+    for r in pq_adc_topk(codes, queries, cb, m=m, k_top=40,
+                         exclude_self=True).collect():
+        short.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rerank = {}
+    for r in pq_rerank_topk(emb, codes, queries, cb, m=m, k_top=10,
+                            fetch=40).collect():
+        rerank.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, r.dist_sq))
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for qid, rows in rerank.items():
+        rows.sort()
+        ids = [nid for _, nid, _ in rows]
+        assert set(ids) <= short[qid]  # rerank only reorders the shortlist
+        # exact-L2 order of the shortlist, ties by id — must agree
+        want = sorted(short[qid],
+                      key=lambda n: (round(float(
+                          ((vecs[qid] - vecs[n]) ** 2).sum()), 6), n))[:10]
+        assert ids == want, qid
+
+
 def _ref_bpe(word_counts, n):
     """Independent pure-Python BPE reference (greedy left-to-right
     apply, count-desc/lexicographic argmax) for exact comparison."""

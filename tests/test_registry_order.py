@@ -118,6 +118,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_boilerplate_ngrams",  # cross-doc repeated-ngram mining (r6)
         "doc_boilerplate_share",     # per-doc boilerplate exposure (r6)
         "streaming_dropdup_items",   # state-store dropDuplicates face (r6)
+        "knn_pq_rerank",             # ADC shortlist + exact rerank (r6)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
