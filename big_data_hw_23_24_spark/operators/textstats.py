@@ -351,25 +351,35 @@ def boilerplate_ngrams(docs: DataFrame, n: int = 8, min_docs: int = 3,
 
 def doc_boilerplate_share(docs: DataFrame, n: int = 8, min_docs: int = 3,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          materialize: bool = True) -> DataFrame:
     """Per-document boilerplate exposure → (doc_id, n_ngrams,
     n_boiler, boiler_share): how much of a document's n-gram stream is
     corpus-level boilerplate (``boilerplate_ngrams`` with the same
     parameters). The filter signal for dropping template-heavy pages
     before training; documents shorter than ``n`` words report 0/0/0.
 
-    The mined boilerplate set joins in AQE-broadcast (it is threshold-
-    pruned and Zipf-bounded); the doc side reuses the (doc, ngram)
-    aggregate, so nothing corpus-sized shuffles twice.
+    Both consumers of the (doc, ngram) table — the mined boilerplate
+    set and the per-doc exposure — read ONE materialization of it
+    (``localCheckpoint``; Catalyst does not reuse the explode+aggregate
+    subtree across branches, so without this the corpus is scanned and
+    shuffled three times). The mined set left-joins back as a flag
+    (AQE-broadcast, threshold-pruned) and one flagged aggregate
+    produces totals and hits together; ``materialize=False`` keeps the
+    plan lazy for inspection.
     """
     pairs = _ngram_pairs(docs, n, text_col, id_col)
-    boiler = boilerplate_ngrams(docs, n, min_docs, text_col, id_col) \
-        .select("ngram")
-    totals = pairs.groupBy(id_col).agg(F.sum("c").alias("n_ngrams"))
-    hits = (pairs.join(boiler, "ngram", "left_semi")
-            .groupBy(id_col).agg(F.sum("c").alias("n_boiler")))
-    return (docs.select(id_col).join(totals, id_col, "left")
-            .join(hits, id_col, "left")
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+    boiler = (pairs.groupBy("ngram").agg(F.count("*").alias("n_docs"))
+              .where(F.col("n_docs") >= min_docs)
+              .select("ngram", F.lit(True).alias("_boiler")))
+    per_doc = (pairs.join(boiler, "ngram", "left")
+               .groupBy(id_col)
+               .agg(F.sum("c").alias("n_ngrams"),
+                    F.sum(F.when(F.col("_boiler"), F.col("c"))
+                          .otherwise(F.lit(0))).alias("n_boiler")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("n_ngrams", F.lit(0)).cast("long")
                     .alias("n_ngrams"),

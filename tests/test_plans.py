@@ -325,13 +325,18 @@ def test_pq_adc_no_cartesian_no_python(spark):
 
 
 def test_boilerplate_share_no_cartesian_no_python(spark):
-    # the mined boilerplate set is threshold-pruned and joins semi/
-    # broadcast; everything stays JVM-side with no pairwise scan
+    # the mined boilerplate set is threshold-pruned and joins broadcast
+    # as a flag; everything stays JVM-side with no pairwise scan
     plan = _plan(spark, "doc_boilerplate_share", "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+    # the corpus TEXT is exploded+aggregated exactly once, into the
+    # materialized (doc, ngram) table both consumers read: the only
+    # parquet scan left in the final plan is the id-only doc spine
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1 and "text" not in scans[0], plan
 
 
 # Queries whose spark_fn EXECUTES on construction (streaming harnesses,
