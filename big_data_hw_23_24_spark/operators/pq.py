@@ -161,6 +161,56 @@ def pq_rerank_topk(corpus: DataFrame, codes: DataFrame,
             .where(F.col("rank") <= k_top))
 
 
+def pq_bucket_pairs(df: DataFrame, codebooks: DataFrame, m: int,
+                    threshold: float = 0.95,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    round_to: int = 6) -> DataFrame:
+    """Embedding duplicate pairs via PQ-code buckets → (id_a, id_b,
+    cosine): vectors whose FULL m-code tuples coincide get an exact
+    cosine verification — SemDeDup's cluster-then-verify shape with PQ
+    cells as the clusters.
+
+    This is the IDENTITY tier of embedding dedup: identical vectors
+    always share a bucket (deterministic quantization), tiny
+    perturbations almost always do, but looser similarity has only
+    single-cell recall — borderline vectors quantize into different
+    cells (measured 14-34% on cosine≥0.4 pairs at coarse configs).
+    Use the banded random-hyperplane LSH
+    (``similarity.embedding_lsh_duplicates``) when recall at loose
+    thresholds matters; use this when the corpus carries re-encoded
+    copies of identical content and the cheap bucket key (m small
+    ints, computable from stored PQ codes with NO vector read) pays
+    for itself.
+
+    Scale shape: candidate generation is a hash equi-join on the
+    bounded bucket key (never all-pairs); exact cosine runs only
+    inside buckets, whose sizes are the PQ cell occupancies. Pairs
+    emitted once with ``id_a < id_b``.
+    """
+    enc = pq_encode(df, codebooks, m, vec_col=vec_col, id_col=id_col)
+    keys = (enc.groupBy(id_col)
+            .agg(F.concat_ws("-", F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "code"))),
+                lambda s: s.code.cast("string"))).alias("bucket")))
+    vecs = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    side = keys.join(vecs, id_col)
+    a = side.select(F.col(id_col).alias("id_a"), "bucket",
+                    F.col("v").alias("va"))
+    b = side.select(F.col(id_col).alias("id_b"), "bucket",
+                    F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (norm("va") * norm("vb")), round_to)
+    return (a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def pq_train(df: DataFrame, m: int, k: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              sample_size: int = 10_000, seed: int = 42) -> DataFrame:

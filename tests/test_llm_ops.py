@@ -905,6 +905,31 @@ def test_pq_rerank_returns_exact_best_of_shortlist(spark, emb):
         assert ids == want, qid
 
 
+def test_pq_bucket_pairs_identity_tier(spark):
+    """Planted exact and epsilon-noise embedding copies are always
+    recovered (identical quantization); orthogonal vectors never pair."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.pq import (fixed_codebooks,
+                                                      pq_bucket_pairs)
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((100, rows[5][1]))  # exact copy of vec 5
+    noisy = base[7] + rng.normal(scale=1e-5, size=16).astype("float32")
+    rows.append((101, [float(x) for x in noisy]))  # near-copy of vec 7
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = fixed_codebooks(df, m=4, k=8)
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in pq_bucket_pairs(df, cb, m=4,
+                                      threshold=0.99).collect()}
+    assert (5, 100) in pairs and pairs[(5, 100)] == 1.0
+    assert (7, 101) in pairs and pairs[(7, 101)] >= 0.999
+    # no unrelated gaussian pair is cosine-0.99 similar
+    assert set(pairs) == {(5, 100), (7, 101)}
+
+
 def _ref_bpe(word_counts, n):
     """Independent pure-Python BPE reference (greedy left-to-right
     apply, count-desc/lexicographic argmax) for exact comparison."""
