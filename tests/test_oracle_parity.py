@@ -53,3 +53,36 @@ def test_query_matches_oracle(spark, name, sf_dir):
     assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
     pd.testing.assert_frame_equal(g, w, check_exact=True,
                                   check_dtype=False, obj=name)
+
+
+# Scale-up parity: the driver checks sf0.01, but partition-boundary
+# logic (range repartition, session merge across partitions, window
+# frames, bucket-explode joins) only gets exercised when the data
+# outgrows single partitions. Opt-in (SPARK_GRAFT_SF01_PARITY=1, ~4 min)
+# because sf0.1 DuckDB recomputation is too slow for every suite run;
+# the r6 sweep of these 24 queries was fully green.
+_SF01_SCALE_SENSITIVE = [
+    "pricing_summary", "customer_balance_deciles", "events_asof_orders",
+    "customer_rolling_30d", "sessions_builtin_window",
+    "acctbal_median_by_nation", "mr_approx_outliers", "exact_outliers",
+    "smallest_cells_topk", "doc_pack_sequences", "doc_unigram_logprob",
+    "doc_bigram_logprob", "doc_bpe_tokens", "embedding_lloyd_round",
+    "dedup_components", "dedup_exact_groups", "events_by_window",
+    "events_by_hopping_window", "segment_set_ops", "knn_pq_rerank",
+    "corpus_boilerplate_ngrams", "doc_boilerplate_share",
+    "frequent_users_cms", "events_customer_salted_join",
+]
+
+
+@pytest.mark.skipif("not __import__('os').environ.get('SPARK_GRAFT_SF01_PARITY')")
+@pytest.mark.parametrize("name", _SF01_SCALE_SENSITIVE)
+def test_query_matches_oracle_at_sf01(spark, name):
+    q = _REGISTRY[name]
+    got = q.spark_fn(spark, "/root/testdata/sf0.1").toPandas()
+    con = _duck("/root/testdata/sf0.1")
+    want = con.sql(q.oracle).df()
+    con.close()
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_exact=True,
+                                  check_dtype=False, obj=name)
