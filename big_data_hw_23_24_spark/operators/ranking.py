@@ -50,15 +50,27 @@ def _ranked_with_total(df: DataFrame, order_by: list[Column | str],
     for pid in sorted(counts):  # pid order IS range order
         offsets[pid] = acc
         acc += counts[pid]
-    off_map = F.create_map(*chain.from_iterable(
-        (F.lit(pid), F.lit(off)) for pid, off in offsets.items()))
     w = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = (ranged.withColumn("_pid", F.spark_partition_id())
-              .withColumn(rank_col,
-                          (F.row_number().over(w)
-                           + F.element_at(off_map, F.col("_pid")))
-                          .cast("bigint"))
-              .drop("_pid"))
+    withpid = ranged.withColumn("_pid", F.spark_partition_id())
+    if len(offsets) <= 256:
+        # small partition counts: compile the offsets straight into
+        # the expression tree
+        off_map = F.create_map(*chain.from_iterable(
+            (F.lit(pid), F.lit(off)) for pid, off in offsets.items()))
+        withoff = withpid.withColumn("_off",
+                                     F.element_at(off_map, F.col("_pid")))
+    else:
+        # cluster scale (10⁴-10⁵ range partitions): a 2·P-expression
+        # literal map would bloat the plan — broadcast-join the
+        # offsets as a P-row table instead, same values
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            list(offsets.items()), "_pid int, _off long")
+        withoff = withpid.join(F.broadcast(off_df), "_pid")
+    ranked = (withoff.withColumn(rank_col,
+                                 (F.row_number().over(w) + F.col("_off"))
+                                 .cast("bigint"))
+              .drop("_pid", "_off"))
     return ranked, acc
 
 

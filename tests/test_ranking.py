@@ -42,6 +42,21 @@ def test_global_ntile_matches_window_ntile(spark, n, parts):
     assert got == want
 
 
+def test_global_rank_broadcast_offset_path_many_partitions(spark):
+    """Above 256 range partitions the offsets ship as a broadcast
+    table, not a literal map — same ranks either way."""
+    c = load_table(spark, SF, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("bal"))
+    got = {r.c_custkey: r.rank for r in
+           global_rank(c, ["bal", "c_custkey"],
+                       num_partitions=300).collect()}
+    w = Window.orderBy("bal", "c_custkey")
+    want = {r.c_custkey: r.rank for r in
+            c.select("c_custkey",
+                     F.row_number().over(w).alias("rank")).collect()}
+    assert got == want
+
+
 def test_global_ntile_fewer_rows_than_buckets(spark):
     df = spark.createDataFrame([(i,) for i in range(3)], "x int")
     got = sorted((r.x, r.t) for r in
