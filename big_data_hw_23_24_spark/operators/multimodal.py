@@ -85,6 +85,86 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(kernel, MEDIA_META_SCHEMA)
 
 
+def extract_features(media: DataFrame, dim: int = 4,
+                     fake: bool = False) -> DataFrame:
+    """Feature extraction: binary payload → embedding components, long
+    form (media_id, i, feat) — the step that feeds the similarity /
+    dedup stack (``operators/similarity.py``, ``operators/pq.py``)
+    from media corpora.
+
+    A real extractor runs a vision/audio model per Arrow batch;
+    ``fake=True`` substitutes a deterministic md5-derived vector
+    (component i = digest word i scaled to [0, 1), rounded 6dp)
+    through the identical ``mapInPandas`` path, so batch shape,
+    schema, and the downstream join contract are exercised for real —
+    and the fake is engine-recomputable, so the face is
+    value-checkable end to end. Long form keeps every output cell
+    scalar (the ``embedding_pq_codes`` convention).
+    """
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("i", T.IntegerType(), False),
+        T.StructField("feat", T.DoubleType(), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature models unavailable in this environment; "
+                    "pass fake=True for the deterministic stand-in")
+            out = {"media_id": [], "i": [], "feat": []}
+            for mid, payload in zip(batch["media_id"], batch["media"]):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                for i in range(dim):
+                    out["media_id"].append(mid)
+                    out["i"].append(i)
+                    out["feat"].append(
+                        round(int(h[8 * i:8 * i + 8], 16) / 2 ** 32, 6))
+            df = pd.DataFrame(out)
+            df["i"] = df["i"].astype("int32")
+            yield df
+
+    return media.mapInPandas(kernel, schema)
+
+
+def resize_media(media: DataFrame, max_bytes: int = 256,
+                 fake: bool = False) -> DataFrame:
+    """Resize/transcode: binary in → binary OUT through the Arrow path
+    (media_id, media, n_bytes_in, n_bytes_out) — the plumbing a real
+    thumbnailer/resampler needs: unlike ``decode_media`` (metadata
+    out), the payload itself crosses the kernel boundary both ways,
+    which is the expensive shape at 100 TB (size the batches by bytes,
+    not rows). ``fake=True`` truncates the payload deterministically;
+    a real kernel decodes, resamples, re-encodes per batch.
+    """
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField("n_bytes_in", T.IntegerType(), False),
+        T.StructField("n_bytes_out", T.IntegerType(), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; "
+                    "pass fake=True for the deterministic stand-in")
+            payloads = batch["media"].map(bytes)
+            resized = payloads.map(lambda b: b[:max_bytes])
+            yield pd.DataFrame({
+                "media_id": batch["media_id"],
+                "media": resized,
+                "n_bytes_in": payloads.map(len).astype("int32"),
+                "n_bytes_out": resized.map(len).astype("int32"),
+            })
+
+    return media.mapInPandas(kernel, schema)
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Plumbing for frame sampling: one row per sampled frame index.
 

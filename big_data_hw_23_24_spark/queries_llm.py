@@ -634,6 +634,30 @@ def media_decode_meta(spark, sf_dir):
     return decode_media(media, fake=True)
 
 
+# The feature-extraction step of the multimodal pipeline: payload →
+# embedding components through the same Arrow mapInPandas path, with
+# the deterministic md5-derived fake standing in for a model — so the
+# face value-checks the full kernel contract (batching, schema, long
+# form) against an engine recomputation.
+@register(
+    "media_feature_vectors",
+    """
+    SELECT doc_id AS media_id, i::INT AS i,
+           round(('0x' || substr(md5(text), 8 * i + 1, 8))::BIGINT
+                 / 4294967296.0, 6) AS feat
+    FROM documents, (SELECT unnest(range(0, 4)) AS i)
+    """,
+    doc="multimodal feature extraction: binary payload → 4 md5-derived "
+        "embedding components via the Arrow mapInPandas kernel (fake "
+        "model; long form, one scalar per cell)",
+)
+def media_feature_vectors(spark, sf_dir):
+    from .operators.multimodal import extract_features
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, dim=4, fake=True)
+
+
 # --- embedding quantization --------------------------------------------------
 # Codes are serialized to a CSV string so the value-hash compares a
 # scalar; both engines compute codes with the RAW max-abs scale and

@@ -163,6 +163,38 @@ def test_multimodal_decode_stub_and_fake(spark, docs):
         decode_media(media, fake=False).collect()
 
 
+def test_multimodal_feature_extract_fake_matches_reference(spark, docs):
+    import hashlib
+
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        extract_features, media_from_documents)
+
+    media = media_from_documents(docs.limit(20))
+    got = {(r.media_id, r.i): r.feat
+           for r in extract_features(media, dim=4, fake=True).collect()}
+    for r in docs.limit(20).collect():
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        for i in range(4):
+            want = round(int(h[8 * i:8 * i + 8], 16) / 2 ** 32, 6)
+            assert got[(r.doc_id, i)] == want
+    with pytest.raises(Exception, match="NotImplementedError|models"):
+        extract_features(media, fake=False).collect()
+
+
+def test_multimodal_resize_binary_roundtrip(spark, docs):
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        media_from_documents, resize_media)
+
+    media = media_from_documents(docs.limit(20))
+    rows = resize_media(media, max_bytes=32, fake=True).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_bytes_out == min(r.n_bytes_in, 32)
+        assert len(bytes(r.media)) == r.n_bytes_out
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_media(media, fake=False).collect()
+
+
 def test_frame_sample_plan(spark, docs):
     from big_data_hw_23_24_spark.operators.multimodal import (
         frame_sample_plan, media_from_documents)

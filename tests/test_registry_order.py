@@ -119,6 +119,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_boilerplate_share",     # per-doc boilerplate exposure (r6)
         "streaming_dropdup_items",   # state-store dropDuplicates face (r6)
         "knn_pq_rerank",             # ADC shortlist + exact rerank (r6)
+        "media_feature_vectors",     # multimodal feature-extract face (r6)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
