@@ -106,6 +106,13 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "doc_bpe_tokens",
     "embedding_lloyd_round",
     "streaming_frequent_exact",
+    # r6 late additions (PQ search, boilerplate, state-store dedup,
+    # multimodal features) — rotated in over four multi-green
+    # redundant faces so they earn driver rows the round they ship
+    "knn_pq_rerank",
+    "doc_boilerplate_share",
+    "streaming_dropdup_items",
+    "media_feature_vectors",
     # reference-algorithm + streaming oracle queries
     "mr_approx_outliers",
     "smallest_cells_topk",
@@ -118,18 +125,14 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "wordcount",
     "customer_rolling_30d",
     "customer_order_membership",
-    "frequent_users_exact",
     "frequent_users_cms",
     "segment_set_ops",
-    "events_by_window",
-    "conditional_agg_priority",
     "user_event_type_map",
     "parts_above_avg_revenue_bloom",
     "acctbal_median_by_nation",
     "events_asof_orders",
     "sales_grouping_sets",
     "returns_pivot_by_status",
-    "price_quantiles_approx",
     "buyers_full_outer_active",
     "events_customer_salted_join",
 )

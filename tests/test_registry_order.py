@@ -107,19 +107,42 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "sessions_builtin_window",   # green r03-r05; identical session
                                      #   semantics + oracle shape as
                                      #   streaming_sessions (in window)
+        # rotated out mid-r6 AFTER earning green rows, to admit the
+        # four late-r6 queries (PQ rerank, boilerplate share,
+        # dropDuplicates face, multimodal features)
+        "frequent_users_exact",      # green r01-r05; A9 exact
+                                     #   frequent-items semantics also
+                                     #   driver-checked by
+                                     #   streaming_frequent_exact
+                                     #   (in window, same
+                                     #   group-count-threshold oracle)
+        "conditional_agg_priority",  # green r02-r05; A8 count-if
+                                     #   accumulators ⊂
+                                     #   mr_approx_outliers (in window,
+                                     #   sure/uncertain conditional
+                                     #   sums)
+        "events_by_window",          # green r02-r05; tumbling F.window
+                                     #   is the slide==width special
+                                     #   case of events_by_hopping_window
+                                     #   (in window)
+        "price_quantiles_approx",    # green r04+r05; percentile
+                                     #   semantics driver-checked by
+                                     #   acctbal_median_by_nation
+                                     #   (in window, UDAF face)
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
     # rows) and is full-value oracle-compared in test_oracle_parity
     # meanwhile
     queued_for_rotation = {
-        "embedding_pq_codes",        # PQ encode vs fixed codebooks (r6)
-        "knn_pq_adc",                # PQ asymmetric-distance search (r6)
-        "corpus_boilerplate_ngrams",  # cross-doc repeated-ngram mining (r6)
-        "doc_boilerplate_share",     # per-doc boilerplate exposure (r6)
-        "streaming_dropdup_items",   # state-store dropDuplicates face (r6)
-        "knn_pq_rerank",             # ADC shortlist + exact rerank (r6)
-        "media_feature_vectors",     # multimodal feature-extract face (r6)
+        # sub-steps of the composed in-window faces (knn_pq_rerank runs
+        # encode→ADC→rerank; doc_boilerplate_share runs the ngram
+        # mining); their OWN outputs still deserve a driver row each,
+        # so they wait for the r7 rotation rather than being declared
+        # redundant while never-checked
+        "embedding_pq_codes",        # PQ encode vs fixed codebooks (r7)
+        "knn_pq_adc",                # PQ asymmetric-distance search (r7)
+        "corpus_boilerplate_ngrams",  # cross-doc repeated-ngram mining (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
