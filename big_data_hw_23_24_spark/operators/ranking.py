@@ -84,6 +84,50 @@ def global_rank(df: DataFrame, order_by: list[Column | str],
     return ranked
 
 
+def global_cumsum(df: DataFrame, order_by: list[Column | str],
+                  value_col: str, out_col: str = "cumsum",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Running total of ``value_col`` in global ``order_by`` order
+    (inclusive of the current row) without a single-partition window —
+    the same two-pass shape as :func:`global_rank`, with per-partition
+    VALUE sums as the prefix offsets instead of row counts.
+
+    ``order_by`` must be a total order (include a unique tiebreaker)
+    so the prefix is well-defined; ``value_col`` should be integral
+    (token counts, byte sizes) — float prefix sums would make the
+    result partition-dependent through summation order.
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (df.repartitionByRange(num_partitions, *cols)
+              .localCheckpoint(eager=True))
+    sums = {r.pid: r.s for r in
+            (ranged.groupBy(F.spark_partition_id().alias("pid"))
+             .agg(F.sum(value_col).alias("s")).collect())}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):  # pid order IS range order
+        offsets[pid] = acc
+        acc += sums[pid]
+    w = (Window.partitionBy("_pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    withpid = ranged.withColumn("_pid", F.spark_partition_id())
+    if len(offsets) <= 256:
+        off_map = F.create_map(*chain.from_iterable(
+            (F.lit(pid), F.lit(off)) for pid, off in offsets.items()))
+        withoff = withpid.withColumn("_off",
+                                     F.element_at(off_map, F.col("_pid")))
+    else:
+        off_df = spark.createDataFrame(
+            list(offsets.items()), "_pid int, _off long")
+        withoff = withpid.join(F.broadcast(off_df), "_pid")
+    return (withoff.withColumn(out_col,
+                               (F.sum(value_col).over(w) + F.col("_off"))
+                               .cast("bigint"))
+            .drop("_pid", "_off"))
+
+
 def global_ntile(df: DataFrame, n: int, order_by: list[Column | str],
                  out_col: str = "ntile",
                  num_partitions: int | None = None) -> DataFrame:

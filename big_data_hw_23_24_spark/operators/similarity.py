@@ -350,3 +350,76 @@ def quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                        / (F.col("q_norm") * F.col("c_norm")))
                       .alias("cosine_raw")))
     return _rank_topk(scored, k)
+
+
+def assign_nearest(emb: DataFrame, centroids: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid assignment by squared L2 as a pure JVM
+    expression: broadcast the (small) centroid table, score every
+    (vector, centroid) pair with ``zip_with``/``aggregate``, argmin
+    via a min-struct aggregate keyed by the vector — one keyed
+    shuffle whose width is the corpus, never the cross product.
+
+    ``centroids`` must have columns (centroid_id, cv). Ties break to
+    the smallest centroid_id (same rule as the IVF routing kernel and
+    its oracle face ``embedding_nearest_centroid``).
+    """
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                   .alias("_v"))
+    dist = F.aggregate(
+        F.zip_with("_v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    best = (v.crossJoin(F.broadcast(centroids))
+            .select(id_col,
+                    F.struct(dist.alias("d"),
+                             F.col("centroid_id").alias("cid")).alias("s"))
+            .groupBy(id_col).agg(F.min("s").alias("b"))
+            .select(id_col, F.col("b.cid").alias(out_col),
+                    F.col("b.d").alias("dist_sq")))
+    return emb.join(best, id_col)
+
+
+def semantic_dedup(emb: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.3, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then WITHIN each cluster drop every vector that has a
+    sufficiently-cosine-similar representative with a smaller id —
+    semantic near-duplicates collapse to one exemplar per ε-ball,
+    O(cluster²) instead of O(corpus²).
+
+    Returns every input id with (cluster, dropped): ``dropped`` is
+    true iff some same-cluster vector with a smaller id has rounded
+    cosine ≥ ``threshold`` (round-then-compare on 6 dp, the engine
+    convention that keeps threshold-straddling ulps engine-portable).
+
+    Scale shape: the pair join is an equi-join ON THE CLUSTER ID — at
+    real scale ``centroids`` comes from ``clustering.kmeans_fit`` with
+    k ≈ √N lists sized so clusters fit a task (the IVF geometry), so
+    the quadratic term is bounded per cluster and the whole step is
+    one parallel hash join + one semi-join. The oracle face fixes 4
+    seed centroids, which makes every value deterministic and
+    SQL-checkable; recall/precision of the clustering itself is the
+    property-tested concern of the k-means trainer, not this operator.
+    """
+    assigned = assign_nearest(emb, centroids, id_col, vec_col)
+    sides = with_l2_norm(
+        assigned.select(F.col(id_col).alias("_id"), "cluster",
+                        F.col(vec_col).alias("_v")), "_v", "_n")
+    a = sides.select(F.col("_id").alias("id_a"), "cluster",
+                     F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = sides.select(F.col("_id").alias("id_b"),
+                     F.col("cluster").alias("cluster_b"),
+                     F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+    dup_ids = (a.join(b, (F.col("cluster") == F.col("cluster_b"))
+                      & (F.col("id_a") < F.col("id_b")))
+               .where(F.round(_dot(F.col("va"), F.col("vb"))
+                              / (F.col("na") * F.col("nb")), 6)
+                      >= threshold)
+               .select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("_dup", F.lit(True)))
+    return (assigned
+            .join(dup_ids, id_col, "left")
+            .select(id_col, "cluster",
+                    F.coalesce(F.col("_dup"), F.lit(False)).alias("dropped")))

@@ -1656,3 +1656,240 @@ def doc_bigram_logprob(spark, sf_dir):
     from .operators.tokenizer import bigram_logprob
 
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+# --- C4-style line cleaning --------------------------------------------------
+# The synthetic corpus is single-line word-soup with no punctuation, so
+# (exactly like dedup_exact_groups) the checks run over a DERIVED
+# multi-line corpus built identically in both engines: five lines per
+# document with planted duplicates, punctuation-terminated sentences, a
+# too-short line and a periodic "lorem ipsum" marker — every branch of
+# the line filter and the keep-first dedup fold is provably exercised.
+_SYNTH_LINES_CTE = """
+synth AS (
+  SELECT doc_id,
+         substr(text, 1, 50) || '.'  AS la,
+         substr(text, 51, 80)        AS lb,
+         'Ok.'                       AS lc,
+         substr(text, 1, 30) || '?'  AS ld,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'lorem ipsum dolor sit amet.'
+              ELSE 'A clean closing line here.' END AS le
+  FROM documents
+)"""
+
+
+def _synth_lines(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 50), F.lit(".")).alias("la"),
+        F.substring("text", 51, 80).alias("lb"),
+        F.lit("Ok.").alias("lc"),
+        F.concat(F.substring("text", 1, 30), F.lit("?")).alias("ld"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("lorem ipsum dolor sit amet."))
+        .otherwise(F.lit("A clean closing line here.")).alias("le"))
+
+
+@register(
+    "doc_c4_line_filter",
+    f"""
+    WITH {_SYNTH_LINES_CTE},
+    f AS (
+      SELECT doc_id,
+             la || chr(10) || lb || chr(10) || lc || chr(10) || ld
+                || chr(10) || le AS text,
+             list_filter([la, lb, lc, ld, le],
+                         l -> regexp_matches(trim(l), '[.!?"]\\s*$')
+                              AND len(list_filter(string_split(trim(l), ' '),
+                                                  w -> w <> '')) >= 4)
+               AS kept
+      FROM synth
+    )
+    SELECT doc_id, 5::INT AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           md5(array_to_string(kept, chr(10))) AS clean_md5,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') AS has_brace,
+           len(kept) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{{') AS keep
+    FROM f
+    """,
+    doc="C4 line filter (Raffel et al. 2020 §2.2): keep "
+        "punctuation-terminated lines with ≥4 words, junk-flag and "
+        "keep/drop the document — zero-shuffle HOF map over a derived "
+        "multi-line corpus",
+)
+def doc_c4_line_filter(spark, sf_dir):
+    from .operators.cleaning import c4_line_filter
+
+    s = _synth_lines(spark, sf_dir)
+    docs = s.select(
+        "doc_id",
+        F.concat_ws("\n", "la", "lb", "lc", "ld", "le").alias("text"))
+    out = c4_line_filter(docs, min_words=4, min_lines=2)
+    return out.select(
+        "doc_id", F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        F.md5("clean_text").alias("clean_md5"),
+        "has_lorem", "has_brace", "keep")
+
+
+@register(
+    "doc_dedup_lines",
+    f"""
+    WITH {_SYNTH_LINES_CTE},
+    lines AS (
+      SELECT doc_id, unnest([la, la, lb, ld, la]) AS line,
+             generate_subscripts([la, la, lb, ld, la], 1) AS pos
+      FROM synth
+    ),
+    firsts AS (
+      SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line
+                                ORDER BY pos) AS rn
+      FROM lines
+    )
+    SELECT doc_id, 5::INT AS n_lines,
+           CAST(count(*) AS INT) AS n_unique_lines,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS dedup_md5
+    FROM firsts WHERE rn = 1 GROUP BY doc_id
+    """,
+    doc="within-document repeated-line removal, keep-first in original "
+        "order (zero-shuffle HOF fold; planted duplicate lines make "
+        "the check non-vacuous)",
+)
+def doc_dedup_lines(spark, sf_dir):
+    from .operators.cleaning import dedup_lines
+
+    s = _synth_lines(spark, sf_dir)
+    docs = s.select(
+        "doc_id",
+        F.concat_ws("\n", "la", "la", "lb", "ld", "la").alias("text"))
+    out = dedup_lines(docs)
+    return out.select(
+        "doc_id", F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_unique_lines").cast("int").alias("n_unique_lines"),
+        F.md5("text_deduped").alias("dedup_md5"))
+
+
+# --- exact per-source stratified sample --------------------------------------
+@register(
+    "corpus_stratified_sample",
+    """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    """,
+    doc="exactly 10 documents per source, chosen by md5(doc_id) order "
+        "— seed-free, engine-portable, prefix-consistent sampling via "
+        "the two-stage grouped top-k (no stratum ever funnels through "
+        "one reducer)",
+)
+def corpus_stratified_sample(spark, sf_dir):
+    from .operators.selection import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, ["source"], 10, "doc_id") \
+        .select("doc_id", "source",
+                F.col("sample_rank").cast("bigint").alias("sample_rank"))
+
+
+# --- token-budget quality curation -------------------------------------------
+# Rank documents by a deterministic quality signal (non-space character
+# density: one integer/integer division, bit-identical in any IEEE
+# engine) and admit them best-first until a 10k-token budget fills.
+# The cumulative sum is the range-partitioned two-pass prefix sum
+# (operators/ranking.py) — no single-partition window ever sees the
+# corpus.
+@register(
+    "corpus_quality_budget",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(replace(text, ' ', '')) * 1.0 / n_chars AS score,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, score, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, round(score, 6) AS score, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 10000
+    """,
+    doc="compute-optimal curation: fill a 10k-token budget best-first "
+        "by character-density score via the scalable global prefix sum",
+)
+def corpus_quality_budget(spark, sf_dir):
+    from .operators.selection import quality_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", " ", "")) * 1.0
+         / F.col("n_chars")).alias("score"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+        .cast("bigint").alias("n_tokens"))
+    out = quality_budget(scored, [F.col("score").desc(), F.col("doc_id")],
+                         "n_tokens", 10000, cum_col="cum_tokens")
+    return out.select("doc_id", F.round("score", 6).alias("score"),
+                      "n_tokens", "cum_tokens")
+
+
+# --- SemDeDup: semantic dedup within embedding clusters ----------------------
+# Same fixed-centroid convention as embedding_nearest_centroid (the
+# first four corpus vectors), same round-then-compare cosine rule as
+# dedup_embedding_cosine; τ=0.35 keeps ~100 in-cluster pairs live at
+# both checked SFs so the dropped set is provably non-empty.
+@register(
+    "dedup_semantic_clusters",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+    d AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+      FROM e, c
+    ),
+    a AS (SELECT vec_id, v, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, centroid_id) AS rn
+          FROM d),
+    asg AS (SELECT vec_id, v, centroid_id AS cluster FROM a WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM asg x JOIN asg y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.35
+    )
+    SELECT g.vec_id, g.cluster,
+           (dr.vec_id IS NOT NULL) AS dropped
+    FROM asg g LEFT JOIN dropped dr USING (vec_id)
+    """,
+    doc="SemDeDup (arXiv:2303.09540): nearest-centroid clustering, "
+        "then per-cluster cosine ≥ 0.35 collapses near-duplicates to "
+        "the smallest-id exemplar — the pair join is keyed by cluster, "
+        "never all-pairs",
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (emb.where(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").cast("array<double>").alias("cv")))
+    return semantic_dedup(emb, cents, threshold=0.35)

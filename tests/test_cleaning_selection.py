@@ -1,0 +1,232 @@
+"""operators/cleaning.py + operators/selection.py + semantic_dedup:
+line-level cleaning semantics, exact stratified sampling, token-budget
+curation and SemDeDup invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_hw_23_24_spark.operators.cleaning import (
+    c4_line_filter,
+    dedup_lines,
+)
+from big_data_hw_23_24_spark.operators.ranking import global_cumsum
+from big_data_hw_23_24_spark.operators.selection import (
+    quality_budget,
+    stratified_sample,
+)
+from big_data_hw_23_24_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- line cleaning -----------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    out = dedup_lines(_docs(spark, [
+        (1, "a\nb\na\nc\nb\na"),
+        (2, "x"),
+        (3, ""),
+    ])).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].text_deduped == "a\nb\nc"
+    assert (by_id[1].n_lines, by_id[1].n_unique_lines) == (6, 3)
+    assert by_id[2].text_deduped == "x"
+    assert by_id[3].text_deduped == ""  # split('') → [''] → one line
+    assert by_id[3].n_unique_lines == 1
+
+
+def test_c4_filter_line_rules(spark):
+    # punct+enough words kept; no punct dropped; punct but short
+    # dropped; '?' and '"' count as terminal
+    out = c4_line_filter(_docs(spark, [
+        (1, 'one two three four.\nno punct at all\nOk.\n'
+            'is this kept too?\nhe said "stop right there."'),
+    ]), min_words=4, min_lines=2).collect()[0]
+    assert out.clean_text.split("\n") == [
+        "one two three four.", "is this kept too?",
+        'he said "stop right there."']
+    assert (out.n_lines, out.n_kept, out.keep) == (5, 3, True)
+
+
+def test_c4_filter_doc_level_junk_flags(spark):
+    rows = [
+        (1, "good line number one.\ngood line number two."),
+        (2, "Lorem Ipsum dolor sit amet.\nanother fine line here."),
+        (3, "a code line with brace {.\nanother fine line here."),
+        (4, "only one surviving line here.\nnope"),
+    ]
+    out = {r.doc_id: r for r in
+           c4_line_filter(_docs(spark, rows)).collect()}
+    assert out[1].keep
+    assert out[2].has_lorem and not out[2].keep
+    assert out[3].has_brace and not out[3].keep
+    assert out[4].n_kept == 1 and not out[4].keep
+
+
+def test_cleaning_plans_have_no_exchange(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    for df in (c4_line_filter(docs), dedup_lines(docs)):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+        assert "Exchange" not in plan, plan
+
+
+# --- stratified sampling -----------------------------------------------------
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    out = stratified_sample(docs, ["source"], 10, "doc_id")
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    strata = {r.source: r.n for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {s: min(10, n) for s, n in strata.items()}
+    # same rows regardless of input partitioning
+    a = {(r.doc_id, r.sample_rank) for r in out.collect()}
+    b = {(r.doc_id, r.sample_rank) for r in
+         stratified_sample(docs.repartition(17), ["source"], 10,
+                           "doc_id").collect()}
+    assert a == b
+
+
+def test_stratified_sample_nested_prefix_consistency(spark):
+    """rank ≤ 3 of the k=10 sample IS the k=3 sample (callers can
+    carve nested subsets without resampling)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    k10 = {(r.doc_id, r.sample_rank) for r in
+           stratified_sample(docs, ["source"], 10, "doc_id").collect()
+           if r.sample_rank <= 3}
+    k3 = {(r.doc_id, r.sample_rank) for r in
+          stratified_sample(docs, ["source"], 3, "doc_id").collect()}
+    assert k10 == k3
+
+
+def test_stratified_sample_no_global_stratum_funnel(spark):
+    """The stage-1 window must be keyed by (partition, stratum) —
+    a plan whose ONLY window partitions by the stratum alone would
+    funnel whole strata through single reducers."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "source")
+    df = stratified_sample(docs.repartition(8), ["source"], 5, "doc_id")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+
+
+def test_stratified_sample_rejects_bad_k(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError):
+        stratified_sample(docs, ["source"], 0, "doc_id")
+
+
+# --- global cumsum + budget --------------------------------------------------
+
+def test_global_cumsum_matches_single_reducer_window(spark):
+    c = load_table(spark, SF, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("bal"),
+        (F.col("c_custkey") % 7 + 1).alias("sz"))
+    got = {r.c_custkey: r.cs for r in
+           global_cumsum(c, ["bal", "c_custkey"], "sz", out_col="cs",
+                         num_partitions=7).collect()}
+    w = (Window.orderBy("bal", "c_custkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.c_custkey: r.cs for r in
+            c.select("c_custkey",
+                     F.sum("sz").over(w).alias("cs")).collect()}
+    assert got == want
+
+
+def test_quality_budget_never_overshoots_and_is_maximal(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("sz"))
+    out = quality_budget(docs, [F.col("sz").desc(), F.col("doc_id")],
+                         "sz", 5000, cum_col="cum").collect()
+    total = sum(r.sz for r in out)
+    assert total <= 5000
+    assert max(r.cum for r in out) == total
+    # maximal: the next doc in rank order would not have fit
+    taken = {r.doc_id for r in out}
+    nxt = (docs.orderBy(F.col("sz").desc(), "doc_id")
+           .where(~F.col("doc_id").isin(taken)).first())
+    assert nxt is None or total + nxt.sz > 5000
+
+
+def test_quality_budget_keep_partial_crosses_once(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("sz"))
+    strict = quality_budget(docs, [F.col("sz").desc(), F.col("doc_id")],
+                            "sz", 5000).count()
+    partial = quality_budget(docs, [F.col("sz").desc(), F.col("doc_id")],
+                             "sz", 5000, keep_partial=True).count()
+    assert partial == strict + 1  # exactly the crossing row is added
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+def _semantic(spark):
+    from big_data_hw_23_24_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = (emb.where(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").cast("array<double>").alias("cv")))
+    return emb, semantic_dedup(emb, cents, threshold=0.35)
+
+
+def test_semantic_dedup_covers_corpus_and_drops_some(spark):
+    emb, out = _semantic(spark)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # every vector gets a verdict
+    assert {r.cluster for r in rows} <= {0, 1, 2, 3}
+    n_dropped = sum(r.dropped for r in rows)
+    assert 0 < n_dropped < len(rows)  # non-vacuous at τ=0.35
+
+
+def test_semantic_dedup_min_id_of_cluster_never_dropped(spark):
+    """Greedy smallest-id exemplars: the minimum id in each cluster
+    has no smaller-id neighbor, so it must always survive."""
+    _, out = _semantic(spark)
+    firsts = (out.groupBy("cluster")
+              .agg(F.min("vec_id").alias("vec_id"))
+              .join(out, ["cluster", "vec_id"]).collect())
+    assert firsts and all(not r.dropped for r in firsts)
+
+
+def test_semantic_dedup_survivors_independent_dropped_exact(spark):
+    """Two invariants against exact in-cluster cosines: no similar
+    pair survives whole (survivors form an independent set), and the
+    dropped set is EXACTLY the larger ids of the similar pairs (the
+    greedy smallest-id rule, nothing more, nothing less)."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        _dot,
+        with_l2_norm,
+    )
+
+    emb, out = _semantic(spark)
+    v = with_l2_norm(
+        out.join(emb, "vec_id").select(
+            "vec_id", "cluster", "dropped",
+            F.col("embedding").cast("array<double>").alias("v")), "v")
+    a = v.select(F.col("vec_id").alias("ia"), F.col("cluster").alias("ca"),
+                 F.col("dropped").alias("da"), F.col("v").alias("va"),
+                 F.col("norm").alias("na"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("cluster").alias("cb"),
+                 F.col("dropped").alias("db"), F.col("v").alias("vb"),
+                 F.col("norm").alias("nb"))
+    pairs = (a.join(b, (F.col("ca") == F.col("cb"))
+                    & (F.col("ia") < F.col("ib")))
+             .where(F.round(_dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")), 6) >= 0.35)
+             .select("ia", "ib", "da", "db").collect())
+    assert pairs
+    # independent: no similar pair with both surviving
+    assert not [p for p in pairs if not p.da and not p.db]
+    # exact: dropped ⟺ appears as the larger id of some similar pair
+    dropped = {r.vec_id for r in out.where("dropped").collect()}
+    assert dropped == {p.ib for p in pairs}

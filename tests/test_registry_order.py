@@ -143,6 +143,13 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "embedding_pq_codes",        # PQ encode vs fixed codebooks (r7)
         "knn_pq_adc",                # PQ asymmetric-distance search (r7)
         "corpus_boilerplate_ngrams",  # cross-doc repeated-ngram mining (r7)
+        # added mid-r6 after the window filled (cleaning/selection/
+        # semantic-dedup tier)
+        "doc_c4_line_filter",        # C4 line cleaning (r7)
+        "doc_dedup_lines",           # keep-first line dedup (r7)
+        "corpus_stratified_sample",  # exact per-source top-k (r7)
+        "corpus_quality_budget",     # token-budget curation (r7)
+        "dedup_semantic_clusters",   # SemDeDup per-cluster dedup (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
