@@ -52,6 +52,8 @@ HEADLINE = [
     # r6 additions (set now 28 — compare per-query across rounds)
     "knn_pq_adc",             # PQ code-scan ADC search + LUT broadcast
     "doc_boilerplate_share",  # cross-doc boilerplate exposure scoring
+    "dedup_semantic_clusters",  # SemDeDup cluster-keyed cosine dedup
+    "corpus_quality_budget",  # two-pass global prefix-sum budget cut
 ]
 
 
