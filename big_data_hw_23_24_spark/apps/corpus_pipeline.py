@@ -5,6 +5,14 @@ corpus-preparation flow, parquet in → parquet out:
 
   0. mix      — optional per-source downsampling to a target recipe
                 (--mix-rates src0=1.0,src1=0.5 [--mix-default 0.05])
+  0b. clean   — optional C4-style line cleaning (--clean): keep-first
+                repeated-line removal, then keep only
+                punctuation-terminated lines with enough words; drop
+                documents that end up too short or carry junk markers
+                (lorem ipsum, braces). Zero-shuffle HOF maps — the
+                text that reaches scoring and dedup is already clean,
+                so boilerplate lines can't dominate quality signals or
+                shingle sets.
   1. score    — quality + language ID (narrow maps, scan speed)
   2. filter   — keep docs above --min-quality in --langs
   3. dedup    — MinHash-LSH near-dup pairs → connected components →
@@ -30,7 +38,7 @@ the stage-count report lines. Usage:
       [--threshold 0.7] [--benchmark bench.parquet]
       [--chunk-size 64] [--stride 48]
       [--mix-rates src=rate,...] [--mix-default 0.05] [--pack 256]
-      [--lm-band 2.5:7.0]
+      [--lm-band 2.5:7.0] [--clean]
 """
 
 from __future__ import annotations
@@ -48,7 +56,8 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         mix_rates: dict[str, float] | None = None,
         mix_default: float = 0.05,
         pack_capacity: int | None = None,
-        lm_band: tuple[float, float] | None = None) -> list[str]:
+        lm_band: tuple[float, float] | None = None,
+        c4_clean: bool = False) -> list[str]:
     from ..operators.components import connected_components
     from ..operators.dedup import minhash_near_duplicates
     from ..operators.packing import pack_sequences
@@ -67,6 +76,19 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         n_premix = docs.count()
         docs = (mix_sources(docs, mix_rates, default_rate=mix_default)
                 .where("keep").select(*cols))
+
+    # 0b: optional C4 line cleaning (two stacked narrow maps); the
+    # cleaned text REPLACES the raw text for every downstream stage
+    n_preclean = None
+    if c4_clean:
+        from ..operators.cleaning import c4_line_filter, dedup_lines
+
+        n_preclean = docs.count()
+        cleaned = c4_line_filter(dedup_lines(docs),
+                                 text_col="text_deduped")
+        docs = (cleaned.where("keep")
+                .withColumn("text", F.col("clean_text"))
+                .select(*cols))
 
     docs = docs.cache()
     cached = [docs]
@@ -141,6 +163,8 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
 
     head = [] if n_premix is None else \
         [f"Documents before mixing = {n_premix}"]
+    if n_preclean is not None:
+        head.append(f"Documents before C4 cleaning = {n_preclean}")
     return head + [
         f"Documents in = {n_in}",
         f"After quality/lang filter = {n_kept}",
@@ -157,7 +181,7 @@ def main(argv: list[str]) -> int:
         print("Usage: corpus_pipeline <corpus.parquet> <out_dir> "
               "[--min-quality Q] [--langs a,b] [--threshold T] "
               "[--benchmark p.parquet] [--chunk-size N] [--stride N] "
-              "[--lm-band LO:HI]")
+              "[--lm-band LO:HI] [--clean]")
         return 1
     in_path, out_dir = argv[0], argv[1]
     opts = {"--min-quality": 0.5, "--threshold": 0.7,
@@ -165,9 +189,12 @@ def main(argv: list[str]) -> int:
             "--langs": "", "--benchmark": None,
             "--mix-rates": None, "--mix-default": 0.05, "--pack": None,
             "--lm-band": None}
+    flags = {"--clean": False}
     it = iter(argv[2:])
     for a in it:
-        if a in opts:
+        if a in flags:
+            flags[a] = True
+        elif a in opts:
             opts[a] = next(it)
     from ..session import get_session
 
@@ -193,7 +220,8 @@ def main(argv: list[str]) -> int:
                     mix_default=float(opts["--mix-default"]),
                     pack_capacity=None if opts["--pack"] is None
                     else int(opts["--pack"]),
-                    lm_band=lm_band):
+                    lm_band=lm_band,
+                    c4_clean=flags["--clean"]):
         print(line)
     return 0
 

@@ -249,6 +249,58 @@ def content_fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, SIGMOD — the MOSS algorithm): hash every word k-gram, slide
+    a window of ``w`` consecutive hashes, keep each window's MINIMUM —
+    the selected set is a position-independent fingerprint with the
+    guarantee that any shared run of ≥ w+k-1 words between two
+    documents shares at least one selected hash.
+
+    Output: (doc_id, n_grams, n_selected, fp_set_md5) where
+    ``fp_set_md5`` hashes the sorted distinct selected-hash set —
+    overlap detection joins on exploded selected hashes; the set
+    digest is the compact equality face.
+
+    Engine-portable determinism: gram hash = first 16 hex chars of
+    md5 of the space-joined gram, compared lexicographically (string
+    min), so any md5-bearing engine selects identical sets. Value-only
+    selection (no tie positions) sidesteps the rightmost-min tie rule.
+
+    Scale shape: one narrow higher-order-function map — grams,
+    hashes, window minima and the distinct set all stay inside ONE
+    projection on the line array; no explode, no shuffle, no Python.
+    """
+    empty = F.array().cast("array<string>")
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda x: x != F.lit(""))
+    n = F.size(words)
+    # sequence(1, 0) DESCENDS in Spark — guard the too-short cases to
+    # an explicit empty array instead
+    grams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 16))) \
+        .otherwise(empty)
+    n_grams = F.size(grams)
+    # docs with fewer than w grams still fingerprint: one window over
+    # everything (so any ≥ k-word document has ≥ 1 selected hash)
+    sel = F.when(n_grams >= w, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_grams - w + 1),
+        lambda j: F.array_min(F.slice(grams, j, w))))) \
+        .when(n_grams >= 1, F.array(F.array_min(grams))) \
+        .otherwise(empty)
+    return (docs
+            .withColumn("_g", grams)
+            .withColumn("_s", F.array_sort(sel))
+            .select(F.col(id_col),
+                    F.size("_g").alias("n_grams"),
+                    F.size("_s").alias("n_selected"),
+                    F.md5(F.array_join("_s", ",")).alias("fp_set_md5")))
+
+
 PII_PATTERNS: dict[str, str] = {
     # identical semantics in Java regex (Spark) and RE2 (DuckDB):
     # character classes + bounded repetition only, no lookaround

@@ -1893,3 +1893,52 @@ def dedup_semantic_clusters(spark, sf_dir):
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("embedding").cast("array<double>").alias("cv")))
     return semantic_dedup(emb, cents, threshold=0.35)
+
+
+# --- winnowing fingerprints --------------------------------------------------
+@register(
+    "doc_winnow_fingerprints",
+    """
+    WITH wds AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 4 THEN
+               list_transform(range(1, len(ws) - 4 + 2),
+                 i -> substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 16))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM wds
+    ),
+    s AS (
+      SELECT doc_id, grams,
+             CASE
+               WHEN len(grams) >= 5 THEN
+                 list_sort(list_distinct(
+                   list_transform(range(1, len(grams) - 5 + 2),
+                                  j -> list_min(grams[j:j+4]))))
+               WHEN len(grams) >= 1 THEN [list_min(grams)]
+               ELSE CAST([] AS VARCHAR[]) END AS sel
+      FROM g
+    )
+    SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(sel) AS INT) AS n_selected,
+           md5(array_to_string(sel, ',')) AS fp_set_md5
+    FROM s
+    """,
+    doc="winnowing fingerprints (Schleimer et al. 2003, MOSS): word "
+        "4-gram md5 hashes, window-of-5 minima, distinct selected set "
+        "— guarantees any shared ≥8-word run co-selects a hash; one "
+        "zero-shuffle HOF projection",
+)
+def doc_winnow_fingerprints(spark, sf_dir):
+    from .operators.textstats import winnow_fingerprints
+
+    out = winnow_fingerprints(load_table(spark, sf_dir, "documents"),
+                              k=4, w=5)
+    return out.select("doc_id",
+                      F.col("n_grams").cast("int").alias("n_grams"),
+                      F.col("n_selected").cast("int").alias("n_selected"),
+                      "fp_set_md5")

@@ -16,6 +16,7 @@ existing partitions).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
@@ -88,4 +89,52 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
     """
     (df.repartitionByRange(n_files, *sort_cols)
        .sortWithinPartitions(*sort_cols)
+       .write.mode(mode).parquet(path))
+
+
+def write_zorder_parquet(df: DataFrame, path: str, cols: list[str],
+                         bits: int = 8, n_files: int = 16,
+                         mode: str = "overwrite") -> None:
+    """Z-ordered parquet — MULTI-column data skipping.
+
+    ``write_sorted_parquet`` makes min/max stats disjoint on one sort
+    key; a predicate on any other column still touches every file.
+    Z-ordering interleaves the bits of several columns into one
+    curve value and range-partitions + sorts on THAT, so each file
+    covers a small hyper-rectangle of the key space and per-file
+    min/max stats stay tight on EVERY participating column — point
+    and box predicates on any subset of ``cols`` prune files (the
+    Delta Lake / Databricks OPTIMIZE ZORDER layout, Morton curve).
+
+    Each column is scaled to ``bits`` buckets from its global min/max
+    (one bounded agg action; uniform-ish keys assumed — rank-bucket
+    via ``operators.ranking.global_ntile`` first for heavy skew), and
+    the bucket bits are interleaved with plain JVM shift/mask
+    expressions. Layout-only: values are untouched, so a wrong scale
+    costs pruning, never correctness.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs ≥ 2 columns; use "
+                         "write_sorted_parquet for one")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    space = 1 << bits
+    buckets = []
+    for c in cols:
+        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+        span = (mx - mn) or 1
+        b = F.floor((F.col(c) - F.lit(mn)) / F.lit(span) * space)
+        buckets.append(F.least(F.greatest(b, F.lit(0)),
+                               F.lit(space - 1)).cast("long"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(1),
+                                i * len(buckets) + j)
+    (df.withColumn("_z", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
        .write.mode(mode).parquet(path))

@@ -362,3 +362,64 @@ def test_corpus_pipeline_mix_and_pack_path(spark, tmp_path):
         last[r.shard] = max(last.get(r.shard, -1), r.bin_id)
     for r in bins:
         assert r.t == 32 or r.bin_id == last[r.shard]
+
+
+def test_corpus_pipeline_c4_clean_stage(spark, tmp_path):
+    """The --clean stage: line dedup + C4 filter replace the text that
+    every later stage sees. Exact: surviving ids and cleaned texts
+    match an independent recomputation, junk docs are gone, and the
+    funnel report carries the pre-clean count."""
+    from pyspark.sql import functions as F
+
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+    from big_data_hw_23_24_spark.operators.cleaning import (
+        c4_line_filter,
+        dedup_lines,
+    )
+
+    # derived multi-line corpus: dup lines, punctuated + junk branches
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").where("doc_id < 40")
+    docs = base.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 50), F.lit(".")),
+            F.concat(F.substring("text", 1, 50), F.lit(".")),  # dup
+            F.substring("text", 51, 60),                       # no punct
+            F.concat(F.substring("text", 61, 40), F.lit("!")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("lorem ipsum x."))
+            .otherwise(F.lit("A clean closing line here."))).alias("text"))
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    docs.write.parquet(src)
+
+    lines = run(spark, src, out_dir, min_quality=0.0, c4_clean=True)
+    n_preclean = int(next(l for l in lines if "C4 cleaning" in l)
+                     .split("= ")[1])
+    n_in = int(next(l for l in lines if "Documents in" in l)
+               .split("= ")[1])
+    assert n_preclean == 40
+
+    expect = c4_line_filter(dedup_lines(docs), text_col="text_deduped")
+    want = {r.doc_id: r.clean_text
+            for r in expect.where("keep").collect()}
+    assert 0 < len(want) < 40          # junk docs dropped, rest kept
+    assert n_in == len(want)
+    out_ids = {r.doc_id for r in spark.read.parquet(out_dir)
+               .select("doc_id").distinct().collect()}
+    assert out_ids <= set(want)
+    # the chunked output tokenizes the CLEANED text, not the raw text
+    # (restricted to out_ids: near-dedup may drop more docs later)
+    from big_data_hw_23_24_spark.operators.textstats import token_chunks
+
+    got_chunks = {(r.doc_id, r.chunk_id, r.chunk_text) for r in
+                  spark.read.parquet(out_dir)
+                  .select("doc_id", "chunk_id", "chunk_text").collect()}
+    cleaned_docs = spark.createDataFrame(
+        [(i, t) for i, t in want.items() if i in out_ids],
+        "doc_id long, text string")
+    want_chunks = {(r.doc_id, r.chunk_id, r.chunk_text) for r in
+                   token_chunks(cleaned_docs, size=64, stride=48)
+                   .select("doc_id", "chunk_id", "chunk_text").collect()}
+    assert got_chunks == want_chunks

@@ -147,3 +147,96 @@ def test_sorted_parquet_rowgroup_stats_are_disjoint(spark, tmp_path):
     assert back.count() == e.count()
     assert back.agg(F.sum("user_id")).collect()[0][0] == \
         e.agg(F.sum("user_id")).collect()[0][0]
+
+
+def test_zorder_parquet_prunes_files_on_both_columns(spark, tmp_path):
+    """Z-ordered layout keeps per-FILE min/max tight on EVERY curve
+    column: a box predicate on (l_orderkey, l_partkey) must overlap
+    only a minority of files, and a predicate on the SECOND column
+    alone must still prune — which a single-column sort layout
+    provably cannot do (its second-column spans cover everything)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_hw_23_24_spark.sources.sinks import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem") \
+        .select("l_orderkey", "l_partkey")
+
+    def file_spans(path, col_name):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.row_group(rg).num_columns)
+                           if md.row_group(rg).column(i).path_in_schema
+                           == col_name)
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    zdir = str(tmp_path / "zorder")
+    write_zorder_parquet(li, zdir, ["l_orderkey", "l_partkey"],
+                         bits=8, n_files=16)
+    sdir = str(tmp_path / "sorted")
+    write_sorted_parquet(li, sdir, ["l_orderkey"], n_files=16)
+
+    stats = li.agg(F.min("l_orderkey"), F.max("l_orderkey"),
+                   F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    o_lo, o_hi, p_lo, p_hi = stats
+    # middle-quarter box on both dimensions
+    o_box = (o_lo + (o_hi - o_lo) * 3 // 8, o_lo + (o_hi - o_lo) * 5 // 8)
+    p_box = (p_lo + (p_hi - p_lo) * 3 // 8, p_lo + (p_hi - p_lo) * 5 // 8)
+
+    def overlapping(path, boxes):
+        names = list(boxes)
+        spans = {c: file_spans(path, c) for c in names}
+        n_files = len(spans[names[0]])
+        hit = 0
+        for i in range(n_files):
+            if all(spans[c][i][0] <= boxes[c][1]
+                   and boxes[c][0] <= spans[c][i][1] for c in names):
+                hit += 1
+        return hit, n_files
+
+    # correctness first: layout never changes results
+    want = li.where(
+        F.col("l_orderkey").between(*o_box)
+        & F.col("l_partkey").between(*p_box)).count()
+    got = spark.read.parquet(zdir).where(
+        F.col("l_orderkey").between(*o_box)
+        & F.col("l_partkey").between(*p_box)).count()
+    assert got == want > 0
+
+    z_hit, z_n = overlapping(zdir, {"l_orderkey": o_box,
+                                    "l_partkey": p_box})
+    assert z_n >= 16
+    assert z_hit <= z_n // 2  # the box touches a minority of files
+
+    # second-column-only predicate: z-order prunes, single-sort can't
+    z2_hit, _ = overlapping(zdir, {"l_partkey": p_box})
+    s2_hit, s2_n = overlapping(sdir, {"l_partkey": p_box})
+    assert s2_hit == s2_n      # sorted-by-orderkey: every file overlaps
+    assert z2_hit < s2_hit     # z-order: strictly fewer
+
+
+def test_zorder_rejects_single_column(spark):
+    import pytest
+
+    from big_data_hw_23_24_spark.sources.sinks import write_zorder_parquet
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    with pytest.raises(ValueError):
+        write_zorder_parquet(li, "/tmp/nope", ["l_orderkey"])
