@@ -251,7 +251,8 @@ def content_fingerprints(docs: DataFrame, text_col: str = "text",
 
 def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        keep_selection: bool = False) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
     2003, SIGMOD — the MOSS algorithm): hash every word k-gram, slide
     a window of ``w`` consecutive hashes, keep each window's MINIMUM —
@@ -292,13 +293,59 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
         lambda j: F.array_min(F.slice(grams, j, w))))) \
         .when(n_grams >= 1, F.array(F.array_min(grams))) \
         .otherwise(empty)
-    return (docs
+    base = (docs
             .withColumn("_g", grams)
             .withColumn("_s", F.array_sort(sel))
             .select(F.col(id_col),
                     F.size("_g").alias("n_grams"),
                     F.size("_s").alias("n_selected"),
-                    F.md5(F.array_join("_s", ",")).alias("fp_set_md5")))
+                    F.md5(F.array_join("_s", ",")).alias("fp_set_md5"),
+                    F.col("_s").alias("selected")))
+    return base if keep_selection else base.drop("selected")
+
+
+def winnow_overlap_pairs(docs: DataFrame, k: int = 4, w: int = 5,
+                         min_shared: int = 1, max_df: int | None = None,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Document-overlap candidates from winnowed fingerprints — the
+    MOSS comparison step: explode each document's selected hashes into
+    an inverted index, equi-join on the hash, and score each pair by
+    shared-fingerprint count and resemblance
+    ``n_shared / (|A| + |B| - n_shared)``.
+
+    The join is keyed by fingerprint hash, never a document pair —
+    cost is Σ df(h)² over the selected hashes, the inverted-index
+    shape that survives corpus scale. ``max_df`` drops fingerprints
+    selected by more than that many documents before pairing (the
+    stop-fingerprint guard: a boilerplate hash shared by a million
+    docs would otherwise create a quadratic bucket — same cure as
+    boilerplate n-gram pruning).
+    """
+    s = winnow_fingerprints(docs, k, w, text_col, id_col,
+                            keep_selection=True)
+    ex = s.select(F.col(id_col), F.col("n_selected"),
+                  F.explode("selected").alias("_h"))
+    if max_df is not None:
+        freq = (ex.groupBy("_h")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_df).select("_h"))
+        ex = ex.join(freq, "_h", "left_semi")
+    a = ex.select(F.col(id_col).alias("id_a"),
+                  F.col("n_selected").alias("_na"), "_h")
+    b = ex.select(F.col(id_col).alias("id_b"),
+                  F.col("n_selected").alias("_nb"), "_h")
+    return (a.join(b, ["_h"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "_na", "_nb")
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .select("id_a", "id_b", F.col("n_shared").cast("int")
+                    .alias("n_shared"),
+                    F.round(F.col("n_shared")
+                            / (F.col("_na") + F.col("_nb")
+                               - F.col("n_shared")), 6)
+                    .alias("resemblance")))
 
 
 PII_PATTERNS: dict[str, str] = {

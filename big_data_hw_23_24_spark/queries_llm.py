@@ -1942,3 +1942,56 @@ def doc_winnow_fingerprints(spark, sf_dir):
                       F.col("n_grams").cast("int").alias("n_grams"),
                       F.col("n_selected").cast("int").alias("n_selected"),
                       "fp_set_md5")
+
+
+# --- winnowing overlap pairs (the MOSS comparison step) ----------------------
+_WINNOW_SEL_CTE = """
+wds AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 4 THEN
+           list_transform(range(1, len(ws) - 4 + 2),
+             i -> substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 16))
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM wds
+),
+s AS (
+  SELECT doc_id,
+         CASE
+           WHEN len(grams) >= 5 THEN
+             list_sort(list_distinct(
+               list_transform(range(1, len(grams) - 5 + 2),
+                              j -> list_min(grams[j:j+4]))))
+           WHEN len(grams) >= 1 THEN [list_min(grams)]
+           ELSE CAST([] AS VARCHAR[]) END AS sel
+  FROM g
+)"""
+
+
+@register(
+    "doc_overlap_pairs",
+    f"""
+    WITH {_WINNOW_SEL_CTE},
+    ex AS (SELECT doc_id, len(sel) AS n_sel, unnest(sel) AS h FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS INT) AS n_shared,
+           round(count(*) * 1.0
+                 / (any_value(a.n_sel) + any_value(b.n_sel) - count(*)), 6)
+             AS resemblance
+    FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="MOSS overlap detection: inverted-index equi-join on winnowed "
+        "fingerprints, scored by shared count and resemblance — cost "
+        "is sum(df^2) over hashes, never a document cross product "
+        "(max_df stop-fingerprint guard available for web-scale junk)",
+)
+def doc_overlap_pairs(spark, sf_dir):
+    from .operators.textstats import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"),
+                                k=4, w=5)

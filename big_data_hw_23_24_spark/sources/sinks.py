@@ -94,7 +94,8 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
 
 def write_zorder_parquet(df: DataFrame, path: str, cols: list[str],
                          bits: int = 8, n_files: int = 16,
-                         mode: str = "overwrite") -> None:
+                         mode: str = "overwrite",
+                         rank_buckets: bool = False) -> None:
     """Z-ordered parquet — MULTI-column data skipping.
 
     ``write_sorted_parquet`` makes min/max stats disjoint on one sort
@@ -106,28 +107,39 @@ def write_zorder_parquet(df: DataFrame, path: str, cols: list[str],
     and box predicates on any subset of ``cols`` prune files (the
     Delta Lake / Databricks OPTIMIZE ZORDER layout, Morton curve).
 
-    Each column is scaled to ``bits`` buckets from its global min/max
-    (one bounded agg action; uniform-ish keys assumed — rank-bucket
-    via ``operators.ranking.global_ntile`` first for heavy skew), and
-    the bucket bits are interleaved with plain JVM shift/mask
-    expressions. Layout-only: values are untouched, so a wrong scale
-    costs pruning, never correctness.
+    Each column is scaled to ``bits`` buckets — by default a linear
+    min/max scale (one bounded agg action; right for uniform-ish
+    keys); ``rank_buckets=True`` equal-frequency buckets each column
+    with ``operators.ranking.global_ntile`` instead, which costs one
+    extra pass per column but keeps every bucket equally full under
+    arbitrary skew (the Delta OPTIMIZE ZORDER range_partition_id
+    approach). The bucket bits are interleaved with plain JVM
+    shift/mask expressions. Layout-only: values are untouched, so a
+    wrong scale costs pruning, never correctness.
     """
     if len(cols) < 2:
         raise ValueError("z-ordering needs ≥ 2 columns; use "
                          "write_sorted_parquet for one")
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-    row = df.agg(*aggs).collect()[0]
     space = 1 << bits
-    buckets = []
-    for c in cols:
-        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
-        span = (mx - mn) or 1
-        b = F.floor((F.col(c) - F.lit(mn)) / F.lit(span) * space)
-        buckets.append(F.least(F.greatest(b, F.lit(0)),
-                               F.lit(space - 1)).cast("long"))
+    buckets: list = []
+    if rank_buckets:
+        from ..operators.ranking import global_ntile
+
+        for c in cols:
+            df = global_ntile(df, space, [c], out_col=f"_zb_{c}")
+        buckets = [(F.col(f"_zb_{c}") - 1).cast("long") for c in cols]
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"),
+                     F.max(c).alias(f"_mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        for c in cols:
+            mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+            span = (mx - mn) or 1
+            b = F.floor((F.col(c) - F.lit(mn)) / F.lit(span) * space)
+            buckets.append(F.least(F.greatest(b, F.lit(0)),
+                                   F.lit(space - 1)).cast("long"))
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(buckets):
@@ -136,5 +148,5 @@ def write_zorder_parquet(df: DataFrame, path: str, cols: list[str],
     (df.withColumn("_z", z)
        .repartitionByRange(n_files, "_z")
        .sortWithinPartitions("_z")
-       .drop("_z")
+       .drop("_z", *[f"_zb_{c}" for c in cols if rank_buckets])
        .write.mode(mode).parquet(path))

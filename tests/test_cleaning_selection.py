@@ -309,3 +309,31 @@ def test_winnow_plan_is_exchange_free(spark):
         df._jdf.queryExecution(), "simple")
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_winnow_overlap_pairs_max_df_guard_and_planted_pair(spark):
+    """A planted 12-word shared span must pair its two carriers; the
+    max_df stop-fingerprint guard must kill pairs created ONLY by a
+    corpus-wide boilerplate span."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        winnow_overlap_pairs)
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    boiler = "copyright footer boilerplate text appears everywhere always"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c {boiler} "
+                f"unique{i}d unique{i}e") for i in range(10)]
+    rows += [(100, f"alpha beta {span} gamma delta"),
+             (101, f"epsilon zeta {span} eta theta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    free = winnow_overlap_pairs(docs, k=4, w=5)
+    got = {(r.id_a, r.id_b) for r in free.collect()}
+    assert (100, 101) in got
+    assert any(a < 10 and b < 10 for a, b in got)  # boiler pairs exist
+
+    guarded = winnow_overlap_pairs(docs, k=4, w=5, max_df=5)
+    g = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert (100, 101) in g                   # real overlap survives
+    assert not any(a < 10 and b < 10 for a, b in g)  # boiler killed
+    # resemblance is a valid (0, 1] score
+    assert all(0 < r.resemblance <= 1 for r in guarded.collect())

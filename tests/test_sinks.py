@@ -240,3 +240,64 @@ def test_zorder_rejects_single_column(spark):
     li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
     with pytest.raises(ValueError):
         write_zorder_parquet(li, "/tmp/nope", ["l_orderkey"])
+
+
+def test_zorder_rank_buckets_prune_under_skew(spark, tmp_path):
+    """With a 99%-skewed second column, min/max bucket scaling puts
+    almost every row in one bucket — a mid-range box on the skewed
+    column then overlaps nearly every file. Equal-frequency rank
+    bucketing (rank_buckets=True) must keep pruning."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_hw_23_24_spark.sources.sinks import write_zorder_parquet
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    li = (load_table(spark, "/root/testdata/sf0.01", "lineitem")
+          .select("l_orderkey",
+                  F.when(F.col("l_orderkey") % 100 != 0,
+                         F.col("l_orderkey") % 97)
+                  .otherwise(F.lit(1_000_000_000)
+                             + F.col("l_orderkey")).alias("skewed")))
+
+    def file_spans(path, col_name):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.row_group(rg).num_columns)
+                           if md.row_group(rg).column(i).path_in_schema
+                           == col_name)
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    def hits(path, box):
+        spans = file_spans(path, "skewed")
+        return (sum(1 for lo, hi in spans
+                    if lo <= box[1] and box[0] <= hi), len(spans))
+
+    box = (20, 40)  # mid-range slice of the dense 0..96 region
+    mdir, rdir = str(tmp_path / "minmax"), str(tmp_path / "ranked")
+    write_zorder_parquet(li, mdir, ["l_orderkey", "skewed"],
+                         bits=8, n_files=16)
+    write_zorder_parquet(li, rdir, ["l_orderkey", "skewed"],
+                         bits=8, n_files=16, rank_buckets=True)
+    # correctness: both layouts return identical filtered results
+    want = li.where(F.col("skewed").between(*box)).count()
+    for d in (mdir, rdir):
+        assert spark.read.parquet(d) \
+            .where(F.col("skewed").between(*box)).count() == want > 0
+    m_hit, m_n = hits(mdir, box)
+    r_hit, r_n = hits(rdir, box)
+    assert m_n == r_n >= 16
+    assert m_hit > m_n * 3 // 4   # min/max scaling collapses: ~all hit
+    assert r_hit < m_hit          # rank buckets restore pruning
+    assert r_hit <= r_n // 2
