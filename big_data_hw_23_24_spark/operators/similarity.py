@@ -398,15 +398,33 @@ def semantic_dedup(emb: DataFrame, centroids: DataFrame,
     real scale ``centroids`` comes from ``clustering.kmeans_fit`` with
     k ≈ √N lists sized so clusters fit a task (the IVF geometry), so
     the quadratic term is bounded per cluster and the whole step is
-    one parallel hash join + one semi-join. The oracle face fixes 4
+    one parallel hash join + one semi-join. The assignment table
+    (id, cluster, vector, norm) is materialized ONCE
+    (``localCheckpoint`` — the E52 move: Catalyst does not reuse a
+    subtree across the three consumers, so without it the corpus
+    would be scanned and re-assigned three times; plan-contract-pinned
+    to zero FileScans in the final plan). The oracle face fixes 4
     seed centroids, which makes every value deterministic and
     SQL-checkable; recall/precision of the clustering itself is the
     property-tested concern of the k-means trainer, not this operator.
     """
-    assigned = assign_nearest(emb, centroids, id_col, vec_col)
+    v = emb.select(F.col(id_col).alias("_id"),
+                   F.col(vec_col).cast("array<double>").alias("_v"))
+    dist = F.aggregate(
+        F.zip_with("_v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    # one corpus pass: broadcast-cross the small centroid table,
+    # min-struct argmin keyed by id, vector carried through the agg
+    # (constant within its group) — no join-back scan
     sides = with_l2_norm(
-        assigned.select(F.col(id_col).alias("_id"), "cluster",
-                        F.col(vec_col).alias("_v")), "_v", "_n")
+        v.crossJoin(F.broadcast(centroids))
+        .select("_id", "_v",
+                F.struct(dist.alias("d"),
+                         F.col("centroid_id").alias("cid")).alias("s"))
+        .groupBy("_id").agg(F.min("s").alias("b"),
+                            F.first("_v").alias("_v"))
+        .select("_id", F.col("b.cid").alias("cluster"), "_v"),
+        "_v", "_n").localCheckpoint(eager=True)
     a = sides.select(F.col("_id").alias("id_a"), "cluster",
                      F.col("_v").alias("va"), F.col("_n").alias("na"))
     b = sides.select(F.col("_id").alias("id_b"),
@@ -417,9 +435,9 @@ def semantic_dedup(emb: DataFrame, centroids: DataFrame,
                .where(F.round(_dot(F.col("va"), F.col("vb"))
                               / (F.col("na") * F.col("nb")), 6)
                       >= threshold)
-               .select(F.col("id_b").alias(id_col)).distinct()
+               .select(F.col("id_b").alias("_id")).distinct()
                .withColumn("_dup", F.lit(True)))
-    return (assigned
-            .join(dup_ids, id_col, "left")
-            .select(id_col, "cluster",
+    return (sides.select("_id", "cluster")
+            .join(dup_ids, "_id", "left")
+            .select(F.col("_id").alias(id_col), "cluster",
                     F.coalesce(F.col("_dup"), F.lit(False)).alias("dropped")))

@@ -452,3 +452,15 @@ def test_unigram_logprob_token_stream_never_shuffled(spark):
     # touches the exploded token stream
     assert all(a < gens[0] for a in aggs), names
     assert exchanges[0] > gens[0], names
+
+
+def test_semantic_dedup_single_scan_no_nested_loop(spark):
+    # the assignment table materializes once (localCheckpoint): the
+    # final plan reads the checkpoint for all three consumers — zero
+    # parquet scans, and the only broadcast-cross (4-row centroid
+    # side) happened during construction, never in the pair join
+    plan = _plan(spark, "dedup_semantic_clusters", "simple")
+    assert "FileScan" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
