@@ -90,3 +90,30 @@ def quality_budget(df: DataFrame, order_by: list[Column | str],
         # row crosses the line iff everything BEFORE it fit
         return cum.where(F.col(cum_col) - F.col(size_col) < budget)
     return cum.where(F.col(cum_col) <= budget)
+
+
+def token_shards(df: DataFrame, order_by: list[Column | str],
+                 size_col: str, target: int,
+                 shard_col: str = "shard",
+                 cum_col: str = "cum_size") -> DataFrame:
+    """Assign rows to ~``target``-sized shards in ``order_by`` order —
+    equal-WORK output shards (by token/byte count, not row count),
+    the layout a training run actually wants: every data-parallel
+    reader streams the same number of tokens.
+
+    shard = floor(start_offset / target), where start_offset is the
+    exclusive prefix sum of ``size_col`` — each row lands in the shard
+    its first token falls in, so shard sizes deviate from ``target``
+    by at most one document. The prefix sum is the range-partitioned
+    two-pass :func:`operators.ranking.global_cumsum`; downstream,
+    ``sources.sinks.write_parquet(partition_by=[shard])`` gives one
+    directory per shard. Pass an md5-of-key order for a deterministic
+    pre-shuffled layout (the engine's seed-free convention).
+    """
+    if target <= 0:
+        raise ValueError(f"target must be positive, got {target}")
+    cum = global_cumsum(df, order_by, size_col, out_col=cum_col)
+    return cum.withColumn(
+        shard_col,
+        F.floor((F.col(cum_col) - F.col(size_col)) / target)
+        .cast("bigint"))

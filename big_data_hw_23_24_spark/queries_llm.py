@@ -1995,3 +1995,45 @@ def doc_overlap_pairs(spark, sf_dir):
 
     return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"),
                                 k=4, w=5)
+
+
+# --- token-balanced shards ---------------------------------------------------
+@register(
+    "corpus_token_shards",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard
+    FROM c
+    """,
+    doc="equal-work training shards: ~2000 tokens per shard in "
+        "deterministic md5-shuffled order, via the range-partitioned "
+        "two-pass global prefix sum (no single-reducer window)",
+)
+def corpus_token_shards(spark, sf_dir):
+    from .operators.selection import token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != F.lit("")))
+        .cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"))
+    out = token_shards(t, ["_h", "doc_id"], "n_tokens", 2000,
+                       cum_col="cum_tokens")
+    return out.select("doc_id", "n_tokens", "cum_tokens", "shard")

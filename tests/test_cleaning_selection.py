@@ -337,3 +337,40 @@ def test_winnow_overlap_pairs_max_df_guard_and_planted_pair(spark):
     assert not any(a < 10 and b < 10 for a, b in g)  # boiler killed
     # resemblance is a valid (0, 1] score
     assert all(0 < r.resemblance <= 1 for r in guarded.collect())
+
+
+def test_token_shards_balance_and_completeness(spark):
+    """Every doc lands in exactly one shard; shard token sums sit
+    within target + max_doc of the target; shard ids are contiguous
+    from 0; the md5 order makes assignment partitioning-invariant."""
+    from big_data_hw_23_24_spark.operators.selection import token_shards
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("sz"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"))
+    out = token_shards(docs, ["h", "doc_id"], "sz", 3000)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    max_doc = max(r.sz for r in rows)
+    sums: dict = {}
+    for r in rows:
+        sums[r.shard] = sums.get(r.shard, 0) + r.sz
+    shards = sorted(sums)
+    assert shards == list(range(len(shards)))  # contiguous from 0
+    # every shard except possibly the last holds ≥ target - max_doc
+    # and ≤ target + max_doc tokens (a doc never splits)
+    for s in shards[:-1]:
+        assert 3000 - max_doc <= sums[s] <= 3000 + max_doc
+    # partitioning invariance
+    again = {(r.doc_id, r.shard) for r in
+             token_shards(docs.repartition(13), ["h", "doc_id"], "sz",
+                          3000).collect()}
+    assert again == {(r.doc_id, r.shard) for r in rows}
+
+
+def test_token_shards_rejects_bad_target(spark):
+    from big_data_hw_23_24_spark.operators.selection import token_shards
+
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError):
+        token_shards(docs, ["doc_id"], "n_chars", 0)
