@@ -346,7 +346,7 @@ def streaming_dropdup_items(spark, sf_dir):
     import tempfile
 
     from .streaming.distinct_stream import streaming_distinct_keys
-    from .streaming.replay import write_microbatches
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
 
     seq = _event_item_seq(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="sdd_stream_")
@@ -354,7 +354,8 @@ def streaming_dropdup_items(spark, sf_dir):
         glob = write_microbatches(seq, d, n_buckets=10)
         stream = (spark.readStream.schema("seq long, item long")
                   .option("maxFilesPerTrigger", 1).parquet(glob))
-        items = streaming_distinct_keys(stream)
+        with replay_shuffle_cap(spark):
+            items = streaming_distinct_keys(stream)
         assert len(items) == len(set(items)), "key emitted twice"
         return spark.createDataFrame([(int(i),) for i in sorted(items)],
                                      "item bigint")
@@ -419,7 +420,7 @@ def streaming_sessions(spark, sf_dir):
 
     from pyspark.sql import Window as W
 
-    from .streaming.replay import write_microbatches
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
     from .streaming.sessions import run_sessionize
 
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
@@ -445,10 +446,11 @@ def streaming_sessions(spark, sf_dir):
         stream = (spark.readStream
                   .schema("seq long, user_id long, ts timestamp")
                   .option("maxFilesPerTrigger", 1).parquet(glob))
-        out = run_sessionize(spark, stream, gap_sec=3600)
-        # localCheckpoint: the memory-sink table is session-scoped; pin
-        # the rows so the returned DF survives later stream cleanup
-        return out.localCheckpoint(eager=True)
+        with replay_shuffle_cap(spark):
+            out = run_sessionize(spark, stream, gap_sec=3600)
+            # localCheckpoint: the memory-sink table is session-scoped;
+            # pin the rows so the returned DF survives stream cleanup
+            return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -484,7 +486,7 @@ def streaming_order_events_3d(spark, sf_dir):
     from pyspark.sql import Window as W
 
     from .streaming.joins import run_interval_join
-    from .streaming.replay import write_microbatches
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
 
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate")
@@ -510,9 +512,10 @@ def streaming_order_events_3d(spark, sf_dir):
               .schema("event_id long, user_id long, ts timestamp, seq long")
               .option("maxFilesPerTrigger", 1).parquet(eg)
               .drop("seq"))
-        pairs = run_interval_join(
-            spark, os_, es, "o_custkey", "user_id", "o_orderdate", "ts",
-            3 * 86400, watermark_delay="1 hour")
+        with replay_shuffle_cap(spark):
+            pairs = run_interval_join(
+                spark, os_, es, "o_custkey", "user_id", "o_orderdate",
+                "ts", 3 * 86400, watermark_delay="1 hour")
         counts = pairs.groupBy("o_orderkey") \
             .agg(F.count("event_id").alias("n_events_3d"))
         out = (od.select("o_orderkey")

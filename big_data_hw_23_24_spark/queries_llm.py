@@ -1097,7 +1097,7 @@ def streaming_ingest_dedup(spark, sf_dir):
     from pyspark.sql import Window
 
     from .streaming.ingest_dedup import StreamingIngestDedup
-    from .streaming.replay import write_microbatches
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mangled = docs.where(F.col("doc_id") % 5 == 0).select(
@@ -1122,11 +1122,12 @@ def streaming_ingest_dedup(spark, sf_dir):
                   .schema("doc_id long, text string, seq long")
                   .option("maxFilesPerTrigger", 1).parquet(glob))
         pipe = StreamingIngestDedup(spark, store)
-        q = (stream.writeStream.foreachBatch(pipe)
-             .trigger(availableNow=True).start())
-        # fail loudly on timeout — a silent partial status table would
-        # surface as a confusing oracle hash mismatch downstream
-        assert q.awaitTermination(180), "ingest-dedup stream timed out"
+        with replay_shuffle_cap(spark):
+            q = (stream.writeStream.foreachBatch(pipe)
+                 .trigger(availableNow=True).start())
+            # fail loudly on timeout — a silent partial status table
+            # would surface as a confusing oracle mismatch downstream
+            assert q.awaitTermination(180), "ingest-dedup stream timed out"
         # materialize before the store directory is removed
         return (pipe.statuses()
                 .select("doc_id", "fingerprint", "status",

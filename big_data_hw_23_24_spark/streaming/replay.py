@@ -43,3 +43,33 @@ def write_microbatches(df: DataFrame, out_dir: str, n_buckets: int = 10,
             if f.endswith(".parquet"):
                 os.utime(os.path.join(out_dir, sub, f), (t0 + b, t0 + b))
     return os.path.join(out_dir, "bucket=*")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def replay_shuffle_cap(spark, cap: int = 32):
+    """Bound task counts for a BOUNDED replay run.
+
+    Stateful streaming operators (stream-stream joins, dropDuplicates,
+    applyInPandasWithState) fix their state partition count from
+    ``spark.sql.shuffle.partitions`` at query start. On a plain
+    session (default 200) a 10-micro-batch bounded replay executes
+    thousands of near-empty state tasks — pure scheduling overhead
+    (measured 139 s → ~20 s on the stream-stream interval join at
+    sf0.01). Cap the conf for the harness run and restore the
+    caller's value after; results are identical either way (the
+    harness queries are value-checked against batch SQL oracles), so
+    this is a task-layout lever only. Production streams should size
+    state partitions to the cluster instead — this guard is for the
+    bounded-replay faces.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if int(prev) > cap:
+        spark.conf.set(key, str(cap))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
