@@ -249,6 +249,41 @@ def content_fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the word distribution →
+    (doc_id, n_tokens, token_entropy) in nats.
+
+    The diversity counterpart of ``repetition_scores``: keyword
+    stuffing, template loops and single-token spam collapse entropy
+    toward 0 while natural prose sits near ln(distinct words) — the
+    Gopher-family repetition rules use exactly this signal. Computed
+    as ``ln(n) − Σ c·ln(c) / n`` over the per-word counts, so no
+    per-term division and one fewer rounding site.
+
+    Shape: same single doc-keyed exchange as ``repetition_scores`` —
+    repartition the compact documents, explode, (doc, word) count,
+    doc-level fold; the token stream itself is never shuffled. Empty
+    documents score 0.
+    """
+    base = docs.select(F.col(id_col), F.col(text_col)) \
+        .repartition(F.col(id_col))
+    words = _words(F.lower(F.col(text_col)))
+    ex = base.select(F.col(id_col), F.size(words).alias("n_tokens"),
+                     F.explode_outer(words).alias("w"))
+    return (ex.groupBy(id_col, "w")
+            .agg(F.count("w").alias("c"),
+                 F.first("n_tokens").alias("n_tokens"))
+            .groupBy(id_col)
+            .agg(F.sum(F.col("c") * F.log(F.col("c"))).alias("_clc"),
+                 F.first("n_tokens").alias("n_tokens"))
+            .select(id_col, "n_tokens",
+                    F.round(F.when(F.col("n_tokens") > 0,
+                                   F.log("n_tokens")
+                                   - F.col("_clc") / F.col("n_tokens"))
+                            .otherwise(0.0), 6).alias("token_entropy")))
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                         text_col: str = "text",
                         id_col: str = "doc_id",

@@ -2038,3 +2038,34 @@ def corpus_token_shards(spark, sf_dir):
     out = token_shards(t, ["_h", "doc_id"], "n_tokens", 2000,
                        cum_col="cum_tokens")
     return out.select("doc_id", "n_tokens", "cum_tokens", "shard")
+
+
+# --- token entropy (diversity signal) ----------------------------------------
+@register(
+    "doc_token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word
+    ),
+    agg AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+             sum(c * ln(c)) AS clc
+      FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(round(ln(a.n_tokens) - a.clc / a.n_tokens, 6), 0.0)
+             AS token_entropy
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="per-document Shannon entropy of the word distribution "
+        "(Gopher-style repetition/diversity signal), ln(n) - sum(c "
+        "ln c)/n over per-word counts — one doc-keyed exchange",
+)
+def doc_token_entropy(spark, sf_dir):
+    from .operators.textstats import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))

@@ -374,3 +374,24 @@ def test_token_shards_rejects_bad_target(spark):
     docs = load_table(spark, SF, "documents")
     with pytest.raises(ValueError):
         token_shards(docs, ["doc_id"], "n_chars", 0)
+
+
+def test_token_entropy_orders_spam_below_prose(spark):
+    """Entropy separates degenerate text from diverse text: a
+    single-token loop scores 0, an all-distinct document scores
+    ln(n), a half-repeated one sits strictly between."""
+    import math
+
+    from big_data_hw_23_24_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "a b c d e f g h"),
+         (3, "a a a a w x y z"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert out[1].token_entropy == 0.0
+    assert abs(out[2].token_entropy - math.log(8)) < 1e-6
+    assert 0 < out[3].token_entropy < out[2].token_entropy
+    assert out[4].n_tokens == 0 and out[4].token_entropy == 0.0

@@ -153,6 +153,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_winnow_fingerprints",   # MOSS winnowing selection (r7)
         "doc_overlap_pairs",         # MOSS inverted-index overlap (r7)
         "corpus_token_shards",       # equal-work shard assignment (r7)
+        "doc_token_entropy",         # word-distribution entropy (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
