@@ -395,3 +395,57 @@ def test_token_entropy_orders_spam_below_prose(spark):
     assert abs(out[2].token_entropy - math.log(8)) < 1e-6
     assert 0 < out[3].token_entropy < out[2].token_entropy
     assert out[4].n_tokens == 0 and out[4].token_entropy == 0.0
+
+
+# --- hypothesis properties for the cleaning folds ---------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_line = st.text(alphabet="ab .", min_size=0, max_size=6)
+_texts = st.lists(st.lists(_line, min_size=0, max_size=8)
+                  .map(lambda ls: "\n".join(ls)),
+                  min_size=1, max_size=5)
+_H = dict(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(texts=_texts)
+@settings(**_H)
+def test_dedup_lines_idempotent_and_order_preserving(spark, texts):
+    """Pure-Python reference semantics on random line soup: keep-first
+    order-preserving dedup, and a second application is the identity
+    (idempotence)."""
+    docs = _docs(spark, list(enumerate(texts)))
+    once = {r.doc_id: r.text_deduped
+            for r in dedup_lines(docs).collect()}
+    for i, t in enumerate(texts):
+        seen, want = set(), []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                want.append(ln)
+        assert once[i] == "\n".join(want)
+    again = dedup_lines(_docs(spark, [(i, t) for i, t in once.items()]))
+    assert {r.doc_id: r.text_deduped for r in again.collect()} == once
+
+
+@given(texts=_texts)
+@settings(**_H)
+def test_c4_filter_matches_python_reference(spark, texts):
+    """The HOF filter equals the line-by-line Python reference on
+    random inputs, and kept lines are always a subsequence of the
+    original line order."""
+    import re
+
+    docs = _docs(spark, list(enumerate(texts)))
+    got = {r.doc_id: r for r in
+           c4_line_filter(docs, min_words=2, min_lines=1).collect()}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        want = [ln for ln in lines
+                if re.search(r'[.!?"]\s*$', ln.strip())
+                and len([w for w in ln.strip().split(" ") if w]) >= 2]
+        assert got[i].clean_text == "\n".join(want)
+        assert got[i].n_kept == len(want)
+        assert got[i].n_lines == len(lines)
