@@ -449,3 +449,25 @@ def test_c4_filter_matches_python_reference(spark, texts):
         assert got[i].clean_text == "\n".join(want)
         assert got[i].n_kept == len(want)
         assert got[i].n_lines == len(lines)
+
+
+def test_semantic_dedup_single_cluster_equals_exact_greedy(spark):
+    """With ONE centroid every vector co-clusters, so SemDeDup must
+    reduce exactly to greedy smallest-id dedup over the EXACT cosine
+    pair set — the k=1 bridge that pins the clustered path to the
+    exact operator (cosine_pairs, itself oracle-checked)."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    one = (emb.where(F.col("vec_id") == 0)
+           .select(F.lit(0).alias("centroid_id"),
+                   F.col("embedding").cast("array<double>").alias("cv")))
+    got = {r.vec_id: r.dropped for r in
+           semantic_dedup(emb, one, threshold=0.35).collect()}
+    want_dropped = {r.id_b for r in
+                    cosine_pairs(emb, threshold=0.35).collect()}
+    assert set(got) == {r.vec_id for r in emb.select("vec_id").collect()}
+    assert {v for v, d in got.items() if d} == want_dropped
