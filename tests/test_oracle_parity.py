@@ -60,7 +60,7 @@ def test_query_matches_oracle(spark, name, sf_dir):
 # frames, bucket-explode joins) only gets exercised when the data
 # outgrows single partitions. Opt-in (SPARK_GRAFT_SF01_PARITY=1, ~4 min)
 # because sf0.1 DuckDB recomputation is too slow for every suite run;
-# the r6 sweep of these 24 queries was fully green.
+# the r6 sweeps (24 queries, then +5 mid-r6) were fully green.
 _SF01_SCALE_SENSITIVE = [
     "pricing_summary", "customer_balance_deciles", "events_asof_orders",
     "customer_rolling_30d", "sessions_builtin_window",
@@ -71,6 +71,12 @@ _SF01_SCALE_SENSITIVE = [
     "events_by_hopping_window", "segment_set_ops", "knn_pq_rerank",
     "corpus_boilerplate_ngrams", "doc_boilerplate_share",
     "frequent_users_cms", "events_customer_salted_join",
+    # mid-r6 additions whose partition-boundary machinery (range
+    # repartition prefix sums, two-stage grouped top-k, cluster-keyed
+    # pair joins, inverted-index overlap) only stretches past sf0.01
+    "corpus_quality_budget", "corpus_token_shards",
+    "corpus_stratified_sample", "dedup_semantic_clusters",
+    "doc_overlap_pairs",
 ]
 
 
