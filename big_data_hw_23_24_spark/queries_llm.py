@@ -2069,3 +2069,49 @@ def doc_token_entropy(spark, sf_dir):
     from .operators.textstats import token_entropy
 
     return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# --- dataset card (corpus ops report) ----------------------------------------
+# The rollup a corpus owner actually reads before training: per
+# (source, lang), per source, and grand-total document/char/token
+# inventories. Integer-derived metrics only (sums, min/max, one exact
+# division for the mean) so every cell is engine-exact; one pass, one
+# grouping-sets aggregate — the Expand operator costs 3 rows per input
+# row, all map-side combined before the single shuffle.
+@register(
+    "corpus_stats_card",
+    """
+    SELECT source, lang,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    w -> w <> ''))) AS BIGINT)
+             AS total_tokens,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars,
+           round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """,
+    doc="dataset card: per-(source, lang) / per-source / grand-total "
+        "document, char and token inventories in ONE rollup pass "
+        "(3-row Expand, map-side combined before the single shuffle)",
+)
+def corpus_stats_card(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "),
+                            lambda w: w != F.lit("")))
+    return (docs.withColumn("_nt", n_tok)
+            .rollup("source", "lang")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("_nt").cast("bigint").alias("total_tokens"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.round(F.sum("n_chars") * 1.0 / F.count("*"), 4)
+                 .alias("avg_chars"))
+            .select("source", "lang", "gid", "n_docs", "total_chars",
+                    "total_tokens", "min_chars", "max_chars",
+                    "avg_chars"))

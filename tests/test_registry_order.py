@@ -154,6 +154,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_overlap_pairs",         # MOSS inverted-index overlap (r7)
         "corpus_token_shards",       # equal-work shard assignment (r7)
         "doc_token_entropy",         # word-distribution entropy (r7)
+        "corpus_stats_card",         # dataset-card rollup (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
