@@ -99,3 +99,89 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
             .withColumn("n_unique_lines", F.size("_dedup"))
             .withColumn(out_col, F.array_join("_dedup", "\n"))
             .drop("_dedup"))
+
+
+def _hashed_weight(token: Column, salt: str, hash_chars: int) -> Column:
+    """Deterministic per-token weight in [-1, 1): the first
+    ``hash_chars`` hex digits of ``md5(salt || ':' || token)`` scaled
+    from [0, 16^n) — ``conv(hex, 16, 10)`` JVM-side, the same value
+    any engine derives from the same md5 prefix."""
+    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), token)),
+                    1, hash_chars)
+    return (F.conv(h, 16, 10).cast("double")
+            / F.lit(float(16 ** hash_chars))) * 2.0 - 1.0
+
+
+def linear_quality_score(docs: DataFrame, salt: str = "q",
+                         hash_chars: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """fastText-style hashed linear classifier → ``(doc_id, n_tokens,
+    logit, prob, keep)``.
+
+    The architecture of every production quality classifier
+    (fastText/CCNet, the GPT-3 and LLaMA quality filters): embed each
+    token by hashing it into a weight table, average, squash. Here the
+    weight table is the DETERMINISTIC hash-derived stand-in
+    ``w(t) = 2·md5_prefix(salt:t)/16^n − 1`` — the same "weights are a
+    lookup keyed by token hash" dataflow as a trained model (swap in
+    :func:`linear_quality_score_weighted` with a real weights table;
+    the plumbing is identical), but reproducible in any engine so the
+    whole scoring path is oracle-checkable end to end.
+
+    ``logit`` is the mean token weight (0 for empty docs), ``prob``
+    the sigmoid, ``keep`` the prob ≥ 0.5 decision. The fold is a pure
+    JVM ``F.aggregate`` over the split array: ZERO shuffles, no
+    explode, nothing leaves the scan — the 100 TB shape.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != "")
+    wsum = F.aggregate(
+        words, F.lit(0.0),
+        lambda acc, w: acc + _hashed_weight(w, salt, hash_chars))
+    n = F.size(words)
+    logit = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+    return (docs
+            .withColumn("_n", n)
+            .withColumn("_logit", F.round(logit, 6))
+            .select(F.col(id_col),
+                    F.col("_n").cast("long").alias("n_tokens"),
+                    F.col("_logit").alias("logit"),
+                    F.round(F.lit(1.0)
+                            / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6)
+                    .alias("prob"),
+                    (F.col("_logit") > 0).alias("keep")))
+
+
+def linear_quality_score_weighted(docs: DataFrame, weights: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """The trained-weights face of :func:`linear_quality_score`:
+    ``weights`` is ``(token, weight)`` (a fitted vocabulary — at most
+    a few million rows, broadcastable by construction). Tokens absent
+    from the table contribute 0, mirroring an out-of-vocabulary hash
+    bucket never updated during training.
+
+    Plan: explode tokens → broadcast hash join against the weight
+    table → one doc-keyed aggregate. The ONE corpus shuffle is the
+    per-doc sum; the weight table never shuffles.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != "")
+    toks = docs.select(F.col(id_col), F.size(words).alias("_n"),
+                       F.explode_outer(words).alias("token"))
+    scored = (toks.join(F.broadcast(weights), "token", "left")
+              .groupBy(id_col)
+              .agg(F.first("_n").alias("_n"),
+                   F.sum(F.coalesce("weight", F.lit(0.0))).alias("_wsum")))
+    logit = F.when(F.col("_n") > 0,
+                   F.col("_wsum") / F.col("_n")).otherwise(F.lit(0.0))
+    return (scored
+            .withColumn("_logit", F.round(logit, 6))
+            .select(F.col(id_col),
+                    F.col("_n").cast("long").alias("n_tokens"),
+                    F.col("_logit").alias("logit"),
+                    F.round(F.lit(1.0)
+                            / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6)
+                    .alias("prob"),
+                    (F.col("_logit") > 0).alias("keep")))

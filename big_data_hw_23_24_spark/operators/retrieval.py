@@ -1,0 +1,152 @@
+"""Okapi BM25 full-text retrieval over the document corpus.
+
+The corpus-ops counterpart of ``textstats.tfidf_top_terms``: given a
+bag-of-words query, rank documents by BM25 (Robertson/Spärck Jones;
+the default scorer of Lucene/Elasticsearch and the retrieval baseline
+in every data-curation / RAG pipeline). Useful in a training-data
+engine both as a retrieval primitive and as a targeted-subset selector
+("find the documents about X" before sampling them up).
+
+Design — zero-shuffle scoring:
+
+* Per-document term frequencies for a LITERAL query are computed as
+  narrow array expressions (``size(filter(words, w -> w = term))``),
+  NOT by exploding the corpus token stream: tf, doclen and the score
+  are all one map over the scan.
+* The only exchanges are (a) ONE global 1-row aggregate for
+  ``(N, avgdl, df_t)`` — broadcast back via cross-join — and (b) the
+  final top-k, which Catalyst executes as TakeOrderedAndProject
+  (per-partition heaps, no global sort).
+* idf uses the +1 form ``ln(1 + (N - df + .5)/(df + .5))`` so scores
+  stay positive regardless of df.
+
+Determinism: ranking orders by the 6-decimal-rounded score with the
+document id as tiebreaker, so an oracle engine summing the per-term
+contributions in a different order cannot flip the top-k.
+
+Scale shape: one corpus scan, a 1-row broadcast, a top-k — this is the
+plan you would want at 100 TB. The reference has no retrieval surface;
+BM25 extends the TF-IDF family (SURVEY.md §2 E13) to query scoring.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query by BM25.
+
+    Returns ``(doc_id, dl, tf_<i> per term, score, rank)`` ordered by
+    ``(score desc, doc_id)``; only documents matching at least one
+    query term (score > 0) are ranked.
+    """
+    if not terms:
+        raise ValueError("at least one query term required")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate query terms in {terms}")
+    lowered = [t.lower() for t in terms]
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != "")
+
+    def tf(term: str):  # single-param lambda: F.filter passes the
+        return F.size(  # element only (2 params would mean (x, i))
+            F.filter(words, lambda w: w == F.lit(term)))
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(words).alias("dl"),
+        *[tf(t).alias(f"tf_{i}") for i, t in enumerate(lowered)],
+    )
+
+    stats = per_doc.agg(
+        F.count("*").alias("_n"),
+        F.sum("dl").alias("_sumdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+          for i in range(len(lowered))],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    denom_norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)
+    contrib = [
+        F.log(F.lit(1.0)
+              + (F.col("_n") - F.col(f"_df_{i}") + F.lit(0.5))
+              / (F.col(f"_df_{i}") + F.lit(0.5)))
+        * (F.col(f"tf_{i}") * F.lit(k1 + 1))
+        / (F.col(f"tf_{i}") + denom_norm)
+        for i in range(len(lowered))
+    ]
+    score = sum(contrib[1:], contrib[0])
+    scored = scored.select(
+        F.col(id_col), F.col("dl"),
+        *[F.col(f"tf_{i}") for i in range(len(lowered))],
+        F.round(score, 6).alias("score"),
+    ).where(sum((F.col(f"tf_{i}") for i in range(1, len(lowered))),
+                F.col("tf_0")) > 0)
+
+    top = (scored.orderBy(F.col("score").desc(), F.col(id_col))
+           .limit(k))
+    # rank is positional in the deterministic (score desc, id) order;
+    # the partitionless window is bounded by the LIMIT k rows above it
+    # (same class as the vocab-scale allowlist, never corpus-scale)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_oracle_sql(terms: list[str], k: int = 20,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """The DuckDB mirror of :func:`bm25_topk` over the ``documents``
+    view — generated from the same term list so Spark and oracle can
+    never drift on the unrolled per-term expressions."""
+    lowered = [t.lower() for t in terms]
+    tf_exprs = ",\n           ".join(
+        f"len(list_filter(words, w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(lowered))
+    df_exprs = ",\n           ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(lowered)))
+    contribs = " + ".join(
+        f"(ln(1.0 + (s._n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * (p.tf_{i} * {k1 + 1!r})"
+        f" / (p.tf_{i} + {k1!r} * ({1 - b!r} + {b!r} * p.dl"
+        f" / (s._sumdl * 1.0 / s._n))))"
+        for i in range(len(lowered)))
+    any_tf = " + ".join(f"p.tf_{i}" for i in range(len(lowered)))
+    tf_cols = ", ".join(f"p.tf_{i}" for i in range(len(lowered)))
+    assert math.isfinite(k1) and math.isfinite(b)
+    return f"""
+    WITH p AS (
+      SELECT doc_id, len(words) AS dl,
+           {tf_exprs}
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               w -> w <> '') AS words
+            FROM documents)
+    ),
+    s AS (
+      SELECT count(*) AS _n, sum(dl) AS _sumdl,
+           {df_exprs}
+      FROM p
+    ),
+    scored AS (
+      SELECT p.doc_id, p.dl, {tf_cols},
+             round({contribs}, 6) AS score
+      FROM p CROSS JOIN s
+      WHERE {any_tf} > 0
+    )
+    SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS INTEGER) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {k}
+    """

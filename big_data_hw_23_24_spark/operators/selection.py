@@ -117,3 +117,97 @@ def token_shards(df: DataFrame, order_by: list[Column | str],
         shard_col,
         F.floor((F.col(cum_col) - F.col(size_col)) / target)
         .cast("bigint"))
+
+
+def dsir_importance(docs: DataFrame, is_target: Column,
+                    bucket_chars: int = 3, eps: float = 1e-6,
+                    text_col: str = "text",
+                    id_col: str = "doc_id",
+                    materialize: bool = True) -> DataFrame:
+    """DSIR-style importance weights → ``(doc_id, n_feats, weight)``.
+
+    Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): model the TARGET domain (rows where ``is_target``) and the
+    RAW corpus as bag-of-hashed-bigram distributions, then weight
+    every document by the average log-likelihood ratio of its
+    features — ``weight = Σ c_f·(ln p̂_target(f) − ln p̂_raw(f)) / Σ
+    c_f`` with ``p̂ = c/T + eps``. Documents that look like the target
+    domain score > 0; selection upsamples by weight (e.g. keep
+    ``weight >= 0``, or feed ``-weight`` into :func:`quality_budget`
+    as the quality ordering).
+
+    Features are word bigrams hashed to ``16^bucket_chars`` buckets by
+    md5 prefix (engine-portable, seed-free — the hash IS the
+    vocabulary, no fitting pass). Smoothing is in PROBABILITY space
+    (``+eps`` on each normalized frequency, DSIR's own formulation) —
+    add-α count smoothing over the full 16^n bucket space would
+    swamp the totals of any corpus smaller than α·16^n features and
+    flip every in-target sign. Documents with fewer than 2 words
+    carry no features and weight 0.
+
+    Scale shape: three keyed aggregates — (doc, bucket) counts, the
+    ≤ ``16^bucket_chars``-row bucket table (broadcast back), per-doc
+    weight — plus one 1-row totals broadcast. The corpus shuffles
+    only its (doc, bucket) counts; nothing all-pairs, nothing
+    single-reducer.
+    """
+    if bucket_chars < 1 or bucket_chars > 8:
+        raise ValueError(f"bucket_chars must be in 1..8, got {bucket_chars}")
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+
+    # lowered word bigrams (the lowercase sibling of
+    # textstats._ngram_pairs at n=2)
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+
+    feats = (docs
+             .select(F.col(id_col), is_target.alias("_t"),
+                     F.explode(grams).alias("_g"))
+             .select(id_col, "_t",
+                     F.substring(F.md5(F.col("_g")), 1, bucket_chars)
+                     .alias("_b"))
+             .groupBy(id_col, "_t", "_b")
+             .agg(F.count("*").alias("_c")))
+    if materialize:
+        # both the bucket table and the per-doc weights read the
+        # (doc, bucket) counts; Catalyst does not reuse the
+        # explode+aggregate subtree across branches, so materialize it
+        # once (the doc_boilerplate_share pattern) instead of scanning
+        # and shuffling the corpus twice
+        feats = feats.localCheckpoint(eager=True)
+
+    bucket_tbl = (feats.groupBy("_b")
+                  .agg(F.sum("_c").alias("_raw"),
+                       F.sum(F.when(F.col("_t"), F.col("_c"))
+                             .otherwise(F.lit(0))).alias("_tgt")))
+    totals = bucket_tbl.agg(F.sum("_raw").alias("_traw"),
+                            F.sum("_tgt").alias("_ttgt"))
+    lr_tbl = (bucket_tbl.crossJoin(F.broadcast(totals))
+              .select("_b",
+                      # greatest(·,1): an empty target side degrades to
+                      # p̂_target = eps everywhere (strongly negative lr)
+                      # instead of 0/0 nulls
+                      (F.log(F.col("_tgt")
+                             / F.greatest(F.col("_ttgt"), F.lit(1))
+                             + F.lit(eps))
+                       - F.log(F.col("_raw")
+                               / F.greatest(F.col("_traw"), F.lit(1))
+                               + F.lit(eps)))
+                      .alias("_lr")))
+
+    per_doc = (feats.join(F.broadcast(lr_tbl), "_b")
+               .groupBy(id_col)
+               .agg(F.sum("_c").cast("long").alias("n_feats"),
+                    F.sum(F.col("_c") * F.col("_lr")).alias("_wsum")))
+    return (docs.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_feats", F.lit(0)).cast("long")
+                    .alias("n_feats"),
+                    F.coalesce(F.round(F.col("_wsum") / F.col("n_feats"),
+                                       6), F.lit(0.0)).alias("weight")))

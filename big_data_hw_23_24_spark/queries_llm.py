@@ -2115,3 +2115,126 @@ def corpus_stats_card(spark, sf_dir):
             .select("source", "lang", "gid", "n_docs", "total_chars",
                     "total_tokens", "min_chars", "max_chars",
                     "avg_chars"))
+
+
+# --- BM25 retrieval (E64) ----------------------------------------------------
+# The query-term list is a module literal so the Spark plan and the
+# generated oracle SQL can never disagree on the unrolled expressions.
+_BM25_TERMS = ["spark", "query", "stream", "merge"]
+
+
+def _bm25_oracle() -> str:
+    from .operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=25)
+
+
+@register(
+    "doc_bm25_topk",
+    None,  # replaced right below — oracle is generated from the terms
+    doc="Okapi BM25 top-25 for a bag-of-words query: narrow per-doc "
+        "tf/dl expressions (no corpus explode), ONE 1-row stats "
+        "aggregate broadcast back, TakeOrderedAndProject top-k",
+)
+def doc_bm25_topk(spark, sf_dir):
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"),
+                     _BM25_TERMS, k=25)
+
+
+# register() stores the oracle eagerly; patch in the generated SQL so
+# both faces derive from the same _BM25_TERMS literal
+from .queries import _REGISTRY as _R  # noqa: E402
+
+_R["doc_bm25_topk"].oracle = _bm25_oracle()
+
+
+# --- DSIR importance weights (E65) -------------------------------------------
+@register(
+    "doc_dsir_weights",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS words
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang = 'en' AS t,
+             substr(md5(g), 1, 3) AS b, count(*) AS c
+      FROM (SELECT doc_id, lang,
+                   unnest(CASE WHEN len(words) >= 2
+                          THEN list_transform(range(1, len(words)),
+                                              i -> words[i] || ' ' || words[i+1])
+                          ELSE [] END) AS g
+            FROM w)
+      GROUP BY doc_id, t, b
+    ),
+    bt AS (
+      SELECT b, sum(c) AS raw,
+             sum(CASE WHEN t THEN c ELSE 0 END) AS tgt
+      FROM f GROUP BY b
+    ),
+    tot AS (SELECT sum(raw) AS traw, sum(tgt) AS ttgt FROM bt),
+    lr AS (
+      SELECT b, ln(tgt * 1.0 / greatest(ttgt, 1) + 1e-6)
+               - ln(raw * 1.0 / greatest(traw, 1) + 1e-6) AS lr
+      FROM bt CROSS JOIN tot
+    ),
+    pd AS (
+      SELECT f.doc_id, sum(f.c)::BIGINT AS n_feats,
+             sum(f.c * lr.lr) AS wsum
+      FROM f JOIN lr USING (b) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, coalesce(pd.n_feats, 0) AS n_feats,
+           coalesce(round(pd.wsum / pd.n_feats, 6), 0.0) AS weight
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    doc="DSIR importance resampling weights (Xie et al. 2023): "
+        "hashed-bigram target-vs-raw log-likelihood ratio per doc "
+        "(probability-space +1e-6 smoothing), target = lang='en'; "
+        "4096-bucket md5 feature hash, bucket table broadcast back — "
+        "three keyed aggregates, no all-pairs",
+)
+def doc_dsir_weights(spark, sf_dir):
+    from .operators.selection import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en", bucket_chars=3)
+
+
+# --- hashed linear quality classifier (E66) ----------------------------------
+@register(
+    "doc_quality_classifier",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS words
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, len(words) AS n_tokens,
+             CASE WHEN len(words) > 0 THEN
+               round(list_sum(list_transform(words,
+                 w -> ('0x' || substr(md5('q:' || w), 1, 8))::BIGINT
+                      / 4294967296.0 * 2.0 - 1.0)) / len(words), 6)
+             ELSE 0.0 END AS logit
+      FROM s
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           logit > 0 AS keep
+    FROM sc
+    """,
+    doc="fastText-style hashed linear quality classifier: "
+        "deterministic md5-derived token weights folded JVM-side "
+        "(F.aggregate, zero shuffle, no explode); the trained-weights "
+        "face (linear_quality_score_weighted) is the same dataflow "
+        "with a broadcast weight table",
+)
+def doc_quality_classifier(spark, sf_dir):
+    from .operators.cleaning import linear_quality_score
+
+    return linear_quality_score(load_table(spark, sf_dir, "documents"))

@@ -155,6 +155,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_token_shards",       # equal-work shard assignment (r7)
         "doc_token_entropy",         # word-distribution entropy (r7)
         "corpus_stats_card",         # dataset-card rollup (r7)
+        # late-r6 retrieval/selection/classifier tier (E64-E66)
+        "doc_bm25_topk",             # Okapi BM25 retrieval (r7)
+        "doc_dsir_weights",          # DSIR importance resampling (r7)
+        "doc_quality_classifier",    # hashed linear quality model (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

@@ -1,0 +1,235 @@
+"""operators/retrieval.py (BM25), selection.dsir_importance and
+cleaning.linear_quality_score: ranking semantics, importance-weight
+signs, hashed-vs-weighted classifier equivalence, and the zero/low
+-shuffle plan contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hw_23_24_spark.operators.cleaning import (
+    linear_quality_score,
+    linear_quality_score_weighted,
+)
+from big_data_hw_23_24_spark.operators.retrieval import bm25_topk
+from big_data_hw_23_24_spark.operators.selection import dsir_importance
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- BM25 --------------------------------------------------------------------
+
+def test_bm25_more_hits_rank_higher_same_length(spark):
+    docs = _docs(spark, [
+        (1, "spark spark spark pad pad pad"),
+        (2, "spark pad pad pad pad pad"),
+        (3, "pad pad pad pad pad pad"),
+    ])
+    out = bm25_topk(docs, ["spark"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # doc 3 never matches
+    assert [r.rank for r in out] == [1, 2]
+    assert out[0].score > out[1].score > 0
+
+
+def test_bm25_rare_term_outweighs_common_term(spark):
+    # same tf and dl everywhere; 'rare' appears in 1 doc, 'common' in 3
+    docs = _docs(spark, [
+        (1, "rare pad pad pad"),
+        (2, "common pad pad pad"),
+        (3, "common pad pad pad"),
+        (4, "common pad pad pad"),
+    ])
+    out = {r.doc_id: r.score for r in bm25_topk(docs, ["rare", "common"],
+                                                k=10).collect()}
+    assert out[1] > out[2] == out[3] == out[4]
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    docs = _docs(spark, [
+        (1, "spark pad"),
+        (2, "spark pad pad pad pad pad pad pad pad pad pad pad"),
+    ])
+    out = {r.doc_id: r.score for r in bm25_topk(docs, ["spark"],
+                                                k=10).collect()}
+    assert out[1] > out[2]
+
+
+def test_bm25_k_bound_and_validation(spark):
+    docs = _docs(spark, [(i, "spark pad") for i in range(10)])
+    assert bm25_topk(docs, ["spark"], k=3).count() == 3
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(docs, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_topk(docs, ["a", "a"])
+
+
+def test_bm25_matches_textbook_formula(spark):
+    # one matching doc: score must equal the hand-computed Okapi value
+    docs = _docs(spark, [
+        (1, "spark spark pad pad"),   # dl=4, tf=2
+        (2, "pad pad pad pad pad pad"),  # dl=6
+    ])
+    out = bm25_topk(docs, ["spark"], k=5).collect()
+    assert len(out) == 1
+    n, df, dl, avgdl, tf, k1, b = 2, 1, 4, 5.0, 2, 1.2, 0.75
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert out[0].score == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_bm25_scoring_is_shuffle_free(spark):
+    # the ONLY exchanges are the 1-row stats broadcast and top-k;
+    # no hash-partitioned corpus shuffle anywhere
+    df = bm25_topk(_docs(spark, [(1, "spark pad")]), ["spark"], k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+def _dsir_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+
+
+def test_dsir_target_lookalike_positive_offtarget_negative(spark):
+    # target distribution is pure 'good stuff'; raw adds 'bad junk'
+    rows = ([(i, "good stuff good stuff", True) for i in range(5)]
+            + [(100 + i, "bad junk bad junk", False) for i in range(5)]
+            + [(200, "good stuff good stuff", False),   # looks like target
+               (201, "bad junk bad junk", False)])
+    out = {r.doc_id: r for r in dsir_importance(
+        _dsir_docs(spark, rows), F.col("t"), bucket_chars=3).collect()}
+    assert out[200].weight > 0 > out[201].weight
+    # the lookalike scores exactly like the in-target docs (same feats)
+    assert out[200].weight == out[0].weight
+
+
+def test_dsir_short_docs_carry_no_features(spark):
+    out = {r.doc_id: r for r in dsir_importance(
+        _dsir_docs(spark, [(1, "solo", False), (2, "", False),
+                           (3, "a b", True)]),
+        F.col("t")).collect()}
+    assert (out[1].n_feats, out[1].weight) == (0, 0.0)
+    assert (out[2].n_feats, out[2].weight) == (0, 0.0)
+    assert out[3].n_feats == 1
+    assert len(out) == 3  # left join keeps every doc
+
+
+def test_dsir_matches_pure_python(spark):
+    import hashlib
+    from collections import Counter
+
+    rows = [(1, "a b c a b", True), (2, "b c d", False),
+            (3, "a b x y", False), (4, "q r s t q r", True)]
+    eps, chars = 1e-6, 3
+
+    def bigrams(text):
+        w = [x for x in text.lower().split(" ") if x]
+        return [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:chars]
+
+    raw, tgt = Counter(), Counter()
+    for _, text, t in rows:
+        for g in bigrams(text):
+            raw[bucket(g)] += 1
+            if t:
+                tgt[bucket(g)] += 1
+    traw, ttgt = sum(raw.values()), sum(tgt.values())
+
+    def lr(b):
+        return (math.log(tgt[b] / ttgt + eps)
+                - math.log(raw[b] / traw + eps))
+
+    want = {}
+    for doc_id, text, _ in rows:
+        bs = [bucket(g) for g in bigrams(text)]
+        want[doc_id] = round(sum(lr(b) for b in bs) / len(bs), 6)
+
+    got = {r.doc_id: r.weight for r in dsir_importance(
+        _dsir_docs(spark, rows), F.col("t"), bucket_chars=chars).collect()}
+    for doc_id in want:
+        assert got[doc_id] == pytest.approx(want[doc_id], abs=2e-6), doc_id
+
+
+def test_dsir_bucket_join_is_broadcast(spark):
+    df = dsir_importance(_dsir_docs(spark, [(1, "a b c", True)]),
+                         F.col("t"), materialize=False)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    # the bucket-lr table joins back by broadcast, never by shuffling
+    # the corpus side on bucket; the only sort-merge candidate is the
+    # final doc-keyed left join (corpus-vs-corpus, correctly keyed)
+    assert "BroadcastHashJoin" in plan
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert all("doc_id" in ln for ln in smj), smj
+
+
+def test_dsir_validation(spark):
+    d = _dsir_docs(spark, [(1, "a b", True)])
+    with pytest.raises(ValueError, match="bucket_chars"):
+        dsir_importance(d, F.col("t"), bucket_chars=0)
+    with pytest.raises(ValueError, match="eps"):
+        dsir_importance(d, F.col("t"), eps=0)
+
+
+# --- hashed linear quality classifier ----------------------------------------
+
+def test_classifier_empty_doc_is_neutral(spark):
+    out = {r.doc_id: r for r in linear_quality_score(
+        _docs(spark, [(1, ""), (2, "word")])).collect()}
+    assert (out[1].n_tokens, out[1].logit, out[1].prob, out[1].keep) \
+        == (0, 0.0, 0.5, False)
+    assert out[2].n_tokens == 1
+
+
+def test_classifier_prob_is_sigmoid_of_logit(spark):
+    for r in linear_quality_score(
+            _docs(spark, [(1, "alpha beta gamma"),
+                          (2, "delta epsilon")])).collect():
+        assert r.prob == pytest.approx(
+            round(1 / (1 + math.exp(-r.logit)), 6), abs=1e-6)
+        assert r.keep == (r.logit > 0)
+
+
+def test_classifier_weighted_face_matches_hashed_face(spark):
+    # enumerate the vocabulary into a weights table carrying the SAME
+    # hash-derived weights: the broadcast-join face must reproduce the
+    # fold face exactly (same dataflow, different weight source)
+    import hashlib
+
+    texts = [(1, "the quick brown fox"), (2, "jumps over the lazy dog"),
+             (3, ""), (4, "the the the")]
+    docs = _docs(spark, texts)
+    vocab = sorted({w for _, t in texts for w in t.lower().split() if w})
+
+    def hw(token):
+        h = int(hashlib.md5(f"q:{token}".encode()).hexdigest()[:8], 16)
+        return h / 16 ** 8 * 2.0 - 1.0
+
+    weights = spark.createDataFrame([(w, hw(w)) for w in vocab],
+                                    "token string, weight double")
+    hashed = {r.doc_id: r for r in linear_quality_score(docs).collect()}
+    joined = {r.doc_id: r
+              for r in linear_quality_score_weighted(docs, weights).collect()}
+    assert set(hashed) == set(joined) == {1, 2, 3, 4}
+    for doc_id in hashed:
+        assert hashed[doc_id].logit == pytest.approx(
+            joined[doc_id].logit, abs=2e-6), doc_id
+        assert hashed[doc_id].n_tokens == joined[doc_id].n_tokens
+
+
+def test_classifier_hashed_face_plan_has_no_exchange(spark):
+    df = linear_quality_score(_docs(spark, [(1, "a b c")]))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "Exchange" not in plan
