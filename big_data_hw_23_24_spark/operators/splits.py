@@ -130,3 +130,62 @@ def mix_sources(df: DataFrame, rates: dict[str, float],
     return (df.withColumn("bucket", bucket)
             .withColumn("keep_rate", rate_col)
             .withColumn("keep", bucket < thresh))
+
+
+def temperature_resample(df: DataFrame, alpha: float = 0.5,
+                         key: Column | str = "text",
+                         source_col: str = "source",
+                         bucket_chars: int = 4,
+                         copy_col: str = "copy") -> DataFrame:
+    """Deterministic temperature-based source UP-sampling → one output
+    row per copy, with ``(multiplicity, n_copies, copy)`` attached.
+
+    The multilingual/low-resource mixing rule (XLM-R, mT5, Gopher data
+    recipes): sample source s proportionally to ``n_s^alpha``, i.e.
+    give each of its documents multiplicity ``m_s = (n_max/n_s)^(1-α)``
+    — the largest source stays at 1 copy, smaller sources are
+    upsampled toward balance as α → 0 (α = 1 is the natural mix,
+    unchanged). Fractional parts are realized per document by the
+    engine's content-hash convention: every doc gets ``floor(m_s)``
+    copies plus one more iff its md5 bucket falls below
+    ``frac(m_s)·16^bucket_chars`` — reproducible across runs, engines
+    and partitionings, no RNG.
+
+    α = 0.5 (the common default) is computed via ``sqrt``, which IEEE
+    requires to be correctly rounded — so the whole multiplicity
+    computation (division, sqrt, floor, multiply) is bit-identical in
+    any engine and the operator is fully oracle-checkable. Other α go
+    through ``pow``, whose last-ulp behavior is engine-specific;
+    boundary flips are measure-zero but not impossible there.
+
+    Scale shape: one tiny per-source count aggregate (+ its 1-row max)
+    broadcast back; replication is a narrow ``explode(sequence)`` —
+    the corpus itself never shuffles.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if bucket_chars < 1 or bucket_chars > 8:
+        raise ValueError(f"bucket_chars must be in 1..8, got {bucket_chars}")
+    key = F.col(key) if isinstance(key, str) else key
+    space = 16 ** bucket_chars
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_ns"))
+    nmax = counts.agg(F.max("_ns").alias("_nmax"))
+    ratio = F.col("_nmax") / F.col("_ns")
+    m = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    stats = (counts.crossJoin(F.broadcast(nmax))
+             .select(source_col,
+                     F.round(m, 6).alias("multiplicity"),
+                     F.floor(m).cast("long").alias("_base"),
+                     F.floor((m - F.floor(m)) * space).cast("long")
+                     .alias("_extra")))
+
+    bucket_int = (F.conv(F.substring(F.md5(key), 1, bucket_chars), 16, 10)
+                  .cast("long"))
+    n_copies = (F.col("_base")
+                + (bucket_int < F.col("_extra")).cast("long"))
+    return (df.join(F.broadcast(stats), source_col)
+            .withColumn("n_copies", n_copies)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+            .drop("_base", "_extra"))

@@ -2238,3 +2238,45 @@ def doc_quality_classifier(spark, sf_dir):
     from .operators.cleaning import linear_quality_score
 
     return linear_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+# --- temperature-based source resampling (E67) -------------------------------
+@register(
+    "corpus_temperature_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+    mx AS (SELECT max(ns) AS nmax FROM c),
+    s AS (
+      SELECT source,
+             round(sqrt(nmax / (ns * 1.0)), 6) AS multiplicity,
+             CAST(floor(sqrt(nmax / (ns * 1.0))) AS BIGINT) AS base,
+             CAST(floor((sqrt(nmax / (ns * 1.0))
+                         - floor(sqrt(nmax / (ns * 1.0)))) * 65536)
+                  AS BIGINT) AS extra
+      FROM c CROSS JOIN mx
+    ),
+    d AS (
+      SELECT d.doc_id, d.source, s.multiplicity,
+             s.base + CASE WHEN ('0x' || substr(md5(d.text), 1, 4))::BIGINT
+                                < s.extra THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN s USING (source)
+    )
+    SELECT doc_id, source, multiplicity,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+    FROM d
+    """,
+    doc="temperature-based source upsampling (XLM-R/mT5 mixing rule, "
+        "alpha=0.5): multiplicity (n_max/n_s)^0.5 per source, "
+        "fractional copies realized by content-hash bucket — sqrt is "
+        "IEEE-correctly-rounded so the whole path is engine-exact; "
+        "tiny count table broadcast back, corpus never shuffles",
+)
+def corpus_temperature_mix(spark, sf_dir):
+    from .operators.splits import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_resample(docs, alpha=0.5)
+    return out.select("doc_id", "source", "multiplicity",
+                      F.col("n_copies").cast("long").alias("n_copies"),
+                      F.col("copy").cast("long").alias("copy"))

@@ -159,6 +159,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_bm25_topk",             # Okapi BM25 retrieval (r7)
         "doc_dsir_weights",          # DSIR importance resampling (r7)
         "doc_quality_classifier",    # hashed linear quality model (r7)
+        "corpus_temperature_mix",    # temperature source upsampling (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

@@ -233,3 +233,63 @@ def test_classifier_hashed_face_plan_has_no_exchange(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple")
     assert "Exchange" not in plan
+
+
+# --- temperature resampling --------------------------------------------------
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    from big_data_hw_23_24_spark.operators.splits import temperature_resample
+
+    rows = [(i, f"t{i}", "a" if i < 6 else "b") for i in range(9)]
+    out = temperature_resample(_src_docs(spark, rows), alpha=1.0).collect()
+    assert len(out) == 9
+    assert all(r.n_copies == 1 and r.copy == 1 and r.multiplicity == 1.0
+               for r in out)
+
+
+def test_temperature_sqrt_multiplicity_and_copy_counts(spark):
+    from big_data_hw_23_24_spark.operators.splits import temperature_resample
+
+    # 16 'big' docs, 4 'small' docs → m_small = sqrt(16/4) = 2 exactly
+    rows = ([(i, f"b{i}", "big") for i in range(16)]
+            + [(100 + i, f"s{i}", "small") for i in range(4)])
+    out = temperature_resample(_src_docs(spark, rows), alpha=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["big"]) == 16          # m=1, no upsampling
+    assert len(by_src["small"]) == 8         # every doc exactly 2 copies
+    assert all(r.multiplicity == 2.0 and r.n_copies == 2
+               for r in by_src["small"])
+    assert sorted(r.copy for r in by_src["small"]) == [1] * 4 + [2] * 4
+
+
+def test_temperature_fractional_copies_bounded_and_deterministic(spark):
+    from big_data_hw_23_24_spark.operators.splits import temperature_resample
+
+    # 9 vs 4 → m = 1.5: every small doc gets 1 or 2 copies, expected
+    # total ≈ 6, and a re-run replicates exactly
+    rows = ([(i, f"b{i}", "big") for i in range(9)]
+            + [(100 + i, f"s{i}", "small") for i in range(4)])
+    docs = _src_docs(spark, rows)
+    a = sorted((r.doc_id, r.copy) for r in
+               temperature_resample(docs, alpha=0.5).collect())
+    b = sorted((r.doc_id, r.copy) for r in
+               temperature_resample(docs, alpha=0.5).collect())
+    assert a == b
+    small = [x for x in a if x[0] >= 100]
+    assert 4 <= len(small) <= 8
+
+
+def test_temperature_validation(spark):
+    from big_data_hw_23_24_spark.operators.splits import temperature_resample
+
+    d = _src_docs(spark, [(1, "x", "a")])
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(d, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(d, alpha=1.5)
