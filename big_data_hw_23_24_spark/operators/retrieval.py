@@ -36,7 +36,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_oracle_sql", "bm25_search_many"]
 
 
 def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
@@ -150,3 +150,76 @@ def bm25_oracle_sql(terms: list[str], k: int = 20,
     ORDER BY score DESC, doc_id
     LIMIT {k}
     """
+
+
+def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
+                     k1: float = 1.2, b: float = 0.75,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Batch BM25: top-``k`` documents PER QUERY for a whole query
+    table → ``(qid, doc_id, n_hits, score, rank)``.
+
+    The inverted-index shape that scales past :func:`bm25_topk`'s
+    literal unrolling (which is O(|terms|) expressions per doc — right
+    for ONE ad-hoc query, wrong for a 10k-query batch): ``queries`` is
+    ``(qid, terms array<string>)``; the corpus token stream explodes
+    ONCE into (doc, term, tf) postings, the query table explodes into
+    (qid, term) pairs and broadcast-joins the postings — each posting
+    fans out only to the queries that contain its term, exactly an
+    inverted-index lookup. Corpus-side cost is ONE (doc, term)
+    aggregate regardless of how many queries ride it.
+
+    Per-query top-k runs through the two-stage grouped pattern (rank
+    within (partition, qid) → keep k → rank survivors), so a popular
+    query never funnels the whole corpus through one reducer. Ranking
+    is deterministic: rounded score desc, doc_id asc.
+
+    df/idf statistics are corpus-global (shared by all queries; df for
+    a query term is computed AFTER the postings are pruned to query
+    terms — the count is identical, the aggregate is tiny); only
+    documents matching ≥ 1 term of a query are scored (standard
+    OR-semantics retrieval).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != "")
+    base = docs.select(F.col(id_col), words.alias("_w"))
+    stats = base.agg(F.count("*").alias("_n"),
+                     F.sum(F.size("_w")).alias("_sumdl"))
+
+    qterms = (queries.select("qid", F.explode("terms").alias("term"))
+              .distinct())
+    terms_only = qterms.select("term").distinct()
+
+    # postings pruned to query terms BEFORE the (doc, term) aggregate:
+    # the corpus-side shuffle carries only matching tokens, and dl
+    # rides along (functionally dependent on doc) instead of joining a
+    # second corpus-wide table back
+    postings = (base.select(F.col(id_col), F.size("_w").alias("dl"),
+                            F.explode("_w").alias("term"))
+                .join(F.broadcast(terms_only), "term")
+                .groupBy(id_col, "term")
+                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
+    df_q = postings.groupBy("term").agg(F.count("*").alias("_df"))
+
+    hits = (postings
+            .join(F.broadcast(qterms), "term")
+            .join(F.broadcast(df_q), "term")
+            .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    idf = F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5)))
+    contrib = (idf * F.col("tf") * F.lit(k1 + 1)
+               / (F.col("tf") + F.lit(k1)
+                  * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl)))
+    scored = (hits.groupBy("qid", id_col)
+              .agg(F.count("*").cast("long").alias("n_hits"),
+                   F.round(F.sum(contrib), 6).alias("score")))
+
+    local = Window.partitionBy(F.spark_partition_id(), "qid") \
+        .orderBy(F.col("score").desc(), F.col(id_col))
+    survivors = (scored.withColumn("_r", F.row_number().over(local))
+                 .where(F.col("_r") <= k).drop("_r"))
+    final = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                              F.col(id_col))
+    return (survivors.withColumn("rank", F.row_number().over(final))
+            .where(F.col("rank") <= k))

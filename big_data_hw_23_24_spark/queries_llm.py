@@ -2280,3 +2280,69 @@ def corpus_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "source", "multiplicity",
                       F.col("n_copies").cast("long").alias("n_copies"),
                       F.col("copy").cast("long").alias("copy"))
+
+
+# --- batch BM25 via inverted index (E64 scale face) --------------------------
+@register(
+    "doc_bm25_multi",
+    """
+    WITH q AS (
+      SELECT * FROM (VALUES (1, 'spark'), (1, 'join'),
+                            (2, 'stream'), (2, 'window'),
+                            (3, 'merge'), (3, 'table'), (3, 'sort'))
+        AS t(qid, term)
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS words
+      FROM documents
+    ),
+    s AS (SELECT count(*) AS n, sum(len(words)) AS sumdl FROM base),
+    post AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, len(words) AS dl, unnest(words) AS term
+            FROM base)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT q.qid, p.doc_id,
+             count(*)::BIGINT AS n_hits,
+             round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * p.dl
+                                        / (s.sumdl * 1.0 / s.n)))), 6)
+               AS score
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN dfq ON p.term = dfq.term
+      CROSS JOIN s
+      GROUP BY q.qid, p.doc_id
+    )
+    SELECT * FROM (
+      SELECT qid, doc_id, n_hits, score,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+    doc="batch BM25 over an inverted index: corpus postings pruned to "
+        "query terms BEFORE the (doc, term) aggregate, query table and "
+        "per-term df broadcast back, per-query top-k via the two-stage "
+        "grouped pattern (no per-query single-reducer funnel)",
+)
+def doc_bm25_multi(spark, sf_dir):
+    from .operators.retrieval import bm25_search_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, ["spark", "join"]), (2, ["stream", "window"]),
+         (3, ["merge", "table", "sort"])],
+        "qid int, terms array<string>")
+    out = bm25_search_many(docs, qs, k=10)
+    return out.select(F.col("qid").cast("int").alias("qid"),
+                      "doc_id", "n_hits", "score",
+                      F.col("rank").cast("int").alias("rank"))

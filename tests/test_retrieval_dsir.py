@@ -293,3 +293,57 @@ def test_temperature_validation(spark):
         temperature_resample(d, alpha=0.0)
     with pytest.raises(ValueError, match="alpha"):
         temperature_resample(d, alpha=1.5)
+
+
+# --- batch BM25 --------------------------------------------------------------
+
+def test_bm25_batch_agrees_with_single_query_face(spark):
+    from big_data_hw_23_24_spark.operators.retrieval import bm25_search_many
+
+    docs = _docs(spark, [
+        (1, "spark spark join pad"),
+        (2, "spark pad pad pad"),
+        (3, "join join pad pad pad"),
+        (4, "pad pad pad"),
+    ])
+    qs = spark.createDataFrame([(7, ["spark", "join"])],
+                               "qid int, terms array<string>")
+    batch = {r.doc_id: (r.score, r.rank)
+             for r in bm25_search_many(docs, qs, k=10).collect()}
+    single = {r.doc_id: (r.score, r.rank)
+              for r in bm25_topk(docs, ["spark", "join"], k=10).collect()}
+    assert batch == single
+
+
+def test_bm25_batch_queries_are_independent(spark):
+    from big_data_hw_23_24_spark.operators.retrieval import bm25_search_many
+
+    docs = _docs(spark, [(1, "alpha pad"), (2, "beta pad"), (3, "pad")])
+    qs = spark.createDataFrame([(1, ["alpha"]), (2, ["beta"])],
+                               "qid int, terms array<string>")
+    out = {(r.qid, r.doc_id): r.rank
+           for r in bm25_search_many(docs, qs, k=5).collect()}
+    assert out == {(1, 1): 1, (2, 2): 1}
+
+
+def test_bm25_batch_no_per_query_global_funnel(spark):
+    from big_data_hw_23_24_spark.operators.retrieval import bm25_search_many
+
+    docs = _docs(spark, [(1, "spark pad")])
+    qs = spark.createDataFrame([(1, ["spark"])],
+                               "qid int, terms array<string>")
+    df = bm25_search_many(docs, qs, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    # per-query ranking must run the two-stage grouped top-k: every
+    # Window node partitions (by (partition-id, qid) then qid) — none
+    # may sit on an Exchange SinglePartition funnel. The only
+    # SinglePartition exchange allowed is the 1-row (N, sumdl) stats
+    # aggregate, which never touches a Window.
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [" in ln]
+    assert len(win_idx) == 2
+    for i in win_idx:
+        assert "qid" in lines[i]  # partitioned window spec
+        assert not any("Exchange SinglePartition" in nxt
+                       for nxt in lines[i + 1:i + 4])
