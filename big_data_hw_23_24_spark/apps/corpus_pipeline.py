@@ -15,6 +15,17 @@ corpus-preparation flow, parquet in → parquet out:
                 shingle sets.
   1. score    — quality + language ID (narrow maps, scan speed)
   2. filter   — keep docs above --min-quality in --langs
+  2b. classify — optional hashed-linear quality classifier gate
+                (--classifier-min P): keep docs with model prob ≥ P
+                (the fastText/CCNet filter shape; swap in trained
+                weights via linear_quality_score_weighted). Zero
+                shuffle.
+  2c. dsir    — optional DSIR importance filter (--dsir-target
+                col=value [--dsir-min W]): keep docs whose
+                hashed-bigram target-vs-raw log-likelihood ratio is
+                ≥ W — upsample-what-looks-like-the-target selection
+                (Xie et al. 2023) with the target modeled on the
+                surviving corpus itself
   3. dedup    — MinHash-LSH near-dup pairs → connected components →
                 keep the canonical min-id survivor per group
   4. decontam — drop docs sharing a word 8-gram with an optional
@@ -57,7 +68,10 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         mix_default: float = 0.05,
         pack_capacity: int | None = None,
         lm_band: tuple[float, float] | None = None,
-        c4_clean: bool = False) -> list[str]:
+        c4_clean: bool = False,
+        classifier_min: float | None = None,
+        dsir_target: tuple[str, str] | None = None,
+        dsir_min: float = 0.0) -> list[str]:
     from ..operators.components import connected_components
     from ..operators.dedup import minhash_near_duplicates
     from ..operators.packing import pack_sequences
@@ -67,8 +81,12 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
     from ..sources.sinks import write_sorted_parquet
 
     raw = spark.read.parquet(in_path)
-    cols = ["doc_id", "text"] + (["source"] if "source" in raw.columns else [])
+    cols = ["doc_id", "text"] + [c for c in ("source", "lang")
+                                 if c in raw.columns]
     docs = raw.select(*cols)
+    if dsir_target is not None and dsir_target[0] not in cols:
+        raise ValueError(f"--dsir-target column {dsir_target[0]!r} not in "
+                         f"corpus columns {cols}")
 
     # 0: optional source mixing (narrow map; before anything shuffles)
     n_premix = None
@@ -107,6 +125,34 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         kept = kept.select(*cols).cache()
         cached.append(kept)
         n_kept = kept.count()
+
+        # 2b: hashed-linear classifier gate (zero-shuffle fold)
+        n_clf_dropped = 0
+        if classifier_min is not None:
+            from ..operators.cleaning import linear_quality_score
+
+            probs = linear_quality_score(kept).select("doc_id", "prob")
+            kept = (kept.join(probs, "doc_id")
+                    .where(F.col("prob") >= classifier_min)
+                    .drop("prob").cache())
+            cached.append(kept)
+            n_clf_dropped = n_kept - kept.count()
+
+        # 2c: DSIR importance filter — target modeled on the surviving
+        # corpus (post heuristic filters, so junk can't define it)
+        n_dsir_dropped = 0
+        if dsir_target is not None:
+            from ..operators.selection import dsir_importance
+
+            tcol, tval = dsir_target
+            wts = dsir_importance(kept, F.col(tcol) == tval) \
+                .select("doc_id", "weight")
+            n_before = kept.count()
+            kept = (kept.join(wts, "doc_id")
+                    .where(F.col("weight") >= dsir_min)
+                    .drop("weight").cache())
+            cached.append(kept)
+            n_dsir_dropped = n_before - kept.count()
 
         # 3: near-dedup — drop every non-canonical member of a component
         pairs = minhash_near_duplicates(kept, threshold=threshold)
@@ -165,11 +211,20 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         [f"Documents before mixing = {n_premix}"]
     if n_preclean is not None:
         head.append(f"Documents before C4 cleaning = {n_preclean}")
+    n_enter_dedup = n_kept - n_clf_dropped - n_dsir_dropped
+    # optional-stage lines appear only when the stage ran, so the
+    # core funnel report keeps its shape (and line indices) stable
+    mid = []
+    if classifier_min is not None:
+        mid.append(f"Dropped by linear classifier = {n_clf_dropped}")
+    if dsir_target is not None:
+        mid.append(f"Dropped by DSIR importance filter = {n_dsir_dropped}")
     return head + [
         f"Documents in = {n_in}",
         f"After quality/lang filter = {n_kept}",
+        *mid,
         f"After near-dedup = {n_dedup} "
-        f"(dropped {n_kept - n_dedup} non-canonical dups)",
+        f"(dropped {n_enter_dedup - n_dedup} non-canonical dups)",
         f"Dropped as benchmark-contaminated = {n_contaminated}",
         f"Dropped by unigram-LM band = {n_lm_dropped}",
         last,
@@ -188,7 +243,8 @@ def main(argv: list[str]) -> int:
             "--chunk-size": 64, "--stride": 48,
             "--langs": "", "--benchmark": None,
             "--mix-rates": None, "--mix-default": 0.05, "--pack": None,
-            "--lm-band": None}
+            "--lm-band": None, "--classifier-min": None,
+            "--dsir-target": None, "--dsir-min": 0.0}
     flags = {"--clean": False}
     it = iter(argv[2:])
     for a in it:
@@ -209,6 +265,10 @@ def main(argv: list[str]) -> int:
     if opts["--lm-band"] is not None:
         lo, hi = str(opts["--lm-band"]).split(":")
         lm_band = (float(lo), float(hi))
+    dsir_target = None
+    if opts["--dsir-target"] is not None:
+        tcol, tval = str(opts["--dsir-target"]).split("=")
+        dsir_target = (tcol, tval)
     for line in run(spark, in_path, out_dir,
                     min_quality=float(opts["--min-quality"]),
                     langs=langs,
@@ -221,7 +281,11 @@ def main(argv: list[str]) -> int:
                     pack_capacity=None if opts["--pack"] is None
                     else int(opts["--pack"]),
                     lm_band=lm_band,
-                    c4_clean=flags["--clean"]):
+                    c4_clean=flags["--clean"],
+                    classifier_min=None if opts["--classifier-min"] is None
+                    else float(opts["--classifier-min"]),
+                    dsir_target=dsir_target,
+                    dsir_min=float(opts["--dsir-min"])):
         print(line)
     return 0
 

@@ -423,3 +423,48 @@ def test_corpus_pipeline_c4_clean_stage(spark, tmp_path):
                    token_chunks(cleaned_docs, size=64, stride=48)
                    .select("doc_id", "chunk_id", "chunk_text").collect()}
     assert got_chunks == want_chunks
+
+
+def test_corpus_pipeline_classifier_and_dsir_stages(spark, tmp_path):
+    """Late-r6 stages: --classifier-min gates on the hashed linear
+    model's prob, --dsir-target keeps docs whose importance weight
+    clears --dsir-min. Both non-vacuous here, and exact: surviving ids
+    equal an independent recomputation over the same inputs (classifier
+    on the post-filter corpus, DSIR on the post-classifier corpus)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+    from big_data_hw_23_24_spark.operators.cleaning import (
+        linear_quality_score)
+    from big_data_hw_23_24_spark.operators.selection import dsir_importance
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_dir = str(tmp_path / "out")
+    lines = run(spark, src, out_dir, min_quality=0.0,
+                classifier_min=0.5, dsir_target=("lang", "en"),
+                dsir_min=0.0)
+    n_kept = int(lines[1].split("= ")[1])
+    n_clf = int(lines[2].split("= ")[1])
+    n_dsir = int(lines[3].split("= ")[1])
+    assert lines[2].startswith("Dropped by linear classifier")
+    assert lines[3].startswith("Dropped by DSIR importance filter")
+    # non-vacuous: each stage drops some docs and keeps some
+    assert 0 < n_clf < n_kept
+    assert 0 < n_dsir < n_kept - n_clf
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "source", "lang")
+    clf_keep = (linear_quality_score(docs)
+                .where(F.col("prob") >= 0.5).select("doc_id"))
+    after_clf = docs.join(clf_keep, "doc_id")
+    assert n_clf == docs.count() - after_clf.count()
+    dsir_keep = (dsir_importance(after_clf, F.col("lang") == "en")
+                 .where(F.col("weight") >= 0.0).select("doc_id"))
+    assert n_dsir == after_clf.count() - dsir_keep.count()
+
+    out_ids = {r.doc_id for r in spark.read.parquet(out_dir)
+               .select("doc_id").distinct().collect()}
+    want_ids = {r.doc_id for r in dsir_keep.collect()}
+    # output ⊆ classifier∩dsir survivors (dedup may drop more)
+    assert out_ids <= want_ids
