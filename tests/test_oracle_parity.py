@@ -77,6 +77,11 @@ _SF01_SCALE_SENSITIVE = [
     "corpus_quality_budget", "corpus_token_shards",
     "corpus_stratified_sample", "dedup_semantic_clusters",
     "doc_overlap_pairs",
+    # late-r6: batch BM25's grouped top-k and postings pruning, DSIR's
+    # bucket-table broadcast and shared-feats materialization, and the
+    # temperature copy realization only stretch across partitions past
+    # sf0.01
+    "doc_bm25_multi", "doc_dsir_weights", "corpus_temperature_mix",
 ]
 
 
