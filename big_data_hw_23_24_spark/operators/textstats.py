@@ -129,6 +129,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     score with term as tie-break, so the reported rank is stable under
     output rounding.
     """
+    # NOTE: no ensure_fanout here — measured at sf0.1, the single-word
+    # explode is cheap enough that the extra repartition stage costs
+    # more than the parallelism buys (0.93 s → 1.44 s); the n-gram
+    # concat explode in _ngram_pairs is the shape that needs it
     words = _words(F.col(text_col))
     n_docs = docs.count()
     tf = (docs.select(F.col(id_col), F.explode(words).alias("term"))
@@ -457,6 +461,11 @@ def _ngram_pairs(docs: DataFrame, n: int, text_col: str,
         F.transform(F.sequence(F.lit(0), F.size(words) - n),
                     lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
+    from .util import ensure_fanout
+
+    # the ~n× gram explode is the expensive part; a sub-row-group
+    # input (one split) would serialize it onto one core
+    docs = ensure_fanout(docs)
     return (docs.select(F.col(id_col), F.explode(grams).alias("ngram"))
             .groupBy(id_col, "ngram").agg(F.count("*").alias("c")))
 
