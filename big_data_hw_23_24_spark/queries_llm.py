@@ -2346,3 +2346,72 @@ def doc_bm25_multi(spark, sf_dir):
     return out.select(F.col("qid").cast("int").alias("qid"),
                       "doc_id", "n_hits", "score",
                       F.col("rank").cast("int").alias("rank"))
+
+
+# --- streaming quality-gated ingestion (E68) ---------------------------------
+# The classifier gate run AT INGEST over real micro-batches: documents
+# replay in 10 ordered epochs, each epoch is scored and flagged by the
+# stateless hashed-linear gate and written through the epoch-keyed
+# idempotent sink. Deterministic end state — the oracle recomputes the
+# identical scores, flags and epoch assignment (doc_id div ceil(N/10))
+# in SQL.
+@register(
+    "streaming_quality_gate",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS words
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS total FROM documents),
+    sc AS (
+      SELECT doc_id, len(words) AS n_tokens,
+             CASE WHEN len(words) > 0 THEN
+               round(list_sum(list_transform(words,
+                 w -> ('0x' || substr(md5('q:' || w), 1, 8))::BIGINT
+                      / 4294967296.0 * 2.0 - 1.0)) / len(words), 6)
+             ELSE 0.0 END AS logit
+      FROM s
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5
+             AND n_tokens >= 5 AS kept,
+           CAST(doc_id // CAST(ceil(total / 10.0) AS BIGINT) AS BIGINT)
+             AS epoch
+    FROM sc CROSS JOIN n
+    """,
+    doc="streaming quality-gated ingestion: the hashed-linear "
+        "classifier gate applied per micro-batch over 10 replayed "
+        "epochs, all rows written with flags through the epoch-keyed "
+        "idempotent sink; oracle recomputes scores, flags and epoch "
+        "assignment in SQL",
+)
+def streaming_quality_gate(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming.quality_gate import StreamingQualityGate, run_quality_gate
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").withColumn("seq", F.col("doc_id"))
+    d = tempfile.mkdtemp(prefix="sqg_stream_")
+    try:
+        glob = write_microbatches(docs, d, n_buckets=10)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, seq long")
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        gate = StreamingQualityGate(d + "_out")
+        with replay_shuffle_cap(spark):
+            run_quality_gate(spark, stream, gate, timeout_sec=180)
+        out = gate.results(spark) \
+            .select("doc_id", "n_tokens", "logit", "prob", "kept",
+                    F.col("epoch").cast("long").alias("epoch"))
+        # materialize before the temp store is deleted below
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d + "_out", ignore_errors=True)
+        shutil.rmtree(d + "_out_ckpt", ignore_errors=True)

@@ -348,7 +348,7 @@ _EAGER_HARNESS_QUERIES = {
     "streaming_ingest_dedup", "streaming_distinct_count",
     "streaming_sessions", "streaming_order_events_3d",
     "streaming_frequent_items", "streaming_frequent_exact",
-    "streaming_dropdup_items",
+    "streaming_dropdup_items", "streaming_quality_gate",
     "mrfft_radius", "mrfft_centers", "bpe_learned_merges",
     "embedding_kmeans_sizes", "reservoir_sample_users",
     "sticky_sample_users",

@@ -743,3 +743,43 @@ def test_stream_static_dimension_join(spark, tmp_path):
     want = {(r.event_id, r.c_nationkey) for r in
             ev.join(dim, "user_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_quality_gate_epochs_idempotent_and_nonvacuous(spark, tmp_path):
+    """The gate writes every doc exactly once across ≥2 epochs, flags
+    split non-vacuously, and a REPLAYED epoch overwrites its own prior
+    attempt instead of appending (the idempotent-sink contract)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hw_23_24_spark.sources.tables import load_table
+    from big_data_hw_23_24_spark.streaming.quality_gate import (
+        StreamingQualityGate, run_quality_gate)
+    from big_data_hw_23_24_spark.streaming.replay import (
+        replay_shuffle_cap, write_microbatches)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").withColumn("seq", F.col("doc_id"))
+    glob = write_microbatches(docs, str(tmp_path / "in"), n_buckets=5)
+    stream = (spark.readStream
+              .schema("doc_id long, text string, seq long")
+              .option("maxFilesPerTrigger", 1).parquet(glob))
+    gate = StreamingQualityGate(str(tmp_path / "out"))
+    with replay_shuffle_cap(spark):
+        run_quality_gate(spark, stream, gate, timeout_sec=120)
+
+    res = gate.results(spark)
+    assert res.count() == docs.count()
+    assert res.select("doc_id").distinct().count() == docs.count()
+    assert res.select("epoch").distinct().count() >= 2
+    kept = res.where("kept").count()
+    assert 0 < kept < docs.count()
+
+    # replay epoch 0 with a DIFFERENT (partial) batch: the epoch dir
+    # must be overwritten, never doubled
+    epoch0 = {r.doc_id for r in res.where("epoch = 0").collect()}
+    replay_batch = docs.where(F.col("doc_id").isin(*list(epoch0)[:3])) \
+        .select("doc_id", "text")
+    gate(replay_batch, 0)
+    res2 = gate.results(spark)
+    assert res2.where("epoch = 0").count() == 3
+    assert res2.count() == docs.count() - len(epoch0) + 3
