@@ -543,3 +543,72 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
                          PII_PATTERNS["emails"], "[EMAIL]"),
         PII_PATTERNS["urls"], "[URL]")
     return docs.select(F.col(id_col), redacted.alias(text_col))
+
+
+def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          materialize: bool = True) -> DataFrame:
+    """Exact repeated-span REMOVAL → (doc_id, n_tokens, n_removed,
+    clean_text): strip every token covered by a word n-gram that
+    appears in ≥ ``min_docs`` distinct documents.
+
+    The acting sibling of ``boilerplate_ngrams`` — the
+    exact-substring-deduplication step of corpus cleaning (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    at word rather than BPE granularity). One deliberate semantic
+    difference, stated plainly: Lee et al. keep ONE occurrence of each
+    duplicated span; this operator removes ALL occurrences — the
+    CCNet/RefinedWeb boilerplate-strip behavior, which is the right
+    default when the repeated text is chrome (headers, license blocks)
+    rather than quotation. Overlapping flagged spans merge naturally
+    (a token is dropped if ANY flagged n-gram window covers it).
+
+    Plan shape: the positioned (doc, start, gram) explode is
+    materialized ONCE (fanout-guarded, the E52 localCheckpoint move)
+    and feeds both consumers — the mined ≥ min_docs gram set (grouped
+    on the gram, threshold-pruned, broadcast back) and the per-doc
+    flagged-start list. Reconstruction is a narrow nested-HOF filter:
+    keep word i unless some flagged start s has s ≤ i ≤ s+n-1; the
+    inner probe is O(|flags per doc|), bounded by document length,
+    never a corpus term. Short docs (< n words) pass through intact
+    via the left join.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    from .util import ensure_fanout
+
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - n + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(" ", F.slice(words, i, n))
+                        .alias("gram"))),
+    ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+    pos = (ensure_fanout(docs)
+           .select(F.col(id_col), F.explode(grams).alias("_p"))
+           .select(id_col, F.col("_p.start").alias("start"),
+                   F.col("_p.gram").alias("gram")))
+    if materialize:
+        pos = pos.localCheckpoint(eager=True)
+
+    mined = (pos.groupBy("gram")
+             .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+             .where(F.col("_nd") >= min_docs)
+             .select("gram"))
+    flagged = (pos.join(F.broadcast(mined), "gram")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_set("start")).alias("_starts")))
+
+    joined = docs.join(flagged, id_col, "left").withColumn("_w", words)
+    starts = F.coalesce(F.col("_starts"),
+                        F.array().cast("array<int>"))
+    clean = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(starts,
+                               lambda s: (s <= i + 1) & (i + 1 <= s + n - 1)))
+    return (joined.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tokens"),
+        (F.size("_w") - F.size(clean)).cast("long").alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text")))

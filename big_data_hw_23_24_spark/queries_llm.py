@@ -2415,3 +2415,56 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(d + "_out", ignore_errors=True)
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
+
+
+# --- exact repeated-span removal (E69) ---------------------------------------
+@register(
+    "doc_span_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS start,
+             array_to_string(words[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, len(words) - 8 + 2)) AS i
+            FROM base WHERE len(words) >= 8)
+    ),
+    mined AS (
+      SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                        FROM pos GROUP BY gram)
+      WHERE nd >= 2
+    ),
+    fl AS (
+      SELECT doc_id, list_sort(list(DISTINCT start)) AS starts
+      FROM pos JOIN mined USING (gram) GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT b.doc_id, b.words,
+             CASE WHEN f.starts IS NULL THEN b.words
+             ELSE list_filter(b.words, (w, i) ->
+                    len(list_filter(f.starts,
+                                    s -> s <= i AND i <= s + 7)) = 0)
+             END AS kept
+      FROM base b LEFT JOIN fl f USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(len(words) - len(kept) AS BIGINT) AS n_removed,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+    FROM cleaned
+    """,
+    doc="exact repeated-span removal (Lee et al. 2022 at word "
+        "granularity, strip-all-occurrences variant): drop every "
+        "token covered by a word 8-gram shared by >= 2 docs; ONE "
+        "materialized positioned-gram table feeds both the mined set "
+        "(broadcast back) and the per-doc flagged starts",
+)
+def doc_span_dedup(spark, sf_dir):
+    from .operators.textstats import remove_repeated_spans
+
+    return remove_repeated_spans(load_table(spark, sf_dir, "documents"))

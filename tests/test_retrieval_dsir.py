@@ -347,3 +347,59 @@ def test_bm25_batch_no_per_query_global_funnel(spark):
         assert "qid" in lines[i]  # partitioned window spec
         assert not any("Exchange SinglePartition" in nxt
                        for nxt in lines[i + 1:i + 4])
+
+
+# --- exact repeated-span removal ---------------------------------------------
+
+def test_span_dedup_planted_template_removed_everywhere(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans)
+
+    tpl = "one two three four five six seven eight"  # the shared 8-gram
+    docs = _docs(spark, [
+        (1, f"{tpl} unique tail alpha"),
+        (2, f"leading beta {tpl}"),
+        (3, "no overlap here at all just original words only"),
+        (4, "short doc"),
+    ])
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(docs, n=8, min_docs=2).collect()}
+    assert out[1].clean_text == "unique tail alpha"
+    assert out[1].n_removed == 8
+    assert out[2].clean_text == "leading beta"
+    assert out[3].n_removed == 0
+    assert out[3].clean_text.startswith("no overlap")
+    assert (out[4].n_tokens, out[4].n_removed) == (2, 0)
+    assert out[4].clean_text == "short doc"
+
+
+def test_span_dedup_overlapping_spans_merge(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans)
+
+    # doc 1 and doc 2 share a 9-word run -> two overlapping flagged
+    # 8-gram starts in each; the union covers all 9 words, not 16
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = _docs(spark, [
+        (1, f"{run} tail1"),
+        (2, f"{run} tail2"),
+    ])
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(docs, n=8, min_docs=2).collect()}
+    assert out[1].n_removed == 9
+    assert out[1].clean_text == "tail1"
+    assert out[2].clean_text == "tail2"
+
+
+def test_span_dedup_within_doc_repeat_not_removed(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans)
+
+    # the 8-gram repeats INSIDE one doc only — cross-doc criterion
+    # (min_docs=2 distinct docs) must leave it alone
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = _docs(spark, [(1, f"{run} mid {run}"),
+                         (2, "completely different words in this one")])
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(docs, n=8, min_docs=2).collect()}
+    assert out[1].n_removed == 0
