@@ -97,3 +97,40 @@ def dedup_survivors(components: DataFrame) -> DataFrame:
             .select(F.col("component").alias("keep_id"),
                     F.col("n_docs"),
                     (F.col("n_docs") - 1).alias("n_dropped")))
+
+
+def best_survivors(components: DataFrame, scores: DataFrame,
+                   score_col: str = "quality_score",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware survivor selection → (component, keep_id,
+    keep_score, n_docs, n_dropped): per near-dup component, keep the
+    member with the HIGHEST ``score_col`` (ties → smallest id) instead
+    of the canonical min-id.
+
+    The RefinedWeb/FineWeb convention: when a cluster holds a clean
+    original and a mangled copy, min-id keeps whichever was crawled
+    first — best-of-cluster keeps the better document. ``scores`` is
+    any (doc_id, score) table (heuristic quality, classifier prob,
+    -perplexity); rank on a ROUNDED score so the argmax is
+    engine-stable.
+
+    Shape: one broadcast-or-shuffle join components⇄scores on doc_id,
+    one window partitioned BY COMPONENT — component sizes are bounded
+    by the dedup threshold, so no reducer ever sees more than a
+    cluster. Singleton docs never enter ``components`` and are
+    unaffected (they survive by definition).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col))
+    ranked = (components.join(scores.select(id_col, score_col), id_col)
+              .withColumn("_r", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy("component"))))
+    return (ranked.where(F.col("_r") == 1)
+            .select("component",
+                    F.col(id_col).alias("keep_id"),
+                    F.col(score_col).alias("keep_score"),
+                    F.col("_n").cast("long").alias("n_docs"),
+                    (F.col("_n") - 1).cast("long").alias("n_dropped")))

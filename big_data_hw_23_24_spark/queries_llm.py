@@ -2468,3 +2468,73 @@ def doc_span_dedup(spark, sf_dir):
     from .operators.textstats import remove_repeated_spans
 
     return remove_repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
+# --- quality-aware dedup survivors (E70) -------------------------------------
+@register(
+    "dedup_survivors_best",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component
+             FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * length_ok + 0.3 * rep
+                   + 0.2 * (1 - least(punct * 10, 1.0))
+                   + 0.1 * (1 - least(digits * 10, 1.0)), 6) AS quality_score
+      FROM (
+        SELECT doc_id,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1) AS punct,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1) AS digits,
+               len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                             w -> w <> '')))
+                 * 1.0 / greatest(len(list_filter(string_split(lower(text), ' '),
+                                                  w -> w <> '')), 1) AS rep,
+               CASE WHEN length(text) BETWEEN 100 AND 20000
+                    THEN 1.0 ELSE 0.5 END AS length_ok
+        FROM documents)
+    )
+    SELECT component, doc_id AS keep_id, quality_score AS keep_score,
+           n_docs, n_docs - 1 AS n_dropped
+    FROM (
+      SELECT c.component, c.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality_score DESC, c.doc_id)
+               AS r,
+             count(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN q USING (doc_id))
+    WHERE r = 1
+    """,
+    doc="quality-aware survivor per near-dup component (RefinedWeb "
+        "keep-best-of-cluster): argmax of the heuristic quality score, "
+        "id tiebreak, vs the recursive-CTE components + quality oracle",
+)
+def dedup_survivors_best(spark, sf_dir):
+    from .operators.components import best_survivors, connected_components
+    from .operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(exact_jaccard_pairs(docs, 0.7))
+    return best_survivors(comp, quality_scores(docs))

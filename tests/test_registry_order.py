@@ -163,6 +163,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_bm25_multi",            # inverted-index batch BM25 (r7)
         "streaming_quality_gate",    # gated micro-batch ingestion (r7)
         "doc_span_dedup",            # exact repeated-span removal (r7)
+        "dedup_survivors_best",      # keep-best-of-cluster dedup (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

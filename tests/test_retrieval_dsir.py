@@ -403,3 +403,21 @@ def test_span_dedup_within_doc_repeat_not_removed(spark):
     out = {r.doc_id: r for r in
            remove_repeated_spans(docs, n=8, min_docs=2).collect()}
     assert out[1].n_removed == 0
+
+
+# --- quality-aware dedup survivors -------------------------------------------
+
+def test_best_survivors_keeps_argmax_not_min_id(spark):
+    from big_data_hw_23_24_spark.operators.components import best_survivors
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4)],
+        "doc_id long, quality_score double")
+    out = {r.component: r for r in best_survivors(comp, scores).collect()}
+    # component 1: 2 and 3 tie at 0.9 -> smaller id wins, min-id 1 loses
+    assert (out[1].keep_id, out[1].keep_score, out[1].n_docs,
+            out[1].n_dropped) == (2, 0.9, 3, 2)
+    assert (out[10].keep_id, out[10].n_dropped) == (10, 1)
