@@ -27,7 +27,12 @@ corpus-preparation flow, parquet in → parquet out:
                 (Xie et al. 2023) with the target modeled on the
                 surviving corpus itself
   3. dedup    — MinHash-LSH near-dup pairs → connected components →
-                keep the canonical min-id survivor per group
+                keep one survivor per group: the canonical min-id, or
+                the best-quality member (--survivor best)
+  3b. spans   — optional exact repeated-span removal (--strip-spans N):
+                strip tokens covered by a cross-document word N-gram
+                from the surviving text (post-dedup, so a dup cluster
+                can't vote its own chrome past the threshold twice)
   4. decontam — drop docs sharing a word 8-gram with an optional
                 benchmark parquet (--benchmark)
   4b. lm-band — optional unigram-LM perplexity-proxy filter
@@ -71,7 +76,9 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         c4_clean: bool = False,
         classifier_min: float | None = None,
         dsir_target: tuple[str, str] | None = None,
-        dsir_min: float = 0.0) -> list[str]:
+        dsir_min: float = 0.0,
+        survivor: str = "min_id",
+        strip_spans: int | None = None) -> list[str]:
     from ..operators.components import connected_components
     from ..operators.dedup import minhash_near_duplicates
     from ..operators.packing import pack_sequences
@@ -154,14 +161,46 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
             cached.append(kept)
             n_dsir_dropped = n_before - kept.count()
 
-        # 3: near-dedup — drop every non-canonical member of a component
+        # 3: near-dedup — keep one member per component: the canonical
+        # min-id, or the best-quality member (survivor="best",
+        # RefinedWeb keep-best-of-cluster)
         pairs = minhash_near_duplicates(kept, threshold=threshold)
         comp = connected_components(pairs)
-        losers = comp.where(F.col("doc_id") != F.col("component")) \
-            .select("doc_id")
+        if survivor == "best":
+            from ..operators.components import best_survivors
+
+            winners = best_survivors(
+                comp, quality_scores(kept)).select(
+                F.col("keep_id").alias("doc_id"))
+            losers = comp.select("doc_id") \
+                .join(winners, "doc_id", "left_anti")
+        elif survivor == "min_id":
+            losers = comp.where(F.col("doc_id") != F.col("component")) \
+                .select("doc_id")
+        else:
+            raise ValueError(f"survivor must be 'min_id' or 'best', "
+                             f"got {survivor!r}")
         deduped = kept.join(losers, "doc_id", "left_anti").cache()
         cached.append(deduped)
         n_dedup = deduped.count()
+
+        # 3b: optional exact repeated-span removal — strip cross-doc
+        # duplicated n-gram runs from the SURVIVING text (post-dedup,
+        # so a near-dup cluster can't vote its own chrome past
+        # min_docs twice)
+        n_span_tokens = 0
+        if strip_spans is not None:
+            from ..operators.textstats import remove_repeated_spans
+
+            stripped = remove_repeated_spans(deduped, n=strip_spans)
+            n_span_tokens = stripped.agg(
+                F.sum("n_removed")).collect()[0][0] or 0
+            deduped = (deduped.drop("text")
+                       .join(stripped.select(
+                           "doc_id",
+                           F.col("clean_text").alias("text")), "doc_id")
+                       .select(*cols).cache())
+            cached.append(deduped)
 
         # 4: decontamination against an optional benchmark corpus
         n_contaminated = 0
@@ -219,12 +258,15 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         mid.append(f"Dropped by linear classifier = {n_clf_dropped}")
     if dsir_target is not None:
         mid.append(f"Dropped by DSIR importance filter = {n_dsir_dropped}")
+    tail_extra = [] if strip_spans is None else \
+        [f"Tokens stripped as repeated spans = {n_span_tokens}"]
     return head + [
         f"Documents in = {n_in}",
         f"After quality/lang filter = {n_kept}",
         *mid,
         f"After near-dedup = {n_dedup} "
         f"(dropped {n_enter_dedup - n_dedup} non-canonical dups)",
+        *tail_extra,
         f"Dropped as benchmark-contaminated = {n_contaminated}",
         f"Dropped by unigram-LM band = {n_lm_dropped}",
         last,
@@ -244,7 +286,8 @@ def main(argv: list[str]) -> int:
             "--langs": "", "--benchmark": None,
             "--mix-rates": None, "--mix-default": 0.05, "--pack": None,
             "--lm-band": None, "--classifier-min": None,
-            "--dsir-target": None, "--dsir-min": 0.0}
+            "--dsir-target": None, "--dsir-min": 0.0,
+            "--survivor": "min_id", "--strip-spans": None}
     flags = {"--clean": False}
     it = iter(argv[2:])
     for a in it:
@@ -285,7 +328,10 @@ def main(argv: list[str]) -> int:
                     classifier_min=None if opts["--classifier-min"] is None
                     else float(opts["--classifier-min"]),
                     dsir_target=dsir_target,
-                    dsir_min=float(opts["--dsir-min"])):
+                    dsir_min=float(opts["--dsir-min"]),
+                    survivor=str(opts["--survivor"]),
+                    strip_spans=None if opts["--strip-spans"] is None
+                    else int(opts["--strip-spans"])):
         print(line)
     return 0
 

