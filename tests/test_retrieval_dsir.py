@@ -421,3 +421,17 @@ def test_best_survivors_keeps_argmax_not_min_id(spark):
     assert (out[1].keep_id, out[1].keep_score, out[1].n_docs,
             out[1].n_dropped) == (2, 0.9, 3, 2)
     assert (out[10].keep_id, out[10].n_dropped) == (10, 1)
+
+
+# --- fanout guard ------------------------------------------------------------
+
+def test_ensure_fanout_noop_when_enough_partitions(spark):
+    from big_data_hw_23_24_spark.operators.util import ensure_fanout
+
+    df = spark.range(1000).repartition(64)
+    assert ensure_fanout(df, 32) is df  # guard: no extra shuffle added
+    few = spark.range(1000).coalesce(1)
+    out = ensure_fanout(few, 8)
+    assert out is not few
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 1000
