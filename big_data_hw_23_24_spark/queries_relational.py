@@ -1274,3 +1274,43 @@ def customer_balance_deciles(spark, sf_dir):
             .agg(F.count("*").alias("n_customers"),
                  F.round(F.min("bal"), 2).alias("lo"),
                  F.round(F.max("bal"), 2).alias("hi")))
+
+
+# --- sequential funnel (E71) --------------------------------------------------
+@register(
+    "user_funnel_3stage",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ta FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS tb
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ta
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.tb
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           CAST(1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END
+                AS INT) AS depth
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t2.user_id = t3.user_id
+    """,
+    doc="sequential first-touch funnel view->click->purchase "
+        "(ClickHouse windowFunnel / product-analytics shape): one "
+        "stage-filtered aggregate per stage, all keyed on the user, "
+        "strict event-time ordering between stages",
+)
+def user_funnel_3stage(spark, sf_dir):
+    from .operators.funnel import funnel_depths
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_depths(ev, ["view", "click", "purchase"])

@@ -435,3 +435,61 @@ def test_ensure_fanout_noop_when_enough_partitions(spark):
     assert out is not few
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 1000
+
+
+# --- sequential funnel --------------------------------------------------------
+
+def test_funnel_strict_order_and_depths(spark):
+    from datetime import datetime
+
+    from big_data_hw_23_24_spark.operators.funnel import funnel_depths
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    ev = spark.createDataFrame(
+        [  # u1: full ordered funnel
+         (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+         # u2: purchase BEFORE the view -> depth stops at click
+         (2, ts(0), "purchase"), (2, ts(1), "view"), (2, ts(2), "click"),
+         # u3: click precedes the first view -> depth 1
+         (3, ts(0), "click"), (3, ts(1), "view"),
+         # u4: never views -> absent from output
+         (4, ts(1), "click"), (4, ts(2), "purchase"),
+         # u5: same-timestamp click is NOT strictly after the view
+         (5, ts(1), "view"), (5, ts(1), "click")],
+        "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r.depth
+           for r in funnel_depths(ev, ["view", "click", "purchase"])
+           .collect()}
+    assert out == {1: 3, 2: 2, 3: 1, 5: 1}
+
+
+def test_funnel_first_touch_anchoring(spark):
+    from datetime import datetime
+
+    from big_data_hw_23_24_spark.operators.funnel import funnel_depths
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    # the user views at t1 and t5; the click at t3 counts because the
+    # anchor is the FIRST view
+    ev = spark.createDataFrame(
+        [(1, ts(1), "view"), (1, ts(5), "view"), (1, ts(3), "click")],
+        "user_id long, ts timestamp, event_type string")
+    out = funnel_depths(ev, ["view", "click"]).collect()
+    assert out[0].depth == 2
+
+
+def test_funnel_validation(spark):
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.funnel import funnel_depths
+
+    ev = spark.createDataFrame([(1, None, "view")],
+                               "user_id long, ts timestamp, event_type string")
+    with _pytest.raises(ValueError, match="at least 2"):
+        funnel_depths(ev, ["view"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        funnel_depths(ev, ["view", "view"])
