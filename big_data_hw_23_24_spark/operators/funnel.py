@@ -58,3 +58,36 @@ def funnel_depths(events: DataFrame, stages: list[str],
         depth = depth + F.col(f"_t{i}").isNotNull().cast("int")
     return reached.select(F.col(user_col),
                           depth.cast("int").alias("depth"))
+
+
+def retention_cohorts(events: DataFrame,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention matrix → (cohort_week, week_offset, n_users);
+    ``cohort_week`` is an ISO date string (engine-portable — DATE
+    columns round-trip as different pandas dtypes per engine).
+
+    The second classic product-analytics aggregate next to the funnel:
+    cohort = the Monday-truncated week of a user's FIRST event;
+    ``n_users`` = distinct users of that cohort active ``week_offset``
+    weeks later (offset 0 row = cohort size, by construction).
+
+    Shape: one user-keyed aggregate for first-touch, one distinct over
+    (user, week) — bounded at |users|·|weeks|, far below the event
+    count — then a user-keyed join and a count-distinct per
+    (cohort, offset). ``date_trunc('week')`` starts Monday in both
+    Spark and DuckDB, so the cohort boundaries are engine-exact.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    first = (events.groupBy(user_col)
+             .agg(F.date_trunc("week", F.min(ts_col)).alias("_cohort")))
+    active = (events.select(F.col(user_col), week.alias("_week"))
+              .distinct())
+    offset = (F.datediff(F.to_date("_week"), F.to_date("_cohort")) / 7) \
+        .cast("int")
+    return (active.join(first, user_col)
+            .select(F.date_format("_cohort", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    offset.alias("week_offset"), F.col(user_col))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct(F.col(user_col)).alias("n_users")))

@@ -1314,3 +1314,33 @@ def user_funnel_3stage(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return funnel_depths(ev, ["view", "click", "purchase"])
+
+
+# --- weekly retention cohorts (E72) -------------------------------------------
+@register(
+    "user_retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT strftime(CAST(f.cohort AS DATE), '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', CAST(f.cohort AS DATE),
+                         CAST(a.week AS DATE)) // 7 AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="weekly retention matrix: cohort = Monday-truncated week of "
+        "first activity, n_users active k weeks later; user-keyed "
+        "first-touch aggregate + (user, week) distinct + one "
+        "count-distinct per (cohort, offset)",
+)
+def user_retention_cohorts(spark, sf_dir):
+    from .operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))

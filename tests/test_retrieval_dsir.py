@@ -493,3 +493,24 @@ def test_funnel_validation(spark):
         funnel_depths(ev, ["view"])
     with _pytest.raises(ValueError, match="duplicate"):
         funnel_depths(ev, ["view", "view"])
+
+
+def test_retention_cohort_hand_case(spark):
+    from datetime import datetime
+
+    from big_data_hw_23_24_spark.operators.funnel import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [  # u1 first in week of Jan 1 (Mon), returns wk+1 and wk+3
+         (1, datetime(2024, 1, 2), "a"), (1, datetime(2024, 1, 9), "b"),
+         (1, datetime(2024, 1, 24), "c"),
+         # u2 same cohort, never returns
+         (2, datetime(2024, 1, 3), "a"),
+         # u3 cohort of Jan 8, returns wk+1
+         (3, datetime(2024, 1, 10), "a"), (3, datetime(2024, 1, 15), "b")],
+        "user_id long, ts timestamp, event_type string")
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(ev).collect()}
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 3): 1,
+                   ("2024-01-08", 0): 1, ("2024-01-08", 1): 1}
