@@ -166,7 +166,11 @@ def dsir_importance(docs: DataFrame, is_target: Column,
                     lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
     ).otherwise(F.array().cast("array<string>"))
 
-    feats = (docs
+    from .util import ensure_fanout
+
+    # the bigram concat explode is the heavy stage (same shape as
+    # textstats._ngram_pairs): fan a sub-row-group input out first
+    feats = (ensure_fanout(docs)
              .select(F.col(id_col), is_target.alias("_t"),
                      F.explode(grams).alias("_g"))
              .select(id_col, "_t",
