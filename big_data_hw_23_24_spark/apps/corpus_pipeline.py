@@ -133,15 +133,15 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         cached.append(kept)
         n_kept = kept.count()
 
-        # 2b: hashed-linear classifier gate (zero-shuffle fold)
+        # 2b: hashed-linear classifier gate — the prob is computed as
+        # an inline column on kept itself (a joined-back score table
+        # would cost two corpus-scale exchanges for the same predicate)
         n_clf_dropped = 0
         if classifier_min is not None:
-            from ..operators.cleaning import linear_quality_score
+            from ..operators.cleaning import linear_quality_prob
 
-            probs = linear_quality_score(kept).select("doc_id", "prob")
-            kept = (kept.join(probs, "doc_id")
-                    .where(F.col("prob") >= classifier_min)
-                    .drop("prob").cache())
+            kept = kept.where(
+                linear_quality_prob("text") >= classifier_min).cache()
             cached.append(kept)
             n_clf_dropped = n_kept - kept.count()
 
@@ -154,7 +154,7 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
             tcol, tval = dsir_target
             wts = dsir_importance(kept, F.col(tcol) == tval) \
                 .select("doc_id", "weight")
-            n_before = kept.count()
+            n_before = n_kept - n_clf_dropped  # known from stage 2b
             kept = (kept.join(wts, "doc_id")
                     .where(F.col("weight") >= dsir_min)
                     .drop("weight").cache())
@@ -192,7 +192,11 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         if strip_spans is not None:
             from ..operators.textstats import remove_repeated_spans
 
-            stripped = remove_repeated_spans(deduped, n=strip_spans)
+            stripped = remove_repeated_spans(deduped,
+                                             n=strip_spans).cache()
+            cached.append(stripped)  # the count agg below and the
+            # text-replacement join both read it; uncached, the whole
+            # mining + reconstruction subtree would execute twice
             n_span_tokens = stripped.agg(
                 F.sum("n_removed")).collect()[0][0] or 0
             deduped = (deduped.drop("text")
@@ -310,7 +314,7 @@ def main(argv: list[str]) -> int:
         lm_band = (float(lo), float(hi))
     dsir_target = None
     if opts["--dsir-target"] is not None:
-        tcol, tval = str(opts["--dsir-target"]).split("=")
+        tcol, tval = str(opts["--dsir-target"]).split("=", 1)
         dsir_target = (tcol, tval)
     for line in run(spark, in_path, out_dir,
                     min_quality=float(opts["--min-quality"]),

@@ -112,6 +112,26 @@ def _hashed_weight(token: Column, salt: str, hash_chars: int) -> Column:
             / F.lit(float(16 ** hash_chars))) * 2.0 - 1.0
 
 
+def linear_quality_prob(text_col: Column | str = "text", salt: str = "q",
+                        hash_chars: int = 8) -> Column:
+    """The classifier's probability as a bare COLUMN (rounded to 6 dp):
+    sigmoid of the mean hashed token weight. For gating a frame
+    in-place with zero shuffle (``docs.where(linear_quality_prob() >
+    threshold)``) — joining :func:`linear_quality_score`'s output back
+    by doc_id would cost two corpus-scale exchanges for the same
+    predicate."""
+    from .util import lowered_words
+
+    words = lowered_words(text_col)
+    wsum = F.aggregate(
+        words, F.lit(0.0),
+        lambda acc, w: acc + _hashed_weight(w, salt, hash_chars))
+    logit = F.round(
+        F.when(F.size(words) > 0, wsum / F.size(words))
+        .otherwise(F.lit(0.0)), 6)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+
 def linear_quality_score(docs: DataFrame, salt: str = "q",
                          hash_chars: int = 8,
                          text_col: str = "text",
@@ -130,12 +150,15 @@ def linear_quality_score(docs: DataFrame, salt: str = "q",
     whole scoring path is oracle-checkable end to end.
 
     ``logit`` is the mean token weight (0 for empty docs), ``prob``
-    the sigmoid, ``keep`` the prob ≥ 0.5 decision. The fold is a pure
+    the sigmoid, ``keep`` the strict ``logit > 0`` decision (i.e.
+    prob > 0.5; a 0-logit doc — empty, or weights cancelling — is
+    NOT kept). The fold is a pure
     JVM ``F.aggregate`` over the split array: ZERO shuffles, no
     explode, nothing leaves the scan — the 100 TB shape.
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                     lambda w: w != "")
+    from .util import lowered_words
+
+    words = lowered_words(text_col)
     wsum = F.aggregate(
         words, F.lit(0.0),
         lambda acc, w: acc + _hashed_weight(w, salt, hash_chars))
@@ -166,8 +189,9 @@ def linear_quality_score_weighted(docs: DataFrame, weights: DataFrame,
     table → one doc-keyed aggregate. The ONE corpus shuffle is the
     per-doc sum; the weight table never shuffles.
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                     lambda w: w != "")
+    from .util import lowered_words
+
+    words = lowered_words(text_col)
     toks = docs.select(F.col(id_col), F.size(words).alias("_n"),
                        F.explode_outer(words).alias("token"))
     scored = (toks.join(F.broadcast(weights), "token", "left")

@@ -111,8 +111,9 @@ def best_survivors(components: DataFrame, scores: DataFrame,
     original and a mangled copy, min-id keeps whichever was crawled
     first — best-of-cluster keeps the better document. ``scores`` is
     any (doc_id, score) table (heuristic quality, classifier prob,
-    -perplexity); rank on a ROUNDED score so the argmax is
-    engine-stable.
+    -perplexity); the rank ROUNDS the score to 6 dp itself (id breaks
+    the tie) so float summation-order noise past the 6th decimal can
+    never flip the argmax between runs or engines.
 
     Shape: one broadcast-or-shuffle join components⇄scores on doc_id,
     one window partitioned BY COMPONENT — component sizes are bounded
@@ -123,7 +124,7 @@ def best_survivors(components: DataFrame, scores: DataFrame,
     from pyspark.sql import Window
 
     w = Window.partitionBy("component").orderBy(
-        F.col(score_col).desc(), F.col(id_col))
+        F.round(F.col(score_col), 6).desc(), F.col(id_col))
     ranked = (components.join(scores.select(id_col, score_col), id_col)
               .withColumn("_r", F.row_number().over(w))
               .withColumn("_n", F.count("*").over(

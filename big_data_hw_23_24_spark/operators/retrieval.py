@@ -55,8 +55,9 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
         raise ValueError(f"duplicate query terms in {terms}")
     lowered = [t.lower() for t in terms]
 
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                     lambda w: w != "")
+    from .util import lowered_words
+
+    words = lowered_words(text_col)
 
     def tf(term: str):  # single-param lambda: F.filter passes the
         return F.size(  # element only (2 params would mean (x, i))
@@ -108,7 +109,9 @@ def bm25_oracle_sql(terms: list[str], k: int = 20,
     """The DuckDB mirror of :func:`bm25_topk` over the ``documents``
     view — generated from the same term list so Spark and oracle can
     never drift on the unrolled per-term expressions."""
-    lowered = [t.lower() for t in terms]
+    # SQL-escape the interpolated terms (the Spark face handles a
+    # quote fine via F.lit — the generated oracle must not diverge)
+    lowered = [t.lower().replace("'", "''") for t in terms]
     tf_exprs = ",\n           ".join(
         f"len(list_filter(words, w -> w = '{t}')) AS tf_{i}"
         for i, t in enumerate(lowered))
@@ -180,8 +183,9 @@ def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
     documents matching ≥ 1 term of a query are scored (standard
     OR-semantics retrieval).
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                     lambda w: w != "")
+    from .util import lowered_words
+
+    words = lowered_words(text_col)
     base = docs.select(F.col(id_col), words.alias("_w"))
     stats = base.agg(F.count("*").alias("_n"),
                      F.sum(F.size("_w")).alias("_sumdl"))

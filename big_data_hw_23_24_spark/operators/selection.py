@@ -156,10 +156,11 @@ def dsir_importance(docs: DataFrame, is_target: Column,
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
 
+    from .util import lowered_words
+
     # lowered word bigrams (the lowercase sibling of
     # textstats._ngram_pairs at n=2)
-    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                     lambda w: w != "")
+    words = lowered_words(text_col)
     grams = F.when(
         F.size(words) >= 2,
         F.transform(F.sequence(F.lit(0), F.size(words) - 2),

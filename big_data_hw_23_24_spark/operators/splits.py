@@ -169,12 +169,19 @@ def temperature_resample(df: DataFrame, alpha: float = 0.5,
     key = F.col(key) if isinstance(key, str) else key
     space = 16 ** bucket_chars
 
-    counts = df.groupBy(source_col).agg(F.count("*").alias("_ns"))
+    # NULL sources form their own group under groupBy, but an inner
+    # equi-join would silently DROP them (NULL never equals NULL) —
+    # an upsampling operator must not delete rows. Key the join on a
+    # null-coalesced shadow column instead.
+    skey = F.coalesce(F.col(source_col).cast("string"),
+                      F.lit("\u0000<null>"))
+    df = df.withColumn("_srckey", skey)
+    counts = df.groupBy("_srckey").agg(F.count("*").alias("_ns"))
     nmax = counts.agg(F.max("_ns").alias("_nmax"))
     ratio = F.col("_nmax") / F.col("_ns")
     m = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
     stats = (counts.crossJoin(F.broadcast(nmax))
-             .select(source_col,
+             .select("_srckey",
                      F.round(m, 6).alias("multiplicity"),
                      F.floor(m).cast("long").alias("_base"),
                      F.floor((m - F.floor(m)) * space).cast("long")
@@ -184,8 +191,8 @@ def temperature_resample(df: DataFrame, alpha: float = 0.5,
                   .cast("long"))
     n_copies = (F.col("_base")
                 + (bucket_int < F.col("_extra")).cast("long"))
-    return (df.join(F.broadcast(stats), source_col)
+    return (df.join(F.broadcast(stats), "_srckey")
             .withColumn("n_copies", n_copies)
             .withColumn(copy_col,
                         F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
-            .drop("_base", "_extra"))
+            .drop("_base", "_extra", "_srckey"))

@@ -24,7 +24,9 @@ STOPWORD_PROFILES: dict[str, tuple[str, ...]] = {
 
 
 def _words(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), " "), lambda w: w != "")
+    from .util import lowered_words
+
+    return lowered_words(col)
 
 
 def token_stats(docs: DataFrame, text_col: str = "text",

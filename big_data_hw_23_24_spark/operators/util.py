@@ -2,7 +2,19 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lowered_words(col: Column | str) -> Column:
+    """The engine-wide tokenizer expression: lowercase, single-space
+    split, empty tokens dropped. Several pinned invariants (BM25
+    single ≡ batch agreement, hashed ≡ weighted classifier
+    equivalence, every DuckDB oracle's ``list_filter(string_split(
+    lower(text), ' '), ...)`` mirror) depend on byte-identical
+    tokenization — change it HERE or nowhere."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), " "), lambda w: w != "")
 
 
 def ensure_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -14,8 +26,15 @@ def ensure_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame
     No-op when the input already carries ≥ ``min_partitions`` (default
     ``sc.defaultParallelism``) — at 100 TB the scan has thousands of
     splits and the repartition must NOT add a shuffle; this guard is
-    what makes the call safe to leave in the operator. The partition
-    count probe is plan metadata only (no job).
+    what makes the call safe to leave in the operator.
+
+    CALL THIS ON SCAN-ROOTED FRAMES ONLY (a read + narrow projections).
+    The partition probe goes through ``df.rdd``, and under AQE
+    converting a DataFrame with upstream SHUFFLES to an RDD can
+    materialize those exchanges as real jobs at construction time,
+    which the later action does not reuse — on a scan-rooted frame
+    there is nothing to materialize and the probe is metadata-only.
+    Every in-repo call site feeds it the raw docs scan.
 
     This is the declarative descendant of the reference's eager
     ``repartition(L)`` (G019HW1.java:68, X1): same intent — match

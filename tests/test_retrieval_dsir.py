@@ -514,3 +514,25 @@ def test_retention_cohort_hand_case(spark):
     assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-01", 3): 1,
                    ("2024-01-08", 0): 1, ("2024-01-08", 1): 1}
+
+
+def test_temperature_null_source_rows_survive(spark):
+    from big_data_hw_23_24_spark.operators.splits import temperature_resample
+
+    rows = ([(i, f"b{i}", "big") for i in range(4)]
+            + [(100, "orphan one", None), (101, "orphan two", None)])
+    out = temperature_resample(_src_docs(spark, rows), alpha=0.5).collect()
+    # NULL sources form their own cohort (upsampled as a small source),
+    # never silently dropped by the stats join
+    null_rows = [r for r in out if r.source is None]
+    assert {r.doc_id for r in null_rows} == {100, 101}
+    assert all(r.multiplicity == pytest.approx(2 ** 0.5, abs=1e-6)
+               for r in null_rows)
+    assert len(out) >= 6
+
+
+def test_bm25_oracle_sql_escapes_quotes():
+    from big_data_hw_23_24_spark.operators.retrieval import bm25_oracle_sql
+
+    sql = bm25_oracle_sql(["o'brien"], k=5)
+    assert "o''brien" in sql and "= 'o'b" not in sql
