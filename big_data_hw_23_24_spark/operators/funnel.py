@@ -33,23 +33,36 @@ __all__ = ["funnel_depths"]
 
 def funnel_depths(events: DataFrame, stages: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
+                  type_col: str = "event_type",
+                  within_seconds: int | None = None) -> DataFrame:
     """Per-user funnel progress → (user_id, depth).
 
     Only users who reached stage 1 appear; ``depth`` ∈ [1, len(stages)]
     counts the stages reached in strict first-touch order.
+    ``within_seconds`` adds the ClickHouse ``windowFunnel(T)`` bound:
+    every later stage must also fall within T seconds of the user's
+    first stage-1 event (conversion windows — "purchased within 24 h
+    of the first view").
     """
     if len(stages) < 2:
         raise ValueError(f"a funnel needs at least 2 stages, got {stages}")
     if len(set(stages)) != len(stages):
         raise ValueError(f"duplicate stage types in {stages}")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(f"within_seconds must be positive, "
+                         f"got {within_seconds}")
 
     reached = (events.where(F.col(type_col) == stages[0])
                .groupBy(user_col).agg(F.min(ts_col).alias("_t1")))
     for i, st in enumerate(stages[1:], start=2):
+        cond = F.col(ts_col) > F.col(f"_t{i - 1}")
+        if within_seconds is not None:
+            cond = cond & (F.col(ts_col) <= F.col("_t1")
+                           + F.expr(f"INTERVAL {within_seconds} SECOND"))
+        anchor_cols = list(dict.fromkeys(["_t1", f"_t{i - 1}"]))
         nxt = (events.where(F.col(type_col) == st)
-               .join(reached.select(user_col, f"_t{i - 1}"), user_col)
-               .where(F.col(ts_col) > F.col(f"_t{i - 1}"))
+               .join(reached.select(user_col, *anchor_cols), user_col)
+               .where(cond)
                .groupBy(user_col).agg(F.min(ts_col).alias(f"_t{i}")))
         reached = reached.join(nxt.select(user_col, f"_t{i}"),
                                user_col, "left")

@@ -536,3 +536,30 @@ def test_bm25_oracle_sql_escapes_quotes():
 
     sql = bm25_oracle_sql(["o'brien"], k=5)
     assert "o''brien" in sql and "= 'o'b" not in sql
+
+
+def test_funnel_within_window_bound(spark):
+    from datetime import datetime
+
+    from big_data_hw_23_24_spark.operators.funnel import funnel_depths
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    ev = spark.createDataFrame(
+        [  # u1 converts inside the 10-min window
+         (1, ts(0), "view"), (1, ts(5), "click"),
+         # u2's click lands outside t1 + 10min -> depth 1
+         (2, ts(0), "view"), (2, ts(20), "click"),
+         # u3: click inside, purchase outside -> depth 2
+         (3, ts(0), "view"), (3, ts(8), "click"), (3, ts(30), "purchase")],
+        "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r.depth
+           for r in funnel_depths(ev, ["view", "click", "purchase"],
+                                  within_seconds=600).collect()}
+    assert out == {1: 2, 2: 1, 3: 2}
+    # unbounded: u2 and u3 convert fully
+    out2 = {r.user_id: r.depth
+            for r in funnel_depths(ev, ["view", "click", "purchase"])
+            .collect()}
+    assert out2 == {1: 2, 2: 2, 3: 3}
