@@ -563,3 +563,102 @@ def test_funnel_within_window_bound(spark):
             for r in funnel_depths(ev, ["view", "click", "purchase"])
             .collect()}
     assert out2 == {1: 2, 2: 2, 3: 3}
+
+
+# --- hypothesis properties for the late-r6 tier ------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "pad"])
+_text = st.lists(_word, min_size=0, max_size=10).map(" ".join)
+_corpus = st.lists(_text, min_size=1, max_size=6)
+_H = dict(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(texts=_corpus,
+       terms=st.lists(st.sampled_from(["alpha", "beta", "gamma"]),
+                      min_size=1, max_size=3, unique=True))
+@settings(**_H)
+def test_bm25_single_equals_batch_on_random_corpora(spark, texts, terms):
+    """The literal-unrolled single-query face and the inverted-index
+    batch face must agree EXACTLY (scores, ranks, membership) on
+    random corpora — the invariant that pins both tokenizations and
+    both df/idf computations together."""
+    from big_data_hw_23_24_spark.operators.retrieval import (
+        bm25_search_many, bm25_topk)
+
+    docs = _docs(spark, list(enumerate(texts)))
+    qs = spark.createDataFrame([(1, terms)], "qid int, terms array<string>")
+    single = {r.doc_id: (r.score, r.rank)
+              for r in bm25_topk(docs, terms, k=20).collect()}
+    batch = {r.doc_id: (r.score, r.rank)
+             for r in bm25_search_many(docs, qs, k=20).collect()}
+    assert single == batch
+
+
+@given(counts=st.lists(st.integers(min_value=1, max_value=12),
+                       min_size=1, max_size=4))
+@settings(**_H)
+def test_temperature_copy_totals_match_expectation(spark, counts):
+    """Per-source output size is n_s·floor(m) + |{docs below the
+    fractional threshold}| — within 1 bucket-granularity doc of
+    n_s·m_s — and every doc appears with copies 1..n_copies densely."""
+    from big_data_hw_23_24_spark.operators.splits import temperature_resample
+
+    rows, did = [], 0
+    for s_i, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((did, f"t{did}", f"s{s_i}"))
+            did += 1
+    out = temperature_resample(_src_docs(spark, rows), alpha=0.5).collect()
+    nmax = max(counts)
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for s_i, n in enumerate(counts):
+        got = by_src[f"s{s_i}"]
+        m = (nmax / n) ** 0.5
+        lo, hi = n * int(m), n * (int(m) + 1)
+        assert lo <= len(got) <= hi
+        # dense copy indices per doc
+        per_doc: dict = {}
+        for r in got:
+            per_doc.setdefault(r.doc_id, []).append(r.copy)
+        for doc, copies in per_doc.items():
+            assert sorted(copies) == list(range(1, len(copies) + 1))
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=12)
+    .map(" ".join), min_size=2, max_size=5))
+@settings(**_H)
+def test_span_dedup_matches_python_reference(spark, texts):
+    """remove_repeated_spans at n=3 equals a pure-Python reference
+    (mine 3-gram spans in ≥2 docs, mask covered tokens) on random
+    short-alphabet corpora where collisions are common."""
+    from collections import defaultdict
+
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans)
+
+    n = 3
+    toks = {i: [w for w in t.split(" ") if w] for i, t in enumerate(texts)}
+    gram_docs = defaultdict(set)
+    for i, ws in toks.items():
+        for s in range(len(ws) - n + 1):
+            gram_docs[" ".join(ws[s:s + n])].add(i)
+    mined = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for i, ws in toks.items():
+        covered = set()
+        for s in range(len(ws) - n + 1):
+            if " ".join(ws[s:s + n]) in mined:
+                covered.update(range(s, s + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        want[i] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in remove_repeated_spans(
+               _docs(spark, list(enumerate(texts))), n=n).collect()}
+    assert got == want
