@@ -158,7 +158,8 @@ def bm25_oracle_sql(terms: list[str], k: int = 20,
 def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
                      k1: float = 1.2, b: float = 0.75,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     materialize: bool = True) -> DataFrame:
     """Batch BM25: top-``k`` documents PER QUERY for a whole query
     table → ``(qid, doc_id, n_hits, score, rank)``.
 
@@ -207,6 +208,12 @@ def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
                 .join(F.broadcast(terms_only), "term")
                 .groupBy(id_col, "term")
                 .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
+    if materialize:
+        # both the per-term df aggregate (broadcast back) and the
+        # scoring probe read the pruned postings; Catalyst does not
+        # reuse the explode+join+aggregate subtree across branches
+        # (the E52 localCheckpoint move)
+        postings = postings.localCheckpoint(eager=True)
     df_q = postings.groupBy("term").agg(F.count("*").alias("_df"))
 
     hits = (postings
