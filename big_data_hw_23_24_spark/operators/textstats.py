@@ -594,11 +594,16 @@ def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     if materialize:
         pos = pos.localCheckpoint(eager=True)
 
+    # NO broadcast hint on the mined set: at min_docs=2 over a large
+    # corpus it is unbounded (raise min_docs with corpus size, as in
+    # boilerplate_ngrams) — AQE broadcasts when it actually fits and
+    # falls back to a hash join when it doesn't, the same contract as
+    # doc_boilerplate_share's flag join
     mined = (pos.groupBy("gram")
              .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
              .where(F.col("_nd") >= min_docs)
              .select("gram"))
-    flagged = (pos.join(F.broadcast(mined), "gram")
+    flagged = (pos.join(mined, "gram")
                .groupBy(id_col)
                .agg(F.array_sort(F.collect_set("start")).alias("_starts")))
 
