@@ -662,3 +662,18 @@ def test_span_dedup_matches_python_reference(spark, texts):
            for r in remove_repeated_spans(
                _docs(spark, list(enumerate(texts))), n=n).collect()}
     assert got == want
+
+
+def test_funnel_and_retention_plans_are_all_equi_joins(spark):
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    for name in ["user_funnel_3stage", "user_retention_cohorts"]:
+        df = _REGISTRY[name].spark_fn(spark, "/root/testdata/sf0.001")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Window" not in plan, name  # aggregates only, no
+        #                                    single-reducer ranking pass
+        assert "BatchEvalPython" not in plan, name
