@@ -2538,3 +2538,68 @@ def dedup_survivors_best(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     comp = connected_components(exact_jaccard_pairs(docs, 0.7))
     return best_survivors(comp, quality_scores(docs))
+
+
+# --- tokenizer fertility per source (E73) ------------------------------------
+def _bpe_fertility_oracle_sql() -> str:
+    """Per-source rollup of the pinned-merge BPE encode: reuses the
+    framed-symbol replace fold of ``_bpe_oracle_sql`` and aggregates
+    chars/words/symbols into the two tokenizer-selection metrics."""
+    sl, sr = "\x02", "\x03"
+    expr = ("array_to_string(list_transform(string_split(word, ''), "
+            f"c -> '{sl}' || c || '{sr}'), '')")
+    for a, b in _PINNED_BPE_MERGES:
+        expr = f"replace({expr}, '{sl}{a}{sr}{sl}{b}{sr}', '{sl}{a}{b}{sr}')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ),
+    enc AS (SELECT doc_id, {expr} AS s FROM w),
+    per AS (
+      SELECT doc_id, count(*) AS n_words,
+             sum(length(s) - length(replace(s, '{sr}', ''))) AS n_symbols
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           sum(d.n_chars)::BIGINT AS total_chars,
+           coalesce(sum(p.n_words), 0)::BIGINT AS total_words,
+           coalesce(sum(p.n_symbols), 0)::BIGINT AS total_symbols,
+           round(sum(p.n_symbols) * 1.0 / sum(p.n_words), 6) AS fertility,
+           round(sum(d.n_chars) * 1.0 / sum(p.n_symbols), 6)
+             AS chars_per_symbol
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register(
+    "corpus_bpe_fertility",
+    _bpe_fertility_oracle_sql(),
+    doc="tokenizer fertility per source: symbols/word and chars/symbol "
+        "under the pinned 8-merge BPE — the metric a tokenizer/corpus "
+        "pairing is selected on (high fertility = the tokenizer "
+        "fragments that source); narrow encode fold + one rollup",
+)
+def corpus_bpe_fertility(spark, sf_dir):
+    from .operators.tokenizer import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _PINNED_BPE_MERGES) \
+        .select("doc_id", "n_words", "n_symbols")
+    return (docs.select("doc_id", "source", "n_chars")
+            .join(enc, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.coalesce(F.sum("n_words"), F.lit(0)).cast("long")
+                 .alias("total_words"),
+                 F.coalesce(F.sum("n_symbols"), F.lit(0)).cast("long")
+                 .alias("total_symbols"),
+                 F.round(F.sum("n_symbols") * 1.0 / F.sum("n_words"), 6)
+                 .alias("fertility"),
+                 F.round(F.sum("n_chars") * 1.0 / F.sum("n_symbols"), 6)
+                 .alias("chars_per_symbol")))

@@ -166,6 +166,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "dedup_survivors_best",      # keep-best-of-cluster dedup (r7)
         "user_funnel_3stage",        # sequential event funnel (r7)
         "user_retention_cohorts",    # weekly retention matrix (r7)
+        "corpus_bpe_fertility",      # tokenizer fertility rollup (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
