@@ -42,3 +42,36 @@ def grouped_percentile(df: DataFrame, keys: list[str], value_col: str,
         return pd.DataFrame(row)
 
     return df.groupBy(*keys).applyInPandas(kernel, schema)
+
+
+def grouped_topk(df: DataFrame, group_cols: list[str],
+                 order_by: list, k: int,
+                 rank_col: str = "rank") -> DataFrame:
+    """Exact top-``k`` per group WITHOUT a per-group reducer funnel.
+
+    The naive ``row_number() OVER (PARTITION BY g ORDER BY ...)``
+    routes EVERY row of a group through one reducer — for a skewed or
+    giant group that task is the job. This runs the exact two-stage
+    shape instead: stage 1 ranks within ``(physical partition, group)``
+    and keeps k (P×G small reducers, each seeing only its slice);
+    stage 2 ranks the ≤ k·P survivors per group. A group's global
+    top-k is always a subset of its per-partition top-ks, so the
+    result is exact.
+
+    ``order_by`` must totally order rows (append a unique tiebreaker)
+    or the returned ``rank_col`` is nondeterministic within ties.
+    Extracted from (and now backing) ``selection.stratified_sample``
+    and ``retrieval.bm25_search_many``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    local = Window.partitionBy(F.spark_partition_id(),
+                               *group_cols).orderBy(*order_by)
+    survivors = (df.withColumn("_gtk_r", F.row_number().over(local))
+                 .where(F.col("_gtk_r") <= k).drop("_gtk_r"))
+    final = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (survivors.withColumn(rank_col, F.row_number().over(final))
+            .where(F.col(rank_col) <= k))

@@ -230,11 +230,7 @@ def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
               .agg(F.count("*").cast("long").alias("n_hits"),
                    F.round(F.sum(contrib), 6).alias("score")))
 
-    local = Window.partitionBy(F.spark_partition_id(), "qid") \
-        .orderBy(F.col("score").desc(), F.col(id_col))
-    survivors = (scored.withColumn("_r", F.row_number().over(local))
-                 .where(F.col("_r") <= k).drop("_r"))
-    final = Window.partitionBy("qid").orderBy(F.col("score").desc(),
-                                              F.col(id_col))
-    return (survivors.withColumn("rank", F.row_number().over(final))
-            .where(F.col("rank") <= k))
+    from .grouped import grouped_topk
+
+    return grouped_topk(scored, ["qid"],
+                        [F.col("score").desc(), F.col(id_col)], k)

@@ -35,7 +35,7 @@ north-star extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .ranking import global_cumsum
@@ -54,19 +54,13 @@ def stratified_sample(df: DataFrame, strata_cols: list[str], k: int,
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    from .grouped import grouped_topk
+
     key = F.col(key) if isinstance(key, str) else key
     h = F.md5(key.cast("string"))
-    local = Window.partitionBy(F.spark_partition_id(),
-                               *strata_cols).orderBy(h, key)
-    survivors = (df.withColumn("_h", h)
-                 .withColumn("_r", F.row_number().over(local))
-                 .where(F.col("_r") <= k)
-                 .drop("_r"))
-    final = Window.partitionBy(*strata_cols).orderBy("_h", key)
-    return (survivors
-            .withColumn(rank_col, F.row_number().over(final))
-            .where(F.col(rank_col) <= k)
-            .drop("_h"))
+    return grouped_topk(df.withColumn("_h", h), strata_cols,
+                        [F.col("_h"), key], k,
+                        rank_col=rank_col).drop("_h")
 
 
 def quality_budget(df: DataFrame, order_by: list[Column | str],

@@ -82,6 +82,10 @@ _SF01_SCALE_SENSITIVE = [
     # temperature copy realization only stretch across partitions past
     # sf0.01
     "doc_bm25_multi", "doc_dsir_weights", "corpus_temperature_mix",
+    # last-r6 additions: cross-partition gram mining, component-keyed
+    # argmax, user-keyed multi-stage joins, encode+rollup
+    "doc_span_dedup", "dedup_survivors_best", "user_funnel_3stage",
+    "user_retention_cohorts", "corpus_bpe_fertility",
 ]
 
 
