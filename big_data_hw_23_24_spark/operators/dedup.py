@@ -115,22 +115,7 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 8,
     proportional to bucket sizes, never to n². Pairs are deduped
     (a < b) across bands.
     """
-    n_hashes_col = F.size(F.col(sig_col))
-    rows_per_band = (n_hashes_col / bands).cast("int")
-    # carry sig_col through the explode — projecting it away and joining
-    # it back would cost a full extra shuffle of (docs × bands) rows
-    banded = signed.select(
-        F.col(id_col),
-        F.col(sig_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).select(
-        id_col, "band",
-        F.xxhash64(F.col("band"),
-                   F.concat_ws(",", F.slice(
-                       F.col(sig_col),
-                       F.col("band") * rows_per_band + 1,
-                       rows_per_band).cast("array<string>"))).alias("band_hash"),
-    )
+    banded = _banded(signed, bands, id_col, sig_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -140,6 +125,86 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 8,
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def _banded(signed: DataFrame, bands: int, id_col: str,
+            sig_col: str = "signature") -> DataFrame:
+    """(id, band, band_hash): one row per band of each signature —
+    the LSH bucketing projection shared by the self-join
+    (``lsh_candidate_pairs``) and the cross-frame incremental match.
+    The signature is carried THROUGH the explode (projecting it away
+    and joining it back would cost a full extra shuffle of
+    (docs × bands) rows)."""
+    n_hashes_col = F.size(F.col(sig_col))
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    return signed.select(
+        F.col(id_col), F.col(sig_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        id_col, "band",
+        F.xxhash64(F.col("band"),
+                   F.concat_ws(",", F.slice(
+                       F.col(sig_col),
+                       F.col("band") * rows_per_band + 1,
+                       rows_per_band).cast("array<string>")))
+        .alias("band_hash"),
+    )
+
+
+def minhash_match_against(batch: DataFrame, corpus_signed: DataFrame,
+                          threshold: float = 0.7, num_hashes: int = 32,
+                          bands: int = 8, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Incremental NEAR-dup matching: new batch vs a stored signature
+    corpus → (batch_id, corpus_id, est_jaccard ≥ threshold).
+
+    The near-dup rung of the incremental-dedup ladder
+    (``incremental_dedup_against_fingerprints`` is the exact rung):
+    the corpus store holds only ``(doc_id, signature)`` — fixed-width,
+    text never retained — so matching a new batch costs shingling the
+    BATCH only, one banded equi-join against the store's bands, and a
+    signature-overlap estimate on the collided pairs. Never all-pairs,
+    never a corpus re-scan.
+
+    Jaccard here is the standard MinHash ESTIMATE — the fraction of
+    agreeing signature components, unbiased with sd ≈
+    √(j(1−j)/num_hashes) (≈ 0.08 at j = 0.7, H = 32) — because
+    estimating from the store is the point: exact verification would
+    require retaining corpus text. Raise ``num_hashes`` to tighten the
+    threshold boundary; pairs the LSH bands never collide are missed
+    with the usual 1−(1−j^r)^b probability. Batch-internal duplicates
+    are NOT reported (pair the batch with itself via
+    ``minhash_near_duplicates`` for that).
+
+    ``corpus_signed`` must carry signatures produced with the SAME
+    ``num_hashes`` (and shingling) — the store format is exactly
+    ``minhash_signature(word_shingles(docs))'s`` (id, signature)
+    projection.
+    """
+    batch_signed = (minhash_signature(word_shingles(batch, text_col),
+                                      num_hashes)
+                    .select(F.col(id_col), F.size("shingles").alias("_nsh"),
+                            "signature")
+                    .where(F.col("_nsh") > 0)
+                    .localCheckpoint(eager=True))
+    bb = _banded(batch_signed, bands, id_col) \
+        .withColumnRenamed(id_col, "batch_id")
+    cb = _banded(corpus_signed, bands, id_col) \
+        .withColumnRenamed(id_col, "corpus_id")
+    cand = (bb.join(cb, ["band", "band_hash"])
+            .select("batch_id", "corpus_id").distinct())
+    sa = batch_signed.select(F.col(id_col).alias("batch_id"),
+                             F.col("signature").alias("_sig_a"))
+    sb = corpus_signed.select(F.col(id_col).alias("corpus_id"),
+                              F.col("signature").alias("_sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+        lambda m: m))
+    return (cand.join(sa, "batch_id").join(sb, "corpus_id")
+            .select("batch_id", "corpus_id",
+                    F.round(agree / F.size("_sig_a"), 6)
+                    .alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold))
 
 
 def jaccard_verify(pairs: DataFrame, shingled: DataFrame,

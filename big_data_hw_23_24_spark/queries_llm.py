@@ -2603,3 +2603,33 @@ def corpus_bpe_fertility(spark, sf_dir):
                  .alias("fertility"),
                  F.round(F.sum("n_chars") * 1.0 / F.sum("n_symbols"), 6)
                  .alias("chars_per_symbol")))
+
+
+# --- incremental minhash near-dup matching (E74) -----------------------------
+# no_oracle by design (banded LSH recall + signature-estimate Jaccard,
+# like dedup_minhash_lsh); the planted-copy guarantees are pinned in
+# tests/test_retrieval_dsir.py.
+@register(
+    "dedup_incremental_minhash",
+    None,
+    doc="incremental NEAR-dup matching of a new batch against a "
+        "signature-only corpus store (text never retained): batch "
+        "shingled alone, one banded equi-join vs the store's bands, "
+        "MinHash-estimate Jaccard on collided pairs; batch = every "
+        "5th doc with a 3-word tail appended (J about 0.9)",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    from .operators.dedup import (
+        minhash_match_against, minhash_signature, word_shingles)
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = (minhash_signature(word_shingles(docs))
+             .select("doc_id", "signature"))
+    # near-dup derivation: append a 3-word tail — shingles are
+    # case-SENSITIVE (unlike the exact rung's normalized fingerprints),
+    # so a case mangle would zero the overlap; a suffix keeps
+    # J = S/(S+3) ≈ 0.9 for the ~50-word docs
+    batch = (docs.where(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.concat("text", F.lit(" zz1 zz2 zz3")).alias("text")))
+    return minhash_match_against(batch, store, threshold=0.5)

@@ -677,3 +677,52 @@ def test_funnel_and_retention_plans_are_all_equi_joins(spark):
         assert "Window" not in plan, name  # aggregates only, no
         #                                    single-reducer ranking pass
         assert "BatchEvalPython" not in plan, name
+
+
+# --- incremental minhash matching --------------------------------------------
+
+def _mk_text(words):
+    return " ".join(words)
+
+
+def test_minhash_match_against_planted(spark):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        minhash_match_against, minhash_signature, word_shingles)
+
+    base = [f"w{i}" for i in range(40)]
+    corpus = _docs(spark, [
+        (1, _mk_text(base)),
+        (2, _mk_text([f"x{i}" for i in range(40)])),
+    ])
+    store = (minhash_signature(word_shingles(corpus))
+             .select("doc_id", "signature"))
+
+    mutated = list(base)
+    mutated[7] = "CHANGED"  # one word off a 40-word doc: J ≈ 0.85
+    batch = _docs(spark, [
+        (100, _mk_text(mutated)),          # near-dup of corpus 1
+        (101, _mk_text(base)),             # exact copy of corpus 1
+        (102, "totally novel content here entirely unrelated words"),
+        (103, "shorty"),                   # < 3 words: no shingles
+    ])
+    got = {(r.batch_id, r.corpus_id): r.est_jaccard
+           for r in minhash_match_against(batch, store,
+                                          threshold=0.5).collect()}
+    assert got[(101, 1)] == 1.0            # exact copy: every component
+    assert (100, 1) in got and got[(100, 1)] >= 0.5
+    assert not any(b in (102, 103) for b, _ in got)
+    assert not any(c == 2 for _, c in got)
+
+
+def test_minhash_match_threshold_filters_estimate(spark):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        minhash_match_against, minhash_signature, word_shingles)
+
+    base = [f"t{i}" for i in range(30)]
+    corpus = _docs(spark, [(1, _mk_text(base))])
+    store = (minhash_signature(word_shingles(corpus))
+             .select("doc_id", "signature"))
+    batch = _docs(spark, [(200, _mk_text(base))])
+    # an impossible threshold returns nothing even though bands collide
+    assert minhash_match_against(batch, store,
+                                 threshold=1.000001).count() == 0
