@@ -209,3 +209,58 @@ def linear_quality_score_weighted(docs: DataFrame, weights: DataFrame,
                             / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6)
                     .alias("prob"),
                     (F.col("_logit") > 0).alias("keep")))
+
+
+def dedup_paragraphs_global(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """CROSS-document paragraph dedup → (doc_id, n_lines, n_kept,
+    clean_text): each distinct non-empty line survives only in its
+    FIRST owner — min (doc_id, position) corpus-wide — and is removed
+    from every other document.
+
+    The CCNet paragraph-level dedup (Wenzek et al. 2020): repeated
+    paragraphs across pages (headers, footers, quoted chunks) are
+    removed corpus-wide while one canonical occurrence survives —
+    the keep-one counterpart of ``textstats.remove_repeated_spans``'
+    strip-all semantics, at line rather than n-gram granularity.
+    Empty lines are structural separators and always kept;
+    ``dedup_lines`` (within-doc) composes BEFORE this when both are
+    wanted.
+
+    Shape: one (line)-keyed aggregate to elect owners (min struct —
+    deterministic under any partitioning), one equi-join back (AQE
+    broadcasts if the dup set is small), one doc-keyed aggregate to
+    reassemble in original order. Never all-pairs; the only corpus
+    shuffles are line-keyed and doc-keyed.
+    """
+    lines = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("_idx", "_line")))
+    owners = (lines.where(F.col("_line") != "")
+              .groupBy("_line")
+              .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                  F.col("_idx").alias("i")))
+                   .alias("_own")))
+    kept = (lines.join(owners, "_line", "left")
+            .where((F.col("_line") == "")
+                   | ((F.col("_own.d") == F.col(id_col))
+                      & (F.col("_own.i") == F.col("_idx")))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("_idx", "_line"))),
+                            lambda s: s["_line"]), "\n")
+                    .alias("clean_text")))
+    base = docs.select(F.col(id_col),
+                       F.size(F.split(F.col(text_col), "\n"))
+                       .alias("n_lines"))
+    return (base.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))

@@ -2633,3 +2633,55 @@ def dedup_incremental_minhash(spark, sf_dir):
              .select((F.col("doc_id") + 1000000).alias("doc_id"),
                      F.concat("text", F.lit(" zz1 zz2 zz3")).alias("text")))
     return minhash_match_against(batch, store, threshold=0.5)
+
+
+# --- cross-document paragraph dedup (E75) ------------------------------------
+# CCNet-style: each distinct line survives only in its first
+# (doc_id, position) owner corpus-wide. Runs over the synthetic
+# multi-line corpus (the C4 derivation), where 'Ok.' and the closing
+# line are shared by construction across most documents.
+@register(
+    "corpus_dedup_paragraphs",
+    f"""
+    WITH {_SYNTH_LINES_CTE},
+    d AS (
+      SELECT doc_id,
+             la || chr(10) || lb || chr(10) || lc || chr(10) || ld
+                || chr(10) || le AS text
+      FROM synth
+    ),
+    l AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM d)
+    ),
+    r AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM l
+    ),
+    k AS (SELECT * FROM r WHERE line = '' OR rn = 1)
+    SELECT d.doc_id,
+           5::BIGINT AS n_lines,
+           CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM d LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM k GROUP BY doc_id) c USING (doc_id)
+    """,
+    doc="CCNet cross-document paragraph dedup: every distinct line "
+        "survives only in its first (doc, position) owner corpus-wide "
+        "(empty lines structural, always kept); one line-keyed owner "
+        "election, one join back, one doc-keyed ordered reassembly",
+)
+def corpus_dedup_paragraphs(spark, sf_dir):
+    from .operators.cleaning import dedup_paragraphs_global
+
+    s = _synth_lines(spark, sf_dir)
+    docs = s.select(
+        "doc_id",
+        F.concat_ws("\n", "la", "lb", "lc", "ld", "le").alias("text"))
+    return dedup_paragraphs_global(docs)

@@ -167,6 +167,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "user_funnel_3stage",        # sequential event funnel (r7)
         "user_retention_cohorts",    # weekly retention matrix (r7)
         "corpus_bpe_fertility",      # tokenizer fertility rollup (r7)
+        "corpus_dedup_paragraphs",   # cross-doc paragraph dedup (r7)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

@@ -726,3 +726,38 @@ def test_minhash_match_threshold_filters_estimate(spark):
     # an impossible threshold returns nothing even though bands collide
     assert minhash_match_against(batch, store,
                                  threshold=1.000001).count() == 0
+
+
+# --- cross-document paragraph dedup -------------------------------------------
+
+def test_paragraph_dedup_keeps_first_owner_only(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import (
+        dedup_paragraphs_global)
+
+    docs = _docs(spark, [
+        (1, "shared header\nunique one\n\ntail"),
+        (2, "shared header\nunique two"),
+        (3, "unique three\nshared header"),
+        (4, "shared header"),           # loses its only line
+    ])
+    out = {r.doc_id: r for r in dedup_paragraphs_global(docs).collect()}
+    assert out[1].clean_text == "shared header\nunique one\n\ntail"
+    assert out[2].clean_text == "unique two"
+    assert out[3].clean_text == "unique three"
+    assert (out[4].n_kept, out[4].clean_text) == (0, "")
+    assert out[1].n_lines == 4 and out[1].n_kept == 4
+    # empty line in doc 1 kept as a structural separator
+    assert "\n\n" in out[1].clean_text
+
+
+def test_paragraph_dedup_first_owner_is_min_doc_then_position(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import (
+        dedup_paragraphs_global)
+
+    docs = _docs(spark, [
+        (5, "x\ndup\ndup"),   # within-doc repeat: position 1 wins
+        (9, "dup"),
+    ])
+    out = {r.doc_id: r for r in dedup_paragraphs_global(docs).collect()}
+    assert out[5].clean_text == "x\ndup"   # second in-doc copy gone too
+    assert out[9].clean_text == ""
