@@ -54,7 +54,7 @@ HEADLINE = [
     "doc_boilerplate_share",  # cross-doc boilerplate exposure scoring
     "dedup_semantic_clusters",  # SemDeDup cluster-keyed cosine dedup
     "corpus_quality_budget",  # two-pass global prefix-sum budget cut
-    # late-r6 additions (set now 37)
+    # late-r6 additions (set now 39)
     "doc_bm25_multi",         # inverted-index batch BM25 retrieval
     "doc_dsir_weights",       # DSIR hashed-bigram importance weights
     "doc_quality_classifier",  # zero-shuffle hashed linear classifier
@@ -62,6 +62,8 @@ HEADLINE = [
     "doc_span_dedup",         # exact repeated-span removal
     "user_funnel_3stage",     # sequential event funnel
     "user_retention_cohorts",  # weekly retention matrix
+    "corpus_dedup_paragraphs",  # CCNet cross-doc paragraph dedup
+    "dedup_incremental_minhash",  # batch-vs-signature-store near-dup
 ]
 
 
