@@ -181,8 +181,12 @@ def minhash_match_against(batch: DataFrame, corpus_signed: DataFrame,
     ``minhash_signature(word_shingles(docs))'s`` (id, signature)
     projection.
     """
-    batch_signed = (minhash_signature(word_shingles(batch, text_col),
-                                      num_hashes)
+    from .util import ensure_fanout
+
+    # the num_hashes-way signature map is the heavy stage: fan a
+    # sub-row-group batch out first (no-op when the scan has splits)
+    batch_signed = (minhash_signature(word_shingles(
+                        ensure_fanout(batch), text_col), num_hashes)
                     .select(F.col(id_col), F.size("shingles").alias("_nsh"),
                             "signature")
                     .where(F.col("_nsh") > 0)

@@ -2623,8 +2623,14 @@ def dedup_incremental_minhash(spark, sf_dir):
         minhash_match_against, minhash_signature, word_shingles)
 
     docs = load_table(spark, sf_dir, "documents")
-    store = (minhash_signature(word_shingles(docs))
-             .select("doc_id", "signature"))
+    # the store is read by BOTH the banding and the estimate branches;
+    # in production it is a premade parquet (cheap re-scan), here it
+    # would be the 32-hash signature map recomputed twice — build once
+    from .operators.util import ensure_fanout
+
+    store = (minhash_signature(word_shingles(ensure_fanout(docs)))
+             .select("doc_id", "signature")
+             .localCheckpoint(eager=True))
     # near-dup derivation: append a 3-word tail — shingles are
     # case-SENSITIVE (unlike the exact rung's normalized fingerprints),
     # so a case mangle would zero the overlap; a suffix keeps
