@@ -192,8 +192,12 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         if strip_spans is not None:
             from ..operators.textstats import remove_repeated_spans
 
-            stripped = remove_repeated_spans(deduped,
-                                             n=strip_spans).cache()
+            # fanout=False: `deduped` sits on the dedup left-anti
+            # shuffle, not a scan — ensure_fanout's rdd-probe contract
+            # is scan-rooted frames only, and the shuffle already
+            # supplies full parallelism
+            stripped = remove_repeated_spans(deduped, n=strip_spans,
+                                             fanout=False).cache()
             cached.append(stripped)  # the count agg below and the
             # text-replacement join both read it; uncached, the whole
             # mining + reconstruction subtree would execute twice
@@ -206,7 +210,16 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
                        .select(*cols).cache())
             cached.append(deduped)
 
-        # 4: decontamination against an optional benchmark corpus
+        # 4: decontamination against an optional benchmark corpus.
+        # Deliberate ordering with --strip-spans: the scan reads the
+        # POST-strip text, because what matters is the text that will
+        # actually be trained on — an 8-gram that 3b already stripped
+        # (benchmark overlap that is also cross-doc chrome, e.g. a
+        # license block quoted in the benchmark) cannot leak into
+        # training, so dropping the whole doc for it would be a false
+        # positive. For strict provenance-level hygiene (drop any doc
+        # that EVER contained benchmark text), run the scan on the
+        # pre-strip frame instead.
         n_contaminated = 0
         if benchmark_path is not None:
             bench = spark.read.parquet(benchmark_path).select("text")

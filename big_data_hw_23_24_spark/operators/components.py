@@ -115,6 +115,15 @@ def best_survivors(components: DataFrame, scores: DataFrame,
     the tie) so float summation-order noise past the 6th decimal can
     never flip the argmax between runs or engines.
 
+    ``scores`` need NOT cover every component member: the join is a
+    LEFT join with missing scores ranked below every real score
+    (NULLS LAST via a -inf coalesce in the ordering), so an unscored
+    member still counts in n_docs and can still win — with a NULL
+    keep_score — when the whole component is unscored. (An inner join
+    here silently dropped unscored members from n_docs and, for a
+    fully-unscored component, elected no winner at all, deleting the
+    cluster in the pipeline's --survivor best path.)
+
     Shape: one broadcast-or-shuffle join components⇄scores on doc_id,
     one window partitioned BY COMPONENT — component sizes are bounded
     by the dedup threshold, so no reducer ever sees more than a
@@ -124,8 +133,11 @@ def best_survivors(components: DataFrame, scores: DataFrame,
     from pyspark.sql import Window
 
     w = Window.partitionBy("component").orderBy(
-        F.round(F.col(score_col), 6).desc(), F.col(id_col))
-    ranked = (components.join(scores.select(id_col, score_col), id_col)
+        F.coalesce(F.round(F.col(score_col), 6),
+                   F.lit(float("-inf"))).desc(),
+        F.col(id_col))
+    ranked = (components
+              .join(scores.select(id_col, score_col), id_col, "left")
               .withColumn("_r", F.row_number().over(w))
               .withColumn("_n", F.count("*").over(
                   Window.partitionBy("component"))))

@@ -550,7 +550,8 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
 def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
                           text_col: str = "text",
                           id_col: str = "doc_id",
-                          materialize: bool = True) -> DataFrame:
+                          materialize: bool = True,
+                          fanout: bool = True) -> DataFrame:
     """Exact repeated-span REMOVAL → (doc_id, n_tokens, n_removed,
     clean_text): strip every token covered by a word n-gram that
     appears in ≥ ``min_docs`` distinct documents.
@@ -575,6 +576,13 @@ def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     inner probe is O(|flags per doc|), bounded by document length,
     never a corpus term. Short docs (< n words) pass through intact
     via the left join.
+
+    Pass ``fanout=False`` when ``docs`` is NOT a scan-rooted frame
+    (e.g. it sits on a join/shuffle): ``ensure_fanout``'s partition
+    probe goes through ``df.rdd``, which under AQE can materialize
+    upstream exchanges as extra jobs — its contract is scan-rooted
+    inputs only. A post-shuffle frame already carries shuffle-level
+    parallelism, so skipping the guard loses nothing.
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     from .util import ensure_fanout
@@ -587,7 +595,7 @@ def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
                         F.concat_ws(" ", F.slice(words, i, n))
                         .alias("gram"))),
     ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
-    pos = (ensure_fanout(docs)
+    pos = ((ensure_fanout(docs) if fanout else docs)
            .select(F.col(id_col), F.explode(grams).alias("_p"))
            .select(id_col, F.col("_p.start").alias("start"),
                    F.col("_p.gram").alias("gram")))

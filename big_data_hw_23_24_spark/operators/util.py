@@ -34,7 +34,10 @@ def ensure_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame
     materialize those exchanges as real jobs at construction time,
     which the later action does not reuse — on a scan-rooted frame
     there is nothing to materialize and the probe is metadata-only.
-    Every in-repo call site feeds it the raw docs scan.
+    Every in-repo call site feeds it the raw docs scan; operators that
+    can also receive post-shuffle frames expose a ``fanout=False``
+    opt-out (e.g. ``remove_repeated_spans``) so callers keep the
+    contract honest.
 
     This is the declarative descendant of the reference's eager
     ``repartition(L)`` (G019HW1.java:68, X1): same intent — match

@@ -74,18 +74,44 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # LLM-pipeline surface (never driver-checked in r03 — first now)
-    "dedup_exact_groups",
-    "dedup_components",
+    # ---- r7 rotation: the entire r6 queued tier admitted (25 queries,
+    # none ever driver-checked), over 25 multi-green retired faces
+    # (each with 3-6 green rows r01-r06; annotated in
+    # tests/test_registry_order.py::declared_redundant). ----
+    # PQ sub-steps + boilerplate mining (composed faces green r06)
+    "embedding_pq_codes",
+    "knn_pq_adc",
+    "corpus_boilerplate_ngrams",
+    # mid-r6 cleaning/selection/semantic-dedup tier
+    "doc_c4_line_filter",
+    "doc_dedup_lines",
+    "corpus_stratified_sample",
+    "corpus_quality_budget",
+    "dedup_semantic_clusters",
+    "doc_winnow_fingerprints",
+    "doc_overlap_pairs",
+    "corpus_token_shards",
+    "doc_token_entropy",
+    "corpus_stats_card",
+    # late-r6 retrieval/selection/classifier tier (E64-E67)
+    "doc_bm25_topk",
+    "doc_bm25_multi",
+    "doc_dsir_weights",
+    "doc_quality_classifier",
+    "corpus_temperature_mix",
+    # late-r6 ingestion/cleaning/event-analytics tier (E68-E75)
+    "streaming_quality_gate",
+    "doc_span_dedup",
+    "dedup_survivors_best",
+    "user_funnel_3stage",
+    "user_retention_cohorts",
+    "corpus_bpe_fertility",
+    "corpus_dedup_paragraphs",
+    # ---- kept multi-green anchors (2-green r05+r06 faces earning a
+    # third row, plus one representative per otherwise-uncovered
+    # family: semi/anti, CMS sketch, UDAF median, as-of join, salted
+    # join) ----
     "knn_cosine_filtered",
-    "knn_cosine_quantized",
-    "doc_tfidf_top_terms",
-    "doc_chunks",
-    "doc_sentences_udtf",
-    "doc_pii_scan",
-    "doc_contamination_scan",
-    "media_decode_meta",
-    "dedup_embedding_cosine",
     "dedup_incremental",
     "bpe_pair_counts",
     "vocab_coverage",
@@ -93,48 +119,25 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "doc_pack_sequences",
     "corpus_source_mix",
     "streaming_ingest_dedup",
-    # LM-scoring tier + §2.9 faces queued since r5 — never driver-checked
-    # before r6; rotated in over five multi-green redundant faces
+    "customer_order_membership",
+    "frequent_users_cms",
+    "acctbal_median_by_nation",
+    "events_asof_orders",
+    "events_customer_salted_join",
+    # ---- kept single-green r6 admissions (each needs a second row
+    # before it can be retired) ----
     "doc_unigram_logprob",
     "doc_bigram_logprob",
     "embedding_nearest_centroid",
     "events_by_hopping_window",
     "customer_balance_deciles",
-    # r6 conversions: formerly rows-only ops given full SQL oracles
-    # (pinned-merge BPE encode, one Lloyd round, C5 exact histogram),
-    # rotated in over three multi-green redundant faces
     "doc_bpe_tokens",
     "embedding_lloyd_round",
     "streaming_frequent_exact",
-    # r6 late additions (PQ search, boilerplate, state-store dedup,
-    # multimodal features) — rotated in over four multi-green
-    # redundant faces so they earn driver rows the round they ship
     "knn_pq_rerank",
     "doc_boilerplate_share",
     "streaming_dropdup_items",
     "media_feature_vectors",
-    # reference-algorithm + streaming oracle queries
-    "mr_approx_outliers",
-    "smallest_cells_topk",
-    "exact_outliers",
-    "streaming_distinct_count",
-    "streaming_sessions",
-    "streaming_order_events_3d",
-    # relational / §2.9 surface (one green face per feature)
-    "pricing_summary",
-    "wordcount",
-    "customer_rolling_30d",
-    "customer_order_membership",
-    "frequent_users_cms",
-    "segment_set_ops",
-    "user_event_type_map",
-    "parts_above_avg_revenue_bloom",
-    "acctbal_median_by_nation",
-    "events_asof_orders",
-    "sales_grouping_sets",
-    "returns_pivot_by_status",
-    "buyers_full_outer_active",
-    "events_customer_salted_join",
 )
 
 

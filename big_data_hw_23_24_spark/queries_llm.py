@@ -2244,10 +2244,15 @@ def doc_quality_classifier(spark, sf_dir):
 @register(
     "corpus_temperature_mix",
     """
-    WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+    -- join on a null-coalesced shadow key, mirroring the operator:
+    -- NULL sources form their own upsampling group and must NOT be
+    -- dropped by NULL-never-equals-NULL join semantics
+    WITH c AS (SELECT coalesce(source, chr(0) || '<null>') AS srckey,
+                      count(*) AS ns
+               FROM documents GROUP BY 1),
     mx AS (SELECT max(ns) AS nmax FROM c),
     s AS (
-      SELECT source,
+      SELECT srckey,
              round(sqrt(nmax / (ns * 1.0)), 6) AS multiplicity,
              CAST(floor(sqrt(nmax / (ns * 1.0))) AS BIGINT) AS base,
              CAST(floor((sqrt(nmax / (ns * 1.0))
@@ -2259,7 +2264,8 @@ def doc_quality_classifier(spark, sf_dir):
       SELECT d.doc_id, d.source, s.multiplicity,
              s.base + CASE WHEN ('0x' || substr(md5(d.text), 1, 4))::BIGINT
                                 < s.extra THEN 1 ELSE 0 END AS n_copies
-      FROM documents d JOIN s USING (source)
+      FROM documents d
+      JOIN s ON s.srckey = coalesce(d.source, chr(0) || '<null>')
     )
     SELECT doc_id, source, multiplicity,
            CAST(n_copies AS BIGINT) AS n_copies,

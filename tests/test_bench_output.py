@@ -1,0 +1,36 @@
+"""bench.py's stdout contract: ONE JSON line that fits the round
+driver's tail-capture buffer (last 2000 chars of output). Round 6 lost
+its official bench record when the line outgrew the buffer — these
+tests pin the guard that keeps that from recurring.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import HEADLINE, format_output_line
+
+
+def test_current_headline_set_fits_the_buffer():
+    timings = {n: 1.234 for n in HEADLINE}
+    line = format_output_line(timings, 0.1)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["queries"] == timings
+    assert parsed["metric"] == "headline_queries_total_runtime"
+    assert parsed["estimator"] == "min3_warmed"
+
+
+def test_overflow_falls_back_to_slowest_20():
+    timings = {f"query_with_a_long_descriptive_name_{i:03d}": i / 1000.0
+               for i in range(200)}
+    line = format_output_line(timings, 0.1)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 200
+    assert len(parsed["queries"]) == 20
+    assert parsed["queries_full"] == "BENCH_DETAIL.json"
+    # the retained subset is the slowest 20, and the total still
+    # reflects ALL queries
+    assert min(parsed["queries"].values()) >= 0.180
+    assert parsed["value"] == round(sum(timings.values()), 3)

@@ -129,46 +129,73 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   semantics driver-checked by
                                      #   acctbal_median_by_nation
                                      #   (in window, UDAF face)
+        # rotated out in r7 AFTER earning green rows, to admit the
+        # entire 25-query r6 queued tier in one rotation. Green-row
+        # counts from CORRECTNESS_r01..r06; operator families stay
+        # represented by the named in-window siblings (or carry
+        # maximal 5-6-row evidence where the face IS the operator).
+        "dedup_exact_groups",        # 5 greens r01-r06; md5-fingerprint
+                                     #   groups ⊂ dedup_incremental
+                                     #   (in window, same fingerprint CTE)
+        "dedup_components",          # 3 greens r04-r06; components +
+                                     #   survivor election re-checked by
+                                     #   dedup_survivors_best (in window)
+        "knn_cosine_quantized",      # 3 greens r04-r06; int8 quantize +
+                                     #   exact-rerank ⊂ knn_pq_rerank
+                                     #   (in window, coarser quantizer)
+        "doc_tfidf_top_terms",       # 3 greens r04-r06; tf/df scoring +
+                                     #   grouped top-k ⊂ doc_bm25_multi
+                                     #   (in window, same machinery)
+        "doc_chunks",                # 3 greens r04-r06; token-position
+                                     #   segmentation ⊂ doc_pack_sequences
+                                     #   (in window)
+        "doc_sentences_udtf",        # 3 greens r04-r06; UDTF explode
+                                     #   face; split+explode semantics
+                                     #   ⊂ doc_c4_line_filter (in window)
+        "doc_pii_scan",              # 3 greens r04-r06; regexp-extract
+                                     #   machinery also exercised by
+                                     #   doc_c4_line_filter (in window)
+        "doc_contamination_scan",    # 3 greens r04-r06; 8-gram overlap
+                                     #   mining ⊂ corpus_boilerplate_ngrams
+                                     #   + doc_span_dedup (in window)
+        "media_decode_meta",         # 5 greens r01-r06; Arrow mapInPandas
+                                     #   plumbing ⊂ media_feature_vectors
+                                     #   (in window)
+        "dedup_embedding_cosine",    # 3 greens r04-r06; cosine threshold
+                                     #   pairing ⊂ dedup_semantic_clusters
+                                     #   + knn_cosine_filtered (in window)
+        "mr_approx_outliers",        # 6 greens r01-r06 (C2, max evidence)
+        "smallest_cells_topk",       # 6 greens r01-r06 (O2 top-k)
+        "exact_outliers",            # 6 greens r01-r06 (C1)
+        "streaming_distinct_count",  # 5 greens r02-r06; distinct face
+                                     #   ⊂ streaming_dropdup_items +
+                                     #   streaming_frequent_exact (in window)
+        "streaming_sessions",        # 4 greens r03-r06; session windows
+                                     #   (applyInPandasWithState face)
+        "streaming_order_events_3d", # 3 greens r04-r06; stream-static
+                                     #   interval join ⊂ events_asof_orders
+                                     #   family (in window)
+        "pricing_summary",           # 6 greens r01-r06 (A1/A5, max evidence)
+        "wordcount",                 # 6 greens r01-r06 (P6/C6, max evidence)
+        "customer_rolling_30d",      # 4 greens r03-r06; RANGE-frame window
+                                     #   ordering ⊂ customer_balance_deciles
+                                     #   (in window, window-rank face)
+        "segment_set_ops",           # 6 greens r01-r06 (set ops, max
+                                     #   evidence)
+        "user_event_type_map",       # 4 greens r03-r06; MapType/JSON face
+        "parts_above_avg_revenue_bloom",  # 3 greens r04-r06; bloom-filter
+                                     #   semi-join + scalar subquery face
+        "sales_grouping_sets",       # 4 greens r03-r06; rollup/cube/
+                                     #   grouping-sets face
+        "returns_pivot_by_status",   # 4 greens r03-r06; pivot face
+        "buyers_full_outer_active",  # 4 greens r03-r06; full-outer face
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
     # rows) and is full-value oracle-compared in test_oracle_parity
-    # meanwhile
-    queued_for_rotation = {
-        # sub-steps of the composed in-window faces (knn_pq_rerank runs
-        # encode→ADC→rerank; doc_boilerplate_share runs the ngram
-        # mining); their OWN outputs still deserve a driver row each,
-        # so they wait for the r7 rotation rather than being declared
-        # redundant while never-checked
-        "embedding_pq_codes",        # PQ encode vs fixed codebooks (r7)
-        "knn_pq_adc",                # PQ asymmetric-distance search (r7)
-        "corpus_boilerplate_ngrams",  # cross-doc repeated-ngram mining (r7)
-        # added mid-r6 after the window filled (cleaning/selection/
-        # semantic-dedup tier)
-        "doc_c4_line_filter",        # C4 line cleaning (r7)
-        "doc_dedup_lines",           # keep-first line dedup (r7)
-        "corpus_stratified_sample",  # exact per-source top-k (r7)
-        "corpus_quality_budget",     # token-budget curation (r7)
-        "dedup_semantic_clusters",   # SemDeDup per-cluster dedup (r7)
-        "doc_winnow_fingerprints",   # MOSS winnowing selection (r7)
-        "doc_overlap_pairs",         # MOSS inverted-index overlap (r7)
-        "corpus_token_shards",       # equal-work shard assignment (r7)
-        "doc_token_entropy",         # word-distribution entropy (r7)
-        "corpus_stats_card",         # dataset-card rollup (r7)
-        # late-r6 retrieval/selection/classifier tier (E64-E66)
-        "doc_bm25_topk",             # Okapi BM25 retrieval (r7)
-        "doc_dsir_weights",          # DSIR importance resampling (r7)
-        "doc_quality_classifier",    # hashed linear quality model (r7)
-        "corpus_temperature_mix",    # temperature source upsampling (r7)
-        "doc_bm25_multi",            # inverted-index batch BM25 (r7)
-        "streaming_quality_gate",    # gated micro-batch ingestion (r7)
-        "doc_span_dedup",            # exact repeated-span removal (r7)
-        "dedup_survivors_best",      # keep-best-of-cluster dedup (r7)
-        "user_funnel_3stage",        # sequential event funnel (r7)
-        "user_retention_cohorts",    # weekly retention matrix (r7)
-        "corpus_bpe_fertility",      # tokenizer fertility rollup (r7)
-        "corpus_dedup_paragraphs",   # cross-doc paragraph dedup (r7)
-    }
+    # meanwhile. The r6 queue (25 queries) was admitted wholesale in
+    # the r7 rotation — this set holds only post-rotation additions.
+    queued_for_rotation: set[str] = set()
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None

@@ -285,6 +285,39 @@ def test_temperature_fractional_copies_bounded_and_deterministic(spark):
     assert 4 <= len(small) <= 8
 
 
+def test_temperature_mix_oracle_parity_with_null_sources(spark, tmp_path):
+    """The driver's testdata has no NULL sources, so sf-parity alone
+    can't catch an operator/oracle divergence there: the operator
+    preserves NULL-source rows via a coalesced shadow join key, and
+    the oracle must mirror that (a plain USING(source) join silently
+    drops them in DuckDB). Pin full-value parity on a corpus where a
+    NULL-source group actually gets upsampled."""
+    import duckdb
+
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+    _ensure_loaded()
+
+    rows = ([(i, f"big doc {i}", "big") for i in range(16)]
+            + [(100 + i, f"null doc {i}", None) for i in range(4)])
+    docs = _src_docs(spark, rows)
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    q = _REGISTRY["corpus_temperature_mix"]
+    got = sorted((r.doc_id, r.source, r.multiplicity, r.n_copies, r.copy)
+                 for r in q.spark_fn(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    want = sorted(tuple(t) for t in con.sql(q.oracle).fetchall())
+    con.close()
+    assert got == want
+    # the NULL-source group (4 vs 16 docs) is upsampled m=2: every
+    # NULL-source doc appears exactly twice — none dropped
+    null_rows = [t for t in got if t[1] is None]
+    assert len(null_rows) == 8
+    assert all(t[3] == 2 for t in null_rows)
+
+
 def test_temperature_validation(spark):
     from big_data_hw_23_24_spark.operators.splits import temperature_resample
 
@@ -421,6 +454,26 @@ def test_best_survivors_keeps_argmax_not_min_id(spark):
     assert (out[1].keep_id, out[1].keep_score, out[1].n_docs,
             out[1].n_dropped) == (2, 0.9, 3, 2)
     assert (out[10].keep_id, out[10].n_dropped) == (10, 1)
+
+
+def test_best_survivors_tolerates_missing_scores(spark):
+    """The scores table need not cover every member (left-join
+    contract): unscored members still count in n_docs, rank below any
+    real score, and a fully-unscored component still elects its min-id
+    member (NULL keep_score) instead of vanishing."""
+    from big_data_hw_23_24_spark.operators.components import best_survivors
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, component long")
+    scores = spark.createDataFrame(
+        [(1, 0.1), (3, 0.05)],  # 2 unscored; component 10 fully unscored
+        "doc_id long, quality_score double")
+    out = {r.component: r for r in best_survivors(comp, scores).collect()}
+    assert (out[1].keep_id, out[1].keep_score, out[1].n_docs,
+            out[1].n_dropped) == (1, 0.1, 3, 2)
+    assert (out[10].keep_id, out[10].keep_score, out[10].n_docs,
+            out[10].n_dropped) == (10, None, 2, 1)
 
 
 # --- fanout guard ------------------------------------------------------------
