@@ -64,6 +64,8 @@ HEADLINE = [
     "user_retention_cohorts",  # weekly retention matrix
     "corpus_dedup_paragraphs",  # CCNet cross-doc paragraph dedup
     "dedup_incremental_minhash",  # batch-vs-signature-store near-dup
+    # r7 addition (set now 40)
+    "dedup_minhash_banded",   # md5-family banded LSH self-join face
 ]
 
 

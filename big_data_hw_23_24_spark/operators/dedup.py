@@ -66,9 +66,23 @@ def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
     return docs.withColumn(out_col, F.array_distinct(grams))
 
 
+def md5_minhash_constants(num_hashes: int = 32) -> list[tuple[int, int]]:
+    """Pinned (a_i, c_i) pairs for the engine-portable md5 MinHash
+    family: h_i(s) = (a_i·b + c_i) mod (2³¹−1) where b is the 28-bit
+    md5 prefix of the shingle. The formula below is the spec — the
+    DuckDB oracle embeds the SAME literals, so both engines compute
+    bit-identical signatures. a_i < 2³⁰ and b < 2²⁸ keep the product
+    under 2⁵⁸, far from 64-bit overflow in either engine."""
+    mask = (1 << 30) - 1
+    return [(((2654435761 * (i + 1) + 104729) & mask) | 1,
+             (40503 * (i + 1) + 9973) & mask)
+            for i in range(num_hashes)]
+
+
 def minhash_signature(shingled: DataFrame, num_hashes: int = 32,
                       shingle_col: str = "shingles",
-                      out_col: str = "signature") -> DataFrame:
+                      out_col: str = "signature",
+                      hash_family: str = "xxhash64") -> DataFrame:
     """MinHash signature: sig[i] = min over shingles of h_i(s).
 
     Each shingle *string* is hashed exactly once (xxhash64 → long);
@@ -81,6 +95,13 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = 32,
     sentinel signature of Long.MAX_VALUE (callers must drop them
     before LSH banding — see ``minhash_near_duplicates``).
 
+    ``hash_family="md5"`` swaps xxhash64 for an ENGINE-PORTABLE family
+    (md5-prefix base hash + pinned linear mixes mod 2³¹−1, see
+    ``md5_minhash_constants``) that a DuckDB oracle can reproduce
+    bit-for-bit — the oracle-checkable face of the same plan shape.
+    xxhash64 stays the production default: one JVM intrinsic per
+    shingle vs an md5 digest, same narrow-map plan.
+
     Built as ONE ``F.expr`` SQL string rather than nested Column
     lambdas, for two reasons. (a) Speed: the Column form costs
     hundreds of py4j round trips (~0.7 s of driver time per call);
@@ -91,6 +112,24 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = 32,
     into one and degenerates LSH to a single-hash scheme.
     """
     maxl = f"{2**63 - 1}L"
+    if hash_family == "md5":
+        terms = ", ".join(
+            f"coalesce(array_min(transform(_sg_b, "
+            f"b -> ({a}L * b + {c}L) % 2147483647L)), {maxl})"
+            for a, c in md5_minhash_constants(num_hashes)
+        )
+        return (
+            shingled
+            .withColumn("_sg_b",
+                        F.expr(f"transform({shingle_col}, s -> "
+                               f"cast(conv(substr(md5(s), 1, 7), 16, 10)"
+                               f" as bigint))"))
+            .withColumn(out_col, F.expr(f"array({terms})"))
+            .drop("_sg_b")
+        )
+    if hash_family != "xxhash64":
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', "
+                         f"got {hash_family!r}")
     terms = ", ".join(
         f"coalesce(array_min(transform(_sg_h64, h -> xxhash64({i}, h))),"
         f" {maxl})"
@@ -154,7 +193,8 @@ def _banded(signed: DataFrame, bands: int, id_col: str,
 def minhash_match_against(batch: DataFrame, corpus_signed: DataFrame,
                           threshold: float = 0.7, num_hashes: int = 32,
                           bands: int = 8, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          hash_family: str = "xxhash64") -> DataFrame:
     """Incremental NEAR-dup matching: new batch vs a stored signature
     corpus → (batch_id, corpus_id, est_jaccard ≥ threshold).
 
@@ -177,16 +217,17 @@ def minhash_match_against(batch: DataFrame, corpus_signed: DataFrame,
     ``minhash_near_duplicates`` for that).
 
     ``corpus_signed`` must carry signatures produced with the SAME
-    ``num_hashes`` (and shingling) — the store format is exactly
-    ``minhash_signature(word_shingles(docs))'s`` (id, signature)
-    projection.
+    ``num_hashes``, ``hash_family`` (and shingling) — the store format
+    is exactly ``minhash_signature(word_shingles(docs))'s``
+    (id, signature) projection.
     """
     from .util import ensure_fanout
 
     # the num_hashes-way signature map is the heavy stage: fan a
     # sub-row-group batch out first (no-op when the scan has splits)
     batch_signed = (minhash_signature(word_shingles(
-                        ensure_fanout(batch), text_col), num_hashes)
+                        ensure_fanout(batch), text_col), num_hashes,
+                        hash_family=hash_family)
                     .select(F.col(id_col), F.size("shingles").alias("_nsh"),
                             "signature")
                     .where(F.col("_nsh") > 0)

@@ -107,10 +107,14 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "user_retention_cohorts",
     "corpus_bpe_fertility",
     "corpus_dedup_paragraphs",
+    # r7 conversions: formerly rows-only MinHash faces given full SQL
+    # oracles via the engine-portable md5 hash family — admitted over
+    # two 4-green anchors (events_asof_orders, acctbal_median_by_nation)
+    "dedup_incremental_minhash",
+    "dedup_minhash_banded",
     # ---- kept multi-green anchors (2-green r05+r06 faces earning a
     # third row, plus one representative per otherwise-uncovered
-    # family: semi/anti, CMS sketch, UDAF median, as-of join, salted
-    # join) ----
+    # family: semi/anti, CMS sketch, salted join) ----
     "knn_cosine_filtered",
     "dedup_incremental",
     "bpe_pair_counts",
@@ -121,8 +125,6 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "streaming_ingest_dedup",
     "customer_order_membership",
     "frequent_users_cms",
-    "acctbal_median_by_nation",
-    "events_asof_orders",
     "events_customer_salted_join",
     # ---- kept single-green r6 admissions (each needs a second row
     # before it can be retired) ----

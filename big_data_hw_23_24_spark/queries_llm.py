@@ -2612,17 +2612,79 @@ def corpus_bpe_fertility(spark, sf_dir):
 
 
 # --- incremental minhash near-dup matching (E74) -----------------------------
-# no_oracle by design (banded LSH recall + signature-estimate Jaccard,
-# like dedup_minhash_lsh); the planted-copy guarantees are pinned in
-# tests/test_retrieval_dsir.py.
+# r7 conversion: formerly rows-only. The md5 hash family
+# (operators/dedup.py::md5_minhash_constants) is engine-portable, so
+# the whole pipeline — shingle → 32-hash signature → 8-band collision
+# → signature-estimate Jaccard — is deterministic SQL DuckDB can
+# replay bit-for-bit. The oracle expresses band collision as SLICE
+# EQUALITY, which is exactly what the operator's band_hash equality
+# means (xxhash64 of the slice text; a 64-bit collision between
+# unequal slices could only ADD a candidate pair, which the ≥threshold
+# estimate filter then re-checks on the full signatures).
+
+
+def _md5_minhash_sig_cte(src: str) -> str:
+    """CTE block: md5-family 32-hash MinHash signatures over
+    ``{src}(doc_id, text)`` → ``sig(doc_id, s)``. Embeds the SAME
+    pinned (a_i, c_i) literals the Spark face uses."""
+    from .operators.dedup import md5_minhash_constants
+
+    mins = ", ".join(f"min(({a} * b + {c}) % 2147483647)"
+                     for a, c in md5_minhash_constants(32))
+    return f"""
+    ws AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM {src})
+      WHERE word <> ''
+    ),
+    shg AS (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM ws a
+      JOIN ws b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN ws c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    base AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS b
+             FROM shg),
+    sig AS (SELECT doc_id, [{mins}] AS s FROM base GROUP BY doc_id)"""
+
+
+# ∃ band k ∈ 0..7: the 4-element slices agree (1-based inclusive)
+_BAND_COLLIDE = " OR ".join(
+    f"a.s[{4 * k + 1}:{4 * k + 4}] = b.s[{4 * k + 1}:{4 * k + 4}]"
+    for k in range(8))
+
+_EST_JACCARD = ("len(list_filter(range(1, 33), "
+                "i -> list_extract(a.s, i) = list_extract(b.s, i))) / 32.0")
+
+
 @register(
     "dedup_incremental_minhash",
-    None,
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz1 zz2 zz3'
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_md5_minhash_sig_cte("all_docs")}
+    SELECT batch_id, corpus_id, est_jaccard FROM (
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+             round({_EST_JACCARD}, 6) AS est_jaccard
+      FROM sig a JOIN sig b
+        ON a.doc_id >= 1000000 AND b.doc_id < 1000000
+       AND ({_BAND_COLLIDE}))
+    WHERE est_jaccard >= 0.5
+    """,
     doc="incremental NEAR-dup matching of a new batch against a "
         "signature-only corpus store (text never retained): batch "
         "shingled alone, one banded equi-join vs the store's bands, "
         "MinHash-estimate Jaccard on collided pairs; batch = every "
-        "5th doc with a 3-word tail appended (J about 0.9)",
+        "5th doc with a 3-word tail appended (J about 0.9); md5 hash "
+        "family so the full signature pipeline is oracle-replayable",
 )
 def dedup_incremental_minhash(spark, sf_dir):
     from .operators.dedup import (
@@ -2634,7 +2696,8 @@ def dedup_incremental_minhash(spark, sf_dir):
     # would be the 32-hash signature map recomputed twice — build once
     from .operators.util import ensure_fanout
 
-    store = (minhash_signature(word_shingles(ensure_fanout(docs)))
+    store = (minhash_signature(word_shingles(ensure_fanout(docs)),
+                               hash_family="md5")
              .select("doc_id", "signature")
              .localCheckpoint(eager=True))
     # near-dup derivation: append a 3-word tail — shingles are
@@ -2644,7 +2707,65 @@ def dedup_incremental_minhash(spark, sf_dir):
     batch = (docs.where(F.col("doc_id") % 5 == 0)
              .select((F.col("doc_id") + 1000000).alias("doc_id"),
                      F.concat("text", F.lit(" zz1 zz2 zz3")).alias("text")))
-    return minhash_match_against(batch, store, threshold=0.5)
+    return minhash_match_against(batch, store, threshold=0.5,
+                                 hash_family="md5")
+
+
+# --- banded LSH self-join, oracle face (E76) ---------------------------------
+@register(
+    "dedup_minhash_banded",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz1 zz2 zz3'
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_md5_minhash_sig_cte("all_docs")}
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round({_EST_JACCARD}, 6) AS est_jaccard
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({_BAND_COLLIDE}))
+    WHERE est_jaccard >= 0.5
+    """,
+    doc="banded-LSH SELF-join near-dup face of dedup_minhash_lsh with "
+        "the md5 hash family: same lsh_candidate_pairs plan (band-hash "
+        "equi-join, never all-pairs), signature-estimate Jaccard "
+        "instead of the re-shingle verify, fully oracle-replayable; "
+        "input salted with 3-word-suffix copies so every planted pair "
+        "must surface",
+)
+def dedup_minhash_banded(spark, sf_dir):
+    from .operators.dedup import (
+        lsh_candidate_pairs, minhash_signature, word_shingles)
+    from .operators.util import ensure_fanout
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz1 zz2 zz3")).alias("text")))
+    # signature map read by banding AND both sides of the estimate
+    # join — materialize once (the dedup_minhash_lsh persist strategy)
+    signed = (minhash_signature(
+                  word_shingles(ensure_fanout(docs.unionAll(copies))),
+                  hash_family="md5")
+              .where(F.size("shingles") > 0)
+              .select("doc_id", "signature")
+              .localCheckpoint(eager=True))
+    pairs = lsh_candidate_pairs(signed, bands=8)
+    sa = signed.select(F.col("doc_id").alias("id_a"),
+                       F.col("signature").alias("_sig_a"))
+    sb = signed.select(F.col("doc_id").alias("id_b"),
+                       F.col("signature").alias("_sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+        lambda m: m))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(agree / F.size("_sig_a"), 6)
+                    .alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= 0.5))
 
 
 # --- cross-document paragraph dedup (E75) ------------------------------------

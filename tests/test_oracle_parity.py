@@ -86,6 +86,9 @@ _SF01_SCALE_SENSITIVE = [
     # argmax, user-keyed multi-stage joins, encode+rollup
     "doc_span_dedup", "dedup_survivors_best", "user_funnel_3stage",
     "user_retention_cohorts", "corpus_bpe_fertility",
+    # r7 MinHash oracle conversions: the banded equi-joins and the
+    # signature-store match only cross partition boundaries past sf0.01
+    "dedup_incremental_minhash", "dedup_minhash_banded",
 ]
 
 

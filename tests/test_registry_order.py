@@ -189,6 +189,13 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   grouping-sets face
         "returns_pivot_by_status",   # 4 greens r03-r06; pivot face
         "buyers_full_outer_active",  # 4 greens r03-r06; full-outer face
+        # retired mid-r7 (4 greens each) to admit the two MinHash
+        # oracle conversions (dedup_incremental_minhash,
+        # dedup_minhash_banded) the same round they gained oracles
+        "events_asof_orders",        # 4 greens r03-r06; as-of
+                                     #   union+window rewrite face
+        "acctbal_median_by_nation",  # 4 greens r03-r06; UDAF
+                                     #   (applyInPandas) median face
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its

@@ -767,6 +767,43 @@ def test_minhash_match_against_planted(spark):
     assert not any(c == 2 for _, c in got)
 
 
+def test_md5_minhash_family_matches_pure_python_spec(spark):
+    """The md5 hash family is the engine-portable oracle face: pin the
+    Spark signatures against an independent pure-Python rederivation
+    of the spec (28-bit md5 prefix base hash, pinned linear mixes mod
+    2³¹−1) so a drift in either the constants or the expression text
+    breaks loudly, not as a silent oracle-parity 'both moved' miss."""
+    import hashlib
+
+    from big_data_hw_23_24_spark.operators.dedup import (
+        md5_minhash_constants, minhash_signature, word_shingles)
+
+    texts = {1: "alpha beta gamma delta epsilon", 2: "one two three"}
+    docs = _docs(spark, list(texts.items()))
+    got = {r.doc_id: list(r.signature)
+           for r in minhash_signature(word_shingles(docs),
+                                      hash_family="md5").collect()}
+    consts = md5_minhash_constants(32)
+    for doc_id, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        shingles = {" ".join(words[i:i + 3])
+                    for i in range(len(words) - 2)}
+        bases = [int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+                 for s in shingles]
+        want = [min((a * b + c) % 2147483647 for b in bases)
+                for a, c in consts]
+        assert got[doc_id] == want, doc_id
+
+
+def test_minhash_signature_rejects_unknown_family(spark):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        minhash_signature, word_shingles)
+
+    shingled = word_shingles(_docs(spark, [(1, "a b c d")]))
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signature(shingled, hash_family="sha1")
+
+
 def test_minhash_match_threshold_filters_estimate(spark):
     from big_data_hw_23_24_spark.operators.dedup import (
         minhash_match_against, minhash_signature, word_shingles)
