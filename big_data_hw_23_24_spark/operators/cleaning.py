@@ -264,3 +264,39 @@ def dedup_paragraphs_global(docs: DataFrame, text_col: str = "text",
                     .alias("n_kept"),
                     F.coalesce("clean_text", F.lit(""))
                     .alias("clean_text")))
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL form: lowercased, scheme and leading ``www.``
+    stripped, query string / fragment dropped, trailing slashes
+    trimmed. ``https://WWW.Ex.com/a/?utm=x`` and ``http://ex.com/a``
+    normalize identically. Pure regexp chain — whole-stage codegen,
+    no UDF."""
+    u = F.lower(col)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def url_duplicate_groups(docs: DataFrame, url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup groups → (norm_url, n_docs, keep_id): group on
+    the normalized URL, keep-first (min id) survivor, only groups with
+    duplicates returned.
+
+    The cheap FIRST stage of the RefinedWeb dedup ladder — provenance
+    dedup runs before any content hashing because a re-crawled or
+    tracking-parameter-variant URL is a duplicate regardless of how
+    the fetched bytes differ. Same one-shuffle hash-groupBy shape as
+    ``exact_duplicate_groups``, keyed on provenance instead of
+    content; at 100 TB the shuffle key is a short normalized string,
+    and skew (a single hot host is NOT a hot normalized-URL key — the
+    path disambiguates) stays bounded.
+    """
+    return (docs.select(normalize_url(F.col(url_col)).alias("norm_url"),
+                        F.col(id_col))
+            .groupBy("norm_url")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_docs") > 1))

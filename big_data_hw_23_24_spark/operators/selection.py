@@ -210,3 +210,54 @@ def dsir_importance(docs: DataFrame, is_target: Column,
                     .alias("n_feats"),
                     F.coalesce(F.round(F.col("_wsum") / F.col("n_feats"),
                                        6), F.lit(0.0)).alias("weight")))
+
+
+def lm_quality_buckets(docs: DataFrame, head_pct: int = 30,
+                       middle_pct: int = 70, lang_col: str = "lang",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style per-language LM-quality buckets -> (doc_id, lang,
+    avg_neg_logprob, lang_rank, bucket): rank documents WITHIN each
+    language by the unigram-LM perplexity proxy (low = fluent) and cut
+    into head / middle / tail at the ``head_pct``/``middle_pct``
+    fractions — the slices CCNet keeps, downweights and drops.
+
+    Scale shape: ONE range-partitioned global rank on (lang, score,
+    id) via the ranking.py two-pass spine. A ``Window.partitionBy
+    (lang)`` would funnel each language through a single reducer — a
+    60 %-English corpus puts 60 TB through one task; the range
+    repartition instead splits every language across as many
+    partitions as its volume needs. The per-language offset (min rank)
+    and size then come from a #langs-row aggregate broadcast back, and
+    the bucket cut is INTEGER arithmetic (rank x 100 vs pct x n),
+    exactly reproducible in any engine — no float percentile
+    interpolation to diverge on.
+
+    NULL languages form their own bucket group: the rank orders by a
+    null-coalesced shadow key (never-null, so the broadcast equi-join
+    back cannot drop rows — the temperature_resample lesson) while the
+    output keeps the original ``lang``.
+    """
+    from .ranking import global_rank
+    from .tokenizer import unigram_logprob
+
+    scored = (unigram_logprob(docs, text_col, id_col)
+              .join(docs.select(id_col, lang_col), id_col)
+              .withColumn("_lkey",
+                          F.coalesce(F.col(lang_col).cast("string"),
+                                     F.lit("\u0000<null>"))))
+    ranked = global_rank(
+        scored,
+        [F.col("_lkey"), F.col("avg_neg_logprob"), F.col(id_col)],
+        rank_col="_grank")
+    per_lang = (ranked.groupBy("_lkey")
+                .agg(F.min("_grank").alias("_lmin"),
+                     F.count("*").alias("_ln")))
+    r = F.col("_grank") - F.col("_lmin") + 1
+    return (ranked.join(F.broadcast(per_lang), "_lkey")
+            .select(
+                F.col(id_col), F.col(lang_col), F.col("avg_neg_logprob"),
+                r.cast("long").alias("lang_rank"),
+                F.when(r * 100 <= head_pct * F.col("_ln"), "head")
+                 .when(r * 100 <= middle_pct * F.col("_ln"), "middle")
+                 .otherwise("tail").alias("bucket")))

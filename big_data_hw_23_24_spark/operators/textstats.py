@@ -627,3 +627,71 @@ def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
         F.size("_w").cast("long").alias("n_tokens"),
         (F.size("_w") - F.size(clean)).cast("long").alias("n_removed"),
         F.array_join(clean, " ").alias("clean_text")))
+
+
+def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        fanout: bool = True) -> DataFrame:
+    """Span-level benchmark decontamination → (doc_id, n_tokens,
+    n_removed, clean_text): strip every token covered by a word
+    ``n``-gram that appears ANYWHERE in the benchmark corpus.
+
+    The surgical sibling of ``contamination_scan`` (doc-level FLAG,
+    E27): instead of dropping a 50k-word document because one eval
+    question leaked into it, remove exactly the overlapping spans and
+    keep the rest — the standard trade when the corpus is too valuable
+    to drop wholesale (GPT-3 appendix-C-style n-gram collision
+    removal, window 0; compose with ``remove_repeated_spans`` first if
+    cross-doc chrome should go too).
+
+    Plan shape: benchmark n-grams are mined once (explode + distinct
+    on the benchmark side only) and BROADCAST — eval suites are MBs,
+    not TBs, so the hint is safe and pins the plan (unlike the
+    unbounded mined set of ``remove_repeated_spans``, which is left to
+    AQE). The corpus side is one positioned-gram explode feeding one
+    broadcast-hash flag join and a narrow reconstruction — the corpus
+    itself never shuffles. No materialization either: ``pos`` has a
+    single consumer here, unlike the two-branch repeated-span plan.
+    """
+    from .util import ensure_fanout
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - n + 1),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.concat_ws(" ", F.slice(words, i, n))
+                        .alias("gram"))),
+    ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+    pos = ((ensure_fanout(docs) if fanout else docs)
+           .select(F.col(id_col), F.explode(grams).alias("_p"))
+           .select(id_col, F.col("_p.start").alias("start"),
+                   F.col("_p.gram").alias("gram")))
+
+    bwords = F.filter(F.split(F.col(bench_text_col), " "),
+                      lambda w: w != "")
+    bgrams = F.when(
+        F.size(bwords) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(bwords) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(bwords, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_grams = (benchmark.select(F.explode(bgrams).alias("gram"))
+                   .distinct())
+
+    flagged = (pos.join(F.broadcast(bench_grams), "gram")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_set("start")).alias("_starts")))
+    joined = docs.join(flagged, id_col, "left").withColumn("_w", words)
+    starts = F.coalesce(F.col("_starts"),
+                        F.array().cast("array<int>"))
+    clean = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(starts,
+                               lambda s: (s <= i + 1) & (i + 1 <= s + n - 1)))
+    return (joined.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_tokens"),
+        (F.size("_w") - F.size(clean)).cast("long").alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text")))

@@ -2818,3 +2818,156 @@ def corpus_dedup_paragraphs(spark, sf_dir):
         "doc_id",
         F.concat_ws("\n", "la", "lb", "lc", "ld", "le").alias("text"))
     return dedup_paragraphs_global(docs)
+
+
+# --- span-level benchmark decontamination (E77) ------------------------------
+@register(
+    "doc_decontaminate_spans",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS start,
+             array_to_string(words[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, len(words) - 8 + 2)) AS i
+            FROM base WHERE len(words) >= 8)
+    ),
+    bg AS (SELECT DISTINCT gram FROM pos WHERE doc_id % 37 = 0),
+    fl AS (
+      SELECT doc_id, list_sort(list(DISTINCT start)) AS starts
+      FROM pos JOIN bg USING (gram) GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT b.doc_id, b.words,
+             CASE WHEN f.starts IS NULL THEN b.words
+             ELSE list_filter(b.words, (w, i) ->
+                    len(list_filter(f.starts,
+                                    s -> s <= i AND i <= s + 7)) = 0)
+             END AS kept
+      FROM base b LEFT JOIN fl f USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(len(words) - len(kept) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+    FROM cleaned
+    """,
+    doc="span-level benchmark decontamination (GPT-3 appendix-C n-gram "
+        "collision removal): strip every token covered by a word "
+        "8-gram appearing in the benchmark corpus (here: every 37th "
+        "doc), keeping the rest of the document; benchmark gram set "
+        "broadcast, corpus never shuffles",
+)
+def doc_decontaminate_spans(spark, sf_dir):
+    from .operators.textstats import decontaminate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    return decontaminate_spans(docs, bench)
+
+
+# --- URL-normalization dedup (E78) -------------------------------------------
+# The testdata has no url column, so the face synthesizes a
+# deterministic provenance URL per doc (scheme/case/www/query/trailing
+# variants by doc_id residue) that normalization must collapse --
+# every group's membership is provable, the dedup_exact_groups salting
+# pattern applied to provenance.
+_URL_SYNTH_SPARK = (
+    "concat('HTTPS://WWW.', coalesce(source, 'none'), '.Example.com/p', "
+    "cast(doc_id % 40 as string), "
+    "case when doc_id % 3 = 0 then '?utm_source=feed' "
+    "when doc_id % 3 = 1 then '/' else '' end)")
+_URL_SYNTH_DUCK = (
+    "'HTTPS://WWW.' || coalesce(source, 'none') || '.Example.com/p' || "
+    "CAST(doc_id % 40 AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' "
+    "WHEN doc_id % 3 = 1 THEN '/' ELSE '' END")
+
+
+@register(
+    "dedup_url_normalized",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents),
+    n AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '^https?://', ''), '^www\\.', ''),
+               '[?#].*$', ''), '/+$', '') AS norm_url
+      FROM u
+    )
+    SELECT norm_url, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM n GROUP BY norm_url HAVING count(*) > 1
+    """,
+    doc="provenance (URL) dedup groups: normalize scheme/case/www/"
+        "query/trailing-slash variants, hash-groupBy on the normalized "
+        "URL, keep-first survivor -- the RefinedWeb first-stage dedup "
+        "that runs before any content hashing",
+)
+def dedup_url_normalized(spark, sf_dir):
+    from .operators.cleaning import url_duplicate_groups
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")))
+    return url_duplicate_groups(docs)
+
+
+# --- CCNet per-language LM-quality buckets (E79) -----------------------------
+@register(
+    "doc_lm_quality_buckets",
+    """
+    WITH vocab AS (
+      SELECT word, count(*) AS n_occ
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    tot AS (SELECT sum(n_occ)::DOUBLE AS total,
+                   count(*)::DOUBLE AS n_vocab FROM vocab),
+    tok AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word
+    ),
+    scored AS (
+      SELECT t.doc_id, t.c,
+             -ln((v.n_occ + 1.0) / (tot.total + tot.n_vocab)) AS neg_lp
+      FROM tok t JOIN vocab v USING (word), tot
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(s.score, 0.0) AS avg_neg_logprob
+      FROM documents d
+      LEFT JOIN (SELECT doc_id,
+                        round(sum(c * neg_lp) / sum(c), 6) AS score
+                 FROM scored GROUP BY doc_id) s USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, lang, avg_neg_logprob,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY avg_neg_logprob, doc_id)
+               AS lang_rank,
+             count(*) OVER (PARTITION BY lang) AS ln
+      FROM per_doc
+    )
+    SELECT doc_id, lang, avg_neg_logprob,
+           CAST(lang_rank AS BIGINT) AS lang_rank,
+           CASE WHEN lang_rank * 100 <= 30 * ln THEN 'head'
+                WHEN lang_rank * 100 <= 70 * ln THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """,
+    doc="CCNet-style per-language LM-quality buckets: rank within each "
+        "language by the unigram-LM perplexity proxy, cut head/middle/"
+        "tail at 30/70 percent by INTEGER rank arithmetic; scalable "
+        "via the range-partitioned global rank, never one reducer per "
+        "language",
+)
+def doc_lm_quality_buckets(spark, sf_dir):
+    from .operators.selection import lm_quality_buckets
+
+    return lm_quality_buckets(load_table(spark, sf_dir, "documents"))

@@ -471,3 +471,107 @@ def test_semantic_dedup_single_cluster_equals_exact_greedy(spark):
                     cosine_pairs(emb, threshold=0.35).collect()}
     assert set(got) == {r.vec_id for r in emb.select("vec_id").collect()}
     assert {v for v, d in got.items() if d} == want_dropped
+
+
+# --- span-level benchmark decontamination (E77) -------------------------------
+
+def test_decontaminate_spans_strips_benchmark_overlap_only(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        decontaminate_spans)
+
+    bench_words = " ".join(f"q{i}" for i in range(8))
+    docs = _docs(spark, [
+        (1, f"intro words here {bench_words} trailing tail text"),
+        (2, "completely unrelated content with many different words here"),
+        (3, "shorty doc"),                       # < n words: untouched
+        (4, bench_words),                        # pure benchmark text
+    ])
+    bench = _docs(spark, [(100, bench_words)]).select("text")
+    out = {r.doc_id: r for r in decontaminate_spans(docs, bench).collect()}
+    assert out[1].clean_text == "intro words here trailing tail text"
+    assert out[1].n_removed == 8
+    assert out[2].n_removed == 0
+    assert out[3].n_removed == 0 and out[3].clean_text == "shorty doc"
+    assert out[4].clean_text == "" and out[4].n_removed == 8
+
+
+def test_decontaminate_spans_overlapping_grams_merge(spark):
+    """A 9-word benchmark doc yields two overlapping 8-grams; a corpus
+    doc containing the full 9-word run loses all 9 tokens once, not
+    twice."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        decontaminate_spans)
+
+    run = " ".join(f"b{i}" for i in range(9))
+    docs = _docs(spark, [(1, f"head {run} tail")])
+    bench = _docs(spark, [(100, run)]).select("text")
+    row = decontaminate_spans(docs, bench).collect()[0]
+    assert row.clean_text == "head tail"
+    assert (row.n_tokens, row.n_removed) == (11, 9)
+
+
+# --- URL normalization dedup (E78) -------------------------------------------
+
+def test_normalize_url_collapses_variants(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import normalize_url
+
+    urls = ["HTTPS://WWW.Ex.com/a/b/?utm=1",
+            "http://ex.com/a/b",
+            "ex.com/a/b/",
+            "https://ex.com/a/b#frag"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.n for r in df.select(normalize_url(F.col("url")).alias("n"))
+           .collect()]
+    assert set(got) == {"ex.com/a/b"}
+    # www only stripped as a leading label, not inside the host
+    other = spark.createDataFrame([("https://notwww.example.com/x",)],
+                                  "url string")
+    assert other.select(normalize_url(F.col("url")).alias("n")) \
+        .collect()[0].n == "notwww.example.com/x"
+
+
+def test_url_duplicate_groups_keep_first(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import (
+        url_duplicate_groups)
+
+    df = spark.createDataFrame([
+        (1, "https://www.a.com/x"),
+        (2, "A.COM/x/"),
+        (3, "http://a.com/x?track=2"),
+        (4, "https://a.com/y"),            # unique: not reported
+    ], "doc_id long, url string")
+    out = {r.norm_url: r for r in url_duplicate_groups(df).collect()}
+    assert list(out) == ["a.com/x"]
+    assert (out["a.com/x"].n_docs, out["a.com/x"].keep_id) == (3, 1)
+
+
+# --- CCNet per-language LM buckets (E79) -------------------------------------
+
+def test_lm_quality_buckets_cuts_and_null_lang(spark):
+    from big_data_hw_23_24_spark.operators.selection import (
+        lm_quality_buckets)
+
+    # lang 'a': 10 docs of increasingly rare words; lang None: 2 docs.
+    # Common words -> low avg -log p -> head.
+    rows = []
+    for i in range(10):
+        # doc i repeats word w{i//2} (shared by pairs) plus a unique word
+        rows.append((i, ("common " * (10 - i) + f"rare{i}").strip(), "a"))
+    rows += [(100, "common common common", None),
+             (101, "rare100 rare101 rare102", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in lm_quality_buckets(docs).collect()}
+    assert len(out) == 12                      # no row dropped (null lang kept)
+    a_ranks = [out[i].lang_rank for i in range(10)]
+    assert sorted(a_ranks) == list(range(1, 11))
+    # 10 docs at 30/70: ranks 1-3 head, 4-7 middle, 8-10 tail
+    by_rank = {out[i].lang_rank: out[i].bucket for i in range(10)}
+    assert [by_rank[r] for r in range(1, 11)] == (
+        ["head"] * 3 + ["middle"] * 4 + ["tail"] * 3)
+    # null-lang group: 2 docs at 30/70 -> rank1*100 <= 30*2 is false,
+    # rank1*100 <= 70*2 true -> middle; rank 2 -> tail
+    null_buckets = {out[i].lang_rank: out[i].bucket for i in (100, 101)}
+    assert null_buckets == {1: "middle", 2: "tail"}
+    assert out[100].lang is None
+    # the common-word doc is the more probable one -> rank 1
+    assert out[100].lang_rank == 1

@@ -89,6 +89,9 @@ _SF01_SCALE_SENSITIVE = [
     # r7 MinHash oracle conversions: the banded equi-joins and the
     # signature-store match only cross partition boundaries past sf0.01
     "dedup_incremental_minhash", "dedup_minhash_banded",
+    # r7 additions: cross-partition benchmark-gram joins; the
+    # range-partitioned per-language rank spine
+    "doc_decontaminate_spans", "doc_lm_quality_buckets",
 ]
 
 
