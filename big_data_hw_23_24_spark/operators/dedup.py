@@ -275,6 +275,91 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
     )
 
 
+def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                              n: int = 3, max_df: int | None = None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              materialize: bool = True,
+                              fanout: bool = True) -> DataFrame:
+    """ASYMMETRIC near-dup detection → (id_a, id_b, n_common,
+    containment_a, containment_b): pairs where either directed
+    containment |A∩B|/|A| (resp. /|B|) reaches ``threshold``.
+
+    Jaccard misses subset duplication by construction: a paragraph
+    quoted inside a 100× larger page has J ≈ 0.01 but containment 1.0
+    — the partially-copied / quoted / truncated-mirror case a corpus
+    dedup actually wants (Broder 1997's *containment*, next to the
+    resemblance everything else here uses). MinHash-LSH can't route
+    these either (band collision probability tracks J, not C), so
+    candidate generation is the inverted-index shape instead: explode
+    distinct word n-gram shingles, equi-join on the shingle, count
+    per pair — cost Σ df(s)², bounded by the ``max_df``
+    stop-shingle guard (a boilerplate shingle in a million docs would
+    otherwise build a quadratic bucket; same cure as winnowing's and
+    boilerplate mining's). The shuffle key is always the shingle,
+    never a document pair.
+
+    The exploded table is fanout-guarded (a sub-row-group scan must
+    not serialize a 50x explode onto two cores; pass ``fanout=False``
+    for non-scan-rooted inputs, the remove_repeated_spans contract)
+    and materialized once — the size aggregate, the df guard and the
+    pair join are three consumers of the same explode (the E52
+    localCheckpoint pattern). Shingles are HASHED IN PLACE —
+    ``xxhash64(w_i, …, w_{i+n-1})`` straight off the word array, no
+    n-gram string ever built — so the index rows are two longs and
+    the shuffle key is 8 bytes instead of a ~30-byte string; hash
+    equality stands in for word-tuple equality exactly as in the LSH
+    band hash, with the same measure-zero 64-bit collision caveat
+    (and no concat-separator ambiguity, since the words are hashed as
+    separate arguments). Set sizes |A| ride a per-doc count of the
+    exploded rows joined onto the (few) surviving pairs, not a column
+    carried through the index — an alias-indirected array column here
+    made Catalyst plan the whole explode into the exchange's map side
+    (one task); the single inline projection keeps it post-shuffle
+    (measured 19 -> 1.5 s at sf0.1 all told).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from .util import ensure_fanout
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    hashes = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - n + 1),
+        lambda i: F.xxhash64(*[F.element_at(words, i + j)
+                               for j in range(n)])))
+    arr = F.when(F.size(words) >= n, hashes) \
+        .otherwise(F.array().cast("array<bigint>"))
+    sh = ((ensure_fanout(docs) if fanout else docs)
+          .select(F.col(id_col), F.explode(arr).alias("_s")))
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    # denominators from the UNFILTERED shingle sets (rows are distinct
+    # per doc by construction, so the count IS the set size)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+    if max_df is not None:
+        keep = (sh.groupBy("_s").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_df).select("_s"))
+        sh = sh.join(keep, "_s", "left_semi")
+    a = sh.select(F.col(id_col).alias("id_a"), "_s")
+    b = sh.select(F.col(id_col).alias("id_b"), "_s")
+    pairs = (a.join(b, "_s")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_common")))
+    ca = F.round(F.col("n_common") / F.col("_na"), 6)
+    cb = F.round(F.col("n_common") / F.col("_nb"), 6)
+    return (pairs
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("_sz").alias("_na")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("_sz").alias("_nb")), "id_b")
+            .select("id_a", "id_b",
+                    F.col("n_common").cast("long").alias("n_common"),
+                    ca.alias("containment_a"), cb.alias("containment_b"))
+            .where((F.col("containment_a") >= threshold)
+                   | (F.col("containment_b") >= threshold)))
+
+
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7,
                             num_hashes: int = 32, bands: int = 8,
                             text_col: str = "text",

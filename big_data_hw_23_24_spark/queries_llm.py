@@ -2971,3 +2971,80 @@ def doc_lm_quality_buckets(spark, sf_dir):
     from .operators.selection import lm_quality_buckets
 
     return lm_quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# --- asymmetric containment near-dup (E80) -----------------------------------
+# Salted with TRUNCATED copies (first half of the words of every 7th
+# doc): a truncated mirror has Jaccard about 0.5 against its source but
+# directed containment exactly 1.0 -- the case Jaccard-based dedup
+# misses by construction, provably planted.
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             coalesce(array_to_string(
+               words[1:CAST(floor(len(words) / 2) AS INT)], ' '), '')
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                     AS words
+            FROM documents)
+      WHERE doc_id % 7 = 0
+    ),
+    w AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM all_docs)
+      WHERE word <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM w a
+      JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= 100),
+    shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN keep USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shf a JOIN shf b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, containment_a, containment_b FROM (
+      SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+             round(n_common * 1.0 / sa.sz, 6) AS containment_a,
+             round(n_common * 1.0 / sb.sz, 6) AS containment_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    WHERE containment_a >= 0.9 OR containment_b >= 0.9
+    """,
+    doc="asymmetric (containment) near-dup pairs, Broder 1997: "
+        "directed |A-int-B|/|A| >= 0.9 either way over distinct word "
+        "3-gram shingles -- catches subset/quoted/truncated duplication "
+        "that Jaccard misses; inverted-index pairing with a max_df=100 "
+        "stop-shingle guard, denominators from the UNFILTERED shingle "
+        "sets; input salted with half-truncated copies (containment "
+        "exactly 1.0 by construction)",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    from .operators.dedup import shingle_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    trunc = (docs.where(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                     F.concat_ws(" ", F.slice(
+                         words, F.lit(1),
+                         F.floor(F.size(words) / 2).cast("int")))
+                     .alias("text")))
+    return shingle_containment_pairs(docs.unionAll(trunc),
+                                     threshold=0.9, max_df=100)

@@ -1100,3 +1100,52 @@ def test_bigram_logprob_rewards_common_transitions(spark):
     assert got[1].avg_neg_logprob < got[2].avg_neg_logprob
     assert got[3].n_bigrams == 0 and got[3].avg_neg_logprob == 0.0
     assert got[1].n_bigrams == 8 * 3 - 1
+
+
+# --- asymmetric containment pairs (E80) --------------------------------------
+
+def test_containment_catches_subset_jaccard_misses(spark, docs=None):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        shingle_containment_pairs)
+
+    big = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 30))  # 10-word excerpt
+    d = spark.createDataFrame([
+        (1, big),
+        (2, quote),                 # fully contained in 1: C_b = 1.0
+        (3, "entirely different words that never overlap with anything"),
+    ], "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r
+           for r in shingle_containment_pairs(d, threshold=0.9).collect()}
+    assert list(out) == [(1, 2)]
+    r = out[(1, 2)]
+    assert r.containment_b == 1.0          # all of the quote's shingles
+    assert r.containment_a < 0.2           # tiny fraction of the big doc
+    assert r.n_common == 8                 # 10 words -> 8 3-gram shingles
+
+
+def test_containment_max_df_guard_excludes_stop_shingles(spark):
+    """A shingle present in > max_df docs must not create pairs, but
+    the containment DENOMINATORS still count the full shingle sets."""
+    from big_data_hw_23_24_spark.operators.dedup import (
+        shingle_containment_pairs)
+
+    chrome = "copyright footer text"
+    rows = [(i, f"{chrome} unique{i} filler{i} pad{i}") for i in range(5)]
+    # docs share ONLY the chrome shingle; with max_df=3 (< 5 docs) the
+    # inverted index drops it and no pair survives
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert shingle_containment_pairs(d, threshold=0.1,
+                                     max_df=3).count() == 0
+    # without the guard the chrome shingle pairs everything
+    assert shingle_containment_pairs(d, threshold=0.1).count() == 10
+
+
+def test_containment_threshold_validation(spark):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        shingle_containment_pairs)
+    import pytest as _pytest
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold"):
+        shingle_containment_pairs(d, threshold=0.0)
