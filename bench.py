@@ -64,8 +64,13 @@ HEADLINE = [
     "user_retention_cohorts",  # weekly retention matrix
     "corpus_dedup_paragraphs",  # CCNet cross-doc paragraph dedup
     "dedup_incremental_minhash",  # batch-vs-signature-store near-dup
-    # r7 addition (set now 40)
+    # r7 additions (set now 45)
     "dedup_minhash_banded",   # md5-family banded LSH self-join face
+    "doc_decontaminate_spans",  # benchmark-gram span stripping
+    "dedup_url_normalized",   # provenance URL dedup groups
+    "doc_lm_quality_buckets",  # CCNet per-language head/middle/tail
+    "dedup_containment_pairs",  # asymmetric containment near-dup
+    "events_zorder_key",      # Morton layout key kernel
 ]
 
 

@@ -3048,3 +3048,39 @@ def dedup_containment_pairs(spark, sf_dir):
                      .alias("text")))
     return shingle_containment_pairs(docs.unionAll(trunc),
                                      threshold=0.9, max_df=100)
+
+
+# --- Z-order layout key (E81) ------------------------------------------------
+def _zorder_oracle_sql() -> str:
+    from .operators.layout import z_value_sql
+
+    z = z_value_sql("user_id % 4096", "event_id % 4096", bits=12)
+    return f"""
+    SELECT event_id,
+           CAST(user_id % 4096 AS BIGINT) AS cx,
+           CAST(event_id % 4096 AS BIGINT) AS cy,
+           {z} AS zval
+    FROM events
+    """
+
+
+@register(
+    "events_zorder_key",
+    _zorder_oracle_sql(),
+    doc="Z-order (Morton) layout key: interleave the bits of two "
+        "grid coordinates so one range-partitioned sort gives parquet "
+        "files tight min/max stats on BOTH dimensions (the Delta "
+        "OPTIMIZE ZORDER BY kernel); pure 64-bit mask-shift "
+        "arithmetic, generated from the same spread schedule in both "
+        "engines",
+)
+def events_zorder_key(spark, sf_dir):
+    from .operators.layout import z_value
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("user_id") % 4096).cast("long").alias("cx"),
+        (F.col("event_id") % 4096).cast("long").alias("cy"),
+        z_value(F.col("user_id") % 4096, F.col("event_id") % 4096,
+                bits=12).alias("zval"))

@@ -116,6 +116,11 @@ def write_zorder_parquet(df: DataFrame, path: str, cols: list[str],
     approach). The bucket bits are interleaved with plain JVM
     shift/mask expressions. Layout-only: values are untouched, so a
     wrong scale costs pruning, never correctness.
+
+    The 2-D interleave kernel also exists in oracle-checkable form as
+    ``operators/layout.py::z_value`` (same curve, mask-shift spread,
+    DuckDB-SQL generator) — that face carries the driver row for the
+    arithmetic; this writer owns the bucketing + file-split policy.
     """
     if len(cols) < 2:
         raise ValueError("z-ordering needs ≥ 2 columns; use "

@@ -208,6 +208,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "dedup_url_normalized",      # provenance URL dedup groups (r8)
         "doc_lm_quality_buckets",    # CCNet per-lang LM buckets (r8)
         "dedup_containment_pairs",   # asymmetric containment dedup (r8)
+        "events_zorder_key",         # Morton layout key kernel (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
