@@ -34,7 +34,11 @@ corpus-preparation flow, parquet in → parquet out:
                 from the surviving text (post-dedup, so a dup cluster
                 can't vote its own chrome past the threshold twice)
   4. decontam — drop docs sharing a word 8-gram with an optional
-                benchmark parquet (--benchmark)
+                benchmark parquet (--benchmark); or, with
+                --contamination-mode strip, remove exactly the
+                overlapping spans and keep the documents (the E77
+                GPT-3-appendix-C trade — right when the corpus is too
+                valuable to drop wholesale)
   4b. lm-band — optional unigram-LM perplexity-proxy filter
                 (--lm-band LO:HI): keep docs whose avg -ln p(w) lies
                 inside the band — high tail is garbled text, low tail
@@ -78,7 +82,11 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         dsir_target: tuple[str, str] | None = None,
         dsir_min: float = 0.0,
         survivor: str = "min_id",
-        strip_spans: int | None = None) -> list[str]:
+        strip_spans: int | None = None,
+        contamination_mode: str = "drop") -> list[str]:
+    if contamination_mode not in ("drop", "strip"):
+        raise ValueError(f"contamination_mode must be 'drop' or 'strip', "
+                         f"got {contamination_mode!r}")
     from ..operators.components import connected_components
     from ..operators.dedup import minhash_near_duplicates
     from ..operators.packing import pack_sequences
@@ -223,10 +231,29 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         n_contaminated = 0
         if benchmark_path is not None:
             bench = spark.read.parquet(benchmark_path).select("text")
-            scan = contamination_scan(deduped, bench)
-            flagged = scan.where("contaminated").select("doc_id")
-            n_contaminated = flagged.count()
-            deduped = deduped.join(flagged, "doc_id", "left_anti")
+            if contamination_mode == "strip":
+                # surgical mode (E77): remove exactly the overlapping
+                # 8-gram spans and KEEP the documents — n_contaminated
+                # counts tokens here, not docs
+                from ..operators.textstats import decontaminate_spans
+
+                stripped = decontaminate_spans(deduped, bench,
+                                               fanout=False).cache()
+                cached.append(stripped)
+                n_contaminated = stripped.agg(
+                    F.sum("n_removed")).collect()[0][0] or 0
+                deduped = (deduped.drop("text")
+                           .join(stripped.select(
+                               "doc_id",
+                               F.col("clean_text").alias("text")),
+                               "doc_id")
+                           .select(*cols).cache())
+                cached.append(deduped)
+            else:
+                scan = contamination_scan(deduped, bench)
+                flagged = scan.where("contaminated").select("doc_id")
+                n_contaminated = flagged.count()
+                deduped = deduped.join(flagged, "doc_id", "left_anti")
 
         # 4b: unigram-LM perplexity-proxy band filter (post-dedup so
         # duplicate clusters can't skew the corpus LM estimate)
@@ -284,7 +311,9 @@ def run(spark: SparkSession, in_path: str, out_dir: str,
         f"After near-dedup = {n_dedup} "
         f"(dropped {n_enter_dedup - n_dedup} non-canonical dups)",
         *tail_extra,
-        f"Dropped as benchmark-contaminated = {n_contaminated}",
+        (f"Tokens stripped as benchmark overlap = {n_contaminated}"
+         if contamination_mode == "strip" else
+         f"Dropped as benchmark-contaminated = {n_contaminated}"),
         f"Dropped by unigram-LM band = {n_lm_dropped}",
         last,
     ]
@@ -304,7 +333,8 @@ def main(argv: list[str]) -> int:
             "--mix-rates": None, "--mix-default": 0.05, "--pack": None,
             "--lm-band": None, "--classifier-min": None,
             "--dsir-target": None, "--dsir-min": 0.0,
-            "--survivor": "min_id", "--strip-spans": None}
+            "--survivor": "min_id", "--strip-spans": None,
+            "--contamination-mode": "drop"}
     flags = {"--clean": False}
     it = iter(argv[2:])
     for a in it:
@@ -348,7 +378,8 @@ def main(argv: list[str]) -> int:
                     dsir_min=float(opts["--dsir-min"]),
                     survivor=str(opts["--survivor"]),
                     strip_spans=None if opts["--strip-spans"] is None
-                    else int(opts["--strip-spans"])):
+                    else int(opts["--strip-spans"]),
+                    contamination_mode=str(opts["--contamination-mode"])):
         print(line)
     return 0
 

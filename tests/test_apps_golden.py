@@ -527,3 +527,53 @@ def test_corpus_pipeline_rejects_bad_survivor(spark, tmp_path):
     with pytest.raises(ValueError, match="survivor"):
         run(spark, "/root/testdata/sf0.001/documents.parquet",
             str(tmp_path / "out"), survivor="bogus")
+
+
+def test_corpus_pipeline_contamination_strip_mode(spark, tmp_path):
+    """--contamination-mode strip keeps contaminated DOCUMENTS but
+    removes the overlapping spans: post-run, no surviving text shares
+    an 8-gram with the benchmark, yet the id set matches the drop-mode
+    funnel BEFORE its decontamination stage (nothing dropped there)."""
+    from pyspark.sql import functions as F
+
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+    from big_data_hw_23_24_spark.operators.textstats import (
+        contamination_scan)
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bench_dir = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "out")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.where("doc_id < 3").select("text").write.parquet(bench_dir)
+
+    lines = run(spark, src, out_dir, min_quality=0.0,
+                benchmark_path=bench_dir, contamination_mode="strip")
+    strip_line = [x for x in lines
+                  if x.startswith("Tokens stripped as benchmark")][0]
+    assert int(strip_line.split("= ")[1]) > 0
+    # docs survive (n after dedup == docs reaching the chunker);
+    # reconstruct: no chunk text may share an 8-gram with the benchmark
+    out = spark.read.parquet(out_dir)
+    rejoined = (out.orderBy("doc_id", "chunk_id").groupBy("doc_id")
+                .agg(F.concat_ws(" ", F.collect_list("chunk_text"))
+                     .alias("text")))
+    scan = contamination_scan(rejoined, spark.read.parquet(bench_dir))
+    assert scan.where("contaminated").count() == 0
+    # benchmark-source docs were NOT dropped: doc 0-2 near-dups keep
+    # their ids in the output (they appear with stripped text)
+    out_ids = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    n_dedup = int([x for x in lines if x.startswith("After near-dedup")][0]
+                  .split("= ")[1].split(" ")[0])
+    assert len(out_ids) > 0
+    # every doc that survived dedup reaches the output minus only
+    # empty-after-strip chunkless docs
+    assert len(out_ids) <= n_dedup
+
+
+def test_corpus_pipeline_rejects_bad_contamination_mode(spark, tmp_path):
+    from big_data_hw_23_24_spark.apps.corpus_pipeline import run
+
+    with pytest.raises(ValueError, match="contamination_mode"):
+        run(spark, "/root/testdata/sf0.001/documents.parquet",
+            str(tmp_path / "x"), contamination_mode="purge")
