@@ -71,6 +71,7 @@ HEADLINE = [
     "doc_lm_quality_buckets",  # CCNet per-language head/middle/tail
     "dedup_containment_pairs",  # asymmetric containment near-dup
     "events_zorder_key",      # Morton layout key kernel
+    "embedding_gram_matrix",  # one-pass BLAS Gram/PCA prep
 ]
 
 

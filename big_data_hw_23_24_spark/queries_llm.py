@@ -3084,3 +3084,26 @@ def events_zorder_key(spark, sf_dir):
         (F.col("event_id") % 4096).cast("long").alias("cy"),
         z_value(F.col("user_id") % 4096, F.col("event_id") % 4096,
                 bits=12).alias("zval"))
+
+
+# --- distributed Gram matrix (E82) -------------------------------------------
+@register(
+    "embedding_gram_matrix",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i)
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           round(sum(v[p.i] * v[p.j]) / count(*), 6) AS value
+    FROM e, p GROUP BY p.i, p.j
+    """,
+    doc="distributed Gram matrix (PCA/whitening prep): upper triangle "
+        "of the mean outer product (1/n) sum v v^T over the embedding "
+        "corpus -- one BLAS matmul per Arrow batch, shuffle of "
+        "#batches x d(d+1)/2 fixed-width rows, n-independent",
+)
+def embedding_gram_matrix(spark, sf_dir):
+    from .operators.similarity import embedding_gram
+
+    return embedding_gram(load_table(spark, sf_dir, "embeddings"))

@@ -1149,3 +1149,30 @@ def test_containment_threshold_validation(spark):
     d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="threshold"):
         shingle_containment_pairs(d, threshold=0.0)
+
+
+# --- distributed Gram matrix (E82) -------------------------------------------
+
+def test_embedding_gram_matches_numpy_and_skips_nulls(spark):
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import embedding_gram
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 4)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows.append((99, None))                     # null embedding ignored
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.i, r.j): r.value
+           for r in embedding_gram(df, "embedding").collect()}
+    want = vecs.astype(np.float64).T @ vecs.astype(np.float64) / len(vecs)
+    assert len(got) == 4 * 5 // 2               # upper triangle incl diag
+    for (i, j), v in got.items():
+        assert i <= j
+        assert v == round(want[i - 1, j - 1], 6), (i, j)
+    # repartitioned input (different batch boundaries) gives the same
+    # rounded matrix: partial-sum order cannot leak into the result
+    got2 = {(r.i, r.j): r.value
+            for r in embedding_gram(df.repartition(7), "embedding")
+            .collect()}
+    assert got2 == got
