@@ -196,3 +196,33 @@ def temperature_resample(df: DataFrame, alpha: float = 0.5,
             .withColumn(copy_col,
                         F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
             .drop("_base", "_extra", "_srckey"))
+
+
+def leakage_safe_split(docs: DataFrame, components: DataFrame,
+                       fractions: dict[str, float] | None = None,
+                       id_col: str = "doc_id",
+                       out_col: str = "split") -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a near-dup
+    COMPONENT lands in the same split, so an eval document can never
+    be a close copy of a training document.
+
+    A plain content-hash split (``hash_split``) leaks by construction:
+    two near-duplicates hash independently, and with a 10% val split
+    about 1 in 6 duplicate pairs straddles train/eval — exactly the
+    contamination that inflates benchmark numbers (Lee et al. 2022
+    measure this on C4). Keying the hash on the CONNECTED COMPONENT
+    label instead (``operators/components.py``; singletons key on
+    their own id) makes the straddle probability zero while keeping
+    the assignment deterministic and engine-portable.
+
+    Shape: one left join of the corpus against the (doc, component)
+    table — components cover only docs with at least one near-dup, so
+    the join's build side is the duplicate subset, not the corpus —
+    then the same narrow md5-bucket map as ``hash_split``. No new
+    shuffle beyond the join.
+    """
+    lbl = components.select(F.col(id_col), F.col("component"))
+    joined = docs.join(lbl, id_col, "left")
+    gkey = F.coalesce(F.col("component"), F.col(id_col)).cast("string")
+    return hash_split(joined.withColumn("_gkey", gkey), "_gkey",
+                      fractions=fractions, out_col=out_col).drop("_gkey")

@@ -3107,3 +3107,58 @@ def embedding_gram_matrix(spark, sf_dir):
     from .operators.similarity import embedding_gram
 
     return embedding_gram(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- leakage-safe (component-keyed) split (E83) ------------------------------
+@register(
+    "corpus_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component
+             FROM reach GROUP BY node)
+    SELECT d.doc_id, c.component,
+           substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)),
+                  1, 4) AS bucket,
+           CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id)
+                                     AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substr(md5(CAST(coalesce(c.component, d.doc_id)
+                                     AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    doc="leakage-safe train/val/test split: the md5 bucket is keyed on "
+        "the near-dup COMPONENT label (singletons on their own id), so "
+        "no near-duplicate pair can straddle train/eval -- the "
+        "benchmark-inflation leak Lee et al. 2022 measure on C4; vs "
+        "the recursive-CTE components oracle",
+)
+def corpus_leakage_safe_split(spark, sf_dir):
+    from .operators.components import connected_components
+    from .operators.splits import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(exact_jaccard_pairs(docs, 0.7))
+    return leakage_safe_split(docs.select("doc_id"), comp) \
+        .select("doc_id", "component", "bucket", "split")

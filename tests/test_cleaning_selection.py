@@ -575,3 +575,32 @@ def test_lm_quality_buckets_cuts_and_null_lang(spark):
     assert out[100].lang is None
     # the common-word doc is the more probable one -> rank 1
     assert out[100].lang_rank == 1
+
+
+# --- leakage-safe split (E83) -------------------------------------------------
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    from big_data_hw_23_24_spark.operators.splits import (
+        hash_split, leakage_safe_split)
+
+    docs = spark.createDataFrame([(i,) for i in range(300)],
+                                 "doc_id long")
+    # 100 duplicate pairs: (i, i+1000) share a component labeled i
+    comp = spark.createDataFrame(
+        [(i, i) for i in range(100)] + [(i + 1000, i) for i in range(100)],
+        "doc_id long, component long")
+    dup_docs = spark.createDataFrame([(i + 1000,) for i in range(100)],
+                                     "doc_id long")
+    out = {r.doc_id: r.split for r in
+           leakage_safe_split(docs.unionAll(dup_docs), comp).collect()}
+    # every pair lands together -> zero straddles
+    assert all(out[i] == out[i + 1000] for i in range(100))
+    # contrast: the naive id-keyed hash split DOES straddle pairs
+    naive = {r.doc_id: r.split for r in
+             hash_split(docs.unionAll(dup_docs),
+                        F.col("doc_id").cast("string")).collect()}
+    assert any(naive[i] != naive[i + 1000] for i in range(100))
+    # singletons still follow the configured fractions roughly
+    singles = [out[i] for i in range(100, 300)]
+    assert 0.6 < singles.count("train") / len(singles) < 0.95
+    assert {"train", "val", "test"} >= set(out.values())

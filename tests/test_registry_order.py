@@ -210,6 +210,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "dedup_containment_pairs",   # asymmetric containment dedup (r8)
         "events_zorder_key",         # Morton layout key kernel (r8)
         "embedding_gram_matrix",     # distributed Gram/PCA prep (r8)
+        "corpus_leakage_safe_split", # component-keyed split (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
