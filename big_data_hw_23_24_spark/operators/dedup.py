@@ -232,6 +232,19 @@ def minhash_match_against(batch: DataFrame, corpus_signed: DataFrame,
                             "signature")
                     .where(F.col("_nsh") > 0)
                     .localCheckpoint(eager=True))
+    return minhash_match_signed(batch_signed, corpus_signed,
+                                threshold=threshold, bands=bands,
+                                id_col=id_col)
+
+
+def minhash_match_signed(batch_signed: DataFrame, corpus_signed: DataFrame,
+                         threshold: float = 0.7, bands: int = 8,
+                         id_col: str = "doc_id") -> DataFrame:
+    """The signed-input core of :func:`minhash_match_against`: both
+    sides already carry ``(id, signature)`` (empty-shingle rows
+    dropped). Exposed so callers that need the batch signatures for
+    OTHER purposes too — the streaming ingest harness appends them to
+    its store — can sign once instead of re-shingling."""
     bb = _banded(batch_signed, bands, id_col) \
         .withColumnRenamed(id_col, "batch_id")
     cb = _banded(corpus_signed, bands, id_col) \

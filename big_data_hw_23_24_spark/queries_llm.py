@@ -3162,3 +3162,110 @@ def corpus_leakage_safe_split(spark, sf_dir):
     comp = connected_components(exact_jaccard_pairs(docs, 0.7))
     return leakage_safe_split(docs.select("doc_id"), comp) \
         .select("doc_id", "component", "bucket", "split")
+
+
+# --- streaming incremental MinHash ingestion (E84) ---------------------------
+# The near-dup sibling of streaming_ingest_dedup: per-epoch banded
+# matching against the signature store (epochs strictly before), plus
+# keep-first matching within the batch. Salted so all three statuses
+# are non-vacuous: every 5th doc re-appears later with a 3-word tail
+# (near_dup_corpus), and every 5th-plus-1 doc contributes a pair of
+# identical WORD-REVERSED twins (no shingles shared with the original,
+# so the pair's only match is each other -> the larger id is
+# near_dup_batch when they land in the same epoch; epoch-boundary
+# splits make it near_dup_corpus, and the oracle states the same
+# condition, so there is nothing partitioning-dependent).
+@register(
+    "streaming_ingest_minhash",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz1 zz2 zz3'
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 5000000 + 2 * doc_id + tw.k,
+             array_to_string(list_reverse(
+               list_filter(string_split(text, ' '), w -> w <> '')), ' ')
+      FROM documents, (SELECT unnest([0, 1]) AS k) tw
+      WHERE doc_id % 5 = 1
+    ),
+    seqd AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) - 1 AS seq,
+             (SELECT (count(*) + 9) // 10 FROM all_docs) AS chunk
+      FROM all_docs
+    ),
+    {_md5_minhash_sig_cte("all_docs")},
+    se AS (
+      SELECT s.doc_id, s.s, (q.seq // q.chunk)::INT AS epoch
+      FROM sig s JOIN seqd q USING (doc_id)
+    ),
+    m AS (
+      SELECT a.doc_id,
+             max(CASE WHEN b.epoch < a.epoch THEN 1 ELSE 0 END) AS mc,
+             max(CASE WHEN b.epoch = a.epoch AND b.doc_id < a.doc_id
+                      THEN 1 ELSE 0 END) AS mb
+      FROM se a JOIN se b
+        ON ({_BAND_COLLIDE})
+       AND round({_EST_JACCARD}, 6) >= 0.5
+       AND (b.epoch < a.epoch
+            OR (b.epoch = a.epoch AND b.doc_id < a.doc_id))
+      GROUP BY a.doc_id
+    )
+    SELECT q.doc_id,
+           CASE WHEN m.mc = 1 THEN 'near_dup_corpus'
+                WHEN m.mb = 1 THEN 'near_dup_batch'
+                ELSE 'novel' END AS status,
+           (q.seq // q.chunk)::INT AS epoch
+    FROM seqd q LEFT JOIN m USING (doc_id)
+    """,
+    doc="continuous-ingestion NEAR-dup detection over real "
+        "micro-batches: per-epoch banded MinHash matching against the "
+        "accumulated signature store (text never retained) plus "
+        "keep-first in-batch matching, idempotent epoch-keyed appends; "
+        "md5 hash family makes the whole replay oracle-recomputable",
+)
+def streaming_ingest_minhash(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .streaming.ingest_minhash import StreamingIngestMinhash
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tailed = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz1 zz2 zz3")).alias("text"))
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    rev = docs.where(F.col("doc_id") % 5 == 1).select(
+        "doc_id", F.array_join(F.reverse(words), " ").alias("text"))
+    twins = rev.select(
+        (5000000 + 2 * F.col("doc_id")).alias("doc_id"), "text").unionAll(
+        rev.select((5000000 + 2 * F.col("doc_id") + 1).alias("doc_id"),
+                   "text"))
+    all_docs = docs.unionAll(tailed).unionAll(twins)
+    seqd = all_docs.withColumn(
+        "seq", F.row_number().over(Window.orderBy("doc_id")) - 1)
+    d = tempfile.mkdtemp(prefix="minhash_stream_")
+    store = tempfile.mkdtemp(prefix="minhash_store_")
+    try:
+        glob = write_microbatches(seqd, d, n_buckets=10)
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, seq long")
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        pipe = StreamingIngestMinhash(spark, store, threshold=0.5)
+        with replay_shuffle_cap(spark):
+            q = (stream.writeStream.foreachBatch(pipe)
+                 .trigger(availableNow=True).start())
+            assert q.awaitTermination(240), \
+                "ingest-minhash stream timed out"
+        return (pipe.statuses()
+                .select("doc_id", "status",
+                        F.col("epoch").cast("int").alias("epoch"))
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)

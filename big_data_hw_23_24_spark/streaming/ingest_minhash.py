@@ -1,0 +1,139 @@
+"""Continuous-ingestion NEAR-dup detection: every micro-batch is
+MinHash-matched against the accumulated signature store — the
+streaming face of ``operators.dedup.minhash_match_against`` (E74)
+composed with the idempotent epoch-keyed sink (E28), and the near-dup
+sibling of ``ingest_dedup.StreamingIngestDedup`` (exact rung).
+
+Per epoch the batch is shingled and signed ONCE; the signatures feed
+three consumers — the banded match against epochs strictly before this
+one, a banded self-match within the batch (smaller id wins, the
+keep-first convention), and the store append. The store holds
+``(doc_id, signature)`` only: fixed-width rows, text never retained,
+so matching cost is one banded equi-join per batch regardless of how
+large the corpus has grown.
+
+Design choice, stated plainly: the store accumulates EVERY ingested
+document's signature, not just novel ones. Near-duplication is not
+transitive — if B was flagged as a near-dup of A, a later C can be a
+near-dup of B but not of A, and a novel-only store would wave C
+through. Appending all signatures keeps detection exact w.r.t.
+everything ever seen AND makes the end state expressible as
+non-recursive SQL (statuses depend only on raw prior batches, not on
+prior *decisions*), which is what gives this harness a full oracle
+where a novel-only store would need a recursive fixpoint.
+
+Replays are idempotent for the same reason as the exact rung: epoch N
+matches only against epochs < N, so a retried epoch never sees its own
+partial first attempt, and both sinks overwrite their ``epoch=N``
+directories atomically.
+
+At 100 TB the store becomes a band-hash-bucketed table so the
+per-batch banded join is co-located on the store side; the
+epoch-directory parquet here keeps the same dataflow on the sandbox's
+plain reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.dedup import (
+    minhash_match_signed,
+    minhash_signature,
+    word_shingles,
+)
+from ..operators.util import ensure_fanout
+from .idempotent import IdempotentBatchWriter
+
+_SIG_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("signature", ArrayType(LongType())),
+])
+
+
+class StreamingIngestMinhash:
+    """``foreachBatch`` callable maintaining a signature store and
+    per-document near-dup statuses.
+
+    Statuses: ``near_dup_corpus`` (banded match with estimated
+    Jaccard ≥ threshold against a prior epoch), else
+    ``near_dup_batch`` (match against a smaller id in the SAME
+    epoch — keep-first), else ``novel``. Documents with fewer than
+    3 words carry no shingles and are always ``novel``.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 threshold: float = 0.5, num_hashes: int = 32,
+                 bands: int = 8, hash_family: str = "md5",
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.spark = spark
+        self.threshold, self.num_hashes = threshold, num_hashes
+        self.bands, self.hash_family = bands, hash_family
+        self.text_col, self.id_col = text_col, id_col
+        self.sig_writer = IdempotentBatchWriter(
+            os.path.join(root, "signatures"))
+        self.status_writer = IdempotentBatchWriter(
+            os.path.join(root, "status"))
+
+    def corpus_signatures(self, before_epoch: int | None = None
+                          ) -> DataFrame:
+        """The accumulated (doc_id, signature) store, optionally
+        restricted to epochs < ``before_epoch``. Same only-genuinely-
+        empty error discipline as the exact rung: a failed store read
+        must not silently look like an empty corpus."""
+        if not os.path.isdir(self.sig_writer.root):
+            return self.spark.createDataFrame([], _SIG_SCHEMA)
+        try:
+            sigs = self.sig_writer.read(self.spark)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], _SIG_SCHEMA)
+            raise
+        if before_epoch is not None:
+            sigs = sigs.where(F.col("epoch") < before_epoch)
+        return sigs.select("doc_id", "signature")
+
+    def statuses(self) -> DataFrame:
+        """(doc_id, status, epoch) for every document ever ingested."""
+        return self.status_writer.read(self.spark)
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        idc, txt = self.id_col, self.text_col
+        signed = (minhash_signature(
+                      word_shingles(ensure_fanout(batch), txt),
+                      self.num_hashes, hash_family=self.hash_family)
+                  .select(F.col(idc), F.size("shingles").alias("_nsh"),
+                          "signature")
+                  .where(F.col("_nsh") > 0)
+                  .select(idc, "signature")
+                  .localCheckpoint(eager=True))  # 3 consumers below
+        store = self.corpus_signatures(before_epoch=epoch_id)
+        vs_corpus = (minhash_match_signed(
+                         signed, store, threshold=self.threshold,
+                         bands=self.bands, id_col=idc)
+                     .select(F.col("batch_id").alias(idc)).distinct())
+        in_batch = (minhash_match_signed(
+                        signed, signed, threshold=self.threshold,
+                        bands=self.bands, id_col=idc)
+                    .where(F.col("corpus_id") < F.col("batch_id"))
+                    .select(F.col("batch_id").alias(idc)).distinct())
+        st = (batch.select(idc)
+              .join(vs_corpus.withColumn("_c", F.lit(True)), idc, "left")
+              .join(in_batch.withColumn("_b", F.lit(True)), idc, "left")
+              .select(idc,
+                      F.when(F.col("_c"), "near_dup_corpus")
+                       .when(F.col("_b"), "near_dup_batch")
+                       .otherwise("novel").alias("status"))
+              .localCheckpoint(eager=True))
+        self.status_writer(st, epoch_id)
+        self.sig_writer(signed, epoch_id)

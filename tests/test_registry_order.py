@@ -211,6 +211,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_zorder_key",         # Morton layout key kernel (r8)
         "embedding_gram_matrix",     # distributed Gram/PCA prep (r8)
         "corpus_leakage_safe_split", # component-keyed split (r8)
+        "streaming_ingest_minhash",  # streaming near-dup ingest (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

@@ -783,3 +783,62 @@ def test_quality_gate_epochs_idempotent_and_nonvacuous(spark, tmp_path):
     res2 = gate.results(spark)
     assert res2.where("epoch = 0").count() == 3
     assert res2.count() == docs.count() - len(epoch0) + 3
+
+
+def test_streaming_ingest_minhash_statuses_and_idempotent_replay(
+        spark, tmp_path):
+    """E74+E28 composed (near-dup rung): per-epoch banded matching
+    against prior epochs' signature store, keep-first within the
+    batch, ALL signatures appended (near-dup is not transitive — a
+    novel-only store would miss chains), replays idempotent."""
+    import os
+
+    from big_data_hw_23_24_spark.streaming.ingest_minhash import (
+        StreamingIngestMinhash)
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    batches = [
+        [(1, base), (2, other)],
+        # 3 = near-dup of 1 (prior epoch); 4+5 = twin pair whose only
+        # match is each other (same epoch, keep-first)
+        [(3, base + " t1 t2 t3"),
+         (4, " ".join(f"y{i}" for i in range(30))),
+         (5, " ".join(f"y{i}" for i in range(30)))],
+        # 6 = near-dup of the DROPPED-as-dup 5's text: the all-signature
+        # store must still catch it via 4/5
+        [(6, " ".join(f"y{i}" for i in range(30)) + " t4 t5 t6"),
+         (7, "short")],   # < 3 words after shingling? 1 word -> novel
+    ]
+    d = str(tmp_path / "docs")
+    t0 = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = os.path.join(d, f"batch_{i}")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (t0 + i, t0 + i))
+
+    pipe = StreamingIngestMinhash(spark, str(tmp_path / "store"),
+                                  threshold=0.5)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(d, "batch_*")))
+    q = (stream.writeStream.foreachBatch(pipe)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    expect = {1: "novel", 2: "novel", 3: "near_dup_corpus",
+              4: "novel", 5: "near_dup_batch",
+              6: "near_dup_corpus", 7: "novel"}
+    got = {r.doc_id: r.status for r in pipe.statuses().collect()}
+    assert got == expect
+    # store holds every SIGNED doc's signature (7 has no shingles)
+    sigs = pipe.corpus_signatures().collect()
+    assert {r.doc_id for r in sigs} == {1, 2, 3, 4, 5, 6}
+
+    # replay epoch 1: identical store and statuses afterwards
+    pipe(spark.createDataFrame(batches[1], "doc_id long, text string"), 1)
+    assert {r.doc_id for r in pipe.corpus_signatures().collect()} \
+        == {1, 2, 3, 4, 5, 6}
+    assert {r.doc_id: r.status for r in pipe.statuses().collect()} == expect
