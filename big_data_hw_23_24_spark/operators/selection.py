@@ -261,3 +261,45 @@ def lm_quality_buckets(docs: DataFrame, head_pct: int = 30,
                 F.when(r * 100 <= head_pct * F.col("_ln"), "head")
                  .when(r * 100 <= middle_pct * F.col("_ln"), "middle")
                  .otherwise("tail").alias("bucket")))
+
+
+def contrastive_negatives(df: DataFrame, k: int = 4,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Deterministic random negatives -> (id, neg_rank, neg_id): for
+    every anchor row, ``k`` pseudo-random other rows — the negative
+    sampling step of contrastive / DPR-style training-pair
+    construction, seed-free and engine-portable (the md5 convention),
+    so a re-run, a different partitioning, or a different engine draws
+    the SAME negatives.
+
+    Construction: rows get a dense 1..n index from the range-partitioned
+    global rank (the ranking.py two-pass spine — no single-reducer
+    window), then negative j of anchor a targets index
+    ``md5(a ':' j) mod n``, bumped by one (mod n) when it would hit the
+    anchor itself. Sampling is uniform WITH replacement across j (the
+    standard in-batch-negatives regime); the join back is one shuffle
+    on the index, never an all-pairs product. Requires n >= 2.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from .ranking import global_rank
+
+    ranked = global_rank(df.select(id_col), [F.col(id_col)],
+                         rank_col="_idx")
+    n = ranked.agg(F.max("_idx").alias("_n"))
+    # h in 0..n-1; 1-based target = h+1, skip-self bump wraps mod n
+    h = (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col(id_col).cast("string"),
+            F.col("neg_rank").cast("string"))), 1, 8), 16, 10)
+         .cast("long") % F.col("_n"))
+    target = F.when(h + 1 == F.col("_idx"),
+                    ((h + 1) % F.col("_n")) + 1).otherwise(h + 1)
+    exploded = (ranked.crossJoin(F.broadcast(n))
+                .select(F.col(id_col), F.col("_idx"), F.col("_n"),
+                        F.explode(F.sequence(F.lit(1), F.lit(k)))
+                        .alias("neg_rank"))
+                .withColumn("_tidx", target))
+    lookup = ranked.select(F.col(id_col).alias("neg_id"),
+                           F.col("_idx").alias("_tidx"))
+    return (exploded.join(lookup, "_tidx")
+            .select(id_col, "neg_rank", "neg_id"))

@@ -3269,3 +3269,36 @@ def streaming_ingest_minhash(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
+
+
+# --- deterministic contrastive negatives (E85) -------------------------------
+@register(
+    "doc_contrastive_negatives",
+    """
+    WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS idx
+               FROM documents),
+    cnt AS (SELECT count(*) AS n FROM documents),
+    e AS (SELECT r.doc_id, r.idx, cnt.n, j.neg_rank
+          FROM r, cnt, (SELECT unnest(range(1, 5)) AS neg_rank) j),
+    t AS (SELECT doc_id, neg_rank, n, idx,
+                 ('0x' || substr(md5(doc_id || ':' || neg_rank), 1, 8))
+                   ::BIGINT % n AS h
+          FROM e),
+    tt AS (SELECT doc_id, neg_rank,
+                  CASE WHEN h + 1 = idx THEN ((h + 1) % n) + 1
+                       ELSE h + 1 END AS tidx
+           FROM t)
+    SELECT tt.doc_id, CAST(tt.neg_rank AS INT) AS neg_rank,
+           r2.doc_id AS neg_id
+    FROM tt JOIN r r2 ON r2.idx = tt.tidx
+    """,
+    doc="deterministic contrastive negative sampling: 4 seed-free "
+        "pseudo-random negatives per anchor via md5(anchor:j) mod n "
+        "over a dense range-partitioned global index, skip-self bump; "
+        "uniform with replacement, engine/partitioning-stable",
+)
+def doc_contrastive_negatives(spark, sf_dir):
+    from .operators.selection import contrastive_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contrastive_negatives(docs, k=4)

@@ -604,3 +604,34 @@ def test_leakage_safe_split_keeps_components_together(spark):
     singles = [out[i] for i in range(100, 300)]
     assert 0.6 < singles.count("train") / len(singles) < 0.95
     assert {"train", "val", "test"} >= set(out.values())
+
+
+# --- contrastive negatives (E85) ----------------------------------------------
+
+def test_contrastive_negatives_shape_and_determinism(spark):
+    from big_data_hw_23_24_spark.operators.selection import (
+        contrastive_negatives)
+
+    df = spark.createDataFrame([(i * 10,) for i in range(20)],
+                               "doc_id long")
+    out = contrastive_negatives(df, k=3).collect()
+    assert len(out) == 60                       # exactly k per anchor
+    ids = {r[0] for r in df.collect()}
+    for r in out:
+        assert r.neg_id in ids
+        assert r.neg_id != r.doc_id             # never self
+        assert 1 <= r.neg_rank <= 3
+    # deterministic across runs and partitionings
+    again = contrastive_negatives(df.repartition(7), k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # negatives are spread, not collapsed onto one doc
+    assert len({r.neg_id for r in out}) > 5
+
+
+def test_contrastive_negatives_validates_k(spark):
+    from big_data_hw_23_24_spark.operators.selection import (
+        contrastive_negatives)
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="k must be"):
+        contrastive_negatives(df, k=0)

@@ -212,6 +212,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "embedding_gram_matrix",     # distributed Gram/PCA prep (r8)
         "corpus_leakage_safe_split", # component-keyed split (r8)
         "streaming_ingest_minhash",  # streaming near-dup ingest (r8)
+        "doc_contrastive_negatives", # seed-free negative sampling (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
