@@ -695,3 +695,64 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         F.size("_w").cast("long").alias("n_tokens"),
         (F.size("_w") - F.size(clean)).cast("long").alias("n_removed"),
         F.array_join(clean, " ").alias("clean_text")))
+
+
+# Luhn checksum of a digit string, as a SQL-expression template shared
+# verbatim (modulo the sum primitive) by the Spark face and the DuckDB
+# oracle: position i counts 1-based from the RIGHT, even positions are
+# doubled with a digit-sum fold. Restricted to arithmetic + substring
+# so both engines evaluate it identically.
+_LUHN_TERM = (
+    "(CASE WHEN {i} % 2 = 0 THEN "
+    "(CASE WHEN 2 * CAST(substring({x}, length({x}) - {i} + 1, 1) AS INT)"
+    " > 9 THEN 2 * CAST(substring({x}, length({x}) - {i} + 1, 1) AS INT)"
+    " - 9 ELSE 2 * CAST(substring({x}, length({x}) - {i} + 1, 1) AS INT)"
+    " END) ELSE CAST(substring({x}, length({x}) - {i} + 1, 1) AS INT)"
+    " END)")
+
+
+def luhn_valid_sql(x: str, engine: str = "spark") -> str:
+    """Boolean SQL text: does digit-string expression ``x`` pass the
+    Luhn checksum? ``engine`` picks the array-sum primitive
+    (``aggregate`` fold in Spark, ``list_sum(list_transform(...))`` in
+    DuckDB); the per-digit term is the SAME template, so the two faces
+    cannot drift."""
+    term = _LUHN_TERM.format(x=x, i="i")
+    if engine == "spark":
+        return (f"(aggregate(sequence(1, length({x})), 0, "
+                f"(acc, i) -> acc + {term}) % 10 = 0)")
+    if engine == "duckdb":
+        return (f"(list_sum(list_transform(range(1, length({x}) + 1), "
+                f"i -> {term})) % 10 = 0)")
+    raise ValueError(f"engine must be 'spark' or 'duckdb', got {engine!r}")
+
+
+def payment_pii_scan(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Payment-card PII scan → (doc_id, n_card_candidates,
+    n_luhn_valid, has_payment_pii): contiguous 13-19-digit runs are
+    candidates; a candidate passing the Luhn checksum counts as a
+    probable card number (the validation step that separates card
+    redaction from scrubbing every long number — order ids, EANs and
+    timestamps fail Luhn 90% of the time).
+
+    Next to ``pii_scan`` (emails/urls): same narrow-map shape, pure
+    ``regexp_extract_all`` + an arithmetic fold per candidate, no
+    shuffle, exactly oracle-checkable (the regex stays inside the
+    Java≡RE2 subset — no lookaround, so a >19-digit run contributes
+    its greedy 19-digit prefix identically in both engines; runs are
+    CONTIGUOUS digits, separator-formatted numbers are a
+    normalization-pass concern upstream).
+    """
+    # group index 0 (whole match) explicitly: Spark's default is group
+    # 1, which errors on a group-less pattern (DuckDB defaults to 0)
+    cands = F.expr(f"regexp_extract_all({text_col}, '[0-9]{{13,19}}', 0)")
+    valid = F.expr(
+        f"size(filter(regexp_extract_all({text_col}, '[0-9]{{13,19}}', 0), "
+        f"x -> {luhn_valid_sql('x', 'spark')}))")
+    return docs.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_card_candidates"),
+        valid.cast("long").alias("n_luhn_valid"),
+        (valid > 0).alias("has_payment_pii"),
+    )

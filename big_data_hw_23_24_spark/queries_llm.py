@@ -3302,3 +3302,55 @@ def doc_contrastive_negatives(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return contrastive_negatives(docs, k=4)
+
+
+# --- payment-card PII scan with Luhn validation (E86) ------------------------
+def _payment_pii_oracle_sql() -> str:
+    from .operators.textstats import luhn_valid_sql
+
+    luhn = luhn_valid_sql("x", "duckdb")
+    return f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' card 4532015112830366 end'
+                          WHEN doc_id % 3 = 1
+                          THEN ' card 4532015112830367 end'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[0-9]{{13,19}}') AS cands
+      FROM salted
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_card_candidates,
+           CAST(len(list_filter(cands, x -> {luhn})) AS BIGINT)
+             AS n_luhn_valid,
+           len(list_filter(cands, x -> {luhn})) > 0 AS has_payment_pii
+    FROM c
+    """
+
+
+@register(
+    "doc_payment_pii_scan",
+    _payment_pii_oracle_sql(),
+    doc="payment-card PII scan with Luhn validation: 13-19-digit runs "
+        "as candidates, arithmetic checksum fold separating probable "
+        "card numbers from order ids/EANs; input salted with one "
+        "valid and one invalid card per doc_id residue so both "
+        "branches of the checksum are provably exercised",
+)
+def doc_payment_pii_scan(spark, sf_dir):
+    from .operators.textstats import payment_pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    salt = (F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" card 4532015112830366 end"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit(" card 4532015112830367 end"))
+            .otherwise(F.lit("")))
+    salted = docs.select("doc_id",
+                         F.concat("text", salt).alias("text"))
+    return payment_pii_scan(salted)

@@ -1176,3 +1176,37 @@ def test_embedding_gram_matches_numpy_and_skips_nulls(spark):
             for r in embedding_gram(df.repartition(7), "embedding")
             .collect()}
     assert got2 == got
+
+
+# --- payment-card PII with Luhn (E86) ----------------------------------------
+
+def test_payment_pii_luhn_separates_cards_from_ids(spark):
+    from big_data_hw_23_24_spark.operators.textstats import payment_pii_scan
+
+    docs = spark.createDataFrame([
+        (1, "pay with 4532015112830366 today"),        # valid Visa test
+        (2, "order 4532015112830367 shipped"),         # fails Luhn
+        (3, "amex-style 5425233430109903 here"),       # valid
+        (4, "short 123456 and words"),                 # no candidate
+        (5, "two: 4532015112830366 and 1234567812345678"),
+        (6, "digits 12345678901234567890 run"),        # 20-digit run ->
+                                                       # greedy 19 prefix
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in payment_pii_scan(docs).collect()}
+    assert (out[1].n_card_candidates, out[1].n_luhn_valid,
+            out[1].has_payment_pii) == (1, 1, True)
+    assert (out[2].n_card_candidates, out[2].n_luhn_valid,
+            out[2].has_payment_pii) == (1, 0, False)
+    assert out[3].has_payment_pii
+    assert (out[4].n_card_candidates, out[4].has_payment_pii) == (0, False)
+    assert (out[5].n_card_candidates, out[5].n_luhn_valid) == (2, 1)
+    assert out[6].n_card_candidates == 1       # greedy prefix, both engines
+
+
+def test_luhn_sql_rejects_unknown_engine():
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.textstats import luhn_valid_sql
+
+    with _pytest.raises(ValueError, match="engine"):
+        luhn_valid_sql("x", "trino")
