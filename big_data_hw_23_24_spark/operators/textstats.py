@@ -756,3 +756,67 @@ def payment_pii_scan(docs: DataFrame, text_col: str = "text",
         valid.cast("long").alias("n_luhn_valid"),
         (valid > 0).alias("has_payment_pii"),
     )
+
+
+def sentence_pack_chunks(docs: DataFrame, max_tokens: int = 64,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Sentence-boundary greedy chunking -> (doc_id, chunk_id,
+    n_sentences, n_chunk_tokens, chunk_text): pack CONSECUTIVE
+    sentences into chunks of at most ``max_tokens`` words, starting a
+    new chunk when the next sentence would overflow — the
+    retrieval/RAG chunking discipline, where splitting mid-sentence
+    costs answer quality, next to ``token_chunks``' fixed-stride
+    windows.
+
+    Sentences follow the engine's convention (``doc_sentences_udtf``):
+    non-empty trimmed segments of a '.'-split. A single sentence
+    longer than ``max_tokens`` gets its own (oversized) chunk — greedy
+    packing never splits a sentence. Chunk text rejoins sentences with
+    a single space (terminal periods are split artifacts, as in the
+    UDTF face).
+
+    Shape: the greedy reset is a per-document ``aggregate`` fold over
+    the sentence array — sequential BY NATURE (each break depends on
+    the running length), but sequential per DOCUMENT, evaluated as a
+    narrow JVM expression with no shuffle; the only exchange is the
+    final (doc, chunk) group. The oracle states the same fold as a
+    linear recursive CTE, so the operator stays fully value-checked.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    nt = "size(filter(split({s}, ' '), w -> w <> ''))"
+    fold = (
+        "aggregate(_sents, "
+        "struct(cast(0 as int) as len, cast(0 as int) as cid, "
+        "cast(array() as array<int>) as asg), "
+        "(acc, s) -> CASE WHEN acc.len > 0 AND acc.len + {nt} > {mx} "
+        "THEN struct(cast({nt} as int) as len, "
+        "cast(acc.cid + 1 as int) as cid, "
+        "concat(acc.asg, array(cast(acc.cid + 1 as int))) as asg) "
+        "ELSE struct(cast(acc.len + {nt} as int) as len, "
+        "acc.cid as cid, "
+        "concat(acc.asg, array(acc.cid)) as asg) END).asg"
+    ).format(nt=nt.format(s="s"), mx=max_tokens)
+    sents = F.expr(f"filter(transform(split({text_col}, '[.]'), "
+                   f"s -> trim(s)), s -> s <> '')")
+    base = (docs.select(F.col(id_col), sents.alias("_sents"))
+            .where(F.size("_sents") > 0)
+            .withColumn("_asg", F.expr(fold)))
+    z = F.arrays_zip(F.col("_sents"), F.col("_asg"))
+    ex = (base.select(F.col(id_col), F.posexplode(z).alias("pos", "z"))
+          .select(F.col(id_col), "pos",
+                  F.col("z._sents").alias("_sent"),
+                  F.col("z._asg").alias("chunk_id")))
+    sent_nt = F.expr(nt.format(s="_sent"))
+    return (ex.groupBy(id_col, "chunk_id")
+            .agg(F.count("*").cast("long").alias("n_sentences"),
+                 F.sum(sent_nt).cast("long").alias("n_chunk_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "_sent"))),
+                         lambda s: s["_sent"]), " ")
+                 .alias("chunk_text"))
+            .select(id_col, F.col("chunk_id").cast("int").alias("chunk_id"),
+                    "n_sentences", "n_chunk_tokens", "chunk_text"))

@@ -3354,3 +3354,46 @@ def doc_payment_pii_scan(spark, sf_dir):
     salted = docs.select("doc_id",
                          F.concat("text", salt).alias("text"))
     return payment_pii_scan(salted)
+
+
+# --- sentence-boundary greedy chunking (E87) ---------------------------------
+@register(
+    "doc_sentence_chunks",
+    """
+    WITH RECURSIVE sr AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS si,
+             s,
+             len(list_filter(string_split(s, ' '), w -> w <> '')) AS nt
+      FROM (SELECT doc_id, trim(unnest(string_split(text, '.')), ' ') AS s,
+                   generate_subscripts(string_split(text, '.'), 1) AS i
+            FROM documents)
+      WHERE s <> ''
+    ),
+    rec(doc_id, si, len, cid) AS (
+      SELECT doc_id, si, nt, 0 FROM sr WHERE si = 1
+      UNION ALL
+      SELECT s.doc_id, s.si,
+             CASE WHEN r.len > 0 AND r.len + s.nt > 40
+                  THEN s.nt ELSE r.len + s.nt END,
+             CASE WHEN r.len > 0 AND r.len + s.nt > 40
+                  THEN r.cid + 1 ELSE r.cid END
+      FROM rec r JOIN sr s ON s.doc_id = r.doc_id AND s.si = r.si + 1
+    )
+    SELECT sr.doc_id, CAST(rec.cid AS INT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(sr.nt) AS BIGINT) AS n_chunk_tokens,
+           string_agg(sr.s, ' ' ORDER BY sr.si) AS chunk_text
+    FROM sr JOIN rec ON rec.doc_id = sr.doc_id AND rec.si = sr.si
+    GROUP BY sr.doc_id, rec.cid
+    """,
+    doc="sentence-boundary greedy chunking (the RAG discipline: never "
+        "split mid-sentence): pack consecutive sentences into <= 40 "
+        "token chunks via a per-doc JVM aggregate fold, vs the same "
+        "fold as a linear recursive CTE",
+)
+def doc_sentence_chunks(spark, sf_dir):
+    from .operators.textstats import sentence_pack_chunks
+
+    return sentence_pack_chunks(load_table(spark, sf_dir, "documents"),
+                                max_tokens=40)

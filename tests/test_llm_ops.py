@@ -1210,3 +1210,45 @@ def test_luhn_sql_rejects_unknown_engine():
 
     with _pytest.raises(ValueError, match="engine"):
         luhn_valid_sql("x", "trino")
+
+
+# --- sentence-boundary greedy chunking (E87) ---------------------------------
+
+def test_sentence_chunks_pack_greedily_at_boundaries(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        sentence_pack_chunks)
+
+    # sentences of 3, 3, 3, 5, 2 tokens; max 7:
+    # chunk 0 = [3,3] (3+3=6 <= 7, +3 would be 9), chunk 1 = [3],
+    # wait: 6+3=9>7 -> chunk 1 starts with the third sentence: [3],
+    # 3+5=8>7 -> chunk 2 = [5], 5+2=7 <= 7 -> chunk 2 = [5,2]
+    text = ("a b c. d e f. g h i. j k l m n. o p.")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted((r.chunk_id, r.n_sentences, r.n_chunk_tokens, r.chunk_text)
+                 for r in sentence_pack_chunks(docs, max_tokens=7).collect())
+    assert out == [
+        (0, 2, 6, "a b c d e f"),
+        (1, 1, 3, "g h i"),
+        (2, 2, 7, "j k l m n o p"),
+    ]
+
+
+def test_sentence_chunks_oversized_sentence_keeps_own_chunk(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        sentence_pack_chunks)
+
+    docs = spark.createDataFrame(
+        [(1, "one two. " + " ".join(f"w{i}" for i in range(20)) + ". end."),
+         (2, ""),                               # no sentences -> no rows
+         (3, "only")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_id): r
+           for r in sentence_pack_chunks(docs, max_tokens=5).collect()}
+    assert out[(1, 0)].n_chunk_tokens == 2
+    assert out[(1, 1)].n_chunk_tokens == 20     # never split mid-sentence
+    assert out[(1, 2)].chunk_text == "end"
+    assert not any(d == 2 for d, _ in out)
+    assert out[(3, 0)].chunk_text == "only"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_tokens"):
+        sentence_pack_chunks(docs, max_tokens=0)

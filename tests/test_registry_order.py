@@ -214,6 +214,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "streaming_ingest_minhash",  # streaming near-dup ingest (r8)
         "doc_contrastive_negatives", # seed-free negative sampling (r8)
         "doc_payment_pii_scan",      # Luhn-validated card scan (r8)
+        "doc_sentence_chunks",       # sentence-packed RAG chunks (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
