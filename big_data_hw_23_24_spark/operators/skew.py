@@ -24,7 +24,7 @@ need user-side salting at extreme skew, and both are provided here:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,3 +64,47 @@ def salted_count_distinct(df: DataFrame, group_col: str,
                .agg(F.count_distinct("_v").alias("_pc")))
     return (partial.groupBy(group_col)
             .agg(F.sum("_pc").alias(out_col)))
+
+
+def skew_report(df: DataFrame, key_cols: list[str],
+                top_n: int = 10) -> DataFrame:
+    """Key-skew diagnosis -> (key_col, key_value, cnt, rank,
+    n_distinct, skew_factor): per candidate shuffle key, the top-N
+    heaviest values plus how far the heaviest exceeds a uniform
+    spread (skew_factor = max_cnt x n_distinct / total; 1.0 means
+    perfectly uniform).
+
+    The measurement that DECIDES between the engine's skew cures
+    (plain hash join vs `salted_join` / `salted_count_distinct` vs
+    AQE skew-join) instead of guessing: run it on the join/group keys
+    of a slow query, read which key is hot and by how much. Per
+    column: one map-side-combined count aggregate, metrics from a
+    1-row summary broadcast back, top-N via TakeOrderedAndProject —
+    no single-reducer stage anywhere; key values are stringified so
+    heterogeneous columns union into one tidy report.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    if not key_cols:
+        raise ValueError("key_cols must not be empty")
+    out = None
+    for c in key_cols:
+        counts = (df.groupBy(F.col(c).cast("string").alias("key_value"))
+                  .agg(F.count("*").alias("cnt")))
+        summary = counts.agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("cnt").alias("_total"),
+            F.max("cnt").alias("_mx"))
+        top = (counts.orderBy(F.col("cnt").desc(), F.col("key_value"))
+               .limit(top_n)
+               .withColumn("rank", F.row_number().over(
+                   Window.orderBy(F.col("cnt").desc(),
+                                  F.col("key_value")))))
+        rep = (top.crossJoin(F.broadcast(summary))
+               .select(F.lit(c).alias("key_col"), "key_value", "cnt",
+                       "rank", "n_distinct",
+                       F.round(F.col("_mx") * F.col("n_distinct")
+                               / F.col("_total"), 6)
+                       .alias("skew_factor")))
+        out = rep if out is None else out.unionAll(rep)
+    return out

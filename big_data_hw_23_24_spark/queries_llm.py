@@ -3397,3 +3397,39 @@ def doc_sentence_chunks(spark, sf_dir):
 
     return sentence_pack_chunks(load_table(spark, sf_dir, "documents"),
                                 max_tokens=40)
+
+
+# --- key-skew diagnosis report (E88) -----------------------------------------
+def _skew_oracle_one(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS key_col, key_value, cnt,
+           CAST(rank AS INT) AS rank, n_distinct,
+           round(mx * n_distinct * 1.0 / total, 6) AS skew_factor
+    FROM (SELECT key_value, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, key_value) AS rank
+          FROM (SELECT CAST({col} AS VARCHAR) AS key_value,
+                       count(*) AS cnt
+                FROM events GROUP BY 1)
+          QUALIFY rank <= 10),
+         (SELECT count(*) AS n_distinct, sum(cnt) AS total,
+                 max(cnt) AS mx
+          FROM (SELECT count(*) AS cnt FROM events
+                GROUP BY CAST({col} AS VARCHAR)))
+    """
+
+
+@register(
+    "events_skew_report",
+    _skew_oracle_one("user_id") + " UNION ALL "
+    + _skew_oracle_one("event_type"),
+    doc="key-skew diagnosis: per candidate shuffle key, the top-10 "
+        "heaviest values and the max-over-uniform skew factor -- the "
+        "measurement that decides between plain joins, salting and "
+        "AQE skew handling; map-side-combined counts, "
+        "TakeOrderedAndProject top-N, 1-row summary broadcast",
+)
+def events_skew_report(spark, sf_dir):
+    from .operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id", "event_type"], top_n=10)

@@ -119,3 +119,25 @@ def test_bloom_prune_no_false_negatives_and_prunes_most(spark):
     empty = bloom_might_contain(
         fact, bloom_build(dim.where("dk < 0"), "dk"), "fk")
     assert empty.count() == 0
+
+
+def test_skew_report_ranks_hot_keys_and_scores_uniformity(spark):
+    from big_data_hw_23_24_spark.operators.skew import skew_report
+
+    hot = [(1, "a") for _ in range(90)]
+    cold = [(i, "b") for i in range(2, 12)]
+    df = spark.createDataFrame(hot + cold, "k long, t string")
+    out = [r for r in skew_report(df, ["k"], top_n=3).collect()]
+    assert len(out) == 3
+    assert (out[0].key_value, out[0].cnt, out[0].rank) == ("1", 90, 1)
+    assert out[0].n_distinct == 11
+    # skew factor = 90 * 11 / 100 = 9.9 (vs 1.0 for uniform)
+    assert out[0].skew_factor == 9.9
+    # uniform column scores ~1
+    u = skew_report(df.where("k != 1"), ["k"], top_n=3).collect()
+    assert all(r.skew_factor == 1.0 for r in u)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_n"):
+        skew_report(df, ["k"], top_n=0)
+    with _pytest.raises(ValueError, match="key_cols"):
+        skew_report(df, [], top_n=3)
