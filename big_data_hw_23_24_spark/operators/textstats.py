@@ -820,3 +820,73 @@ def sentence_pack_chunks(docs: DataFrame, max_tokens: int = 64,
                  .alias("chunk_text"))
             .select(id_col, F.col("chunk_id").cast("int").alias("chunk_id"),
                     "n_sentences", "n_chunk_tokens", "chunk_text"))
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-k PMI collocations -> (w1, w2, pair_count, pmi, rank): the
+    adjacent-bigram pairs whose pointwise mutual information
+    ``ln(p(x,y) / (p(x)·p(y)))`` is highest, with a ``min_count``
+    support floor — the collocation-mining step behind multi-word
+    vocabulary entries ("new york"-style merges), tokenizer merge
+    candidates beyond character BPE, and phrase-aware indexing.
+
+    p(x,y) = c_xy / P over adjacent LOWERED word pairs, p(x) = c_x / T
+    over tokens. The support floor matters: without it, two hapax
+    words adjacent once score the maximal PMI — the classic
+    rare-event pathology.
+
+    Scale shape: one bigram-concat explode (fanout-guarded, the
+    E52/E65 pattern) into ONE pair aggregate; unigram counts and the
+    two 1-row totals come from vocab-scale aggregates broadcast back;
+    ranking on the 6-dp-ROUNDED score with (w1, w2) tiebreak, so a
+    last-ulp ln() difference can never flip the k boundary; top-k is
+    a LIMIT (TakeOrderedAndProject), never a single-reducer window.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from .util import ensure_fanout, lowered_words
+
+    words = lowered_words(text_col)
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    base = ensure_fanout(docs)
+    pairs = (base.select(F.explode(grams).alias("pair"))
+             .groupBy("pair").agg(F.count("*").alias("pair_count"))
+             .where(F.col("pair_count") >= min_count))
+    uni = (base.select(F.explode(words).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").alias("_t"))
+    # P = total adjacent pairs BEFORE the support floor: sum over docs
+    # of max(n_tokens - 1, 0) — a 1-row aggregate off the corpus
+    p_tot = base.select(
+        F.greatest(F.size(words) - 1, F.lit(0)).alias("_np")) \
+        .agg(F.sum("_np").alias("_p"))
+    split = F.split(F.col("pair"), " ")
+    scored = (pairs
+              .withColumn("w1", split.getItem(0))
+              .withColumn("w2", split.getItem(1))
+              .join(F.broadcast(uni.select(F.col("w").alias("w1"),
+                                           F.col("c").alias("_c1"))), "w1")
+              .join(F.broadcast(uni.select(F.col("w").alias("w2"),
+                                           F.col("c").alias("_c2"))), "w2")
+              .crossJoin(F.broadcast(tot))
+              .crossJoin(F.broadcast(p_tot))
+              .withColumn(
+                  "pmi",
+                  F.round(F.log((F.col("pair_count") / F.col("_p"))
+                                / ((F.col("_c1") / F.col("_t"))
+                                   * (F.col("_c2") / F.col("_t")))), 6)))
+    return (scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(k)
+            .select("w1", "w2",
+                    F.col("pair_count").cast("long").alias("pair_count"),
+                    "pmi")
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.col("pmi").desc(), "w1", "w2"))))

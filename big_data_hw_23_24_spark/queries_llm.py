@@ -3433,3 +3433,51 @@ def events_skew_report(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return skew_report(ev, ["user_id", "event_type"], top_n=10)
+
+
+# --- PMI collocations (E89) --------------------------------------------------
+@register(
+    "corpus_pmi_collocations",
+    """
+    WITH w AS (
+      SELECT word, i, doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS wi
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+                   generate_subscripts(string_split(lower(text), ' '), 1)
+                     AS i
+            FROM documents)
+      WHERE word <> ''
+    ),
+    uni AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+    bi AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS pair_count
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.wi = a.wi + 1
+      GROUP BY 1, 2
+    ),
+    ptot AS (SELECT sum(pair_count)::DOUBLE AS p FROM bi),
+    scored AS (
+      SELECT bi.w1, bi.w2, bi.pair_count,
+             round(ln((bi.pair_count / ptot.p)
+                      / ((u1.c / tot.t) * (u2.c / tot.t))), 6) AS pmi
+      FROM bi
+      JOIN uni u1 ON u1.word = bi.w1
+      JOIN uni u2 ON u2.word = bi.w2, tot, ptot
+      WHERE bi.pair_count >= 5
+    )
+    SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT)
+             AS rank
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="top-20 PMI collocations with a min-count-5 support floor "
+        "(multi-word vocabulary / phrase-merge mining): one bigram "
+        "aggregate + vocab-scale unigram broadcast, ranked on the "
+        "6-dp-rounded score with word tiebreaks",
+)
+def corpus_pmi_collocations(spark, sf_dir):
+    from .operators.textstats import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"),
+                            min_count=5, k=20)

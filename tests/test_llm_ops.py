@@ -1252,3 +1252,41 @@ def test_sentence_chunks_oversized_sentence_keeps_own_chunk(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_tokens"):
         sentence_pack_chunks(docs, max_tokens=0)
+
+
+# --- PMI collocations (E89) --------------------------------------------------
+
+def test_pmi_collocations_rank_phrases_above_chance_pairs(spark):
+    from big_data_hw_23_24_spark.operators.textstats import pmi_collocations
+
+    # "new york" always co-occurs (PMI high); "the", "cat" appear often
+    # but independently (PMI ~ 0); hapax pair filtered by min_count
+    rows = []
+    for i in range(20):
+        rows.append((i, "new york is big and the cat sat"))
+        rows.append((100 + i, "the dog ran and the cat slept"))
+    rows.append((999, "hapax pairing"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_count=5, k=10).collect()
+    by_pair = {(r.w1, r.w2): r for r in out}
+    assert ("new", "york") in by_pair
+    top = out[0]
+    assert (top.w1, top.w2) == ("new", "york") or top.pmi >= \
+        by_pair[("new", "york")].pmi
+    assert ("hapax", "pairing") not in by_pair      # support floor
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    # exclusive pair outranks an independent frequent pair
+    if ("the", "cat") in by_pair:
+        assert by_pair[("new", "york")].pmi > by_pair[("the", "cat")].pmi
+
+
+def test_pmi_collocations_validation(spark):
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.textstats import pmi_collocations
+
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(d, min_count=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        pmi_collocations(d, k=0)

@@ -216,6 +216,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_payment_pii_scan",      # Luhn-validated card scan (r8)
         "doc_sentence_chunks",       # sentence-packed RAG chunks (r8)
         "events_skew_report",        # key-skew diagnosis report (r8)
+        "corpus_pmi_collocations",   # PMI phrase mining (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
