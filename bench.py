@@ -72,6 +72,9 @@ HEADLINE = [
     "dedup_containment_pairs",  # asymmetric containment near-dup
     "events_zorder_key",      # Morton layout key kernel
     "embedding_gram_matrix",  # one-pass BLAS Gram/PCA prep
+    "doc_sentence_chunks",    # sentence-boundary greedy packing
+    "corpus_pmi_collocations",  # PMI phrase mining
+    "events_skew_report",     # key-skew diagnosis
 ]
 
 

@@ -3481,3 +3481,29 @@ def corpus_pmi_collocations(spark, sf_dir):
 
     return pmi_collocations(load_table(spark, sf_dir, "documents"),
                             min_count=5, k=20)
+
+
+# --- PCA projection (E90) ----------------------------------------------------
+# no_oracle by design: the basis comes from an eigendecomposition
+# whose numerics are LAPACK-implementation-specific (the MRFFT
+# category); the guarantees — orthonormal basis, decreasing explained
+# variance, anisotropy recovery, partitioning invariance — are
+# property-tested in tests/test_llm_ops.py.
+@register(
+    "embedding_pca_projected",
+    None,
+    doc="corpus PCA dimensionality reduction (64 -> 8) before ANN "
+        "indexing: covariance from the one-pass Gram kernel + d JVM "
+        "mean aggregates, bounded d x d driver eigendecomposition "
+        "(the L*K-coreset state bound), broadcast-matmul projection",
+)
+def embedding_pca_projected(spark, sf_dir):
+    from .operators.similarity import pca_components, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = pca_components(emb, n_components=8)
+    out = pca_project(emb, comps)
+    return out.select(
+        "vec_id",
+        F.transform("projected", lambda x: F.round(x, 6))
+        .alias("projected"))

@@ -1290,3 +1290,54 @@ def test_pmi_collocations_validation(spark):
         pmi_collocations(d, min_count=0)
     with _pytest.raises(ValueError, match="k must be"):
         pmi_collocations(d, k=0)
+
+
+# --- PCA (E90) ---------------------------------------------------------------
+
+def test_pca_recovers_planted_anisotropy_and_is_orthonormal(spark):
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        pca_components, pca_project)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(300, 6))
+    base[:, 2] *= 10.0                       # dominant variance on dim 2
+    base[:, 5] *= 4.0                        # second on dim 5
+    rows = [(i, v.tolist()) for i, v in enumerate(base.astype(np.float32))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comps = pca_components(df, n_components=3)
+    assert comps.shape == (3, 6)
+    # orthonormal basis
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-8)
+    # first component aligns with the planted dominant axis
+    assert abs(comps[0, 2]) > 0.95
+    assert abs(comps[1, 5]) > 0.9
+    # projected variance decreases component by component
+    proj = np.array([r.projected for r in
+                     pca_project(df, comps).orderBy("vec_id").collect()])
+    var = proj.var(axis=0)
+    assert var[0] > var[1] > var[2]
+    # partitioning invariance: identical basis from a reshuffled input
+    comps2 = pca_components(df.repartition(13), n_components=3)
+    assert np.allclose(comps, comps2, atol=1e-9)
+
+
+def test_pca_validation_and_null_vectors(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        pca_components, pca_project)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0]), (3, None)],
+        "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="n_components"):
+        pca_components(df, n_components=0)
+    with _pytest.raises(ValueError, match="n_components"):
+        pca_components(df, n_components=3)
+    comps = pca_components(df, n_components=1)
+    out = {r.vec_id: r.projected for r in pca_project(df, comps).collect()}
+    assert out[3] is None                    # null propagates
+    assert len(out[1]) == 1
