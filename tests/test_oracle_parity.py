@@ -92,6 +92,13 @@ _SF01_SCALE_SENSITIVE = [
     # r7 additions: cross-partition benchmark-gram joins; the
     # range-partitioned per-language rank spine
     "doc_decontaminate_spans", "doc_lm_quality_buckets",
+    # late-r7: inverted-index containment, the dense-global-index
+    # negative sampler, Arrow-batch-boundary Gram partials, the
+    # per-doc fold chunker and the bigram-aggregate PMI miner only
+    # stretch across partitions past sf0.01
+    "dedup_containment_pairs", "doc_contrastive_negatives",
+    "embedding_gram_matrix", "doc_sentence_chunks",
+    "corpus_pmi_collocations",
 ]
 
 
