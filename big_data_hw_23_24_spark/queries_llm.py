@@ -3507,3 +3507,61 @@ def embedding_pca_projected(spark, sf_dir):
         "vec_id",
         F.transform("projected", lambda x: F.round(x, 6))
         .alias("projected"))
+
+
+# --- JSONL ingestion with corrupt-record tolerance (E91) ---------------------
+# The JSON line is CONSTRUCTED by identical string concatenation in
+# both engines (codes-only fields, no escaping surface) rather than
+# each engine's to_json serializer, whose spacing/ordering differ;
+# every 13th line is truncated to a malformed prefix so the PERMISSIVE
+# path is provably exercised.
+@register(
+    "doc_jsonl_ingest",
+    """
+    WITH lines AS (
+      SELECT doc_id AS orig_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN substr(j, 1, 15)
+                  ELSE j END AS line
+      FROM (SELECT doc_id,
+                   '{"doc_id": ' || doc_id || ', "lang": "' || lang
+                     || '", "n": ' || n_chars || '}' AS j
+            FROM documents)
+    )
+    SELECT orig_id,
+           CASE WHEN json_valid(line)
+                     AND json_extract(line, '$.doc_id') IS NOT NULL
+                THEN true ELSE false END AS parse_ok,
+           CASE WHEN json_valid(line)
+                THEN CAST(line ->> 'doc_id' AS BIGINT) END AS parsed_doc_id,
+           CASE WHEN json_valid(line)
+                THEN line ->> 'lang' END AS parsed_lang,
+           CASE WHEN json_valid(line)
+                THEN CAST(line ->> 'n' AS BIGINT) END AS parsed_n
+    FROM lines
+    """,
+    doc="schema-on-read JSONL ingestion with PERMISSIVE corrupt-record "
+        "tolerance: malformed lines (every 13th, truncated) parse to "
+        "nulls with an explicit ok flag instead of failing the batch; "
+        "from_json narrow map, no shuffle",
+)
+def doc_jsonl_ingest(spark, sf_dir):
+    from .sources.jsonl import parse_json_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    j = F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "lang": "'), F.col("lang"),
+                 F.lit('", "n": '), F.col("n_chars").cast("string"),
+                 F.lit("}"))
+    lines = docs.select(
+        F.col("doc_id").alias("orig_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.substring(j, 1, 15))
+        .otherwise(j).alias("line"))
+    parsed = parse_json_lines(lines, "line",
+                              "doc_id BIGINT, lang STRING, n BIGINT",
+                              ok_probe="doc_id")
+    return parsed.select(
+        "orig_id", F.col("parse_ok"),
+        F.col("rec.doc_id").alias("parsed_doc_id"),
+        F.col("rec.lang").alias("parsed_lang"),
+        F.col("rec.n").alias("parsed_n"))

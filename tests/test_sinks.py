@@ -310,3 +310,27 @@ def test_zorder_rank_buckets_prune_under_skew(spark, tmp_path):
     # allowance as the unskewed box test above); the sharp claims are
     # the two relative asserts.
     assert r_hit <= r_n * 5 // 8
+
+
+# --- JSONL PERMISSIVE ingestion (E91) ----------------------------------------
+
+def test_parse_json_lines_permissive_and_ok_probe(spark):
+    from big_data_hw_23_24_spark.sources.jsonl import parse_json_lines
+
+    df = spark.createDataFrame([
+        (1, '{"doc_id": 7, "lang": "en", "n": 3}'),
+        (2, '{"doc_id": 8, "lang"'),              # truncated: malformed
+        (3, '{"lang": "de", "n": 1}'),            # valid, probe key absent
+        (4, "not json at all"),
+        (5, None),                                # null line
+    ], "row_id long, line string")
+    out = {r.row_id: r for r in parse_json_lines(
+        df, "line", "doc_id BIGINT, lang STRING, n BIGINT",
+        ok_probe="doc_id").collect()}
+    assert out[1].parse_ok and out[1].rec.doc_id == 7 and out[1].rec.n == 3
+    assert not out[2].parse_ok
+    assert out[2].rec is None or out[2].rec.doc_id is None
+    assert not out[3].parse_ok                    # required key missing
+    assert out[3].rec.lang == "de"                # but valid fields kept
+    assert not out[4].parse_ok
+    assert not out[5].parse_ok
