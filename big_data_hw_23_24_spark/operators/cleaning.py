@@ -300,3 +300,96 @@ def url_duplicate_groups(docs: DataFrame, url_col: str = "url",
             .agg(F.count("*").alias("n_docs"),
                  F.min(id_col).alias("keep_id"))
             .where(F.col("n_docs") > 1))
+
+
+#: Gopher's minimal stop-word probe (Rae et al. 2021, App. A): a real
+#: English page almost surely contains ≥2 of these; keyword-stuffed
+#: SEO spam and tag soup usually contain none.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_ratio: float = 0.8,
+                 min_stop_hits: int = 2,
+                 stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+                 ) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models", Appendix A): the standard repetition-free web
+    filter battery, one boolean per rule plus the combined ``keep``.
+
+    Per document:
+      * ``n_words`` ∈ [min_words, max_words] (whitespace-delimited);
+      * ``mean_word_len`` ∈ [3, 10];
+      * ``symbol_ratio`` — (# count + ``...`` count) / words ≤ 0.1;
+      * ``bullet_line_ratio`` — lines starting ``-``/``*``/``•``
+        ≤ 0.9;
+      * ``ellipsis_line_ratio`` — lines ending ``...`` ≤ 0.3;
+      * ``alpha_word_ratio`` — words containing a letter ≥ 0.8;
+      * ``stop_hits`` — distinct stop-words present ≥ 2.
+
+    Shape: every rule is a higher-order-function fold over the split
+    word/line arrays — a single narrow projection, ZERO shuffles,
+    nothing leaves the JVM (same contract as ``c4_line_filter``;
+    plan-asserted). At 100 TB this runs at scan speed and is the
+    cheapest possible first-pass corpus gate.
+
+    Extends the engine past the reference's projection primitives
+    (G016HW1.java:61-70) toward the pretraining-cleanup tier.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    lines = F.split(text, "\n")
+    d = docs.select(
+        F.col(id_col),
+        words.alias("_ws"),
+        lines.alias("_ls"),
+        F.length(text).alias("_len"),
+        (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+         ).alias("_hash_n"),
+        ((F.length(text)
+          - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+         ).cast("long").alias("_ellipsis_n"),
+    )
+    n_words = F.size("_ws")
+    n_lines = F.size("_ls")
+    sum_len = F.aggregate("_ws", F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    bullet_n = F.size(F.filter(
+        "_ls", lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•")))
+    ellipsis_line_n = F.size(F.filter(
+        "_ls", lambda l: F.rtrim(l).endswith("...")))
+    alpha_n = F.size(F.filter("_ws", lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(F.array_intersect(
+        F.transform("_ws", F.lower),
+        F.array(*[F.lit(s) for s in stopwords])))
+    m = d.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, F.round(sum_len / n_words, 6))
+        .alias("mean_word_len"),
+        F.when(n_words > 0,
+               F.round((F.col("_hash_n") + F.col("_ellipsis_n")) / n_words,
+                       6)).alias("symbol_ratio"),
+        F.round(bullet_n / n_lines, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_line_n / n_lines, 6).alias("ellipsis_line_ratio"),
+        F.when(n_words > 0, F.round(alpha_n / n_words, 6))
+        .alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = (F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len").between(min_mean_word_len,
+                                             max_mean_word_len)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("bullet_line_ratio") <= max_bullet_ratio)
+            & (F.col("ellipsis_line_ratio") <= max_ellipsis_ratio)
+            & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+            & (F.col("stop_hits") >= min_stop_hits))
+    return m.withColumn("keep", F.coalesce(keep, F.lit(False)))

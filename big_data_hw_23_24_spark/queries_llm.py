@@ -3565,3 +3565,111 @@ def doc_jsonl_ingest(spark, sf_dir):
         F.col("rec.doc_id").alias("parsed_doc_id"),
         F.col("rec.lang").alias("parsed_lang"),
         F.col("rec.n").alias("parsed_n"))
+
+
+# --- Gopher quality rules (E92) ----------------------------------------------
+# The corpus text is single-line prose with no bullets/ellipses/
+# symbols, so the face synthesizes a deterministic page per doc_id
+# residue (bullet blocks, read-more ellipsis lines, hash runs, digit
+# words) -- every rule provably fires in BOTH directions; same
+# synthesize-the-adversary pattern as the URL and JSONL faces.
+@register(
+    "doc_gopher_rules",
+    """
+    WITH page AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- item one'
+                  || chr(10) || '- click here' || chr(10) || '- menu'
+                  ELSE '' END
+             || CASE WHEN doc_id % 8 = 0 THEN chr(10) || '- a'
+                  || chr(10) || '- b' || chr(10) || '- c'
+                  || chr(10) || '- d' || chr(10) || '- e'
+                  || chr(10) || '- f' || chr(10) || '- g'
+                  || chr(10) || '- h' || chr(10) || '- i'
+                  || chr(10) || '- j' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...'
+                  || chr(10) || 'see more...' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' # # # # # # # #' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' 1234 5678 9012 3456 7890 2468' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    arr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         w -> w <> '') AS ws,
+             string_split(text, chr(10)) AS ls,
+             length(text) - length(replace(text, '#', '')) AS hash_n,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS ellipsis_n
+      FROM page
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0 THEN round(
+               list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                 / len(ws), 6) END AS mean_word_len,
+             CASE WHEN len(ws) > 0 THEN round(
+               (hash_n + ellipsis_n)::DOUBLE / len(ws), 6) END
+               AS symbol_ratio,
+             round(len(list_filter(ls,
+               l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE
+               / len(ls), 6) AS bullet_line_ratio,
+             round(len(list_filter(ls,
+               l -> rtrim(l) LIKE '%...'))::DOUBLE / len(ls), 6)
+               AS ellipsis_line_ratio,
+             CASE WHEN len(ws) > 0 THEN round(
+               len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                 ::DOUBLE / len(ws), 6) END AS alpha_word_ratio,
+             CAST(len(list_intersect(list_transform(ws, w -> lower(w)),
+               ['the','a','and','of','to','be','have','with']))
+               AS BIGINT) AS stop_hits
+      FROM arr
+    )
+    SELECT *,
+           coalesce(n_words BETWEEN 10 AND 80
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND symbol_ratio <= 0.1
+                    AND bullet_line_ratio <= 0.9
+                    AND ellipsis_line_ratio <= 0.3
+                    AND alpha_word_ratio >= 0.8
+                    AND stop_hits >= 2, false) AS keep
+    FROM m
+    """,
+    doc="Gopher quality-rule battery (Rae et al. 2021 App. A): word "
+        "count / mean word length / symbol ratio / bullet and "
+        "ellipsis line ratios / alpha-word ratio / stop-word probe, "
+        "plus the combined keep gate; pure JVM fold battery, zero "
+        "shuffles, scan-speed first-pass corpus gate",
+)
+def doc_gopher_rules(spark, sf_dir):
+    from .operators.cleaning import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\n- item one\n- click here\n- menu"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 8 == 0,
+               F.lit("\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i"
+                     "\n- j")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\nread more...\nsee more...")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" # # # # # # # #")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" 1234 5678 9012 3456 7890 2468"))
+        .otherwise(F.lit("")),
+    )
+    # the synthetic corpus vocabulary carries only 'the'/'a' from the
+    # canonical probe list, so the face swaps in a list the corpus can
+    # actually hit twice -- the keep gate must fire both ways
+    return gopher_rules(
+        docs.select("doc_id", page.alias("text")),
+        min_words=10, max_words=80,
+        stopwords=("the", "a", "and", "of", "to", "be", "have", "with"))

@@ -635,3 +635,51 @@ def test_contrastive_negatives_validates_k(spark):
     df = spark.createDataFrame([(1,), (2,)], "doc_id long")
     with pytest.raises(ValueError, match="k must be"):
         contrastive_negatives(df, k=0)
+
+
+# --- Gopher rules (E92) ------------------------------------------------------
+
+def test_gopher_rules_each_rule_fires(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import gopher_rules
+
+    good = ("the cat and the dog went to the park of wonders "
+            "and that was all they have seen with joy today yes")
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short of the and"),                     # too few words
+        (3, good + " " + " ".join(["#"] * 20)),      # symbol ratio
+        (4, "\n".join(["- " + good] * 10)),          # bullets > 0.9
+        (5, "\n".join([good + "..."] * 2 + [good])), # ellipsis lines
+        (6, good + " " + " ".join(["123"] * 40)),    # alpha ratio < 0.8
+        (7, "value key sort " * 8),                  # no stop words
+        (8, " ".join(["extraordinarily"] * 15)),     # mean word len > 10
+    ]
+    out = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_words=10, max_words=200).collect()}
+    assert out[1]["keep"] is True
+    for i in range(2, 9):
+        assert out[i]["keep"] is False, i
+    # each rule is the one that fired
+    assert out[2]["n_words"] < 10
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[4]["bullet_line_ratio"] > 0.9
+    assert out[5]["ellipsis_line_ratio"] > 0.3
+    assert out[6]["alpha_word_ratio"] < 0.8
+    assert out[7]["stop_hits"] < 2
+    assert out[8]["mean_word_len"] > 10
+
+
+def test_gopher_rules_empty_text_and_plan_shape(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import gopher_rules
+
+    df = gopher_rules(spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    for i in (1, 2):
+        assert rows[i]["keep"] is False
+        assert rows[i]["n_words"] == 0
+        assert rows[i]["mean_word_len"] is None
+    # zero-shuffle contract: a single narrow projection
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
