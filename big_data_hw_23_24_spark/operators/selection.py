@@ -303,3 +303,64 @@ def contrastive_negatives(df: DataFrame, k: int = 4,
                            F.col("_idx").alias("_tidx"))
     return (exploded.join(lookup, "_tidx")
             .select(id_col, "neg_rank", "neg_id"))
+
+
+def priority_sample(df: DataFrame, weight_col: str, k: int,
+                    strata_cols: tuple[str, ...] = ("source",),
+                    id_col: str = "doc_id", salt: str = "ps",
+                    hash_chars: int = 12) -> DataFrame:
+    """Deterministic WEIGHTED k-sample per stratum via priority
+    sampling (Duffield, Lund & Thorup 2007): each row draws a
+    reproducible uniform u ∈ (0, 1] from its md5 and gets priority
+    ``w / u``; the k highest-priority rows per stratum are the sample.
+
+    Why priority sampling and not Efraimidis–Spirakis ``u^(1/w)``:
+    the ES key needs ``pow``/``ln``, which are NOT correctly-rounded
+    and can differ in the last ulp across engines — a cross-engine
+    rank flip on a near-tie. ``w / u`` is a single IEEE division
+    (correctly rounded by spec), so any engine hashing the same bytes
+    ranks identically, bit for bit. Inclusion probabilities match ES
+    asymptotically (min(1, w/τ)), and the scheme carries its own
+    Horvitz–Thompson estimator: with τ = the (k+1)-th priority,
+    ``est_weight = max(w, τ)`` is unbiased for each sampled row's
+    weight contribution — ``sum(est_weight)`` estimates the stratum's
+    total weight (Szegedy 2006 proved variance optimality).
+
+    Rows with non-positive weight are excluded (they can never be
+    sampled; documented contract). Scale shape: the ranking runs
+    through :func:`operators.grouped.grouped_topk`'s two-stage
+    per-partition funnel — no stratum ever routes all its rows
+    through one reducer; τ comes from a window over the ≤ k+1
+    survivors per stratum, never the full data.
+    """
+    from .grouped import grouped_topk
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    denom = float(16 ** hash_chars) + 1.0
+    u = ((F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt),
+                              *[F.col(c) for c in strata_cols],
+                              F.col(id_col).cast("string"))),
+            1, hash_chars), 16, 10).cast("double") + 1.0)
+         / F.lit(denom))
+    weighted = (df.where(F.col(weight_col) > 0)
+                .select(*strata_cols, id_col,
+                        F.col(weight_col).cast("double").alias("weight"),
+                        (F.col(weight_col).cast("double") / u)
+                        .alias("priority")))
+    topk1 = grouped_topk(weighted, list(strata_cols),
+                         [F.col("priority").desc(), F.col(id_col)],
+                         k + 1, rank_col="rank")
+    w = Window.partitionBy(*strata_cols)
+    tau = F.coalesce(
+        F.max(F.when(F.col("rank") == k + 1, F.col("priority"))).over(w),
+        F.lit(0.0))
+    return (topk1.withColumn("tau", tau)
+            .where(F.col("rank") <= k)
+            .select(*strata_cols, id_col, "weight", "rank",
+                    F.round("priority", 6).alias("priority"),
+                    F.round("tau", 6).alias("tau"),
+                    F.round(F.greatest("weight", "tau"), 6)
+                    .alias("est_weight")))

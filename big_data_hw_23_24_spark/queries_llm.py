@@ -3673,3 +3673,50 @@ def doc_gopher_rules(spark, sf_dir):
         docs.select("doc_id", page.alias("text")),
         min_words=10, max_words=80,
         stopwords=("the", "a", "and", "of", "to", "be", "have", "with"))
+
+
+# --- deterministic weighted sampling (E93) -----------------------------------
+# Priority sampling (Duffield-Lund-Thorup): the ranking key w/u is ONE
+# IEEE division of identical doubles, so both engines rank bit-
+# identically -- no pow/ln ulp hazard (the reason this face is NOT
+# Efraimidis-Spirakis). 16^12 + 1 = 281474976710657.
+@register(
+    "corpus_priority_sample",
+    """
+    WITH wtd AS (
+      SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             CAST(n_chars AS DOUBLE) / (
+               ((('0x' || substr(md5('ps' || ':' || source || ':'
+                                     || CAST(doc_id AS VARCHAR)),
+                   1, 12))::BIGINT + 1.0) / 281474976710657.0))
+               AS priority
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY priority DESC, doc_id)
+                  AS rank
+      FROM wtd
+    ),
+    t AS (
+      SELECT *, coalesce(max(CASE WHEN rank = 11 THEN priority END)
+                           OVER (PARTITION BY source), 0.0) AS tau
+      FROM r WHERE rank <= 11
+    )
+    SELECT source, doc_id, weight, CAST(rank AS BIGINT) AS rank,
+           round(priority, 6) AS priority, round(tau, 6) AS tau,
+           round(greatest(weight, tau), 6) AS est_weight
+    FROM t WHERE rank <= 10
+    """,
+    doc="deterministic weighted per-source sampling via priority "
+        "sampling (w/u with a reproducible md5 uniform, top-k per "
+        "stratum through the two-stage grouped funnel) plus the "
+        "Horvitz-Thompson est_weight = max(w, tau) estimator; "
+        "length-weighted eval carving that any engine reproduces "
+        "bit-identically",
+)
+def corpus_priority_sample(spark, sf_dir):
+    from .operators.selection import priority_sample
+
+    return priority_sample(load_table(spark, sf_dir, "documents"),
+                           weight_col="n_chars", k=10)

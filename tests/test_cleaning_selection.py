@@ -683,3 +683,59 @@ def test_gopher_rules_empty_text_and_plan_shape(spark):
     # zero-shuffle contract: a single narrow projection
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- priority sampling (E93) -------------------------------------------------
+
+def test_priority_sample_small_group_and_determinism(spark):
+    from big_data_hw_23_24_spark.operators.selection import priority_sample
+
+    rows = [(i, "s" if i < 4 else "t", float(i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = priority_sample(df, "w", k=5)
+    got = {(r.source, r.doc_id): r for r in out.collect()}
+    # stratum 's' has 4 rows < k: everything kept, tau = 0, est = w
+    s_rows = [v for (src, _), v in got.items() if src == "s"]
+    assert len(s_rows) == 4
+    assert all(r.tau == 0.0 and r.est_weight == r.weight for r in s_rows)
+    # stratum 't' cut to k with a positive threshold
+    t_rows = [v for (src, _), v in got.items() if src == "t"]
+    assert len(t_rows) == 5
+    assert all(r.tau > 0 and r.est_weight >= r.weight for r in t_rows)
+    # deterministic and partitioning-invariant
+    again = priority_sample(df.repartition(7), "w", k=5)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+
+def test_priority_sample_ht_estimator_unbiased(spark):
+    """Across salts, sum(est_weight) over a stratum's sample is an
+    unbiased estimate of the stratum's TOTAL weight (the
+    Duffield-Lund-Thorup guarantee) — mean over 40 salts must land
+    within 15% of truth, and heavy rows must be sampled more often
+    than light ones."""
+    from big_data_hw_23_24_spark.operators.selection import priority_sample
+
+    rows = [(i, "s", 100.0 if i < 3 else 1.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    total = 3 * 100.0 + 27 * 1.0
+    ests, heavy_hits, light_hits = [], 0, 0
+    for t in range(40):
+        sample = priority_sample(df, "w", k=8, salt=f"s{t}").collect()
+        ests.append(sum(r.est_weight for r in sample))
+        heavy_hits += sum(1 for r in sample if r.weight == 100.0)
+        light_hits += sum(1 for r in sample if r.weight == 1.0)
+    mean_est = sum(ests) / len(ests)
+    assert abs(mean_est - total) / total < 0.15, mean_est
+    # 3 heavy rows should be nearly always in; 27 light rows share the rest
+    assert heavy_hits / (40 * 3) > 0.9
+    assert heavy_hits / (40 * 3) > light_hits / (40 * 27)
+
+
+def test_priority_sample_rejects_bad_k(spark):
+    from big_data_hw_23_24_spark.operators.selection import priority_sample
+
+    df = spark.createDataFrame([(1, "s", 1.0)],
+                               "doc_id long, source string, w double")
+    with pytest.raises(ValueError):
+        priority_sample(df, "w", k=0)

@@ -219,6 +219,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_pmi_collocations",   # PMI phrase mining (r8)
         "doc_jsonl_ingest",          # PERMISSIVE JSONL source face (r8)
         "doc_gopher_rules",          # Gopher quality-rule battery (r8)
+        "corpus_priority_sample",    # weighted HT sampling (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
