@@ -890,3 +890,48 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
                     "pmi")
             .withColumn("rank", F.row_number().over(
                 Window.orderBy(F.col("pmi").desc(), "w1", "w2"))))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text",
+             group_col: str = "source") -> DataFrame:
+    """Per-group Zipf-law fit: OLS of ln(frequency) on ln(rank) over
+    the group's word-frequency table → ``zipf_slope`` (Zipf predicts
+    ≈ −1 for natural language), ``zipf_intercept``, ``zipf_r2``, plus
+    ``n_vocab`` / ``n_tokens``.
+
+    The classic corpus-health diagnostic: machine-generated or
+    keyword-stuffed slices bend the rank–frequency line (|slope| far
+    from 1, low R²), and a curation pipeline wants that per SOURCE
+    before mixing. Built on the engine-wide tokenizer
+    (``util.lowered_words``) and the built-in ``regr_*`` aggregates —
+    all JVM-side.
+
+    Scale: one shuffle keyed (group, word) for the frequency table
+    (vocabulary-scale output, not corpus-scale), a rank window
+    PARTITIONED BY group over vocab-scale rows, and a tiny regr
+    aggregate per group. No corpus-scale window, no single reducer.
+    Ties rank deterministically (freq desc, word asc) — rank order
+    affects the fit, so it is pinned.
+    """
+    from pyspark.sql import Window
+
+    from .util import lowered_words
+
+    freq = (docs
+            .select(F.col(group_col).alias("grp"),
+                    F.explode(lowered_words(text_col)).alias("w"))
+            .groupBy("grp", "w").agg(F.count("*").alias("c")))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy("grp")
+            .orderBy(F.col("c").desc(), F.col("w"))))
+    return (ranked
+            .groupBy(F.col("grp").alias(group_col))
+            .agg(F.count("*").alias("n_vocab"),
+                 F.sum("c").alias("n_tokens"),
+                 F.round(F.regr_slope(F.log("c"), F.log("r")), 6)
+                 .alias("zipf_slope"),
+                 F.round(F.regr_intercept(F.log("c"), F.log("r")), 6)
+                 .alias("zipf_intercept"),
+                 F.round(F.regr_r2(F.log("c"), F.log("r")), 6)
+                 .alias("zipf_r2")))

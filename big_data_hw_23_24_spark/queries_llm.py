@@ -3720,3 +3720,39 @@ def corpus_priority_sample(spark, sf_dir):
 
     return priority_sample(load_table(spark, sf_dir, "documents"),
                            weight_col="n_chars", k=10)
+
+
+# --- Zipf rank-frequency fit (E94) -------------------------------------------
+@register(
+    "corpus_zipf_fit",
+    """
+    WITH freq AS (
+      SELECT source AS grp, w, count(*) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY c DESC, w) AS r
+      FROM freq
+    )
+    SELECT grp AS source,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(c), ln(r)), 6) AS zipf_slope,
+           round(regr_intercept(ln(c), ln(r)), 6) AS zipf_intercept,
+           round(regr_r2(ln(c), ln(r)), 6) AS zipf_r2
+    FROM ranked GROUP BY grp
+    """,
+    doc="per-source Zipf-law diagnostic: OLS of ln(freq) on ln(rank) "
+        "over the vocabulary-scale frequency table via the built-in "
+        "regr_* aggregates; slope far from -1 or low R2 flags "
+        "machine-generated / keyword-stuffed slices before mixing",
+)
+def corpus_zipf_fit(spark, sf_dir):
+    from .operators.textstats import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))

@@ -1341,3 +1341,29 @@ def test_pca_validation_and_null_vectors(spark):
     out = {r.vec_id: r.projected for r in pca_project(df, comps).collect()}
     assert out[3] is None                    # null propagates
     assert len(out[1]) == 1
+
+
+# --- Zipf fit (E94) ----------------------------------------------------------
+
+def test_zipf_fit_exact_power_law_and_flat_line(spark):
+    from big_data_hw_23_24_spark.operators.textstats import zipf_fit
+
+    # freq(word_r) = 840 / r exactly for r = 1..8 → the ln-ln points
+    # are EXACTLY collinear with slope −1: OLS must recover it
+    rows = []
+    for r in range(1, 9):
+        rows.append((r, "zipf", " ".join([f"w{r:02d}"] * (840 // r))))
+    # flat source: every word equally frequent → slope 0
+    for i in range(4):
+        rows.append((100 + i, "flat", " ".join([f"u{i}"] * 10)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in zipf_fit(df).collect()}
+    z = out["zipf"]
+    assert abs(z["zipf_slope"] + 1.0) < 1e-6
+    assert abs(z["zipf_r2"] - 1.0) < 1e-6
+    assert z["n_vocab"] == 8
+    assert z["n_tokens"] == sum(840 // r for r in range(1, 9))
+    assert abs(z["zipf_intercept"] - __import__("math").log(840)) < 1e-6
+    f = out["flat"]
+    assert f["zipf_slope"] == 0.0
+    assert f["n_vocab"] == 4
