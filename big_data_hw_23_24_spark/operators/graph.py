@@ -1,0 +1,115 @@
+"""Link-analysis over edge lists: fixed-iteration weighted PageRank.
+
+Ranking nodes of a behavioural graph (item→item transitions, host
+link graphs, citation webs) is the classic "which pages/items matter"
+signal a curation pipeline mixes into quality scoring. This module
+implements the canonical damped PageRank with explicit dangling-mass
+redistribution, as DataFrame relational algebra:
+
+* one edge-normalization join (``p(u→v) = w / out_w(u)``),
+* per iteration: one equi-join + hash aggregate keyed on the vertex id
+  (the standard distributed PageRank shuffle shape), one bounded
+  1-row dangling-mass aggregate (broadcast back, never a driver
+  ``collect`` on the data path), one left join onto the node table.
+
+With a FIXED iteration count the whole computation is deterministic
+relational algebra — the DuckDB oracle unrolls the same three
+iterations as CTEs and matches to 6 dp. Convergence-driven variants
+belong to the MRFFT category (driver-controlled rounds, SURVEY §3.2);
+the fixed-T face is the oracle-checkable one.
+
+Scale: every shuffle is keyed on a vertex id; the state per iteration
+is one (node, pr) table — never materialized per-edge beyond the join.
+Skewed in-degree (a hub node) is a hash-aggregate hot key, mitigated
+by partial aggregation map-side; no step is all-pairs. Lineage over a
+fixed 3-round loop stays bounded; iteration counts beyond ~10 should
+localCheckpoint per round like ``components.connected_components``.
+
+Reference scope: the reference engine has no graph surface; this is a
+north-star extension alongside connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight_col: str | None = None, damping: float = 0.85,
+             iterations: int = 3) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution.
+
+    ``pr'(v) = (1−d)/N + d·(Σ_u pr(u)·p(u→v) + dangling/N)`` where
+    ``p(u→v)`` is the weight-normalized transition probability and
+    ``dangling`` is the total rank sitting on nodes with no out-edges
+    (uniformly redistributed — without it the rank mass leaks and the
+    scores of disconnected sinks are wrong).
+
+    Multi-edges are aggregated first (``count(*)`` or
+    ``sum(weight_col)``). Self-loops are legal and kept. Returns
+    ``(node, pagerank, out_weight)`` with ``pagerank`` rounded to
+    6 dp; ``out_weight`` 0 marks dangling nodes.
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    w_agg = (F.count("*") if weight_col is None
+             else F.sum(weight_col)).cast("double")
+    e = edges.groupBy(F.col(src).alias("_src"), F.col(dst).alias("_dst")) \
+             .agg(w_agg.alias("_w"))
+    nodes = (e.select(F.col("_src").alias("node"))
+             .union(e.select(F.col("_dst").alias("node")))
+             .distinct().persist())
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    n_row = nodes.agg(F.count("*").cast("double").alias("_n"))
+    e_norm = (e.join(outw, "_src")
+              .select("_src", "_dst", (F.col("_w") / F.col("_ow"))
+                      .alias("_p"))
+              .persist())
+    out_weight = (nodes.join(outw.withColumnRenamed("_src", "node"),
+                             "node", "left")
+                  .select("node", F.coalesce("_ow", F.lit(0.0))
+                          .alias("out_weight"))
+                  .persist())
+    pr = (nodes.crossJoin(F.broadcast(n_row))
+          .select("node", (F.lit(1.0) / F.col("_n")).alias("pr")))
+    for _ in range(iterations):
+        contrib = (e_norm.join(pr.withColumnRenamed("node", "_src"),
+                               "_src")
+                   .groupBy(F.col("_dst").alias("node"))
+                   .agg(F.sum(F.col("pr") * F.col("_p")).alias("_c")))
+        dangling = (pr.join(out_weight.where(F.col("out_weight") > 0)
+                            .select("node"), "node", "left_anti")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
+        pr = (nodes.join(contrib, "node", "left")
+              .crossJoin(F.broadcast(n_row))
+              .crossJoin(F.broadcast(dangling))
+              .select("node",
+                      (F.lit(1.0 - damping) / F.col("_n")
+                       + F.lit(damping)
+                       * (F.coalesce("_c", F.lit(0.0))
+                          + F.col("_dm") / F.col("_n"))).alias("pr")))
+    return (pr.join(out_weight, "node")
+            .select("node", F.round("pr", 6).alias("pagerank"),
+                    "out_weight"))
+
+
+def transition_edges(events: DataFrame, user_col: str = "user_id",
+                     item_col: str = "item",
+                     order_cols: tuple[str, ...] = ("ts", "event_id"),
+                     ) -> DataFrame:
+    """Consecutive-event transition edges: for each user's event
+    sequence (ordered by ``order_cols``), emit ``(src=item_i,
+    dst=item_{i+1})``. One window PARTITIONED BY user (bounded per-user
+    sequences, never a global window) — the standard sessionized
+    clickstream → graph step."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c)
+                                               for c in order_cols])
+    return (events
+            .select(F.col(user_col),
+                    F.col(item_col).alias("src"),
+                    F.lead(item_col).over(w).alias("dst"))
+            .where(F.col("dst").isNotNull())
+            .select("src", "dst"))

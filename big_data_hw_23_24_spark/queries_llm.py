@@ -3756,3 +3756,68 @@ def corpus_zipf_fit(spark, sf_dir):
     from .operators.textstats import zipf_fit
 
     return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+# --- fixed-iteration PageRank (E95) ------------------------------------------
+# The oracle unrolls the SAME three damped iterations as CTEs; the
+# multiplication order (pr * (w/ow)) is mirrored exactly, and damping
+# constants are interpolated from the same Python doubles the Spark
+# plan uses, so both engines evaluate identical IEEE expressions.
+def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    d, one_minus_d = repr(damping), repr(1.0 - damping)
+    parts = ["""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+    ),
+    hops AS (
+      SELECT item AS src,
+             lead(item) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+      FROM seq
+    ),
+    edges AS (SELECT src, dst, count(*)::DOUBLE AS w
+              FROM hops WHERE dst IS NOT NULL GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    pr0 AS (SELECT node, 1.0 / n.n AS pr FROM nodes, n)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS node, sum(p.pr * (e.w / o.ow)) AS c
+             FROM edges e JOIN pr{i - 1} p ON p.node = e.src
+             JOIN outw o ON o.src = e.src GROUP BY 1),
+    d{i} AS (SELECT coalesce(sum(p.pr), 0.0) AS dm FROM pr{i - 1} p
+             LEFT JOIN outw o ON o.src = p.node WHERE o.src IS NULL),
+    pr{i} AS (SELECT nodes.node,
+              {one_minus_d} / n.n
+                + {d} * (coalesce(c{i}.c, 0.0) + d{i}.dm / n.n) AS pr
+              FROM nodes LEFT JOIN c{i} USING (node), n, d{i})""")
+    parts.append(f"""
+    SELECT p.node AS item, round(p.pr, 6) AS pagerank,
+           coalesce(o.ow, 0.0) AS out_weight
+    FROM pr{iterations} p LEFT JOIN outw o ON o.src = p.node""")
+    return "".join(parts)
+
+
+@register(
+    "events_item_pagerank",
+    _pagerank_oracle_sql(),
+    doc="fixed-iteration weighted PageRank over the item-transition "
+        "graph (consecutive events per user via a user-partitioned "
+        "lead window): damped rank with explicit dangling-mass "
+        "redistribution, three unrolled iterations of vertex-keyed "
+        "join+aggregate -- the clickstream importance signal, "
+        "deterministic relational algebra end to end",
+)
+def events_item_pagerank(spark, sf_dir):
+    from .operators.graph import pagerank, transition_edges
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id",
+                  F.get_json_object("props", "$.k").cast("long")
+                  .alias("item")))
+    return (pagerank(transition_edges(ev))
+            .withColumnRenamed("node", "item"))

@@ -1,0 +1,63 @@
+"""operators/graph.py: PageRank mass conservation, dangling handling,
+weight sensitivity and the transition-edge builder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hw_23_24_spark.operators.graph import (
+    pagerank,
+    transition_edges,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    out = {r.node: r.pagerank for r in
+           pagerank(_edges(spark, [(1, 2), (2, 1)])).collect()}
+    assert abs(out[1] - 0.5) < 1e-6
+    assert abs(out[2] - 0.5) < 1e-6
+
+
+def test_pagerank_conserves_mass_with_dangling_node(spark):
+    # 1 → 2, 2 → 3, 3 has no out-edge: without dangling-mass
+    # redistribution the total rank leaks below 1
+    res = pagerank(_edges(spark, [(1, 2), (2, 3)])).collect()
+    total = sum(r.pagerank for r in res)
+    assert abs(total - 1.0) < 1e-5
+    by = {r.node: r for r in res}
+    assert by[3].out_weight == 0.0          # dangling marker
+    assert by[3].pagerank > by[1].pagerank  # sink accumulates rank
+
+
+def test_pagerank_weighted_edges_steer_rank(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double")
+    out = {r.node: r.pagerank
+           for r in pagerank(df, weight_col="w").collect()}
+    assert out[2] > out[3]  # 3× the transition probability from 1
+
+
+def test_pagerank_partitioning_invariant_and_validates(spark):
+    edges = _edges(spark, [(i, (i * 7) % 11) for i in range(11)])
+    a = sorted(map(tuple, pagerank(edges).collect()))
+    b = sorted(map(tuple, pagerank(edges.repartition(5)).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+
+
+def test_transition_edges_orders_within_user(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, 1, 100), (1, 20, 2, 200), (1, 30, 3, 300),
+         (2, 10, 4, 400)],
+        "user_id long, ts long, event_id long, item long")
+    got = sorted(map(tuple,
+                     transition_edges(ev, item_col="item").collect()))
+    # user 1: 100→200→300; user 2: single event, no edge
+    assert got == [(100, 200), (200, 300)]
