@@ -935,3 +935,43 @@ def zipf_fit(docs: DataFrame, text_col: str = "text",
                  .alias("zipf_intercept"),
                  F.round(F.regr_r2(F.log("c"), F.log("r")), 6)
                  .alias("zipf_r2")))
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = 8,
+                          text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Directed cross-source n-gram containment matrix: for every
+    ordered source pair (a, b), how many of a's DISTINCT word
+    n-grams also occur in b, and the containment share
+    ``n_common / |grams(a)|``.
+
+    The slice-level contamination diagnostic: before mixing sources
+    (or trusting a "held-out" slice), a pipeline wants to know how
+    much of slice A is literally present in slice B — high
+    containment means the slices are not independent (mirror sites,
+    syndicated feeds, shared boilerplate). Doc-level overlap ops
+    (``doc_overlap_pairs``, ``shingle_containment_pairs``) answer
+    "which documents"; this answers "which SLICES", aggregated.
+
+    Scale shape: the per-source distinct gram table bounds everything
+    — one (source, gram) aggregate, then a gram-KEYED equi-join whose
+    per-gram fanout is at most (#sources)², never doc-pairs, then a
+    (src_a, src_b) aggregate of at most |sources|² rows. Reuses
+    ``_ngram_pairs``'s fanout-guarded explode.
+    """
+    sg = (_ngram_pairs(docs.select(source_col, text_col), n, text_col,
+                       source_col)
+          .select(F.col(source_col), "ngram"))
+    sizes = sg.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_grams_a"))
+    inter = (sg.select(F.col(source_col).alias("src_a"), "ngram")
+             .join(sg.select(F.col(source_col).alias("src_b"), "ngram"),
+                   "ngram")
+             .where(F.col("src_a") != F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count("*").cast("long").alias("n_common")))
+    return (inter.join(sizes.withColumnRenamed(source_col, "src_a"),
+                       "src_a")
+            .select("src_a", "src_b", "n_grams_a", "n_common",
+                    F.round(F.col("n_common") / F.col("n_grams_a"), 6)
+                    .alias("containment")))

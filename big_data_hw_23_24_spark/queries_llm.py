@@ -3821,3 +3821,48 @@ def events_item_pagerank(spark, sf_dir):
                   .alias("item")))
     return (pagerank(transition_edges(ev))
             .withColumnRenamed("node", "item"))
+
+
+# --- cross-source containment matrix (E96) -----------------------------------
+# n = 5 (not the decontamination default 8): the synthetic corpus's
+# docs are ~56 words over a small vocabulary, and cross-source
+# repeated 8-grams don't exist at sf0.001 -- a vacuous 0-row face
+# proves nothing, the r04 lesson.
+@register(
+    "corpus_source_overlap",
+    """
+    WITH f AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             unnest(list_transform(range(0, len(ws) - 4),
+                    i -> array_to_string(ws[i + 1 : i + 5], ' ')))
+               AS ngram
+      FROM f WHERE len(ws) >= 5
+    ),
+    sg AS (SELECT DISTINCT source, ngram FROM g),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams_a
+              FROM sg GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sg a JOIN sg b USING (ngram)
+      WHERE a.source <> b.source GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, s.n_grams_a, n_common,
+           round(n_common::DOUBLE / s.n_grams_a, 6) AS containment
+    FROM inter JOIN sizes s ON s.source = inter.src_a
+    """,
+    doc="directed cross-source 5-gram containment matrix: how much of "
+        "slice A literally occurs in slice B -- the slice-independence "
+        "diagnostic before mixing; gram-keyed equi-join with fanout "
+        "bounded by sources^2 per gram, never doc-pairs",
+)
+def corpus_source_overlap(spark, sf_dir):
+    from .operators.textstats import source_overlap_matrix
+
+    return source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"), n=5)

@@ -1367,3 +1367,29 @@ def test_zipf_fit_exact_power_law_and_flat_line(spark):
     f = out["flat"]
     assert f["zipf_slope"] == 0.0
     assert f["n_vocab"] == 4
+
+
+# --- source overlap matrix (E96) ---------------------------------------------
+
+def test_source_overlap_matrix_directed_containment(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        source_overlap_matrix,
+    )
+
+    # B contains ALL of A's grams (plus its own); A contains only a
+    # fraction of B's → containment is asymmetric by construction
+    a_text = "one two three four five"
+    b_text = a_text + " six seven eight nine ten eleven"
+    df = spark.createDataFrame(
+        [(1, "A", a_text), (2, "B", b_text), (3, "C", "x y z")],
+        "doc_id long, source string, text string")
+    out = {(r.src_a, r.src_b): r
+           for r in source_overlap_matrix(df, n=3).collect()}
+    assert out[("A", "B")].containment == 1.0       # A fully inside B
+    ab = out[("B", "A")]
+    assert 0 < ab.containment < 1.0
+    assert ab.n_common == out[("A", "B")].n_common  # same intersection
+    assert ("C", "A") not in out and ("A", "C") not in out  # disjoint
+    # n_grams accounting: A has 3 3-grams, B has 9
+    assert out[("A", "B")].n_grams_a == 3
+    assert out[("B", "A")].n_grams_a == 9
