@@ -27,6 +27,7 @@ north-star calls for.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -393,3 +394,46 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
             & (F.col("alpha_word_ratio") >= min_alpha_ratio)
             & (F.col("stop_hits") >= min_stop_hits))
     return m.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def normalize_unicode(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      form: str = "NFC") -> DataFrame:
+    """Unicode normalization (NFC by default): compose decomposed
+    sequences (``e`` + U+0301 → ``é``) so visually-identical strings
+    hash identically — a REQUIRED step before any fingerprint/MinHash
+    dedup on multilingual web text, where crawlers deliver a mix of
+    NFC and NFD encodings of the same page.
+
+    Returns ``(id, norm_text, changed, len_before, len_after)``;
+    ``changed`` compares CONTENT, not length (normalization can
+    reorder combining marks without changing length). Lengths are in
+    UTF-16 code units (Spark's ``length`` convention; identical to
+    code points off the astral planes).
+
+    The JVM exposes no SQL-level normalizer, so this is a vectorized
+    Arrow ``pandas_udf`` over ``unicodedata.normalize`` — one of the
+    engine's documented Python extension points (batch transfer,
+    never row-at-a-time ``BatchEvalPython``); the plan is a single
+    narrow projection, zero shuffles. A DuckDB oracle reproduces it
+    exactly via ``nfc_normalize`` (Unicode normalization is an
+    engine-neutral spec, so the UDF is cross-engine value-checkable
+    the same way the md5-hashed classifier is).
+    """
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+
+    text = F.col(text_col)
+    return (docs.select(F.col(id_col),
+                        text.alias("_orig"),
+                        _norm(text).alias("norm_text"))
+            .select(id_col, "norm_text",
+                    (F.col("norm_text") != F.col("_orig"))
+                    .alias("changed"),
+                    F.length("_orig").cast("long").alias("len_before"),
+                    F.length("norm_text").cast("long")
+                    .alias("len_after")))

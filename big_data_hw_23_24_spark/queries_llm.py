@@ -3866,3 +3866,47 @@ def corpus_source_overlap(spark, sf_dir):
 
     return source_overlap_matrix(
         load_table(spark, sf_dir, "documents"), n=5)
+
+
+# --- unicode NFC normalization (E97) -----------------------------------------
+# The corpus is pure ASCII, so the face decomposes it deterministically
+# (every 'e' -> 'e' + U+0301 for doc_id % 3 = 0, a composed-accent
+# suffix for % 5 = 0) -- NFC must recompose the former (changed=true)
+# and fix neither the latter nor plain ASCII (changed=false).
+@register(
+    "doc_unicode_nfc",
+    """
+    WITH page AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN replace(text, 'e', 'e' || chr(769))
+                  ELSE text END
+             || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233)
+                  ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(t) AS norm_text,
+           nfc_normalize(t) <> t AS changed,
+           CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_after
+    FROM page
+    """,
+    doc="unicode NFC normalization before fingerprint dedup: "
+        "decomposed combining sequences recompose so visually-equal "
+        "strings hash equal; Arrow pandas_udf over unicodedata "
+        "(no JVM SQL normalizer exists) value-checked against "
+        "DuckDB's nfc_normalize",
+)
+def doc_unicode_nfc(spark, sf_dir):
+    from .operators.cleaning import normalize_unicode
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.replace(F.col("text"), F.lit("e"),
+                         F.lit("e\u0301")))
+        .otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" café"))
+        .otherwise(F.lit("")))
+    return normalize_unicode(docs.select("doc_id", page.alias("text")))

@@ -739,3 +739,37 @@ def test_priority_sample_rejects_bad_k(spark):
                                "doc_id long, source string, w double")
     with pytest.raises(ValueError):
         priority_sample(df, "w", k=0)
+
+
+# --- unicode NFC normalization (E97) -----------------------------------------
+
+def test_normalize_unicode_composes_and_flags(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import normalize_unicode
+
+    rows = [
+        (1, "café"),            # already NFC → unchanged
+        (2, "café"),           # decomposed → composes, shrinks
+        (3, "plain ascii"),
+        (4, None),
+    ]
+    out = {r.doc_id: r for r in normalize_unicode(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[1].changed is False and out[1].norm_text == "café"
+    assert out[2].changed is True
+    assert out[2].norm_text == "café"
+    assert (out[2].len_before, out[2].len_after) == (5, 4)
+    assert out[3].changed is False
+    assert out[4].norm_text is None and out[4].changed is None
+    # fingerprint-dedup motivation: the two spellings now hash equal
+    assert out[1].norm_text == out[2].norm_text
+
+
+def test_normalize_unicode_is_arrow_vectorized_no_shuffle(spark):
+    from big_data_hw_23_24_spark.operators.cleaning import normalize_unicode
+
+    df = normalize_unicode(spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan       # vectorized extension point
+    assert "BatchEvalPython" not in plan   # never row-at-a-time
+    assert "Exchange" not in plan

@@ -223,6 +223,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_zipf_fit",           # rank-frequency OLS diagnostic (r8)
         "events_item_pagerank",      # fixed-iteration PageRank (r8)
         "corpus_source_overlap",     # cross-slice containment matrix (r8)
+        "doc_unicode_nfc",           # NFC normalization (Arrow UDF) (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
