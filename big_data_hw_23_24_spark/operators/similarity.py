@@ -574,3 +574,88 @@ def pca_project(emb: DataFrame, components: "np.ndarray",
         return pd.Series(out)
 
     return emb.select(F.col(id_col), project(F.col(vec_col)).alias(out_col))
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               pool_size: int = 20, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results that balance query relevance
+    against redundancy with what is already picked —
+    ``score(d) = λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)``.
+
+    The diversity step a retrieval-augmented or dedup-aware selection
+    pipeline runs AFTER top-k: plain cosine top-k returns near-copies
+    of one passage; MMR k=5 over a pool of 20 returns five *distinct*
+    relevant passages.
+
+    Shape: stage 1 is the distributed exact ``cosine_topk`` pool
+    (broadcast queries, corpus never shuffled); the greedy stage is
+    ``k`` UNROLLED relational steps over the persisted pool — each an
+    anti-join (drop picked), a query-keyed join to the ≤ i picked
+    rows for the pairwise max, and a per-query argmax — every join
+    keyed on query_id, every frame bounded by queries × pool. Greedy
+    selection is inherently sequential in k (each pick conditions the
+    next), so fixed-k unrolling is the honest dataflow — and keeps
+    the whole thing deterministic relational algebra with a DuckDB
+    oracle (same unrolled CTEs), unlike a per-query Python kernel.
+    Ranks on RAW doubles (ties by cand id), rounds only reported
+    values — the ``_rank_topk`` convention.
+    """
+    if k <= 0 or pool_size < k:
+        raise ValueError(f"need 0 < k <= pool_size, got {k}/{pool_size}")
+    lam1 = 1.0 - lam
+    q = with_l2_norm(queries.select(F.col(id_col).alias("query_id"),
+                                    F.col(vec_col).alias("qv")),
+                     "qv", "qn")
+    c = with_l2_norm(corpus.select(F.col(id_col).alias("cand_id"),
+                                   F.col(vec_col).alias("cv")),
+                     "cv", "cn")
+    scored = (F.broadcast(q).crossJoin(c)
+              .where(F.col("query_id") != F.col("cand_id"))
+              .select("query_id", "cand_id", "cv", "cn",
+                      (_dot(F.col("qv"), F.col("cv"))
+                       / (F.col("qn") * F.col("cn"))).alias("rel")))
+    w = W.partitionBy("query_id").orderBy(F.col("rel").desc(),
+                                          F.col("cand_id"))
+    pool = (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= pool_size).drop("_r").persist())
+
+    def _pick(frame: DataFrame, rank: int) -> DataFrame:
+        ww = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("cand_id"))
+        return (frame.withColumn("_rr", F.row_number().over(ww))
+                .where(F.col("_rr") == 1).drop("_rr")
+                .withColumn("mmr_rank", F.lit(rank)))
+
+    # each sel_i sits under every later step's anti-join, pairwise max
+    # AND union, so the LOGICAL plan doubles per step — persist() alone
+    # doesn't help because Catalyst still analyzes the full unrolled
+    # tree (measured: step times 1.7 → 3.3 → OOM at k=5, sf0.01).
+    # localCheckpoint truncates the lineage each round — the
+    # connected_components / MRFFT iterative contract (SURVEY §3.2);
+    # the checkpointed state is ≤ queries × k tiny rows.
+    sel = _pick(pool.withColumn(
+        "score", F.lit(lam) * F.col("rel") - F.lit(lam1) * F.lit(0.0)),
+        1).localCheckpoint()
+    for i in range(2, k + 1):
+        rem = pool.join(sel.select("query_id", "cand_id"),
+                        ["query_id", "cand_id"], "left_anti")
+        ms = (rem.join(sel.select("query_id",
+                                  F.col("cv").alias("sv"),
+                                  F.col("cn").alias("sn")), "query_id")
+              .groupBy("query_id", "cand_id")
+              .agg(F.max(_dot(F.col("cv"), F.col("sv"))
+                         / (F.col("cn") * F.col("sn"))).alias("_m")))
+        cand = (rem.join(ms, ["query_id", "cand_id"], "left")
+                .withColumn("score",
+                            F.lit(lam) * F.col("rel")
+                            - F.lit(lam1) * F.coalesce("_m", F.lit(0.0)))
+                .drop("_m"))
+        sel = sel.unionByName(_pick(cand, i)).localCheckpoint()
+    return sel.select("query_id",
+                      F.col("cand_id").alias("neighbor_id"),
+                      F.col("mmr_rank").cast("long").alias("mmr_rank"),
+                      F.round("rel", 6).alias("cosine"),
+                      F.round("score", 6).alias("mmr_score"))

@@ -3910,3 +3910,83 @@ def doc_unicode_nfc(spark, sf_dir):
         F.when(F.col("doc_id") % 5 == 0, F.lit(" café"))
         .otherwise(F.lit("")))
     return normalize_unicode(docs.select("doc_id", page.alias("text")))
+
+
+# --- MMR diversified re-ranking (E98) ----------------------------------------
+# Greedy selection is sequential in k, so the oracle unrolls the same
+# five argmax steps as CTEs (the PageRank pattern); scores are ranked
+# on RAW doubles in both engines -- safe because the engines' cosine
+# parity is already established by the knn_* faces -- and the damping
+# constants interpolate the same Python doubles the Spark plan uses.
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    l, l1 = repr(lam), repr(1.0 - lam)
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pool AS (
+      SELECT query_id, cand_id, cv, rel FROM (
+        SELECT q.query_id, c.vec_id AS cand_id, c.v AS cv,
+               list_cosine_similarity(q.qv, c.v) AS rel,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                          c.vec_id) AS r
+        FROM q JOIN e c ON c.vec_id <> q.query_id)
+      WHERE r <= {pool}
+    ),
+    pick1 AS (
+      SELECT query_id, cand_id, cv, rel, score, 1 AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, cand_id) AS rr
+        FROM (SELECT *, {l} * rel - {l1} * 0.0 AS score FROM pool))
+      WHERE rr = 1
+    ),
+    sel1 AS (SELECT query_id, cand_id, cv, rel, score, mmr_rank
+             FROM pick1)"""
+    for i in range(2, k + 1):
+        p = i - 1
+        sql += f""",
+    rem{i} AS (SELECT pl.* FROM pool pl
+               WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
+                                 WHERE s.query_id = pl.query_id
+                                   AND s.cand_id = pl.cand_id)),
+    ms{i} AS (SELECT r.query_id, r.cand_id,
+                     max(list_cosine_similarity(r.cv, s.cv)) AS m
+              FROM rem{i} r JOIN sel{p} s ON s.query_id = r.query_id
+              GROUP BY 1, 2),
+    pick{i} AS (
+      SELECT query_id, cand_id, cv, rel, score, {i} AS mmr_rank FROM (
+        SELECT r.query_id, r.cand_id, r.cv, r.rel,
+               {l} * r.rel - {l1} * coalesce(m.m, 0.0) AS score,
+               row_number() OVER (PARTITION BY r.query_id
+                 ORDER BY {l} * r.rel - {l1} * coalesce(m.m, 0.0) DESC,
+                          r.cand_id) AS rr
+        FROM rem{i} r LEFT JOIN ms{i} m
+          ON m.query_id = r.query_id AND m.cand_id = r.cand_id)
+      WHERE rr = 1),
+    sel{i} AS (SELECT * FROM sel{p} UNION ALL
+               SELECT query_id, cand_id, cv, rel, score, mmr_rank
+               FROM pick{i})"""
+    sql += f"""
+    SELECT query_id, cand_id AS neighbor_id,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           round(rel, 6) AS cosine, round(score, 6) AS mmr_score
+    FROM sel{k}"""
+    return sql
+
+
+@register(
+    "knn_mmr_rerank",
+    _mmr_oracle_sql(),
+    doc="maximal-marginal-relevance diversification after top-k: "
+        "greedy lambda-weighted relevance-vs-redundancy selection "
+        "(k=5 from a pool of 20), five unrolled relational argmax "
+        "steps over the persisted broadcast-query pool -- every join "
+        "keyed on query_id, the pool bounded, no Python kernel",
+)
+def knn_mmr_rerank(spark, sf_dir):
+    from .operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.where(F.col("vec_id") < 5),
+                      k=5, pool_size=20, lam=0.7)

@@ -1393,3 +1393,55 @@ def test_source_overlap_matrix_directed_containment(spark):
     # n_grams accounting: A has 3 3-grams, B has 9
     assert out[("A", "B")].n_grams_a == 3
     assert out[("B", "A")].n_grams_a == 9
+
+
+# --- MMR re-ranking (E98) ----------------------------------------------------
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    from big_data_hw_23_24_spark.operators.similarity import mmr_rerank
+
+    # q = [1,0]; a and a' are near-duplicates very close to q; b is
+    # less relevant but nearly orthogonal to a. At λ=0.5 the scores
+    # are a': 0.5·0.990 − 0.5·1.000 ≈ −0.005 vs b: 0.5·0.6 − 0.5·0.482
+    # ≈ +0.059 — diversity must win (at λ=0.7 redundant a' would
+    # legitimately win; verified by hand).
+    rows = [
+        (0, [1.0, 0.0]),          # query
+        (1, [0.99, 0.14]),        # a   (top relevance)
+        (2, [0.99, 0.141]),       # a'  (redundant with a)
+        (3, [0.60, -0.80]),       # b   (diverse)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(emb, emb.where("vec_id = 0"), k=2, pool_size=3,
+                     lam=0.5)
+    got = sorted(((r.mmr_rank, r.neighbor_id) for r in out.collect()))
+    # rank 1 is pure relevance (a); rank 2 must skip the near-copy a'
+    # and take the diverse b
+    assert got == [(1, 1), (2, 3)]
+
+
+def test_mmr_rank1_equals_cosine_top1_and_k_bounds(spark):
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 3")
+    top1 = {r.query_id: r.neighbor_id
+            for r in cosine_topk(emb, queries, k=1).collect()}
+    mmr = mmr_rerank(emb, queries, k=3, pool_size=10, lam=0.5)
+    first = {r.query_id: r.neighbor_id
+             for r in mmr.collect() if r.mmr_rank == 1}
+    assert first == top1
+    # each query yields exactly k distinct neighbors
+    rows = mmr.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(v) == 3 for v in per_q.values())
+    with _pytest.raises(ValueError):
+        mmr_rerank(emb, queries, k=5, pool_size=3)

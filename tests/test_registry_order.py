@@ -224,6 +224,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_item_pagerank",      # fixed-iteration PageRank (r8)
         "corpus_source_overlap",     # cross-slice containment matrix (r8)
         "doc_unicode_nfc",           # NFC normalization (Arrow UDF) (r8)
+        "knn_mmr_rerank",            # MMR diversified top-k (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
