@@ -3990,3 +3990,46 @@ def knn_mmr_rerank(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, emb.where(F.col("vec_id") < 5),
                       k=5, pool_size=20, lam=0.7)
+
+
+# --- daily volume anomaly scores (E99) ---------------------------------------
+@register(
+    "events_daily_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, day, n,
+             avg(n) OVER w AS a,
+             stddev_samp(n) OVER w AS s,
+             count(n) OVER w AS c
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           CASE WHEN c >= 3 THEN round(a, 6) END AS baseline_avg,
+           CASE WHEN c >= 3 THEN round(s, 6) END AS baseline_std,
+           round(CASE WHEN c >= 3 AND s > 0
+                      THEN (n - a) / s END, 6) AS z,
+           coalesce(abs(CASE WHEN c >= 3 AND s > 0
+                             THEN (n - a) / s END) > 2.0, false)
+             AS is_anomaly
+    FROM scored
+    """,
+    doc="per-type daily event-volume anomaly: z-score of each day's "
+        "count against the strictly-trailing 7-day ROWS baseline "
+        "(never self-inclusive); ingestion failures read as z << 0, "
+        "bot floods as z >> 0; the window side is days x keys rows, "
+        "never event-scale",
+)
+def events_daily_anomaly(spark, sf_dir):
+    from .operators.timeseries import daily_anomaly_scores
+
+    # DATE → ISO string on both sides: the compare layer treats
+    # Spark date objects and DuckDB datetime64 days as different
+    return (daily_anomaly_scores(load_table(spark, sf_dir, "events"))
+            .withColumn("day", F.col("day").cast("string")))

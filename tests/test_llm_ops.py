@@ -1445,3 +1445,61 @@ def test_mmr_rank1_equals_cosine_top1_and_k_bounds(spark):
     assert all(len(v) == 3 for v in per_q.values())
     with _pytest.raises(ValueError):
         mmr_rerank(emb, queries, k=5, pool_size=3)
+
+
+# --- daily anomaly scores (E99) ----------------------------------------------
+
+def test_daily_anomaly_flags_spike_not_baseline(spark):
+    import datetime as dt
+
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        daily_anomaly_scores,
+    )
+
+    # 9 steady days of 10 events, then a 50-event spike on day 10
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        n = 50 if d == 10 else 10
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, d, 12, 0, 0), "click"))
+            eid += 1
+    # jitter two baseline days so the trailing stddev is nonzero
+    rows.append((eid, dt.datetime(2024, 1, 5, 13, 0, 0), "click"))
+    rows.append((eid + 1, dt.datetime(2024, 1, 7, 13, 0, 0), "click"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "event_type string")
+    out = {r.day.isoformat(): r for r in daily_anomaly_scores(ev).collect()}
+    assert out["2024-01-10"].is_anomaly is True
+    assert out["2024-01-10"].z > 2
+    # first days: insufficient baseline → null z, not anomalous
+    assert out["2024-01-01"].z is None
+    assert out["2024-01-01"].is_anomaly is False
+    assert out["2024-01-02"].baseline_avg is None
+    # steady mid-baseline day is unremarkable
+    assert out["2024-01-09"].is_anomaly is False
+
+
+def test_daily_anomaly_zero_variance_baseline_gives_null_z(spark):
+    import datetime as dt
+
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        daily_anomaly_scores,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 9):
+        for _ in range(5):  # perfectly flat baseline
+            rows.append((eid, dt.datetime(2024, 2, d, 9, 0, 0), "view"))
+            eid += 1
+    for _ in range(40):
+        rows.append((eid, dt.datetime(2024, 2, 9, 9, 0, 0), "view"))
+        eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "event_type string")
+    out = {r.day.isoformat(): r for r in daily_anomaly_scores(ev).collect()}
+    # flat baseline: std = 0 → z null even though the spike is real
+    assert out["2024-02-09"].baseline_std == 0.0
+    assert out["2024-02-09"].z is None
+    assert out["2024-02-09"].is_anomaly is False

@@ -225,6 +225,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_source_overlap",     # cross-slice containment matrix (r8)
         "doc_unicode_nfc",           # NFC normalization (Arrow UDF) (r8)
         "knn_mmr_rerank",            # MMR diversified top-k (r8)
+        "events_daily_anomaly",      # trailing-baseline z-scores (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
