@@ -975,3 +975,51 @@ def source_overlap_matrix(docs: DataFrame, n: int = 8,
             .select("src_a", "src_b", "n_grams_a", "n_common",
                     F.round(F.col("n_common") / F.col("n_grams_a"), 6)
                     .alias("containment")))
+
+
+def vocab_growth_curve(docs: DataFrame, text_col: str = "text",
+                       group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: per group, walk documents
+    in ``id_col`` order and report after each one the cumulative
+    token count and cumulative DISTINCT vocabulary → ``(group, id,
+    n_words, cum_tokens, new_words, cum_vocab)``.
+
+    Natural language grows vocabulary ≈ K·nᵝ (β ≈ 0.5); a slice
+    whose curve flattens early is template/boilerplate spam, one that
+    stays near-linear is ID-like noise — the companion diagnostic to
+    :func:`zipf_fit` and the standard "is more data still adding new
+    words" curation question.
+
+    Scale shape: the vocabulary walk needs each word only at its
+    FIRST occurrence — one (group, word) → min(id) aggregate
+    (vocabulary-scale), re-aggregated to per-doc ``new_words``; both
+    cumulative sums are windows PARTITIONED BY group ordered by id.
+    No corpus-scale window, no explode survives past the two hash
+    aggregates. Documents absent from a group's vocab table (empty
+    text) still appear with ``new_words = 0``.
+    """
+    from pyspark.sql import Window
+
+    from .util import lowered_words
+
+    tok = docs.select(F.col(group_col).alias("grp"), F.col(id_col),
+                      F.explode(lowered_words(text_col)).alias("w"))
+    per_doc = (docs.select(F.col(group_col).alias("grp"), F.col(id_col),
+                           F.size(lowered_words(text_col))
+                           .alias("n_words")))
+    first_occ = (tok.groupBy("grp", "w")
+                 .agg(F.min(id_col).alias("first_id")))
+    news = (first_occ.groupBy("grp", F.col("first_id").alias(id_col))
+            .agg(F.count("*").alias("new_words")))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (per_doc.join(news, ["grp", id_col], "left")
+            .select(F.col("grp").alias(group_col), id_col,
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.coalesce("new_words", F.lit(0)).cast("long")
+                    .alias("new_words"))
+            .withColumn("cum_tokens",
+                        F.sum("n_words").over(w).cast("long"))
+            .withColumn("cum_vocab",
+                        F.sum("new_words").over(w).cast("long")))

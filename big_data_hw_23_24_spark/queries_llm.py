@@ -4033,3 +4033,49 @@ def events_daily_anomaly(spark, sf_dir):
     # Spark date objects and DuckDB datetime64 days as different
     return (daily_anomaly_scores(load_table(spark, sf_dir, "events"))
             .withColumn("day", F.col("day").cast("string")))
+
+
+# --- Heaps vocabulary-growth curve (E100) ------------------------------------
+@register(
+    "corpus_vocab_growth",
+    """
+    WITH per_doc AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS n_words
+      FROM documents
+    ),
+    tok AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    first_occ AS (
+      SELECT source, w, min(doc_id) AS first_id
+      FROM tok GROUP BY 1, 2
+    ),
+    news AS (
+      SELECT source, first_id AS doc_id, count(*) AS new_words
+      FROM first_occ GROUP BY 1, 2
+    )
+    SELECT p.source, p.doc_id,
+           CAST(p.n_words AS BIGINT) AS n_words,
+           CAST(coalesce(n.new_words, 0) AS BIGINT) AS new_words,
+           CAST(sum(p.n_words) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.new_words, 0)) OVER w AS BIGINT)
+             AS cum_vocab
+    FROM per_doc p LEFT JOIN news n USING (source, doc_id)
+    WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Heaps-law vocabulary-growth curve per source: cumulative "
+        "tokens vs cumulative distinct vocabulary in doc order -- "
+        "'is more data still adding new words'; first-occurrence "
+        "min-aggregate plus source-partitioned cumulative windows, "
+        "vocabulary-scale shuffles only",
+)
+def corpus_vocab_growth(spark, sf_dir):
+    from .operators.textstats import vocab_growth_curve
+
+    return vocab_growth_curve(load_table(spark, sf_dir, "documents"))

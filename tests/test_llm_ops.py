@@ -1503,3 +1503,26 @@ def test_daily_anomaly_zero_variance_baseline_gives_null_z(spark):
     assert out["2024-02-09"].baseline_std == 0.0
     assert out["2024-02-09"].z is None
     assert out["2024-02-09"].is_anomaly is False
+
+
+# --- vocab growth curve (E100) -----------------------------------------------
+
+def test_vocab_growth_counts_first_occurrences_only(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        vocab_growth_curve,
+    )
+
+    rows = [
+        (1, "s", "a b c"),
+        (2, "s", "a b d"),      # only 'd' is new
+        (3, "s", "a a a"),      # nothing new
+        (4, "s", ""),           # empty doc still present
+        (10, "t", "a b"),       # vocab restarts per group
+    ]
+    out = {(r.source, r.doc_id): r for r in vocab_growth_curve(
+        spark.createDataFrame(rows, "doc_id long, source string, "
+                                    "text string")).collect()}
+    assert [out[("s", i)].new_words for i in (1, 2, 3, 4)] == [3, 1, 0, 0]
+    assert [out[("s", i)].cum_vocab for i in (1, 2, 3, 4)] == [3, 4, 4, 4]
+    assert [out[("s", i)].cum_tokens for i in (1, 2, 3, 4)] == [3, 6, 9, 9]
+    assert out[("t", 10)].cum_vocab == 2 and out[("t", 10)].cum_tokens == 2
