@@ -4079,3 +4079,52 @@ def corpus_vocab_growth(spark, sf_dir):
     from .operators.textstats import vocab_growth_curve
 
     return vocab_growth_curve(load_table(spark, sf_dir, "documents"))
+
+
+# --- snapshot diff (E101) ----------------------------------------------------
+# Two snapshots are synthesized deterministically from the one corpus:
+# OLD drops doc_id % 43 = 1 (those become 'added'), NEW drops
+# doc_id % 47 = 0 ('removed') and rewrites doc_id % 31 = 2
+# ('modified'); everything else is 'unchanged' -- all four statuses
+# provably populated.
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             md5(coalesce(regexp_replace(lower(trim(text)), ' +', ' ',
+                                         'g'), '')) AS old_fp
+      FROM documents WHERE doc_id % 43 <> 1
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(coalesce(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 31 = 2 THEN text || ' rewritten'
+                    ELSE text END)), ' +', ' ', 'g'), '')) AS new_fp
+      FROM documents WHERE doc_id % 47 <> 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp = new_fp THEN 'unchanged'
+                ELSE 'modified' END AS status,
+           old_fp, new_fp
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    """,
+    doc="dataset snapshot diff: content change set between two corpus "
+        "versions by dedup fingerprint (added/removed/modified/"
+        "unchanged), one full-outer equi-join of 32-byte (id, hash) "
+        "projections -- text never shuffles; the promotion gate "
+        "before training on a re-crawled snapshot",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    from .operators.diff import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 43 != 1).select("doc_id", "text")
+    new = (docs.where(F.col("doc_id") % 47 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 31 == 2,
+                          F.concat(F.col("text"), F.lit(" rewritten")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot_diff(old, new)

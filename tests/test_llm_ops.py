@@ -1526,3 +1526,38 @@ def test_vocab_growth_counts_first_occurrences_only(spark):
     assert [out[("s", i)].cum_vocab for i in (1, 2, 3, 4)] == [3, 4, 4, 4]
     assert [out[("s", i)].cum_tokens for i in (1, 2, 3, 4)] == [3, 6, 9, 9]
     assert out[("t", 10)].cum_vocab == 2 and out[("t", 10)].cum_tokens == 2
+
+
+# --- snapshot diff (E101) ----------------------------------------------------
+
+def test_snapshot_diff_total_taxonomy(spark):
+    from big_data_hw_23_24_spark.operators.diff import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "goes away"),
+         (4, "Same   TEXT")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed!"), (5, "brand new"),
+         (4, "same text")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "modified", 3: "removed",
+                   5: "added", 4: "unchanged"}  # 4: normalization equal
+    summary = {r.status: r.n_docs
+               for r in snapshot_diff_summary(old, new).collect()}
+    assert summary == {"unchanged": 2, "modified": 1, "removed": 1,
+                       "added": 1}
+
+
+def test_snapshot_diff_null_text_reads_as_modified(spark):
+    from big_data_hw_23_24_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "text")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    (row,) = snapshot_diff(old, new).collect()
+    assert row.status == "modified"
+    assert row.new_fp is not None  # fingerprint of '', not a join null

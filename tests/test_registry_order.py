@@ -227,6 +227,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "knn_mmr_rerank",            # MMR diversified top-k (r8)
         "events_daily_anomaly",      # trailing-baseline z-scores (r8)
         "corpus_vocab_growth",       # Heaps-law growth curve (r8)
+        "corpus_snapshot_diff",      # fingerprint change set (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
