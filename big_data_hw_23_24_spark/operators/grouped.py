@@ -75,3 +75,56 @@ def grouped_topk(df: DataFrame, group_cols: list[str],
     final = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (survivors.withColumn(rank_col, F.row_number().over(final))
             .where(F.col(rank_col) <= k))
+
+
+def ks_distance_matrix(df: DataFrame, value_col: str,
+                       group_col: str = "source") -> DataFrame:
+    """Pairwise two-sample Kolmogorov–Smirnov distance between the
+    per-group empirical distributions of ``value_col`` →
+    ``(grp_a, grp_b, n_a, n_b, ks)`` for ``grp_a < grp_b``.
+
+    The drift / slice-independence test over a numeric property
+    (document length, quality score, perplexity): KS = max vertical
+    gap between the two empirical CDFs. Two sources with
+    near-identical length distributions (low KS) were probably carved
+    from the same crawl; a new snapshot whose KS against the previous
+    one jumps is a pipeline regression. Complements
+    ``source_overlap_matrix`` (content overlap) with a
+    DISTRIBUTIONAL comparison.
+
+    Scale shape: everything is bounded by ``distinct values ×
+    groups``, never row count — one (group, value) count aggregate,
+    a broadcast of the distinct-value grid to densify each group's
+    step function, one cumulative window PARTITIONED BY group over
+    the grid, then a value-keyed pair join whose fanout per grid
+    point is groups². CDFs are exact integer ratios (count/n), so
+    both engines compute identical doubles and the max gap carries
+    no float-ulp hazard.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vc = (df.where(F.col(value_col).isNotNull())
+          .groupBy(F.col(group_col).alias("grp"),
+                   F.col(value_col).alias("x"))
+          .agg(F.count("*").alias("c")))
+    grid = vc.select("x").distinct()
+    sizes = vc.groupBy("grp").agg(F.sum("c").alias("n"))
+    dense = (sizes.crossJoin(F.broadcast(grid))
+             .join(vc, ["grp", "x"], "left")
+             .select("grp", "x", "n",
+                     F.coalesce("c", F.lit(0)).alias("c")))
+    w = (Window.partitionBy("grp").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cdf = dense.select("grp", "x", "n",
+                       (F.sum("c").over(w) / F.col("n")).alias("cdf"))
+    a = cdf.select(F.col("grp").alias("grp_a"), "x",
+                   F.col("n").alias("n_a"), F.col("cdf").alias("cdf_a"))
+    b = cdf.select(F.col("grp").alias("grp_b"), "x",
+                   F.col("n").alias("n_b"), F.col("cdf").alias("cdf_b"))
+    return (a.join(b, "x").where(F.col("grp_a") < F.col("grp_b"))
+            .groupBy("grp_a", "grp_b")
+            .agg(F.max("n_a").cast("long").alias("n_a"),
+                 F.max("n_b").cast("long").alias("n_b"),
+                 F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))),
+                         6).alias("ks")))

@@ -4128,3 +4128,45 @@ def corpus_snapshot_diff(spark, sf_dir):
                           F.concat(F.col("text"), F.lit(" rewritten")))
                    .otherwise(F.col("text")).alias("text")))
     return snapshot_diff(old, new)
+
+
+# --- KS distance matrix (E102) -----------------------------------------------
+@register(
+    "corpus_length_ks_matrix",
+    """
+    WITH vc AS (
+      SELECT source AS grp, n_chars AS x, count(*) AS c
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ),
+    grid AS (SELECT DISTINCT x FROM vc),
+    sizes AS (SELECT grp, sum(c) AS n FROM vc GROUP BY 1),
+    dense AS (
+      SELECT s.grp, g.x, s.n, coalesce(v.c, 0) AS c
+      FROM sizes s CROSS JOIN grid g
+      LEFT JOIN vc v ON v.grp = s.grp AND v.x = g.x
+    ),
+    cdf AS (
+      SELECT grp, x, n,
+             sum(c) OVER (PARTITION BY grp ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) / n AS cdf
+      FROM dense
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           CAST(max(a.n) AS BIGINT) AS n_a,
+           CAST(max(b.n) AS BIGINT) AS n_b,
+           round(max(abs(a.cdf - b.cdf)), 6) AS ks
+    FROM cdf a JOIN cdf b ON a.x = b.x AND a.grp < b.grp
+    GROUP BY 1, 2
+    """,
+    doc="pairwise two-sample KS distance between per-source length "
+        "distributions: max CDF gap over the densified value grid -- "
+        "the distributional drift / slice-independence test; bounded "
+        "by distinct-values x groups, CDFs are exact integer ratios "
+        "so no float hazard",
+)
+def corpus_length_ks_matrix(spark, sf_dir):
+    from .operators.grouped import ks_distance_matrix
+
+    return ks_distance_matrix(load_table(spark, sf_dir, "documents"),
+                              "n_chars")

@@ -1561,3 +1561,35 @@ def test_snapshot_diff_null_text_reads_as_modified(spark):
     (row,) = snapshot_diff(old, new).collect()
     assert row.status == "modified"
     assert row.new_fp is not None  # fingerprint of '', not a join null
+
+
+# --- KS distance matrix (E102) -----------------------------------------------
+
+def test_ks_matrix_identical_zero_disjoint_one(spark):
+    from big_data_hw_23_24_spark.operators.grouped import (
+        ks_distance_matrix,
+    )
+
+    rows = ([("a", v) for v in (1, 2, 3, 4)]          # a ≡ b
+            + [("b", v) for v in (1, 2, 3, 4)]
+            + [("c", v) for v in (100, 200, 300)])    # disjoint support
+    df = spark.createDataFrame(rows, "source string, x long")
+    out = {(r.grp_a, r.grp_b): r
+           for r in ks_distance_matrix(df, "x").collect()}
+    assert out[("a", "b")].ks == 0.0
+    assert out[("a", "c")].ks == 1.0       # CDFs fully separated
+    assert out[("b", "c")].ks == 1.0
+    assert (out[("a", "c")].n_a, out[("a", "c")].n_b) == (4, 3)
+
+
+def test_ks_matrix_known_half_shift(spark):
+    from big_data_hw_23_24_spark.operators.grouped import (
+        ks_distance_matrix,
+    )
+
+    # a = {1,2}, b = {2,3}: at x=1 gap 0.5, x=2 gap |1 − 0.5| = 0.5,
+    # x=3 gap 0 → KS = 0.5
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "source string, x long")
+    (row,) = ks_distance_matrix(df, "x").collect()
+    assert row.ks == 0.5
