@@ -209,3 +209,103 @@ class StickySampler:
         """Keys with count ≥ (phi−ε)·n (G016HW3.java:200-206), sorted."""
         thr = (self.phi - self.eps) * self.n
         return sorted(k for k, v in self.table.items() if v >= thr)
+
+
+def space_saving_summaries(df: DataFrame, item_col: str,
+                           k: int) -> DataFrame:
+    """Per-partition SpaceSaving summaries (Metwally et al. 2005) →
+    ``(pid, item, est, err)`` with at most ``k`` counters per
+    partition.
+
+    The classical counter algorithm: track ≤ k items; a new item
+    evicts the minimum counter and inherits its count as
+    overestimation error. Within a partition:
+    ``true ≤ est ≤ true + err`` and ``err ≤ N_p / k``.
+
+    Runs as one Arrow ``mapInPandas`` pass — each task streams its
+    partition through k counters in a dict, emitting k rows. This is
+    the map side of the MERGEABLE heavy-hitters summary
+    (Agarwal et al. 2012): union the per-partition summaries with
+    :func:`space_saving_merge` for a global N/k guarantee. The
+    sequential driver-side samplers (reservoir/sticky) answer the
+    arrival-ORDER-dependent faces; SpaceSaving is order-insensitive
+    in its guarantee, which is what makes it distributable.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    import pandas as pd
+
+    def run(batches):
+        counters: dict = {}
+        errors: dict = {}
+        for pdf in batches:
+            for item in pdf[item_col]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                    errors[item] = 0
+                else:
+                    evict = min(counters, key=lambda i: (counters[i], i))
+                    floor = counters.pop(evict)
+                    errors.pop(evict)
+                    counters[item] = floor + 1
+                    errors[item] = floor
+        yield pd.DataFrame({
+            "item": list(counters),
+            "est": [int(counters[i]) for i in counters],
+            "err": [int(errors[i]) for i in counters],
+        })
+
+    out = (df.select(F.col(item_col).cast("string").alias(item_col))
+           .mapInPandas(run, "item string, est long, err long"))
+    return out.withColumn("pid", F.spark_partition_id())
+
+
+def space_saving_topk(df: DataFrame, item_col: str, k: int,
+                      out_k: int | None = None) -> DataFrame:
+    """Distributed SpaceSaving heavy hitters → ``(item, est_max,
+    est_min, rank)``: per-partition summaries merged into global
+    bounds.
+
+    Merge (Agarwal et al. 2012, "Mergeable summaries"): for each
+    item, sum its per-partition estimates; for partitions where the
+    item is ABSENT its true local count is at most that partition's
+    minimum counter, so ``est_max`` adds those thresholds and
+    ``est_min = Σ(est − err)`` only sums proven mass. Any item with
+    global frequency > Σ N_p / k is guaranteed present in at least
+    one summary. Output ranked by ``est_max`` desc (ties by item).
+
+    Scale shape: each partition emits ≤ k rows; the merge is one
+    aggregate over P×k rows plus a broadcast of the P-row threshold
+    table — the corpus is read once, nothing corpus-scale shuffles.
+    """
+    from pyspark.sql import Window
+
+    summaries = space_saving_summaries(df, item_col, k).persist()
+    thresholds = (summaries.groupBy("pid")
+                  .agg(F.min("est").alias("thr"),
+                       F.count("*").alias("n_counters"))
+                  # a partition with spare counter slots never evicted:
+                  # an absent item's local count there is exactly 0
+                  .select("pid", F.when(F.col("n_counters") < k,
+                                        F.lit(0)).otherwise(F.col("thr"))
+                          .alias("thr")))
+    total_thr = thresholds.agg(F.sum("thr").alias("_t"))
+    per_item = (summaries.groupBy("item")
+                .agg(F.sum("est").alias("_sum_est"),
+                     F.sum(F.col("est") - F.col("err"))
+                     .alias("est_min")))
+    # threshold mass of partitions that DID see the item, to subtract
+    seen_thr = (summaries.join(thresholds, "pid")
+                .groupBy("item").agg(F.sum("thr").alias("_seen_thr")))
+    merged = (per_item.join(seen_thr, "item")
+              .crossJoin(F.broadcast(total_thr))
+              .select("item",
+                      (F.col("_sum_est") + F.col("_t")
+                       - F.col("_seen_thr")).cast("long")
+                      .alias("est_max"),
+                      F.col("est_min").cast("long").alias("est_min")))
+    w = Window.orderBy(F.col("est_max").desc(), F.col("item"))
+    ranked = merged.withColumn("rank", F.row_number().over(w))
+    return ranked.where(F.col("rank") <= (out_k or k))

@@ -4170,3 +4170,31 @@ def corpus_length_ks_matrix(spark, sf_dir):
 
     return ks_distance_matrix(load_table(spark, sf_dir, "documents"),
                               "n_chars")
+
+
+# --- SpaceSaving heavy hitters (E103) ----------------------------------------
+# no_oracle by design: per-partition counter evictions depend on
+# arrival order within each partition (the reservoir/sticky category,
+# SURVEY §5); the guarantees -- any item with global count > N/k
+# present, est_min <= true <= est_max -- are property-tested in
+# tests/test_llm_ops.py. The face plants a deterministic skew so the
+# heavy set is non-vacuous.
+@register(
+    "streaming_spacesaving_topk",
+    None,
+    doc="distributed SpaceSaving heavy hitters (Metwally 2005 + "
+        "mergeable-summaries merge): <= k counters per partition via "
+        "one Arrow mapInPandas pass, P x k-row merge with absent-"
+        "partition threshold bounds; the order-insensitive third leg "
+        "of the reference's HW3 frequent-items triple",
+)
+def streaming_spacesaving_topk(spark, sf_dir):
+    from .operators.frequent import space_saving_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        F.when(F.col("user_id") % 3 == 0, F.lit("heavy-0"))
+        .when(F.col("user_id") % 7 == 1, F.lit("heavy-1"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("item"))
+    return space_saving_topk(items, "item", k=50, out_k=10)

@@ -1593,3 +1593,44 @@ def test_ks_matrix_known_half_shift(spark):
         [("a", 1), ("a", 2), ("b", 2), ("b", 3)], "source string, x long")
     (row,) = ks_distance_matrix(df, "x").collect()
     assert row.ks == 0.5
+
+
+# --- SpaceSaving (E103) ------------------------------------------------------
+
+def test_space_saving_guarantee_and_bounds(spark):
+    from big_data_hw_23_24_spark.operators.frequent import (
+        space_saving_summaries,
+        space_saving_topk,
+    )
+
+    rows = ([("H",)] * 3000 + [("G",)] * 1500
+            + [(f"t{i}",) for i in range(1000)])
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    true = {r.item: r.cnt for r in
+            df.groupBy("item").agg(F.count("*").alias("cnt")).collect()}
+    out = space_saving_topk(df, "item", k=20, out_k=5).collect()
+    got = {r.item: r for r in out}
+    # N/k = 5500/20 = 275: H and G are guaranteed present and ranked
+    assert [r.item for r in sorted(out, key=lambda r: r.rank)][:2] \
+        == ["H", "G"]
+    # bounds bracket the truth for every reported item
+    for r in out:
+        assert r.est_min <= true[r.item] <= r.est_max, r
+    # heavy counts are exact (never evicted)
+    assert got["H"].est_min == got["H"].est_max == 3000
+    # per-partition summaries respect the k-counter budget
+    sizes = (space_saving_summaries(df, "item", 20)
+             .groupBy("pid").agg(F.count("*").alias("c")).collect())
+    assert all(r.c <= 20 for r in sizes)
+
+
+def test_space_saving_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.frequent import (
+        space_saving_summaries,
+    )
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with _pytest.raises(ValueError):
+        space_saving_summaries(df, "item", 0)

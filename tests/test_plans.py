@@ -352,6 +352,10 @@ _EAGER_HARNESS_QUERIES = {
     "mrfft_radius", "mrfft_centers", "bpe_learned_merges",
     "embedding_kmeans_sizes", "reservoir_sample_users",
     "sticky_sample_users",
+    # unrolled greedy MMR localCheckpoints each of its k bounded
+    # selection steps (the iterative contract), so construction runs
+    # jobs and the tail plan sits on checkpointed RDDs
+    "knn_mmr_rerank",
 }
 
 # The ONLY operators allowed a partitionless (single-partition) Window:
@@ -359,6 +363,9 @@ _EAGER_HARNESS_QUERIES = {
 # Zipf-bounded VOCABULARY table — never on a corpus-sized side.
 _VOCAB_SCALE_WINDOW_ALLOWLIST = {
     "vocab_coverage", "doc_unigram_logprob", "doc_bigram_logprob",
+    # SpaceSaving's final rank runs on the merged sketch — at most
+    # partitions × k counter rows, a bound independent of data size
+    "streaming_spacesaving_topk",
 }
 
 
