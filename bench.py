@@ -75,6 +75,21 @@ HEADLINE = [
     "doc_sentence_chunks",    # sentence-boundary greedy packing
     "corpus_pmi_collocations",  # PMI phrase mining
     "events_skew_report",     # key-skew diagnosis
+    # late-r7 additions (set now 61; the stdout line now always takes
+    # the slowest-20 fallback — full per-query detail in
+    # BENCH_DETAIL.json)
+    "doc_gopher_rules",       # Gopher rule battery, zero-shuffle fold
+    "corpus_priority_sample",  # weighted HT sampling via grouped top-k
+    "corpus_zipf_fit",        # regr_* rank-frequency fit
+    "events_item_pagerank",   # 3-iteration vertex-keyed PageRank
+    "corpus_source_overlap",  # gram-keyed containment matrix
+    "doc_unicode_nfc",        # Arrow NFC normalization
+    "knn_mmr_rerank",         # unrolled greedy MMR diversification
+    "events_daily_anomaly",   # trailing-baseline z-scores
+    "corpus_vocab_growth",    # Heaps-law growth curve
+    "corpus_snapshot_diff",   # fingerprint change set, full-outer join
+    "corpus_length_ks_matrix",  # KS drift matrix over the value grid
+    "streaming_spacesaving_topk",  # mergeable SpaceSaving sketch
 ]
 
 

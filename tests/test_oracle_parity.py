@@ -99,6 +99,14 @@ _SF01_SCALE_SENSITIVE = [
     "dedup_containment_pairs", "doc_contrastive_negatives",
     "embedding_gram_matrix", "doc_sentence_chunks",
     "corpus_pmi_collocations",
+    # r7-continuation additions: vertex-keyed iterative joins, the
+    # gram/grid pair joins, the grouped-topk sampling funnel, the
+    # full-outer fingerprint join, the per-source first-occurrence +
+    # cumulative windows, and MMR's pool-stage broadcast all stretch
+    # across partitions only past sf0.01
+    "events_item_pagerank", "corpus_source_overlap",
+    "corpus_length_ks_matrix", "corpus_priority_sample",
+    "corpus_snapshot_diff", "corpus_vocab_growth", "knn_mmr_rerank",
 ]
 
 
