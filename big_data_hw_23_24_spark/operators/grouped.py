@@ -128,3 +128,79 @@ def ks_distance_matrix(df: DataFrame, value_col: str,
                  F.max("n_b").cast("long").alias("n_b"),
                  F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))),
                          6).alias("ks")))
+
+
+def robust_stats(df: DataFrame, value_col: str,
+                 group_col: str = "source", id_col: str = "doc_id",
+                 lo_pct: int = 5, hi_pct: int = 95) -> DataFrame:
+    """Outlier-robust per-group location stats -> (group, n, p_lo,
+    p_hi, trimmed_mean, winsor_mean, plain_mean).
+
+    A handful of 100 MB pathological documents drags a source's mean
+    length (or quality score) arbitrarily far -- robust curation
+    thresholds come from the TRIMMED view. Percentiles are EXACT
+    rank-order statistics (the value at rank ``ceil(p*n/100)``,
+    clamped to >= 1), not interpolated ``percentile_cont`` --
+    interpolation arithmetic differs subtly across engines, while
+    "the k-th smallest value" is pure integer logic any engine
+    reproduces bit-identically:
+
+    * ``trimmed_mean`` -- mean over rows with lo < rank <= hi cut
+      (strictly inside the tails);
+    * ``winsor_mean`` -- mean after CLAMPING values to [p_lo, p_hi]
+      (tails kept, pulled to the fence), the Winsorized estimator.
+
+    Scale shape: per-group ranks come from ONE range-partitioned
+    global rank on (group, value, id) via the ranking.py two-pass
+    spine -- a ``Window.partitionBy(group)`` would funnel a 10 TB
+    stratum through one reducer (the ``lm_quality_buckets`` lesson);
+    the per-group offset/size and the two fence values are
+    #groups-row aggregates broadcast back. Rank ties break by
+    ``id_col`` (total order required by the spine); which equal value
+    sits at the fence rank is irrelevant to both estimators. NULL
+    groups ride a coalesced shadow key so the broadcast equi-joins
+    cannot drop them (the temperature_resample lesson).
+    """
+    from pyspark.sql import functions as F
+
+    from .ranking import global_rank
+
+    if not (0 <= lo_pct < hi_pct <= 100):
+        raise ValueError(f"need 0 <= lo < hi <= 100, got {lo_pct}/{hi_pct}")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.coalesce(F.col(group_col).cast("string"),
+                               F.lit("\u0000<null>")).alias("_gkey"),
+                    F.col(group_col).alias("grp"),
+                    F.col(value_col).cast("double").alias("v"),
+                    F.col(id_col).alias("_id")))
+    ranked = global_rank(base, [F.col("_gkey"), F.col("v"), F.col("_id")],
+                         rank_col="_grank")
+    sizes = (ranked.groupBy("_gkey")
+             .agg(F.min("_grank").alias("_gmin"),
+                  F.count("*").alias("_n")))
+    r = F.col("_grank") - F.col("_gmin") + 1
+    lo_r = F.greatest(F.ceil(F.col("_n") * lo_pct / 100), F.lit(1))
+    hi_r = F.greatest(F.ceil(F.col("_n") * hi_pct / 100), F.lit(1))
+    marked = (ranked.join(F.broadcast(sizes), "_gkey")
+              .withColumn("_r", r)
+              .withColumn("_lo_r", lo_r)
+              .withColumn("_hi_r", hi_r))
+    fences = (marked.groupBy("_gkey")
+              .agg(F.max(F.when(F.col("_r") == F.col("_lo_r"),
+                                F.col("v"))).alias("p_lo"),
+                   F.max(F.when(F.col("_r") == F.col("_hi_r"),
+                                F.col("v"))).alias("p_hi")))
+    return (marked.join(F.broadcast(fences), "_gkey")
+            .groupBy(F.col("grp").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.max("p_lo").alias("p_lo"),
+                 F.max("p_hi").alias("p_hi"),
+                 F.round(F.avg(F.when(
+                     (F.col("_r") > F.col("_lo_r"))
+                     & (F.col("_r") <= F.col("_hi_r")), F.col("v"))), 6)
+                 .alias("trimmed_mean"),
+                 F.round(F.avg(F.greatest(F.least(F.col("v"),
+                                                  F.col("p_hi")),
+                                          F.col("p_lo"))), 6)
+                 .alias("winsor_mean"),
+                 F.round(F.avg("v"), 6).alias("plain_mean")))

@@ -4198,3 +4198,53 @@ def streaming_spacesaving_topk(spark, sf_dir):
         .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
         .alias("item"))
     return space_saving_topk(items, "item", k=50, out_k=10)
+
+
+# --- robust per-source stats (E104) ------------------------------------------
+@register(
+    "corpus_robust_stats",
+    """
+    WITH base AS (
+      SELECT coalesce(CAST(source AS VARCHAR), chr(0) || '<null>')
+               AS gkey,
+             source AS grp, CAST(n_chars AS DOUBLE) AS v, doc_id
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY gkey
+                                   ORDER BY v, doc_id) AS r,
+             count(*) OVER (PARTITION BY gkey) AS n
+      FROM base
+    ),
+    marked AS (
+      SELECT *,
+             greatest(CAST(ceil(n * 5 / 100.0) AS BIGINT), 1) AS lo_r,
+             greatest(CAST(ceil(n * 95 / 100.0) AS BIGINT), 1) AS hi_r
+      FROM ranked
+    ),
+    fences AS (
+      SELECT gkey, max(CASE WHEN r = lo_r THEN v END) AS p_lo,
+                   max(CASE WHEN r = hi_r THEN v END) AS p_hi
+      FROM marked GROUP BY 1
+    )
+    SELECT m.grp AS source, CAST(count(*) AS BIGINT) AS n,
+           max(f.p_lo) AS p_lo, max(f.p_hi) AS p_hi,
+           round(avg(CASE WHEN m.r > m.lo_r AND m.r <= m.hi_r
+                          THEN m.v END), 6) AS trimmed_mean,
+           round(avg(greatest(least(m.v, f.p_hi), f.p_lo)), 6)
+             AS winsor_mean,
+           round(avg(m.v), 6) AS plain_mean
+    FROM marked m JOIN fences f USING (gkey)
+    GROUP BY m.grp
+    """,
+    doc="outlier-robust per-source stats: EXACT rank-order P5/P95 "
+        "fences (integer rank logic, no engine-varying interpolation) "
+        "with trimmed and Winsorized means beside the plain mean; "
+        "ranks from the range-partitioned global spine, never a "
+        "per-group reducer funnel",
+)
+def corpus_robust_stats(spark, sf_dir):
+    from .operators.grouped import robust_stats
+
+    return robust_stats(load_table(spark, sf_dir, "documents"),
+                        "n_chars")

@@ -1634,3 +1634,42 @@ def test_space_saving_rejects_bad_k(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with _pytest.raises(ValueError):
         space_saving_summaries(df, "item", 0)
+
+
+# --- robust stats (E104) -----------------------------------------------------
+
+def test_robust_stats_resists_outlier(spark):
+    from big_data_hw_23_24_spark.operators.grouped import robust_stats
+
+    # 19 values of 10 plus one 10000: plain mean explodes, trimmed
+    # and winsorized stay near 10
+    rows = [(i, "s", 10.0) for i in range(19)] + [(99, "s", 10000.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    (r,) = robust_stats(df, "v", lo_pct=5, hi_pct=95).collect()
+    assert r.n == 20
+    assert r.plain_mean > 500
+    assert r.p_lo == 10.0 and r.p_hi == 10.0  # rank 1 and rank 19
+    assert r.trimmed_mean == 10.0
+    assert r.winsor_mean == 10.0  # outlier clamped to the fence
+    # known fences on 1..100
+    rows2 = [(i, "t", float(i)) for i in range(1, 101)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, v double")
+    (r2,) = robust_stats(df2, "v").collect()
+    assert (r2.p_lo, r2.p_hi) == (5.0, 95.0)
+    assert r2.plain_mean == 50.5
+    # trimmed: mean of 6..95 = 50.5
+    assert r2.trimmed_mean == 50.5
+
+
+def test_robust_stats_null_group_and_validation(spark):
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.grouped import robust_stats
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, 7.0), (3, "s", 1.0)],
+        "doc_id long, source string, v double")
+    out = {r.source: r for r in robust_stats(df, "v").collect()}
+    assert None in out and out[None].n == 2  # shadow key kept nulls
+    with _pytest.raises(ValueError):
+        robust_stats(df, "v", lo_pct=90, hi_pct=10)

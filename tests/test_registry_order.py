@@ -229,6 +229,7 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_vocab_growth",       # Heaps-law growth curve (r8)
         "corpus_snapshot_diff",      # fingerprint change set (r8)
         "corpus_length_ks_matrix",   # distributional drift test (r8)
+        "corpus_robust_stats",       # exact-rank trimmed/winsor means (r8)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
