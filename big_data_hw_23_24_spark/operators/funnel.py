@@ -104,3 +104,47 @@ def retention_cohorts(events: DataFrame,
                     offset.alias("week_offset"), F.col(user_col))
             .groupBy("cohort_week", "week_offset")
             .agg(F.count_distinct(F.col(user_col)).alias("n_users")))
+
+
+def path_ngrams(events: DataFrame, n: int = 3, k: int = 20,
+                user_col: str = "user_id", type_col: str = "event_type",
+                order_cols: tuple[str, ...] = ("ts", "event_id"),
+                ) -> DataFrame:
+    """Top-k most common length-``n`` event-type paths →
+    ``(path, n_occurrences, n_users, rank)``.
+
+    The unsupervised sibling of the fixed-stage funnel: instead of
+    asking "how many users did signup→click→purchase", surface WHICH
+    consecutive journeys actually dominate ("view>click>error" at
+    rank 2 is a bug report). A path is ``n`` consecutive events of
+    one user in time order, rendered ``a>b>c``.
+
+    Shape: ``n−1`` ``lead`` columns over ONE user-partitioned window
+    (per-user sequences are bounded; never a global window), a path
+    hash-aggregate counting occurrences and distinct users, and a
+    LIMIT-bounded top-k ranked on (count desc, path) — fully
+    deterministic, no funnel through a single reducer beyond the
+    k-row result itself.
+    """
+    from pyspark.sql import Window
+
+    if n < 2:
+        raise ValueError(f"path length must be >= 2, got {n}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c)
+                                               for c in order_cols])
+    steps = [F.col(type_col)] + [F.lead(type_col, i).over(w)
+                                 for i in range(1, n)]
+    paths = (events
+             .select(F.col(user_col),
+                     F.concat_ws(">", *steps).alias("path"),
+                     steps[-1].isNotNull().alias("_complete"))
+             .where(F.col("_complete")))
+    agg = (paths.groupBy("path")
+           .agg(F.count("*").cast("long").alias("n_occurrences"),
+                F.countDistinct(user_col).cast("long").alias("n_users")))
+    ranked = (agg.orderBy(F.col("n_occurrences").desc(), "path")
+              .limit(k))
+    w2 = Window.orderBy(F.col("n_occurrences").desc(), "path")
+    return ranked.withColumn("rank", F.row_number().over(w2))
