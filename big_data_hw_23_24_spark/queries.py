@@ -74,15 +74,45 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r7 rotation: the entire r6 queued tier admitted (25 queries,
-    # none ever driver-checked), over 25 multi-green retired faces
-    # (each with 3-6 green rows r01-r06; annotated in
-    # tests/test_registry_order.py::declared_redundant). ----
-    # PQ sub-steps + boilerplate mining (composed faces green r06)
-    "embedding_pq_codes",
+    # ---- r8 rotation: the entire r7 queued tier admitted (26 queries,
+    # none ever driver-checked), over 26 retired faces — the 11 anchors
+    # (3-4 greens each through r07), the 12 r6 admissions (2 greens
+    # r06+r07), and 3 one-green faces whose machinery an in-window
+    # sibling re-checks (embedding_pq_codes ⊂ knn_pq_adc, doc_bm25_topk
+    # ⊂ doc_bm25_multi, corpus_dedup_paragraphs ⊂ doc_dedup_lines).
+    # All annotated in tests/test_registry_order.py::declared_redundant.
+    # mid-r7 decontamination/dedup/selection tier (E77-E88)
+    "doc_decontaminate_spans",
+    "dedup_url_normalized",
+    "doc_lm_quality_buckets",
+    "dedup_containment_pairs",
+    "events_zorder_key",
+    "embedding_gram_matrix",
+    "corpus_leakage_safe_split",
+    "streaming_ingest_minhash",
+    "doc_contrastive_negatives",
+    "doc_payment_pii_scan",
+    "doc_sentence_chunks",
+    "events_skew_report",
+    # late-r7 analytics/ingest tier (E89-E103)
+    "corpus_pmi_collocations",
+    "doc_jsonl_ingest",
+    "doc_gopher_rules",
+    "corpus_priority_sample",
+    "corpus_zipf_fit",
+    "events_item_pagerank",
+    "corpus_source_overlap",
+    "doc_unicode_nfc",
+    "knn_mmr_rerank",
+    "events_daily_anomaly",
+    "corpus_vocab_growth",
+    "corpus_snapshot_diff",
+    "corpus_length_ks_matrix",
+    "corpus_robust_stats",
+    # ---- kept r7 first-green admissions (each needs a second row
+    # before it can be retired) ----
     "knn_pq_adc",
     "corpus_boilerplate_ngrams",
-    # mid-r6 cleaning/selection/semantic-dedup tier
     "doc_c4_line_filter",
     "doc_dedup_lines",
     "corpus_stratified_sample",
@@ -93,53 +123,18 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "corpus_token_shards",
     "doc_token_entropy",
     "corpus_stats_card",
-    # late-r6 retrieval/selection/classifier tier (E64-E67)
-    "doc_bm25_topk",
     "doc_bm25_multi",
     "doc_dsir_weights",
     "doc_quality_classifier",
     "corpus_temperature_mix",
-    # late-r6 ingestion/cleaning/event-analytics tier (E68-E75)
     "streaming_quality_gate",
     "doc_span_dedup",
     "dedup_survivors_best",
     "user_funnel_3stage",
     "user_retention_cohorts",
     "corpus_bpe_fertility",
-    "corpus_dedup_paragraphs",
-    # r7 conversions: formerly rows-only MinHash faces given full SQL
-    # oracles via the engine-portable md5 hash family — admitted over
-    # two 4-green anchors (events_asof_orders, acctbal_median_by_nation)
     "dedup_incremental_minhash",
     "dedup_minhash_banded",
-    # ---- kept multi-green anchors (2-green r05+r06 faces earning a
-    # third row, plus one representative per otherwise-uncovered
-    # family: semi/anti, CMS sketch, salted join) ----
-    "knn_cosine_filtered",
-    "dedup_incremental",
-    "bpe_pair_counts",
-    "vocab_coverage",
-    "doc_repetition_scores",
-    "doc_pack_sequences",
-    "corpus_source_mix",
-    "streaming_ingest_dedup",
-    "customer_order_membership",
-    "frequent_users_cms",
-    "events_customer_salted_join",
-    # ---- kept single-green r6 admissions (each needs a second row
-    # before it can be retired) ----
-    "doc_unigram_logprob",
-    "doc_bigram_logprob",
-    "embedding_nearest_centroid",
-    "events_by_hopping_window",
-    "customer_balance_deciles",
-    "doc_bpe_tokens",
-    "embedding_lloyd_round",
-    "streaming_frequent_exact",
-    "knn_pq_rerank",
-    "doc_boilerplate_share",
-    "streaming_dropdup_items",
-    "media_feature_vectors",
 )
 
 
