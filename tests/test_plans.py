@@ -384,22 +384,72 @@ def _has_partitionless_window(plan: str) -> bool:
     return False
 
 
-def test_registry_wide_no_partitionless_window_outside_allowlist(spark):
-    # a single-partition window on a corpus-scale side is the quiet
-    # scale killer (all rows through one reducer); pin that it can
-    # only ever appear in the declared vocab-scale operators
-    offenders = []
+# The ONLY operators allowed a CartesianProduct / BroadcastNestedLoopJoin
+# in their plan, each with the bound that keeps the pairing from being
+# O(|L|·|R|) at corpus scale. Two sanctioned shapes:
+# (a) IdentityBroadcast probes — a 1-row (or k-row, k fixed) aggregate
+#     broadcast against the big side: corpus totals, bloom bitmaps,
+#     PageRank dangling mass, centroid tables. Cost is |big| × 1.
+# (b) bounded query-set scoring — the documented brute-force ANN faces
+#     cross a FIXED, LIMITed query set (≤ tens of rows, BuildLeft
+#     broadcast) against the corpus to rank neighbors; the exact
+#     all-pairs faces are explicitly small-scale oracle ground truth
+#     (operators/similarity.py:182-205).
+_CARTESIAN_ALLOWLIST = {
+    # (a) 1-row / k-row IdentityBroadcast probes
+    "doc_contrastive_negatives",     # corpus-size 1-row agg for offsets
+    "events_skew_report",            # global total + partition-count rows
+    "corpus_pmi_collocations",       # total unigram/bigram mass (1 row)
+    "events_item_pagerank",          # dangling-mass 1-row agg, per iter
+    "corpus_length_ks_matrix",       # per-slice n totals (1 row each)
+    "doc_bm25_multi",                # corpus N + avgdl (1 row)
+    "doc_bm25_topk",                 # same 1-row corpus stats
+    "doc_dsir_weights",              # target/proposal mass totals
+    "corpus_temperature_mix",        # source-mass totals (1 row)
+    "parts_size50_revenue_bloom",    # bloom bitmap scalar probe
+    "parts_above_avg_revenue_bloom",  # bloom bitmap scalar probe
+    "streaming_spacesaving_topk",    # merged-sketch threshold (1 row)
+    "embedding_nearest_centroid",    # k-row centroid table broadcast
+    "embedding_lloyd_round",         # k-row centroid table broadcast
+    # (b) bounded query-set brute-force ANN faces
+    "knn_cosine_bruteforce",         # exact baseline, LIMITed queries
+    "knn_cosine_quantized",          # int8 face of the same baseline
+    "knn_cosine_filtered",           # pre-filter + same bounded scoring
+    "dedup_embedding_cosine",        # documented small-scale exact face
+}
+
+
+def test_registry_wide_plan_lint(spark):
+    # ONE sweep over every lazy registry plan, applying all three
+    # plans/lint.py rules (the product linter IS the tested surface):
+    # - partitionless_window: single-reducer window — only the declared
+    #   vocab-scale operators may carry one;
+    # - cartesian: O(|L|·|R|) pairing — only the annotated bounded
+    #   probes/faces in _CARTESIAN_ALLOWLIST;
+    # - python_row_udf: BatchEvalPython — NEVER (Arrow forms only).
+    from big_data_hw_23_24_spark.plans.lint import lint
+
+    offenders: dict[str, list[str]] = {}
     for name, q in _REGISTRY.items():
-        if name in _EAGER_HARNESS_QUERIES | _VOCAB_SCALE_WINDOW_ALLOWLIST:
+        if name in _EAGER_HARNESS_QUERIES:
             continue
-        if _has_partitionless_window(
-                explain_str(q.spark_fn(spark, SF), "simple")):
-            offenders.append(name)
+        rules = []
+        for f in lint(q.spark_fn(spark, SF)):
+            if f.rule == "partitionless_window" and \
+                    name in _VOCAB_SCALE_WINDOW_ALLOWLIST:
+                continue
+            if f.rule == "cartesian" and name in _CARTESIAN_ALLOWLIST:
+                continue
+            rules.append(f.rule)
+        if rules:
+            offenders[name] = sorted(set(rules))
     assert not offenders, offenders
-    # the allowlisted plans DO carry one (guards the detector itself)
+    # guard the detectors themselves: the allowlisted plans DO trip them
     assert _has_partitionless_window(
         explain_str(_REGISTRY["vocab_coverage"].spark_fn(spark, SF),
                     "simple"))
+    assert any(f.rule == "cartesian" for f in lint(
+        _REGISTRY["doc_bm25_multi"].spark_fn(spark, SF)))
 
 
 def test_bigram_logprob_doc_side_joins_per_distinct_no_cartesian(spark):
