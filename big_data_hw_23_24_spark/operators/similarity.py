@@ -228,30 +228,14 @@ def _hyperplane_sig_udf(planes: np.ndarray):
     return sig
 
 
-def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
-                        n_bits: int = 64, bands: int = 8, seed: int = 42,
-                        id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int | None = None) -> DataFrame:
-    """Random-hyperplane LSH near-dup pairs → (id_a, id_b, cosine ≥ t).
-
-    SimHash-for-vectors: sgn(v·h_i) bits from ``n_bits`` seeded Gaussian
-    hyperplanes (P[bit match] = 1 − θ/π), banded pigeonhole-style into
-    ``bands`` equal chunks; vectors agreeing on ≥1 whole band become
-    candidates via an equi-join on (band, chunk value), then candidates
-    are verified with the exact JVM cosine — so precision is 1 and only
-    recall is approximate (with 8 bands of 8 bits: ≈0.99 at cos 0.95,
-    ≈0.94 at 0.9, ≈0.03 of random pairs). Shuffle keys are band chunk
-    values — work scales with bucket sizes, never n². The one driver
-    action is a single-row ``first()`` to infer ``dim`` when not given.
-    """
-    if dim is None:
-        dim = len(emb.select(vec_col).dropna().first()[0])
-    rng = np.random.default_rng(seed)
-    sig = _hyperplane_sig_udf(rng.standard_normal((dim, n_bits)))
+def _lsh_band_verify(s: DataFrame, n_bits: int, bands: int,
+                     threshold: float) -> DataFrame:
+    """Shared LSH tail: band the packed ``sig`` long into ``bands``
+    equal-width chunks, equi-join agreeing (chunk, value) pairs, then
+    verify candidates with the exact JVM cosine (rounded 6 dp on the
+    threshold so an ulp can't flip membership cross-engine).
+    ``s`` must carry (id, v, sig)."""
     width = n_bits // bands
-    s = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-         .where(F.col("v").isNotNull())
-         .withColumn("sig", sig("v")))
     banded = s.select(
         "id", "v",
         F.explode(F.array(*[
@@ -278,6 +262,103 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
                     .alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
+                        n_bits: int = 64, bands: int = 8, seed: int = 42,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs → (id_a, id_b, cosine ≥ t).
+
+    SimHash-for-vectors: sgn(v·h_i) bits from ``n_bits`` seeded Gaussian
+    hyperplanes (P[bit match] = 1 − θ/π), banded pigeonhole-style into
+    ``bands`` equal chunks; vectors agreeing on ≥1 whole band become
+    candidates via an equi-join on (band, chunk value), then candidates
+    are verified with the exact JVM cosine — so precision is 1 and only
+    recall is approximate (with 8 bands of 8 bits: ≈0.99 at cos 0.95,
+    ≈0.94 at 0.9, ≈0.03 of random pairs). Shuffle keys are band chunk
+    values — work scales with bucket sizes, never n². The one driver
+    action is a single-row ``first()`` to infer ``dim`` when not given.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).dropna().first()[0])
+    rng = np.random.default_rng(seed)
+    sig = _hyperplane_sig_udf(rng.standard_normal((dim, n_bits)))
+    s = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .where(F.col("v").isNotNull())
+         .withColumn("sig", sig("v")))
+    return _lsh_band_verify(s, n_bits, bands, threshold)
+
+
+def _pinned_sign_planes(dim: int, n_bits: int) -> np.ndarray:
+    """±1 sign-projection hyperplanes derived from md5 — the engine-
+    portable pinning that makes the LSH face oracle-checkable (the E76
+    md5-MinHash precedent): plane entry (j, d) is +1 iff the first 8
+    hex chars of md5("j_d") are even. md5 is md5 in every engine, so
+    DuckDB reproduces the identical matrix from SQL while Spark builds
+    it driver-side (bounded: n_bits × dim ints)."""
+    import hashlib
+
+    mat = np.empty((dim, n_bits), dtype=np.int64)
+    for j in range(n_bits):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16)
+            mat[d, j] = 1 if h % 2 == 0 else -1
+    return mat
+
+
+def _pinned_sig_udf(mat: np.ndarray):
+    """Arrow-batched signature against a ±1 INTEGER plane matrix over
+    int8-quantized codes: the dot products are exact integer sums, so
+    the sign bits are bit-identical across engines regardless of float
+    summation order (the reason the pinned face quantizes first —
+    a float dot near zero could flip a bit between numpy and SQL).
+    Quantization is the engine-shared floor(x/m·127+0.5) round-half-up
+    of quantize_embeddings."""
+    weights = 1 << np.arange(mat.shape[1], dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        vals = vecs.to_numpy()
+        out = np.empty(len(vals), dtype=object)
+        mask = np.array([v is not None for v in vals], dtype=bool)
+        if mask.any():
+            m = np.stack(vals[mask]).astype(np.float64)
+            mx = np.abs(m).max(axis=1, keepdims=True)
+            safe = np.where(mx > 0, mx, 1.0)
+            codes = np.where(mx > 0,
+                             np.floor(m / safe * 127.0 + 0.5),
+                             0.0).astype(np.int64)
+            bits = (codes @ mat) > 0
+            packed = (bits.astype(np.uint64) * weights) \
+                .sum(axis=1, dtype=np.uint64).view(np.int64)
+            for pos, v in zip(np.flatnonzero(mask), packed):
+                out[pos] = int(v)
+        return pd.Series(out)
+
+    return sig
+
+
+def embedding_lsh_pairs_pinned(emb: DataFrame, threshold: float = 0.4,
+                               n_bits: int = 64, bands: int = 8,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               dim: int | None = None) -> DataFrame:
+    """The oracle-checkable face of ``embedding_lsh_pairs``: identical
+    band-join-verify dataflow, but the Gaussian hyperplanes are
+    replaced by the md5-pinned ±1 sign planes over int8-quantized
+    codes, so every sign bit — hence every candidate pair — is an
+    exact integer computation DuckDB reproduces from SQL. Same plan
+    shape and shuffle keys as the production face; only the projection
+    matrix differs (sign projections are themselves a standard SimHash
+    choice, not a test-only approximation)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).dropna().first()[0])
+    sig = _pinned_sig_udf(_pinned_sign_planes(dim, n_bits))
+    s = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+         .where(F.col("v").isNotNull())
+         .withColumn("sig", sig("v")))
+    return _lsh_band_verify(s, n_bits, bands, threshold)
 
 
 def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",

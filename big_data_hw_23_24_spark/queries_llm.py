@@ -736,6 +736,74 @@ def dedup_embedding_lsh(spark, sf_dir):
     return embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"), 0.4)
 
 
+# The oracle-checkable face of the LSH path (r8, the E76 md5-MinHash
+# precedent applied to hyperplanes): ±1 sign planes pinned from md5
+# parity over int8-quantized codes make every sign bit an exact
+# integer computation both engines reproduce; the band-join-verify
+# dataflow (and its shuffle keys) is byte-for-byte the production
+# face's (_lsh_band_verify). 64/64 hardcoded in the SQL = the testdata
+# embedding dim; the Spark face infers dim at runtime.
+@register(
+    "dedup_embedding_lsh_pinned",
+    """
+    WITH planes AS (
+      SELECT jj.j, dd.d,
+             CASE WHEN ('0x' || substr(md5(jj.j || '_' || dd.d), 1, 8))::BIGINT
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(generate_series(0, 63)) AS j) jj,
+           (SELECT unnest(generate_series(0, 63)) AS d) dd
+    ),
+    q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS m
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    el AS (
+      SELECT vec_id, t.d,
+             CASE WHEN m > 0
+                  THEN floor(v[t.d + 1] / m * 127 + 0.5)::BIGINT
+                  ELSE 0 END AS c
+      FROM q, unnest(generate_series(0, 63)) t(d)
+    ),
+    bits AS (
+      SELECT e.vec_id, p.j,
+             CASE WHEN sum(e.c * p.sgn) > 0 THEN 1 ELSE 0 END AS bit
+      FROM el e JOIN planes p ON p.d = e.d
+      GROUP BY e.vec_id, p.j
+    ),
+    bandv AS (
+      SELECT vec_id, j // 8 AS chunk,
+             sum(bit * (1 << (j % 8)))::BIGINT AS val
+      FROM bits GROUP BY vec_id, j // 8
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bandv a JOIN bandv b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6)
+          >= 0.4
+    """,
+    doc="md5-pinned sign-plane LSH near-dup pairs: every candidate pair "
+        "an exact integer computation, full value oracle for the banded "
+        "LSH dataflow (production Gaussian face stays dedup_embedding_lsh)",
+)
+def dedup_embedding_lsh_pinned(spark, sf_dir):
+    from .operators.similarity import embedding_lsh_pairs_pinned
+
+    return embedding_lsh_pairs_pinned(
+        load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
 # --- deterministic content-hash train/val/test split -------------------------
 # The corpus-prep step random sampling can't give: a reproducible,
 # engine-portable, re-ingestion-stable split. Both engines compute the
@@ -1528,15 +1596,45 @@ def knn_pq_rerank(spark, sf_dir):
 
 
 # --- full BPE training loop --------------------------------------------------
-# Iterative argmax → no SQL oracle (the MRFFT/k-means category);
-# tests/test_llm_ops.py pins the merge sequence to an independent
-# pure-Python BPE reference exactly.
+# Formerly rows-only (iterative argmax); converted to a full oracle in
+# r8 by UNROLLING the 8 training rounds as CTE rounds, the same pinned-
+# input pattern as knn_mmr_rerank's greedy steps and
+# events_item_pagerank's iterations. Each round k is three CTEs:
+# p{k} (adjacent-pair counts off the framed-symbol vocabulary — the
+# frame trick documented at _bpe_oracle_sql), b{k} (the argmax with the
+# engine-shared tie-break: count desc, then lexicographic a, b), and
+# v{k+1} (the greedy merge as a framed-string replace, left-to-right
+# non-overlapping exactly like tokenizer._merge_pair's JVM fold).
+# tests/test_llm_ops.py additionally pins the merge sequence to an
+# independent pure-Python BPE reference.
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    parts = ["""WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+wc AS (SELECT word, count(*) AS n_occ FROM w WHERE word <> '' GROUP BY word),
+v0 AS (SELECT array_to_string(list_transform(string_split(word, ''),
+         c -> chr(2) || c || chr(3)), '') AS fs, n_occ FROM wc)"""]
+    for k in range(n_merges):
+        parts.append(f"""p{k} AS (
+  SELECT s.syms[t.i - 1] AS a, s.syms[t.i] AS b, sum(s.n_occ)::BIGINT AS cnt
+  FROM (SELECT string_split(substr(fs, 2, length(fs) - 2),
+               chr(3) || chr(2)) AS syms, n_occ FROM v{k}) s,
+       unnest(generate_series(2, len(s.syms))) AS t(i)
+  GROUP BY a, b),
+b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+v{k + 1} AS (SELECT replace(fs, chr(2) || a || chr(3) || chr(2) || b || chr(3),
+                chr(2) || a || b || chr(3)) AS fs, n_occ FROM v{k}, b{k})""")
+    sel = "\nUNION ALL ".join(
+        f'SELECT {k} AS step, a AS "left", b AS "right", cnt AS pair_count '
+        f"FROM b{k}" for k in range(n_merges))
+    return ",\n".join(parts) + "\n" + sel + "\nORDER BY step"
+
+
 @register(
     "bpe_learned_merges",
-    None,
+    _bpe_train_oracle_sql(8),
     doc="distributed BPE training: 8 learned merges over the corpus "
         "(vocab-scale pair aggregate + bounded argmax + JVM merge fold "
-        "per round)",
+        "per round); oracle unrolls the rounds as framed-symbol CTEs",
 )
 def bpe_learned_merges(spark, sf_dir):
     from .operators.tokenizer import bpe_train

@@ -319,6 +319,43 @@ def test_embedding_lsh_recall_and_precision_on_planted_dups(spark):
         (len(set(lsh) & planted), len(planted))
 
 
+def test_embedding_lsh_pinned_matches_exact_and_recovers_planted(spark):
+    """The md5-pinned sign-plane face keeps the production guarantees:
+    verified subset of exact pairs with identical cosines (precision 1)
+    and high recall on planted near-dups — pinning changes only WHICH
+    hyperplanes, not the LSH geometry. Also pins that the signature is
+    reproducible from hashlib alone (no RNG state anywhere)."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        _pinned_sign_planes, cosine_pairs, embedding_lsh_pairs_pinned)
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 32))
+    noisy = base[:20] + 0.08 * rng.standard_normal((20, 32))
+    vecs = np.vstack([base, noisy]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_pairs(emb, 0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_lsh_pairs_pinned(emb, 0.9, dim=32).collect()}
+    planted = {(i, 60 + i) for i in range(20)} & set(exact)
+    assert len(planted) >= 15
+    assert set(lsh) <= set(exact)
+    for pair, c in lsh.items():
+        assert c == exact[pair]
+    assert len(set(lsh) & planted) >= 0.8 * len(planted), \
+        (len(set(lsh) & planted), len(planted))
+    # determinism of the pinned matrix itself: ±1 only, balanced-ish,
+    # and stable across calls (pure function of md5)
+    mat = _pinned_sign_planes(32, 64)
+    assert set(np.unique(mat)) == {-1, 1}
+    assert (mat == _pinned_sign_planes(32, 64)).all()
+
+
 def test_token_chunks_cover_every_token_with_overlap(spark):
     """Every token index lands in ≥1 chunk; consecutive chunks overlap
     by size−stride tokens; zero-token docs produce no chunks; a doc

@@ -136,12 +136,17 @@ def test_asof_join_is_window_not_inequality_join(spark):
     assert plan.count("Exchange") <= 2, plan  # key shuffle (+AQE read)
 
 
-def test_embedding_lsh_candidates_are_equi_join(spark):
+@pytest.mark.parametrize("qname", ["dedup_embedding_lsh",
+                                   "dedup_embedding_lsh_pinned"])
+def test_embedding_lsh_candidates_are_equi_join(spark, qname):
     # banded signatures: candidate generation is a hash equi-join on
-    # (chunk, val) — never a pairwise nested-loop scan
-    plan = _plan(spark, "dedup_embedding_lsh", "simple")
+    # (chunk, val) — never a pairwise nested-loop scan; holds for the
+    # production Gaussian face AND the md5-pinned oracle face (same
+    # _lsh_band_verify tail)
+    plan = _plan(spark, qname, "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched signature UDF
     assert any(j in plan for j in
                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
 

@@ -294,7 +294,15 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # meanwhile. The r6 queue (25 queries) was admitted wholesale in
     # the r7 rotation — this set holds only post-rotation additions.
     # added mid-r8 after the window was re-filled (r9 rotation)
-    queued_for_rotation: set[str] = set()
+    queued_for_rotation: set[str] = {
+        "bpe_learned_merges",        # r8 oracle conversion: training
+                                     #   rounds unrolled as framed-symbol
+                                     #   CTEs (argmax + greedy merge)
+        "dedup_embedding_lsh_pinned",  # r8 oracle conversion: md5-pinned
+                                     #   ±1 sign planes over int8 codes
+                                     #   make the banded LSH dataflow
+                                     #   exactly value-checkable
+    }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
