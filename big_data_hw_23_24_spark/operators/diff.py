@@ -63,3 +63,81 @@ def snapshot_diff_summary(old: DataFrame, new: DataFrame,
     return (snapshot_diff(old, new, id_col, text_col)
             .groupBy("status")
             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+def change_set(old: DataFrame, new: DataFrame,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Turn a snapshot diff into an applicable change set →
+    ``(id, op ∈ upsert | delete, text)``.
+
+    ``added`` and ``modified`` become ``upsert`` rows carrying the NEW
+    payload; ``removed`` becomes a ``delete`` tombstone (null payload);
+    ``unchanged`` rows are dropped — the change set is proportional to
+    the churn, not the corpus. Only changed documents' text ever
+    shuffles (the payload-fetch equi-join), so shipping a daily change
+    set over a 100 TB corpus moves GBs, not the corpus.
+    """
+    d = snapshot_diff(old, new, id_col, text_col)
+    ops = (d.where(F.col("status") != "unchanged")
+           .select(id_col,
+                   F.when(F.col("status") == "removed", F.lit("delete"))
+                   .otherwise(F.lit("upsert")).alias("op")))
+    return ops.join(new.select(id_col, text_col), id_col, "left")
+
+
+def apply_snapshot(current: DataFrame, changes: DataFrame,
+                   id_col: str = "doc_id",
+                   payload_cols: tuple[str, ...] = ("text",)) -> DataFrame:
+    """Idempotent keyed MERGE: apply a change set to the current
+    snapshot → the next snapshot plus a ``action ∈ kept | upserted``
+    provenance column (tombstoned ids are absent).
+
+    ``changes`` rows are ``(id, op ∈ upsert | delete, payload...)``;
+    ids must be unique per change set (last-writer conflicts are the
+    change-set builder's job, not the merge's). Semantics per id:
+    no change row → current row passes through (``kept``); ``upsert``
+    → the change payload replaces or inserts (``upserted``);
+    ``delete`` → the id is dropped. One full-outer equi-join on the
+    id — both sides shuffle on the merge key only, and replaying the
+    same change set is a no-op by construction (upserting an already-
+    upserted payload and deleting an already-absent id are fixed
+    points), which is what makes a retried MERGE safe.
+
+    At cluster scale the result is written back with an epoch-keyed
+    overwrite (``streaming.idempotent``) or dynamic partition
+    overwrite so a retried job replaces its own output — the write
+    face ``write_snapshot`` below; tested for replay-idempotency in
+    tests/test_llm_ops.py.
+    """
+    ch = changes.select(F.col(id_col), F.col("op"),
+                        *[F.col(c) for c in payload_cols])
+    cur = current.select(F.col(id_col),
+                         *[F.col(c) for c in payload_cols])
+    joined = cur.alias("c").join(ch.alias("ch"), id_col, "full_outer")
+    is_upsert = F.col("ch.op") == "upsert"
+    return (joined
+            .where(F.col("ch.op").isNull() | is_upsert)
+            .select(F.col(id_col),
+                    *[F.when(is_upsert, F.col(f"ch.{c}"))
+                      .otherwise(F.col(f"c.{c}")).alias(c)
+                      for c in payload_cols],
+                    F.when(is_upsert, F.lit("upserted"))
+                    .otherwise(F.lit("kept")).alias("action")))
+
+
+def write_snapshot(snapshot: DataFrame, path: str, n_buckets: int = 64,
+                   id_col: str = "doc_id") -> None:
+    """Write a snapshot as a bucket-partitioned corpus table with
+    DYNAMIC partition overwrite: only the hash buckets present in this
+    write are replaced, so a retried (or incremental, churn-localized)
+    merge job replaces exactly its own output — the batch counterpart
+    of the epoch-keyed streaming sink. Bucketing by id hash keeps
+    partition counts bounded and churn spread evenly."""
+    (snapshot
+     .withColumn("bucket", F.pmod(F.xxhash64(F.col(id_col)),
+                                  F.lit(n_buckets)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket")
+     .parquet(path))

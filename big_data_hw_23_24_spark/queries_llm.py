@@ -4228,6 +4228,60 @@ def corpus_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
+# --- snapshot MERGE / upsert (r8) --------------------------------------------
+# The step after the diff: APPLY the change set — the re-crawl refresh
+# every training-corpus pipeline runs. Same old/new derivation as
+# corpus_snapshot_diff; the end-to-end contract is
+# merge(old, change_set(old, new)) == new, and the `action` column
+# value-checks WHICH merge path produced each row (kept = passed
+# through from old, upserted = taken from the change set), so the
+# oracle is a real reconstruction, not a tautology. Replay-idempotency
+# (re-applying the change set is a no-op) is pinned in
+# tests/test_llm_ops.py along with the dynamic-partition-overwrite
+# write face.
+@register(
+    "corpus_apply_snapshot",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             md5(coalesce(regexp_replace(lower(trim(text)), ' +', ' ',
+                                         'g'), '')) AS old_fp
+      FROM documents WHERE doc_id % 43 <> 1
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(coalesce(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 31 = 2 THEN text || ' rewritten'
+                    ELSE text END)), ' +', ' ', 'g'), '')) AS new_fp
+      FROM documents WHERE doc_id % 47 <> 0
+    )
+    SELECT new.doc_id, new_fp AS fp,
+           CASE WHEN old_fp IS NOT NULL AND old_fp = new_fp
+                THEN 'kept' ELSE 'upserted' END AS action
+    FROM new LEFT JOIN old USING (doc_id)
+    """,
+    doc="idempotent keyed MERGE: apply the snapshot change set "
+        "(upsert + delete tombstones) to the current corpus -> next "
+        "snapshot with per-row merge provenance; one full-outer "
+        "equi-join on the id, change-set payload is the only text "
+        "that moves",
+)
+def corpus_apply_snapshot(spark, sf_dir):
+    from .operators.dedup import normalized_text
+    from .operators.diff import apply_snapshot, change_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 43 != 1).select("doc_id", "text")
+    new = (docs.where(F.col("doc_id") % 47 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 31 == 2,
+                          F.concat(F.col("text"), F.lit(" rewritten")))
+                   .otherwise(F.col("text")).alias("text")))
+    merged = apply_snapshot(old, change_set(old, new))
+    fp = F.md5(F.coalesce(normalized_text(F.col("text")), F.lit("")))
+    return merged.select("doc_id", fp.alias("fp"), "action")
+
+
 # --- KS distance matrix (E102) -----------------------------------------------
 @register(
     "corpus_length_ks_matrix",

@@ -1600,6 +1600,66 @@ def test_snapshot_diff_null_text_reads_as_modified(spark):
     assert row.new_fp is not None  # fingerprint of '', not a join null
 
 
+def test_apply_snapshot_reconstructs_new_and_replay_is_noop(spark):
+    """The MERGE contract end to end: merge(old, change_set(old, new))
+    equals new row-for-row, actions track the merge path (kept =
+    passed through, upserted = from the change set, deleted = absent),
+    and REPLAYING the same change set on the merged result is a no-op
+    — the retry-safety that makes the merge usable as a refresh job."""
+    from big_data_hw_23_24_spark.operators.diff import (
+        apply_snapshot, change_set)
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "goes away"),
+         (4, "Same   TEXT")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed!"), (5, "brand new"),
+         (4, "same text")],
+        "doc_id long, text string")
+    ch = change_set(old, new)
+    ops = {r.doc_id: (r.op, r.text) for r in ch.collect()}
+    assert ops == {2: ("upsert", "changed!"), 3: ("delete", None),
+                   5: ("upsert", "brand new")}
+    merged = apply_snapshot(old, ch)
+    rows = {r.doc_id: (r.text, r.action) for r in merged.collect()}
+    assert rows == {1: ("same text", "kept"),
+                    2: ("changed!", "upserted"),
+                    4: ("Same   TEXT", "kept"),   # normalization-equal,
+                    5: ("brand new", "upserted")}  # old payload kept
+    assert set(rows) == {r.doc_id for r in new.collect()}
+    # replay: applying the same change set again changes nothing
+    replay = apply_snapshot(merged.drop("action"), ch)
+    rows2 = {r.doc_id: (r.text, r.action) for r in replay.collect()}
+    assert rows2 == rows
+
+
+def test_write_snapshot_dynamic_overwrite_is_retry_safe(tmp_path, spark):
+    """The write face: a bucket-partitioned dynamic overwrite replaces
+    exactly its own buckets on retry — double-writing the same
+    snapshot leaves one copy, and an incremental rewrite of a subset
+    of ids touches only their buckets."""
+    from big_data_hw_23_24_spark.operators.diff import write_snapshot
+
+    snap = spark.createDataFrame(
+        [(i, f"text {i}", "kept") for i in range(40)],
+        "doc_id long, text string, action string")
+    path = str(tmp_path / "corpus")
+    write_snapshot(snap, path, n_buckets=8)
+    write_snapshot(snap, path, n_buckets=8)  # retry: same job twice
+    back = spark.read.parquet(path)
+    assert back.count() == 40  # not doubled
+    assert back.select("bucket").distinct().count() <= 8
+    # churn-localized rewrite: one id's new payload lands, others stay
+    one = spark.createDataFrame([(7, "rewritten 7", "upserted")],
+                                "doc_id long, text string, action string")
+    write_snapshot(one, path, n_buckets=8)
+    after = {r.doc_id: r.text for r in spark.read.parquet(path)
+             .where(F.col("doc_id").isin(7, 8)).collect()}
+    assert after[7] == "rewritten 7"
+    assert after[8] == "text 8"
+
+
 # --- KS distance matrix (E102) -----------------------------------------------
 
 def test_ks_matrix_identical_zero_disjoint_one(spark):

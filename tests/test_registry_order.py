@@ -302,6 +302,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   ±1 sign planes over int8 codes
                                      #   make the banded LSH dataflow
                                      #   exactly value-checkable
+        "corpus_apply_snapshot",     # r8: idempotent keyed MERGE of the
+                                     #   snapshot change set (upsert +
+                                     #   tombstone) with merge-path
+                                     #   provenance
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
