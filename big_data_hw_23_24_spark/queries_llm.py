@@ -2521,6 +2521,52 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- streaming ingest health (r8) --------------------------------------------
+# no_oracle by design: trigger durations, rates and wall-clock stamps
+# are runtime facts, not data facts (the reservoir/MRFFT category).
+# The structural invariants — monotonic batch ids, non-decreasing
+# watermark, input-row conservation, non-negative lag — are property-
+# tested in tests/test_streaming.py.
+@register(
+    "streaming_ingest_health",
+    None,
+    doc="per-trigger ingest health from StreamingQueryProgress: "
+        "throughput, trigger duration, watermark and watermark lag — "
+        "the ops-side complement of the ingest gates; bounded by the "
+        "progress retention count, never by data size",
+)
+def streaming_ingest_health(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming.health import health_report, query_progress
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.timestamp_seconds(F.lit(1_700_000_000)
+                                        + F.col("doc_id")).alias("ts"))
+            .withColumn("seq", F.col("doc_id")))
+    d = tempfile.mkdtemp(prefix="sih_stream_")
+    try:
+        glob = write_microbatches(docs, d, n_buckets=5)
+        stream = (spark.readStream
+                  .schema("doc_id long, ts timestamp, seq long")
+                  .option("maxFilesPerTrigger", 1).parquet(glob))
+        agg = (stream.withWatermark("ts", "10 seconds")
+               .groupBy(F.window("ts", "60 seconds")).count())
+        with replay_shuffle_cap(spark):
+            q = (agg.writeStream.outputMode("update")
+                 .foreachBatch(lambda df, eid: df.count())
+                 .trigger(availableNow=True)
+                 .option("checkpointLocation", d + "_ckpt").start())
+            assert q.awaitTermination(180), "health stream did not finish"
+        return health_report(spark, query_progress(q))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d + "_ckpt", ignore_errors=True)
+
+
 # --- exact repeated-span removal (E69) ---------------------------------------
 @register(
     "doc_span_dedup",

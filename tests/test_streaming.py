@@ -842,3 +842,55 @@ def test_streaming_ingest_minhash_statuses_and_idempotent_replay(
     assert {r.doc_id for r in pipe.corpus_signatures().collect()} \
         == {1, 2, 3, 4, 5, 6}
     assert {r.doc_id: r.status for r in pipe.statuses().collect()} == expect
+
+
+# --- streaming ingest health (r8) ---------------------------------------------
+
+def test_health_report_unit_lag_math_and_placeholder_watermark(spark):
+    """Deterministic unit face: exact lag arithmetic, epoch-zero
+    watermark mapped to null (not a billion-hour lag), missing
+    durations tolerated."""
+    from big_data_hw_23_24_spark.streaming.health import health_report
+
+    progress = [
+        {"batchId": 0, "timestamp": "2026-01-01T00:00:10.000Z",
+         "numInputRows": 100, "processedRowsPerSecond": 50.0,
+         "durationMs": {"triggerExecution": 2000},
+         "eventTime": {"watermark": "1970-01-01T00:00:00.000Z"}},
+        {"batchId": 1, "timestamp": "2026-01-01T00:00:20.000Z",
+         "numInputRows": 60, "processedRowsPerSecond": 30.0,
+         "durationMs": {"triggerExecution": 1500},
+         "eventTime": {"watermark": "2026-01-01T00:00:05.000Z"}},
+        {"batchId": 2, "timestamp": "2026-01-01T00:00:30.000Z",
+         "numInputRows": 0},
+    ]
+    rows = {r.batch_id: r for r in
+            health_report(spark, progress).collect()}
+    assert rows[0].watermark is None and rows[0].watermark_lag_ms is None
+    assert rows[1].watermark_lag_ms == 15_000
+    assert rows[1].trigger_ms == 1500
+    assert rows[2].num_input_rows == 0 and rows[2].trigger_ms == 0
+    assert rows[0].processed_rows_per_sec == 50.0
+
+
+def test_streaming_ingest_health_invariants(spark):
+    """End-to-end on the bounded replay: one row per trigger, batch
+    ids strictly increasing, input rows conserved, watermark
+    non-decreasing once emitted, lag non-negative."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    out = (_REGISTRY["streaming_ingest_health"]
+           .spark_fn(spark, "/root/testdata/sf0.001")
+           .orderBy("batch_id").collect())
+    assert len(out) >= 5  # 5 micro-batch files -> >= 5 triggers
+    ids = [r.batch_id for r in out]
+    assert ids == sorted(set(ids))
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").count()
+    assert sum(r.num_input_rows for r in out) == n_docs
+    wms = [r.watermark for r in out if r.watermark is not None]
+    assert wms == sorted(wms) and len(wms) >= 1
+    for r in out:
+        if r.watermark_lag_ms is not None:
+            assert r.watermark_lag_ms >= 0
