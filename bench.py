@@ -145,10 +145,17 @@ def main() -> None:
     # live in BENCH_DETAIL.json and the line carries min-of-3 only.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    detail = {"estimator": "min3_warmed", "sf": float(sf),
+              "queries_min": timings, "queries_median": medians}
+    try:  # keep the opt-in sf1 probe record (tests/test_sf1_probe.py)
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if "sf1_probe" in prev:
+            detail["sf1_probe"] = prev["sf1_probe"]
+    except (OSError, ValueError):
+        pass
     with open(detail_path, "w") as f:
-        json.dump({"estimator": "min3_warmed", "sf": float(sf),
-                   "queries_min": timings, "queries_median": medians},
-                  f, indent=1, sort_keys=True)
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(format_output_line(timings, float(sf)))
 
 

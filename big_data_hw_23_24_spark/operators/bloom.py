@@ -70,6 +70,24 @@ def bloom_might_contain(df: DataFrame, bloom: DataFrame, key_col: str,
     return probed.where(reduce(lambda a, b: a & b, tests)).drop("bf")
 
 
+def bloom_flag(df: DataFrame, bloom: DataFrame, key_col: str,
+               flag_col: str = "maybe", m_bits: int = 1 << 16,
+               k: int = 5) -> DataFrame:
+    """Like :func:`bloom_might_contain` but non-destructive: append a
+    boolean ``flag_col`` (might-be-member) instead of filtering, for
+    callers that route accepted and rejected rows down DIFFERENT paths
+    (e.g. only accepted rows pay a verification join)."""
+    probed = df.crossJoin(F.broadcast(bloom))
+    tests = []
+    for i in range(k):
+        p = f"pmod(xxhash64({i}, {key_col}), {m_bits})"
+        tests.append(F.expr(
+            f"(element_at(bf, cast(shiftright({p}, 6) AS INT) + 1)"
+            f" & shiftleft(1L, cast(({p} & 63) AS INT))) != 0"))
+    return probed.withColumn(
+        flag_col, reduce(lambda a, b: a & b, tests)).drop("bf")
+
+
 def bloom_semi_prune(fact: DataFrame, dim: DataFrame,
                      fact_key: str, dim_key: str,
                      m_bits: int = 1 << 16, k: int = 5) -> DataFrame:

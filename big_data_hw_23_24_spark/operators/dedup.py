@@ -603,6 +603,54 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
         new_docs, seen, text_col=text_col, id_col=id_col)
 
 
+def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            m_bits: int = 1 << 20,
+                            k: int = 5) -> DataFrame:
+    """Bloom-prefiltered :func:`incremental_dedup` — IDENTICAL results
+    (same statuses, same oracle), different 100 TB cost profile.
+
+    The exact form's steady-state cost is shuffling every batch
+    fingerprint into the corpus-fingerprint store's buckets even
+    though, at typical re-crawl churn, most batch rows match nothing.
+    This face builds a compact bitmap over the corpus fingerprints
+    (one pass over the store, ≤ m/64 longs ≈ 128 KB at m = 2²⁰ —
+    ``operators.bloom``), broadcasts it, and routes the batch by the
+    probe: rows the bitmap REJECTS are definitively not in the corpus
+    (no false negatives) and settle their status from the in-batch
+    rank alone — they never enter a join; only accepted rows (true
+    members + the (1−e^(−kn/m))^k false-positive sliver) pay the exact
+    verification join, so the shuffle is proportional to the duplicate
+    fraction, not the batch. Verification keeps precision exact.
+    """
+    from pyspark.sql import Window
+
+    from .bloom import bloom_build, bloom_flag
+
+    fp = F.md5(normalized_text(F.col(text_col)))
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy(id_col))
+    batch = (new_docs.select(F.col(id_col), fp.alias("fingerprint"))
+             .withColumn("rn", rn))
+    seen = corpus.select(fp.alias("fingerprint")).distinct()
+    bf = bloom_build(seen, "fingerprint", m_bits, k)
+    flagged = bloom_flag(batch, bf, "fingerprint", "maybe", m_bits, k)
+    batch_status = (F.when(F.col("rn") > 1, "dup_in_batch")
+                    .otherwise("novel"))
+    rejected = (flagged.where(~F.col("maybe"))
+                .select(id_col, "fingerprint",
+                        batch_status.alias("status")))
+    accepted = (
+        flagged.where(F.col("maybe"))
+        .join(seen.withColumn("in_corpus", F.lit(True)),
+              "fingerprint", "left")
+        .select(id_col, "fingerprint",
+                F.when(F.col("in_corpus"), "dup_of_corpus")
+                .otherwise(batch_status).alias("status")))
+    return accepted.unionByName(rejected)
+
+
 def incremental_dedup_against_fingerprints(
         new_docs: DataFrame, fingerprints: DataFrame,
         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

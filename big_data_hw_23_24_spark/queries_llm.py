@@ -25,7 +25,7 @@ from .operators.textstats import (
     quality_scores,
     token_stats,
 )
-from .queries import register
+from .queries import _REGISTRY, register
 from .sources.tables import load_table
 
 # DuckDB CTE mirroring operators.dedup.word_shingles (distinct word
@@ -917,6 +917,38 @@ def dedup_incremental(spark, sf_dir):
         F.concat("text", F.lit(" zzznovel")).alias("text"))
     again = novel.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return incremental_dedup(mangled.unionAll(novel).unionAll(again), docs)
+
+
+# Bloom-prefiltered face of the same contract: IDENTICAL statuses (so
+# it shares dedup_incremental's oracle verbatim), but batch rows the
+# corpus bitmap rejects never enter the verification join — the
+# shuffle is proportional to the duplicate fraction, not the batch.
+# The synthetic batch exercises both routes non-vacuously: mangled
+# copies pass the bloom and verify as dup_of_corpus; the zzznovel
+# rewrites are (mostly) rejected outright and settle from the in-batch
+# rank alone.
+@register(
+    "dedup_incremental_bloom",
+    _REGISTRY["dedup_incremental"].oracle,
+    doc="bloom-prefiltered incremental ingestion dedup: broadcast "
+        "corpus-fingerprint bitmap routes the batch, only possible "
+        "members pay the exact verification join; no false negatives, "
+        "exact statuses",
+)
+def dedup_incremental_bloom(spark, sf_dir):
+    from .operators.dedup import incremental_dedup_bloom
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "),
+                         F.regexp_replace("text", " ", "  "))).alias("text"))
+    novel = docs.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" zzznovel")).alias("text"))
+    again = novel.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return incremental_dedup_bloom(
+        mangled.unionAll(novel).unionAll(again), docs)
 
 
 # --- BPE pair statistics (tokenizer training, step 1) ------------------------

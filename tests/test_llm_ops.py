@@ -1770,3 +1770,44 @@ def test_robust_stats_null_group_and_validation(spark):
     assert None in out and out[None].n == 2  # shadow key kept nulls
     with _pytest.raises(ValueError):
         robust_stats(df, "v", lo_pct=90, hi_pct=10)
+
+
+# --- bloom-prefiltered incremental dedup (r8) ---------------------------------
+
+def test_incremental_dedup_bloom_matches_exact_and_routes(spark):
+    """The bloom face returns byte-identical statuses to the exact
+    form on a batch exercising all three statuses, and the bitmap
+    really routes: fingerprints absent from the corpus are (almost
+    all) rejected before any join, members are always accepted (no
+    false negatives)."""
+    from big_data_hw_23_24_spark.operators.bloom import (
+        bloom_build, bloom_flag)
+    from big_data_hw_23_24_spark.operators.dedup import (
+        incremental_dedup, incremental_dedup_bloom, normalized_text)
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i} body") for i in range(50)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        # dup_of_corpus (mangled), novel, and a batch-internal dup
+        [(100 + i, f"  Corpus DOC number {i}  body") for i in range(10)]
+        + [(200 + i, f"fresh doc {i}") for i in range(10)]
+        + [(300, "fresh doc 3")],
+        "doc_id long, text string")
+    exact = {r.doc_id: r.status
+             for r in incremental_dedup(batch, corpus).collect()}
+    blm = {r.doc_id: r.status
+           for r in incremental_dedup_bloom(batch, corpus).collect()}
+    assert blm == exact
+    assert sorted(set(blm.values())) == ["dup_in_batch", "dup_of_corpus",
+                                         "novel"]
+    # routing: members always pass, non-members (mostly) rejected
+    fp = F.md5(normalized_text(F.col("text")))
+    seen = corpus.select(fp.alias("fingerprint")).distinct()
+    bf = bloom_build(seen, "fingerprint")
+    probes = batch.select("doc_id", fp.alias("fingerprint"))
+    flags = {r.doc_id: r.maybe
+             for r in bloom_flag(probes, bf, "fingerprint").collect()}
+    assert all(flags[100 + i] for i in range(10))  # no false negatives
+    rejected = sum(not flags[d] for d in flags if d >= 200)
+    assert rejected >= 8  # bitmap really short-circuits the join

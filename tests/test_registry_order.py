@@ -306,6 +306,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   snapshot change set (upsert +
                                      #   tombstone) with merge-path
                                      #   provenance
+        "dedup_incremental_bloom",   # r8: bloom-prefiltered incremental
+                                     #   dedup (identical statuses,
+                                     #   join only on possible members)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail

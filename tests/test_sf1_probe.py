@@ -1,0 +1,125 @@
+"""Opt-in sf1 scale probe (SPARK_GRAFT_SF1_BENCH=1).
+
+The five slowest benched queries are all candidate-generation dedup /
+rerank paths whose 100 TB safety rests on an argument (bucketed joins,
+bounded pools, df-capped inverted indexes). This probe checks the
+argument EMPIRICALLY one decade up: synthesize a 10× corpus from
+sf0.1 (replica-suffixed words so replicas don't near-dup each other —
+replicating text verbatim would grow true-pair counts quadratically in
+the replica count and break the linearity comparison for structural,
+not scale, reasons; embeddings get a per-replica cyclic dimension
+shift for the same decorrelation), time each probe at both scales, and
+assert ≤ linear-ish growth. A hidden superlinear term (band-bucket
+blowup, pool fan-out, Σdf² past its cap) shows up as a ratio near
+10²; genuine linear scaling lands near 10¹. Results are recorded
+under ``sf1_probe`` in BENCH_DETAIL.json (bench.py preserves the key).
+
+Not part of the default suite: synthesizing + timing ~50k docs three
+times per query is minutes of wall-clock, and the number it produces
+is a scaling RATIO, not a correctness bit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+from big_data_hw_23_24_spark.sources.tables import load_table
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SF1_BENCH") != "1",
+    reason="opt-in: SPARK_GRAFT_SF1_BENCH=1 runs the 10x scale probe")
+
+SF01 = "/root/testdata/sf0.1"
+REPLICAS = 10
+# data grows 10x; allow 2.5x headroom on perfectly-linear growth for
+# fixed costs amortizing differently and shuffle-partition granularity.
+# A quadratic term would land near 100x.
+MAX_GROWTH = 25.0
+
+PROBES = [
+    "dedup_minhash_banded",      # banded equi-join on (band, hash)
+    "dedup_containment_pairs",   # inverted-index shingle join, df-capped
+    "knn_mmr_rerank",            # bounded pool + k unrolled greedy steps
+    "dedup_minhash_lsh",         # xxhash64 production LSH face
+    "dedup_incremental_minhash",  # batch-vs-signature-store join
+]
+
+
+def _synthesize(spark, dst: str) -> None:
+    docs = load_table(spark, SF01, "documents")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "k")
+    suffixed = F.concat_ws(" ", F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.concat(w, F.lit("_r"), F.col("k").cast("string"))))
+    (docs.crossJoin(reps)
+     .select((F.col("doc_id") + F.col("k") * off).alias("doc_id"),
+             F.when(F.col("k") == 0, F.col("text"))
+             .otherwise(suffixed).alias("text"),
+             "lang", "source", "n_chars")
+     .write.mode("overwrite").parquet(os.path.join(dst, "documents.parquet")))
+    emb = load_table(spark, SF01, "embeddings")
+    voff = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    shifted = F.concat(
+        F.slice(F.col("embedding"), F.col("k") + 1, F.lit(dim) - F.col("k")),
+        F.slice(F.col("embedding"), F.lit(1), F.col("k")))
+    (emb.crossJoin(reps)
+     .select((F.col("vec_id") + F.col("k") * voff).alias("vec_id"),
+             F.when(F.col("k") == 0, F.col("embedding"))
+             .otherwise(shifted).alias("embedding"),
+             "label")
+     .write.mode("overwrite").parquet(os.path.join(dst, "embeddings.parquet")))
+
+
+def _time_min(fn, spark, sf_dir: str, reps: int = 2) -> float:
+    fn(spark, sf_dir).count()  # untimed warm (bench.py convention)
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def test_sf1_growth_is_linearish(spark):
+    _ensure_loaded()
+    dst = tempfile.mkdtemp(prefix="sf1_probe_")
+    try:
+        _synthesize(spark, dst)
+        results: dict[str, dict[str, float]] = {}
+        failures = []
+        for name in PROBES:
+            fn = _REGISTRY[name].spark_fn
+            t01 = _time_min(fn, spark, SF01)
+            t1 = _time_min(fn, spark, dst)
+            ratio = t1 / max(t01, 1e-9)
+            results[name] = {"sec_sf0.1": round(t01, 3),
+                             "sec_sf1": round(t1, 3),
+                             "growth": round(ratio, 2)}
+            if ratio > MAX_GROWTH:
+                failures.append((name, round(ratio, 2)))
+        detail_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_DETAIL.json")
+        try:
+            with open(detail_path) as f:
+                detail = json.load(f)
+        except (OSError, ValueError):
+            detail = {}
+        detail["sf1_probe"] = {"replicas": REPLICAS,
+                               "max_growth_allowed": MAX_GROWTH,
+                               "queries": results}
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        assert not failures, (failures, results)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
