@@ -69,3 +69,44 @@ def pack_sequences(docs: DataFrame, capacity: int = 256,
                  F.col("off") + F.col("n_tokens"))
     return spans.select("shard", "bin_id", id_col,
                         (hi - lo).cast("long").alias("n_tokens_in_bin"))
+
+
+def length_batches(docs: DataFrame, batch_size: int = 32,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Length-bucketed micro-batch assignment → (doc_id, n_tokens,
+    batch_id, batch_max, pad_waste).
+
+    The padded-batching complement of :func:`pack_sequences`: when
+    sequences CANNOT be concatenated (inference serving, encoder
+    models, reward scoring), each batch pads every member to its
+    longest member, so random batching wastes ~(max−mean) tokens per
+    row. Sorting by length first makes batch members near-equal in
+    length — the standard bucketed-batching trick — and this operator
+    computes the assignment plus its exact per-doc cost
+    (``pad_waste = batch_max − n_tokens``), so Σ pad_waste over an
+    assignment IS the wasted-FLOPs audit.
+
+    Scale shape: ONE range-partitioned global rank on
+    (n_tokens, id) — never a single-reducer window over the corpus
+    (``operators.ranking.global_rank``, the E79 spine) — then batch_id
+    is pure arithmetic on the rank, and ``batch_max`` is a keyed
+    window over ``batch_size``-row groups. Deterministic: ties break
+    by id.
+    """
+    from .ranking import global_rank
+
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != F.lit(""))
+    t = docs.select(F.col(id_col),
+                    F.size(words).cast("long").alias("n_tokens"))
+    ranked = global_rank(t, [F.col("n_tokens"), F.col(id_col)],
+                         rank_col="_rn")
+    b = ranked.withColumn(
+        "batch_id", F.expr(f"(_rn - 1) div {int(batch_size)}"))
+    w = Window.partitionBy("batch_id")
+    return (b.select(
+        id_col, "n_tokens", "batch_id",
+        F.max("n_tokens").over(w).alias("batch_max"))
+        .withColumn("pad_waste",
+                    (F.col("batch_max") - F.col("n_tokens")).cast("long")))

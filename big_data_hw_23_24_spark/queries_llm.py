@@ -2553,6 +2553,45 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- length-bucketed padded batching (r8) ------------------------------------
+# The padded-batching complement of doc_pack_sequences: inference /
+# encoder / reward-scoring batches pad to the batch max, so the
+# assignment IS the wasted-FLOPs audit. One range-partitioned global
+# rank (the E79 spine) + a keyed 32-row window — no single-reducer
+# window anywhere.
+@register(
+    "corpus_length_batches",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             w -> w <> ''))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
+      FROM t
+    ),
+    b AS (SELECT doc_id, n_tokens, (rn - 1) // 32 AS batch_id FROM r)
+    SELECT doc_id, n_tokens, batch_id::BIGINT AS batch_id,
+           max(n_tokens) OVER (PARTITION BY batch_id)::BIGINT AS batch_max,
+           (max(n_tokens) OVER (PARTITION BY batch_id)
+            - n_tokens)::BIGINT AS pad_waste
+    FROM b
+    """,
+    doc="length-bucketed micro-batch assignment with exact per-doc "
+        "padding waste: range-partitioned global length rank, batch = "
+        "rank div B, pad to batch max — the wasted-FLOPs audit of "
+        "padded batching",
+)
+def corpus_length_batches(spark, sf_dir):
+    from .operators.packing import length_batches
+
+    return length_batches(load_table(spark, sf_dir, "documents"),
+                          batch_size=32)
+
+
 # --- streaming ingest health (r8) --------------------------------------------
 # no_oracle by design: trigger durations, rates and wall-clock stamps
 # are runtime facts, not data facts (the reservoir/MRFFT category).

@@ -1811,3 +1811,41 @@ def test_incremental_dedup_bloom_matches_exact_and_routes(spark):
     assert all(flags[100 + i] for i in range(10))  # no false negatives
     rejected = sum(not flags[d] for d in flags if d >= 200)
     assert rejected >= 8  # bitmap really short-circuits the join
+
+
+# --- length-bucketed padded batching (r8) --------------------------------------
+
+def test_length_batches_structure_and_waste_dominance(spark):
+    """Full batches of exactly B, batch_max non-decreasing in batch_id
+    (batches are contiguous length ranges), pad_waste arithmetic, and
+    the point of the operator: length-sorted batching never wastes
+    more padding than arrival-order batching on the same corpus."""
+    from big_data_hw_23_24_spark.operators.packing import length_batches
+
+    rows = [(i, " ".join(["w"] * ((i * 37) % 100 + 1))) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_batches(docs, batch_size=8).collect()
+    assert len(out) == 100
+    from collections import Counter
+    sizes = Counter(r.batch_id for r in out)
+    n_full = 100 // 8
+    assert all(sizes[b] == 8 for b in range(n_full))
+    assert sizes[n_full] == 100 % 8
+    by_batch = {}
+    for r in out:
+        assert r.pad_waste == r.batch_max - r.n_tokens >= 0
+        by_batch.setdefault(r.batch_id, []).append(r)
+    maxes = [max(r.n_tokens for r in g)
+             for _, g in sorted(by_batch.items())]
+    assert maxes == sorted(maxes)
+    for b, g in by_batch.items():
+        assert max(r.n_tokens for r in g) == g[0].batch_max
+    # dominance vs arrival order (batch by doc_id instead of length)
+    sorted_waste = sum(r.pad_waste for r in out)
+    toks = {r.doc_id: r.n_tokens for r in out}
+    arrival = sorted(toks)
+    arrival_waste = 0
+    for s in range(0, 100, 8):
+        grp = [toks[d] for d in arrival[s:s + 8]]
+        arrival_waste += sum(max(grp) - t for t in grp)
+    assert sorted_waste <= arrival_waste

@@ -309,6 +309,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "dedup_incremental_bloom",   # r8: bloom-prefiltered incremental
                                      #   dedup (identical statuses,
                                      #   join only on possible members)
+        "corpus_length_batches",     # r8: length-bucketed padded
+                                     #   batching with exact pad-waste
+                                     #   audit (global-rank spine)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
