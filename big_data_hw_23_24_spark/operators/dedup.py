@@ -673,3 +673,42 @@ def incremental_dedup_against_fingerprints(
                     F.when(F.col("in_corpus"), "dup_of_corpus")
                     .when(F.col("rn") > 1, "dup_in_batch")
                     .otherwise("novel").alias("status")))
+
+
+def dedup_impact_report(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """What would exact dedup do to this corpus → one row per
+    duplicate-cluster size: ``(cluster_size, n_clusters, n_docs,
+    n_tokens, tokens_lost)``.
+
+    The go/no-go report BEFORE running a dedup pass: ``tokens_lost``
+    (tokens of every non-survivor; survivor = min id, the engine-wide
+    election) is exactly the training-token cost of deduplicating at
+    this granularity, and the cluster-size histogram shows whether the
+    duplication is a long tail of pairs or a few mega-clusters (which
+    is what decides between plain dedup and boilerplate treatment).
+
+    Scale shape: text reduces to (fingerprint, id, n_tokens) in one
+    narrow map — 40-byte rows — then two keyed aggregations
+    (fingerprint → cluster stats, cluster_size → histogram). The
+    survivor's token count rides the first aggregate as a
+    ``min(struct(id, tokens))`` so no second pass over the corpus and
+    no join back; output is bounded by the number of DISTINCT cluster
+    sizes (≤ tens).
+    """
+    fp = F.md5(normalized_text(F.col(text_col)))
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != F.lit(""))
+    t = docs.select(fp.alias("fingerprint"), F.col(id_col),
+                    F.size(words).cast("long").alias("n_tokens"))
+    per = (t.groupBy("fingerprint")
+           .agg(F.count("*").cast("long").alias("cluster_size"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.min(F.struct(id_col, "n_tokens")).alias("_keep")))
+    return (per.groupBy("cluster_size")
+            .agg(F.count("*").cast("long").alias("n_clusters"),
+                 F.sum("cluster_size").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.sum(F.col("n_tokens") - F.col("_keep.n_tokens"))
+                 .cast("long").alias("tokens_lost"))
+            .orderBy("cluster_size"))

@@ -2553,6 +2553,69 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- dedup impact report (r8) ------------------------------------------------
+# The go/no-go audit before a dedup pass. The synthetic corpus has no
+# duplicates, so the input is salted with planted clusters covering
+# FOUR sizes: every doc (size-1 tail), a mangled copy of doc_id%3=0
+# (size 2), a verbatim + a mangled copy of doc_id%5=0 (size 3), and
+# the %15=0 overlap of both rules (size 4) — the histogram, doc and
+# token conservation, and survivor-token arithmetic all non-vacuous.
+@register(
+    "corpus_dedup_impact",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper('  ' || replace(text, ' ', '  '))
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, upper('  ' || replace(text, ' ', '  '))
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (
+      SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+               AS fingerprint,
+             doc_id,
+             len(list_filter(string_split(text, ' '),
+                             w -> w <> ''))::BIGINT AS n_tokens
+      FROM all_docs
+    ),
+    per AS (
+      SELECT fingerprint, count(*)::BIGINT AS cluster_size,
+             sum(n_tokens)::BIGINT AS n_tokens,
+             arg_min(n_tokens, doc_id) AS keep_tokens
+      FROM t GROUP BY fingerprint
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+           sum(cluster_size)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(n_tokens - keep_tokens)::BIGINT AS tokens_lost
+    FROM per GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    doc="dedup impact audit: duplicate-cluster size histogram with "
+        "exact training-token cost of deduplicating (tokens of every "
+        "non-survivor); 40-byte projection + two keyed aggregations, "
+        "output bounded by distinct cluster sizes",
+)
+def corpus_dedup_impact(spark, sf_dir):
+    from .operators.dedup import dedup_impact_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangle = F.upper(F.concat(F.lit("  "),
+                              F.regexp_replace("text", " ", "  ")))
+    d3 = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), mangle.alias("text"))
+    d5a = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    d5b = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), mangle.alias("text"))
+    return dedup_impact_report(
+        docs.unionAll(d3).unionAll(d5a).unionAll(d5b))
+
+
 # --- length-bucketed padded batching (r8) ------------------------------------
 # The padded-batching complement of doc_pack_sequences: inference /
 # encoder / reward-scoring batches pad to the batch max, so the

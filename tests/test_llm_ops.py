@@ -1849,3 +1849,31 @@ def test_length_batches_structure_and_waste_dominance(spark):
         grp = [toks[d] for d in arrival[s:s + 8]]
         arrival_waste += sum(max(grp) - t for t in grp)
     assert sorted_waste <= arrival_waste
+
+
+# --- dedup impact report (r8) --------------------------------------------------
+
+def test_dedup_impact_report_exact_arithmetic(spark):
+    """Known planted clusters → exact histogram rows: doc and token
+    conservation, survivor-token subtraction, singleton tail."""
+    from big_data_hw_23_24_spark.operators.dedup import dedup_impact_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"),            # cluster X survivor (3 tokens)
+         (2, "A  B  C"),          # cluster X dup (3 tokens)
+         (3, "d e"),              # singleton
+         (10, "x y z w"),         # cluster Y survivor (4 tokens)
+         (11, "x y z w"),         # cluster Y dup
+         (12, "X Y Z W  ")],      # cluster Y dup
+        "doc_id long, text string")
+    out = {r.cluster_size: r for r in dedup_impact_report(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_clusters, out[1].n_docs, out[1].n_tokens,
+            out[1].tokens_lost) == (1, 1, 2, 0)
+    assert (out[2].n_clusters, out[2].n_docs, out[2].n_tokens,
+            out[2].tokens_lost) == (1, 2, 6, 3)
+    assert (out[3].n_clusters, out[3].n_docs, out[3].n_tokens,
+            out[3].tokens_lost) == (1, 3, 12, 8)
+    # conservation: docs and tokens partition across the histogram
+    assert sum(r.n_docs for r in out.values()) == 6
+    assert sum(r.n_tokens for r in out.values()) == 2 + 6 + 12
