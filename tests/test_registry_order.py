@@ -312,6 +312,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_length_batches",     # r8: length-bucketed padded
                                      #   batching with exact pad-waste
                                      #   audit (global-rank spine)
+        "corpus_dedup_impact",       # r8: cluster-size histogram with
+                                     #   exact token cost of dedup
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
