@@ -437,3 +437,40 @@ def normalize_unicode(docs: DataFrame, text_col: str = "text",
                     F.length("_orig").cast("long").alias("len_before"),
                     F.length("norm_text").cast("long")
                     .alias("len_after")))
+
+
+def html_extract(docs: DataFrame, html_col: str = "html",
+                 id_col: str = "doc_id") -> DataFrame:
+    """HTML → training text: strip script/style blocks with their
+    contents, count anchors, drop the remaining tags, decode the five
+    basic entities, collapse whitespace → ``(doc_id, text, n_links,
+    n_chars)``.
+
+    The extraction step between the crawl and every cleaning operator
+    in this package: raw WARC payloads are markup, the corpus wants
+    prose. This is the deterministic, engine-portable core of an
+    extractor (the trafilatura/jusText class of tools layers
+    readability heuristics on top — their DOM scoring is not a data
+    -engine concern). All patterns avoid backreferences so Java regex
+    (Spark) and RE2 (DuckDB) agree; one narrow map, zero shuffle,
+    streams at scan speed at any corpus size.
+
+    ``n_links`` is counted AFTER script/style removal (a link inside
+    dead code is not content) and feeds the C4-style link-density
+    gates downstream.
+    """
+    h = F.col(html_col)
+    for blk in ("script", "style"):
+        h = F.regexp_replace(h, f"(?s)<{blk}[^>]*>.*?</{blk}>", " ")
+    n_links = F.size(F.regexp_extract_all(h, F.lit("<a[ >]"), 0)) \
+        .cast("long")
+    no_tags = F.regexp_replace(h, "<[^>]*>", " ")
+    dec = no_tags
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        dec = F.replace(dec, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(dec, " +", " "))
+    return docs.select(
+        F.col(id_col), n_links.alias("n_links"),
+        clean.alias("text"),
+        F.length(clean).cast("long").alias("n_chars"))

@@ -2553,6 +2553,73 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- HTML extraction (r8) ----------------------------------------------------
+# The corpus is plain text, so (the _SYNTH_LINES_CTE precedent) both
+# engines wrap each document in an IDENTICAL synthetic page first:
+# head with a style block, h1 + p content, an &amp; entity, one anchor,
+# and a script block on doc_id%3=0 — every extraction branch (block
+# strip with contents, tag strip, entity decode incl. the amp-last
+# double-decode guard, link count, whitespace collapse) provably
+# exercised. Patterns avoid backreferences so Java regex and RE2 agree.
+@register(
+    "doc_html_extract",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><style>p{color:red}</style></head><body><h1>'
+        || substr(text, 1, 20) || '</h1><p>' || text
+        || ' &amp; more</p><a href="http://x/' || doc_id
+        || '">link</a>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<script>var x=1;</script>' ELSE '' END
+        || '</body></html>' AS html
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t
+      FROM h
+    ),
+    s2 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '<a[ >]'))::BIGINT AS n_links,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_links,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(t,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&'),
+               ' +', ' ', 'g')) AS text
+      FROM s2
+    )
+    SELECT doc_id, n_links, text, length(text)::BIGINT AS n_chars
+    FROM s3
+    """,
+    doc="HTML -> training text extraction: script/style block strip, "
+        "anchor count, tag strip, basic entity decode (amp last), "
+        "whitespace collapse -- one narrow map, zero shuffle, the "
+        "step between the crawl and every cleaning operator",
+)
+def doc_html_extract(spark, sf_dir):
+    from .operators.cleaning import html_extract
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head><body><h1>'),
+        F.substring("text", 1, 20), F.lit("</h1><p>"), F.col("text"),
+        F.lit(' &amp; more</p><a href="http://x/'),
+        F.col("doc_id").cast("string"), F.lit('">link</a>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<script>var x=1;</script>")).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    return html_extract(docs.select("doc_id", html.alias("html")))
+
+
 # --- dedup impact report (r8) ------------------------------------------------
 # The go/no-go audit before a dedup pass. The synthetic corpus has no
 # duplicates, so the input is salted with planted clusters covering

@@ -773,3 +773,31 @@ def test_normalize_unicode_is_arrow_vectorized_no_shuffle(spark):
     assert "ArrowEvalPython" in plan       # vectorized extension point
     assert "BatchEvalPython" not in plan   # never row-at-a-time
     assert "Exchange" not in plan
+
+
+# --- HTML extraction (r8) ------------------------------------------------------
+
+def test_html_extract_branches(spark):
+    """Script/style contents vanish, tags strip, entities decode
+    exactly once (&amp;lt; must yield the literal '&lt;', not '<'),
+    links count only outside dead blocks."""
+    from big_data_hw_23_24_spark.operators.cleaning import html_extract
+
+    rows = [
+        (1, '<p>Hello <b>world</b></p><a href="x">go</a>'
+            '<script>var a="<a >fake</a>";</script>'),
+        (2, '<style>a{}</style>5 &lt; 7 &amp;&amp; 8 &gt; 2'),
+        (3, 'He said &quot;hi&quot; &#39;there&#39;'),
+        (4, 'literal &amp;lt; stays'),
+        (5, '<div><div><p>nested   spaces</p></div></div>'),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in html_extract(docs).collect()}
+    assert out[1].text == "Hello world go"
+    assert out[1].n_links == 1  # the in-script anchor is dead code
+    assert out[2].text == "5 < 7 && 8 > 2"
+    assert out[3].text == 'He said "hi" \'there\''
+    assert out[4].text == "literal &lt; stays"  # no double decode
+    assert out[5].text == "nested spaces"
+    for r in out.values():
+        assert r.n_chars == len(r.text)

@@ -314,6 +314,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   audit (global-rank spine)
         "corpus_dedup_impact",       # r8: cluster-size histogram with
                                      #   exact token cost of dedup
+        "doc_html_extract",          # r8: HTML -> text extraction
+                                     #   (block/tag strip, entity
+                                     #   decode, link count)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
