@@ -25,7 +25,7 @@ hopping / session windows) with the ordered-sequence aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_depths"]
@@ -148,3 +148,35 @@ def path_ngrams(events: DataFrame, n: int = 3, k: int = 20,
               .limit(k))
     w2 = Window.orderBy(F.col("n_occurrences").desc(), "path")
     return ranked.withColumn("rank", F.row_number().over(w2))
+
+
+def transition_matrix(events: DataFrame, type_col: str = "event_type",
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences → ``(from_type, to_type, n_transitions, prob)``.
+
+    The product-analytics complement of the funnel: where the funnel
+    checks ONE prescribed path, the transition matrix shows every
+    observed next-step and its empirical probability (row-normalized
+    per ``from_type``) — what users actually do after a view, which
+    paths never occur, where the flow leaks.
+
+    Scale shape: one keyed window (``lead`` per user — partition key is
+    the user id, so a 10⁹-user log spreads over the cluster; ties
+    break on the event id for determinism) feeding one keyed
+    aggregate; the normalizing window runs on the AGGREGATED T×T
+    matrix (event-type vocabulary, tens of rows), never on events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"))
+        .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").cast("long").alias("n_transitions")))
+    tot = Window.partitionBy("from_type")
+    return (counts.withColumn(
+        "prob", F.round(F.col("n_transitions")
+                        / F.sum("n_transitions").over(tot), 6))
+        .orderBy("from_type", "to_type"))

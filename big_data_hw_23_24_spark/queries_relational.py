@@ -1316,6 +1316,37 @@ def user_funnel_3stage(spark, sf_dir):
     return funnel_depths(ev, ["view", "click", "purchase"])
 
 
+# --- event transition matrix (r8) ---------------------------------------------
+# The funnel's complement: every observed next-step with empirical
+# probability, not one prescribed path. One keyed lead() window per
+# user + one aggregate; the normalizing window runs on the T×T
+# event-type matrix, never on events.
+@register(
+    "events_transition_matrix",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+           round(count(*) * 1.0
+                 / sum(count(*)) OVER (PARTITION BY from_type), 6)
+             AS prob
+    FROM p WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences: keyed lead() window (tie-broken on event_id) + "
+        "keyed aggregate, row-normalized on the bounded type matrix",
+)
+def events_transition_matrix(spark, sf_dir):
+    from .operators.funnel import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
 # --- weekly retention cohorts (E72) -------------------------------------------
 @register(
     "user_retention_cohorts",

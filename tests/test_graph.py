@@ -61,3 +61,38 @@ def test_transition_edges_orders_within_user(spark):
                      transition_edges(ev, item_col="item").collect()))
     # user 1: 100→200→300; user 2: single event, no edge
     assert got == [(100, 200), (200, 300)]
+
+
+# --- event transition matrix (r8) ---------------------------------------------
+
+def test_transition_matrix_counts_and_row_normalization(spark):
+    """Known sequences → exact transition counts; rows normalize to 1;
+    cross-user boundaries never produce a transition; ties broken by
+    event_id."""
+    from big_data_hw_23_24_spark.operators.funnel import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a -> c
+        (1, 1, 100, "a"), (2, 1, 200, "b"), (3, 1, 300, "a"),
+        (4, 1, 400, "c"),
+        # user 2: a -> b (its last event never transitions anywhere)
+        (5, 2, 100, "a"), (6, 2, 200, "b"),
+        # user 3: simultaneous ts -> event_id order decides: x -> y
+        (7, 3, 500, "x"), (8, 3, 500, "y"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string")
+    out = {(r.from_type, r.to_type): r
+           for r in transition_matrix(ev).collect()}
+    assert {(k, v.n_transitions) for k, v in out.items()} == {
+        (("a", "b"), 2), (("a", "c"), 1), (("b", "a"), 1), (("x", "y"), 1)}
+    assert out[("a", "b")].prob == 0.666667
+    assert out[("a", "c")].prob == 0.333333
+    assert out[("b", "a")].prob == 1.0
+    # user 2's trailing 'b' contributes no transition; rows sum to ~1
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (f, _), r in out.items():
+        sums[f] += r.prob
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-5

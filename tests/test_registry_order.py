@@ -317,6 +317,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_html_extract",          # r8: HTML -> text extraction
                                      #   (block/tag strip, entity
                                      #   decode, link count)
+        "events_transition_matrix",  # r8: per-user Markov next-event
+                                     #   matrix with row-normalized
+                                     #   probabilities
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
