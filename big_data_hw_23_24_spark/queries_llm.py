@@ -2553,6 +2553,65 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- SFT chat-template rendering (r8) ----------------------------------------
+# Both engines synthesize the identical 3-turn conversation per doc
+# (fixed system prompt, user = first 60 chars, assistant = next 120),
+# then compute the ChatML rendering arithmetic. The value-checked part
+# is the span math: content_start/content_end are exact 0-based char
+# offsets into the conversation's full rendered text — the loss mask.
+@register(
+    "doc_chat_render",
+    """
+    WITH turns AS (
+      SELECT doc_id AS conv_id, 0 AS turn, 'system' AS role,
+             'You are a helpful assistant.' AS content FROM documents
+      UNION ALL
+      SELECT doc_id, 1, 'user', substr(text, 1, 60) FROM documents
+      UNION ALL
+      SELECT doc_id, 2, 'assistant', substr(text, 61, 120) FROM documents
+    ),
+    r AS (
+      SELECT conv_id, turn, role, content,
+             (12 + length(role) + 1
+              + coalesce(length(content), 0) + 11)::BIGINT AS rlen
+      FROM turns
+    ),
+    o AS (
+      SELECT conv_id, turn, role, content,
+             coalesce(sum(rlen) OVER (
+               PARTITION BY conv_id ORDER BY turn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS strt
+      FROM r
+    )
+    SELECT conv_id, turn, role,
+           (strt + 12 + length(role) + 1)::BIGINT AS content_start,
+           (strt + 12 + length(role) + 1
+            + coalesce(length(content), 0))::BIGINT AS content_end,
+           '<|im_start|>' || role || chr(10) || coalesce(content, '')
+             || '<|im_end|>' || chr(10) AS rendered
+    FROM o
+    """,
+    doc="SFT chat-template rendering: ChatML per-turn rendering with "
+        "exact 0-based content spans (the loss mask) -- posexplode + "
+        "one keyed per-conversation window, no global ordering",
+)
+def doc_chat_render(spark, sf_dir):
+    from .operators.chat import chat_render_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    msgs = F.array(
+        F.struct(F.lit("system").alias("role"),
+                 F.lit("You are a helpful assistant.").alias("content")),
+        F.struct(F.lit("user").alias("role"),
+                 F.substring("text", 1, 60).alias("content")),
+        F.struct(F.lit("assistant").alias("role"),
+                 F.substring("text", 61, 120).alias("content")))
+    return chat_render_spans(
+        docs.select(F.col("doc_id").alias("conv_id"),
+                    msgs.alias("messages")))
+
+
 # --- HTML extraction (r8) ----------------------------------------------------
 # The corpus is plain text, so (the _SYNTH_LINES_CTE precedent) both
 # engines wrap each document in an IDENTICAL synthetic page first:

@@ -1877,3 +1877,33 @@ def test_dedup_impact_report_exact_arithmetic(spark):
     # conservation: docs and tokens partition across the histogram
     assert sum(r.n_docs for r in out.values()) == 6
     assert sum(r.n_tokens for r in out.values()) == 2 + 6 + 12
+
+
+# --- SFT chat rendering (r8) -----------------------------------------------------
+
+def test_chat_render_spans_cut_exact_content(spark):
+    """The whole point: substr(full_text, start+1, end-start) IS the
+    turn's content — for every turn, including an empty and a null
+    content; full text reassembles in turn order."""
+    from big_data_hw_23_24_spark.operators.chat import (
+        chat_render_spans, chat_texts)
+
+    msgs = [("system", "be terse"), ("user", "hi there"),
+            ("assistant", ""), ("user", None),
+            ("assistant", "final answer")]
+    convs = spark.createDataFrame(
+        [(7, msgs)],
+        "conv_id long, messages array<struct<role string, content string>>")
+    spans = sorted(chat_render_spans(convs).collect(),
+                   key=lambda r: r.turn)
+    (txt_row,) = chat_texts(convs).collect()
+    text = txt_row.text
+    assert txt_row.n_turns == 5 and txt_row.n_chars == len(text)
+    assert text == "".join(r.rendered for r in spans)
+    expected = ["be terse", "hi there", "", "", "final answer"]
+    for r, want in zip(spans, expected):
+        got = text[r.content_start:r.content_end]
+        assert got == want, (r.turn, got, want)
+    # template framing around each span is exactly the ChatML tokens
+    assert text.startswith("<|im_start|>system\nbe terse<|im_end|>\n")
+    assert text.count("<|im_start|>") == 5

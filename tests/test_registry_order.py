@@ -320,6 +320,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_transition_matrix",  # r8: per-user Markov next-event
                                      #   matrix with row-normalized
                                      #   probabilities
+        "doc_chat_render",           # r8: ChatML SFT rendering with
+                                     #   exact loss-mask content spans
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
