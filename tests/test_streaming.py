@@ -338,6 +338,45 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert {r.event_id: r["count"] for r in got} == {10: 1, 11: 1, 12: 1, 13: 1}
 
 
+def test_streaming_dedup_state_evicts_after_watermark(spark, tmp_path):
+    """The bounded-state half of the contract: a key re-arriving AFTER
+    the watermark has passed its state is emitted AGAIN (state was
+    evicted — that eviction is exactly why this dedup runs with finite
+    memory on an unbounded stream), while a duplicate within the delay
+    stays dropped. Batches replay in order, so the watermark advances
+    deterministically between triggers."""
+    import pandas as pd
+
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+    from big_data_hw_23_24_spark.streaming.windows import deduped_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda m: (t0 + pd.Timedelta(minutes=m)).to_pydatetime()
+    rows = [  # delay = 10 min
+        (0, 10, mk(0)), (1, 11, mk(1)),      # batch 0
+        (2, 10, mk(5)), (3, 12, mk(6)),      # batch 1: 10 dup (within)
+        (4, 99, mk(120)), (5, 13, mk(121)),  # batch 2: watermark jumps
+        (6, 98, mk(122)), (7, 97, mk(123)),  # batch 3: state cleanup
+                                             #   runs AFTER a batch's
+                                             #   dedup, so eviction
+                                             #   needs its own trigger
+        (8, 10, mk(125)), (9, 11, mk(126)),  # batch 4: 10,11 re-arrive
+    ]                                        # after eviction
+    df = spark.createDataFrame(rows, "seq long, event_id long, ts timestamp")
+    glob = write_microbatches(df, str(tmp_path / "ev"), n_buckets=5)
+    stream = (spark.readStream.schema("seq long, event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(glob))
+    name = "dedup_evict_out"
+    q = (deduped_stream(stream, ("event_id",), watermark_delay="10 minutes")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.event_id: r["count"] for r in
+           spark.table(name).groupBy("event_id").count().collect()}
+    # 10 and 11: once before + once after eviction; the rest once
+    assert got == {10: 2, 11: 2, 12: 1, 13: 1, 97: 1, 98: 1, 99: 1}
+
+
 def test_socket_stream_live_loopback_end_to_end(spark):
     """LIVE socket ingestion — the reference's actual input shape
     (integer-per-line TCP, G016HW3.java:76) — against a loopback
