@@ -31,7 +31,7 @@ north-star extension alongside connected components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,3 +113,48 @@ def transition_edges(events: DataFrame, user_col: str = "user_id",
                     F.lead(item_col).over(w).alias("dst"))
             .where(F.col("dst").isNotNull())
             .select("src", "dst"))
+
+
+def item_cooccurrence(events: DataFrame, item_col: str = "item",
+                      user_col: str = "user_id", cap: int = 20,
+                      min_co: int = 2) -> DataFrame:
+    """Item-item co-occurrence similarity over user baskets →
+    ``(item_a, item_b, n_co, jaccard)`` — the classic "users who
+    touched A also touched B" signal (collaborative filtering's
+    candidate generator, and for corpora: source/domain affinity).
+
+    The scale hazard is the self-join fan-out: a user with U distinct
+    items contributes U² pairs, and activity is power-law, so an
+    uncapped join is quadratic in the heaviest user. The ``cap``
+    bounds it: each user keeps their top-``cap`` items (by engagement
+    count, item id tiebreak — a keyed row_number, deterministic), so
+    fan-out is ≤ cap² per user regardless of skew. Jaccard is
+    computed over the SAME capped baskets (sizes from the capped
+    table), so the reported similarity is internally consistent.
+    Pairs below ``min_co`` users are dropped.
+    """
+    per = (events.where(F.col(item_col).isNotNull())
+           .groupBy(user_col, item_col)
+           .agg(F.count("*").alias("_n")))
+    w = Window.partitionBy(user_col).orderBy(F.col("_n").desc(),
+                                             F.col(item_col))
+    capped = (per.withColumn("_rk", F.row_number().over(w))
+              .where(F.col("_rk") <= cap)
+              .select(user_col, item_col))
+    sz = capped.groupBy(item_col).agg(F.count("*").alias("_nu"))
+    a, b = capped.alias("a"), capped.alias("b")
+    co = (a.join(b, (F.col(f"a.{user_col}") == F.col(f"b.{user_col}"))
+                 & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")))
+          .groupBy(F.col(f"a.{item_col}").alias("item_a"),
+                   F.col(f"b.{item_col}").alias("item_b"))
+          .agg(F.count("*").cast("long").alias("n_co"))
+          .where(F.col("n_co") >= min_co))
+    sa = sz.select(F.col(item_col).alias("item_a"),
+                   F.col("_nu").alias("_na"))
+    sb = sz.select(F.col(item_col).alias("item_b"),
+                   F.col("_nu").alias("_nb"))
+    return (co.join(sa, "item_a").join(sb, "item_b")
+            .select("item_a", "item_b", "n_co",
+                    F.round(F.col("n_co")
+                            / (F.col("_na") + F.col("_nb")
+                               - F.col("n_co")), 6).alias("jaccard")))

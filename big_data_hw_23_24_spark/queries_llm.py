@@ -2553,6 +2553,39 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- video frame-sampling plan (r8) ------------------------------------------
+# The codec-free half of the video path: WHICH frames to decode is
+# pure arithmetic (frame count from payload size in the fake-codec
+# convention, stride-10 sampling), so unlike the decode kernels this
+# face is fully value-checkable. The explode runs BEFORE the heavy
+# decode at scale, so frames parallelize across tasks.
+@register(
+    "media_frame_plan",
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             length(text) // 100 AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           (generate_subscripts(generate_series(0,
+              greatest(n_frames - 1, 0), 10), 1) - 1)::INT AS frame_pos,
+           unnest(generate_series(0, greatest(n_frames - 1, 0), 10))::INT
+             AS frame_idx
+    FROM f
+    """,
+    doc="frame-sampling schedule for video payloads: stride-10 frame "
+        "indices from the payload's frame count, exploded before the "
+        "decode kernel so frames parallelize across tasks (the "
+        "oracle-checkable arithmetic half of the multimodal path)",
+)
+def media_frame_plan(spark, sf_dir):
+    from .operators.multimodal import frame_sample_plan, media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_nth=10)
+
+
 # --- SFT chat-template rendering (r8) ----------------------------------------
 # Both engines synthesize the identical 3-turn conversation per doc
 # (fixed system prompt, user = first 60 chars, assistant = next 120),

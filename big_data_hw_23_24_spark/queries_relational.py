@@ -1347,6 +1347,59 @@ def events_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+# --- item co-occurrence similarity (r8) ---------------------------------------
+# Collaborative-filtering candidate generation with the skew guard
+# that makes it survive power-law users: each user's basket is capped
+# to their top-20 items (keyed row_number) BEFORE the pair join, so
+# fan-out is <= cap^2 per user no matter how heavy the tail; Jaccard
+# uses the capped basket sizes for internal consistency.
+@register(
+    "events_item_cooccurrence",
+    """
+    WITH ui AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             count(*) AS n
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, item) AS rk
+        FROM ui)
+      WHERE rk <= 20
+    ),
+    sz AS (SELECT item, count(*) AS nu FROM capped GROUP BY 1),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_co::BIGINT AS n_co,
+           round(n_co * 1.0 / (sa.nu + sb.nu - n_co), 6) AS jaccard
+    FROM co
+    JOIN sz sa ON sa.item = item_a
+    JOIN sz sb ON sb.item = item_b
+    WHERE n_co >= 2
+    """,
+    doc="item-item co-occurrence Jaccard over capped user baskets: "
+        "top-20-per-user cap bounds the pair-join fan-out to cap^2 "
+        "under power-law activity; keyed window + keyed aggregates",
+)
+def events_item_cooccurrence(spark, sf_dir):
+    from .operators.graph import item_cooccurrence
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.get_json_object("props", "$.k").cast("long")
+                  .alias("item")))
+    return item_cooccurrence(ev)
+
+
 # --- weekly retention cohorts (E72) -------------------------------------------
 @register(
     "user_retention_cohorts",

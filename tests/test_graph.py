@@ -96,3 +96,32 @@ def test_transition_matrix_counts_and_row_normalization(spark):
         sums[f] += r.prob
     for f, s in sums.items():
         assert abs(s - 1.0) < 1e-5
+
+
+# --- item co-occurrence (r8) -----------------------------------------------------
+
+def test_item_cooccurrence_cap_and_jaccard(spark):
+    """The cap really bounds a heavy user's fan-out (top-K by count,
+    id tiebreak), Jaccard arithmetic is exact on the capped baskets,
+    and min_co prunes singletons."""
+    from big_data_hw_23_24_spark.operators.graph import item_cooccurrence
+
+    rows = []
+    # users 1..3 share items 100,101 (strong pair)
+    for u in (1, 2, 3):
+        rows += [(u, 100), (u, 101)]
+    # user 4: heavy user touching items 0..9 once each, but item 100
+    # three times -> with cap=3, keeps 100 (count 3) then 0,1 (id tiebreak)
+    rows += [(4, 100)] * 3 + [(4, i) for i in range(10)]
+    ev = spark.createDataFrame(rows, "user_id long, item long")
+    out = {(r.item_a, r.item_b): r
+           for r in item_cooccurrence(ev, cap=3, min_co=2).collect()}
+    # (100,101): co=3 users; sizes: 100 in baskets of 1,2,3,4 -> 4; 101 -> 3
+    assert out[(100, 101)].n_co == 3
+    assert out[(100, 101)].jaccard == round(3 / (4 + 3 - 3), 6)
+    # user 4's capped basket is {100, 0, 1}: pairs with items >=2 never exist
+    assert all(not (a in (2, 3, 4, 5, 6, 7, 8, 9)
+                    or b in (2, 3, 4, 5, 6, 7, 8, 9))
+               for a, b in out)
+    # (0,1) co-occurs only for user 4 -> below min_co, pruned
+    assert (0, 1) not in out

@@ -322,6 +322,12 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   probabilities
         "doc_chat_render",           # r8: ChatML SFT rendering with
                                      #   exact loss-mask content spans
+        "media_frame_plan",          # r8: stride frame-sampling
+                                     #   schedule (codec-free half of
+                                     #   the video path)
+        "events_item_cooccurrence",  # r8: capped-basket item-item
+                                     #   Jaccard (skew-bounded pair
+                                     #   join)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
