@@ -364,3 +364,53 @@ def priority_sample(df: DataFrame, weight_col: str, k: int,
                     F.round("tau", 6).alias("tau"),
                     F.round(F.greatest("weight", "tau"), 6)
                     .alias("est_weight")))
+
+
+def epoch_schedule(docs: DataFrame, weights: DataFrame,
+                   budget_tokens: int, max_epochs: float = 2.0,
+                   text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Data-constrained mixing schedule: how many EPOCHS of each source
+    to run to hit a token budget under a target mix → ``(source,
+    n_tokens_avail, weight_norm, target_tokens, epochs, capped,
+    realized_tokens, deficit_tokens)``.
+
+    The temperature-mix family (E66) decides the target SHARE; this
+    operator turns shares into repeat factors when the corpus is
+    data-constrained: ``target = weight · budget``; ``epochs =
+    target / available``, capped at ``max_epochs`` (repeating a source
+    beyond a few epochs has sharply diminishing returns — the
+    data-constrained-scaling result), with the shortfall reported as
+    ``deficit_tokens`` per source instead of silently redistributed —
+    rebalancing is a POLICY decision the report should expose, not
+    make.
+
+    Scale shape: one map-side-combinable per-source token aggregate
+    (the corpus reduces to |sources| rows), a broadcast join with the
+    weights table, and a 1-row broadcast total for normalization (the
+    IdentityBroadcast probe pattern). All divisions on round-6
+    normalized weights so both engines agree bit-for-bit.
+    """
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != F.lit(""))
+    avail = (docs.groupBy(source_col)
+             .agg(F.sum(F.size(words)).cast("long")
+                  .alias("n_tokens_avail")))
+    tot_w = weights.agg(F.sum("weight").alias("_tw"))
+    base = (avail.join(F.broadcast(weights), source_col)
+            .crossJoin(F.broadcast(tot_w))
+            .select(source_col, "n_tokens_avail",
+                    F.round(F.col("weight") / F.col("_tw"), 6)
+                    .alias("weight_norm")))
+    calc = base.withColumn(
+        "target_tokens",
+        F.floor(F.col("weight_norm") * budget_tokens).cast("long"))
+    er = F.col("target_tokens") / F.col("n_tokens_avail")
+    epochs = F.round(F.least(F.lit(float(max_epochs)), er), 6)
+    realized = F.floor(epochs * F.col("n_tokens_avail")).cast("long")
+    return calc.select(
+        source_col, "n_tokens_avail", "weight_norm", "target_tokens",
+        epochs.alias("epochs"),
+        (er > max_epochs).alias("capped"),
+        realized.alias("realized_tokens"),
+        (F.col("target_tokens") - realized).alias("deficit_tokens"))

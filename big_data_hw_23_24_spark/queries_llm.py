@@ -2553,6 +2553,70 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- data-constrained epoch schedule (r8) ------------------------------------
+# Weights derive from the source NUMBER (1 + n%4, a 4x spread) while
+# availability is near-uniform, so with budget = 1.5x the corpus the
+# cap provably fires both ways at every SF (epochs_raw ≈ 30·w_norm ∈
+# {0.6, 1.2, 1.8, 2.4} with max_epochs=2). The budget itself is a
+# bounded 1-row aggregate taken before plan construction (the
+# L·K-coreset category of driver action).
+@register(
+    "corpus_epoch_schedule",
+    """
+    WITH t AS (
+      SELECT source,
+             sum(len(list_filter(string_split(text, ' '),
+                                 w -> w <> '')))::BIGINT AS avail
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT floor(1.5 * sum(avail))::BIGINT AS budget FROM t),
+    w AS (SELECT source,
+                 (1 + CAST(substr(source, 4) AS INT) % 4) * 1.0 AS wt
+          FROM t),
+    tw AS (SELECT sum(wt) AS tw FROM w),
+    base AS (
+      SELECT t.source, t.avail AS n_tokens_avail,
+             round(w.wt / tw.tw, 6) AS weight_norm
+      FROM t JOIN w USING (source), tw
+    ),
+    calc AS (
+      SELECT source, n_tokens_avail, weight_norm,
+             floor(weight_norm * tot.budget)::BIGINT AS target_tokens
+      FROM base, tot
+    ),
+    e AS (
+      SELECT *, target_tokens * 1.0 / n_tokens_avail AS er FROM calc
+    )
+    SELECT source, n_tokens_avail, weight_norm, target_tokens,
+           round(least(2.0, er), 6) AS epochs,
+           er > 2.0 AS capped,
+           floor(round(least(2.0, er), 6)
+                 * n_tokens_avail)::BIGINT AS realized_tokens,
+           (target_tokens - floor(round(least(2.0, er), 6)
+                                  * n_tokens_avail))::BIGINT
+             AS deficit_tokens
+    FROM e
+    """,
+    doc="data-constrained epoch schedule: target shares -> per-source "
+        "repeat factors capped at max_epochs, with the shortfall "
+        "reported as deficit instead of silently redistributed; the "
+        "corpus reduces to |sources| rows before any join",
+)
+def corpus_epoch_schedule(spark, sf_dir):
+    from .operators.selection import epoch_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "),
+                     lambda w: w != F.lit(""))
+    total = docs.agg(F.sum(F.size(words)).cast("long")).first()[0]
+    weights = (docs.select("source").distinct()
+               .select("source",
+                       ((F.substring("source", 4, 10).cast("int") % 4 + 1)
+                        .cast("double")).alias("weight")))
+    return epoch_schedule(docs, weights, int(total * 1.5 // 1),
+                          max_epochs=2.0)
+
+
 # --- video frame-sampling plan (r8) ------------------------------------------
 # The codec-free half of the video path: WHICH frames to decode is
 # pure arithmetic (frame count from payload size in the fake-codec

@@ -801,3 +801,33 @@ def test_html_extract_branches(spark):
     assert out[5].text == "nested spaces"
     for r in out.values():
         assert r.n_chars == len(r.text)
+
+
+# --- data-constrained epoch schedule (r8) --------------------------------------
+
+def test_epoch_schedule_cap_and_deficit_arithmetic(spark):
+    """Hand-computed schedule: a source whose target exceeds
+    max_epochs x availability is capped and reports the deficit; an
+    under-subscribed source runs fractional epochs with zero deficit;
+    weights normalize to 1."""
+    from big_data_hw_23_24_spark.operators.selection import epoch_schedule
+
+    docs = spark.createDataFrame(
+        # srcA: 10 tokens available, srcB: 100
+        [(1, "srcA", "a b c d e f g h i j"),
+         (2, "srcB", " ".join(["w"] * 100))],
+        "doc_id long, source string, text string")
+    weights = spark.createDataFrame(
+        [("srcA", 3.0), ("srcB", 1.0)], "source string, weight double")
+    # budget 120: srcA target = 0.75*120 = 90 -> 9 epochs, capped at 2
+    #             srcB target = 0.25*120 = 30 -> 0.3 epochs, uncapped
+    out = {r.source: r for r in
+           epoch_schedule(docs, weights, 120, max_epochs=2.0).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_tokens_avail, a.weight_norm, a.target_tokens) == (10, 0.75, 90)
+    assert (a.epochs, a.capped, a.realized_tokens, a.deficit_tokens) \
+        == (2.0, True, 20, 70)
+    assert (b.n_tokens_avail, b.weight_norm, b.target_tokens) == (100, 0.25, 30)
+    assert (b.epochs, b.capped, b.realized_tokens, b.deficit_tokens) \
+        == (0.3, False, 30, 0)
+    assert abs(a.weight_norm + b.weight_norm - 1.0) < 1e-9

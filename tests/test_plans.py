@@ -415,6 +415,7 @@ _CARTESIAN_ALLOWLIST = {
     "parts_size50_revenue_bloom",    # bloom bitmap scalar probe
     "parts_above_avg_revenue_bloom",  # bloom bitmap scalar probe
     "dedup_incremental_bloom",       # bloom bitmap scalar probe
+    "corpus_epoch_schedule",         # 1-row weight-total broadcast
     "streaming_spacesaving_topk",    # merged-sketch threshold (1 row)
     "embedding_nearest_centroid",    # k-row centroid table broadcast
     "embedding_lloyd_round",         # k-row centroid table broadcast

@@ -328,6 +328,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_item_cooccurrence",  # r8: capped-basket item-item
                                      #   Jaccard (skew-bounded pair
                                      #   join)
+        "corpus_epoch_schedule",     # r8: data-constrained repeat
+                                     #   factors with cap + deficit
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
