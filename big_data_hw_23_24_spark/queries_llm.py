@@ -2553,6 +2553,58 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- split representativeness drift (r8) -------------------------------------
+# Composition face: the content-hash split (E31 machinery) feeding the
+# E102 KS machinery with the SPLIT label as the group — "is my val
+# slice distributionally representative of train". A content-hash
+# split should show near-zero KS on length; a big gap would mean the
+# split machinery (or the corpus) is length-biased.
+@register(
+    "corpus_split_drift",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars AS x
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    vc AS (SELECT split AS grp, x, count(*) AS c FROM lab GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT x FROM vc),
+    sizes AS (SELECT grp, sum(c) AS n FROM vc GROUP BY 1),
+    dense AS (
+      SELECT s.grp, g.x, s.n, coalesce(v.c, 0) AS c
+      FROM sizes s CROSS JOIN grid g
+      LEFT JOIN vc v ON v.grp = s.grp AND v.x = g.x
+    ),
+    cdf AS (
+      SELECT grp, x, n,
+             sum(c) OVER (PARTITION BY grp ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) / n AS cdf
+      FROM dense
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           CAST(max(a.n) AS BIGINT) AS n_a,
+           CAST(max(b.n) AS BIGINT) AS n_b,
+           round(max(abs(a.cdf - b.cdf)), 6) AS ks
+    FROM cdf a JOIN cdf b ON a.x = b.x AND a.grp < b.grp
+    GROUP BY 1, 2
+    """,
+    doc="split representativeness: pairwise KS distance between the "
+        "train/val/test slices' length distributions — the "
+        "content-hash split audited by the drift machinery; bounded "
+        "by distinct lengths x 3 slices",
+)
+def corpus_split_drift(spark, sf_dir):
+    from .operators.grouped import ks_distance_matrix
+    from .operators.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = hash_split(docs, "text").select("split", "n_chars")
+    return ks_distance_matrix(lab, "n_chars", group_col="split")
+
+
 # --- data-constrained epoch schedule (r8) ------------------------------------
 # Weights derive from the source NUMBER (1 + n%4, a 4x spread) while
 # availability is near-uniform, so with budget = 1.5x the corpus the

@@ -330,6 +330,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   join)
         "corpus_epoch_schedule",     # r8: data-constrained repeat
                                      #   factors with cap + deficit
+        "corpus_split_drift",        # r8: KS representativeness audit
+                                     #   of the content-hash split
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
