@@ -712,3 +712,36 @@ def dedup_impact_report(docs: DataFrame, text_col: str = "text",
                  F.sum(F.col("n_tokens") - F.col("_keep.n_tokens"))
                  .cast("long").alias("tokens_lost"))
             .orderBy("cluster_size"))
+
+
+def dup_rate_by_window(docs: DataFrame, day_col: str = "day",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-rate trend over ingest windows → ``(day, n_docs,
+    n_dups, dup_rate)``: per window, the fraction of documents whose
+    content fingerprint already occurred in an EARLIER (window, id)
+    position corpus-wide.
+
+    The standing crawler-health monitor: a dup rate trending up means
+    the crawler is revisiting (seed-list loop, frontier bug) or a
+    mirror farm entered the seed set — caught per ingest day, not
+    after a full-corpus dedup. First occurrence is elected on the
+    encoded ``window·10⁸ + id`` key (one integer min per fingerprint —
+    deterministic under any partitioning, same election convention as
+    the survivor rules), then one window-keyed aggregate. 40-byte
+    rows end to end; text never shuffles.
+    """
+    enc = (F.col(day_col).cast("long") * F.lit(100_000_000)
+           + F.col(id_col))
+    fp = F.md5(normalized_text(F.col(text_col)))
+    t = docs.select(fp.alias("fingerprint"), enc.alias("_mkey"),
+                    F.col(day_col).cast("long").alias("day"))
+    firsts = (t.groupBy("fingerprint")
+              .agg(F.min("_mkey").alias("_first")))
+    dup = (F.col("_mkey") != F.col("_first")).cast("int")
+    return (t.join(firsts, "fingerprint")
+            .groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(dup).cast("long").alias("n_dups"),
+                 F.round(F.sum(dup) / F.count("*"), 6).alias("dup_rate"))
+            .orderBy("day"))

@@ -2553,6 +2553,57 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- ingest dup-rate trend (r8) ----------------------------------------------
+# Both engines assign day = doc_id % 7 and plant mangled copies of
+# doc_id%4=0 on the NEXT day ((doc_id+1)%7), so every day has real
+# docs and most days have cross-day duplicates — rates non-vacuous in
+# both directions. First occurrence is elected on the encoded
+# day·10^8+id key in BOTH engines (integer min, no struct-vs-SQL
+# mismatch).
+@register(
+    "corpus_dup_rate_daily",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text, doc_id % 7 AS day FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper('  ' || replace(text, ' ', '  ')),
+             (doc_id + 1) % 7
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    t AS (
+      SELECT day::BIGINT AS day,
+             day * 100000000 + doc_id AS mkey,
+             md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+      FROM all_docs
+    ),
+    firsts AS (SELECT fp, min(mkey) AS fkey FROM t GROUP BY fp)
+    SELECT day, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN mkey <> fkey THEN 1 ELSE 0 END)::BIGINT
+             AS n_dups,
+           round(sum(CASE WHEN mkey <> fkey THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_rate
+    FROM t JOIN firsts USING (fp)
+    GROUP BY day
+    """,
+    doc="ingest dup-rate trend: per ingest window, the fraction of "
+        "docs whose fingerprint occurred earlier corpus-wide (integer "
+        "first-occurrence election, 40-byte rows, text never "
+        "shuffles) -- the standing crawler-health monitor",
+)
+def corpus_dup_rate_daily(spark, sf_dir):
+    from .operators.dedup import dup_rate_by_window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("day", F.col("doc_id") % 7)
+    mangled = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "),
+                         F.regexp_replace("text", " ", "  ")))
+        .alias("text"),
+        ((F.col("doc_id") + 1) % 7).alias("day"))
+    return dup_rate_by_window(base.unionByName(mangled))
+
+
 # --- split representativeness drift (r8) -------------------------------------
 # Composition face: the content-hash split (E31 machinery) feeding the
 # E102 KS machinery with the SPLIT label as the group — "is my val

@@ -1907,3 +1907,27 @@ def test_chat_render_spans_cut_exact_content(spark):
     # template framing around each span is exactly the ChatML tokens
     assert text.startswith("<|im_start|>system\nbe terse<|im_end|>\n")
     assert text.count("<|im_start|>") == 5
+
+
+# --- ingest dup-rate trend (r8) --------------------------------------------------
+
+def test_dup_rate_by_window_first_occurrence_election(spark):
+    """Exact rates on a planted timeline: the first sighting is never
+    a dup (even with same-day copies, where the lower id wins), later
+    windows count re-sightings; a clean day reads 0.0."""
+    from big_data_hw_23_24_spark.operators.dedup import dup_rate_by_window
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0, "alpha beta"),     # day 0: first
+            (2, 0, "ALPHA  beta"),    # day 0: same-day dup (id 2 > 1)
+            (3, 0, "unique zero"),
+            (4, 1, "alpha beta"),     # day 1: cross-day dup
+            (5, 1, "fresh one"),
+            (6, 2, "clean day"),      # day 2: no dups
+        ],
+        "doc_id long, day long, text string")
+    out = {r.day: r for r in dup_rate_by_window(docs).collect()}
+    assert (out[0].n_docs, out[0].n_dups, out[0].dup_rate) == (3, 1, 0.333333)
+    assert (out[1].n_docs, out[1].n_dups, out[1].dup_rate) == (2, 1, 0.5)
+    assert (out[2].n_docs, out[2].n_dups, out[2].dup_rate) == (1, 0, 0.0)

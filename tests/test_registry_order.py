@@ -332,6 +332,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   factors with cap + deficit
         "corpus_split_drift",        # r8: KS representativeness audit
                                      #   of the content-hash split
+        "corpus_dup_rate_daily",     # r8: per-window crawler-health
+                                     #   dup-rate trend
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
