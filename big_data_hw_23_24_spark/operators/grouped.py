@@ -204,3 +204,45 @@ def robust_stats(df: DataFrame, value_col: str,
                                           F.col("p_lo"))), 6)
                  .alias("winsor_mean"),
                  F.round(F.avg("v"), 6).alias("plain_mean")))
+
+
+def rfm_segments(events: DataFrame, n_tiles: int = 5,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """RFM segmentation → ``(user_id, frequency, monetary_cents,
+    r_bucket, f_bucket, m_bucket, segment)``: the classic
+    recency/frequency/monetary quantile grid (bucket ``n_tiles`` =
+    best on every axis; ``segment`` is the concatenated grid cell,
+    '555' = champions, '111' = lost).
+
+    Scale shape: events reduce to one row per user in a single
+    map-side-combinable aggregate, then each axis is bucketed with the
+    range-partitioned exact-ntile spine (``ranking.global_ntile``) —
+    never a single-reducer NTILE window over all users. Monetary sums
+    integer CENTS (per-row floor(value·100)) so the sort key is exact
+    and order-independent — a float sum's last ulp could flip a
+    bucket boundary between engines. Ties on every axis break on the
+    user id.
+    """
+    from pyspark.sql import functions as F
+
+    from .ranking import global_ntile
+
+    per = (events.groupBy(user_col)
+           .agg(F.max(ts_col).alias("_rts"),
+                F.count("*").cast("long").alias("frequency"),
+                F.sum(F.floor(F.col(value_col) * 100)).cast("long")
+                .alias("monetary_cents")))
+    b = global_ntile(per, n_tiles, [F.col("_rts"), F.col(user_col)],
+                     out_col="r_bucket")
+    b = global_ntile(b, n_tiles, [F.col("frequency"), F.col(user_col)],
+                     out_col="f_bucket")
+    b = global_ntile(b, n_tiles,
+                     [F.col("monetary_cents"), F.col(user_col)],
+                     out_col="m_bucket")
+    return b.select(
+        user_col, "frequency", "monetary_cents",
+        "r_bucket", "f_bucket", "m_bucket",
+        F.concat(F.col("r_bucket").cast("string"),
+                 F.col("f_bucket").cast("string"),
+                 F.col("m_bucket").cast("string")).alias("segment"))

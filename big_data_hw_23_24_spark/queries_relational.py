@@ -1347,6 +1347,42 @@ def events_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+# --- RFM user segmentation (r8) -----------------------------------------------
+# The marketing-analytics classic on the scalable ntile spine: three
+# exact equal-frequency bucketings, each a range-partitioned global
+# rank — never NTILE over one reducer. Monetary is integer cents so
+# the sort key carries no float-sum ulp across engines.
+@register(
+    "events_rfm_segments",
+    """
+    WITH per AS (
+      SELECT user_id, max(ts) AS rts, count(*)::BIGINT AS frequency,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY rts, user_id) AS r_bucket,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_bucket,
+             ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_bucket
+      FROM per
+    )
+    SELECT user_id, frequency, monetary_cents,
+           r_bucket::BIGINT AS r_bucket, f_bucket::BIGINT AS f_bucket,
+           m_bucket::BIGINT AS m_bucket,
+           r_bucket || '' || f_bucket || '' || m_bucket AS segment
+    FROM b
+    """,
+    doc="RFM segmentation: per-user recency/frequency/monetary "
+        "reduced in one aggregate, three exact ntile(5) bucketings on "
+        "the range-partitioned rank spine, integer-cents monetary",
+)
+def events_rfm_segments(spark, sf_dir):
+    from .operators.grouped import rfm_segments
+
+    return rfm_segments(_t(spark, sf_dir, "events"))
+
+
 # --- item co-occurrence similarity (r8) ---------------------------------------
 # Collaborative-filtering candidate generation with the skew guard
 # that makes it survive power-law users: each user's basket is capped

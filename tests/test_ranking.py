@@ -77,3 +77,33 @@ def test_global_rank_plan_has_no_single_partition_exchange(spark):
         .executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan  # the pid-partitioned numbering window
+
+
+# --- RFM segmentation (r8) -------------------------------------------------------
+
+def test_rfm_segments_buckets_and_cents(spark):
+    """Hand-checkable grid on 10 users: exact ntile boundaries (first
+    N mod n buckets take the extra row), integer-cents monetary, and
+    the concatenated segment label."""
+    from big_data_hw_23_24_spark.operators.grouped import rfm_segments
+
+    rows = []
+    for u in range(10):
+        # user u: u+1 events at ts=u*100.., value 1.005 each
+        for i in range(u + 1):
+            rows.append((u * 100 + i, u * 1000 + i, u, 1.005))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, value double")
+    out = {r.user_id: r for r in rfm_segments(ev, n_tiles=5).collect()}
+    assert len(out) == 10
+    # frequency of user u is u+1; cents: floor(1.005*100)=100 per event
+    for u in range(10):
+        assert out[u].frequency == u + 1
+        assert out[u].monetary_cents == 100 * (u + 1)
+    # 10 users into 5 tiles -> exactly 2 per bucket on every axis;
+    # all three axes order users identically here
+    for u in range(10):
+        b = u // 2 + 1
+        assert (out[u].r_bucket, out[u].f_bucket, out[u].m_bucket) \
+            == (b, b, b)
+        assert out[u].segment == f"{b}{b}{b}"

@@ -334,6 +334,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   of the content-hash split
         "corpus_dup_rate_daily",     # r8: per-window crawler-health
                                      #   dup-rate trend
+        "events_rfm_segments",       # r8: exact-ntile RFM grid on the
+                                     #   rank spine, integer cents
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
