@@ -1023,3 +1023,37 @@ def vocab_growth_curve(docs: DataFrame, text_col: str = "text",
                         F.sum("n_words").over(w).cast("long"))
             .withColumn("cum_vocab",
                         F.sum("new_words").over(w).cast("long")))
+
+
+def gram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty → ``(doc_id, n_grams, n_novel,
+    novelty)``: the fraction of a document's distinct word n-grams
+    whose corpus-wide FIRST owner (min id) is this document.
+
+    The per-document strength signal behind dedup decisions: low
+    novelty means the document is mostly re-statements of earlier
+    content (template spam, syndication, near-dup tail that slipped
+    the pairwise threshold); it is also the document-level
+    "memorization exposure" proxy — how much of this doc the model
+    has already seen elsewhere. Complements the pairwise faces (E74,
+    E80) with a per-doc aggregate that needs no pair join.
+
+    Scale shape: the inverted-index shape — explode to (doc, gram),
+    one gram-keyed min aggregate (the owner election, deterministic
+    under any partitioning), one gram-keyed equi-join back, one
+    doc-keyed aggregate. Documents shorter than ``n`` words have no
+    grams and produce no row (same convention as the shingle CTE).
+    """
+    from .dedup import word_shingles
+
+    sh = (word_shingles(docs.select(id_col, text_col), text_col, n)
+          .select(id_col, F.explode("shingles").alias("gram")))
+    own = sh.groupBy("gram").agg(F.min(id_col).alias("_owner"))
+    novel = (F.col("_owner") == F.col(id_col)).cast("int")
+    return (sh.join(own, "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.sum(novel).cast("long").alias("n_novel"),
+                 F.round(F.sum(novel) / F.count("*"), 6)
+                 .alias("novelty")))

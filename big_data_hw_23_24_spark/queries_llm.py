@@ -2553,6 +2553,31 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- per-doc n-gram novelty (r8) ---------------------------------------------
+@register(
+    "corpus_gram_novelty",
+    f"""
+    WITH {_SHINGLES_CTE},
+    own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY shingle)
+    SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           round(sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM sh s JOIN own o USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    doc="per-document n-gram novelty: fraction of a doc's distinct "
+        "3-grams first owned by this doc (min-id election) -- the "
+        "per-doc dedup-strength / memorization-exposure signal; "
+        "inverted-index shape, no pair join",
+)
+def corpus_gram_novelty(spark, sf_dir):
+    from .operators.textstats import gram_novelty
+
+    return gram_novelty(load_table(spark, sf_dir, "documents"))
+
+
 # --- ingest dup-rate trend (r8) ----------------------------------------------
 # Both engines assign day = doc_id % 7 and plant mangled copies of
 # doc_id%4=0 on the NEXT day ((doc_id+1)%7), so every day has real

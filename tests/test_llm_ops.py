@@ -1931,3 +1931,22 @@ def test_dup_rate_by_window_first_occurrence_election(spark):
     assert (out[0].n_docs, out[0].n_dups, out[0].dup_rate) == (3, 1, 0.333333)
     assert (out[1].n_docs, out[1].n_dups, out[1].dup_rate) == (2, 1, 0.5)
     assert (out[2].n_docs, out[2].n_dups, out[2].dup_rate) == (1, 0, 0.0)
+
+
+# --- per-doc gram novelty (r8) ---------------------------------------------------
+
+def test_gram_novelty_first_owner_and_short_docs(spark):
+    """Doc 1 owns everything it says; doc 2 repeats doc 1 verbatim in
+    part; a 2-word doc produces no row; novelty arithmetic exact."""
+    from big_data_hw_23_24_spark.operators.textstats import gram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),        # grams: abc, bcd -> both novel
+         (2, "a b c x y"),      # grams: abc(dup), bcx, cxy -> 2/3 novel
+         (3, "q r")],           # < 3 words: no grams, no row
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in gram_novelty(docs).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty) == (2, 2, 1.0)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty) \
+        == (3, 2, 0.666667)

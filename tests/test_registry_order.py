@@ -336,6 +336,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   dup-rate trend
         "events_rfm_segments",       # r8: exact-ntile RFM grid on the
                                      #   rank spine, integer cents
+        "corpus_gram_novelty",       # r8: per-doc first-owner n-gram
+                                     #   novelty (dedup-strength signal)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
