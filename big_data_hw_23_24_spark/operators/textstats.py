@@ -1057,3 +1057,48 @@ def gram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text",
                  F.sum(novel).cast("long").alias("n_novel"),
                  F.round(F.sum(novel) / F.count("*"), 6)
                  .alias("novelty")))
+
+
+def ngram_count_table(docs: DataFrame, max_n: int = 3,
+                      min_count: int = 2, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Pruned n-gram count table → ``(n, gram, cnt)`` for every word
+    n-gram of order 1..``max_n`` occurring at least ``min_count``
+    times corpus-wide — the table a count-based LM (KenLM-style)
+    or collocation miner trains from.
+
+    Unlike the shingle faces this counts EVERY occurrence (an LM
+    needs frequencies, not set membership). All orders ride ONE scan:
+    per row, the order-k gram arrays are built as struct arrays and
+    concatenated, so the corpus explodes once into (n, gram) and one
+    hash aggregate (map-side combinable) produces the counts; the
+    ``min_count`` prune is what keeps the long tail (mostly
+    hapax legomena, ~half the mass under Zipf) out of the output.
+    """
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != F.lit(""))
+
+    def gram_maker(k):
+        # closure factory, NOT a default-arg lambda: pyspark treats a
+        # 2-parameter lambda as (element, array_index) and would bind
+        # k to the position (the documented minhash_signature trap)
+        return lambda i: F.struct(
+            F.lit(k).alias("n"),
+            F.concat_ws(" ", F.slice(words, i + 1, k)).alias("gram"))
+
+    arrs = []
+    for k in range(1, max_n + 1):
+        g = F.when(
+            F.size(words) >= k,
+            F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                        gram_maker(k))
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,gram:string>>"))
+        arrs.append(g)
+    combined = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    return (docs.select(F.explode(combined).alias("g"))
+            .select(F.col("g.n").cast("long").alias("n"),
+                    F.col("g.gram").alias("gram"))
+            .groupBy("n", "gram")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .where(F.col("cnt") >= min_count))

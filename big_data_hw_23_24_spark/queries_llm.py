@@ -2553,6 +2553,42 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- pruned n-gram count table (r8) ------------------------------------------
+@register(
+    "corpus_ngram_table",
+    """
+    WITH w AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents)
+      WHERE word <> ''
+    ),
+    u AS (
+      SELECT 1 AS n, word AS gram FROM w
+      UNION ALL
+      SELECT 2, a.word || ' ' || b.word
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      UNION ALL
+      SELECT 3, a.word || ' ' || b.word || ' ' || c.word
+      FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+               JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    )
+    SELECT n::BIGINT AS n, gram, count(*)::BIGINT AS cnt
+    FROM u GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    doc="pruned n-gram count table (orders 1-3, min count 2): the "
+        "KenLM-style LM training table -- every occurrence counted, "
+        "all orders in one scan + one map-side-combinable aggregate, "
+        "hapax tail pruned",
+)
+def corpus_ngram_table(spark, sf_dir):
+    from .operators.textstats import ngram_count_table
+
+    return ngram_count_table(load_table(spark, sf_dir, "documents"))
+
+
 # --- per-doc n-gram novelty (r8) ---------------------------------------------
 @register(
     "corpus_gram_novelty",

@@ -1950,3 +1950,24 @@ def test_gram_novelty_first_owner_and_short_docs(spark):
     assert (out[1].n_grams, out[1].n_novel, out[1].novelty) == (2, 2, 1.0)
     assert (out[2].n_grams, out[2].n_novel, out[2].novelty) \
         == (3, 2, 0.666667)
+
+
+# --- pruned n-gram table (r8) ----------------------------------------------------
+
+def test_ngram_count_table_counts_every_occurrence_and_prunes(spark):
+    """Frequencies (not set membership), order boundaries, and the
+    min-count prune — all hand-checked on a tiny corpus."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        ngram_count_table)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "a")],
+        "doc_id long, text string")
+    out = {(r.n, r.gram): r.cnt
+           for r in ngram_count_table(docs, min_count=2).collect()}
+    assert out[(1, "a")] == 4   # every occurrence: 2 in doc1, 1+1
+    assert out[(1, "b")] == 3
+    assert out[(2, "a b")] == 3  # twice in doc1 (overlap ok) + doc2
+    assert (1, "c") not in out   # hapax pruned
+    assert (3, "a b a") not in out  # occurs once, pruned
+    assert all(c >= 2 for c in out.values())

@@ -338,6 +338,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   rank spine, integer cents
         "corpus_gram_novelty",       # r8: per-doc first-owner n-gram
                                      #   novelty (dedup-strength signal)
+        "corpus_ngram_table",        # r8: pruned 1-3-gram LM count
+                                     #   table, one scan all orders
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
