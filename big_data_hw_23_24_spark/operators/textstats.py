@@ -1102,3 +1102,66 @@ def ngram_count_table(docs: DataFrame, max_n: int = 3,
             .groupBy("n", "gram")
             .agg(F.count("*").cast("long").alias("cnt"))
             .where(F.col("cnt") >= min_count))
+
+
+def rake_keyphrases(docs: DataFrame, stopwords: list[str], k: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) → top-``k``
+    ``(doc_id, phrase, n_words, score_milli, rank)`` per document.
+
+    Candidate phrases are maximal runs of non-stopwords (the classic
+    gaps-and-islands: phrase id = running count of stopwords before
+    the position, one keyed window per doc). Each word is scored
+    corpus-wide by degree/frequency — degree = Σ length of candidate
+    phrases containing it, frequency = its occurrences in candidates —
+    and a phrase scores the sum of its words' scores. Scores are kept
+    in INTEGER MILLIS (``floor(degree·1000 / freq)`` per word, summed)
+    so the ranking is exact integer arithmetic — a float sum's last
+    ulp could flip a near-tie differently in different engines. Ties
+    break on the phrase text.
+
+    Scale shape: positional explode, two doc-keyed windows (position
+    rank, island id), one vocabulary-scale word aggregate joined back
+    by word key, and the two-stage grouped top-k (never a per-doc
+    reducer funnel). Repeated phrase instances in one doc score and
+    rank independently only once (distinct phrase per doc before the
+    final rank).
+    """
+    from .grouped import grouped_topk
+
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    w = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(F.col(text_col), " "),
+                              lambda x: x != F.lit("")))
+        .alias("i", "word"))
+        .withColumn("is_stop", F.array_contains(sw, F.col("word"))))
+    run = (Window.partitionBy(id_col).orderBy("i")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    w = w.withColumn("pid", F.sum(F.col("is_stop").cast("int")).over(run))
+    cand = (w.where(~F.col("is_stop"))
+            .groupBy(id_col, "pid")
+            .agg(F.array_join(F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "word"))),
+                lambda s: s.word), " ").alias("phrase"),
+                F.count("*").cast("long").alias("n_words")))
+    # corpus-wide word stats over candidate members
+    members = (w.where(~F.col("is_stop"))
+               .join(cand.select(id_col, "pid", "n_words"),
+                     [id_col, "pid"]))
+    wstats = (members.groupBy("word")
+              .agg(F.count("*").alias("_freq"),
+                   F.sum("n_words").alias("_deg")))
+    wm = wstats.withColumn(
+        "_milli", F.floor(F.col("_deg") * 1000 / F.col("_freq"))
+        .cast("long"))
+    scored = (members.join(wm.select("word", "_milli"), "word")
+              .groupBy(id_col, "pid")
+              .agg(F.sum("_milli").cast("long").alias("score_milli")))
+    phrases = (cand.join(scored, [id_col, "pid"])
+               .select(id_col, "phrase", "n_words", "score_milli")
+               .distinct())
+    return grouped_topk(phrases, [id_col],
+                        [F.col("score_milli").desc(), F.col("phrase")],
+                        k, rank_col="rank")

@@ -2553,6 +2553,73 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- RAKE keyphrase extraction (r8) ------------------------------------------
+# Stopwords are five HIGH-FREQUENCY corpus words so the phrase
+# splitting is dense and non-vacuous. Scores stay in integer millis
+# end to end (floor(degree*1000/freq) per word, summed) so the
+# ranking never touches a float sum.
+@register(
+    "doc_rake_keyphrases",
+    """
+    WITH w0 AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS i,
+             word IN ('join', 'scan', 'row', 'batch', 'hash') AS is_stop
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM documents)
+      WHERE word <> ''
+    ),
+    w1 AS (
+      SELECT *, sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS pid
+      FROM w0
+    ),
+    cand AS (
+      SELECT doc_id, pid, string_agg(word, ' ' ORDER BY i) AS phrase,
+             count(*)::BIGINT AS n_words
+      FROM w1 WHERE NOT is_stop GROUP BY doc_id, pid
+    ),
+    members AS (
+      SELECT w1.doc_id, w1.pid, w1.word, c.n_words
+      FROM w1 JOIN cand c ON c.doc_id = w1.doc_id AND c.pid = w1.pid
+      WHERE NOT w1.is_stop
+    ),
+    wstats AS (
+      SELECT word, count(*) AS freq, sum(n_words) AS deg
+      FROM members GROUP BY word
+    ),
+    wm AS (SELECT word, floor(deg * 1000 / freq)::BIGINT AS milli
+           FROM wstats),
+    scored AS (
+      SELECT m.doc_id, m.pid, sum(wm.milli)::BIGINT AS score_milli
+      FROM members m JOIN wm USING (word) GROUP BY 1, 2
+    ),
+    ph AS (
+      SELECT DISTINCT c.doc_id, c.phrase, c.n_words, s.score_milli
+      FROM cand c JOIN scored s
+        ON s.doc_id = c.doc_id AND s.pid = c.pid
+    )
+    SELECT doc_id, phrase, n_words, score_milli,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_milli DESC, phrase)
+             AS rank
+    FROM ph QUALIFY rank <= 3
+    """,
+    doc="RAKE keyphrase extraction: stopword-delimited candidate "
+        "phrases (gaps-and-islands, doc-keyed windows), corpus-wide "
+        "degree/frequency word scores in integer millis, phrase = sum "
+        "of word scores, two-stage grouped top-3",
+)
+def doc_rake_keyphrases(spark, sf_dir):
+    from .operators.textstats import rake_keyphrases
+
+    return rake_keyphrases(load_table(spark, sf_dir, "documents"),
+                           ["join", "scan", "row", "batch", "hash"], k=3)
+
+
 # --- pruned n-gram count table (r8) ------------------------------------------
 @register(
     "corpus_ngram_table",

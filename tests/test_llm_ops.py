@@ -1971,3 +1971,42 @@ def test_ngram_count_table_counts_every_occurrence_and_prunes(spark):
     assert (1, "c") not in out   # hapax pruned
     assert (3, "a b a") not in out  # occurs once, pruned
     assert all(c >= 2 for c in out.values())
+
+
+# --- RAKE keyphrases (r8) --------------------------------------------------------
+
+def test_rake_keyphrases_hand_computed(spark):
+    """Single doc with known RAKE arithmetic: phrase splitting at
+    stopwords, degree/freq scores, integer-milli phrase totals,
+    deterministic ranking."""
+    from big_data_hw_23_24_spark.operators.textstats import rake_keyphrases
+
+    # stopword '_' splits: [deep learning] [deep model] [fast]
+    docs = spark.createDataFrame(
+        [(1, "deep learning _ deep model _ fast")],
+        "doc_id long, text string")
+    out = rake_keyphrases(docs, ["_"], k=3).collect()
+    # word stats over candidates: deep freq=2 deg=2+2=4 -> 2000
+    #   learning freq=1 deg=2 -> 2000; model freq=1 deg=2 -> 2000
+    #   fast freq=1 deg=1 -> 1000
+    rows = {r.phrase: r for r in out}
+    assert rows["deep learning"].score_milli == 4000
+    assert rows["deep model"].score_milli == 4000
+    assert rows["fast"].score_milli == 1000
+    assert rows["deep learning"].n_words == 2
+    # tie at 4000 breaks on phrase text
+    assert [r.phrase for r in sorted(out, key=lambda r: r.rank)] == [
+        "deep learning", "deep model", "fast"]
+
+
+def test_rake_keyphrases_word_order_and_repeats(spark):
+    """Phrases preserve word order; a phrase occurring twice in a doc
+    collapses to one ranked row."""
+    from big_data_hw_23_24_spark.operators.textstats import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "b a _ b a _ c")], "doc_id long, text string")
+    out = {r.phrase: r for r in
+           rake_keyphrases(docs, ["_"], k=5).collect()}
+    assert set(out) == {"b a", "c"}  # order kept, duplicate collapsed
+    assert out["b a"].rank == 1 and out["c"].rank == 2

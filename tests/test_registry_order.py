@@ -340,6 +340,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   novelty (dedup-strength signal)
         "corpus_ngram_table",        # r8: pruned 1-3-gram LM count
                                      #   table, one scan all orders
+        "doc_rake_keyphrases",       # r8: RAKE phrases, integer-milli
+                                     #   scores, grouped top-3
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
