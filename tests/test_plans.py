@@ -408,6 +408,8 @@ _CARTESIAN_ALLOWLIST = {
     "corpus_pmi_collocations",       # total unigram/bigram mass (1 row)
     "events_item_pagerank",          # dangling-mass 1-row agg, per iter
     "corpus_length_ks_matrix",       # per-slice n totals (1 row each)
+    "corpus_split_drift",            # same KS machinery: bounded
+                                     #   distinct-value grid broadcast
     "doc_bm25_multi",                # corpus N + avgdl (1 row)
     "doc_bm25_topk",                 # same 1-row corpus stats
     "doc_dsir_weights",              # target/proposal mass totals
