@@ -90,6 +90,26 @@ HEADLINE = [
     "corpus_snapshot_diff",   # fingerprint change set, full-outer join
     "corpus_length_ks_matrix",  # KS drift matrix over the value grid
     "streaming_spacesaving_topk",  # mergeable SpaceSaving sketch
+    # r8 additions (set now 79; stdout line always slowest-20, full
+    # detail in BENCH_DETAIL.json)
+    "dedup_incremental_bloom",  # bloom-routed incremental dedup
+    "dedup_embedding_lsh_pinned",  # md5-pinned sign-plane LSH face
+    "bpe_learned_merges",       # full BPE training loop (8 rounds)
+    "corpus_apply_snapshot",    # keyed MERGE of the snapshot change set
+    "corpus_length_batches",    # global-rank padded batching
+    "corpus_dedup_impact",      # cluster-size histogram + token cost
+    "doc_html_extract",         # HTML -> text extraction
+    "events_transition_matrix",  # per-user Markov next-event matrix
+    "doc_chat_render",          # ChatML SFT spans
+    "media_frame_plan",         # stride frame-sampling schedule
+    "events_item_cooccurrence",  # capped-basket item Jaccard
+    "corpus_epoch_schedule",    # data-constrained repeat factors
+    "corpus_split_drift",       # split-representativeness KS
+    "corpus_dup_rate_daily",    # crawler-health dup-rate trend
+    "events_rfm_segments",      # exact-ntile RFM grid
+    "corpus_gram_novelty",      # per-doc first-owner gram novelty
+    "corpus_ngram_table",       # pruned 1-3-gram LM count table
+    "doc_rake_keyphrases",      # RAKE keyphrases, integer millis
 ]
 
 

