@@ -107,6 +107,17 @@ _SF01_SCALE_SENSITIVE = [
     "events_item_pagerank", "corpus_source_overlap",
     "corpus_length_ks_matrix", "corpus_priority_sample",
     "corpus_snapshot_diff", "corpus_vocab_growth", "knn_mmr_rerank",
+    # r8 additions whose partition-boundary machinery (bloom routing +
+    # verification join, range-partitioned length rank and ntile
+    # spines, inverted-index owner election, banded sign-plane join,
+    # full-outer MERGE, per-user cap windows, two-stage grouped top-k,
+    # cross-partition argmax rounds) only stretches past sf0.01
+    "dedup_incremental_bloom", "corpus_length_batches",
+    "events_rfm_segments", "corpus_gram_novelty", "corpus_ngram_table",
+    "dedup_embedding_lsh_pinned", "doc_rake_keyphrases",
+    "events_item_cooccurrence", "corpus_dup_rate_daily",
+    "events_transition_matrix", "corpus_apply_snapshot",
+    "bpe_learned_merges", "corpus_dedup_impact",
 ]
 
 
