@@ -1186,3 +1186,62 @@ def rake_keyphrases(docs: DataFrame, stopwords: list[str], k: int = 3,
     return grouped_topk(phrases, [id_col],
                         [F.col("score_milli").desc(), F.col("phrase")],
                         k, rank_col="rank")
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list,
+                       k: int = 5) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns → one row per
+    equivalence class: ``(*quasi_cols, class_size, at_risk)``.
+
+    The re-identification audit a dataset release (or a training
+    corpus with user-derived metadata) runs BEFORE publication: rows
+    whose quasi-identifier combination is shared by fewer than ``k``
+    records are linkable — their class is flagged ``at_risk``. This is
+    the structural complement of the PII regex scans (E26/E86): those
+    find direct identifiers IN text, this finds combinations of
+    harmless-looking attributes that single people out.
+
+    One map-side-combinable aggregate on the quasi columns; output is
+    bounded by the number of equivalence classes. Null attribute
+    values group as their own class (standard k-anonymity treatment —
+    a null pattern is itself identifying).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    return (df.groupBy(*cols)
+            .agg(F.count("*").cast("long").alias("class_size"))
+            .withColumn("at_risk", F.col("class_size") < k))
+
+
+def blocklist_gate(docs: DataFrame, terms: list[str],
+                   max_hits: int = 0, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Lexicon-based safety gate → ``(doc_id, n_hits, n_distinct_terms,
+    hit_ratio, kept)``: count occurrences of blocklisted WORDS
+    (whitespace-token match, case-insensitive) and keep documents with
+    at most ``max_hits`` occurrences.
+
+    The first rung of the safety-filtering ladder (the learned
+    classifier is E63's machinery; this is the transparent lexicon
+    tier every production pipeline runs first — cheap, auditable,
+    engine-portable). Token match, not substring: 'ass' must not flag
+    'class' — the classic blocklist false-positive.
+
+    One narrow map (split → filter-against-literal-array → size), no
+    shuffle, scan-speed at any corpus size; the term array is a
+    literal in the plan (lexicons are KBs, not data).
+    """
+    lowered = [t.lower() for t in terms]
+    arr = F.array(*[F.lit(t) for t in lowered])
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    hits = F.filter(words, lambda w: F.array_contains(arr, w))
+    n_hits = F.size(hits).cast("long")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    return docs.select(
+        F.col(id_col), n_hits.alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("long")
+        .alias("n_distinct_terms"),
+        F.round(n_hits / n_words, 6).alias("hit_ratio"),
+        (n_hits <= max_hits).alias("kept"))

@@ -2553,6 +2553,72 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- k-anonymity audit (r8) --------------------------------------------------
+# Quasi-identifiers over the customer dimension: nation x market
+# segment x coarse balance band — combinations small enough that some
+# equivalence classes fall under k=5 while most don't, so at_risk
+# fires both ways.
+@register(
+    "customers_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           count(*)::BIGINT AS class_size,
+           count(*) < 5 AS at_risk
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+    doc="k-anonymity audit: equivalence-class sizes over "
+        "quasi-identifier combinations with under-k classes flagged "
+        "-- the re-identification check before a data release; one "
+        "keyed aggregate, output bounded by class count",
+)
+def customers_k_anonymity(spark, sf_dir):
+    from .operators.textstats import k_anonymity_report
+
+    c = load_table(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+            .alias("bal_band")], k=5)
+
+
+# --- lexicon safety gate (r8) ------------------------------------------------
+# Blocklist = one common + one rare corpus word so hit counts spread
+# and the max_hits=1 gate drops and keeps non-vacuously. Token match,
+# not substring (the 'ass'-in-'class' false positive).
+@register(
+    "doc_blocklist_gate",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(words) AS n_words,
+             list_filter(words, x -> x IN ('slow', 'dup')) AS hits
+      FROM w
+    )
+    SELECT doc_id, len(hits)::BIGINT AS n_hits,
+           len(list_distinct(hits))::BIGINT AS n_distinct_terms,
+           round(len(hits) * 1.0 / greatest(n_words, 1), 6) AS hit_ratio,
+           len(hits) <= 1 AS kept
+    FROM h
+    """,
+    doc="lexicon safety gate: whitespace-token blocklist hit counts "
+        "and keep flag (the transparent first rung under the learned "
+        "classifier tier); literal term array in the plan, narrow "
+        "map, zero shuffle",
+)
+def doc_blocklist_gate(spark, sf_dir):
+    from .operators.textstats import blocklist_gate
+
+    return blocklist_gate(load_table(spark, sf_dir, "documents"),
+                          ["slow", "dup"], max_hits=1)
+
+
 # --- RAKE keyphrase extraction (r8) ------------------------------------------
 # Stopwords are five HIGH-FREQUENCY corpus words so the phrase
 # splitting is dense and non-vacuous. Scores stay in integer millis

@@ -2010,3 +2010,45 @@ def test_rake_keyphrases_word_order_and_repeats(spark):
            rake_keyphrases(docs, ["_"], k=5).collect()}
     assert set(out) == {"b a", "c"}  # order kept, duplicate collapsed
     assert out["b a"].rank == 1 and out["c"].rank == 2
+
+
+# --- privacy + safety gates (r8) -------------------------------------------------
+
+def test_k_anonymity_classes_and_null_grouping(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        k_anonymity_report)
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 30), (2, "a", 30), (3, "a", 30),
+         (4, "b", 30), (5, None, 40), (6, None, 40)],
+        "id long, region string, age long")
+    out = {(r.region, r.age): r for r in
+           k_anonymity_report(df, ["region", "age"], k=3).collect()}
+    assert out[("a", 30)].class_size == 3 and not out[("a", 30)].at_risk
+    assert out[("b", 30)].class_size == 1 and out[("b", 30)].at_risk
+    # nulls form their own class (an identifying pattern themselves)
+    assert out[(None, 40)].class_size == 2 and out[(None, 40)].at_risk
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, ["region"], k=0)
+
+
+def test_blocklist_gate_token_match_not_substring(spark):
+    from big_data_hw_23_24_spark.operators.textstats import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [(1, "the class is classy"),       # 'ass' must NOT flag
+         (2, "bad Bad BAD"),               # case-insensitive, 3 hits
+         (3, "bad worse"),                 # 1 bad + 1 worse = 2 hits
+         (4, "all clean here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           blocklist_gate(docs, ["ass", "bad", "worse"],
+                          max_hits=1).collect()}
+    assert out[1].n_hits == 0 and out[1].kept
+    assert out[2].n_hits == 3 and out[2].n_distinct_terms == 1
+    assert not out[2].kept
+    assert out[3].n_hits == 2 and out[3].n_distinct_terms == 2
+    assert not out[3].kept
+    assert out[4].kept and out[4].hit_ratio == 0.0
+    assert out[2].hit_ratio == 1.0

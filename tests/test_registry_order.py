@@ -342,6 +342,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   table, one scan all orders
         "doc_rake_keyphrases",       # r8: RAKE phrases, integer-milli
                                      #   scores, grouped top-3
+        "customers_k_anonymity",     # r8: quasi-identifier class-size
+                                     #   audit with under-k flags
+        "doc_blocklist_gate",        # r8: lexicon safety gate, token
+                                     #   match, narrow map
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
