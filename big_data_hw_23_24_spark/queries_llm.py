@@ -4365,6 +4365,63 @@ def doc_jsonl_ingest(spark, sf_dir):
         F.col("rec.n").alias("parsed_n"))
 
 
+# --- PERMISSIVE CSV-line ingestion (r8) --------------------------------------
+# The CSV sibling of doc_jsonl_ingest: payload built by identical
+# string concat in both engines, every 13th line truncated; the ok
+# probe is the LAST field (truncation kills it first). The oracle
+# emulates from_csv's PERMISSIVE semantics with string_split +
+# try_cast — missing trailing fields and uncastable values read as
+# nulls, never errors.
+@register(
+    "doc_csv_ingest",
+    """
+    WITH lines AS (
+      SELECT doc_id AS orig_id,
+             CASE WHEN doc_id % 13 = 0 THEN substr(c, 1, 7)
+                  ELSE c END AS line
+      FROM (SELECT doc_id,
+                   doc_id || ',' || lang || ',' || n_chars AS c
+            FROM documents)
+    ),
+    p AS (SELECT orig_id, line, string_split(line, ',') AS parts
+          FROM lines)
+    SELECT orig_id,
+           CASE WHEN len(parts) >= 3
+                     AND try_cast(parts[3] AS BIGINT) IS NOT NULL
+                THEN true ELSE false END AS parse_ok,
+           try_cast(parts[1] AS BIGINT) AS parsed_doc_id,
+           CASE WHEN len(parts) >= 2 THEN parts[2] END AS parsed_lang,
+           CASE WHEN len(parts) >= 3
+                THEN try_cast(parts[3] AS BIGINT) END AS parsed_n
+    FROM p
+    """,
+    doc="schema-on-read CSV-line ingestion with PERMISSIVE "
+        "corrupt-record tolerance (from_csv narrow map): truncated "
+        "lines parse to null trailing fields with an explicit ok "
+        "flag; the envelope-payload case the file-level CSV reader "
+        "doesn't cover",
+)
+def doc_csv_ingest(spark, sf_dir):
+    from .sources.jsonl import parse_csv_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.concat(F.col("doc_id").cast("string"), F.lit(","),
+                 F.col("lang"), F.lit(","),
+                 F.col("n_chars").cast("string"))
+    lines = docs.select(
+        F.col("doc_id").alias("orig_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.substring(c, 1, 7))
+        .otherwise(c).alias("line"))
+    parsed = parse_csv_lines(lines, "line",
+                             "doc_id BIGINT, lang STRING, n BIGINT",
+                             ok_probe="n")
+    return parsed.select(
+        "orig_id", "parse_ok",
+        F.col("rec.doc_id").alias("parsed_doc_id"),
+        F.col("rec.lang").alias("parsed_lang"),
+        F.col("rec.n").alias("parsed_n"))
+
+
 # --- Gopher quality rules (E92) ----------------------------------------------
 # The corpus text is single-line prose with no bullets/ellipses/
 # symbols, so the face synthesizes a deterministic page per doc_id

@@ -35,3 +35,23 @@ def parse_json_lines(df: DataFrame, json_col: str, schema_ddl: str,
     rec = F.from_json(F.col(json_col), schema_ddl)
     return (df.withColumn(out_col, rec)
             .withColumn(ok_col, rec[ok_probe].isNotNull()))
+
+
+def parse_csv_lines(df: DataFrame, csv_col: str, schema_ddl: str,
+                    ok_probe: str, out_col: str = "rec",
+                    ok_col: str = "parse_ok") -> DataFrame:
+    """The CSV sibling of :func:`parse_json_lines`: parse a
+    CSV-formatted string column against ``schema_ddl`` with
+    PERMISSIVE semantics — truncated lines yield null trailing
+    fields, uncastable fields yield null — plus the same
+    required-field ``ok_probe`` corrupt-record flag.
+
+    Log shippers and legacy exports deliver exactly this shape (a
+    CSV payload INSIDE a record of another envelope), where the
+    file-level CSV reader (``sources.tables``) doesn't apply.
+    ``from_csv`` is a narrow JVM expression like ``from_json``:
+    scan-speed, no Python, no shuffle.
+    """
+    rec = F.from_csv(F.col(csv_col), schema_ddl)
+    return (df.withColumn(out_col, rec)
+            .withColumn(ok_col, rec[ok_probe].isNotNull()))

@@ -2052,3 +2052,24 @@ def test_blocklist_gate_token_match_not_substring(spark):
     assert not out[3].kept
     assert out[4].kept and out[4].hit_ratio == 0.0
     assert out[2].hit_ratio == 1.0
+
+
+# --- PERMISSIVE CSV-line ingestion (r8) ------------------------------------------
+
+def test_parse_csv_lines_permissive_and_probe(spark):
+    """Truncated lines null their trailing fields, uncastable fields
+    null individually, null lines flag not-ok — never an error."""
+    from big_data_hw_23_24_spark.sources.jsonl import parse_csv_lines
+
+    rows = [(1, "1,en,42"), (2, "2,en"), (3, "junk"),
+            (4, "x,de,7"), (5, None)]
+    df = spark.createDataFrame(rows, "i long, line string")
+    out = {r.i: r for r in parse_csv_lines(
+        df, "line", "doc_id BIGINT, lang STRING, n BIGINT",
+        ok_probe="n").collect()}
+    assert out[1].parse_ok and out[1].rec.n == 42
+    assert not out[2].parse_ok and out[2].rec.lang == "en"
+    assert not out[3].parse_ok
+    assert out[4].parse_ok is True and out[4].rec.doc_id is None
+    assert out[4].rec.n == 7  # field-level nulling, not row-level
+    assert not out[5].parse_ok

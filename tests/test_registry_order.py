@@ -346,6 +346,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   audit with under-k flags
         "doc_blocklist_gate",        # r8: lexicon safety gate, token
                                      #   match, narrow map
+        "doc_csv_ingest",            # r8: PERMISSIVE CSV-line source
+                                     #   face (from_csv + ok probe)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
