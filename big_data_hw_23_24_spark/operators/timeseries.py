@@ -61,3 +61,63 @@ def daily_anomaly_scores(events: DataFrame, key_col: str = "event_type",
                     F.round(z, 6).alias("z"),
                     F.coalesce(F.abs(z) > z_threshold, F.lit(False))
                     .alias("is_anomaly")))
+
+
+def user_activity_profile(events: DataFrame, user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          min_gaps: int = 5) -> DataFrame:
+    """Inter-arrival burstiness profile per user → ``(user_id,
+    n_events, n_gaps, min_gap_us, mean_gap_us, n_bursts,
+    burst_flag)`` — the bot/automation screen over an event log.
+
+    A burst is a gap shorter than a QUARTER of the user's own mean
+    gap (self-normalized, so the screen is rate- and scale-invariant:
+    the same definition works at sf0.001 and at production volume);
+    ``burst_flag`` fires when more than a quarter of a user's ≥
+    ``min_gaps`` gaps are bursts — organic exponential arrivals sit
+    right at that line (P[gap < mean/4] ≈ 0.22), schedulers and
+    scripted replays sit far above it. All arithmetic is INTEGER
+    microseconds — ``unix_micros`` of the timestamp column (means use
+    integer division), so both engines agree exactly; an already-
+    integer ``ts_col`` is used as-is (caller's tick unit).
+
+    Scale shape: one user-keyed lag window, one user-keyed
+    sum/count window over the 16-byte (user, gap) projection, one
+    keyed aggregate. Ties in arrival order break on the event id.
+    """
+    dtype = dict(events.dtypes).get(ts_col, "")
+    if dtype == "bigint":
+        tick = F.col(ts_col)  # caller's integer tick unit, used as-is
+    else:
+        # TIMESTAMP or TIMESTAMP_NTZ (the parquet NANOS column surfaces
+        # as either depending on session conf history); the cast-to-
+        # timestamp applies a constant session-tz offset, which cancels
+        # in every output here — all reported values are gap DIFFERENCES
+        tick = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(tick, F.col(id_col))
+    g = events.select(
+        F.col(user_col),
+        (tick - F.lag(tick).over(w)).alias("gap_us"))
+    wu = Window.partitionBy(user_col)
+    m = g.select(
+        user_col, "gap_us",
+        F.sum("gap_us").over(wu).alias("_tot"),
+        F.count("gap_us").over(wu).alias("_cnt"))
+    burst = F.expr("CASE WHEN _cnt > 0 AND gap_us * 4 < _tot div _cnt "
+                   "THEN 1 ELSE 0 END")
+    agg = (m.groupBy(user_col)
+           .agg(F.max("_cnt").cast("long").alias("n_gaps"),
+                F.min("gap_us").alias("min_gap_us"),
+                F.max("_tot").alias("_tot"),
+                F.sum(burst).cast("long").alias("n_bursts")))
+    return (agg.select(
+        user_col,
+        (F.col("n_gaps") + 1).alias("n_events"),
+        "n_gaps", "min_gap_us",
+        F.expr("CASE WHEN n_gaps > 0 THEN _tot div n_gaps END")
+        .alias("mean_gap_us"),
+        "n_bursts",
+        ((F.col("n_gaps") >= min_gaps)
+         & (F.col("n_bursts") * 4 > F.col("n_gaps")))
+        .alias("burst_flag")))

@@ -1347,6 +1347,53 @@ def events_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+# --- inter-arrival burstiness / bot screen (r8) -------------------------------
+# Self-normalized: a burst is a gap under a quarter of the user's own
+# mean, so the flag fires both ways at every SF without tuning. All
+# integer-microsecond arithmetic: Spark's unix_micros(ts) equals
+# DuckDB's epoch_ns(ts)//1000 exactly (load_table's integer-division
+# nanos->micros conversion).
+@register(
+    "events_user_burstiness",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts) // 1000, event_id) AS gap_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, gap_us,
+             sum(gap_us) OVER (PARTITION BY user_id) AS tot,
+             count(gap_us) OVER (PARTITION BY user_id) AS cnt
+      FROM g
+    ),
+    agg AS (
+      SELECT user_id, max(cnt)::BIGINT AS n_gaps,
+             min(gap_us) AS min_gap_us,
+             max(tot) AS tot,
+             sum(CASE WHEN cnt > 0 AND gap_us * 4 < tot // cnt
+                      THEN 1 ELSE 0 END)::BIGINT AS n_bursts
+      FROM m GROUP BY user_id
+    )
+    SELECT user_id, n_gaps + 1 AS n_events, n_gaps, min_gap_us,
+           CASE WHEN n_gaps > 0 THEN tot // n_gaps END AS mean_gap_us,
+           n_bursts,
+           n_gaps >= 5 AND n_bursts * 4 > n_gaps AS burst_flag
+    FROM agg
+    """,
+    doc="inter-arrival burstiness profile per user (bot/automation "
+        "screen): bursts = gaps under a quarter of the user's own "
+        "mean, integer-microsecond arithmetic, one keyed lag window + "
+        "one keyed sum/count window + one aggregate",
+)
+def events_user_burstiness(spark, sf_dir):
+    from .operators.timeseries import user_activity_profile
+
+    return user_activity_profile(_t(spark, sf_dir, "events"))
+
+
 # --- RFM user segmentation (r8) -----------------------------------------------
 # The marketing-analytics classic on the scalable ntile spine: three
 # exact equal-frequency bucketings, each a range-partitioned global

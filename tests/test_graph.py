@@ -125,3 +125,47 @@ def test_item_cooccurrence_cap_and_jaccard(spark):
                for a, b in out)
     # (0,1) co-occurs only for user 4 -> below min_co, pruned
     assert (0, 1) not in out
+
+
+# --- burstiness bot screen (r8) --------------------------------------------------
+
+def test_user_activity_profile_burst_arithmetic(spark):
+    """Hand-built timelines: a scripted user (tight bursts around
+    rare long gaps) flags, a steady user does not, a below-min-gaps
+    user never flags, singletons profile as nulls."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        user_activity_profile)
+
+    S = 1_000_000  # 1s in us (integer-tick face)
+    rows = []
+    # user 1 (bot): 3 tight triples spread far apart -> 8 gaps,
+    # 6 tiny (1s) + 2 huge (1000s); mean ~250s, tiny << mean/4
+    t = 0
+    eid = 0
+    for _ in range(3):
+        for _ in range(3):
+            rows.append((eid, 1, t)); eid += 1; t += 1 * S
+        t += 1000 * S
+    # user 2 (steady): 8 events exactly 100s apart -> no gap < mean/4
+    t = 0
+    for _ in range(8):
+        rows.append((eid, 2, t)); eid += 1; t += 100 * S
+    # user 3: only 3 events, bursty, but n_gaps < 5 -> never flags
+    rows += [(eid, 3, 0), (eid + 1, 3, S), (eid + 2, 3, 2 * S)]
+    # user 4: singleton
+    rows.append((eid + 3, 4, 0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long")
+    out = {r.user_id: r for r in user_activity_profile(ev).collect()}
+    b = out[1]
+    assert (b.n_events, b.n_gaps, b.n_bursts) == (9, 8, 6)
+    assert b.burst_flag  # 6*4 > 8
+    assert b.min_gap_us == S
+    s2 = out[2]
+    assert s2.n_bursts == 0 and not s2.burst_flag
+    assert s2.mean_gap_us == 100 * S
+    assert not out[3].burst_flag and out[3].n_gaps == 2
+    s4 = out[4]
+    assert (s4.n_events, s4.n_gaps, s4.n_bursts) == (1, 0, 0)
+    assert s4.min_gap_us is None and s4.mean_gap_us is None
+    assert not s4.burst_flag
