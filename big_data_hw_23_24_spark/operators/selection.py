@@ -414,3 +414,40 @@ def epoch_schedule(docs: DataFrame, weights: DataFrame,
         (er > max_epochs).alias("capped"),
         realized.alias("realized_tokens"),
         (F.col("target_tokens") - realized).alias("deficit_tokens"))
+
+
+def quality_calibration(docs: DataFrame, terms: list[str],
+                        n_tiles: int = 10, max_hits: int = 1,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cross-signal calibration audit → ``(decile, n_docs, n_flagged,
+    flag_rate)``: bucket the corpus into quality-score deciles (the
+    hashed linear classifier) and report, per decile, how often an
+    INDEPENDENT signal (the lexicon safety gate) fires.
+
+    The audit every learned curation score needs before it gates
+    terabytes: if the flag rate doesn't fall as the score rises, the
+    score isn't measuring what the pipeline thinks it is. Built
+    entirely from exact integers past the scoring step — deciles via
+    the range-partitioned exact-ntile spine (prob, id tiebreak),
+    counts and a single ratio division — so there is no float-sum
+    hazard anywhere in the aggregation.
+    """
+    from .cleaning import linear_quality_score
+    from .ranking import global_ntile
+    from .textstats import blocklist_gate
+
+    scored = linear_quality_score(docs).select(id_col, "prob")
+    flags = blocklist_gate(docs, terms, max_hits,
+                           text_col=text_col, id_col=id_col) \
+        .select(id_col, "kept")
+    j = scored.join(flags, id_col)
+    d = global_ntile(j, n_tiles, [F.col("prob"), F.col(id_col)],
+                     out_col="decile")
+    flagged = (~F.col("kept")).cast("int")
+    return (d.groupBy("decile")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(flagged).cast("long").alias("n_flagged"),
+                 F.round(F.sum(flagged) / F.count("*"), 6)
+                 .alias("flag_rate"))
+            .orderBy("decile"))

@@ -2553,6 +2553,56 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- quality-score calibration audit (r8) ------------------------------------
+# Classifier-prob deciles (exact-ntile spine) crossed with the
+# independent lexicon gate: exact integer counts + one ratio division
+# per decile — no float-sum hazard past the scoring step.
+@register(
+    "corpus_quality_calibration",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS words
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             CASE WHEN len(words) > 0 THEN
+               round(list_sum(list_transform(words,
+                 w -> ('0x' || substr(md5('q:' || w), 1, 8))::BIGINT
+                      / 4294967296.0 * 2.0 - 1.0)) / len(words), 6)
+             ELSE 0.0 END AS logit,
+             len(list_filter(words, x -> x IN ('slow', 'dup'))) <= 1
+               AS kept
+      FROM s
+    ),
+    j AS (
+      SELECT doc_id, round(1.0 / (1.0 + exp(-logit)), 6) AS prob, kept
+      FROM sc
+    ),
+    d AS (
+      SELECT *, ntile(10) OVER (ORDER BY prob, doc_id) AS decile FROM j
+    )
+    SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN NOT kept THEN 1 ELSE 0 END)::BIGINT
+             AS n_flagged,
+           round(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS flag_rate
+    FROM d GROUP BY 1
+    """,
+    doc="quality-score calibration: classifier-prob deciles x "
+        "independent lexicon-gate flag rate -- the audit a learned "
+        "curation score needs before it gates terabytes; exact-ntile "
+        "spine, integer counts, single ratio division",
+)
+def corpus_quality_calibration(spark, sf_dir):
+    from .operators.selection import quality_calibration
+
+    return quality_calibration(load_table(spark, sf_dir, "documents"),
+                               ["slow", "dup"], n_tiles=10, max_hits=1)
+
+
 # --- k-anonymity audit (r8) --------------------------------------------------
 # Quasi-identifiers over the customer dimension: nation x market
 # segment x coarse balance band — combinations small enough that some

@@ -831,3 +831,25 @@ def test_epoch_schedule_cap_and_deficit_arithmetic(spark):
     assert (b.epochs, b.capped, b.realized_tokens, b.deficit_tokens) \
         == (0.3, False, 30, 0)
     assert abs(a.weight_norm + b.weight_norm - 1.0) < 1e-9
+
+
+# --- quality calibration audit (r8) --------------------------------------------
+
+def test_quality_calibration_deciles_partition_and_rates(spark):
+    """Deciles partition the corpus with exact-ntile sizes; per-decile
+    flag counts and rates are exact integer arithmetic; flagged docs
+    land in the deciles their prob puts them in."""
+    from big_data_hw_23_24_spark.operators.selection import (
+        quality_calibration)
+
+    docs = spark.createDataFrame(
+        [(i, ("bad bad words here" if i % 4 == 0
+              else f"clean text number {i}")) for i in range(40)],
+        "doc_id long, text string")
+    out = quality_calibration(docs, ["bad"], n_tiles=4,
+                              max_hits=1).collect()
+    assert [r.decile for r in out] == [1, 2, 3, 4]
+    assert all(r.n_docs == 10 for r in out)  # 40/4 exact ntile
+    assert sum(r.n_flagged for r in out) == 10  # i%4==0 docs (2 hits)
+    for r in out:
+        assert r.flag_rate == round(r.n_flagged / r.n_docs, 6)

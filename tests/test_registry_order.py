@@ -349,7 +349,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_csv_ingest",            # r8: PERMISSIVE CSV-line source
                                      #   face (from_csv + ok probe)
         "events_user_burstiness",    # r8: self-normalized inter-arrival
-                                     #   bot screen, integer nanos
+                                     #   bot screen, integer micros
+        "corpus_quality_calibration",  # r8: prob deciles x lexicon
+                                     #   flag rate calibration audit
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
