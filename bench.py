@@ -110,6 +110,12 @@ HEADLINE = [
     "corpus_gram_novelty",      # per-doc first-owner gram novelty
     "corpus_ngram_table",       # pruned 1-3-gram LM count table
     "doc_rake_keyphrases",      # RAKE keyphrases, integer millis
+    # late-r8 additions (set now 84)
+    "customers_k_anonymity",    # quasi-identifier class-size audit
+    "doc_blocklist_gate",       # lexicon safety gate
+    "doc_csv_ingest",           # PERMISSIVE CSV-line source face
+    "events_user_burstiness",   # self-normalized bot screen
+    "corpus_quality_calibration",  # prob deciles x lexicon flag rate
 ]
 
 
