@@ -158,3 +158,43 @@ def item_cooccurrence(events: DataFrame, item_col: str = "item",
                     F.round(F.col("n_co")
                             / (F.col("_na") + F.col("_nb")
                                - F.col("n_co")), 6).alias("jaccard")))
+
+
+def market_basket_pairs(baskets: DataFrame, basket_col: str,
+                        item_col: str, min_co: int = 2) -> DataFrame:
+    """Market-basket pair mining → ``(item_a, item_b, n_co, n_a, n_b,
+    support_ppm, lift)``: co-purchase counts with the association
+    strength (lift = P(a,b)/(P(a)·P(b)); > 1 = bought together more
+    than chance) over distinct per-basket item sets.
+
+    The relational-side sibling of :func:`item_cooccurrence`: baskets
+    here are transactions (a TPC-H order's parts), which are
+    NATURALLY bounded (an order holds a handful of items), so the
+    per-basket pair join needs no cap — when basket sizes are
+    unbounded (user histories), use ``item_cooccurrence``'s top-K cap
+    instead. Support is reported in integer PARTS-PER-MILLION
+    (floor(n_co·10⁶/N)) and lift as one double division of integer
+    products, so nothing in the output depends on float summation.
+    The basket count N is a bounded driver scalar (the
+    frequent-items pattern).
+    """
+    b = baskets.select(F.col(basket_col).alias("_bk"),
+                       F.col(item_col).alias("_it")).distinct()
+    n_baskets = b.select("_bk").distinct().count()
+    sz = b.groupBy("_it").agg(F.count("*").cast("long").alias("_n"))
+    x, y = b.alias("x"), b.alias("y")
+    co = (x.join(y, (F.col("x._bk") == F.col("y._bk"))
+                 & (F.col("x._it") < F.col("y._it")))
+          .groupBy(F.col("x._it").alias("item_a"),
+                   F.col("y._it").alias("item_b"))
+          .agg(F.count("*").cast("long").alias("n_co"))
+          .where(F.col("n_co") >= min_co))
+    sa = sz.select(F.col("_it").alias("item_a"), F.col("_n").alias("n_a"))
+    sb = sz.select(F.col("_it").alias("item_b"), F.col("_n").alias("n_b"))
+    return (co.join(sa, "item_a").join(sb, "item_b")
+            .select("item_a", "item_b", "n_co", "n_a", "n_b",
+                    F.floor(F.col("n_co") * 1_000_000 / n_baskets)
+                    .cast("long").alias("support_ppm"),
+                    F.round((F.col("n_co") * n_baskets)
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("lift")))

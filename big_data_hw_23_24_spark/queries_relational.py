@@ -1347,6 +1347,43 @@ def events_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+# --- market-basket pair mining (r8) -------------------------------------------
+# Transactions are TPC-H orders (parts per order — naturally bounded
+# baskets, no cap needed); support in integer ppm and lift as one
+# double division of integer products, so no float-sum hazard.
+@register(
+    "orders_market_basket",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+    sz AS (SELECT it, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+    co AS (
+      SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n_co
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_co, sa.cnt AS n_a, sb.cnt AS n_b,
+           floor(n_co * 1000000 / n.n_baskets)::BIGINT AS support_ppm,
+           round((n_co * n.n_baskets) * 1.0 / (sa.cnt * sb.cnt), 6)
+             AS lift
+    FROM co
+    JOIN sz sa ON sa.it = item_a
+    JOIN sz sb ON sb.it = item_b, n
+    """,
+    doc="market-basket pair mining over order baskets: co-purchase "
+        "counts with ppm support and lift; per-basket pair join is "
+        "naturally bounded by order size (the capped sibling for "
+        "unbounded baskets is events_item_cooccurrence)",
+)
+def orders_market_basket(spark, sf_dir):
+    from .operators.graph import market_basket_pairs
+
+    return market_basket_pairs(_t(spark, sf_dir, "lineitem"),
+                               "l_orderkey", "l_partkey", min_co=2)
+
+
 # --- inter-arrival burstiness / bot screen (r8) -------------------------------
 # Self-normalized: a burst is a gap under a quarter of the user's own
 # mean, so the flag fires both ways at every SF without tuning. All

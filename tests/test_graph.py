@@ -169,3 +169,29 @@ def test_user_activity_profile_burst_arithmetic(spark):
     assert (s4.n_events, s4.n_gaps, s4.n_bursts) == (1, 0, 0)
     assert s4.min_gap_us is None and s4.mean_gap_us is None
     assert not s4.burst_flag
+
+
+# --- market basket (r8) ----------------------------------------------------------
+
+def test_market_basket_lift_arithmetic(spark):
+    """Hand-computed lift: a pair in every basket lifts to N/(n_a*n_b)
+    exactly; duplicate lineitems of one part in one order count once;
+    min_co prunes."""
+    from big_data_hw_23_24_spark.operators.graph import market_basket_pairs
+
+    rows = [
+        (1, 10), (1, 11), (1, 10),   # basket 1: {10, 11} (dup row)
+        (2, 10), (2, 11),            # basket 2: {10, 11}
+        (3, 10), (3, 12),            # basket 3: {10, 12}
+        (4, 13),                     # basket 4: {13}
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.item_a, r.item_b): r for r in
+           market_basket_pairs(li, "l_orderkey", "l_partkey",
+                               min_co=2).collect()}
+    assert set(out) == {(10, 11)}  # (10,12) has n_co=1, pruned
+    r = out[(10, 11)]
+    assert (r.n_co, r.n_a, r.n_b) == (2, 3, 2)
+    # lift = n_co*N/(n_a*n_b) = 2*4/(3*2) = 1.333333
+    assert r.lift == 1.333333
+    assert r.support_ppm == 500_000  # 2 of 4 baskets

@@ -352,6 +352,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   bot screen, integer micros
         "corpus_quality_calibration",  # r8: prob deciles x lexicon
                                      #   flag rate calibration audit
+        "orders_market_basket",      # r8: basket pair mining with ppm
+                                     #   support + lift
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
