@@ -63,6 +63,22 @@ def daily_anomaly_scores(events: DataFrame, key_col: str = "event_type",
                     .alias("is_anomaly")))
 
 
+def ticks_us(events: DataFrame, ts_col: str = "ts"):
+    """Integer-microsecond tick Column for ``ts_col``, engine-portable.
+
+    TIMESTAMP and TIMESTAMP_NTZ (the parquet NANOS column surfaces as
+    either depending on session conf history) go through
+    ``unix_micros(cast(ts as timestamp))`` — the cast applies a
+    constant session-tz offset, which cancels wherever ticks are used
+    as DIFFERENCES or an ordering (the only uses in this package); an
+    already-integer column is used as-is (caller's tick unit).
+    DuckDB's identical integer is ``epoch_ns(ts) // 1000``.
+    """
+    dtype = dict(events.dtypes).get(ts_col, "")
+    if dtype == "bigint":
+        return F.col(ts_col)
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
 def user_activity_profile(events: DataFrame, user_col: str = "user_id",
                           ts_col: str = "ts",
                           id_col: str = "event_id",
@@ -86,15 +102,7 @@ def user_activity_profile(events: DataFrame, user_col: str = "user_id",
     sum/count window over the 16-byte (user, gap) projection, one
     keyed aggregate. Ties in arrival order break on the event id.
     """
-    dtype = dict(events.dtypes).get(ts_col, "")
-    if dtype == "bigint":
-        tick = F.col(ts_col)  # caller's integer tick unit, used as-is
-    else:
-        # TIMESTAMP or TIMESTAMP_NTZ (the parquet NANOS column surfaces
-        # as either depending on session conf history); the cast-to-
-        # timestamp applies a constant session-tz offset, which cancels
-        # in every output here — all reported values are gap DIFFERENCES
-        tick = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tick = ticks_us(events, ts_col)
     w = Window.partitionBy(user_col).orderBy(tick, F.col(id_col))
     g = events.select(
         F.col(user_col),
@@ -121,3 +129,44 @@ def user_activity_profile(events: DataFrame, user_col: str = "user_id",
         ((F.col("n_gaps") >= min_gaps)
          & (F.col("n_bursts") * 4 > F.col("n_gaps")))
         .alias("burst_flag")))
+
+
+def session_paths(events: DataFrame, gap_minutes: int = 30,
+                  depth: int = 3, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Top-of-session path mining → ``(path, n_sessions)``: sessions
+    are maximal runs with inter-event gaps ≤ ``gap_minutes``; a
+    session's path is its first ``depth`` event types joined with
+    '>' — the "how do visits start" report behind navigation and
+    onboarding analysis (the funnel tests ONE path; this reports the
+    empirical distribution of observed openings).
+
+    Sessionization is the gaps-and-islands form of the stateful
+    streaming sessionizer (new-session marker from a keyed lag,
+    island id from a keyed running sum — deterministic, tie-broken on
+    the event id), then one keyed aggregate assembles each session's
+    ordered prefix and one hash aggregate counts paths. Ticks are
+    integer microseconds (``ticks_us``), so gap comparisons are exact
+    in both engines.
+    """
+    tick = ticks_us(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(tick, F.col(id_col))
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap = tick - F.lag(tick).over(w)
+    new_sess = (gap.isNull() | (gap > gap_us)).cast("int")
+    run = (Window.partitionBy(user_col).orderBy(tick, F.col(id_col))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    s = events.select(
+        F.col(user_col), F.col(type_col), F.col(id_col),
+        tick.alias("_tk"),
+        F.sum(new_sess).over(run).alias("_sid"))
+    per = (s.groupBy(user_col, "_sid")
+           .agg(F.array_join(
+               F.slice(F.transform(
+                   F.sort_array(F.collect_list(
+                       F.struct("_tk", id_col, type_col))),
+                   lambda r: r[type_col]), 1, depth), ">")
+               .alias("path")))
+    return (per.groupBy("path")
+            .agg(F.count("*").cast("long").alias("n_sessions")))

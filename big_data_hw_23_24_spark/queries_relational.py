@@ -1347,6 +1347,48 @@ def events_transition_matrix(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+# --- session opening-path mining (r8) -----------------------------------------
+@register(
+    "events_session_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS tk
+      FROM events
+    ),
+    g AS (
+      SELECT *, CASE WHEN lag(tk) OVER w IS NULL
+                          OR tk - lag(tk) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tk, event_id)
+    ),
+    s AS (
+      SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY tk, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM g
+    ),
+    p AS (
+      SELECT user_id, sid,
+             array_to_string(
+               (array_agg(event_type ORDER BY tk, event_id))[1:3], '>')
+               AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, count(*)::BIGINT AS n_sessions FROM p GROUP BY 1
+    """,
+    doc="session opening-path mining: 30-min-gap sessions "
+        "(gaps-and-islands, integer-microsecond ticks), first-3 event "
+        "types per session joined with '>', counted — the empirical "
+        "distribution of how visits start, beside the funnel's one "
+        "prescribed path",
+)
+def events_session_paths(spark, sf_dir):
+    from .operators.timeseries import session_paths
+
+    return session_paths(_t(spark, sf_dir, "events"))
+
+
 # --- market-basket pair mining (r8) -------------------------------------------
 # Transactions are TPC-H orders (parts per order — naturally bounded
 # baskets, no cap needed); support in integer ppm and lift as one

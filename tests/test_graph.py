@@ -195,3 +195,29 @@ def test_market_basket_lift_arithmetic(spark):
     # lift = n_co*N/(n_a*n_b) = 2*4/(3*2) = 1.333333
     assert r.lift == 1.333333
     assert r.support_ppm == 500_000  # 2 of 4 baskets
+
+
+# --- session paths (r8) ----------------------------------------------------------
+
+def test_session_paths_islands_depth_and_ties(spark):
+    """Gap splits sessions; path truncates at depth; short sessions
+    report their full (shorter) path; same-tick ties order by id."""
+    from big_data_hw_23_24_spark.operators.timeseries import session_paths
+
+    M = 60 * 1_000_000  # one minute in us
+    rows = [
+        # user 1, session A: a>b>c>d (depth cuts at 3)
+        (1, 1, 0 * M, "a"), (2, 1, 5 * M, "b"),
+        (3, 1, 10 * M, "c"), (4, 1, 15 * M, "d"),
+        # 40-min gap -> session B: b>a
+        (5, 1, 55 * M, "b"), (6, 1, 60 * M, "a"),
+        # user 2: single-event session
+        (7, 2, 0, "x"),
+        # user 3: same-tick pair, id order decides y>z
+        (8, 3, 0, "y"), (9, 3, 0, "z"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string")
+    out = {r.path: r.n_sessions
+           for r in session_paths(ev, gap_minutes=30, depth=3).collect()}
+    assert out == {"a>b>c": 1, "b>a": 1, "x": 1, "y>z": 1}

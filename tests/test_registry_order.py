@@ -354,6 +354,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   flag rate calibration audit
         "orders_market_basket",      # r8: basket pair mining with ppm
                                      #   support + lift
+        "events_session_paths",      # r8: 30-min-gap session opening
+                                     #   paths (gaps-and-islands)
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
