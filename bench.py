@@ -116,6 +116,8 @@ HEADLINE = [
     "doc_csv_ingest",           # PERMISSIVE CSV-line source face
     "events_user_burstiness",   # self-normalized bot screen
     "corpus_quality_calibration",  # prob deciles x lexicon flag rate
+    "orders_market_basket",     # basket pair mining with lift
+    "events_session_paths",     # session opening-path mining
 ]
 
 
