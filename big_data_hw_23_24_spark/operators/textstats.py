@@ -1245,3 +1245,32 @@ def blocklist_gate(docs: DataFrame, terms: list[str],
         .alias("n_distinct_terms"),
         F.round(n_hits / n_words, 6).alias("hit_ratio"),
         (n_hits <= max_hits).alias("kept"))
+
+
+def language_confusion(docs: DataFrame, lang_col: str = "lang",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Detector-vs-label confusion matrix → ``(lang, detected_lang,
+    n_docs, label_total, recall)`` — the QA report for the heuristic
+    language detector against provenance labels.
+
+    Every detector that gates a multilingual corpus needs this before
+    its thresholds ship: which labeled languages it recovers (the
+    diagonal), where probe-less languages land (a label with no
+    stopword profile — e.g. zh here — shows exactly how it
+    mis-buckets), and how much spills into 'und'. ``recall`` is the
+    per-cell share of the LABEL's documents (exact integer counts,
+    one division). Two aggregates on the bounded label × detected
+    grid; the detection itself is the zero-shuffle narrow map.
+    """
+    det = detect_language(docs, text_col, id_col) \
+        .select(id_col, "detected_lang")
+    j = det.join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
+    cells = (j.groupBy(lang_col, "detected_lang")
+             .agg(F.count("*").cast("long").alias("n_docs")))
+    totals = (cells.groupBy(lang_col)
+              .agg(F.sum("n_docs").cast("long").alias("label_total")))
+    return (cells.join(totals, lang_col)
+            .select(lang_col, "detected_lang", "n_docs", "label_total",
+                    F.round(F.col("n_docs") / F.col("label_total"), 6)
+                    .alias("recall")))

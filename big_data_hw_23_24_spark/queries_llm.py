@@ -2553,6 +2553,59 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- language-ID confusion matrix (r8) ---------------------------------------
+# The detector-QA audit: labeled languages vs the stopword-profile
+# detector, including how the profile-less zh label mis-buckets and
+# the 'und' spill. Exact integer counts, one ratio division.
+@register(
+    "corpus_language_confusion",
+    """
+    WITH det AS (
+      SELECT doc_id,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                    THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                  WHEN h_es >= h_fr THEN 'es'
+                  ELSE 'fr' END AS detected_lang
+      FROM (
+        SELECT doc_id,
+               len(list_intersect(words,
+                   ['der','die','und','ist','das'])) AS h_de,
+               len(list_intersect(words,
+                   ['the','and','of','to','is'])) AS h_en,
+               len(list_intersect(words, ['el','la','y','es','los']))
+                 AS h_es,
+               len(list_intersect(words, ['le','la','et','est','les']))
+                 AS h_fr
+        FROM (SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split(lower(text), ' '), w -> w <> ''))
+                       AS words
+              FROM documents))
+    ),
+    cells AS (
+      SELECT d.lang, det.detected_lang, count(*)::BIGINT AS n_docs
+      FROM det JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, sum(n_docs)::BIGINT AS label_total
+            FROM cells GROUP BY 1)
+    SELECT c.lang, c.detected_lang, c.n_docs, t.label_total,
+           round(c.n_docs * 1.0 / t.label_total, 6) AS recall
+    FROM cells c JOIN tot t USING (lang)
+    """,
+    doc="language-ID confusion matrix: stopword-profile detector vs "
+        "provenance labels (per-cell share of the label's docs) -- "
+        "the detector-QA audit before thresholds gate a multilingual "
+        "corpus; two aggregates on the bounded label x detected grid",
+)
+def corpus_language_confusion(spark, sf_dir):
+    from .operators.textstats import language_confusion
+
+    return language_confusion(load_table(spark, sf_dir, "documents"))
+
+
 # --- quality-score calibration audit (r8) ------------------------------------
 # Classifier-prob deciles (exact-ntile spine) crossed with the
 # independent lexicon gate: exact integer counts + one ratio division

@@ -2073,3 +2073,27 @@ def test_parse_csv_lines_permissive_and_probe(spark):
     assert out[4].parse_ok is True and out[4].rec.doc_id is None
     assert out[4].rec.n == 7  # field-level nulling, not row-level
     assert not out[5].parse_ok
+
+
+# --- language confusion matrix (r8) ----------------------------------------------
+
+def test_language_confusion_cells_and_recall(spark):
+    """Known texts: diagonal cell for en, the profile-less label
+    buckets to 'und', rows sum to the label total, recall exact."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        language_confusion)
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat and the hat is of note"),
+         (2, "en", "the dog and friends"),
+         (3, "en", "nothing matching here"),
+         (4, "xx", "wholly unknown words qqq")],
+        "doc_id long, lang string, text string")
+    out = {(r.lang, r.detected_lang): r
+           for r in language_confusion(docs).collect()}
+    assert out[("en", "en")].n_docs == 2
+    assert out[("en", "und")].n_docs == 1
+    assert out[("en", "en")].label_total == 3
+    assert out[("en", "en")].recall == 0.666667
+    assert out[("xx", "und")].n_docs == 1
+    assert out[("xx", "und")].recall == 1.0

@@ -356,6 +356,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   support + lift
         "events_session_paths",      # r8: 30-min-gap session opening
                                      #   paths (gaps-and-islands)
+        "corpus_language_confusion",  # r8: detector-vs-label confusion
+                                     #   matrix with per-cell recall
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
