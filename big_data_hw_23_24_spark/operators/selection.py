@@ -451,3 +451,40 @@ def quality_calibration(docs: DataFrame, terms: list[str],
                  F.round(F.sum(flagged) / F.count("*"), 6)
                  .alias("flag_rate"))
             .orderBy("decile"))
+
+
+def shard_manifest(docs: DataFrame, target: int = 2000,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Shard manifest with content checksums → ``(shard, n_docs,
+    n_tokens, checksum)`` — the integrity artifact a trainer checks
+    before (and audits after) consuming a sharded corpus export.
+
+    Shards come from :func:`token_shards` (equal-work, deterministic
+    md5-shuffled order); the checksum is the SUM of each member
+    document's 32-bit fingerprint integer (md5 of normalized text,
+    first 8 hex chars) — order-insensitive by construction, so the
+    manifest is stable under any partitioning or rewrite that
+    preserves content, and a single flipped/dropped/duplicated
+    document changes it. 32-bit components keep the sum far from
+    64-bit overflow (2⁵² even at a million docs per shard). One
+    narrow map + the two-pass prefix sum + one keyed aggregate.
+    """
+    from .dedup import normalized_text
+
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != F.lit(""))
+    fp32 = F.conv(F.substring(
+        F.md5(normalized_text(F.col(text_col))), 1, 8), 16, 10) \
+        .cast("long")
+    t = docs.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        fp32.alias("_fp"))
+    sh = token_shards(t, ["_h", id_col], "n_tokens", target)
+    return (sh.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.sum("_fp").cast("long").alias("checksum"))
+            .orderBy("shard"))

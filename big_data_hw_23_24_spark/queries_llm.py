@@ -2553,6 +2553,46 @@ def streaming_quality_gate(spark, sf_dir):
         shutil.rmtree(d + "_out_ckpt", ignore_errors=True)
 
 
+# --- shard manifest with content checksums (r8) ------------------------------
+@register(
+    "corpus_shard_manifest",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                                                ' +', ' ', 'g')),
+                             1, 8))::BIGINT AS fp
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, fp,
+             sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t
+    )
+    SELECT CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(fp)::BIGINT AS checksum
+    FROM c GROUP BY 1
+    """,
+    doc="shard manifest with order-insensitive content checksums "
+        "(sum of member 32-bit fingerprint ints): the integrity "
+        "artifact a trainer verifies before consuming a sharded "
+        "export — stable under any partitioning, broken by any "
+        "flipped/dropped/duplicated document",
+)
+def corpus_shard_manifest(spark, sf_dir):
+    from .operators.selection import shard_manifest
+
+    return shard_manifest(load_table(spark, sf_dir, "documents"))
+
+
 # --- language-ID confusion matrix (r8) ---------------------------------------
 # The detector-QA audit: labeled languages vs the stopword-profile
 # detector, including how the profile-less zh label mis-buckets and

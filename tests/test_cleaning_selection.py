@@ -853,3 +853,37 @@ def test_quality_calibration_deciles_partition_and_rates(spark):
     assert sum(r.n_flagged for r in out) == 10  # i%4==0 docs (2 hits)
     for r in out:
         assert r.flag_rate == round(r.n_flagged / r.n_docs, 6)
+
+
+# --- shard manifest (r8) ---------------------------------------------------------
+
+def test_shard_manifest_checksum_detects_content_change(spark):
+    """Same content, different ids/partitioning -> same per-shard
+    stats; one flipped document -> that shard's checksum (and only
+    the checksums) changes; token totals conserve."""
+    from big_data_hw_23_24_spark.operators.selection import shard_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some words") for i in range(60)],
+        "doc_id long, text string")
+    base = {r.shard: r for r in
+            shard_manifest(docs, target=50).collect()}
+    assert sum(r.n_tokens for r in base.values()) == 60 * 6
+    # repartitioned input -> identical manifest
+    again = {r.shard: r for r in
+             shard_manifest(docs.repartition(7), target=50).collect()}
+    assert {(s, r.n_docs, r.n_tokens, r.checksum)
+            for s, r in base.items()} \
+        == {(s, r.n_docs, r.n_tokens, r.checksum)
+            for s, r in again.items()}
+    # flip one doc's text: same shapes, different checksum somewhere
+    from pyspark.sql import functions as F
+    flipped = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 30,
+                       F.lit("doc number 30 with FLIP words"))
+        .otherwise(F.col("text")))
+    fl = {r.shard: r for r in
+          shard_manifest(flipped, target=50).collect()}
+    assert {(s, r.n_docs, r.n_tokens) for s, r in fl.items()} \
+        == {(s, r.n_docs, r.n_tokens) for s, r in base.items()}
+    assert any(fl[s].checksum != base[s].checksum for s in base)

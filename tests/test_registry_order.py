@@ -358,6 +358,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   paths (gaps-and-islands)
         "corpus_language_confusion",  # r8: detector-vs-label confusion
                                      #   matrix with per-cell recall
+        "corpus_shard_manifest",     # r8: order-insensitive shard
+                                     #   content checksums
     }
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
