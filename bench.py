@@ -118,6 +118,8 @@ HEADLINE = [
     "corpus_quality_calibration",  # prob deciles x lexicon flag rate
     "orders_market_basket",     # basket pair mining with lift
     "events_session_paths",     # session opening-path mining
+    "corpus_language_confusion",  # detector-vs-label confusion matrix
+    "corpus_shard_manifest",    # order-insensitive shard checksums
 ]
 
 
