@@ -74,14 +74,44 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r8 rotation: the entire r7 queued tier admitted (26 queries,
-    # none ever driver-checked), over 26 retired faces — the 11 anchors
-    # (3-4 greens each through r07), the 12 r6 admissions (2 greens
-    # r06+r07), and 3 one-green faces whose machinery an in-window
-    # sibling re-checks (embedding_pq_codes ⊂ knn_pq_adc, doc_bm25_topk
-    # ⊂ doc_bm25_multi, corpus_dedup_paragraphs ⊂ doc_dedup_lines).
+    # ---- r9 rotation: the entire r8 queued tier admitted (27 queries,
+    # none ever driver-checked), over 27 retired faces — the 24 r7
+    # first-green holdovers (2 greens each, r07+r08) and 3 one-green r8
+    # faces whose machinery an in-window sibling re-checks
+    # (doc_jsonl_ingest ⊂ doc_csv_ingest, corpus_length_ks_matrix ⊂
+    # corpus_split_drift, corpus_snapshot_diff ⊂ corpus_apply_snapshot).
     # All annotated in tests/test_registry_order.py::declared_redundant.
-    # mid-r7 decontamination/dedup/selection tier (E77-E88)
+    # r8 oracle conversions + pipeline tier (E104-E112)
+    "bpe_learned_merges",
+    "dedup_embedding_lsh_pinned",
+    "corpus_apply_snapshot",
+    "dedup_incremental_bloom",
+    "corpus_length_batches",
+    "corpus_dedup_impact",
+    "doc_html_extract",
+    "events_transition_matrix",
+    "doc_chat_render",
+    # late-r8 analytics/safety tier (E113-E130)
+    "media_frame_plan",
+    "events_item_cooccurrence",
+    "corpus_epoch_schedule",
+    "corpus_split_drift",
+    "corpus_dup_rate_daily",
+    "events_rfm_segments",
+    "corpus_gram_novelty",
+    "corpus_ngram_table",
+    "doc_rake_keyphrases",
+    "customers_k_anonymity",
+    "doc_blocklist_gate",
+    "doc_csv_ingest",
+    "events_user_burstiness",
+    "corpus_quality_calibration",
+    "orders_market_basket",
+    "events_session_paths",
+    "corpus_language_confusion",
+    "corpus_shard_manifest",
+    # ---- kept r8 first-green admissions (each needs a second row
+    # before it can be retired) ----
     "doc_decontaminate_spans",
     "dedup_url_normalized",
     "doc_lm_quality_buckets",
@@ -94,9 +124,7 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "doc_payment_pii_scan",
     "doc_sentence_chunks",
     "events_skew_report",
-    # late-r7 analytics/ingest tier (E89-E103)
     "corpus_pmi_collocations",
-    "doc_jsonl_ingest",
     "doc_gopher_rules",
     "corpus_priority_sample",
     "corpus_zipf_fit",
@@ -106,35 +134,7 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "knn_mmr_rerank",
     "events_daily_anomaly",
     "corpus_vocab_growth",
-    "corpus_snapshot_diff",
-    "corpus_length_ks_matrix",
     "corpus_robust_stats",
-    # ---- kept r7 first-green admissions (each needs a second row
-    # before it can be retired) ----
-    "knn_pq_adc",
-    "corpus_boilerplate_ngrams",
-    "doc_c4_line_filter",
-    "doc_dedup_lines",
-    "corpus_stratified_sample",
-    "corpus_quality_budget",
-    "dedup_semantic_clusters",
-    "doc_winnow_fingerprints",
-    "doc_overlap_pairs",
-    "corpus_token_shards",
-    "doc_token_entropy",
-    "corpus_stats_card",
-    "doc_bm25_multi",
-    "doc_dsir_weights",
-    "doc_quality_classifier",
-    "corpus_temperature_mix",
-    "streaming_quality_gate",
-    "doc_span_dedup",
-    "dedup_survivors_best",
-    "user_funnel_3stage",
-    "user_retention_cohorts",
-    "corpus_bpe_fertility",
-    "dedup_incremental_minhash",
-    "dedup_minhash_banded",
 )
 
 
