@@ -90,8 +90,9 @@ HEADLINE = [
     "corpus_snapshot_diff",   # fingerprint change set, full-outer join
     "corpus_length_ks_matrix",  # KS drift matrix over the value grid
     "streaming_spacesaving_topk",  # mergeable SpaceSaving sketch
-    # r8 additions (set now 79; stdout line always slowest-20, full
-    # detail in BENCH_DETAIL.json)
+    # r8 additions (stdout line always slowest-20, full detail in
+    # BENCH_DETAIL.json; the live count is asserted in
+    # tests/test_bench_output.py, not tallied in comments)
     "dedup_incremental_bloom",  # bloom-routed incremental dedup
     "dedup_embedding_lsh_pinned",  # md5-pinned sign-plane LSH face
     "bpe_learned_merges",       # full BPE training loop (8 rounds)
@@ -110,7 +111,7 @@ HEADLINE = [
     "corpus_gram_novelty",      # per-doc first-owner gram novelty
     "corpus_ngram_table",       # pruned 1-3-gram LM count table
     "doc_rake_keyphrases",      # RAKE keyphrases, integer millis
-    # late-r8 additions (set now 84)
+    # late-r8 additions
     "customers_k_anonymity",    # quasi-identifier class-size audit
     "doc_blocklist_gate",       # lexicon safety gate
     "doc_csv_ingest",           # PERMISSIVE CSV-line source face

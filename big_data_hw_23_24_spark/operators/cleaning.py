@@ -461,8 +461,8 @@ def html_extract(docs: DataFrame, html_col: str = "html",
     """
     h = F.col(html_col)
     for blk in ("script", "style"):
-        h = F.regexp_replace(h, f"(?s)<{blk}[^>]*>.*?</{blk}>", " ")
-    n_links = F.size(F.regexp_extract_all(h, F.lit("<a[ >]"), 0)) \
+        h = F.regexp_replace(h, f"(?is)<{blk}[^>]*>.*?</{blk}>", " ")
+    n_links = F.size(F.regexp_extract_all(h, F.lit(r"(?i)<a[\s>]"), 0)) \
         .cast("long")
     no_tags = F.regexp_replace(h, "<[^>]*>", " ")
     dec = no_tags

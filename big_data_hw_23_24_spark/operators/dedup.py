@@ -732,20 +732,22 @@ def dup_rate_by_window(docs: DataFrame, day_col: str = "day",
     The standing crawler-health monitor: a dup rate trending up means
     the crawler is revisiting (seed-list loop, frontier bug) or a
     mirror farm entered the seed set — caught per ingest day, not
-    after a full-corpus dedup. First occurrence is elected on the
-    encoded ``window·10⁸ + id`` key (one integer min per fingerprint —
-    deterministic under any partitioning, same election convention as
-    the survivor rules), then one window-keyed aggregate. 40-byte
-    rows end to end; text never shuffles.
+    after a full-corpus dedup. First occurrence is elected as the
+    lexicographic ``min(struct(day, id))`` per fingerprint (one
+    struct-min — deterministic under any partitioning, same election
+    convention as the survivor rules, and correct for ANY id range
+    including negative ids, unlike an arithmetic ``day·C + id``
+    encoding which mis-elects once ids reach C), then one window-keyed
+    aggregate. ~48-byte rows end to end; text never shuffles.
     """
-    enc = (F.col(day_col).cast("long") * F.lit(100_000_000)
-           + F.col(id_col))
     fp = F.md5(normalized_text(F.col(text_col)))
-    t = docs.select(fp.alias("fingerprint"), enc.alias("_mkey"),
-                    F.col(day_col).cast("long").alias("day"))
+    t = docs.select(fp.alias("fingerprint"),
+                    F.col(day_col).cast("long").alias("day"),
+                    F.col(id_col).cast("long").alias("_id"))
     firsts = (t.groupBy("fingerprint")
-              .agg(F.min("_mkey").alias("_first")))
-    dup = (F.col("_mkey") != F.col("_first")).cast("int")
+              .agg(F.min(F.struct("day", "_id")).alias("_first")))
+    dup = ((F.col("day") != F.col("_first.day"))
+           | (F.col("_id") != F.col("_first._id"))).cast("int")
     return (t.join(firsts, "fingerprint")
             .groupBy("day")
             .agg(F.count("*").cast("long").alias("n_docs"),

@@ -175,12 +175,14 @@ def market_basket_pairs(baskets: DataFrame, basket_col: str,
     instead. Support is reported in integer PARTS-PER-MILLION
     (floor(n_co·10⁶/N)) and lift as one double division of integer
     products, so nothing in the output depends on float summation.
-    The basket count N is a bounded driver scalar (the
-    frequent-items pattern).
+    The basket count N rides the plan as a 1-row broadcast aggregate
+    crossJoin (the IdentityBroadcast pattern, same as
+    ``epoch_schedule``) — the operator stays LAZY: nothing scans
+    baskets until the returned DataFrame executes.
     """
     b = baskets.select(F.col(basket_col).alias("_bk"),
                        F.col(item_col).alias("_it")).distinct()
-    n_baskets = b.select("_bk").distinct().count()
+    n = b.agg(F.countDistinct("_bk").cast("long").alias("_n_baskets"))
     sz = b.groupBy("_it").agg(F.count("*").cast("long").alias("_n"))
     x, y = b.alias("x"), b.alias("y")
     co = (x.join(y, (F.col("x._bk") == F.col("y._bk"))
@@ -192,9 +194,11 @@ def market_basket_pairs(baskets: DataFrame, basket_col: str,
     sa = sz.select(F.col("_it").alias("item_a"), F.col("_n").alias("n_a"))
     sb = sz.select(F.col("_it").alias("item_b"), F.col("_n").alias("n_b"))
     return (co.join(sa, "item_a").join(sb, "item_b")
+            .crossJoin(F.broadcast(n))
             .select("item_a", "item_b", "n_co", "n_a", "n_b",
-                    F.floor(F.col("n_co") * 1_000_000 / n_baskets)
+                    F.floor(F.col("n_co") * 1_000_000
+                            / F.col("_n_baskets"))
                     .cast("long").alias("support_ppm"),
-                    F.round((F.col("n_co") * n_baskets)
+                    F.round((F.col("n_co") * F.col("_n_baskets"))
                             / (F.col("n_a") * F.col("n_b")), 6)
                     .alias("lift")))

@@ -2908,24 +2908,27 @@ def corpus_gram_novelty(spark, sf_dir):
       FROM documents WHERE doc_id % 4 = 0
     ),
     t AS (
-      SELECT day::BIGINT AS day,
-             day * 100000000 + doc_id AS mkey,
+      SELECT day::BIGINT AS day, doc_id::BIGINT AS id,
              md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
       FROM all_docs
     ),
-    firsts AS (SELECT fp, min(mkey) AS fkey FROM t GROUP BY fp)
+    firsts AS (
+      SELECT fp, min({'day': day, 'id': id}) AS fkey FROM t GROUP BY fp
+    )
     SELECT day, count(*)::BIGINT AS n_docs,
-           sum(CASE WHEN mkey <> fkey THEN 1 ELSE 0 END)::BIGINT
-             AS n_dups,
-           round(sum(CASE WHEN mkey <> fkey THEN 1 ELSE 0 END) * 1.0
+           sum(CASE WHEN day <> fkey.day OR id <> fkey.id
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+           round(sum(CASE WHEN day <> fkey.day OR id <> fkey.id
+                          THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS dup_rate
     FROM t JOIN firsts USING (fp)
     GROUP BY day
     """,
     doc="ingest dup-rate trend: per ingest window, the fraction of "
-        "docs whose fingerprint occurred earlier corpus-wide (integer "
-        "first-occurrence election, 40-byte rows, text never "
-        "shuffles) -- the standing crawler-health monitor",
+        "docs whose fingerprint occurred earlier corpus-wide "
+        "(min(struct(day,id)) first-occurrence election — safe for "
+        "any id range; text never shuffles) -- the standing "
+        "crawler-health monitor",
 )
 def corpus_dup_rate_daily(spark, sf_dir):
     from .operators.dedup import dup_rate_by_window
@@ -3162,25 +3165,26 @@ def doc_chat_render(spark, sf_dir):
     """
     WITH h AS (
       SELECT doc_id,
-        '<html><head><style>p{color:red}</style></head><body><h1>'
+        '<html><head><STYLE>p{color:red}</STYLE></head><body><h1>'
         || substr(text, 1, 20) || '</h1><p>' || text
-        || ' &amp; more</p><a href="http://x/' || doc_id
-        || '">link</a>'
+        || ' &amp; more</p><A HREF="http://x/' || doc_id
+        || '">link</A>'
         || CASE WHEN doc_id % 3 = 0
-                THEN '<script>var x=1;</script>' ELSE '' END
+                THEN '<SCRIPT>var x=1;</SCRIPT>' ELSE '' END
         || '</body></html>' AS html
       FROM documents
     ),
     s1 AS (
       SELECT doc_id,
              regexp_replace(regexp_replace(html,
-               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
       FROM h
     ),
     s2 AS (
       SELECT doc_id,
-             len(regexp_extract_all(t, '<a[ >]'))::BIGINT AS n_links,
+             len(regexp_extract_all(t, '(?i)<a[\\s>]'))::BIGINT
+               AS n_links,
              regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
       FROM s1
     ),
@@ -3205,13 +3209,16 @@ def doc_html_extract(spark, sf_dir):
     from .operators.cleaning import html_extract
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Mixed-case tags on purpose: the planted page exercises the
+    # case-insensitive strip/count paths so parity is non-vacuous on
+    # real-world HTML (uppercase <SCRIPT>/<A HREF> pages).
     html = F.concat(
-        F.lit('<html><head><style>p{color:red}</style></head><body><h1>'),
+        F.lit('<html><head><STYLE>p{color:red}</STYLE></head><body><h1>'),
         F.substring("text", 1, 20), F.lit("</h1><p>"), F.col("text"),
-        F.lit(' &amp; more</p><a href="http://x/'),
-        F.col("doc_id").cast("string"), F.lit('">link</a>'),
+        F.lit(' &amp; more</p><A HREF="http://x/'),
+        F.col("doc_id").cast("string"), F.lit('">link</A>'),
         F.when(F.col("doc_id") % 3 == 0,
-               F.lit("<script>var x=1;</script>")).otherwise(F.lit("")),
+               F.lit("<SCRIPT>var x=1;</SCRIPT>")).otherwise(F.lit("")),
         F.lit("</body></html>"))
     return html_extract(docs.select("doc_id", html.alias("html")))
 

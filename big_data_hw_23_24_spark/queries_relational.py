@@ -1519,11 +1519,17 @@ def events_rfm_segments(spark, sf_dir):
     "events_item_cooccurrence",
     """
     WITH ui AS (
+      -- TRY_CAST + post-cast filter mirrors Spark exactly: a present
+      -- but non-numeric $.k casts to NULL and is dropped in BOTH
+      -- engines (a plain CAST would error in DuckDB where Spark
+      -- silently drops)
       SELECT user_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS item,
              count(*) AS n
       FROM events
-      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL
       GROUP BY 1, 2
     ),
     capped AS (
@@ -1555,9 +1561,12 @@ def events_rfm_segments(spark, sf_dir):
 def events_item_cooccurrence(spark, sf_dir):
     from .operators.graph import item_cooccurrence
 
+    # try_cast on BOTH sides: a present-but-non-numeric $.k becomes
+    # NULL and is dropped by the operator's post-cast filter, never an
+    # ANSI cast error (Spark 4 is ANSI-on by default)
     ev = (_t(spark, sf_dir, "events")
           .select("user_id",
-                  F.get_json_object("props", "$.k").cast("long")
+                  F.get_json_object("props", "$.k").try_cast("long")
                   .alias("item")))
     return item_cooccurrence(ev)
 

@@ -12,10 +12,12 @@ from bench import HEADLINE, format_output_line
 
 
 def test_current_headline_set_fits_the_buffer():
-    # 79 headline queries: the line is ALWAYS the slowest-20 fallback
-    # now (full per-query detail lives in BENCH_DETAIL.json); what
-    # must hold is that it parses, fits the driver's 2000-char tail
-    # buffer, and carries the full-set total.
+    # The line is ALWAYS the slowest-20 fallback now (full per-query
+    # detail lives in BENCH_DETAIL.json); what must hold is that it
+    # parses, fits the driver's 2000-char tail buffer, and carries the
+    # full-set total. The live headline count is pinned HERE (comments
+    # elsewhere don't tally it).
+    assert len(HEADLINE) == 88
     timings = {n: 1.234 for n in HEADLINE}
     line = format_output_line(timings, 0.1)
     assert len(line) <= 1900

@@ -790,6 +790,8 @@ def test_html_extract_branches(spark):
         (3, 'He said &quot;hi&quot; &#39;there&#39;'),
         (4, 'literal &amp;lt; stays'),
         (5, '<div><div><p>nested   spaces</p></div></div>'),
+        (6, '<SCRIPT>var b="<A >dead</A>";</ScRiPt><STYLE>a{}</STYLE>'
+            '<A HREF="y">Go</A> <a\thref="z">tab</a>'),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, html string")
     out = {r.doc_id: r for r in html_extract(docs).collect()}
@@ -799,6 +801,10 @@ def test_html_extract_branches(spark):
     assert out[3].text == 'He said "hi" \'there\''
     assert out[4].text == "literal &lt; stays"  # no double decode
     assert out[5].text == "nested spaces"
+    # real-world HTML mixes tag case; strip + count are case-blind and
+    # the anchor pattern accepts any whitespace after the tag name
+    assert out[6].text == "Go tab"
+    assert out[6].n_links == 2
     for r in out.values():
         assert r.n_chars == len(r.text)
 

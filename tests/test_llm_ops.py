@@ -1933,6 +1933,26 @@ def test_dup_rate_by_window_first_occurrence_election(spark):
     assert (out[2].n_docs, out[2].n_dups, out[2].dup_rate) == (1, 0, 0.0)
 
 
+def test_dup_rate_by_window_election_safe_for_any_id_range(spark):
+    """The struct(day, id) election must not mis-elect when ids are
+    huge or negative (an arithmetic day*C+id key breaks here: day 1
+    with id 3e8 encodes above day 2 with id 1, flipping which sighting
+    counts as the dup)."""
+    from big_data_hw_23_24_spark.operators.dedup import dup_rate_by_window
+
+    docs = spark.createDataFrame(
+        [
+            (300_000_000, 1, "alpha beta"),   # day 1: true first
+            (1, 2, "alpha beta"),             # day 2: the dup
+            (-5, 1, "negative first"),        # negative ids still order
+            (-9, 1, "negative first"),        # same day: id -9 is first
+        ],
+        "doc_id long, day long, text string")
+    out = {r.day: r for r in dup_rate_by_window(docs).collect()}
+    assert (out[1].n_docs, out[1].n_dups) == (3, 1)   # one same-day dup
+    assert (out[2].n_docs, out[2].n_dups) == (1, 1)   # day-2 copy is the dup
+
+
 # --- per-doc gram novelty (r8) ---------------------------------------------------
 
 def test_gram_novelty_first_owner_and_short_docs(spark):
