@@ -121,6 +121,12 @@ HEADLINE = [
     "events_session_paths",     # session opening-path mining
     "corpus_language_confusion",  # detector-vs-label confusion matrix
     "corpus_shard_manifest",    # order-insensitive shard checksums
+    # r9 additions (streaming_backfill_catchup is deliberately NOT
+    # benched: its runtime is availableNow trigger scheduling, not
+    # data-path work — the streaming faces have never been in HEADLINE)
+    "doc_span_dedup_keepone",   # ExactSubstr keep-one span dedup
+    "doc_char_span_flags",      # char 20-gram winnowed repeat flags
+    "doc_rerank_features",      # (query, doc) features on the shortlist
 ]
 
 

@@ -36,7 +36,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "bm25_oracle_sql", "bm25_search_many"]
+__all__ = ["bm25_topk", "bm25_oracle_sql", "bm25_search_many",
+           "rerank_features"]
 
 
 def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20,
@@ -191,7 +192,11 @@ def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
     stats = base.agg(F.count("*").alias("_n"),
                      F.sum(F.size("_w")).alias("_sumdl"))
 
+    # terms are lowercased here so the batch face matches bm25_topk's
+    # contract (which lowercases its literal terms): queries match the
+    # lowered corpus tokenization regardless of input casing
     qterms = (queries.select("qid", F.explode("terms").alias("term"))
+              .select("qid", F.lower("term").alias("term"))
               .distinct())
     terms_only = qterms.select("term").distinct()
 
@@ -234,3 +239,57 @@ def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
 
     return grouped_topk(scored, ["qid"],
                         [F.col("score").desc(), F.col(id_col)], k)
+
+
+def rerank_features(docs: DataFrame, queries: DataFrame, k: int = 20,
+                    k1: float = 1.2, b: float = 0.75,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Feature assembly for a learned reranker over the BM25 shortlist
+    → ``(qid, doc_id, rank, score, n_terms, n_hits, overlap_frac, dl,
+    tf_total, density, first_pos)``.
+
+    The production hop AFTER first-stage retrieval: a cross-encoder or
+    GBDT reranker consumes (query, doc) PAIR features, and assembling
+    them is a data-engine job — the model call is not. Features per
+    shortlisted pair, all deterministic integers/rounded ratios:
+
+    * ``rank``/``score`` — first-stage BM25 (carried, not recomputed);
+    * ``n_terms``/``n_hits``/``overlap_frac`` — how much of the query
+      the doc matches (AND-ness);
+    * ``dl``/``tf_total``/``density`` — doc length, total query-term
+      occurrences, their ratio (the raw-tf signal BM25 saturates);
+    * ``first_pos`` — earliest 1-based token position of any query
+      term (title/lead matches beat footer matches).
+
+    Scale shape: the shortlist is Q·k rows — BROADCAST it into one
+    narrow corpus-scan join (only shortlisted docs' token arrays are
+    ever built), broadcast the query term lists on qid, then a single
+    expression block; no extra shuffle beyond the one corpus scan.
+    Every shortlisted doc matches ≥ 1 term, so ``first_pos`` is never
+    null.
+    """
+    from .util import lowered_words
+
+    short = bm25_search_many(docs, queries, k, k1, b, text_col, id_col)
+    qn = queries.select(
+        "qid",
+        F.array_distinct(F.transform("terms", F.lower)).alias("_terms"))
+    corpus = docs.select(F.col(id_col), lowered_words(text_col).alias("_w"))
+    hit = lambda w: F.exists("_terms", lambda t: t == w)  # noqa: E731
+    tf_total = F.size(F.filter("_w", hit))
+    first_pos = F.array_min(F.filter(
+        F.sequence(F.lit(1), F.size("_w")),
+        lambda i: hit(F.element_at("_w", i))))
+    dl = F.size("_w")
+    return (corpus.join(F.broadcast(short), id_col)
+            .join(F.broadcast(qn), "qid")
+            .select("qid", id_col, "rank", "score",
+                    F.size("_terms").cast("long").alias("n_terms"),
+                    "n_hits",
+                    F.round(F.col("n_hits") / F.size("_terms"), 6)
+                    .alias("overlap_frac"),
+                    dl.cast("long").alias("dl"),
+                    tf_total.cast("long").alias("tf_total"),
+                    F.round(tf_total / dl, 6).alias("density"),
+                    first_pos.cast("long").alias("first_pos")))

@@ -389,6 +389,83 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 4, w: int = 5,
                     .alias("resemblance")))
 
 
+def char_span_flags(docs: DataFrame, k: int = 20, w: int = 8,
+                    min_docs: int = 2, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    materialize: bool = True,
+                    fanout: bool = True) -> DataFrame:
+    """Repeated-substring flags at CHARACTER granularity → (doc_id,
+    n_grams, n_selected, n_flagged, flag_frac): winnow-select char
+    ``k``-gram hashes per document, mine the selected hashes shared by
+    ≥ ``min_docs`` distinct documents, and report per doc how much of
+    its selected fingerprint is corpus-repeated.
+
+    Closes the gap the word-8-gram faces can't see: sub-word
+    repetition with no usable token boundaries — minified JS, base64
+    blobs, URL-encoded payloads — where "words" are hundreds of chars
+    long so word-gram mining is blind. A suffix array (the Lee et al.
+    2022 ExactSubstr machinery) finds such repeats exactly but doesn't
+    distribute; char-gram fingerprinting rides the same
+    inverted-index shape as every dedup face here.
+
+    Deliberate design point: selection is WINNOWING (window-``w``
+    minima over the stride-1 hash sequence, Schleimer et al. 2003),
+    NOT stride-``w`` sampling. Strided windows only match when two
+    copies of a blob land at offsets congruent mod the stride —
+    misaligned copies (the common case) go undetected. Winnowing's
+    minima are content-defined, so the guarantee is
+    alignment-independent: any shared run of ≥ w+k-1 (27) chars
+    co-selects at least one hash in both documents. Cost is the same
+    ~2/(w+1) row-reduction a stride would buy.
+
+    Scale shape: grams/minima/distinct all happen inside ONE HOF
+    projection per doc (no text duplication through any Generate);
+    only the selected hash set (≈ 22 % of positions, 16-hex-char
+    strings) explodes into the inverted index; the mined set rides an
+    AQE-decided join back. ``flag_frac`` is n_flagged/n_selected
+    rounded to 6, the blob-share signal a filter gates on.
+    """
+    from .util import ensure_fanout
+
+    empty = F.array().cast("array<string>")
+    txt = F.col(text_col)
+    n_h = F.length(txt) - k + 1
+    grams = F.when(F.length(txt) >= k, F.transform(
+        F.sequence(F.lit(1), n_h),
+        lambda i: F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 16))) \
+        .otherwise(empty)
+    n_grams = F.size(grams)
+    sel = F.when(n_grams >= w, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_grams - w + 1),
+        lambda j: F.array_min(F.slice(grams, j, w))))) \
+        .when(n_grams >= 1, F.array(F.array_min(grams))) \
+        .otherwise(empty)
+    base = ((ensure_fanout(docs) if fanout else docs)
+            .select(F.col(id_col),
+                    n_grams.cast("long").alias("n_grams"),
+                    sel.alias("_sel")))
+    if materialize:
+        base = base.localCheckpoint(eager=True)
+    pos = base.select(F.col(id_col), F.explode("_sel").alias("_h"))
+    # _sel is distinct within a doc, so count(*) IS the distinct-doc
+    # count — no count_distinct shuffle needed
+    mined = (pos.groupBy("_h").agg(F.count("*").alias("_nd"))
+             .where(F.col("_nd") >= min_docs).select("_h"))
+    flags = (pos.join(mined, "_h")
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias("n_flagged")))
+    n_sel = F.size("_sel").cast("long")
+    return (base.join(flags, id_col, "left")
+            .select(F.col(id_col), F.col("n_grams"),
+                    n_sel.alias("n_selected"),
+                    F.coalesce("n_flagged", F.lit(0)).cast("long")
+                    .alias("n_flagged"),
+                    F.when(n_sel > 0,
+                           F.round(F.coalesce("n_flagged", F.lit(0))
+                                   / n_sel, 6))
+                    .otherwise(F.lit(0.0)).alias("flag_frac")))
+
+
 PII_PATTERNS: dict[str, str] = {
     # identical semantics in Java regex (Spark) and RE2 (DuckDB):
     # character classes + bounded repetition only, no lookaround
@@ -584,6 +661,52 @@ def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     inputs only. A post-shuffle frame already carries shuffle-level
     parallelism, so skipping the guard loses nothing.
     """
+    return _repeated_span_removal(docs, n, min_docs, text_col, id_col,
+                                  materialize, fanout,
+                                  keep_first_owner=False)
+
+
+def remove_repeated_spans_keepone(docs: DataFrame, n: int = 8,
+                                  min_docs: int = 2,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  materialize: bool = True,
+                                  fanout: bool = True) -> DataFrame:
+    """Exact repeated-span dedup, KEEP-ONE variant → (doc_id,
+    n_tokens, n_removed, clean_text): for every word n-gram shared by
+    ≥ ``min_docs`` distinct documents, the FIRST OWNER (minimum doc
+    id — the same deterministic engine-wide election every survivor
+    rule here uses) keeps its occurrences; every later document loses
+    the covered tokens.
+
+    This is the published ExactSubstr semantics of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): one
+    copy of each duplicated span survives in the corpus, so quoted or
+    licensed text still appears exactly once in training data —
+    whereas :func:`remove_repeated_spans` strips ALL occurrences (the
+    boilerplate-chrome default). Two stated edges: (a) occurrences
+    repeated WITHIN the owner document are all kept (``min_docs``
+    counts distinct documents — single-doc internal repetition is
+    ``doc_repetition_scores``' business, not dedup's); (b) a token in
+    a non-owner doc survives only if NO foreign-owned flagged gram
+    covers it — a doc that owns gram A but not overlapping gram B
+    still loses the tokens B covers.
+
+    Plan shape is identical to the strip-all face (one materialized
+    positioned-gram table feeding the mined set and the flag join);
+    the only delta is that the mined aggregate also carries
+    ``min(doc_id)`` as the owner and the flag join drops the owner's
+    own rows before collecting starts — zero extra shuffles.
+    """
+    return _repeated_span_removal(docs, n, min_docs, text_col, id_col,
+                                  materialize, fanout,
+                                  keep_first_owner=True)
+
+
+def _repeated_span_removal(docs: DataFrame, n: int, min_docs: int,
+                           text_col: str, id_col: str,
+                           materialize: bool, fanout: bool,
+                           keep_first_owner: bool) -> DataFrame:
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     from .util import ensure_fanout
 
@@ -608,11 +731,14 @@ def remove_repeated_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     # falls back to a hash join when it doesn't, the same contract as
     # doc_boilerplate_share's flag join
     mined = (pos.groupBy("gram")
-             .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+             .agg(F.count_distinct(F.col(id_col)).alias("_nd"),
+                  F.min(F.col(id_col)).alias("_owner"))
              .where(F.col("_nd") >= min_docs)
-             .select("gram"))
-    flagged = (pos.join(mined, "gram")
-               .groupBy(id_col)
+             .select("gram", "_owner"))
+    hits = pos.join(mined, "gram")
+    if keep_first_owner:
+        hits = hits.where(F.col(id_col) != F.col("_owner"))
+    flagged = (hits.groupBy(id_col)
                .agg(F.array_sort(F.collect_set("start")).alias("_starts")))
 
     joined = docs.join(flagged, id_col, "left").withColumn("_w", words)

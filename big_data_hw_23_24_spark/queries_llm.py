@@ -3424,6 +3424,282 @@ def doc_span_dedup(spark, sf_dir):
     return remove_repeated_spans(load_table(spark, sf_dir, "documents"))
 
 
+# --- exact-substring dedup, keep-one variant (E131, r9) -----------------------
+# The published ExactSubstr semantics (Lee et al. 2022): the FIRST
+# OWNER (min doc_id) of a shared word 8-gram keeps its occurrences;
+# every later doc loses the covered tokens — one copy of each
+# duplicated span survives the corpus. Sibling of doc_span_dedup
+# (strip-all, the boilerplate default); same positioned-gram table,
+# the mined aggregate just also elects min(doc_id) as owner and the
+# flag join drops the owner's own rows. Non-vacuous on the natural
+# corpus (sf0.001: 1 115 shared grams, 22 owners, 24 losing docs).
+@register(
+    "doc_span_dedup_keepone",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS start,
+             array_to_string(words[i:i+7], ' ') AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, len(words) - 8 + 2)) AS i
+            FROM base WHERE len(words) >= 8)
+    ),
+    mined AS (
+      SELECT gram, owner FROM (
+        SELECT gram, count(DISTINCT doc_id) AS nd,
+               min(doc_id) AS owner
+        FROM pos GROUP BY gram)
+      WHERE nd >= 2
+    ),
+    fl AS (
+      SELECT doc_id, list_sort(list(DISTINCT start)) AS starts
+      FROM pos JOIN mined USING (gram)
+      WHERE doc_id <> owner
+      GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT b.doc_id, b.words,
+             CASE WHEN f.starts IS NULL THEN b.words
+             ELSE list_filter(b.words, (w, i) ->
+                    len(list_filter(f.starts,
+                                    s -> s <= i AND i <= s + 7)) = 0)
+             END AS kept
+      FROM base b LEFT JOIN fl f USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(len(words) - len(kept) AS BIGINT) AS n_removed,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+    FROM cleaned
+    """,
+    doc="exact repeated-span dedup, keep-one variant (Lee et al. 2022 "
+        "ExactSubstr at word granularity): the min-doc_id owner of a "
+        "shared 8-gram keeps its occurrences, later docs lose the "
+        "covered tokens; same single positioned-gram table as "
+        "doc_span_dedup, owner elected inside the mined aggregate",
+)
+def doc_span_dedup_keepone(spark, sf_dir):
+    from .operators.textstats import remove_repeated_spans_keepone
+
+    return remove_repeated_spans_keepone(
+        load_table(spark, sf_dir, "documents"))
+
+
+# --- char-granularity repeated-substring flags (E132, r9) ----------------------
+# Sub-word repetition (minified JS, base64 blobs) is invisible to the
+# word-8-gram faces; char 20-gram winnowing (window-8 minima, NOT
+# stride sampling — strided windows only match offset-congruent
+# copies) flags it with an alignment-independent >= 27-shared-chars
+# guarantee, riding the same inverted-index shape as every dedup face.
+@register(
+    "doc_char_span_flags",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 20 THEN
+               list_transform(range(1, length(text) - 20 + 2),
+                 i -> substr(md5(substr(text, i, 20)), 1, 16))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(grams)::BIGINT AS n_grams,
+             CASE
+               WHEN len(grams) >= 8 THEN
+                 list_distinct(
+                   list_transform(range(1, len(grams) - 8 + 2),
+                                  j -> list_min(grams[j:j+7])))
+               WHEN len(grams) >= 1 THEN [list_min(grams)]
+               ELSE CAST([] AS VARCHAR[]) END AS sel
+      FROM g
+    ),
+    pos AS (SELECT doc_id, unnest(sel) AS h FROM s),
+    mined AS (
+      SELECT h FROM (SELECT h, count(*) AS nd FROM pos GROUP BY h)
+      WHERE nd >= 2
+    ),
+    fl AS (
+      SELECT doc_id, count(*)::BIGINT AS n_flagged
+      FROM pos JOIN mined USING (h) GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_grams, len(sel)::BIGINT AS n_selected,
+           coalesce(fl.n_flagged, 0)::BIGINT AS n_flagged,
+           CASE WHEN len(sel) > 0
+                THEN round(coalesce(fl.n_flagged, 0) * 1.0 / len(sel), 6)
+                ELSE 0.0 END AS flag_frac
+    FROM s LEFT JOIN fl ON s.doc_id = fl.doc_id
+    """,
+    doc="char-granularity repeated-substring flags: winnowed char "
+        "20-gram fingerprints (window-8 minima, alignment-independent "
+        ">= 27-char guarantee) mined for >= 2-doc sharing; catches "
+        "sub-word repetition (minified JS, base64) word-gram faces "
+        "miss; one HOF projection + inverted-index join",
+)
+def doc_char_span_flags(spark, sf_dir):
+    from .operators.textstats import char_span_flags
+
+    return char_span_flags(load_table(spark, sf_dir, "documents"))
+
+
+# --- reranker feature assembly on the BM25 shortlist (E133, r9) ----------------
+# Retrieval ships BM25 -> shortlist; the production next hop is
+# feature assembly for a learned scorer. (query, doc) pair features —
+# first-stage rank/score, query coverage, raw-tf/length, earliest
+# match position — as ONE broadcast-shortlist corpus join + expression
+# block. The model call is not a data-engine concern; the features are.
+@register(
+    "doc_rerank_features",
+    """
+    WITH q AS (
+      SELECT * FROM (VALUES (1, 'spark'), (1, 'join'),
+                            (2, 'stream'), (2, 'window'),
+                            (3, 'merge'), (3, 'table'), (3, 'sort'))
+        AS t(qid, term)
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS words
+      FROM documents
+    ),
+    s AS (SELECT count(*) AS n, sum(len(words)) AS sumdl FROM base),
+    post AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, len(words) AS dl, unnest(words) AS term
+            FROM base)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT q.qid, p.doc_id,
+             count(*)::BIGINT AS n_hits,
+             round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * p.dl
+                                        / (s.sumdl * 1.0 / s.n)))), 6)
+               AS score
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN dfq ON p.term = dfq.term
+      CROSS JOIN s
+      GROUP BY q.qid, p.doc_id
+    ),
+    short AS (
+      SELECT * FROM (
+        SELECT qid, doc_id, n_hits, score,
+               CAST(row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    ),
+    ql AS (SELECT qid, count(DISTINCT term)::BIGINT AS n_terms,
+                  list(DISTINCT term) AS terms
+           FROM q GROUP BY qid)
+    SELECT sh.qid, sh.doc_id, sh.rank, sh.score, ql.n_terms, sh.n_hits,
+           round(sh.n_hits * 1.0 / ql.n_terms, 6) AS overlap_frac,
+           len(b.words)::BIGINT AS dl,
+           len(list_filter(b.words,
+                           w -> list_contains(ql.terms, w)))::BIGINT
+             AS tf_total,
+           round(len(list_filter(b.words,
+                                 w -> list_contains(ql.terms, w))) * 1.0
+                 / len(b.words), 6) AS density,
+           list_min(list_filter(range(1, len(b.words) + 1),
+                    i -> list_contains(ql.terms, b.words[i])))::BIGINT
+             AS first_pos
+    FROM short sh
+    JOIN ql USING (qid)
+    JOIN base b USING (doc_id)
+    """,
+    doc="reranker feature assembly over the BM25 top-10 shortlist: "
+        "first-stage rank/score carried, query coverage "
+        "(n_hits/n_terms), raw tf and length density, earliest match "
+        "position; shortlist broadcast into one narrow corpus join",
+)
+def doc_rerank_features(spark, sf_dir):
+    from .operators.retrieval import rerank_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, ["spark", "join"]), (2, ["stream", "window"]),
+         (3, ["merge", "table", "sort"])],
+        "qid int, terms array<string>")
+    out = rerank_features(docs, qs, k=10)
+    return out.select(F.col("qid").cast("int").alias("qid"),
+                      "doc_id", F.col("rank").cast("int").alias("rank"),
+                      "score", "n_terms", "n_hits", "overlap_frac",
+                      "dl", "tf_total", "density", "first_pos")
+
+
+# --- bounded backfill / catch-up (E134, r9) ------------------------------------
+# The post-outage operation steady-state ingest faces don't cover:
+# re-read ONLY the lagged bucket range (range bound in the source glob
+# — partitions outside the lag window are never listed), land via
+# dynamic partition overwrite. The query runs the catch-up TWICE with
+# fresh checkpoints — the driver's value compare against the source-
+# side oracle IS the no-duplicate-landing proof (a second append would
+# double every count and checksum).
+@register(
+    "streaming_backfill_catchup",
+    """
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    t AS (
+      SELECT doc_id,
+             CAST(doc_id // CAST(ceil(total / 10.0) AS BIGINT)
+                  AS BIGINT) AS bucket,
+             len(list_filter(string_split(text, ' '),
+                             w -> w <> ''))::BIGINT AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS fp
+      FROM documents CROSS JOIN n
+    )
+    SELECT bucket, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(fp)::BIGINT AS checksum
+    FROM t WHERE bucket BETWEEN 4 AND 7
+    GROUP BY bucket
+    """,
+    doc="bounded backfill of lagged buckets [4,7]: range-pruned source "
+        "glob (unlagged partitions never listed), availableNow replay, "
+        "dynamic-partition-overwrite landing; the catch-up runs TWICE "
+        "with fresh checkpoints so the per-bucket counts + order-"
+        "insensitive checksums also prove no-duplicate landing",
+)
+def streaming_backfill_catchup(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming.backfill import backfill_report, run_backfill
+    from .streaming.replay import replay_shuffle_cap, write_microbatches
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").withColumn("seq", F.col("doc_id")))
+    d = tempfile.mkdtemp(prefix="bfc_stream_")
+    try:
+        write_microbatches(docs, d, n_buckets=10)
+        schema = "doc_id long, text string, seq long, bucket int"
+        with replay_shuffle_cap(spark):
+            run_backfill(spark, d, schema, 4, 7, d + "_out",
+                         d + "_ck1")
+            # the outage double-run: same range, lost checkpoint —
+            # the sink contract (not the checkpoint) prevents dups
+            sink = run_backfill(spark, d, schema, 4, 7, d + "_out",
+                                d + "_ck2")
+        out = backfill_report(sink.read(spark))
+        # materialize before the temp store is deleted below
+        return out.localCheckpoint(eager=True)
+    finally:
+        for suffix in ("", "_out", "_ck1", "_ck2"):
+            shutil.rmtree(d + suffix, ignore_errors=True)
+
+
 # --- quality-aware dedup survivors (E70) -------------------------------------
 @register(
     "dedup_survivors_best",

@@ -118,6 +118,11 @@ _SF01_SCALE_SENSITIVE = [
     "events_item_cooccurrence", "corpus_dup_rate_daily",
     "events_transition_matrix", "corpus_apply_snapshot",
     "bpe_learned_merges", "corpus_dedup_impact",
+    # r9 additions: per-gram owner election across partitions, the
+    # winnowed-hash inverted index, and the broadcast-shortlist corpus
+    # join only stretch past sf0.01
+    "doc_span_dedup_keepone", "doc_char_span_flags",
+    "doc_rerank_features",
 ]
 
 

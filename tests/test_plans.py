@@ -418,6 +418,11 @@ _CARTESIAN_ALLOWLIST = {
     "parts_above_avg_revenue_bloom",  # bloom bitmap scalar probe
     "dedup_incremental_bloom",       # bloom bitmap scalar probe
     "corpus_epoch_schedule",         # 1-row weight-total broadcast
+    "orders_market_basket",          # 1-row basket-count broadcast
+                                     #   (was an eager driver count —
+                                     #   folded into the plan in r9)
+    "doc_rerank_features",           # corpus N + avgdl (1 row, via
+                                     #   the bm25_search_many stage)
     "streaming_spacesaving_topk",    # merged-sketch threshold (1 row)
     "embedding_nearest_centroid",    # k-row centroid table broadcast
     "embedding_lloyd_round",         # k-row centroid table broadcast

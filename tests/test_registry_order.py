@@ -419,7 +419,19 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # meanwhile. The r6 queue (25) was admitted wholesale in r7, the
     # r7 queue (26) in r8, the r8 queue (27) in r9 — this set holds
     # only post-r9-rotation additions (the r10 rotation).
-    queued_for_rotation: set[str] = set()
+    queued_for_rotation: set[str] = {
+        "doc_span_dedup_keepone",    # r9: ExactSubstr keep-one (first
+                                     #   owner keeps the shared span,
+                                     #   later docs lose it)
+        "doc_char_span_flags",       # r9: char 20-gram winnowed
+                                     #   repeated-substring flags
+                                     #   (sub-word/minified repetition)
+        "doc_rerank_features",       # r9: (query, doc) pair features
+                                     #   on the BM25 shortlist
+        "streaming_backfill_catchup",  # r9: bounded re-read of a
+                                     #   lagged bucket range, double-
+                                     #   run idempotent landing
+    }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
                                      #   rounds unrolled as framed-symbol

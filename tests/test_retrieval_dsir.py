@@ -382,6 +382,51 @@ def test_bm25_batch_no_per_query_global_funnel(spark):
                        for nxt in lines[i + 1:i + 4])
 
 
+# --- reranker feature assembly on the shortlist (E133) -------------------------
+
+def test_rerank_features_hand_computed(spark):
+    """Every feature verified against hand arithmetic on a 3-doc
+    corpus, including query-term lowercasing and the earliest-match
+    position; rank/score must carry over from the first stage."""
+    from big_data_hw_23_24_spark.operators.retrieval import (
+        bm25_search_many, rerank_features)
+
+    docs = _docs(spark, [
+        (1, "apple banana apple cherry"),
+        (2, "date banana"),
+        (3, "no match here at all"),
+    ])
+    qs = spark.createDataFrame([(1, ["Apple", "banana"])],
+                               "qid int, terms array<string>")
+    out = {r.doc_id: r for r in rerank_features(docs, qs, k=10).collect()}
+    assert set(out) == {1, 2}                      # doc 3 never matches
+    r1, r2 = out[1], out[2]
+    assert (r1.n_terms, r1.n_hits, r1.overlap_frac) == (2, 2, 1.0)
+    assert (r1.dl, r1.tf_total, r1.density) == (4, 3, 0.75)
+    assert r1.first_pos == 1
+    assert (r2.n_terms, r2.n_hits, r2.overlap_frac) == (2, 1, 0.5)
+    assert (r2.dl, r2.tf_total, r2.density) == (2, 1, 0.5)
+    assert r2.first_pos == 2                       # banana is token 2
+    stage1 = {r.doc_id: (r.score, r.rank)
+              for r in bm25_search_many(docs, qs, k=10).collect()}
+    assert {d: (r.score, r.rank) for d, r in out.items()} == stage1
+
+
+def test_rerank_features_shortlist_is_broadcast(spark):
+    """The Q*k shortlist must broadcast into the corpus join — a
+    shuffle join here would re-shuffle the whole corpus for a
+    handful of shortlisted rows."""
+    from big_data_hw_23_24_spark.operators.retrieval import rerank_features
+
+    docs = _docs(spark, [(1, "spark pad"), (2, "pad only")])
+    qs = spark.createDataFrame([(1, ["spark"])],
+                               "qid int, terms array<string>")
+    df = rerank_features(docs, qs, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
 # --- exact repeated-span removal ---------------------------------------------
 
 def test_span_dedup_planted_template_removed_everywhere(spark):
@@ -436,6 +481,117 @@ def test_span_dedup_within_doc_repeat_not_removed(spark):
     out = {r.doc_id: r for r in
            remove_repeated_spans(docs, n=8, min_docs=2).collect()}
     assert out[1].n_removed == 0
+
+
+# --- exact-substring dedup, keep-one variant (E131) ---------------------------
+
+def test_span_dedup_keepone_first_owner_keeps_span(spark):
+    """The published ExactSubstr rule: the min-id owner keeps the
+    shared span, every later doc loses it — exactly one copy of the
+    duplicated text survives the corpus."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans_keepone)
+
+    tpl = "one two three four five six seven eight"
+    docs = _docs(spark, [
+        (3, f"{tpl} in the middle doc"),
+        (1, f"{tpl} unique tail alpha"),   # min id -> owner
+        (2, f"leading beta {tpl}"),
+        (4, "short doc"),
+    ])
+    out = {r.doc_id: r for r in
+           remove_repeated_spans_keepone(docs, n=8, min_docs=2).collect()}
+    assert out[1].n_removed == 0                       # owner keeps it
+    assert out[1].clean_text == f"{tpl} unique tail alpha"
+    assert out[2].clean_text == "leading beta"         # later docs lose it
+    assert out[3].clean_text == "in the middle doc"
+    assert (out[4].n_tokens, out[4].n_removed) == (2, 0)
+
+
+def test_span_dedup_keepone_ownership_is_per_gram(spark):
+    """Ownership is elected per gram, not per doc: a doc that owns
+    gram A still loses the tokens of foreign-owned gram B, and the
+    two grams' owners differ."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans_keepone)
+
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = _docs(spark, [
+        (1, f"{a} mid1"),          # owns A
+        (2, f"{b} mid2"),          # owns B
+        (3, f"{a} x {b}"),         # owns neither -> loses both
+        (4, f"{b} y {a}"),         # loses both
+    ])
+    out = {r.doc_id: r for r in
+           remove_repeated_spans_keepone(docs, n=8, min_docs=2).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == f"{a} mid1"
+    assert out[2].n_removed == 0 and out[2].clean_text == f"{b} mid2"
+    assert out[3].clean_text == "x"
+    assert out[4].clean_text == "y"
+
+
+def test_span_dedup_keepone_owner_internal_repeat_kept(spark):
+    """All occurrences WITHIN the owner doc survive (min_docs counts
+    distinct docs; internal repetition is a repetition-score signal,
+    not a dedup target) — only the non-owner's copy is stripped."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans_keepone)
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = _docs(spark, [(1, f"{run} mid {run}"),
+                         (2, f"{run} tail")])
+    out = {r.doc_id: r for r in
+           remove_repeated_spans_keepone(docs, n=8, min_docs=2).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "tail"
+
+
+# --- char-granularity repeated-substring flags (E132) --------------------------
+
+def test_char_span_flags_misaligned_minified_blob(spark):
+    """The case word-gram faces are blind to: a shared minified-JS
+    blob (one giant 'word') planted at DIFFERENT offsets in two docs.
+    Winnowed selection must flag it in both despite the misalignment
+    (a stride-8 sampler would miss it: offsets differ by 13 !== 0 mod
+    8); the clean doc stays unflagged."""
+    from big_data_hw_23_24_spark.operators.textstats import char_span_flags
+
+    blob = "var a=function(){return window.x&&document.y;};a();"
+    docs = spark.createDataFrame(
+        [
+            (1, blob + " end of doc one"),
+            (2, "prefix of 13." + blob + " other tail"),   # offset 13
+            (3, "plain prose with ordinary words and nothing shared"),
+            (4, "tiny"),                                    # < k chars
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in char_span_flags(docs).collect()}
+    assert out[1].n_flagged >= 1 and out[2].n_flagged >= 1
+    assert out[3].n_flagged == 0
+    assert (out[4].n_grams, out[4].n_selected, out[4].n_flagged) == (0, 0, 0)
+    assert out[4].flag_frac == 0.0
+    for r in out.values():
+        assert 0 <= r.n_flagged <= r.n_selected <= r.n_grams or r.n_grams == 0
+
+
+def test_char_span_flags_guarantee_threshold(spark):
+    """The winnowing guarantee boundary: a shared run of w+k-1 = 27
+    chars MUST co-select a hash in both docs (flagged); well below it
+    nothing need be shared."""
+    from big_data_hw_23_24_spark.operators.textstats import char_span_flags
+
+    run27 = "0123456789abcdefghijklmnopq"          # exactly 27 chars
+    assert len(run27) == 27
+    docs = spark.createDataFrame(
+        [
+            (1, run27 + " then doc one continues differently here"),
+            (2, "zz." + run27 + " and two diverges after that run"),
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in char_span_flags(docs).collect()}
+    assert out[1].n_flagged >= 1
+    assert out[2].n_flagged >= 1
 
 
 # --- quality-aware dedup survivors -------------------------------------------

@@ -933,3 +933,77 @@ def test_streaming_ingest_health_invariants(spark):
     for r in out:
         if r.watermark_lag_ms is not None:
             assert r.watermark_lag_ms >= 0
+
+
+# --- bounded backfill / catch-up over a lagged bucket range (E134) -------------
+
+def _backfill_source(spark, tmp_path, n_docs=60, n_buckets=10):
+    from big_data_hw_23_24_spark.streaming.replay import write_microbatches
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body number "), F.col("id").cast("string"),
+                 F.lit(" with some words")).alias("text"),
+        F.col("id").alias("seq"))
+    src = str(tmp_path / "bf_src")
+    write_microbatches(docs, src, n_buckets=n_buckets)
+    return src
+
+
+def test_backfill_reads_only_the_lagged_range_and_covers_it(spark, tmp_path):
+    """Epoch coverage: catch-up of buckets [4, 7] lands exactly the
+    source rows of those buckets — nothing from outside the range ever
+    reaches the sink (the range bound lives in the source glob)."""
+    from big_data_hw_23_24_spark.streaming.backfill import (
+        backfill_report, run_backfill)
+    from big_data_hw_23_24_spark.streaming.replay import replay_shuffle_cap
+
+    src = _backfill_source(spark, tmp_path)
+    out = str(tmp_path / "bf_out")
+    with replay_shuffle_cap(spark):
+        sink = run_backfill(
+            spark, src, "doc_id long, text string, seq long, bucket int",
+            4, 7, out, str(tmp_path / "ck1"))
+    landed = sink.read(spark)
+    assert set(r.bucket for r in landed.select("bucket").distinct()
+               .collect()) == {4, 5, 6, 7}
+    # 60 docs / 10 buckets -> 6 per bucket, ids 24..47 in range
+    assert sorted(r.doc_id for r in landed.collect()) == list(range(24, 48))
+    rep = {r.bucket: r for r in backfill_report(landed).collect()}
+    assert all(rep[b].n_docs == 6 for b in (4, 5, 6, 7))
+
+
+def test_backfill_rerun_and_overlap_never_duplicate(spark, tmp_path):
+    """Idempotence lives in the sink: re-running the same catch-up
+    with a FRESH checkpoint, then an OVERLAPPING range [6, 9], lands
+    every bucket exactly once (dynamic partition overwrite)."""
+    from big_data_hw_23_24_spark.streaming.backfill import run_backfill
+    from big_data_hw_23_24_spark.streaming.replay import replay_shuffle_cap
+
+    src = _backfill_source(spark, tmp_path)
+    out = str(tmp_path / "bf_out")
+    schema = "doc_id long, text string, seq long, bucket int"
+    with replay_shuffle_cap(spark):
+        run_backfill(spark, src, schema, 4, 7, out, str(tmp_path / "c1"))
+        # rerun, lost checkpoint — the outage double-run
+        sink = run_backfill(spark, src, schema, 4, 7, out,
+                            str(tmp_path / "c2"))
+        # overlapping catch-up extends the range
+        sink = run_backfill(spark, src, schema, 6, 9, out,
+                            str(tmp_path / "c3"))
+    landed = sink.read(spark)
+    ids = sorted(r.doc_id for r in landed.collect())
+    assert ids == list(range(24, 60))          # buckets 4..9, no dups
+    per = {r.bucket: r.n for r in landed.groupBy("bucket")
+           .agg(F.count("*").alias("n")).collect()}
+    assert per == {b: 6 for b in range(4, 10)}
+
+
+def test_backfill_range_glob_validates(spark):
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.streaming.backfill import bucket_range_glob
+
+    assert bucket_range_glob("/x", 3, 5) == "/x/bucket={3,4,5}"
+    with _pytest.raises(ValueError):
+        bucket_range_glob("/x", 5, 3)
