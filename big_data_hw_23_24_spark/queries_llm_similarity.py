@@ -1,0 +1,684 @@
+"""LLM-pipeline queries, similarity tier: cosine / quantized / IVF /
+PQ ANN ladder, MMR rerank, k-means faces, Gram matrix, multimodal
+plumbing. Split out of queries_llm.py in r9; see queries_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import (  # noqa: F401  (used at query call time)
+    exact_duplicate_groups,
+    exact_jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from .operators.multimodal import decode_media, media_from_documents  # noqa: F401
+from .operators.similarity import cosine_topk, ivf_topk  # noqa: F401
+from .operators.textstats import (  # noqa: F401
+    content_fingerprints,
+    detect_language,
+    quality_scores,
+    token_stats,
+)
+from .queries import _REGISTRY, register
+from .queries import _REGISTRY as _R  # post-registration oracle patches
+from .queries_llm_shared import (  # noqa: F401  (used inside f-string oracles)
+    _BAND_COLLIDE,
+    _BOILER_SQL_BASE,
+    _EST_JACCARD,
+    _PINNED_BPE_MERGES,
+    _SHINGLES_CTE,
+    _SYNTH_LINES_CTE,
+    _bpe_oracle_sql,
+    _md5_minhash_sig_cte,
+    _synth_lines,
+)
+from .sources.tables import load_table
+
+
+# --- similarity search -------------------------------------------------------
+# Brute-force cosine is oracle-checked with DuckDB's
+# list_cosine_similarity (both sides compute in double); top-k rank is
+# tie-broken by neighbor id. Queries = vec_id < 5.
+@register(
+    "knn_cosine_bruteforce",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[]))
+                          DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+    doc="exact cosine top-10 for 5 query vectors (brute force baseline)",
+)
+def knn_cosine_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "knn_cosine_quantized",
+    """
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    qz AS (
+      SELECT vec_id, m,
+             CASE WHEN m > 0
+                  THEN list_transform(v, e ->
+                         CAST(floor(e / m * 127.0 + 0.5) AS INTEGER))
+                  ELSE list_transform(v, e -> 0) END AS codes
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, e -> abs(e))) AS m FROM x)
+    ),
+    deq AS (SELECT vec_id,
+                   list_transform(codes, c -> c * m / 127.0) AS v FROM qz),
+    qs AS (SELECT vec_id, v FROM x WHERE vec_id < 5),
+    stage1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+               AS r1
+      FROM qs q JOIN deq c ON q.vec_id <> c.vec_id
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_cosine_similarity(qx.v, cx.v) AS sc
+      FROM stage1 s
+      JOIN x qx ON qx.vec_id = s.query_id
+      JOIN x cx ON cx.vec_id = s.neighbor_id
+      WHERE s.r1 <= 40
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, round(sc, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= 10
+    """,
+    doc="top-10 cosine via int8-quantized scan (4x smaller table) + "
+        "exact rerank of the 40-candidate shortlist; reported scores "
+        "are exact",
+)
+def knn_cosine_quantized(spark, sf_dir):
+    from .operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 5),
+                          k=10, rerank_factor=4)
+
+
+@register(
+    "knn_cosine_ivf",
+    None,  # ANN: recall measured against brute force in tests
+    doc="IVF ANN top-10 (16 lists, nprobe=4, k-means-lite on driver sample)",
+)
+def knn_cosine_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+# --- multimodal plumbing -----------------------------------------------------
+# The fake decode is a pure function of the payload bytes, so the
+# Arrow/mapInPandas path has an exact SQL oracle: md5-derived dims over
+# the same UTF-8 payload.
+@register(
+    "media_decode_meta",
+    """
+    SELECT media_id, n_bytes, format, width, height, checksum FROM (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             'text/plain' AS format,
+             CAST(64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1984
+               AS INTEGER) AS width,
+             CAST(64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1984
+               AS INTEGER) AS height,
+             md5(text) AS checksum
+      FROM documents)
+    """,
+    doc="multimodal: binary payload → typed metadata via Arrow-batched "
+        "mapInPandas (deterministic fake codec; real codec stubbed)",
+)
+def media_decode_meta(spark, sf_dir):
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)
+
+
+# The feature-extraction step of the multimodal pipeline: payload →
+# embedding components through the same Arrow mapInPandas path, with
+# the deterministic md5-derived fake standing in for a model — so the
+# face value-checks the full kernel contract (batching, schema, long
+# form) against an engine recomputation.
+@register(
+    "media_feature_vectors",
+    """
+    SELECT doc_id AS media_id, i::INT AS i,
+           round(('0x' || substr(md5(text), 8 * i + 1, 8))::BIGINT
+                 / 4294967296.0, 6) AS feat
+    FROM documents, (SELECT unnest(range(0, 4)) AS i)
+    """,
+    doc="multimodal feature extraction: binary payload → 4 md5-derived "
+        "embedding components via the Arrow mapInPandas kernel (fake "
+        "model; long form, one scalar per cell)",
+)
+def media_feature_vectors(spark, sf_dir):
+    from .operators.multimodal import extract_features
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, dim=4, fake=True)
+
+
+# --- embedding quantization --------------------------------------------------
+# Codes are serialized to a CSV string so the value-hash compares a
+# scalar; both engines compute codes with the RAW max-abs scale and
+# round only the reported scale. floor(x + 0.5) rounding is used
+# because round() half-even vs half-away differs across engines.
+@register(
+    "embedding_quantize_int8",
+    """
+    SELECT vec_id, round(m, 6) AS scale,
+           array_to_string(codes, ',') AS codes_str,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS l1
+    FROM (
+      SELECT vec_id, m,
+             CASE WHEN m > 0
+                  THEN list_transform(x, v ->
+                         CAST(floor(v / m * 127.0 + 0.5) AS INTEGER))
+                  ELSE list_transform(x, v -> 0) END AS codes
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           v -> abs(v))) AS m
+            FROM embeddings)
+    )
+    """,
+    doc="symmetric per-vector int8 quantization (4x embedding storage "
+        "cut): max-abs scale, floor-based half-up rounding, narrow map",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    from .operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale",
+        F.concat_ws(",", F.col("codes")).alias("codes_str"),
+        F.aggregate("codes", F.lit(0),
+                    lambda acc, v: acc + F.abs(v)).cast("bigint").alias("l1"),
+    )
+
+
+# --- distributed k-means (IVF codebook training) -----------------------------
+# Iterative, init-dependent → no SQL oracle (the MRFFT category);
+# the Lloyd guarantees (cost monotonicity, blob recovery, IVF recall
+# with trained centroids) are property-tested in tests/test_clustering.
+@register(
+    "embedding_kmeans_sizes",
+    None,
+    doc="distributed Lloyd's k-means over embeddings → cluster sizes "
+        "(bounded-shuffle sufficient-statistics iteration; trains the "
+        "IVF codebook at full-corpus scale)",
+)
+def embedding_kmeans_sizes(spark, sf_dir):
+    import numpy as np
+
+    from .operators.clustering import kmeans_fit
+    from .operators.similarity import _nearest_lists_udf
+
+    # cache only for the training iterations; the returned (lazy) plan
+    # re-reads parquet once rather than leaking the cache past the call
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    try:
+        cent, _ = kmeans_fit(emb, k=8, iters=4, seed=42)
+    finally:
+        emb.unpersist()
+    assign = _nearest_lists_udf(cent, 1)
+    return (emb.select(assign(F.col("embedding"))[0].alias("cluster_id"))
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_vecs"))
+            .orderBy("cluster_id"))
+
+
+# --- filtered vector search --------------------------------------------------
+# The vector-DB "filtered ANN" pattern: a metadata predicate restricts
+# the searchable corpus BEFORE any distance is computed (pre-filter),
+# rather than over-fetching and post-filtering top-k — at 100 TB the
+# semi-join prunes the scan to the eligible fraction and the distance
+# kernel never touches an ineligible vector. Joins embeddings to their
+# documents on the shared id space.
+@register(
+    "knn_cosine_filtered",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[]))
+                          DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+        AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+    ) WHERE rank <= 10
+    """,
+    doc="filtered vector search: metadata pre-filter (documents.lang) "
+        "semi-joined into the corpus before the exact cosine top-10",
+)
+def knn_cosine_filtered(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    eligible = (load_table(spark, sf_dir, "documents")
+                .where(F.col("lang") == "en")
+                .select(F.col("doc_id").alias("vec_id")))
+    corpus = emb.join(eligible, "vec_id", "semi")
+    return cosine_topk(corpus, emb.where(F.col("vec_id") < 5), k=10)
+
+
+# --- nearest-centroid assignment (IVF kernel, oracle-checked) ----------------
+# embedding_kmeans_sizes is no-oracle by design (iterative training),
+# but the ASSIGNMENT kernel at its core — nearest centroid by squared
+# L2 — is deterministic given fixed centroids. This face fixes the
+# centroids to the first four corpus vectors and value-checks every
+# vector's assignment and distance; tests/test_llm_ops.py then pins the
+# Arrow UDF kernel (_nearest_lists_udf) to this JVM-expression face, so
+# the driver row transitively covers the IVF routing kernel. Argmin
+# margins dwarf cross-engine summation-order error (measured ≥ 3e-7 at
+# the checked SFs vs ~1e-14 float noise). Queued for window rotation.
+@register(
+    "embedding_nearest_centroid",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+    d AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+      FROM e, c
+    ),
+    r AS (SELECT vec_id, centroid_id, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, centroid_id) AS rn
+          FROM d)
+    SELECT vec_id, centroid_id, round(dist, 6) AS dist_sq
+    FROM r WHERE rn = 1
+    """,
+    doc="nearest-centroid assignment over 4 fixed centroids: the IVF "
+        "routing kernel as a value-checked JVM-expression face",
+)
+def embedding_nearest_centroid(spark, sf_dir):
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (emb.crossJoin(F.broadcast(cents))
+            .select("vec_id",
+                    F.struct(dist.alias("d"),
+                             F.col("centroid_id").alias("cid")).alias("s"))
+            .groupBy("vec_id").agg(F.min("s").alias("b"))
+            .select("vec_id", F.col("b.cid").alias("centroid_id"),
+                    F.round(F.col("b.d"), 6).alias("dist_sq")))
+
+
+# --- one Lloyd round from fixed centroids (k-means oracle face) --------------
+# kmeans_fit is no-oracle by design (iterative), but each round's
+# distributed work — assign to nearest centroid, aggregate per-
+# (cluster, dim) sum / sum-sq / count — is deterministic given fixed
+# centroids. This face fixes them to the first four corpus vectors and
+# value-checks the FULL sufficient-statistics table the trainer
+# iterates on (next centroids AND the Lloyd cost are pure functions of
+# these rows), extending driver coverage from the routing kernel
+# (embedding_nearest_centroid) to the whole training round.
+@register(
+    "embedding_lloyd_round",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+    d AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+      FROM e, c
+    ),
+    a AS (SELECT vec_id, v, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, centroid_id) AS rn
+          FROM d),
+    x AS (SELECT centroid_id, unnest(v) AS x,
+                 generate_subscripts(v, 1) - 1 AS pos
+          FROM a WHERE rn = 1)
+    SELECT centroid_id, pos::INT AS pos,
+           round(sum(x), 6) AS sum_x,
+           round(sum(x * x), 6) AS sum_sq,
+           count(*)::BIGINT AS cnt
+    FROM x GROUP BY centroid_id, pos
+    """,
+    doc="one Lloyd k-means round from 4 fixed centroids: per-(cluster, "
+        "dim) sum/sum-sq/count sufficient statistics, value-checked",
+)
+def embedding_lloyd_round(spark, sf_dir):
+    from .operators.clustering import lloyd_round
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("v")))
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    return lloyd_round(emb, cents)
+
+
+# --- product quantization (PQ) faces -----------------------------------------
+# pq_train is rows-only (per-subspace k-means on a driver sample); the
+# deterministic kernels — encode against FIXED codebooks and the ADC
+# lookup-table search — carry full oracles, the nearest-centroid move
+# applied per subspace. Codebooks fix centroid c of subspace j to
+# subvector j of corpus vector c (m=8 subspaces × 8 dims, k=16).
+_PQ_SQL_BASE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    js AS (SELECT unnest(range(0, 8)) AS j),
+    sv AS (SELECT e.vec_id, js.j,
+                  e.v[js.j * 8 + 1 : js.j * 8 + 8] AS sub
+           FROM e, js),
+    cb AS (SELECT j, vec_id::INT AS centroid_id, sub AS cv
+           FROM sv WHERE vec_id < 16),
+    d AS (
+      SELECT s.vec_id, s.j, c.centroid_id,
+             list_sum(list_transform(range(1, len(s.sub) + 1),
+                                     i -> (s.sub[i] - c.cv[i]) ^ 2)) AS dist
+      FROM sv s JOIN cb c ON c.j = s.j
+    ),
+    codes AS (
+      SELECT vec_id, j, centroid_id AS code, dist FROM (
+        SELECT vec_id, j, centroid_id, dist,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, centroid_id) AS rn
+        FROM d) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    _PQ_SQL_BASE + """
+    SELECT vec_id, j::INT AS j, code, round(dist, 6) AS dist_sq
+    FROM codes
+    """,
+    doc="PQ encode against fixed codebooks (m=8, k=16): per-subspace "
+        "nearest-centroid codes + quantization error, long form "
+        "(operators/pq.py; Jegou et al. 2011)",
+)
+def embedding_pq_codes(spark, sf_dir):
+    from .operators.pq import fixed_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, fixed_codebooks(emb, m=8, k=16), m=8)
+
+
+@register(
+    "knn_pq_adc",
+    _PQ_SQL_BASE + """,
+    lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.centroid_id AS code,
+             round(list_sum(list_transform(range(1, len(s.sub) + 1),
+                                           i -> (s.sub[i] - c.cv[i]) ^ 2)),
+                   6) AS d
+      FROM sv s JOIN cb c ON c.j = s.j
+      WHERE s.vec_id < 5
+    ),
+    scored AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             round(sum(l.d), 6) AS adist
+      FROM codes co JOIN lut l ON l.j = co.j AND l.code = co.code
+      WHERE co.vec_id <> l.query_id
+      GROUP BY l.query_id, co.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+    doc="PQ asymmetric-distance top-10: corpus scanned as 8-byte codes "
+        "joined to the broadcast per-query LUT, per-cell distances "
+        "rounded before summing so ranks are engine-stable",
+)
+def knn_pq_adc(spark, sf_dir):
+    from .operators.pq import fixed_codebooks, pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = fixed_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, cb, m=8).select("vec_id", "j", "code")
+    return pq_adc_topk(codes, emb.where(F.col("vec_id") < 5), cb, m=8,
+                       k_top=10, exclude_self=True)
+
+
+@register(
+    "knn_pq_rerank",
+    _PQ_SQL_BASE + """,
+    lut AS (
+      SELECT s.vec_id AS query_id, s.j, c.centroid_id AS code,
+             round(list_sum(list_transform(range(1, len(s.sub) + 1),
+                                           i -> (s.sub[i] - c.cv[i]) ^ 2)),
+                   6) AS d
+      FROM sv s JOIN cb c ON c.j = s.j
+      WHERE s.vec_id < 5
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT l.query_id, co.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY l.query_id
+                 ORDER BY round(sum(l.d), 6), co.vec_id) AS srank
+        FROM codes co JOIN lut l ON l.j = co.j AND l.code = co.code
+        WHERE co.vec_id <> l.query_id
+        GROUP BY l.query_id, co.vec_id)
+      WHERE srank <= 40
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1),
+                   i -> (q.v[i] - n.v[i]) ^ 2)), 6) AS dist_sq
+      FROM short s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_sq, rank FROM (
+      SELECT query_id, neighbor_id, dist_sq,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_sq, neighbor_id) AS rank
+      FROM exact)
+    WHERE rank <= 10
+    """,
+    doc="the full production PQ path: 40-deep ADC shortlist over code "
+        "bytes, then exact squared-L2 rerank of only the shortlisted "
+        "pairs against raw vectors (the quantized_topk two-stage shape)",
+)
+def knn_pq_rerank(spark, sf_dir):
+    from .operators.pq import fixed_codebooks, pq_encode, pq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = fixed_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, cb, m=8).select("vec_id", "j", "code")
+    return pq_rerank_topk(emb, codes, emb.where(F.col("vec_id") < 5),
+                          cb, m=8, k_top=10, fetch=40)
+
+
+# --- video frame-sampling plan (r8) ------------------------------------------
+# The codec-free half of the video path: WHICH frames to decode is
+# pure arithmetic (frame count from payload size in the fake-codec
+# convention, stride-10 sampling), so unlike the decode kernels this
+# face is fully value-checkable. The explode runs BEFORE the heavy
+# decode at scale, so frames parallelize across tasks.
+@register(
+    "media_frame_plan",
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             length(text) // 100 AS n_frames
+      FROM documents
+    )
+    SELECT media_id,
+           (generate_subscripts(generate_series(0,
+              greatest(n_frames - 1, 0), 10), 1) - 1)::INT AS frame_pos,
+           unnest(generate_series(0, greatest(n_frames - 1, 0), 10))::INT
+             AS frame_idx
+    FROM f
+    """,
+    doc="frame-sampling schedule for video payloads: stride-10 frame "
+        "indices from the payload's frame count, exploded before the "
+        "decode kernel so frames parallelize across tasks (the "
+        "oracle-checkable arithmetic half of the multimodal path)",
+)
+def media_frame_plan(spark, sf_dir):
+    from .operators.multimodal import frame_sample_plan, media_from_documents
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_nth=10)
+
+
+# --- distributed Gram matrix (E82) -------------------------------------------
+@register(
+    "embedding_gram_matrix",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i)
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+           round(sum(v[p.i] * v[p.j]) / count(*), 6) AS value
+    FROM e, p GROUP BY p.i, p.j
+    """,
+    doc="distributed Gram matrix (PCA/whitening prep): upper triangle "
+        "of the mean outer product (1/n) sum v v^T over the embedding "
+        "corpus -- one BLAS matmul per Arrow batch, shuffle of "
+        "#batches x d(d+1)/2 fixed-width rows, n-independent",
+)
+def embedding_gram_matrix(spark, sf_dir):
+    from .operators.similarity import embedding_gram
+
+    return embedding_gram(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- PCA projection (E90) ----------------------------------------------------
+# no_oracle by design: the basis comes from an eigendecomposition
+# whose numerics are LAPACK-implementation-specific (the MRFFT
+# category); the guarantees — orthonormal basis, decreasing explained
+# variance, anisotropy recovery, partitioning invariance — are
+# property-tested in tests/test_llm_ops.py.
+@register(
+    "embedding_pca_projected",
+    None,
+    doc="corpus PCA dimensionality reduction (64 -> 8) before ANN "
+        "indexing: covariance from the one-pass Gram kernel + d JVM "
+        "mean aggregates, bounded d x d driver eigendecomposition "
+        "(the L*K-coreset state bound), broadcast-matmul projection",
+)
+def embedding_pca_projected(spark, sf_dir):
+    from .operators.similarity import pca_components, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = pca_components(emb, n_components=8)
+    out = pca_project(emb, comps)
+    return out.select(
+        "vec_id",
+        F.transform("projected", lambda x: F.round(x, 6))
+        .alias("projected"))
+
+
+# --- MMR diversified re-ranking (E98) ----------------------------------------
+# Greedy selection is sequential in k, so the oracle unrolls the same
+# five argmax steps as CTEs (the PageRank pattern); scores are ranked
+# on RAW doubles in both engines -- safe because the engines' cosine
+# parity is already established by the knn_* faces -- and the damping
+# constants interpolate the same Python doubles the Spark plan uses.
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    l, l1 = repr(lam), repr(1.0 - lam)
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pool AS (
+      SELECT query_id, cand_id, cv, rel FROM (
+        SELECT q.query_id, c.vec_id AS cand_id, c.v AS cv,
+               list_cosine_similarity(q.qv, c.v) AS rel,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+                          c.vec_id) AS r
+        FROM q JOIN e c ON c.vec_id <> q.query_id)
+      WHERE r <= {pool}
+    ),
+    pick1 AS (
+      SELECT query_id, cand_id, cv, rel, score, 1 AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, cand_id) AS rr
+        FROM (SELECT *, {l} * rel - {l1} * 0.0 AS score FROM pool))
+      WHERE rr = 1
+    ),
+    sel1 AS (SELECT query_id, cand_id, cv, rel, score, mmr_rank
+             FROM pick1)"""
+    for i in range(2, k + 1):
+        p = i - 1
+        sql += f""",
+    rem{i} AS (SELECT pl.* FROM pool pl
+               WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
+                                 WHERE s.query_id = pl.query_id
+                                   AND s.cand_id = pl.cand_id)),
+    ms{i} AS (SELECT r.query_id, r.cand_id,
+                     max(list_cosine_similarity(r.cv, s.cv)) AS m
+              FROM rem{i} r JOIN sel{p} s ON s.query_id = r.query_id
+              GROUP BY 1, 2),
+    pick{i} AS (
+      SELECT query_id, cand_id, cv, rel, score, {i} AS mmr_rank FROM (
+        SELECT r.query_id, r.cand_id, r.cv, r.rel,
+               {l} * r.rel - {l1} * coalesce(m.m, 0.0) AS score,
+               row_number() OVER (PARTITION BY r.query_id
+                 ORDER BY {l} * r.rel - {l1} * coalesce(m.m, 0.0) DESC,
+                          r.cand_id) AS rr
+        FROM rem{i} r LEFT JOIN ms{i} m
+          ON m.query_id = r.query_id AND m.cand_id = r.cand_id)
+      WHERE rr = 1),
+    sel{i} AS (SELECT * FROM sel{p} UNION ALL
+               SELECT query_id, cand_id, cv, rel, score, mmr_rank
+               FROM pick{i})"""
+    sql += f"""
+    SELECT query_id, cand_id AS neighbor_id,
+           CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           round(rel, 6) AS cosine, round(score, 6) AS mmr_score
+    FROM sel{k}"""
+    return sql
+
+
+@register(
+    "knn_mmr_rerank",
+    _mmr_oracle_sql(),
+    doc="maximal-marginal-relevance diversification after top-k: "
+        "greedy lambda-weighted relevance-vs-redundancy selection "
+        "(k=5 from a pool of 20), five unrolled relational argmax "
+        "steps over the persisted broadcast-query pool -- every join "
+        "keyed on query_id, the pool bounded, no Python kernel",
+)
+def knn_mmr_rerank(spark, sf_dir):
+    from .operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, emb.where(F.col("vec_id") < 5),
+                      k=5, pool_size=20, lam=0.7)
