@@ -127,6 +127,8 @@ HEADLINE = [
     "doc_span_dedup_keepone",   # ExactSubstr keep-one span dedup
     "doc_char_span_flags",      # char 20-gram winnowed repeat flags
     "doc_rerank_features",      # (query, doc) features on the shortlist
+    "events_kmv_distinct",      # KMV distinct sketch, two key types
+    "corpus_scd2_history",      # SCD2 validity intervals
 ]
 
 

@@ -141,3 +141,48 @@ def write_snapshot(snapshot: DataFrame, path: str, n_buckets: int = 64,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("bucket")
      .parquet(path))
+
+
+def scd2_history(old: DataFrame, new: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 old_version: int = 0,
+                 new_version: int = 1) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from two snapshots →
+    ``(id, fp, valid_from, valid_to, is_current)``.
+
+    The warehouse-side record of WHAT a training corpus said WHEN —
+    the audit artifact behind "which snapshot version of this document
+    did model X train on": every content version gets a validity
+    interval, closed (``valid_to = new_version``) when the re-crawl
+    rewrote or removed it, open (``valid_to`` null, ``is_current``)
+    while it is the live text. Taxonomy per :func:`snapshot_diff`
+    status: unchanged → one open row from ``old_version``; modified →
+    closed old row + open new row; removed → closed old row; added →
+    open row from ``new_version``.
+
+    Plan: the diff's single full-outer id join, then the history rows
+    come from ONE conditional struct-array explode (≤ 2 rows per id —
+    bounded fan-out, no second pass, no union of re-scans). Only
+    fingerprints move; text never shuffles.
+    """
+    lv, nv = (F.lit(old_version).cast("long"),
+              F.lit(new_version).cast("long"))
+    null_v = F.lit(None).cast("long")
+    closed_old = F.struct(F.col("old_fp").alias("fp"),
+                          lv.alias("valid_from"), nv.alias("valid_to"),
+                          F.lit(False).alias("is_current"))
+    open_old = F.struct(F.col("old_fp").alias("fp"),
+                        lv.alias("valid_from"), null_v.alias("valid_to"),
+                        F.lit(True).alias("is_current"))
+    open_new = F.struct(F.col("new_fp").alias("fp"),
+                        nv.alias("valid_from"), null_v.alias("valid_to"),
+                        F.lit(True).alias("is_current"))
+    rows = (F.when(F.col("status") == "unchanged", F.array(open_old))
+            .when(F.col("status") == "modified",
+                  F.array(closed_old, open_new))
+            .when(F.col("status") == "removed", F.array(closed_old))
+            .otherwise(F.array(open_new)))
+    return (snapshot_diff(old, new, id_col, text_col)
+            .select(F.col(id_col), F.explode(rows).alias("_r"))
+            .select(id_col, "_r.fp", "_r.valid_from", "_r.valid_to",
+                    "_r.is_current"))

@@ -309,3 +309,77 @@ def space_saving_topk(df: DataFrame, item_col: str, k: int,
     w = Window.orderBy(F.col("est_max").desc(), F.col("item"))
     ranked = merged.withColumn("rank", F.row_number().over(w))
     return ranked.where(F.col("rank") <= (out_k or k))
+
+
+# --- KMV distinct-count sketch (E135) ------------------------------------------
+
+_KMV_HASH_BITS = 60  # 15 md5 hex chars: positive in a signed 64-bit long
+_KMV_HASH_SPACE = float(1 << _KMV_HASH_BITS)
+
+
+def kmv_hash(col: Column) -> Column:
+    """The engine-portable KMV hash: first 15 hex chars of md5 as a
+    60-bit non-negative integer (Spark ``conv`` == DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, item_col: str, group_col: str,
+               k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    → per group the ``k`` SMALLEST distinct 60-bit md5 hashes of the
+    item, as rows ``(grp, h, rank)``.
+
+    Unlike HLL (whose register layout is engine-private, so its face
+    is rows-only), KMV is FULLY deterministic given the hash: both
+    engines compute identical sketches, hash by hash — a sketch with a
+    complete value oracle. Same uniform-hashing model as HLL; stderr
+    ≈ 1/√(k−2).
+
+    Mergeable by construction: the k smallest hashes of A ∪ B are a
+    subset of sketch(A) ∪ sketch(B), so :func:`kmv_merge` of partial
+    sketches EQUALS the whole-data sketch exactly (the property that
+    makes any sketch scale; pinned by test).
+
+    Scale shape: distinct (grp, h) — one keyed aggregate — then the
+    two-stage grouped top-k (per-partition heaps, never a per-group
+    reducer funnel); the sketch is ≤ k rows per group.
+    """
+    d = (df.select(F.col(group_col).alias("grp"),
+                   kmv_hash(F.col(item_col)).alias("h"))
+         .distinct())
+    from .grouped import grouped_topk
+
+    return grouped_topk(d, ["grp"], [F.col("h")], k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union partial sketches into the sketch of the union: distinct
+    hashes, k smallest per group — exact, not approximate-on-approximate."""
+    from functools import reduce
+
+    from .grouped import grouped_topk
+
+    u = reduce(lambda a, b: a.unionByName(b),
+               [s.select("grp", "h") for s in sketches]).distinct()
+    return grouped_topk(u, ["grp"], [F.col("h")], k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Estimate per group → ``(grp, n_sketch, kth_hash, est_distinct)``.
+
+    With fewer than ``k`` distinct hashes the sketch IS the distinct
+    set (exact count); at ``k`` the standard KMV estimator
+    ``(k−1) / u_k`` with ``u_k`` the k-th smallest hash normalized to
+    (0, 1]. The division runs in IEEE doubles in both engines and is
+    rounded to 6, so the oracle compares exactly.
+    """
+    n = F.count("*").cast("long")
+    kth = F.max("h")
+    est = F.when(
+        n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_KMV_HASH_SPACE) / kth, 6))
+    return (sketch.groupBy("grp")
+            .agg(n.alias("n_sketch"), kth.alias("kth_hash"),
+                 est.alias("est_distinct")))

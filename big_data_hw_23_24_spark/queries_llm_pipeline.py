@@ -1883,3 +1883,114 @@ def corpus_robust_stats(spark, sf_dir):
 
     return robust_stats(load_table(spark, sf_dir, "documents"),
                         "n_chars")
+
+
+# --- KMV distinct-count sketch (E135, r9) --------------------------------------
+# The value-checkable sketch beside the rows-only HLL face: KMV's
+# state is just the k smallest md5 hashes, so both engines compute
+# IDENTICAL sketches hash-by-hash — a cardinality sketch with a full
+# value oracle. Two key types exercise both estimator branches at
+# every SF: user_id (15 distinct per type at sf0.001 -> exact branch)
+# and event_id (unique per event -> (k-1)/u_k estimator branch).
+@register(
+    "events_kmv_distinct",
+    """
+    WITH src AS (
+      SELECT 'users' AS key, event_type,
+             CAST(user_id AS VARCHAR) AS item FROM events
+      UNION ALL
+      SELECT 'events', event_type,
+             CAST(event_id AS VARCHAR) FROM events
+    ),
+    d AS (
+      SELECT DISTINCT key, event_type,
+             ('0x' || substr(md5(item), 1, 15))::BIGINT AS h
+      FROM src
+    ),
+    r AS (
+      SELECT key, event_type, h,
+             row_number() OVER (PARTITION BY key, event_type
+                                ORDER BY h) AS rk
+      FROM d
+    ),
+    s AS (SELECT key, event_type, h FROM r WHERE rk <= 64)
+    SELECT key, event_type, count(*)::BIGINT AS n_sketch,
+           max(h)::BIGINT AS kth_hash,
+           CASE WHEN count(*) < 64 THEN count(*) * 1.0
+                ELSE round(63.0 * 1152921504606846976.0 / max(h), 6) END
+             AS est_distinct
+    FROM s GROUP BY key, event_type
+    """,
+    doc="KMV distinct-count sketch (k=64 minimum md5 hash values) per "
+        "event_type over two key types: deterministic, mergeable "
+        "(union sketch == sketch of union, pinned by test), exact "
+        "below k, (k-1)/u_k estimator at k; two-stage grouped top-k, "
+        "never a per-group funnel",
+)
+def events_kmv_distinct(spark, sf_dir):
+    from .operators.frequent import kmv_estimate, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    for key, col in (("users", "user_id"), ("events", "event_id")):
+        est = kmv_estimate(kmv_sketch(ev, col, "event_type", k=64), k=64)
+        parts.append(est.withColumn("key", F.lit(key)))
+    return (parts[0].unionByName(parts[1])
+            .select("key", F.col("grp").alias("event_type"),
+                    "n_sketch", "kth_hash", "est_distinct"))
+
+
+# --- SCD2 snapshot history (E136, r9) ------------------------------------------
+# The versioning tier's third face (diff -> merge -> HISTORY): type-2
+# validity intervals answering "which version of this doc did model X
+# train on". Same synthesized old/new as corpus_apply_snapshot, so all
+# four diff statuses populate the taxonomy non-vacuously at every SF.
+@register(
+    "corpus_scd2_history",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             md5(coalesce(regexp_replace(lower(trim(text)), ' +', ' ',
+                                         'g'), '')) AS old_fp
+      FROM documents WHERE doc_id % 43 <> 1
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(coalesce(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 31 = 2 THEN text || ' rewritten'
+                    ELSE text END)), ' +', ' ', 'g'), '')) AS new_fp
+      FROM documents WHERE doc_id % 47 <> 0
+    ),
+    j AS (
+      SELECT doc_id, old_fp, new_fp
+      FROM old FULL OUTER JOIN new USING (doc_id)
+    )
+    SELECT doc_id, old_fp AS fp,
+           0::BIGINT AS valid_from, 1::BIGINT AS valid_to,
+           FALSE AS is_current
+    FROM j
+    WHERE old_fp IS NOT NULL
+      AND (new_fp IS NULL OR new_fp <> old_fp)
+    UNION ALL
+    SELECT doc_id, new_fp,
+           CASE WHEN old_fp = new_fp THEN 0 ELSE 1 END::BIGINT,
+           NULL::BIGINT, TRUE
+    FROM j WHERE new_fp IS NOT NULL
+    """,
+    doc="SCD2 history from two snapshot versions: per content version "
+        "a validity interval (closed when rewritten/removed, open + "
+        "is_current while live); the diff's one full-outer id join "
+        "then a bounded <=2-row struct-array explode, text never "
+        "shuffles",
+)
+def corpus_scd2_history(spark, sf_dir):
+    from .operators.diff import scd2_history
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 43 != 1).select("doc_id", "text")
+    new = (docs.where(F.col("doc_id") % 47 != 0)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 31 == 2,
+                          F.concat(F.col("text"), F.lit(" rewritten")))
+                   .otherwise(F.col("text")).alias("text")))
+    return scd2_history(old, new)

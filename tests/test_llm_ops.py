@@ -2117,3 +2117,92 @@ def test_language_confusion_cells_and_recall(spark):
     assert out[("en", "en")].recall == 0.666667
     assert out[("xx", "und")].n_docs == 1
     assert out[("xx", "und")].recall == 1.0
+
+
+# --- KMV distinct-count sketch (E135) --------------------------------------------
+
+def test_kmv_exact_below_k_and_estimator_at_k(spark):
+    """Below k the sketch IS the distinct set (exact count as a whole
+    double); at k the (k-1)/u_k estimator lands within the published
+    ~1/sqrt(k-2) relative error band on 4x oversubscribed input."""
+    from big_data_hw_23_24_spark.operators.frequent import (
+        kmv_estimate, kmv_sketch)
+
+    rows = ([("small", f"s{i}") for i in range(10)] * 3
+            + [("big", f"b{i}") for i in range(256)])
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = {r.grp: r for r in
+           kmv_estimate(kmv_sketch(df, "item", "grp", k=64), k=64).collect()}
+    assert out["small"].n_sketch == 10
+    assert out["small"].est_distinct == 10.0
+    assert out["big"].n_sketch == 64
+    err = abs(out["big"].est_distinct - 256) / 256
+    assert err < 4 / (62 ** 0.5), err     # 4 sigma of 1/sqrt(k-2)
+
+
+def test_kmv_merge_of_slices_equals_whole(spark):
+    """Mergeability, exactly: the merged sketch of two OVERLAPPING
+    slices equals the whole-data sketch hash-for-hash — the property
+    that lets partial sketches combine across executors/days."""
+    from big_data_hw_23_24_spark.operators.frequent import (
+        kmv_merge, kmv_sketch)
+
+    rows = [("g", f"x{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    a = df.where(F.col("item") < "x5")          # lexicographic slice
+    b = df.where(F.col("item") >= "x3")         # overlaps a
+    merged = kmv_merge(kmv_sketch(a, "item", "grp", k=64),
+                       kmv_sketch(b, "item", "grp", k=64), k=64)
+    whole = kmv_sketch(df, "item", "grp", k=64)
+    assert sorted(r.h for r in merged.collect()) == \
+        sorted(r.h for r in whole.collect())
+
+
+def test_kmv_sketch_has_no_per_group_funnel(spark):
+    from big_data_hw_23_24_spark.operators.frequent import kmv_sketch
+
+    df = spark.createDataFrame([("g", "a")], "grp string, item string")
+    sk = kmv_sketch(df, "item", "grp", k=8)
+    plan = sk._sc._jvm.PythonSQLUtils.explainString(
+        sk._jdf.queryExecution(), "simple")
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window [" in ln:
+            assert not any("Exchange SinglePartition" in nxt
+                           for nxt in lines[i + 1:i + 4])
+
+
+# --- SCD2 snapshot history (E136) -------------------------------------------------
+
+def test_scd2_history_taxonomy_hand_checked(spark):
+    """All four statuses produce the right validity intervals: the
+    history of every id reconstructs exactly what was live at versions
+    0 and 1."""
+    from big_data_hw_23_24_spark.operators.diff import scd2_history
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed now"), (4, "brand new")],
+        "doc_id long, text string")
+    hist = scd2_history(old, new).collect()
+    by_id = {}
+    for r in hist:
+        by_id.setdefault(r.doc_id, []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0].is_current
+    assert (by_id[1][0].valid_from, by_id[1][0].valid_to) == (0, None)
+    rows2 = sorted(by_id[2], key=lambda r: r.valid_from)
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in rows2] == \
+        [(0, 1, False), (1, None, True)]
+    assert rows2[0].fp != rows2[1].fp
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in by_id[3]] == \
+        [(0, 1, False)]
+    assert [(r.valid_from, r.valid_to, r.is_current) for r in by_id[4]] == \
+        [(1, None, True)]
+    # global invariants: exactly one current row per live id, closed
+    # intervals never current
+    for rs in by_id.values():
+        assert sum(r.is_current for r in rs) <= 1
+        for r in rs:
+            assert (r.valid_to is None) == r.is_current

@@ -431,6 +431,11 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "streaming_backfill_catchup",  # r9: bounded re-read of a
                                      #   lagged bucket range, double-
                                      #   run idempotent landing
+        "events_kmv_distinct",       # r9: KMV distinct sketch — the
+                                     #   value-checkable sketch beside
+                                     #   the rows-only HLL face
+        "corpus_scd2_history",       # r9: SCD2 validity intervals
+                                     #   from two snapshot versions
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
