@@ -129,6 +129,7 @@ HEADLINE = [
     "doc_rerank_features",      # (query, doc) features on the shortlist
     "events_kmv_distinct",      # KMV distinct sketch, two key types
     "corpus_scd2_history",      # SCD2 validity intervals
+    "dedup_simhash_pinned",     # md5-pinned 60-bit SimHash pairs
 ]
 
 

@@ -507,32 +507,53 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.7,
         shingled.unpersist()
 
 
-def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document → (id, simhash).
+SIMHASH_FAMILY_BITS = {"xxhash64": 64, "md5": 60}
 
-    Explode tokens → xxhash64 per token → per-bit ±1 majority vote as
-    64 conditional sums in ONE hash aggregate — all JVM expressions.
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         hash_family: str = "xxhash64") -> DataFrame:
+    """SimHash per document → (id, simhash).
+
+    Explode tokens → one hash per token → per-bit ±1 majority vote as
+    conditional sums in ONE hash aggregate — all JVM expressions.
     Near-identical documents differ in few bits (compare with
     ``bit_count(simhash_a ^ simhash_b)``).
+
+    ``hash_family``: ``"xxhash64"`` (production default, 64 bits,
+    Spark-private) or ``"md5"`` — the E76 pinning move applied to
+    SimHash: the per-token hash is the 60-bit md5 prefix
+    (``conv(substr(md5(word),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(word),1,15))::BIGINT``), making fingerprints,
+    banding and Hamming distances bit-identical across engines — the
+    family a full value oracle runs on. Same vote/assemble plan, 60
+    columns instead of 64.
 
     Contract (pinned by test): zero-token documents have NO fingerprint
     row — the explode yields nothing to vote on — and therefore never
     appear in near-dup pairs. Reports that must cover every doc id
     should left-join fingerprints back to the corpus.
     """
+    bits = SIMHASH_FAMILY_BITS.get(hash_family)
+    if bits is None:
+        raise ValueError(f"hash_family must be one of "
+                         f"{sorted(SIMHASH_FAMILY_BITS)}, got {hash_family!r}")
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("word")
     tok = docs.select(F.col(id_col),
                       F.explode(words).alias("word")) \
-        .withColumn("h", F.xxhash64("word"))
+        .withColumn("h", h)
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
               .otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     voted = tok.groupBy(id_col).agg(*votes)
     fp = None
-    for b in range(64):
+    for b in range(bits):
         bit = F.when(F.col(f"b{b}") > 0,
                      F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
         fp = bit if fp is None else fp.bitwiseOR(bit)
@@ -541,17 +562,24 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            hash_family: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
     Pigeonhole banding: two fingerprints within Hamming k must agree
     exactly on ≥1 of k+1 equal bit-chunks → equi-join per chunk, then
-    exact bit_count verify. Shuffle key is the 16-bit chunk value —
-    no pairwise scan.
+    exact bit_count verify. Shuffle key is the chunk value — no
+    pairwise scan. ``hash_family="md5"`` (60-bit, 15-bit chunks at the
+    default ``max_hamming=3``) is the engine-portable oracle face; the
+    pigeonhole guarantee is family-independent.
     """
     chunks = max_hamming + 1
-    width = 64 // chunks
-    fps = simhash_fingerprints(docs, text_col, id_col)
+    bits = SIMHASH_FAMILY_BITS.get(hash_family, 64)
+    if bits % chunks:
+        raise ValueError(f"{bits}-bit fingerprint not divisible into "
+                         f"{chunks} chunks")
+    width = bits // chunks
+    fps = simhash_fingerprints(docs, text_col, id_col, hash_family)
     banded = fps.select(
         id_col, "simhash",
         F.explode(F.array(*[

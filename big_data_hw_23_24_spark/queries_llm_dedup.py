@@ -1117,3 +1117,84 @@ def dedup_containment_pairs(spark, sf_dir):
                      .alias("text")))
     return shingle_containment_pairs(docs.unionAll(trunc),
                                      threshold=0.9, max_df=100)
+
+
+# --- md5-pinned SimHash near-dup face (E137, r9) --------------------------------
+# The E76/E104 pinning move applied to the LAST dedup fingerprint
+# family still rows-only: with the per-token hash pinned to the 60-bit
+# md5 prefix, fingerprints, 15-bit pigeonhole bands and Hamming
+# distances are bit-identical across engines — the whole
+# band -> collide -> bit_count-verify dataflow (same shuffle keys as
+# the production xxhash64 face) earns a full value oracle. The corpus
+# is salted with token-SORTED copies: SimHash is a bag-of-tokens
+# fingerprint, so a reorder is hamming-0 — every planted pair must
+# surface, while natural 15-bit band collisions exercise the
+# hamming-filter branch non-vacuously.
+def _simhash_md5_oracle_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    chunks = max_hamming + 1
+    width = bits // chunks
+    mask = (1 << width) - 1
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits))
+    asm = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits))
+    chunk_vals = ", ".join(str(c) for c in range(chunks))
+    return f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_sort(list_filter(
+               string_split(text, ' '), w -> w <> '')), ' ')
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS word
+            FROM all_docs)
+    ),
+    v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({asm})::BIGINT AS simhash FROM v),
+    banded AS (
+      SELECT doc_id, simhash, c AS chunk,
+             (simhash >> (c * {width})) & {mask} AS val
+      FROM fp, unnest([{chunk_vals}]) AS t(c)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM banded a
+      JOIN banded b ON a.chunk = b.chunk AND a.val = b.val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+    FROM pairs
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_pinned",
+    _simhash_md5_oracle_sql(),
+    doc="md5-pinned 60-bit SimHash near-dup pairs (Hamming <= 3, "
+        "15-bit pigeonhole bands): the engine-portable oracle face of "
+        "dedup_simhash — same band/collide/verify dataflow, per-token "
+        "hash pinned to the md5 prefix; salted with token-sorted "
+        "copies (bag-of-tokens reorder = hamming 0)",
+)
+def dedup_simhash_pinned(spark, sf_dir):
+    from .operators.dedup import simhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    sorted_copy = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.array_sort(toks), " ").alias("text"))
+    out = simhash_near_duplicates(docs.unionByName(sorted_copy),
+                                  max_hamming=3, hash_family="md5")
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))

@@ -2206,3 +2206,39 @@ def test_scd2_history_taxonomy_hand_checked(spark):
         assert sum(r.is_current for r in rs) <= 1
         for r in rs:
             assert (r.valid_to is None) == r.is_current
+
+
+# --- md5-pinned SimHash family (E137) ----------------------------------------------
+
+def test_simhash_md5_family_token_reorder_is_hamming_zero(spark):
+    """SimHash is a bag-of-tokens fingerprint: a token reorder must
+    band-collide and verify at hamming 0 in the pinned family; a doc
+    with different tokens must not pair at <= 3."""
+    from big_data_hw_23_24_spark.operators.dedup import (
+        simhash_fingerprints, simhash_near_duplicates)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "epsilon delta gamma beta alpha"),     # reorder of 1
+         (3, "utterly different words entirely here")],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_duplicates(
+                 docs, max_hamming=3, hash_family="md5").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert not any(3 in p for p in pairs)
+    # fingerprints are 60-bit non-negative in the md5 family
+    for r in simhash_fingerprints(docs, hash_family="md5").collect():
+        assert 0 <= r.simhash < (1 << 60)
+
+
+def test_simhash_family_validation(spark):
+    from big_data_hw_23_24_spark.operators.dedup import (
+        simhash_fingerprints, simhash_near_duplicates)
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_fingerprints(docs, hash_family="sha9000")
+    with pytest.raises(ValueError):
+        # 60 bits do not divide into 7 chunks (max_hamming=6)
+        simhash_near_duplicates(docs, max_hamming=6, hash_family="md5")

@@ -354,7 +354,7 @@ _EAGER_HARNESS_QUERIES = {
     "streaming_sessions", "streaming_order_events_3d",
     "streaming_frequent_items", "streaming_frequent_exact",
     "streaming_dropdup_items", "streaming_quality_gate",
-    "streaming_ingest_health",
+    "streaming_ingest_health", "streaming_backfill_catchup",
     "mrfft_radius", "mrfft_centers", "bpe_learned_merges",
     "embedding_kmeans_sizes", "reservoir_sample_users",
     "sticky_sample_users",

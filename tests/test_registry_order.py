@@ -436,6 +436,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   the rows-only HLL face
         "corpus_scd2_history",       # r9: SCD2 validity intervals
                                      #   from two snapshot versions
+        "dedup_simhash_pinned",      # r9: md5-pinned 60-bit SimHash —
+                                     #   the last dedup fingerprint
+                                     #   family converted to a value
+                                     #   oracle
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
