@@ -130,6 +130,7 @@ HEADLINE = [
     "events_kmv_distinct",      # KMV distinct sketch, two key types
     "corpus_scd2_history",      # SCD2 validity intervals
     "dedup_simhash_pinned",     # md5-pinned 60-bit SimHash pairs
+    "doc_pretoken_stats",       # BPE-ish regex pre-tokenizer stats
 ]
 
 

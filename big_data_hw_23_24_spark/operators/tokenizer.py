@@ -309,3 +309,57 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.sum("c").cast("long").alias("n_bigrams"),
                  avg.alias("avg_neg_logprob")))
+
+
+# --- BPE-ish regex pre-tokenizer (E138) ------------------------------------------
+
+# GPT-2-style pre-tokenization, simplified to the engine-portable
+# subset: no lookahead (RE2 has none), ASCII classes (identical in
+# Java regex and RE2), leftmost-first alternation (verified identical
+# across both engines on contraction/punct-run/decimal edge cases).
+# Contractions split off first, then space-prefixed letter runs,
+# digit runs, and punctuation runs — the token-boundary shape every
+# modern BPE vocabulary is trained over.
+PRETOKEN_PATTERN = ("'(?:s|t|re|ve|m|ll|d)"
+                    "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")
+
+
+def pretokenize_stats(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish regex token counting → ``(doc_id, n_pretokens, n_words,
+    n_numbers, n_contractions, n_punct, n_ws_tokens, fertility)``.
+
+    The tokenizer-cost estimator that sits BETWEEN whitespace word
+    counts (too coarse: code and URLs are one "word") and a full BPE
+    encode (needs a trained merge table): pre-token counts from the
+    GPT-2-style boundary regex predict sequence length for ANY
+    BPE-family tokenizer, because merges never cross pre-token
+    boundaries. ``fertility`` = pre-tokens per whitespace word — the
+    per-document cost signal (prose ≈ 1; minified/punct-heavy text
+    blows past 2, exactly the docs whose token budget explodes).
+
+    One narrow projection: ``regexp_extract_all`` + class counts as
+    anchored-regex array filters, zero shuffle, streams at scan speed.
+    """
+    toks = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0),
+        F.array().cast("array<string>"))
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+    def n_class(arr, pat):
+        return F.size(F.filter(arr, lambda t: t.rlike(pat))).cast("long")
+
+    t = docs.withColumn("_pt", toks)
+    n_pre = F.size("_pt").cast("long")
+    n_ws = F.size(words).cast("long")
+    return t.select(
+        F.col(id_col),
+        n_pre.alias("n_pretokens"),
+        n_class(F.col("_pt"), "^ ?[A-Za-z]+$").alias("n_words"),
+        n_class(F.col("_pt"), "^ ?[0-9]+$").alias("n_numbers"),
+        n_class(F.col("_pt"), "^'(s|t|re|ve|m|ll|d)$")
+        .alias("n_contractions"),
+        n_class(F.col("_pt"), "^ ?[^A-Za-z0-9 ]+$").alias("n_punct"),
+        n_ws.alias("n_ws_tokens"),
+        F.when(n_ws > 0, F.round(n_pre / n_ws, 6))
+        .otherwise(F.lit(0.0)).alias("fertility"))

@@ -1838,3 +1838,52 @@ def doc_unicode_nfc(spark, sf_dir):
         F.when(F.col("doc_id") % 5 == 0, F.lit(" café"))
         .otherwise(F.lit("")))
     return normalize_unicode(docs.select("doc_id", page.alias("text")))
+
+
+# --- BPE-ish regex pre-tokenizer stats (E138, r9) --------------------------------
+# The north-star token-counting item ("whitespace + a BPE-ish regex"):
+# GPT-2-style pre-token boundaries predict sequence length for any
+# BPE-family tokenizer (merges never cross pre-token boundaries),
+# without needing a trained merge table. Pattern is the lookahead-free
+# ASCII subset, alternation-order verified identical in Java regex and
+# RE2 on contraction/punct-run/decimal edges.
+@register(
+    "doc_pretoken_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'),
+               CAST([] AS VARCHAR[])) AS pt,
+             len(list_filter(string_split(text, ' '),
+                             w -> w <> ''))::BIGINT AS n_ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(pt)::BIGINT AS n_pretokens,
+           len(list_filter(pt,
+               x -> regexp_matches(x, '^ ?[A-Za-z]+$')))::BIGINT
+             AS n_words,
+           len(list_filter(pt,
+               x -> regexp_matches(x, '^ ?[0-9]+$')))::BIGINT
+             AS n_numbers,
+           len(list_filter(pt,
+               x -> regexp_matches(x, '^''(s|t|re|ve|m|ll|d)$')))::BIGINT
+             AS n_contractions,
+           len(list_filter(pt,
+               x -> regexp_matches(x, '^ ?[^A-Za-z0-9 ]+$')))::BIGINT
+             AS n_punct,
+           n_ws AS n_ws_tokens,
+           CASE WHEN n_ws > 0 THEN round(len(pt) * 1.0 / n_ws, 6)
+                ELSE 0.0 END AS fertility
+    FROM t
+    """,
+    doc="BPE-ish regex pre-tokenizer stats: GPT-2-style boundary "
+        "counts (words/numbers/contractions/punct runs) + fertility "
+        "(pre-tokens per whitespace word, the tokenizer-cost signal); "
+        "one zero-shuffle projection",
+)
+def doc_pretoken_stats(spark, sf_dir):
+    from .operators.tokenizer import pretokenize_stats
+
+    return pretokenize_stats(load_table(spark, sf_dir, "documents"))

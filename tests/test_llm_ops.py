@@ -2242,3 +2242,31 @@ def test_simhash_family_validation(spark):
     with pytest.raises(ValueError):
         # 60 bits do not divide into 7 chunks (max_hamming=6)
         simhash_near_duplicates(docs, max_hamming=6, hash_family="md5")
+
+
+# --- BPE-ish regex pre-tokenizer (E138) --------------------------------------------
+
+def test_pretokenize_stats_hand_checked_and_classes_total(spark):
+    """Hand-verified boundaries on contraction/number/punct edges, and
+    the class counts always PARTITION the pre-token stream (every
+    token is exactly one of word/number/contraction/punct)."""
+    from big_data_hw_23_24_spark.operators.tokenizer import pretokenize_stats
+
+    docs = spark.createDataFrame(
+        [(1, "we'll go 42 km!!"),          # we|'ll| go| 42| km|!!
+         (2, "minified;var x=1;f(x);"),    # punct-heavy: fertility > 2
+         (3, "plain prose words only"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pretokenize_stats(docs).collect()}
+    r1 = out[1]
+    assert r1.n_pretokens == 6
+    assert (r1.n_words, r1.n_numbers, r1.n_contractions, r1.n_punct) == \
+        (3, 1, 1, 1)
+    assert r1.n_ws_tokens == 4 and r1.fertility == 1.5
+    assert out[2].fertility > 2.0          # the token-budget blowup signal
+    assert out[3].fertility == 1.0
+    assert out[4].n_pretokens == 0 and out[4].fertility == 0.0
+    for r in out.values():
+        assert r.n_words + r.n_numbers + r.n_contractions + r.n_punct \
+            == r.n_pretokens

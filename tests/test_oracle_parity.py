@@ -123,6 +123,10 @@ _SF01_SCALE_SENSITIVE = [
     # join only stretch past sf0.01
     "doc_span_dedup_keepone", "doc_char_span_flags",
     "doc_rerank_features",
+    # late-r9: the KMV grouped top-k, the SCD2 full-outer join and the
+    # SimHash pigeonhole band join all cross partition boundaries only
+    # past sf0.01
+    "events_kmv_distinct", "corpus_scd2_history", "dedup_simhash_pinned",
 ]
 
 

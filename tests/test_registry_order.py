@@ -440,6 +440,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   the last dedup fingerprint
                                      #   family converted to a value
                                      #   oracle
+        "doc_pretoken_stats",        # r9: BPE-ish regex pre-tokenizer
+                                     #   counts + fertility signal
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
