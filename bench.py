@@ -131,6 +131,7 @@ HEADLINE = [
     "corpus_scd2_history",      # SCD2 validity intervals
     "dedup_simhash_pinned",     # md5-pinned 60-bit SimHash pairs
     "doc_pretoken_stats",       # BPE-ish regex pre-tokenizer stats
+    "knn_ivf_pinned",           # fixed-centroid IVF probe search
 ]
 
 

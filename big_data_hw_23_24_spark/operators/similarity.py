@@ -740,3 +740,66 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.col("mmr_rank").cast("long").alias("mmr_rank"),
                       F.round("rel", 6).alias("cosine"),
                       F.round("score", 6).alias("mmr_score"))
+
+
+def ivf_topk_pinned(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_lists: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k cosine with FIXED centroids — the oracle
+    face of :func:`ivf_topk`, same schema as ``cosine_topk``.
+
+    The Lloyd/PQ fixed-centroid move applied to IVF: centroids are the
+    first ``n_lists`` corpus vectors, so list assignment, probing and
+    scoring are ALL relational JVM expressions (no sampled k-means, no
+    Arrow kernel) and a DuckDB oracle reproduces the entire dataflow —
+    assignment argmin (squared L2, list-id tiebreak, the
+    ``embedding_lloyd_round`` convention), per-query ``nprobe``
+    nearest lists, exact cosine over only the probed lists. Recall vs
+    the exact scan is a property of the geometry, identical in both
+    engines, so the face value-checks the IVF DATAFLOW exactly while
+    ``ivf_topk`` keeps the production trained-codebook path.
+
+    Scale shape identical to the production face: the n_lists-row
+    centroid table broadcasts into one argmin per corpus vector, the
+    probe join is an equi-join on list_id, and only probed lists are
+    scored — never an all-pairs scan.
+    """
+    cents = (corpus.where(F.col(id_col) < n_lists)
+             .select(F.col(id_col).cast("int").alias("list_id"),
+                     F.col(vec_col).cast("array<double>").alias("cv")))
+
+    def sq_l2(vec):
+        return F.aggregate(
+            F.zip_with(vec, "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = (c.crossJoin(F.broadcast(cents))
+                .select("neighbor_id", "v",
+                        F.struct(sq_l2(F.col("v")).alias("d"),
+                                 F.col("list_id").alias("lid")).alias("s"))
+                .groupBy("neighbor_id")
+                .agg(F.min("s").alias("b"), F.first("v").alias("v"))
+                .select("neighbor_id", F.col("b.lid").alias("list_id"),
+                        "v"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    # nprobe nearest lists per query: bounded n_lists rows per query,
+    # query-keyed window — no global funnel
+    wp = W.partitionBy("query_id").orderBy(F.col("_d"), F.col("list_id"))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .select("query_id", "qv", F.col("list_id"),
+                      sq_l2(F.col("qv")).alias("_d"))
+              .withColumn("_pr", F.row_number().over(wp))
+              .where(F.col("_pr") <= nprobe)
+              .select("query_id", "qv", "list_id"))
+    scored = (probes.join(assigned, "list_id")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("qv"), F.col("v"))
+                       / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                          * F.sqrt(_dot(F.col("v"), F.col("v")))))
+                      .alias("cosine_raw")))
+    return _rank_topk(scored, k)

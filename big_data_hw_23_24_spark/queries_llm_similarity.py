@@ -682,3 +682,68 @@ def knn_mmr_rerank(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, emb.where(F.col("vec_id") < 5),
                       k=5, pool_size=20, lam=0.7)
+
+
+# --- pinned-centroid IVF face (E139, r9) -----------------------------------------
+# The fixed-centroid move (Lloyd round, PQ codebooks) applied to the
+# LAST rows-only ANN stage: with centroids pinned to the first 16
+# corpus vectors, assignment, probing and scoring are all relational
+# and the ENTIRE IVF dataflow — argmin list assignment, nprobe=4
+# probe selection, exact cosine over probed lists only — is
+# value-checked; ivf_topk keeps the production trained-codebook path
+# (recall vs exact measured in tests).
+@register(
+    "knn_ivf_pinned",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS list_id, v AS cv FROM e WHERE vec_id < 16),
+    ad AS (
+      SELECT e.vec_id AS neighbor_id, e.v, c.list_id,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+      FROM e, c
+    ),
+    a AS (SELECT neighbor_id, v, list_id FROM (
+            SELECT neighbor_id, v, list_id,
+                   row_number() OVER (PARTITION BY neighbor_id
+                                      ORDER BY dist, list_id) AS rn
+            FROM ad) WHERE rn = 1),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    pd AS (
+      SELECT q.query_id, q.qv, c.list_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+                                     i -> (q.qv[i] - c.cv[i]) ^ 2)) AS dist
+      FROM qs q, c
+    ),
+    pr AS (SELECT query_id, qv, list_id FROM (
+             SELECT query_id, qv, list_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, list_id) AS rn
+             FROM pd) WHERE rn <= 4),
+    sc AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_cosine_similarity(p.qv, a.v) AS s
+      FROM pr p JOIN a ON a.list_id = p.list_id
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, round(s, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM sc
+    ) WHERE rank <= 10
+    """,
+    doc="IVF top-10 cosine with pinned centroids (first 16 corpus "
+        "vectors): broadcast argmin list assignment, nprobe=4 probe "
+        "equi-join, exact cosine over probed lists only — the full "
+        "IVF dataflow value-checked; the trained-codebook path stays "
+        "in ivf_topk",
+)
+def knn_ivf_pinned(spark, sf_dir):
+    from .operators.similarity import ivf_topk_pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_pinned(emb, emb.where(F.col("vec_id") < 5),
+                           k=10, n_lists=16, nprobe=4)

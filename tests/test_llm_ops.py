@@ -2270,3 +2270,65 @@ def test_pretokenize_stats_hand_checked_and_classes_total(spark):
     for r in out.values():
         assert r.n_words + r.n_numbers + r.n_contractions + r.n_punct \
             == r.n_pretokens
+
+
+# --- pinned-centroid IVF face (E139) ------------------------------------------------
+
+def test_ivf_pinned_bridges_to_production_kernel(spark, emb):
+    """The relational pinned face and the production Arrow-kernel face
+    compute the SAME result when given the same fixed centroids — the
+    bridge that lets the oracle-checked face vouch for the trained
+    path's dataflow."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.similarity import (
+        ivf_topk, ivf_topk_pinned)
+
+    cents = np.array(
+        [r.embedding for r in
+         emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()],
+        dtype=np.float64)
+    qs = emb.where(F.col("vec_id") < 5)
+    pinned = {(r.query_id, r.neighbor_id): (r.cosine, r.rank)
+              for r in ivf_topk_pinned(emb, qs, k=10, n_lists=16,
+                                       nprobe=4).collect()}
+    kernel = {(r.query_id, r.neighbor_id): (r.cosine, r.rank)
+              for r in ivf_topk(emb, qs, k=10, n_lists=16, nprobe=4,
+                                centroids=cents).collect()}
+    assert pinned == kernel
+
+
+def test_ivf_pinned_scores_only_probed_lists(spark, emb):
+    """Approximation contract: every reported neighbor sits in one of
+    the query's nprobe nearest lists (candidates are probe-pruned,
+    never an all-pairs scan)."""
+    from big_data_hw_23_24_spark.operators.similarity import ivf_topk_pinned
+
+    qs = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk_pinned(emb, qs, k=10, n_lists=16, nprobe=2)
+    # recompute assignment + probes relationally and anti-join
+    from pyspark.sql import Window as W
+    cents = (emb.where(F.col("vec_id") < 16)
+             .select(F.col("vec_id").cast("int").alias("list_id"),
+                     F.col("embedding").cast("array<double>").alias("cv")))
+    d = F.aggregate(F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, x: a + x)
+    assign = (emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").cast("array<double>").alias("v"))
+              .crossJoin(F.broadcast(cents))
+              .select("neighbor_id",
+                      F.struct(d.alias("d"), F.col("list_id").alias("lid"))
+                      .alias("s"))
+              .groupBy("neighbor_id").agg(F.min("s").alias("b"))
+              .select("neighbor_id", F.col("b.lid").alias("list_id")))
+    probes = (qs.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").cast("array<double>").alias("v"))
+              .crossJoin(F.broadcast(cents))
+              .select("query_id", "list_id", d.alias("_d"))
+              .withColumn("_r", F.row_number().over(
+                  W.partitionBy("query_id").orderBy("_d", "list_id")))
+              .where(F.col("_r") <= 2).select("query_id", "list_id"))
+    allowed = probes.join(assign, "list_id") \
+        .select("query_id", "neighbor_id")
+    stray = out.join(allowed, ["query_id", "neighbor_id"], "left_anti")
+    assert stray.count() == 0

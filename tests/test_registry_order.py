@@ -442,6 +442,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   oracle
         "doc_pretoken_stats",        # r9: BPE-ish regex pre-tokenizer
                                      #   counts + fertility signal
+        "knn_ivf_pinned",            # r9: fixed-centroid IVF — the
+                                     #   last rows-only ANN stage
+                                     #   value-checked end to end
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
