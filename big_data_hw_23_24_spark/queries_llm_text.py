@@ -1195,16 +1195,32 @@ def doc_html_extract(spark, sf_dir):
 # stride sampling — strided windows only match offset-congruent
 # copies) flags it with an alignment-independent >= 27-shared-chars
 # guarantee, riding the same inverted-index shape as every dedup face.
+def _char_poly_sql(b: int, m: int, k: int = 20) -> str:
+    """Nested Rabin-Karp polynomial over the char-code list ``cs`` at
+    1-based position ``i`` — the DuckDB mirror of the operator's
+    fold (mod applied every step, so every intermediate fits BIGINT;
+    the seed is cast so DuckDB types the whole nest BIGINT, not
+    INT32 — an INT32 accumulator overflows at the first multiply)."""
+    expr = "0::BIGINT"
+    for j in range(k):
+        expr = f"(({expr}) * {b} + cs[i+{j}]) % {m}"
+    return expr
+
+
 @register(
     "doc_char_span_flags",
-    """
+    f"""
     WITH g AS (
       SELECT doc_id,
-             CASE WHEN length(text) >= 20 THEN
-               list_transform(range(1, length(text) - 20 + 2),
-                 i -> substr(md5(substr(text, i, 20)), 1, 16))
-             ELSE CAST([] AS VARCHAR[]) END AS grams
-      FROM documents
+             CASE WHEN len(cs) >= 20 THEN
+               list_transform(range(1, len(cs) - 20 + 2),
+                 i -> ({_char_poly_sql(257, 2147483647)})::BIGINT
+                      * 2147483648 + ({_char_poly_sql(263, 2147483629)}))
+             ELSE CAST([] AS BIGINT[]) END AS grams
+      FROM (SELECT doc_id,
+                   list_transform(string_split(text, ''),
+                                  c -> ascii(c)) AS cs
+            FROM documents)
     ),
     s AS (
       SELECT doc_id, len(grams)::BIGINT AS n_grams,
@@ -1214,7 +1230,7 @@ def doc_html_extract(spark, sf_dir):
                    list_transform(range(1, len(grams) - 8 + 2),
                                   j -> list_min(grams[j:j+7])))
                WHEN len(grams) >= 1 THEN [list_min(grams)]
-               ELSE CAST([] AS VARCHAR[]) END AS sel
+               ELSE CAST([] AS BIGINT[]) END AS sel
       FROM g
     ),
     pos AS (SELECT doc_id, unnest(sel) AS h FROM s),
@@ -1234,7 +1250,8 @@ def doc_html_extract(spark, sf_dir):
     FROM s LEFT JOIN fl ON s.doc_id = fl.doc_id
     """,
     doc="char-granularity repeated-substring flags: winnowed char "
-        "20-gram fingerprints (window-8 minima, alignment-independent "
+        "20-gram double-polynomial fingerprints (window-8 minima, "
+        "alignment-independent "
         ">= 27-char guarantee) mined for >= 2-doc sharing; catches "
         "sub-word repetition (minified JS, base64) word-gram faces "
         "miss; one HOF projection + inverted-index join",
