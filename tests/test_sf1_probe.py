@@ -50,6 +50,9 @@ PROBES = [
     "knn_mmr_rerank",            # bounded pool + k unrolled greedy steps
     "dedup_minhash_lsh",         # xxhash64 production LSH face
     "dedup_incremental_minhash",  # batch-vs-signature-store join
+    # r9 heavy faces
+    "dedup_simhash_pinned",      # pigeonhole band self-join (md5 family)
+    "doc_char_span_flags",       # Arrow winnow kernel + inverted index
 ]
 
 
