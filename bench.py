@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_simhash_pinned",     # md5-pinned 60-bit SimHash pairs
     "doc_pretoken_stats",       # BPE-ish regex pre-tokenizer stats
     "knn_ivf_pinned",           # fixed-centroid IVF probe search
+    "dedup_eval_minhash",       # banded-MinHash vs exact confusion
 ]
 
 

@@ -1198,3 +1198,113 @@ def dedup_simhash_pinned(spark, sf_dir):
                                   max_hamming=3, hash_family="md5")
     return out.select("id_a", "id_b",
                       F.col("hamming").cast("long").alias("hamming"))
+
+
+# --- dedup-face evaluation report (E140, r9) ------------------------------------
+# The meta-face every production dedup rollout needs before trusting an
+# approximate family: banded-MinHash predictions scored against EXACT
+# Jaccard ground truth on the same salted corpus — TP/FP/FN, precision,
+# recall in ONE row. Composable here because both sides are already
+# value-checked faces (E14 exact pairs, E76 md5 banded LSH), so the
+# oracle is their CTE composition; disagreements near the threshold are
+# the real signature-estimate-vs-true-Jaccard error being measured, not
+# engine noise (both engines compute both sides identically).
+@register(
+    "dedup_eval_minhash",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz1 zz2 zz3'
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    {_md5_minhash_sig_cte("all_docs")},
+    szs AS (SELECT doc_id, count(*) AS sz FROM shg GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM shg a JOIN shg b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN szs sa ON sa.doc_id = id_a
+      JOIN szs sb ON sb.doc_id = id_b
+      WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.5
+    ),
+    pred AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round({_EST_JACCARD}, 6) AS est
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id AND ({_BAND_COLLIDE}))
+      WHERE est >= 0.5
+    ),
+    m AS (
+      SELECT t.id_a IS NOT NULL AS in_truth,
+             p.id_a IS NOT NULL AS in_pred
+      FROM truth t FULL OUTER JOIN pred p
+        ON t.id_a = p.id_a AND t.id_b = p.id_b
+    )
+    SELECT sum(CASE WHEN in_truth THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+           sum(CASE WHEN in_pred THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+           sum(CASE WHEN in_truth AND in_pred THEN 1 ELSE 0 END)::BIGINT
+             AS tp,
+           sum(CASE WHEN in_pred AND NOT in_truth THEN 1 ELSE 0 END)::BIGINT
+             AS fp,
+           sum(CASE WHEN in_truth AND NOT in_pred THEN 1 ELSE 0 END)::BIGINT
+             AS fn,
+           round(sum(CASE WHEN in_truth AND in_pred THEN 1 ELSE 0 END)
+                 * 1.0 / greatest(sum(CASE WHEN in_pred THEN 1 ELSE 0 END),
+                                  1), 6) AS precision,
+           round(sum(CASE WHEN in_truth AND in_pred THEN 1 ELSE 0 END)
+                 * 1.0 / greatest(sum(CASE WHEN in_truth THEN 1 ELSE 0 END),
+                                  1), 6) AS recall
+    FROM m
+    """,
+    doc="dedup-face evaluation: banded md5-MinHash predictions vs "
+        "exact-Jaccard ground truth on the same salted corpus -> "
+        "TP/FP/FN + precision/recall in one row; the rollout gate "
+        "report composed from two value-checked faces",
+)
+def dedup_eval_minhash(spark, sf_dir):
+    from .operators.dedup import (
+        exact_jaccard_pairs, lsh_candidate_pairs, minhash_signature,
+        word_shingles)
+    from .operators.util import ensure_fanout
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.concat("text", F.lit(" zz1 zz2 zz3")).alias("text")))
+    salted = docs.unionAll(copies)
+    truth = (exact_jaccard_pairs(salted, threshold=0.5)
+             .select("id_a", "id_b", F.lit(True).alias("_t")))
+    signed = (minhash_signature(word_shingles(ensure_fanout(salted)),
+                                hash_family="md5")
+              .where(F.size("shingles") > 0)
+              .select("doc_id", "signature")
+              .localCheckpoint(eager=True))
+    pairs = lsh_candidate_pairs(signed, bands=8)
+    sa = signed.select(F.col("doc_id").alias("id_a"),
+                       F.col("signature").alias("_sig_a"))
+    sb = signed.select(F.col("doc_id").alias("id_b"),
+                       F.col("signature").alias("_sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+        lambda m: m))
+    pred = (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(agree / F.size("_sig_a"), 6).alias("_est"))
+            .where(F.col("_est") >= 0.5)
+            .select("id_a", "id_b", F.lit(True).alias("_p")))
+    m = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    t = F.coalesce("_t", F.lit(False))
+    p = F.coalesce("_p", F.lit(False))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    tp, n_t, n_p = cnt(t & p), cnt(t), cnt(p)
+    return m.agg(
+        n_t.alias("n_truth"), n_p.alias("n_pred"), tp.alias("tp"),
+        cnt(p & ~t).alias("fp"), cnt(t & ~p).alias("fn"),
+        F.round(tp / F.greatest(n_p, F.lit(1)), 6).alias("precision"),
+        F.round(tp / F.greatest(n_t, F.lit(1)), 6).alias("recall"))

@@ -2332,3 +2332,23 @@ def test_ivf_pinned_scores_only_probed_lists(spark, emb):
         .select("query_id", "neighbor_id")
     stray = out.join(allowed, ["query_id", "neighbor_id"], "left_anti")
     assert stray.count() == 0
+
+
+# --- dedup-face evaluation report (E140) ---------------------------------------------
+
+def test_dedup_eval_confusion_identities_and_planted_pair(spark):
+    """On a tiny corpus with one certain duplicate pair: identical
+    docs MUST collide (identical signatures) and score TP; the
+    confusion identities tp+fn == n_truth, tp+fp == n_pred hold; at
+    sf0.001 the salted-corpus report is non-vacuous and its metrics
+    stay in [0, 1]."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    r = (_REGISTRY["dedup_eval_minhash"]
+         .spark_fn(spark, "/root/testdata/sf0.001").collect()[0])
+    assert r.tp + r.fn == r.n_truth
+    assert r.tp + r.fp == r.n_pred
+    assert r.n_truth > 0                      # planted pairs exist
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    assert r.recall >= 0.9                    # banding catches J≈0.95 salt

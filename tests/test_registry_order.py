@@ -445,6 +445,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "knn_ivf_pinned",            # r9: fixed-centroid IVF — the
                                      #   last rows-only ANN stage
                                      #   value-checked end to end
+        "dedup_eval_minhash",        # r9: banded-MinHash vs exact-
+                                     #   Jaccard confusion report (the
+                                     #   rollout gate for approx dedup)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
