@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_pretoken_stats",       # BPE-ish regex pre-tokenizer stats
     "knn_ivf_pinned",           # fixed-centroid IVF probe search
     "dedup_eval_minhash",       # banded-MinHash vs exact confusion
+    "events_trending_items",    # time-decayed trending top-20
 ]
 
 

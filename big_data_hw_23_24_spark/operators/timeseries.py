@@ -170,3 +170,48 @@ def session_paths(events: DataFrame, gap_minutes: int = 30,
                .alias("path")))
     return (per.groupBy("path")
             .agg(F.count("*").cast("long").alias("n_sessions")))
+
+
+def trending_items(events: DataFrame, item_col: str = "item",
+                   ts_col: str = "ts", k: int = 20,
+                   max_decay_days: int = 19) -> DataFrame:
+    """Time-decayed trending items → top-``k`` ``(item, n_events,
+    decayed_micros)`` by exponentially decayed event counts
+    (half-life = one day).
+
+    The freshness-weighted complement of the plain frequent-items
+    faces: yesterday's spike outranks last week's steady drip. The
+    decay weight is deliberately INTEGER MICROS — each event
+    contributes ``floor(1e6 / 2^days_ago)`` (0 past
+    ``max_decay_days``, where the contribution is sub-micro anyway) —
+    so the score is an exact integer sum: no float summation, no
+    cross-engine ulp, no pow() library variance. Days are integer
+    day-numbers off the µs tick (``ticks_us``), and "now" is the
+    corpus max day, riding the plan as a 1-row broadcast aggregate
+    (the IdentityBroadcast pattern — the operator stays lazy).
+
+    One narrow map + one hash aggregate + TakeOrderedAndProject;
+    output is totally ordered by (decayed desc, item) so the top-k
+    SET is deterministic even at the boundary.
+    """
+    day = F.floor(ticks_us(events, ts_col) / F.lit(86_400_000_000)) \
+        .cast("long")
+    base = (events.where(F.col(item_col).isNotNull())
+            .select(F.col(item_col).alias("item"), day.alias("_day")))
+    ref = base.agg(F.max("_day").alias("_ref"))
+    d = F.col("_ref") - F.col("_day")
+    # 2^d via pow on a capped exponent: exactly representable doubles
+    # for every d <= max_decay_days, so the floor'd quotient is the
+    # identical integer in both engines (shiftleft would be the
+    # natural form but takes only a literal bit count)
+    denom = F.pow(F.lit(2.0), F.least(d, F.lit(max_decay_days)))
+    w = F.when(d <= max_decay_days,
+               F.floor(F.lit(1_000_000) / denom)).otherwise(F.lit(0)) \
+        .cast("long")
+    return (base.crossJoin(F.broadcast(ref))
+            .select("item", w.alias("_w"))
+            .groupBy("item")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum("_w").cast("long").alias("decayed_micros"))
+            .orderBy(F.col("decayed_micros").desc(), "item")
+            .limit(k))

@@ -1994,3 +1994,48 @@ def corpus_scd2_history(spark, sf_dir):
                           F.concat(F.col("text"), F.lit(" rewritten")))
                    .otherwise(F.col("text")).alias("text")))
     return scd2_history(old, new)
+
+
+# --- time-decayed trending items (E141, r9) --------------------------------------
+# Freshness-weighted frequent items: integer-micro decay weights
+# (floor(1e6/2^days_ago), half-life one day) make the score an EXACT
+# integer sum — no float summation, no pow() library variance; "now"
+# is the corpus max day on a 1-row broadcast.
+@register(
+    "events_trending_items",
+    """
+    WITH b AS (
+      SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS item,
+             (epoch_ns(ts) // 1000) // 86400000000 AS day
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL
+    ),
+    r AS (SELECT max(day) AS ref FROM b),
+    w AS (
+      SELECT item,
+             CASE WHEN ref - day <= 19
+                  THEN CAST(floor(1000000 /
+                         power(2, least(ref - day, 19))) AS BIGINT)
+                  ELSE 0 END AS wt
+      FROM b CROSS JOIN r
+    )
+    SELECT item, count(*)::BIGINT AS n_events,
+           sum(wt)::BIGINT AS decayed_micros
+    FROM w GROUP BY item
+    ORDER BY decayed_micros DESC, item
+    LIMIT 20
+    """,
+    doc="time-decayed trending items (half-life 1 day): exact "
+        "integer-micro decay weights summed per item, corpus max day "
+        "as the 1-row broadcast reference, top-20 by decayed score -- "
+        "yesterday's spike outranks last week's drip",
+)
+def events_trending_items(spark, sf_dir):
+    from .operators.timeseries import trending_items
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select(F.get_json_object("props", "$.k").try_cast("long")
+                  .alias("item"), "ts"))
+    return trending_items(ev, k=20)

@@ -2352,3 +2352,26 @@ def test_dedup_eval_confusion_identities_and_planted_pair(spark):
     assert r.n_truth > 0                      # planted pairs exist
     assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
     assert r.recall >= 0.9                    # banding catches J≈0.95 salt
+
+
+# --- time-decayed trending items (E141) ------------------------------------------------
+
+def test_trending_items_decay_arithmetic_and_freshness_order(spark):
+    """Hand-computed decayed scores: an item with 3 events today beats
+    one with 20 events a week ago; weights are exact integer micros
+    (1e6 >> days); items past the decay horizon contribute zero."""
+    from big_data_hw_23_24_spark.operators.timeseries import trending_items
+
+    D = 86_400_000_000  # one day of microseconds
+    now = 1_700_000_000_000_000
+    rows = ([("fresh", now), ("fresh", now - 1), ("fresh", now - 2)]
+            + [("stale", now - 7 * D + i) for i in range(20)]
+            + [("ancient", now - 30 * D)])
+    df = spark.createDataFrame(rows, "item string, ts long")
+    out = {r.item: r for r in trending_items(df, k=10).collect()}
+    assert out["fresh"].decayed_micros == 3_000_000       # 3 x 1e6
+    assert out["stale"].decayed_micros == 20 * 7812       # floor(1e6/128)
+    assert out["ancient"].decayed_micros == 0             # past horizon
+    ordered = [r.item for r in sorted(out.values(),
+               key=lambda r: (-r.decayed_micros, r.item))]
+    assert ordered == ["fresh", "stale", "ancient"]

@@ -418,6 +418,7 @@ _CARTESIAN_ALLOWLIST = {
     "parts_above_avg_revenue_bloom",  # bloom bitmap scalar probe
     "dedup_incremental_bloom",       # bloom bitmap scalar probe
     "corpus_epoch_schedule",         # 1-row weight-total broadcast
+    "events_trending_items",         # 1-row corpus-max-day broadcast
     "orders_market_basket",          # 1-row basket-count broadcast
                                      #   (was an eager driver count —
                                      #   folded into the plan in r9)
@@ -426,6 +427,8 @@ _CARTESIAN_ALLOWLIST = {
     "streaming_spacesaving_topk",    # merged-sketch threshold (1 row)
     "embedding_nearest_centroid",    # k-row centroid table broadcast
     "embedding_lloyd_round",         # k-row centroid table broadcast
+    "knn_ivf_pinned",                # 16-row pinned centroid broadcast
+                                     #   (assignment + probe argmins)
     # (b) bounded query-set brute-force ANN faces
     "knn_cosine_bruteforce",         # exact baseline, LIMITed queries
     "knn_cosine_quantized",          # int8 face of the same baseline

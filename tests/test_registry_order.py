@@ -448,6 +448,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "dedup_eval_minhash",        # r9: banded-MinHash vs exact-
                                      #   Jaccard confusion report (the
                                      #   rollout gate for approx dedup)
+        "events_trending_items",     # r9: time-decayed trending items
+                                     #   (exact integer-micro decay)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
