@@ -132,7 +132,12 @@ HEADLINE = [
     "dedup_simhash_pinned",     # md5-pinned 60-bit SimHash pairs
     "doc_pretoken_stats",       # BPE-ish regex pre-tokenizer stats
     "knn_ivf_pinned",           # fixed-centroid IVF probe search
-    "dedup_eval_minhash",       # banded-MinHash vs exact confusion
+    # dedup_eval_minhash is deliberately NOT benched: its ground-truth
+    # side is the EXACT all-pairs Jaccard (definitionally the
+    # non-scale-path form, run once per rollout as a gate, 7.5 s at
+    # sf0.1) — benching it as a recurring data-path op would
+    # misrepresent the perf surface; both constituent faces are
+    # benched on their own
     "events_trending_items",    # time-decayed trending top-20
 ]
 
