@@ -139,6 +139,8 @@ HEADLINE = [
     # misrepresent the perf surface; both constituent faces are
     # benched on their own
     "events_trending_items",    # time-decayed trending top-20
+    "events_value_percentiles",  # exact interpolated p50/p90/p99
+    "events_item_triangles",    # degree-ordered triangle counting
 ]
 
 

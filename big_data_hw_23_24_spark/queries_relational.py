@@ -1599,3 +1599,133 @@ def user_retention_cohorts(spark, sf_dir):
     from .operators.funnel import retention_cohorts
 
     return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+# --- exact interpolated percentiles per group (E142, r9) -----------------------
+# The built-in exact-percentile aggregate joins the quantile surface
+# beside the UDAF median (A-UDAF face) and the rank-spine ntiles (the
+# 100 TB path): Spark's percentile() and DuckDB's quantile_cont()
+# share the type-7 linear-interpolation formula, verified to the last
+# double ulp BEFORE this oracle was written (DECIMAL inputs truncate in
+# DuckDB — the probe casts to DOUBLE, which events.value already is).
+# Exact percentile buffers per-group value counts, so this face is for
+# BOUNDED group counts (5 event types); unbounded-cardinality quantile
+# work belongs on the rank spine.
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="exact interpolated p50/p90/p99 of value per event_type via "
+        "the built-in percentile aggregate (type-7 interpolation, "
+        "engine-identical on doubles); bounded group count -- the "
+        "rank-spine faces carry unbounded-cardinality quantiles",
+)
+def events_value_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99")))
+
+
+# --- degree-ordered triangle counting (E143, r9) --------------------------------
+# Community structure on the co-occurrence graph: per-item triangle
+# participation + local clustering coefficient. The canonical
+# distributed triangle algorithm — orient every edge from its
+# (degree, id)-smaller endpoint, so each triangle appears exactly once
+# as wedge(u->v, u->w) + edge(v->w) and wedge fan-out is bounded by
+# out-degree O(sqrt(E)) no matter how skewed the raw hubs are.
+@register(
+    "events_item_triangles",
+    """
+    WITH ui AS (
+      SELECT user_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               AS item,
+             count(*) AS n
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, item) AS rk
+        FROM ui)
+      WHERE rk <= 20
+    ),
+    edges AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT item, count(*)::BIGINT AS degree FROM (
+        SELECT item_a AS item FROM edges
+        UNION ALL SELECT item_b FROM edges)
+      GROUP BY item
+    ),
+    ed AS (
+      SELECT e.item_a, e.item_b, da.degree AS dega, db.degree AS degb
+      FROM edges e
+      JOIN deg da ON da.item = e.item_a
+      JOIN deg db ON db.item = e.item_b
+    ),
+    o AS (
+      SELECT CASE WHEN dega < degb OR (dega = degb AND item_a < item_b)
+                  THEN item_a ELSE item_b END AS src,
+             CASE WHEN dega < degb OR (dega = degb AND item_a < item_b)
+                  THEN item_b ELSE item_a END AS dst,
+             CASE WHEN dega < degb OR (dega = degb AND item_a < item_b)
+                  THEN degb ELSE dega END AS ddeg
+      FROM ed
+    ),
+    wg AS (
+      SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+      FROM o o1 JOIN o o2
+        ON o1.src = o2.src
+       AND (o1.ddeg < o2.ddeg
+            OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))
+    ),
+    tri AS (
+      SELECT u, v, w FROM wg JOIN o ON o.src = wg.v AND o.dst = wg.w
+    ),
+    per AS (
+      SELECT item, count(*)::BIGINT AS n_triangles FROM (
+        SELECT u AS item FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      GROUP BY item
+    )
+    SELECT deg.item, deg.degree,
+           coalesce(per.n_triangles, 0)::BIGINT AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * coalesce(per.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN per ON per.item = deg.item
+    """,
+    doc="per-item triangle count + local clustering coefficient over "
+        "the capped co-occurrence graph via degree-ordered orientation "
+        "(each triangle counted once as wedge + closing edge, wedge "
+        "fan-out bounded by out-degree O(sqrt(E)) under any hub skew)",
+)
+def events_item_triangles(spark, sf_dir):
+    from .operators.graph import item_triangles
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.get_json_object("props", "$.k").try_cast("long")
+                  .alias("item")))
+    return item_triangles(ev)

@@ -221,3 +221,43 @@ def test_session_paths_islands_depth_and_ties(spark):
     out = {r.path: r.n_sessions
            for r in session_paths(ev, gap_minutes=30, depth=3).collect()}
     assert out == {"a>b>c": 1, "b>a": 1, "x": 1, "y>z": 1}
+
+
+# --- degree-ordered triangle counting (E143) -----------------------------------
+
+def test_item_triangles_hand_graph(spark):
+    """Planted graph: items 10-11-12 form one triangle (each pair
+    shared by two users), item 13 hangs off 10 with no closure —
+    exact degrees, triangle counts and clustering coefficients."""
+    from big_data_hw_23_24_spark.operators.graph import item_triangles
+
+    rows = []
+    for u in (1, 2):                       # triangle 10-11-12
+        rows += [(u, 10), (u, 11), (u, 12)]
+    for u in (3, 4):                       # pendant edge 10-13
+        rows += [(u, 10), (u, 13)]
+    ev = spark.createDataFrame(rows, "user_id long, item long")
+    out = {r.item: r for r in item_triangles(ev).collect()}
+    assert {i: r.degree for i, r in out.items()} == \
+        {10: 3, 11: 2, 12: 2, 13: 1}
+    assert {i: r.n_triangles for i, r in out.items()} == \
+        {10: 1, 11: 1, 12: 1, 13: 0}
+    assert out[10].clustering == 0.333333  # 2*1/(3*2)
+    assert out[11].clustering == 1.0 and out[12].clustering == 1.0
+    assert out[13].clustering == 0.0
+
+
+def test_item_triangles_counts_each_triangle_once(spark):
+    """K4: every edge present -> 4 triangles total, each node in 3;
+    the oriented wedge+closure must not double-count under equal
+    degrees (id tiebreak)."""
+    from big_data_hw_23_24_spark.operators.graph import item_triangles
+
+    rows = []
+    for u in (1, 2):                       # all 6 pairs shared twice
+        rows += [(u, 1), (u, 2), (u, 3), (u, 4)]
+    ev = spark.createDataFrame(rows, "user_id long, item long")
+    out = {r.item: r for r in item_triangles(ev).collect()}
+    assert all(r.degree == 3 for r in out.values())
+    assert all(r.n_triangles == 3 for r in out.values())
+    assert all(r.clustering == 1.0 for r in out.values())

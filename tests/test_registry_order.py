@@ -450,6 +450,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   rollout gate for approx dedup)
         "events_trending_items",     # r9: time-decayed trending items
                                      #   (exact integer-micro decay)
+        "events_value_percentiles",  # r9: built-in exact interpolated
+                                     #   percentile aggregate face
+        "events_item_triangles",     # r9: degree-ordered triangle
+                                     #   counting + clustering coeff
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
