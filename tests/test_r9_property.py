@@ -1,0 +1,148 @@
+"""Property tests for the r9 operator tier: on random inputs the
+distributed plans must match pure-Python reference semantics exactly
+(trending decay, KMV merge, triangle counts) or respect their stated
+guarantees (winnowing co-selection, keep-one ⊆ strip-all). Example
+counts are kept small — every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+# --- E141: time-decayed trending --------------------------------------------
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),   # item
+              st.integers(0, 25)),                # days before "now"
+    min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_trending_matches_python_reference(spark, rows):
+    from big_data_hw_23_24_spark.operators.timeseries import trending_items
+
+    D = 86_400_000_000
+    now = 1_700_000_000_000_000
+    df = spark.createDataFrame([(it, now - d * D) for it, d in rows],
+                               "item string, ts long")
+    got = {r.item: (r.n_events, r.decayed_micros)
+           for r in trending_items(df, k=10).collect()}
+    # the operator's "now" is the corpus max day = the event with the
+    # SMALLEST days-before offset
+    dmin = min(d for _, d in rows)
+    want: dict[str, tuple[int, int]] = {}
+    for it, d in rows:
+        ago = d - dmin
+        w = 1_000_000 // (2 ** ago) if ago <= 19 else 0
+        n, s = want.get(it, (0, 0))
+        want[it] = (n + 1, s + w)
+    assert got == want
+
+
+# --- E135: KMV sketch mergeability -------------------------------------------
+
+@given(items=st.lists(st.integers(0, 500), min_size=1, max_size=120),
+       cut=st.integers(0, 120))
+@settings(**_SETTINGS)
+def test_kmv_merge_equals_whole_on_random_splits(spark, items, cut):
+    from big_data_hw_23_24_spark.operators.frequent import (
+        kmv_merge, kmv_sketch)
+
+    # a sentinel row in BOTH slices (and the whole) keeps every input
+    # non-empty for any random cut without changing set semantics
+    def frame(xs):
+        return spark.createDataFrame(
+            [("g", str(x)) for x in xs] + [("g", "-sentinel-")],
+            "grp string, item string")
+
+    merged = sorted(r.h for r in kmv_merge(
+        kmv_sketch(frame(items[:cut]), "item", "grp", k=16),
+        kmv_sketch(frame(items[cut:]), "item", "grp", k=16),
+        k=16).collect())
+    whole = sorted(r.h for r in
+                   kmv_sketch(frame(items), "item", "grp", k=16).collect())
+    assert merged == whole
+
+
+# --- E131: keep-one is a per-doc subset of strip-all ---------------------------
+
+_texts = st.lists(
+    st.lists(st.sampled_from(["w%d" % i for i in range(12)]),
+             min_size=0, max_size=14).map(" ".join),
+    min_size=2, max_size=5)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_keepone_removes_subset_of_stripall(spark, texts):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        remove_repeated_spans, remove_repeated_spans_keepone)
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    strip = {r.doc_id: r.n_removed for r in
+             remove_repeated_spans(docs, n=3, min_docs=2).collect()}
+    keep = {r.doc_id: r.n_removed for r in
+            remove_repeated_spans_keepone(docs, n=3, min_docs=2).collect()}
+    for d in strip:
+        assert keep[d] <= strip[d]
+        if strip[d] == 0:
+            assert keep[d] == 0
+
+
+# --- E132: winnowing co-selection guarantee -------------------------------------
+
+@given(blob=st.text(alphabet="abcdefgh", min_size=27, max_size=40),
+       off1=st.integers(0, 15), off2=st.integers(0, 15))
+@settings(**_SETTINGS)
+def test_char_winnow_coselects_any_shared_27_run(spark, blob, off1, off2):
+    """The published guarantee: a shared run of >= w+k-1 = 27 chars
+    co-selects at least one fingerprint in both docs, at ANY pair of
+    offsets (prefixes drawn from a DISJOINT alphabet so the planted
+    run is the only shared content)."""
+    from big_data_hw_23_24_spark.operators.textstats import char_span_flags
+
+    d1 = "X" * off1 + blob + " one tail here."
+    d2 = "Y" * off2 + blob + " other ending!!"
+    docs = spark.createDataFrame([(1, d1), (2, d2)],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in char_span_flags(docs).collect()}
+    assert out[1].n_flagged >= 1
+    assert out[2].n_flagged >= 1
+
+
+# --- E143: triangles match brute force ------------------------------------------
+
+@given(baskets=st.lists(
+    st.sets(st.integers(0, 7), min_size=2, max_size=4),
+    min_size=2, max_size=8))
+@settings(**_SETTINGS)
+def test_triangles_match_bruteforce(spark, baskets):
+    from big_data_hw_23_24_spark.operators.graph import item_triangles
+
+    rows = [(u, it) for u, b in enumerate(baskets) for it in b]
+    ev = spark.createDataFrame(rows, "user_id long, item long")
+    got = {r.item: (r.degree, r.n_triangles)
+           for r in item_triangles(ev, cap=20, min_co=2).collect()}
+    # brute force: edge iff >= 2 users share the pair (cap never binds
+    # at basket size <= 4)
+    from collections import Counter
+    pair_users = Counter()
+    for b in baskets:
+        for x, y in combinations(sorted(b), 2):
+            pair_users[(x, y)] += 1
+    edges = {p for p, n in pair_users.items() if n >= 2}
+    nodes = {v for e in edges for v in e}
+    deg = {v: sum(v in e for e in edges) for v in nodes}
+    tri = {v: 0 for v in nodes}
+    for a, b_, c in combinations(sorted(nodes), 3):
+        if {(a, b_), (b_, c), (a, c)} <= edges:
+            tri[a] += 1
+            tri[b_] += 1
+            tri[c] += 1
+    assert got == {v: (deg[v], tri[v]) for v in nodes}
