@@ -141,6 +141,7 @@ HEADLINE = [
     "events_trending_items",    # time-decayed trending top-20
     "events_value_percentiles",  # exact interpolated p50/p90/p99
     "events_item_triangles",    # degree-ordered triangle counting
+    "frequent_users_cms_pinned",  # md5-pinned CMS estimates
 ]
 
 

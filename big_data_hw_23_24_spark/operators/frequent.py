@@ -57,8 +57,28 @@ def annotate_truth(estimated: DataFrame, true_frequent: DataFrame,
             .drop("_true_item"))
 
 
+def _cms_bucket(row_col, item_col, width: int, hash_family: str):
+    """Bucket expression for one CMS vote — the hash family is part of
+    the sketch's identity (a probe with the wrong family under-counts,
+    silently breaking the one-sided guarantee), so it is carried ON
+    the sketch like depth/width and resolved here for both the build
+    and the probe. ``md5`` is the E76 engine-portable family: bucket =
+    first-8-hex-of-md5("row:item") mod width, reproducible in any
+    md5-bearing engine — the family a full value oracle runs on."""
+    if hash_family == "md5":
+        key = F.concat(row_col.cast("string"), F.lit(":"),
+                       item_col.cast("string"))
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return F.pmod(h, F.lit(width))
+    if hash_family != "xxhash64":
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', "
+                         f"got {hash_family!r}")
+    return F.pmod(F.xxhash64(row_col, item_col), F.lit(width))
+
+
 def cms_table(items: DataFrame, item_col: str, depth: int = 5,
-              width: int = 2048) -> DataFrame:
+              width: int = 2048,
+              hash_family: str = "xxhash64") -> DataFrame:
     """Count-min sketch as a ``(row, bucket, cnt)`` DataFrame.
 
     The idiomatic-Spark alternative to sticky sampling named in SURVEY
@@ -83,22 +103,27 @@ def cms_table(items: DataFrame, item_col: str, depth: int = 5,
     d = items.select(
         F.col(item_col).alias("_item"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
-    return (d.groupBy("row",
-                      F.pmod(F.xxhash64("row", "_item"),
-                             F.lit(width)).alias("bucket"))
+    bucket = _cms_bucket(F.col("row"), F.col("_item"), width, hash_family)
+    return (d.groupBy("row", bucket.alias("bucket"))
             .agg(F.count("*").alias("cnt"))
-            .withColumns({"depth": F.lit(depth), "width": F.lit(width)}))
+            .withColumns({"depth": F.lit(depth), "width": F.lit(width),
+                          "family": F.lit(hash_family)}))
 
 
-def _cms_geometry(sketch: DataFrame) -> tuple[int, int]:
-    """Read the (depth, width) carried by the sketch; O(1) driver pull."""
+def _cms_geometry(sketch: DataFrame) -> tuple[int, int, str]:
+    """Read the (depth, width, family) carried by the sketch; O(1)
+    driver pull. Sketches built before the family column existed read
+    as the xxhash64 default."""
     if "depth" not in sketch.columns or "width" not in sketch.columns:
         raise ValueError("not a CMS sketch: missing depth/width columns "
                          "(build it with cms_table)")
-    row = sketch.select("depth", "width").first()
+    has_fam = "family" in sketch.columns
+    cols = ["depth", "width"] + (["family"] if has_fam else [])
+    row = sketch.select(*cols).first()
     if row is None:
         raise ValueError("empty CMS sketch: geometry unknown")
-    return row["depth"], row["width"]
+    return (row["depth"], row["width"],
+            row["family"] if has_fam else "xxhash64")
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -111,12 +136,13 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     if len(geoms) > 1:
         raise ValueError(f"cannot merge CMS sketches of different "
                          f"geometries: {sorted(geoms)}")
-    (depth, width), = geoms
-    merged = sketches[0]
+    (depth, width, family), = geoms
+    merged = sketches[0].select("row", "bucket", "cnt")
     for s in sketches[1:]:
-        merged = merged.unionByName(s)
+        merged = merged.unionByName(s.select("row", "bucket", "cnt"))
     return (merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
-            .withColumns({"depth": F.lit(depth), "width": F.lit(width)}))
+            .withColumns({"depth": F.lit(depth), "width": F.lit(width),
+                          "family": F.lit(family)}))
 
 
 def cms_estimate(sketch: DataFrame, candidates: DataFrame,
@@ -130,13 +156,14 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
     depth·width rows *by construction*, so it is always broadcast: the
     probe is a map-side join however many candidates stream through.
     """
-    depth, width = _cms_geometry(sketch)
+    depth, width, family = _cms_geometry(sketch)
     cand = (candidates.select(F.col(item_col).alias("item")).distinct()
             .select("item",
                     F.explode(F.sequence(F.lit(0),
                                          F.lit(depth - 1))).alias("row"))
             .withColumn("bucket",
-                        F.pmod(F.xxhash64("row", "item"), F.lit(width))))
+                        _cms_bucket(F.col("row"), F.col("item"),
+                                    width, family)))
     return (cand.join(F.broadcast(sketch.select("row", "bucket", "cnt")),
                       ["row", "bucket"], "left")
             .groupBy("item")

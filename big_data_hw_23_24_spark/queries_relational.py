@@ -378,6 +378,64 @@ def frequent_users_cms(spark, sf_dir):
                     .alias("est_ge_true")))
 
 
+# The md5-pinned sibling completing the sketch-family story (KMV
+# value-checked, HLL documented-engine-private, CMS now pinned): with
+# bucket = md5("row:item") % width both engines build the IDENTICAL
+# depth x width table and probe it identically, so every ESTIMATE is
+# value-checked — not just the guarantee flags — and the per-item
+# overcount (est - exact >= 0, the one-sided error itself) is part of
+# the compared values.
+@register(
+    "frequent_users_cms_pinned",
+    """
+    WITH items AS (SELECT user_id AS item FROM events),
+    tab AS (
+      SELECT t.row,
+             ('0x' || substr(md5(t.row::VARCHAR || ':'
+                                 || item::VARCHAR), 1, 8))::BIGINT
+               % 2048 AS bucket,
+             count(*) AS cnt
+      FROM items CROSS JOIN unnest([0, 1, 2, 3, 4]) AS t(row)
+      GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT item FROM items),
+    probe AS (
+      SELECT c.item, min(coalesce(tab.cnt, 0))::BIGINT AS est
+      FROM cand c
+      CROSS JOIN unnest([0, 1, 2, 3, 4]) AS t(row)
+      LEFT JOIN tab
+        ON tab.row = t.row
+       AND tab.bucket = ('0x' || substr(md5(t.row::VARCHAR || ':'
+                             || c.item::VARCHAR), 1, 8))::BIGINT % 2048
+      GROUP BY c.item
+    ),
+    ex AS (SELECT item, count(*)::BIGINT AS exact FROM items
+           GROUP BY item)
+    SELECT p.item, p.est, ex.exact,
+           (p.est - ex.exact)::BIGINT AS overcount
+    FROM probe p JOIN ex USING (item)
+    """,
+    doc="md5-pinned count-min sketch (depth 5 x width 2048): the "
+        "sketch table and every point estimate are value-checked "
+        "across engines, including the per-item one-sided overcount "
+        "(est - exact >= 0); completes the pinned sketch family "
+        "beside KMV",
+)
+def frequent_users_cms_pinned(spark, sf_dir):
+    from .operators.frequent import cms_estimate, cms_table
+
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("item"))
+    sketch = cms_table(e, "item", hash_family="md5")
+    est = cms_estimate(sketch, e, "item")
+    exact = e.groupBy("item").agg(F.count("*").cast("long").alias("exact"))
+    return (est.join(exact, "item")
+            .select("item", F.col("est").cast("long").alias("est"),
+                    "exact",
+                    (F.col("est") - F.col("exact")).cast("long")
+                    .alias("overcount")))
+
+
+
 # --- stratified sampling (sampleBy) ------------------------------------------
 # The executor-side sampling face (K1/K2 are sequential driver-state
 # samplers): per-stratum Bernoulli sampling with a fixed seed —

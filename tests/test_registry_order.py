@@ -454,6 +454,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   percentile aggregate face
         "events_item_triangles",     # r9: degree-ordered triangle
                                      #   counting + clustering coeff
+        "frequent_users_cms_pinned",  # r9: md5-pinned CMS — every
+                                     #   estimate + overcount value-
+                                     #   checked, completing the
+                                     #   pinned sketch family
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
