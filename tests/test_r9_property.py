@@ -146,3 +146,71 @@ def test_triangles_match_bruteforce(spark, baskets):
             tri[b_] += 1
             tri[c] += 1
     assert got == {v: (deg[v], tri[v]) for v in nodes}
+
+
+# --- E138: pre-tokenizer vs a third implementation -------------------------------
+
+@given(text=st.text(
+    alphabet="abcXY z0189'.,!-\n\t",
+    min_size=0, max_size=60))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pretokenize_matches_python_re(spark, text):
+    """Three-way agreement: the Spark plan (Java regex) must classify
+    exactly like Python's re module on the same pattern — with the
+    DuckDB oracle (RE2) already pinned by parity, all three regex
+    engines agree on the leftmost-first alternation semantics."""
+    import re
+
+    from big_data_hw_23_24_spark.operators.tokenizer import (
+        PRETOKEN_PATTERN, pretokenize_stats)
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = pretokenize_stats(docs).collect()[0]
+    toks = re.findall(PRETOKEN_PATTERN, text)
+    words = [t for t in text.split(" ") if t]
+    assert r.n_pretokens == len(toks)
+    assert r.n_words == sum(bool(re.fullmatch(r" ?[A-Za-z]+", t))
+                            for t in toks)
+    assert r.n_numbers == sum(bool(re.fullmatch(r" ?[0-9]+", t))
+                              for t in toks)
+    assert r.n_contractions == sum(
+        bool(re.fullmatch(r"'(s|t|re|ve|m|ll|d)", t)) for t in toks)
+    assert r.n_ws_tokens == len(words)
+
+
+# --- E136: SCD2 invariants on random snapshot pairs --------------------------------
+
+@given(old_ids=st.sets(st.integers(0, 8), max_size=6),
+       new_ids=st.sets(st.integers(0, 8), max_size=6),
+       changed=st.sets(st.integers(0, 8), max_size=4))
+@settings(**_SETTINGS)
+def test_scd2_invariants_on_random_snapshots(spark, old_ids, new_ids,
+                                             changed):
+    from big_data_hw_23_24_spark.operators.diff import scd2_history
+
+    if not old_ids and not new_ids:
+        return
+    old = spark.createDataFrame(
+        [(i, f"text {i}") for i in sorted(old_ids)] or [(None, None)],
+        "doc_id long, text string").where(F.col("doc_id").isNotNull())
+    new = spark.createDataFrame(
+        [(i, f"text {i} v2" if i in changed else f"text {i}")
+         for i in sorted(new_ids)] or [(None, None)],
+        "doc_id long, text string").where(F.col("doc_id").isNotNull())
+    hist = scd2_history(old, new).collect()
+    by_id: dict[int, list] = {}
+    for r in hist:
+        by_id.setdefault(r.doc_id, []).append(r)
+    assert set(by_id) == old_ids | new_ids
+    for i, rs in by_id.items():
+        # exactly one current row iff the id is live in the new
+        # snapshot; closed intervals are never current
+        assert sum(r.is_current for r in rs) == (1 if i in new_ids else 0)
+        for r in rs:
+            assert (r.valid_to is None) == r.is_current
+        # modified ids carry exactly two rows (closed old + open new)
+        if i in old_ids and i in new_ids and i in changed:
+            assert len(rs) == 2
+        if i in old_ids and i in new_ids and i not in changed:
+            assert len(rs) == 1
