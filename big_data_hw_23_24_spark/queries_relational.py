@@ -1515,7 +1515,11 @@ def orders_market_basket(spark, sf_dir):
       FROM m GROUP BY user_id
     )
     SELECT user_id, n_gaps + 1 AS n_events, n_gaps, min_gap_us,
-           CASE WHEN n_gaps > 0 THEN tot // n_gaps END AS mean_gap_us,
+           -- outer ::BIGINT: tot is a window sum -> HUGEINT, and
+           -- HUGEINT // BIGINT stays HUGEINT, which pandas renders
+           -- float64 and the driver hashes 123.0 vs Spark's 123
+           (CASE WHEN n_gaps > 0 THEN tot // n_gaps END)::BIGINT
+             AS mean_gap_us,
            n_bursts,
            n_gaps >= 5 AND n_bursts * 4 > n_gaps AS burst_flag
     FROM agg
@@ -1551,7 +1555,10 @@ def events_user_burstiness(spark, sf_dir):
              ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_bucket
       FROM per
     )
-    SELECT user_id, frequency, monetary_cents,
+    -- monetary_cents needs the OUTER cast: sum(BIGINT) is HUGEINT in
+    -- DuckDB (the inner CAST does not survive the sum), and HUGEINT
+    -- pandas-renders float64 so the driver hash diverges on dtype
+    SELECT user_id, frequency, monetary_cents::BIGINT AS monetary_cents,
            r_bucket::BIGINT AS r_bucket, f_bucket::BIGINT AS f_bucket,
            m_bucket::BIGINT AS m_bucket,
            r_bucket || '' || f_bucket || '' || m_bucket AS segment

@@ -24,6 +24,35 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def _assert_dtype_kinds(name: str, got: pd.DataFrame, want: pd.DataFrame):
+    """The driver hashes rendered pandas values, so int64 123 vs float64
+    123.0 is a driver red even when values are equal (DuckDB sum(BIGINT)
+    returns HUGEINT, which pandas renders float64 — both r9 reds).
+    _normalize coerces dtypes before comparing, which masks exactly that
+    class, so assert dtype *kind* equality first.
+    """
+    for c in got.columns:
+        gk, wk = _dtype_kind(got[c]), _dtype_kind(want[c])
+        assert gk == wk, (
+            f"{name}.{c}: spark renders {gk} ({got[c].dtype}) but oracle "
+            f"renders {wk} ({want[c].dtype}) — the driver hashes these "
+            f"differently even if values are equal; cast in the OUTER "
+            f"select of the oracle SQL (e.g. ::BIGINT after a sum)"
+        )
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     # float32 → float64 etc. so dtype differences don't mask value equality
@@ -49,6 +78,7 @@ def test_query_matches_oracle(spark, name, sf_dir):
     con.close()
     assert sorted(got.columns) == sorted(want.columns), \
         f"{name}: column mismatch {got.columns} vs {want.columns}"
+    _assert_dtype_kinds(name, got, want[got.columns])
     g, w = _normalize(got), _normalize(want)
     assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
     pd.testing.assert_frame_equal(g, w, check_exact=True,
@@ -138,6 +168,7 @@ def test_query_matches_oracle_at_sf01(spark, name):
     con = _duck("/root/testdata/sf0.1")
     want = con.sql(q.oracle).df()
     con.close()
+    _assert_dtype_kinds(name, got, want[got.columns])
     g, w = _normalize(got), _normalize(want)
     assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
     pd.testing.assert_frame_equal(g, w, check_exact=True,
