@@ -74,14 +74,15 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r9 rotation: the entire r8 queued tier admitted (27 queries,
-    # none ever driver-checked), over 27 retired faces — the 24 r7
-    # first-green holdovers (2 greens each, r07+r08) and 3 one-green r8
-    # faces whose machinery an in-window sibling re-checks
-    # (doc_jsonl_ingest ⊂ doc_csv_ingest, corpus_length_ks_matrix ⊂
-    # corpus_split_drift, corpus_snapshot_diff ⊂ corpus_apply_snapshot).
-    # All annotated in tests/test_registry_order.py::declared_redundant.
-    # r8 oracle conversions + pipeline tier (E104-E112)
+    # ---- r10 rotation: the 14-query r9 queue admitted (none ever
+    # driver-checked), over 14 retired r8 first-green holdovers (each
+    # earned 2 greens, r08+r09; all annotated with their in-window
+    # sibling in tests/test_registry_order.py::declared_redundant).
+    # The 27 r9 admissions stay for their second row — including
+    # events_rfm_segments and events_user_burstiness, whose r9 reds
+    # were oracle-dtype-only (HUGEINT → float64; fixed with outer
+    # ::BIGINT casts) and need the driver re-check.
+    # r8 oracle conversions + pipeline tier (E104-E112), 1 green r09
     "bpe_learned_merges",
     "dedup_embedding_lsh_pinned",
     "corpus_apply_snapshot",
@@ -91,7 +92,8 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "doc_html_extract",
     "events_transition_matrix",
     "doc_chat_render",
-    # late-r8 analytics/safety tier (E113-E130)
+    # late-r8 analytics/safety tier (E113-E130), 1 green r09 except the
+    # two dtype reds being re-checked
     "media_frame_plan",
     "events_item_cooccurrence",
     "corpus_epoch_schedule",
@@ -110,31 +112,35 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "events_session_paths",
     "corpus_language_confusion",
     "corpus_shard_manifest",
-    # ---- kept r8 first-green admissions (each needs a second row
-    # before it can be retired) ----
-    "doc_decontaminate_spans",
-    "dedup_url_normalized",
-    "doc_lm_quality_buckets",
+    # ---- kept r8 first-green admissions whose machinery has no
+    # in-window sibling yet (retiring them would leave an evidence
+    # gap): bit-interleave, asymmetric containment, Luhn PII, fold
+    # chunker, skew stats, quality-rule battery, weighted sampling,
+    # iterative pagerank, unicode normalization ----
     "dedup_containment_pairs",
     "events_zorder_key",
-    "embedding_gram_matrix",
-    "corpus_leakage_safe_split",
-    "streaming_ingest_minhash",
-    "doc_contrastive_negatives",
     "doc_payment_pii_scan",
     "doc_sentence_chunks",
     "events_skew_report",
-    "corpus_pmi_collocations",
     "doc_gopher_rules",
     "corpus_priority_sample",
-    "corpus_zipf_fit",
     "events_item_pagerank",
-    "corpus_source_overlap",
     "doc_unicode_nfc",
-    "knn_mmr_rerank",
-    "events_daily_anomaly",
-    "corpus_vocab_growth",
-    "corpus_robust_stats",
+    # ---- r9 queue admitted in r10 (E131-E144 + the eval gate) ----
+    "doc_span_dedup_keepone",
+    "doc_char_span_flags",
+    "doc_rerank_features",
+    "streaming_backfill_catchup",
+    "events_kmv_distinct",
+    "corpus_scd2_history",
+    "dedup_simhash_pinned",
+    "doc_pretoken_stats",
+    "knn_ivf_pinned",
+    "dedup_eval_minhash",
+    "events_trending_items",
+    "events_value_percentiles",
+    "events_item_triangles",
+    "frequent_users_cms_pinned",
 )
 
 

@@ -412,52 +412,90 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   composed + re-checked inside
                                      #   corpus_apply_snapshot (in
                                      #   window, merge of the same diff)
+        # retired in r10 AFTER earning 2 greens (r08+r09), to admit the
+        # 14-query r9 queue; each names the in-window sibling that
+        # keeps its machinery driver-checked
+        "doc_decontaminate_spans",   # 2 greens r08+r09; benchmark-gram
+                                     #   span matching ⊂
+                                     #   doc_span_dedup_keepone (in
+                                     #   window, same positioned-gram
+                                     #   inverted-index + span strip)
+        "dedup_url_normalized",      # 2 greens r08+r09; normalize +
+                                     #   exact-fingerprint election ⊂
+                                     #   corpus_dup_rate_daily (in
+                                     #   window, min(struct) election) +
+                                     #   dedup_incremental_bloom (exact
+                                     #   fingerprint statuses)
+        "doc_lm_quality_buckets",    # 2 greens r08+r09; gram-LM fold ⊂
+                                     #   corpus_ngram_table (in window,
+                                     #   same count-table machinery);
+                                     #   bucket gating ⊂
+                                     #   corpus_quality_calibration
+        "embedding_gram_matrix",     # 2 greens r08+r09; Arrow-batch
+                                     #   embedding aggregates ⊂
+                                     #   knn_ivf_pinned (in window, same
+                                     #   pandas_udf kernel bridge) +
+                                     #   dedup_embedding_lsh_pinned
+        "corpus_leakage_safe_split", # 2 greens r08+r09; component-keyed
+                                     #   hash split ⊂ corpus_split_drift
+                                     #   (in window, same split-bucket
+                                     #   machinery + drift audit)
+        "streaming_ingest_minhash",  # 2 greens r08+r09; epoch-keyed
+                                     #   idempotent sink ⊂
+                                     #   streaming_backfill_catchup (in
+                                     #   window); banded fingerprints ⊂
+                                     #   dedup_simhash_pinned +
+                                     #   dedup_embedding_lsh_pinned
+        "doc_contrastive_negatives", # 2 greens r08+r09; shortlist pair
+                                     #   construction + per-query
+                                     #   grouped sampling ⊂
+                                     #   doc_rerank_features (in window,
+                                     #   same broadcast-shortlist join)
+        "corpus_pmi_collocations",   # 2 greens r08+r09; bigram/unigram
+                                     #   joint aggregates ⊂
+                                     #   corpus_ngram_table (in window,
+                                     #   same one-scan gram counts)
+        "corpus_zipf_fit",           # 2 greens r08+r09; vocab-scale
+                                     #   rank-spine regression ⊂
+                                     #   corpus_ngram_table (counts) +
+                                     #   corpus_length_batches (in
+                                     #   window, same global-rank spine)
+        "corpus_source_overlap",     # 2 greens r08+r09; pairwise set
+                                     #   overlap / Jaccard matrix ⊂
+                                     #   events_item_cooccurrence (in
+                                     #   window, same capped pair join)
+        "knn_mmr_rerank",            # 2 greens r08+r09; shortlist
+                                     #   rerank ⊂ knn_ivf_pinned (in
+                                     #   window, ANN route+verify) +
+                                     #   doc_rerank_features (pair
+                                     #   scoring over broadcast pool)
+        "events_daily_anomaly",      # 2 greens r08+r09; day-bucket
+                                     #   baseline windows ⊂
+                                     #   corpus_dup_rate_daily (in
+                                     #   window, same day grid);
+                                     #   distribution stats ⊂
+                                     #   events_value_percentiles
+        "corpus_vocab_growth",       # 2 greens r08+r09; first-occurrence
+                                     #   election + cumulative window ⊂
+                                     #   corpus_gram_novelty (in window,
+                                     #   same first-owner machinery)
+        "corpus_robust_stats",       # 2 greens r08+r09; median/MAD ⊂
+                                     #   events_value_percentiles (in
+                                     #   window, exact interpolated
+                                     #   percentile spine)
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
     # rows) and is full-value oracle-compared in test_oracle_parity
     # meanwhile. The r6 queue (25) was admitted wholesale in r7, the
-    # r7 queue (26) in r8, the r8 queue (27) in r9 — this set holds
-    # only post-r9-rotation additions (the r10 rotation).
+    # r7 queue (26) in r8, the r8 queue (27) in r9, the r9 queue (14)
+    # in r10 — this set holds only post-r10-rotation additions (the
+    # r11 rotation).
     queued_for_rotation: set[str] = {
-        "doc_span_dedup_keepone",    # r9: ExactSubstr keep-one (first
-                                     #   owner keeps the shared span,
-                                     #   later docs lose it)
-        "doc_char_span_flags",       # r9: char 20-gram winnowed
-                                     #   repeated-substring flags
-                                     #   (sub-word/minified repetition)
-        "doc_rerank_features",       # r9: (query, doc) pair features
-                                     #   on the BM25 shortlist
-        "streaming_backfill_catchup",  # r9: bounded re-read of a
-                                     #   lagged bucket range, double-
-                                     #   run idempotent landing
-        "events_kmv_distinct",       # r9: KMV distinct sketch — the
-                                     #   value-checkable sketch beside
-                                     #   the rows-only HLL face
-        "corpus_scd2_history",       # r9: SCD2 validity intervals
-                                     #   from two snapshot versions
-        "dedup_simhash_pinned",      # r9: md5-pinned 60-bit SimHash —
-                                     #   the last dedup fingerprint
-                                     #   family converted to a value
-                                     #   oracle
-        "doc_pretoken_stats",        # r9: BPE-ish regex pre-tokenizer
-                                     #   counts + fertility signal
-        "knn_ivf_pinned",            # r9: fixed-centroid IVF — the
-                                     #   last rows-only ANN stage
-                                     #   value-checked end to end
-        "dedup_eval_minhash",        # r9: banded-MinHash vs exact-
-                                     #   Jaccard confusion report (the
-                                     #   rollout gate for approx dedup)
-        "events_trending_items",     # r9: time-decayed trending items
-                                     #   (exact integer-micro decay)
-        "events_value_percentiles",  # r9: built-in exact interpolated
-                                     #   percentile aggregate face
-        "events_item_triangles",     # r9: degree-ordered triangle
-                                     #   counting + clustering coeff
-        "frequent_users_cms_pinned",  # r9: md5-pinned CMS — every
-                                     #   estimate + overcount value-
-                                     #   checked, completing the
-                                     #   pinned sketch family
+        "events_percentile_drift",   # r10: approx-vs-exact percentile
+                                     #   rank-displacement audit (the
+                                     #   E14 sketch value-checked the
+                                     #   way E140 gates approx dedup)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
@@ -526,10 +564,23 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_shard_manifest",     # r8: order-insensitive shard
                                      #   content checksums
     }
+    # the 14-query r9 queue was admitted wholesale in the r10 rotation
+    _admitted_r10: set[str] = {
+        "doc_span_dedup_keepone", "doc_char_span_flags",
+        "doc_rerank_features", "streaming_backfill_catchup",
+        "events_kmv_distinct", "corpus_scd2_history",
+        "dedup_simhash_pinned", "doc_pretoken_stats", "knn_ivf_pinned",
+        "dedup_eval_minhash", "events_trending_items",
+        "events_value_percentiles", "events_item_triangles",
+        "frequent_users_cms_pinned",
+    }
     # the r8 queue was admitted wholesale in the r9 rotation — pin that
     # every formerly-queued name now sits inside the checked window
+    # (the r9 admissions stay through r10 for their second green row)
     assert _admitted_r9 <= set(_CHECKED_WINDOW), \
         _admitted_r9 - set(_CHECKED_WINDOW)
+    assert _admitted_r10 <= set(_CHECKED_WINDOW), \
+        _admitted_r10 - set(_CHECKED_WINDOW)
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
