@@ -64,7 +64,14 @@ def _cms_bucket(row_col, item_col, width: int, hash_family: str):
     the sketch like depth/width and resolved here for both the build
     and the probe. ``md5`` is the E76 engine-portable family: bucket =
     first-8-hex-of-md5("row:item") mod width, reproducible in any
-    md5-bearing engine — the family a full value oracle runs on."""
+    md5-bearing engine — the family a full value oracle runs on.
+
+    The "row:item" key is only unambiguous while the row index is a
+    single character: with depth > 10, row "1" + item "0:x" and row
+    "10" + item such that the concatenations collide would correlate
+    the supposedly independent CMS rows. ``cms_table`` therefore
+    validates depth ≤ 10 for the md5 family (changing the key layout
+    instead would silently invalidate every existing md5 oracle)."""
     if hash_family == "md5":
         key = F.concat(row_col.cast("string"), F.lit(":"),
                        item_col.cast("string"))
@@ -100,6 +107,12 @@ def cms_table(items: DataFrame, item_col: str, depth: int = 5,
     guarantee), so ``cms_estimate``/``cms_merge`` read and validate the
     geometry from the sketch itself instead of trusting call sites.
     """
+    if hash_family == "md5" and depth > 10:
+        raise ValueError(
+            f"the md5 family's 'row:item' key is ambiguous past row 9 "
+            f"(multi-char row indices can collide with items containing "
+            f"':'), which would correlate the CMS rows and weaken the "
+            f"error bound — depth must be <= 10 for md5, got {depth}")
     d = items.select(
         F.col(item_col).alias("_item"),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"))
@@ -372,36 +385,72 @@ def kmv_sketch(df: DataFrame, item_col: str, group_col: str,
     Scale shape: distinct (grp, h) — one keyed aggregate — then the
     two-stage grouped top-k (per-partition heaps, never a per-group
     reducer funnel); the sketch is ≤ k rows per group.
+
+    Like the CMS family, the sketch carries its own ``k`` as a constant
+    column: a k mismatch between build and estimate would silently take
+    the wrong order statistic AND the wrong exact/estimator branch, so
+    :func:`kmv_estimate` / :func:`kmv_merge` read and validate k from
+    the sketch instead of trusting call sites.
     """
     d = (df.select(F.col(group_col).alias("grp"),
                    kmv_hash(F.col(item_col)).alias("h"))
          .distinct())
     from .grouped import grouped_topk
 
-    return grouped_topk(d, ["grp"], [F.col("h")], k)
+    return (grouped_topk(d, ["grp"], [F.col("h")], k)
+            .withColumn("k", F.lit(k)))
 
 
-def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+def _kmv_k(sketch: DataFrame, k: int | None) -> int:
+    """Resolve the sketch's k: read the carried column (O(1) driver
+    pull) and validate any explicitly-passed value against it."""
+    carried = None
+    if "k" in sketch.columns:
+        row = sketch.select("k").first()
+        carried = None if row is None else int(row["k"])
+    if carried is None:  # empty sketch or pre-k-column build
+        if k is None:
+            raise ValueError("sketch does not carry k (empty, or built "
+                             "before kmv_sketch stamped it) — pass k=")
+        return k
+    if k is not None and k != carried:
+        raise ValueError(f"k mismatch: sketch was built with k={carried} "
+                         f"but k={k} was passed — the estimate would use "
+                         f"the wrong order statistic")
+    return carried
+
+
+def kmv_merge(*sketches: DataFrame, k: int | None = None) -> DataFrame:
     """Union partial sketches into the sketch of the union: distinct
-    hashes, k smallest per group — exact, not approximate-on-approximate."""
+    hashes, k smallest per group — exact, not approximate-on-approximate.
+    k is read from the sketches themselves and must agree across them
+    (merging sketches of different k silently truncates the guarantee)."""
     from functools import reduce
 
     from .grouped import grouped_topk
 
+    ks = {_kmv_k(s, k) for s in sketches}
+    if len(ks) > 1:
+        raise ValueError(f"cannot merge KMV sketches of different k: "
+                         f"{sorted(ks)}")
+    (kk,) = ks
     u = reduce(lambda a, b: a.unionByName(b),
                [s.select("grp", "h") for s in sketches]).distinct()
-    return grouped_topk(u, ["grp"], [F.col("h")], k)
+    return (grouped_topk(u, ["grp"], [F.col("h")], kk)
+            .withColumn("k", F.lit(kk)))
 
 
-def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
     """Estimate per group → ``(grp, n_sketch, kth_hash, est_distinct)``.
 
     With fewer than ``k`` distinct hashes the sketch IS the distinct
     set (exact count); at ``k`` the standard KMV estimator
     ``(k−1) / u_k`` with ``u_k`` the k-th smallest hash normalized to
     (0, 1]. The division runs in IEEE doubles in both engines and is
-    rounded to 6, so the oracle compares exactly.
+    rounded to 6, so the oracle compares exactly. ``k`` is read from
+    the sketch (passing it explicitly only validates).
     """
+    k = _kmv_k(sketch, k)
     n = F.count("*").cast("long")
     kth = F.max("h")
     est = F.when(

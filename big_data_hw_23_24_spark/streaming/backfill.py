@@ -50,25 +50,41 @@ def bucket_range_glob(src_dir: str, from_bucket: int,
 class BackfillSink:
     """``foreachBatch`` callable: dynamic-partition-overwrite landing.
 
-    Every batch writes ``partitionBy(bucket)`` in overwrite mode with
-    ``partitionOverwriteMode=dynamic`` — only the bucket partitions
-    PRESENT in the batch are replaced, all other landed buckets are
-    untouched. Running the same catch-up twice (or with an overlapping
-    range) lands each bucket exactly once.
+    Every batch writes ``partitionBy(bucket, src_part)`` in overwrite
+    mode with ``partitionOverwriteMode=dynamic`` — only the partitions
+    PRESENT in the batch are replaced, everything else landed is
+    untouched. ``src_part`` is derived from the source file name
+    (md5 of the basename), which makes the landing idempotent at
+    FILE granularity, not bucket granularity: a bucket whose files
+    span several micro-batches (>1 file under maxFilesPerTrigger=1,
+    or an externally-written source) lands each file in its own
+    sub-partition instead of the later batch clobbering the earlier
+    one's rows. Re-running the same catch-up (same source files,
+    fresh checkpoint, overlapping range) overwrites the same
+    (bucket, src_part) pairs exactly — each source file lands once.
+
+    For a non-file batch source ``input_file_name()`` is empty and
+    every row shares one constant ``src_part``; such sources must
+    keep each bucket inside one micro-batch (the pre-fix contract).
     """
 
     def __init__(self, out_root: str):
         self.out_root = out_root
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
-        (batch.write.mode("overwrite")
+        src_part = F.substring(
+            F.md5(F.element_at(F.split(F.input_file_name(), "/"), -1)),
+            1, 8)
+        (batch.withColumn("src_part", src_part)
+         .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket")
+         .partitionBy("bucket", "src_part")
          .parquet(self.out_root))
 
     def read(self, spark: SparkSession) -> DataFrame:
         return (spark.read.option("basePath", self.out_root)
-                .parquet(os.path.join(self.out_root, "bucket=*")))
+                .parquet(os.path.join(self.out_root, "bucket=*"))
+                .drop("src_part"))
 
 
 def run_backfill(spark: SparkSession, src_dir: str, schema: str,
@@ -93,8 +109,12 @@ def run_backfill(spark: SparkSession, src_dir: str, schema: str,
          .trigger(availableNow=True)
          .option("checkpointLocation", checkpoint)
          .start())
-    assert q.awaitTermination(timeout_sec), \
-        f"backfill did not finish within {timeout_sec}s"
+    if not q.awaitTermination(timeout_sec):
+        # not an assert: under `python -O` an assert is stripped and a
+        # timed-out backfill would return a silently partial landing
+        q.stop()
+        raise RuntimeError(
+            f"backfill did not finish within {timeout_sec}s")
     return sink
 
 

@@ -2158,6 +2158,48 @@ def test_kmv_merge_of_slices_equals_whole(spark):
         sorted(r.h for r in whole.collect())
 
 
+def test_kmv_k_carried_on_sketch_and_validated(spark):
+    """ADVICE r9: k lives ON the sketch (like CMS depth/width/family).
+    Estimate/merge read it — no k argument needed — and a mismatched
+    explicit k raises instead of silently taking the wrong order
+    statistic; merging sketches of different k refuses."""
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.frequent import (
+        kmv_estimate, kmv_merge, kmv_sketch)
+
+    df = spark.createDataFrame([("g", f"x{i}") for i in range(40)],
+                               "grp string, item string")
+    sk16 = kmv_sketch(df, "item", "grp", k=16)
+    assert sk16.select("k").first()["k"] == 16
+    # reads k from the sketch: exact/estimator branch picked correctly
+    est = kmv_estimate(sk16).collect()[0]
+    assert est.n_sketch == 16
+    with _pytest.raises(ValueError, match="k mismatch"):
+        kmv_estimate(sk16, k=32)
+    with _pytest.raises(ValueError, match="different k"):
+        kmv_merge(sk16, kmv_sketch(df, "item", "grp", k=8))
+    # argless merge reads k and stamps it on the result
+    merged = kmv_merge(sk16, kmv_sketch(df, "item", "grp", k=16))
+    assert merged.select("k").first()["k"] == 16
+
+
+def test_cms_md5_family_rejects_ambiguous_depth(spark):
+    """ADVICE r9: the md5 family's 'row:item' key is only unambiguous
+    for single-character row indices — depth > 10 must refuse rather
+    than silently correlate the CMS rows."""
+    import pytest as _pytest
+
+    from big_data_hw_23_24_spark.operators.frequent import cms_table
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with _pytest.raises(ValueError, match="depth must be <= 10"):
+        cms_table(df, "item", depth=11, hash_family="md5")
+    # xxhash64 hashes (row, item) as separate args: no ambiguity, any depth
+    assert cms_table(df, "item", depth=12,
+                     hash_family="xxhash64").count() == 12
+
+
 def test_kmv_sketch_has_no_per_group_funnel(spark):
     from big_data_hw_23_24_spark.operators.frequent import kmv_sketch
 

@@ -999,6 +999,37 @@ def test_backfill_rerun_and_overlap_never_duplicate(spark, tmp_path):
     assert per == {b: 6 for b in range(4, 10)}
 
 
+def test_backfill_multi_file_bucket_spans_batches_without_loss(
+        spark, tmp_path):
+    """The ADVICE r9 hazard: a bucket whose rows span two micro-batches
+    (>1 file under maxFilesPerTrigger=1) must not have the later batch
+    clobber the earlier one's rows. The sink lands per (bucket,
+    src_part) so each source file owns its sub-partition; a rerun with
+    a fresh checkpoint still lands every file exactly once."""
+    from big_data_hw_23_24_spark.streaming.backfill import run_backfill
+    from big_data_hw_23_24_spark.streaming.replay import replay_shuffle_cap
+
+    src = _backfill_source(spark, tmp_path)
+    extra = spark.range(1000, 1003).select(
+        F.col("id").alias("doc_id"),
+        F.lit("late second file in bucket five").alias("text"),
+        F.col("id").alias("seq"))
+    extra.coalesce(1).write.mode("append").parquet(src + "/bucket=5")
+    out = str(tmp_path / "bf_out")
+    schema = "doc_id long, text string, seq long, bucket int"
+    with replay_shuffle_cap(spark):
+        run_backfill(spark, src, schema, 4, 7, out, str(tmp_path / "m1"))
+        # outage double-run with a lost checkpoint: still no dups
+        sink = run_backfill(spark, src, schema, 4, 7, out,
+                            str(tmp_path / "m2"))
+    landed = sink.read(spark)
+    ids = sorted(r.doc_id for r in landed.collect())
+    assert ids == list(range(24, 48)) + [1000, 1001, 1002]
+    per = {r.bucket: r.n for r in landed.groupBy("bucket")
+           .agg(F.count("*").alias("n")).collect()}
+    assert per == {4: 6, 5: 9, 6: 6, 7: 6}
+
+
 def test_backfill_range_glob_validates(spark):
     import pytest as _pytest
 
