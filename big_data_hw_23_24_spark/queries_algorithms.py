@@ -175,19 +175,34 @@ def mrfft_centers(spark, sf_dir):
 # run driver-side over the ts-ordered item sequence exactly like the
 # reference's per-batch driver loop (G016HW3.java:104-134). The
 # streaming harness in streaming/frequent_stream.py feeds them
-# per-micro-batch; here the batch face replays the whole (n-capped)
-# sequence for a deterministic, seeded result.
-def _item_sequence(spark, sf_dir):
+# per-micro-batch; here the batch face replays the n-capped sequence
+# for a deterministic, seeded result.
+
+# The reference bounds the stream at n items read from the CLI
+# (G016HW3.java:80-88, the S5 bounded-read guard); this batch face pins
+# the same contract at n = 10_000: the first 10k (ts, event_id)-ordered
+# items. At sf0.001/sf0.01 that covers every event (outputs identical
+# to the uncapped replay); at any larger SF the driver pull stays
+# bounded — the limit runs as a distributed TakeOrderedAndProject, so
+# no executor ships more than n rows and the driver never materializes
+# the whole table.
+ITEM_SEQUENCE_N = 10_000
+
+
+def _item_sequence(spark, sf_dir, n: int = ITEM_SEQUENCE_N):
     e = load_table(spark, sf_dir, "events")
-    rows = e.select("user_id").orderBy("ts", "event_id").collect()
+    rows = (e.select("user_id", "ts", "event_id")
+            .orderBy("ts", "event_id").limit(n)
+            .select("user_id").collect())
     return [r.user_id for r in rows]
 
 
 @register(
     "reservoir_sample_users",
     None,
-    doc="K1 reservoir sampling, m=⌈1/phi⌉, phi=0.01, seed=42 "
-        "(G016HW3.java:103-120 semantics)",
+    doc="K1 reservoir sampling, m=⌈1/phi⌉, phi=0.01, seed=42, over the "
+        "first n=10000 ts-ordered items (the reference's S5 bounded "
+        "stream, G016HW3.java:80-88,103-120)",
 )
 def reservoir_sample_users(spark, sf_dir):
     items = _item_sequence(spark, sf_dir)
@@ -366,8 +381,9 @@ def streaming_dropdup_items(spark, sf_dir):
 @register(
     "sticky_sample_users",
     None,
-    doc="K2 sticky sampling, phi=0.01 ε=0.005 δ=0.1, seed=42 "
-        "(G016HW3.java:122-133 semantics)",
+    doc="K2 sticky sampling, phi=0.01 ε=0.005 δ=0.1, seed=42, over the "
+        "first n=10000 ts-ordered items (the reference's S5 bounded "
+        "stream, G016HW3.java:80-88,122-133)",
 )
 def sticky_sample_users(spark, sf_dir):
     items = _item_sequence(spark, sf_dir)
