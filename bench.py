@@ -142,6 +142,8 @@ HEADLINE = [
     "events_value_percentiles",  # exact interpolated p50/p90/p99
     "events_item_triangles",    # degree-ordered triangle counting
     "frequent_users_cms_pinned",  # md5-pinned CMS estimates
+    # r10 additions
+    "events_percentile_drift",  # GK-sketch-vs-exact rank drift audit
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def grouped_percentile(df: DataFrame, keys: list[str], value_col: str,
@@ -246,3 +247,81 @@ def rfm_segments(events: DataFrame, n_tiles: int = 5,
         F.concat(F.col("r_bucket").cast("string"),
                  F.col("f_bucket").cast("string"),
                  F.col("m_bucket").cast("string")).alias("segment"))
+
+
+def percentile_drift(df: DataFrame, group_col: str, value_col: str,
+                     ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     exact_accuracy: int = 1_000_000,
+                     sketch_accuracy: int = 100) -> DataFrame:
+    """Approximate-vs-exact percentile drift audit (E145) → per
+    (group, p): ``n, exact_interp, approx_value, target_rank,
+    rank_displacement, sketch_within_bound``.
+
+    The rollout gate for ``approx_percentile`` (E14), built the way
+    E140 gates approximate dedup: run the sketch AND the exact spine,
+    then measure the sketch against the exact ranks.
+
+    * ``approx_value`` / ``rank_displacement`` use the HIGH-accuracy
+      sketch. While every group holds fewer than ``exact_accuracy``
+      values the GK summary never compresses and
+      ``approx_percentile`` is exact rank selection: the smallest v
+      with count(<=v) >= ceil(p*n) — i.e. the sorted element at
+      1-based rank ceil(p*n) (convention verified against the sorted
+      array, ties included, before the oracle was written). That makes
+      the sketch output fully value-checkable at test SF, and
+      ``rank_displacement`` — how far the returned value's rank
+      interval [count(<v)+1, count(<=v)] sits from the target rank —
+      is structurally 0. Past n = exact_accuracy per group this face's
+      value oracle no longer applies (the gate contract, like
+      dedup_eval_minhash's exact side).
+    * ``sketch_within_bound`` audits the COMPRESSING sketch
+      (``sketch_accuracy``, the 100 TB configuration): GK guarantees
+      rank error <= n/accuracy deterministically under any merge
+      order, so the boolean is a theorem — oracle TRUE — while the
+      sketch's value stays engine-private. A Spark regression that
+      broke the GK bound flips it and breaks the hash.
+
+    Scale shape: one grouped aggregate over the corpus (all three
+    percentile families partial-aggregate map-side), then one
+    broadcast of the groups x |ps| probe table back over the corpus to
+    count ranks — two bounded-output passes, no corpus-scale shuffle
+    and no per-group sort buffer outside the (bounded-cardinality)
+    exact-percentile aggregate.
+    """
+    ps_sql = "array(" + ",".join(f"{p!r}D" for p in ps) + ")"
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(f"percentile({value_col}, {ps_sql})").alias("_ex"),
+        F.expr(f"approx_percentile({value_col}, {ps_sql}, "
+               f"{exact_accuracy})").alias("_hi"),
+        F.expr(f"approx_percentile({value_col}, {ps_sql}, "
+               f"{sketch_accuracy})").alias("_lo"))
+    probe = agg.select(
+        group_col, "n",
+        F.explode(F.arrays_zip(
+            F.array(*[F.lit(float(p)) for p in ps]).alias("p"),
+            F.col("_ex").alias("ex"), F.col("_hi").alias("hi"),
+            F.col("_lo").alias("lo"))).alias("z")
+    ).select(group_col, "n", F.col("z.p").alias("p"),
+             F.col("z.ex").alias("_exact"), F.col("z.hi").alias("_hi"),
+             F.col("z.lo").alias("_lo"))
+    ev = df.select(group_col, F.col(value_col).alias("_v"))
+    counted = (ev.join(F.broadcast(probe), group_col)
+               .groupBy(group_col, "p", "n", "_exact", "_hi", "_lo")
+               .agg(F.count_if(F.col("_v") < F.col("_hi")).alias("_lt_hi"),
+                    F.count_if(F.col("_v") <= F.col("_hi")).alias("_le_hi"),
+                    F.count_if(F.col("_v") < F.col("_lo")).alias("_lt_lo"),
+                    F.count_if(F.col("_v") <= F.col("_lo")).alias("_le_lo")))
+    k = F.ceil(F.col("p") * F.col("n")).cast("long")
+    disp_hi = F.greatest(F.col("_lt_hi") + 1 - k, k - F.col("_le_hi"),
+                         F.lit(0)).cast("long")
+    disp_lo = F.greatest(F.col("_lt_lo") + 1 - k, k - F.col("_le_lo"),
+                         F.lit(0)).cast("long")
+    bound = (F.floor(F.col("n") / F.lit(sketch_accuracy)) + 1).cast("long")
+    return counted.select(
+        group_col, "p", "n",
+        F.round("_exact", 6).alias("exact_interp"),
+        F.col("_hi").alias("approx_value"),
+        k.alias("target_rank"),
+        disp_hi.alias("rank_displacement"),
+        (disp_lo <= bound).alias("sketch_within_bound"))

@@ -1794,3 +1794,77 @@ def events_item_triangles(spark, sf_dir):
                   F.get_json_object("props", "$.k").try_cast("long")
                   .alias("item")))
     return item_triangles(ev)
+
+
+# --- approximate-vs-exact percentile drift audit (E145, r10) --------------------
+# The rollout gate for the GK quantile sketch, built the way E140
+# gates approximate dedup: while a group holds fewer values than the
+# high accuracy, approx_percentile is exact rank selection (smallest v
+# with count(<=v) >= ceil(p*n) — the sorted element at rank ceil(p*n);
+# convention verified against the sorted array, ties included, before
+# this oracle was written), so the sketch output value-checks
+# end-to-end and its rank displacement is structurally 0. The
+# compressing accuracy-100 sketch is audited through its deterministic
+# GK bound (rank error <= n/accuracy under any merge order): the
+# boolean is a theorem, so oracle TRUE — a Spark-side regression
+# breaks the hash.
+@register(
+    "events_percentile_drift",
+    """
+    WITH per AS (
+      SELECT event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY event_type
+    ),
+    ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+    tgt AS (
+      SELECT event_type, n, p, CAST(ceil(p * n) AS BIGINT) AS k
+      FROM per CROSS JOIN ps
+    ),
+    ranked AS (
+      SELECT event_type, value AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn
+      FROM events
+    ),
+    av AS (
+      SELECT t.event_type, t.p, t.n, t.k, r.v AS approx_value
+      FROM tgt t JOIN ranked r
+        ON r.event_type = t.event_type AND r.rn = t.k
+    ),
+    ex AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS e50,
+             round(quantile_cont(value, 0.9), 6) AS e90,
+             round(quantile_cont(value, 0.99), 6) AS e99
+      FROM events GROUP BY event_type
+    ),
+    cnts AS (
+      SELECT a.event_type, a.p, a.n, a.k, a.approx_value,
+             sum(CASE WHEN e.value < a.approx_value
+                      THEN 1 ELSE 0 END)::BIGINT AS lt,
+             sum(CASE WHEN e.value <= a.approx_value
+                      THEN 1 ELSE 0 END)::BIGINT AS le
+      FROM av a JOIN events e ON e.event_type = a.event_type
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT c.event_type, c.p, c.n,
+           CASE c.p WHEN 0.5 THEN ex.e50 WHEN 0.9 THEN ex.e90
+                    ELSE ex.e99 END AS exact_interp,
+           c.approx_value,
+           c.k AS target_rank,
+           greatest(c.lt + 1 - c.k, c.k - c.le, 0)::BIGINT
+             AS rank_displacement,
+           TRUE AS sketch_within_bound
+    FROM cnts c JOIN ex ON ex.event_type = c.event_type
+    """,
+    doc="approximate-vs-exact percentile drift audit: high-accuracy "
+        "GK output value-checked as exact rank selection (displacement "
+        "0 by construction at test SF), compressing accuracy-100 "
+        "sketch checked against its deterministic n/accuracy rank "
+        "bound; one grouped aggregate + one broadcast rank-count pass",
+)
+def events_percentile_drift(spark, sf_dir):
+    from .operators.grouped import percentile_drift
+
+    return percentile_drift(_t(spark, sf_dir, "events"),
+                            "event_type", "value")
