@@ -53,6 +53,13 @@ PROBES = [
     # r9 heavy faces
     "dedup_simhash_pinned",      # pigeonhole band self-join (md5 family)
     "doc_char_span_flags",       # Arrow winnow kernel + inverted index
+    # r10 additions: the remaining top-10-by-cost headline faces
+    "bpe_learned_merges",        # vocab-scale agg per merge round
+    "dedup_embedding_lsh_pinned",  # banded sign-plane join + verify
+    "events_item_triangles",     # degree-ordered wedge join
+    "doc_rerank_features",       # broadcast-shortlist pair features
+    "corpus_quality_calibration",  # decile x lexicon calibration
+    "doc_bm25_multi",            # batch BM25 grouped top-k
 ]
 
 
@@ -81,6 +88,23 @@ def _synthesize(spark, dst: str) -> None:
              .otherwise(shifted).alias("embedding"),
              "label")
      .write.mode("overwrite").parquet(os.path.join(dst, "embeddings.parquet")))
+    # events: replicas get fresh user/event ids (so per-user baskets,
+    # sessions and windows replicate independently — linear growth) but
+    # SHARE the item space in props: the co-occurrence graph keeps its
+    # distinct edges, so wedge fan-out per node is unchanged and only
+    # the per-user stages scale — the structure a real 10x of the same
+    # catalog would have. ts is written as a plain timestamp; load_table
+    # converts only bigint-nanos columns, so the probe read-path is the
+    # production one.
+    ev = load_table(spark, SF01, "events")
+    uoff = ev.agg(F.max("user_id")).first()[0] + 1
+    eoff = ev.agg(F.max("event_id")).first()[0] + 1
+    (ev.crossJoin(reps)
+     .select((F.col("event_id") + F.col("k") * eoff).alias("event_id"),
+             "ts",
+             (F.col("user_id") + F.col("k") * uoff).alias("user_id"),
+             "event_type", "value", "props")
+     .write.mode("overwrite").parquet(os.path.join(dst, "events.parquet")))
 
 
 def _time_min(fn, spark, sf_dir: str, reps: int = 2) -> float:
