@@ -747,3 +747,70 @@ def knn_ivf_pinned(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_pinned(emb, emb.where(F.col("vec_id") < 5),
                            k=10, n_lists=16, nprobe=4)
+
+
+# --- ANN rollout-gate evaluation (E146, r10) ---------------------------------------
+# The third member of the approximation-gate family (E140 gates
+# approximate dedup, E145 the quantile sketch): the pinned-IVF ANN
+# stage scored against the exact brute-force top-k on the same
+# corpus. Both sides are already value-checked faces, so the oracle is
+# their CTE composition and every miss in the report is the REAL
+# recall cost of probing nprobe=4 of 16 lists — not engine noise.
+# Deliberately NOT in the bench HEADLINE: the exact side is the
+# brute-force form, run once per rollout as a gate (the E140 rule).
+def _knn_eval_sql() -> str:
+    return f"""
+    WITH ex AS ({_R["knn_cosine_bruteforce"].oracle}),
+    pv AS ({_R["knn_ivf_pinned"].oracle}),
+    j AS (
+      SELECT coalesce(ex.query_id, pv.query_id) AS query_id,
+             ex.rank AS r_exact, pv.rank AS r_pred
+      FROM ex FULL OUTER JOIN pv
+        ON ex.query_id = pv.query_id
+       AND ex.neighbor_id = pv.neighbor_id
+    )
+    SELECT query_id,
+           count(r_exact)::BIGINT AS n_exact,
+           count(r_pred)::BIGINT AS n_pred,
+           sum(CASE WHEN r_exact IS NOT NULL AND r_pred IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN r_exact IS NOT NULL AND r_pred IS NOT NULL
+                          THEN 1 ELSE 0 END) * 1.0 / count(r_exact), 6)
+             AS recall_at_k,
+           sum(CASE WHEN r_exact IS NOT NULL AND r_pred IS NOT NULL
+                    THEN abs(r_exact - r_pred) ELSE 0 END)::BIGINT
+             AS rank_displacement
+    FROM j GROUP BY query_id
+    """
+
+
+@register(
+    "knn_eval_ivf",
+    _knn_eval_sql(),
+    doc="ANN rollout gate: pinned-IVF top-10 scored against the exact "
+        "brute-force top-10 per query — hits, recall@10 and summed "
+        "rank displacement; composed from two value-checked faces so "
+        "disagreements are the real nprobe recall cost, not engine "
+        "noise (gate face, not benched — the E140 rule)",
+)
+def knn_eval_ivf(spark, sf_dir):
+    from .operators.similarity import cosine_topk, ivf_topk_pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, qs, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_exact"))
+    pred = ivf_topk_pinned(emb, qs, k=10, n_lists=16, nprobe=4).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_pred"))
+    hit = F.col("r_exact").isNotNull() & F.col("r_pred").isNotNull()
+    return (exact.join(pred, ["query_id", "neighbor_id"], "full_outer")
+            .groupBy("query_id")
+            .agg(F.count("r_exact").cast("long").alias("n_exact"),
+                 F.count("r_pred").cast("long").alias("n_pred"),
+                 F.count_if(hit).cast("long").alias("n_hit"),
+                 F.round(F.count_if(hit)
+                         / F.count("r_exact"), 6).alias("recall_at_k"),
+                 F.sum(F.when(hit, F.abs(F.col("r_exact")
+                                         - F.col("r_pred")))
+                       .otherwise(0)).cast("long")
+                 .alias("rank_displacement")))

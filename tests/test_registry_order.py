@@ -496,6 +496,11 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   rank-displacement audit (the
                                      #   E14 sketch value-checked the
                                      #   way E140 gates approx dedup)
+        "knn_eval_ivf",              # r10: pinned-IVF vs exact top-k
+                                     #   recall/displacement report —
+                                     #   the ANN rollout gate (third
+                                     #   of the approximation-gate
+                                     #   family after E140/E145)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
