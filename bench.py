@@ -144,6 +144,7 @@ HEADLINE = [
     "frequent_users_cms_pinned",  # md5-pinned CMS estimates
     # r10 additions
     "events_percentile_drift",  # GK-sketch-vs-exact rank drift audit
+    "media_block_dedup",        # aligned-block binary payload dedup
 ]
 
 

@@ -204,25 +204,44 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.4,
     )
 
 
+def _pack_sig_rows(bits: np.ndarray) -> list:
+    """Pack an (n, n_bits) boolean matrix into per-row lists of
+    int64 words, 64 bits per word, little-endian words/bits."""
+    n, n_bits = bits.shape
+    n_words = (n_bits + 63) // 64
+    out = []
+    u = bits.astype(np.uint64)
+    for r in range(n):
+        words = []
+        for w in range(n_words):
+            chunk = u[r, w * 64:(w + 1) * 64]
+            weights = 1 << np.arange(len(chunk), dtype=np.uint64)
+            words.append(int((chunk * weights)
+                             .sum(dtype=np.uint64).view(np.int64)))
+        out.append(words)
+    return out
+
+
 def _hyperplane_sig_udf(planes: np.ndarray):
     """Arrow-batched pandas UDF: sign-bit signature of v against the
-    closure-captured hyperplane matrix (dim × n_bits ≤ 64), packed into
-    one long. Null embeddings propagate as null signatures."""
+    closure-captured hyperplane matrix (dim × n_bits), packed into
+    ``ceil(n_bits/64)`` longs — multi-word signatures are what lets
+    the band space scale past 64 total bits (bits-per-band must track
+    log₂(corpus) or band buckets crowd and candidate generation goes
+    quadratic; measured in the r10 sf1 probe). Null embeddings
+    propagate as null signatures."""
     mat = np.ascontiguousarray(planes, dtype=np.float64)
-    weights = 1 << np.arange(mat.shape[1], dtype=np.uint64)
 
-    @F.pandas_udf("long")
+    @F.pandas_udf("array<long>")
     def sig(vecs: pd.Series) -> pd.Series:
         vals = vecs.to_numpy()
         out = np.empty(len(vals), dtype=object)
         mask = np.array([v is not None for v in vals], dtype=bool)
         if mask.any():
             m = np.stack(vals[mask]).astype(np.float64)
-            bits = (m @ mat) > 0
-            packed = (bits.astype(np.uint64) * weights) \
-                .sum(axis=1, dtype=np.uint64).view(np.int64)
+            packed = _pack_sig_rows((m @ mat) > 0)
             for pos, v in zip(np.flatnonzero(mask), packed):
-                out[pos] = int(v)
+                out[pos] = v
         return pd.Series(out)
 
     return sig
@@ -230,42 +249,62 @@ def _hyperplane_sig_udf(planes: np.ndarray):
 
 def _lsh_band_verify(s: DataFrame, n_bits: int, bands: int,
                      threshold: float) -> DataFrame:
-    """Shared LSH tail: band the packed ``sig`` long into ``bands``
-    equal-width chunks, equi-join agreeing (chunk, value) pairs, then
-    verify candidates with the exact JVM cosine (rounded 6 dp on the
-    threshold so an ulp can't flip membership cross-engine).
-    ``s`` must carry (id, v, sig)."""
+    """Shared LSH tail: band the packed ``sig`` word array into
+    ``bands`` equal-width chunks, equi-join agreeing (chunk, value)
+    pairs, then verify candidates with the exact JVM cosine (rounded
+    6 dp on the threshold so an ulp can't flip membership
+    cross-engine). ``s`` must carry (id, v, sig: array<long>).
+
+    Scale shape (both r10 lessons from the sf1 probe):
+    * the band join carries ONLY (id, chunk, val) — vectors join back
+      once per deduped candidate pair, never riding the bands× explode
+      through the shuffle;
+    * ``width = n_bits // bands`` must satisfy ``2^width ≳ corpus``
+      or every bucket crowds and candidates grow quadratically — the
+      16-bit default band space (65 536) holds to ~100k vectors per
+      partition-disjoint corpus slice; at billions of vectors use
+      32-bit bands (the parameterization exists for exactly that).
+    """
     width = n_bits // bands
+    if width > 63 or 64 % width:
+        raise ValueError(f"band width must divide 64 and be < 64, "
+                         f"got {width} (n_bits={n_bits}, bands={bands})")
+    base = s.select("id", "v")
     banded = s.select(
-        "id", "v",
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright(F.col("sig"), c * width)
+                     F.shiftright(F.col("sig").getItem((c * width) // 64),
+                                  (c * width) % 64)
                      .bitwiseAND((1 << width) - 1).alias("val"))
             for c in range(bands)
         ])).alias("b"),
-    ).select("id", "v", F.col("b.chunk"), F.col("b.val"))
+    ).select("id", F.col("b.chunk"), F.col("b.val"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
                & (F.col("a.val") == F.col("b.val"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = (cand
+             .join(base.select(F.col("id").alias("id_a"),
+                               F.col("v").alias("va")), "id_a")
+             .join(base.select(F.col("id").alias("id_b"),
+                               F.col("v").alias("vb")), "id_b"))
     na = F.sqrt(_dot(F.col("va"), F.col("va")))
     nb = F.sqrt(_dot(F.col("vb"), F.col("vb")))
     return (
-        cand.select("id_a", "id_b",
-                    F.round(_dot(F.col("va"), F.col("vb")) / (na * nb), 6)
-                    .alias("cosine"))
+        pairs.select("id_a", "id_b",
+                     F.round(_dot(F.col("va"), F.col("vb")) / (na * nb), 6)
+                     .alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
 
 def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
-                        n_bits: int = 64, bands: int = 8, seed: int = 42,
+                        n_bits: int = 256, bands: int = 16, seed: int = 42,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs → (id_a, id_b, cosine ≥ t).
@@ -275,10 +314,15 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.4,
     ``bands`` equal chunks; vectors agreeing on ≥1 whole band become
     candidates via an equi-join on (band, chunk value), then candidates
     are verified with the exact JVM cosine — so precision is 1 and only
-    recall is approximate (with 8 bands of 8 bits: ≈0.99 at cos 0.95,
-    ≈0.94 at 0.9, ≈0.03 of random pairs). Shuffle keys are band chunk
-    values — work scales with bucket sizes, never n². The one driver
-    action is a single-row ``first()`` to infer ``dim`` when not given.
+    recall is approximate (16 bands of 16 bits: ≈1.0 at cos 0.99,
+    ≈0.96 at 0.95, ≈2·10⁻⁴ of random pairs). Shuffle keys are band
+    chunk values — work scales with bucket sizes, never n², PROVIDED
+    the band space exceeds the corpus: the r10 sf1 probe measured the
+    old 8-bit bands (256 values) going quadratic at 20k vectors (32×
+    time at 10× data) because every bucket crowds; 16-bit bands hold
+    to ~100k vectors, 32-bit bands (``n_bits=256, bands=8``) are the
+    billion-vector setting. The one driver action is a single-row
+    ``first()`` to infer ``dim`` when not given.
     """
     if dim is None:
         dim = len(emb.select(vec_col).dropna().first()[0])
@@ -315,9 +359,8 @@ def _pinned_sig_udf(mat: np.ndarray):
     a float dot near zero could flip a bit between numpy and SQL).
     Quantization is the engine-shared floor(x/m·127+0.5) round-half-up
     of quantize_embeddings."""
-    weights = 1 << np.arange(mat.shape[1], dtype=np.uint64)
 
-    @F.pandas_udf("long")
+    @F.pandas_udf("array<long>")
     def sig(vecs: pd.Series) -> pd.Series:
         vals = vecs.to_numpy()
         out = np.empty(len(vals), dtype=object)
@@ -329,18 +372,16 @@ def _pinned_sig_udf(mat: np.ndarray):
             codes = np.where(mx > 0,
                              np.floor(m / safe * 127.0 + 0.5),
                              0.0).astype(np.int64)
-            bits = (codes @ mat) > 0
-            packed = (bits.astype(np.uint64) * weights) \
-                .sum(axis=1, dtype=np.uint64).view(np.int64)
+            packed = _pack_sig_rows((codes @ mat) > 0)
             for pos, v in zip(np.flatnonzero(mask), packed):
-                out[pos] = int(v)
+                out[pos] = v
         return pd.Series(out)
 
     return sig
 
 
 def embedding_lsh_pairs_pinned(emb: DataFrame, threshold: float = 0.4,
-                               n_bits: int = 64, bands: int = 8,
+                               n_bits: int = 256, bands: int = 16,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
                                dim: int | None = None) -> DataFrame:

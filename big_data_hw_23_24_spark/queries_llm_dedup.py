@@ -246,8 +246,12 @@ def dedup_embedding_lsh(spark, sf_dir):
 # parity over int8-quantized codes make every sign bit an exact
 # integer computation both engines reproduce; the band-join-verify
 # dataflow (and its shuffle keys) is byte-for-byte the production
-# face's (_lsh_band_verify). 64/64 hardcoded in the SQL = the testdata
-# embedding dim; the Spark face infers dim at runtime.
+# face's (_lsh_band_verify). 256 planes over dim 64 (the testdata
+# embedding dim — the Spark face infers dim at runtime), 16 bands x
+# 16 bits since r10: the sf1 probe measured the old 8-bit band space
+# (256 values) crowding at 20k vectors — candidate pairs grew
+# quadratically (32x time at 10x data); a 65 536-value band space
+# keeps bucket occupancy < 1 and the probe linear-ish.
 @register(
     "dedup_embedding_lsh_pinned",
     """
@@ -255,7 +259,7 @@ def dedup_embedding_lsh(spark, sf_dir):
       SELECT jj.j, dd.d,
              CASE WHEN ('0x' || substr(md5(jj.j || '_' || dd.d), 1, 8))::BIGINT
                        % 2 = 0 THEN 1 ELSE -1 END AS sgn
-      FROM (SELECT unnest(generate_series(0, 63)) AS j) jj,
+      FROM (SELECT unnest(generate_series(0, 255)) AS j) jj,
            (SELECT unnest(generate_series(0, 63)) AS d) dd
     ),
     q AS (
@@ -278,9 +282,9 @@ def dedup_embedding_lsh(spark, sf_dir):
       GROUP BY e.vec_id, p.j
     ),
     bandv AS (
-      SELECT vec_id, j // 8 AS chunk,
-             sum(bit * (1 << (j % 8)))::BIGINT AS val
-      FROM bits GROUP BY vec_id, j // 8
+      SELECT vec_id, j // 16 AS chunk,
+             sum(bit * (1 << (j % 16)))::BIGINT AS val
+      FROM bits GROUP BY vec_id, j // 16
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

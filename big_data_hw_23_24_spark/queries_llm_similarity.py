@@ -814,3 +814,78 @@ def knn_eval_ivf(spark, sf_dir):
                                          - F.col("r_pred")))
                        .otherwise(0)).cast("long")
                  .alias("rank_displacement")))
+
+
+# --- block-level binary payload dedup (E147, r10) ---------------------------------
+# The multimodal tier's first VALUE-CHECKED dedup: fixed aligned
+# 64-byte blocks of the binary payload (filesystem/CAS-chunking
+# semantics — codec-free, works on any binary column), block
+# fingerprint = md5 of the lower-hex byte slice (Spark slices the real
+# BINARY column; DuckDB slices hex(blob) at 2x offsets — bit-identical,
+# verified before this oracle was written). Alignment-sensitivity is
+# the stated contract: this answers re-ingested/truncated assets;
+# text-content near-dup lives in the MinHash/SimHash tier.
+@register(
+    "media_block_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      -- salted re-ingest: every 83rd asset appears byte-identically
+      -- under a new id, so the full_dup branch is non-vacuous at
+      -- every SF (the corpus's own exact dups are NORMALIZED-text
+      -- dups, not byte-identical payloads)
+      SELECT doc_id + 1000000 AS media_id, text FROM documents
+      WHERE doc_id % 83 = 0
+    ),
+    m AS (
+      SELECT media_id, hex(encode(text)) AS hx,
+             CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)
+               AS n_blocks
+      FROM raw WHERE octet_length(encode(text)) > 0
+    ),
+    bx AS (SELECT media_id, hx, unnest(range(0, n_blocks)) AS bi FROM m),
+    blocks AS (
+      SELECT media_id, bi,
+             md5(lower(substring(hx, CAST(bi * 128 + 1 AS BIGINT), 128)))
+               AS h
+      FROM bx
+    ),
+    safe AS (
+      SELECT bi, h FROM blocks GROUP BY bi, h HAVING count(*) <= 8
+    ),
+    bl AS (
+      SELECT b.media_id, b.bi, b.h
+      FROM blocks b JOIN safe s ON s.bi = b.bi AND s.h = b.h
+    ),
+    pairs AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             count(*)::BIGINT AS n_shared_blocks
+      FROM bl a JOIN bl b
+        ON a.bi = b.bi AND a.h = b.h AND a.media_id < b.media_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    pl AS (SELECT media_id, n_blocks, md5(lower(hx)) AS ph FROM m)
+    SELECT p.media_a, p.media_b, p.n_shared_blocks,
+           pa.n_blocks AS n_blocks_a, pb.n_blocks AS n_blocks_b,
+           (pa.ph = pb.ph) AS full_dup
+    FROM pairs p
+    JOIN pl pa ON pa.media_id = p.media_a
+    JOIN pl pb ON pb.media_id = p.media_b
+    """,
+    doc="block-level dedup over the binary media payload: aligned "
+        "64-byte blocks, md5-of-lower-hex fingerprints, (offset, hash) "
+        "equi-join with a max_df=8 stop-block guard, pairs sharing >= "
+        "2 blocks verified with whole-payload hash equality — the "
+        "shuffle key is the block, never a pair",
+)
+def media_block_dedup(spark, sf_dir):
+    from .operators.multimodal import block_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = (docs.where(F.col("doc_id") % 83 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1000000))
+    media = media_from_documents(
+        docs.select("doc_id", "text")
+        .unionByName(salted.select("doc_id", "text")))
+    return block_dedup_pairs(media)

@@ -2417,3 +2417,61 @@ def test_trending_items_decay_arithmetic_and_freshness_order(spark):
     ordered = [r.item for r in sorted(out.values(),
                key=lambda r: (-r.decayed_micros, r.item))]
     assert ordered == ["fresh", "stale", "ancient"]
+
+
+# --- block-level binary payload dedup (E147) ---------------------------------------
+
+def test_block_dedup_planted_cases(spark):
+    """Hand-checked taxonomy on 8-byte blocks: an exact copy shares
+    all blocks (full_dup), a truncation shares the aligned prefix, a
+    one-byte edit in block 0 still pairs on the remaining blocks, a
+    MISALIGNED copy (1-byte shift) shares nothing — the stated
+    alignment contract — and sub-threshold overlap (<2 blocks) is
+    dropped."""
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        block_dedup_pairs, media_from_documents)
+
+    base = "aaaaaaaabbbbbbbbccccccccdddddddd"      # 4 blocks of 8
+    rows = [
+        (1, base),
+        (2, base),                                  # exact copy
+        (3, base[:16]),                             # truncation: 2 blocks
+        (4, "x" + base[1:]),                        # edit in block 0
+        (5, "z" + base),                            # misaligned by 1
+        (6, base[:8] + "qqqqqqqq" * 3),             # 1 shared block only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = block_dedup_pairs(media_from_documents(docs), block_bytes=8)
+    got = {(r.media_a, r.media_b): r for r in out.collect()}
+    assert got[(1, 2)].n_shared_blocks == 4 and got[(1, 2)].full_dup
+    assert got[(1, 3)].n_shared_blocks == 2 and not got[(1, 3)].full_dup
+    assert got[(1, 4)].n_shared_blocks == 3 and not got[(1, 4)].full_dup
+    assert not any(5 in k for k in got)             # misaligned: no pair
+    assert not any(6 in k for k in got)             # 1 block < min_shared
+    # truncation pair carries both sizes
+    assert got[(1, 3)].n_blocks_a == 4 and got[(1, 3)].n_blocks_b == 2
+
+
+def test_block_dedup_hot_block_guard(spark):
+    """A block shared by more than max_df payloads is a stop-block:
+    it generates NO candidates (the Σdf² bound), while distinctive
+    blocks still pair."""
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        block_dedup_pairs, media_from_documents)
+
+    hot = "HEADERXX"                                # shared by all 6
+    rows = [(i, hot + f"doc{i:05d}" + "tailblok") for i in range(4)]
+    rows += [(10, hot + "samesame" + "tailblok"),
+             (11, hot + "samesame" + "tailblok")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = block_dedup_pairs(media_from_documents(docs),
+                            block_bytes=8, max_df=4).collect()
+    # the hot header (df=6 > 4) and hot tail (df=6 > 4) are guarded;
+    # only the genuinely identical middle+? pair survives via its
+    # distinctive blocks — 10/11 share block 1 (samesame) only, which
+    # is below min_shared=2 once hot blocks are dropped
+    assert out == []
+    out2 = {(r.media_a, r.media_b): r.n_shared_blocks
+            for r in block_dedup_pairs(media_from_documents(docs),
+                                       block_bytes=8, max_df=6).collect()}
+    assert out2[(10, 11)] == 3                      # guard lifted: full pair

@@ -501,6 +501,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   the ANN rollout gate (third
                                      #   of the approximation-gate
                                      #   family after E140/E145)
+        "media_block_dedup",         # r10: aligned-block binary
+                                     #   payload dedup — the multimodal
+                                     #   tier's first value-checked
+                                     #   dedup (codec-free CAS blocks)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
