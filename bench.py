@@ -145,6 +145,7 @@ HEADLINE = [
     # r10 additions
     "events_percentile_drift",  # GK-sketch-vs-exact rank drift audit
     "media_block_dedup",        # aligned-block binary payload dedup
+    "parts_skyline",            # 2-D Pareto frontier (prefix-max spine)
 ]
 
 

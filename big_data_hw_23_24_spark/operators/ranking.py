@@ -149,3 +149,57 @@ def global_ntile(df: DataFrame, n: int, order_by: list[Column | str],
         .otherwise(rem + F.floor((r - cut - 1) / max(base, 1)) + 1)
     return (ranked.withColumn(out_col, tile.cast("bigint"))
             .drop("_rank"))
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str, id_col: str,
+               num_partitions: int | None = None) -> DataFrame:
+    """2-D skyline / Pareto frontier (E149): the rows not dominated by
+    any other — minimize ``x_col``, maximize ``y_col``; among rows with
+    identical (x, y) the min ``id_col`` survives (the engine-wide
+    election convention).
+
+    The classic distributed-query operator, in the only shape that
+    survives 100 TB: the naive form is a quadratic NOT EXISTS dominance
+    self-join, but in 2-D a point is on the frontier iff its y STRICTLY
+    exceeds the running maximum y over all strictly-preceding points in
+    (x asc, y desc, id asc) order — provably equivalent to the
+    dominance definition (the oracle face states the O(n²) definition,
+    so parity IS the equivalence proof). The running max uses the
+    global_rank machinery: range-repartition on the sort keys, pin the
+    partitioning, collect one max per partition (P values), combine the
+    exclusive cross-partition prefix max with a per-partition exclusive
+    window max — two parallel shuffles, never a single-reducer window.
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(x_col).asc(), F.col(y_col).desc(), F.col(id_col).asc()]
+    ranged = (df.repartitionByRange(num_partitions, *cols)
+              .localCheckpoint(eager=True))
+    maxes = {r.pid: r.m for r in
+             (ranged.groupBy(F.spark_partition_id().alias("pid"))
+              .agg(F.max(y_col).alias("m")).collect())}
+    offsets, acc = {}, None
+    for pid in sorted(maxes):  # pid order IS range order
+        offsets[pid] = acc     # exclusive: max of all PRIOR partitions
+        if maxes[pid] is not None:
+            acc = maxes[pid] if acc is None else max(acc, maxes[pid])
+    withpid = ranged.withColumn("_pid", F.spark_partition_id())
+    if len(offsets) <= 256:
+        off_map = F.create_map(*chain.from_iterable(
+            (F.lit(pid), F.lit(off)) for pid, off in offsets.items()))
+        withoff = withpid.withColumn("_off",
+                                     F.element_at(off_map, F.col("_pid")))
+    else:
+        off_df = spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid int, _off double")
+        withoff = withpid.join(F.broadcast(off_df), "_pid")
+    w = (Window.partitionBy("_pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # greatest() skips nulls, so an empty prefix (first row of the
+    # first partition) yields null -> kept unconditionally
+    return (withoff
+            .withColumn("_pm", F.greatest(F.max(F.col(y_col)).over(w),
+                                          F.col("_off")))
+            .where(F.col("_pm").isNull() | (F.col(y_col) > F.col("_pm")))
+            .drop("_pid", "_off", "_pm"))

@@ -1868,3 +1868,50 @@ def events_percentile_drift(spark, sf_dir):
 
     return percentile_drift(_t(spark, sf_dir, "events"),
                             "event_type", "value")
+
+
+# --- 2-D skyline / Pareto frontier (E149, r10) ----------------------------------
+# The classic distributed-query operator the engine lacked: the parts
+# not dominated on (price minimize, size maximize). The Spark side runs
+# the scalable form — range-repartitioned exclusive prefix max over the
+# (x asc, y desc, id) spine, never a single-reducer window, never the
+# quadratic self-join — while the oracle states the O(n^2) NOT EXISTS
+# dominance DEFINITION (+ min-id election among identical points), so
+# the parity row is literally the algorithm-equals-definition proof.
+@register(
+    "parts_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_retailprice, p_size FROM part
+    ),
+    sky AS (
+      SELECT a.* FROM p a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+      )
+    ),
+    elected AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             row_number() OVER (PARTITION BY p_retailprice, p_size
+                                ORDER BY p_partkey) AS rn
+      FROM sky
+    )
+    SELECT p_partkey, p_retailprice, p_size
+    FROM elected WHERE rn = 1
+    """,
+    doc="2-D skyline: parts on the cheapest-for-their-size Pareto "
+        "frontier (minimize retailprice, maximize size; identical "
+        "points collapse to min partkey); Spark runs the "
+        "range-partitioned exclusive-prefix-max spine, the oracle "
+        "states the quadratic dominance definition — parity is the "
+        "algorithm-equals-definition proof",
+)
+def parts_skyline(spark, sf_dir):
+    from .operators.ranking import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size")
+    return skyline_2d(p, "p_retailprice", "p_size", "p_partkey")

@@ -157,6 +157,11 @@ _SF01_SCALE_SENSITIVE = [
     # SimHash pigeonhole band join all cross partition boundaries only
     # past sf0.01
     "events_kmv_distinct", "corpus_scd2_history", "dedup_simhash_pinned",
+    # r10: the block inverted index, the widened-band LSH join and the
+    # broadcast rank-count pass only stretch across partitions past
+    # sf0.01
+    "media_block_dedup", "dedup_embedding_lsh_pinned",
+    "events_percentile_drift", "knn_eval_ivf",
 ]
 
 

@@ -214,3 +214,39 @@ def test_scd2_invariants_on_random_snapshots(spark, old_ids, new_ids,
             assert len(rs) == 2
         if i in old_ids and i in new_ids and i not in changed:
             assert len(rs) == 1
+
+
+# --- E149: 2-D skyline ---------------------------------------------------------
+
+@given(pts=st.lists(
+    st.tuples(st.integers(0, 6),                  # x (minimize)
+              st.integers(0, 6)),                 # y (maximize)
+    min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_skyline_matches_dominance_definition(spark, pts):
+    """On random (small-domain, so ties and exact duplicates are
+    frequent) point sets, the range-partitioned prefix-max skyline
+    equals the brute-force dominance definition with min-id election —
+    including across partition boundaries (4 partitions forced)."""
+    from big_data_hw_23_24_spark.operators.ranking import skyline_2d
+
+    rows = [(i, float(x), y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y int")
+    got = sorted((r.id, r.x, r.y)
+                 for r in skyline_2d(df, "x", "y", "id",
+                                     num_partitions=4).collect())
+    kept = []
+    for i, x, y in rows:
+        dominated = any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for j, x2, y2 in rows if j != i)
+        dup_earlier = any(j < i and x2 == x and y2 == y
+                          for j, x2, y2 in rows)
+        if not dominated and not dup_earlier:
+            kept.append((i, x, y))
+    assert got == sorted(kept)
+    # frontier invariant (minimize x, maximize y): along increasing x
+    # the kept ys strictly increase — a later point only survives by
+    # beating every cheaper point's y
+    ys = [y for _, _, y in sorted(kept, key=lambda t: t[1])]
+    assert all(a < b for a, b in zip(ys, ys[1:]))

@@ -505,6 +505,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   payload dedup — the multimodal
                                      #   tier's first value-checked
                                      #   dedup (codec-free CAS blocks)
+        "parts_skyline",             # r10: 2-D Pareto frontier on the
+                                     #   range-partitioned prefix-max
+                                     #   spine; oracle = the quadratic
+                                     #   dominance definition
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
