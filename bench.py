@@ -146,6 +146,7 @@ HEADLINE = [
     "events_percentile_drift",  # GK-sketch-vs-exact rank drift audit
     "media_block_dedup",        # aligned-block binary payload dedup
     "parts_skyline",            # 2-D Pareto frontier (prefix-max spine)
+    "orders_itemset_triples",   # A-priori triples, relative support
 ]
 
 

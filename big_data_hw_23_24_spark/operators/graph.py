@@ -274,3 +274,89 @@ def item_triangles(events: DataFrame, user_col: str = "user_id",
                                    / (F.col("degree")
                                       * (F.col("degree") - 1)), 6))
                     .otherwise(F.lit(0.0)).alias("clustering")))
+
+
+def itemset_triples(baskets: DataFrame, basket_col: str, item_col: str,
+                    minsup: int = 2,
+                    min_frac: float | None = None) -> DataFrame:
+    """A-priori frequent 3-itemsets (E148) → ``(item_a, item_b,
+    item_c, support)`` with ``item_a < item_b < item_c``.
+
+    The classic two-level A-priori pruning done relationally — the
+    downward-closure property (every subset of a frequent set is
+    frequent) implemented as joins, which is what makes level 3
+    tractable at scale:
+
+    1. level 1: items with support ≥ minsup; baskets are FILTERED to
+       frequent items before any pair work (the big fan-out cut);
+    2. level 2: frequent pairs from the within-basket pair join;
+    3. level 3: candidate (a, b) pairs are SEMI-JOINED against the
+       frequent-pair table BEFORE extending by c, and both (a, c) and
+       (b, c) must be frequent pairs — so the triple fan-out is driven
+       by the (small) frequent-pair table, not by raw basket width.
+
+    Pruning is an optimization, not a semantics change: the oracle
+    face states the unpruned definition (count all within-basket
+    triples, filter ≥ minsup), so the parity row proves the pruned
+    plan equals the definition. Baskets must be naturally bounded
+    (orders); for unbounded baskets cap first (item_cooccurrence).
+
+    ``min_frac`` makes the threshold RELATIVE — greatest(minsup,
+    ceil(frac · n_baskets)) — the textbook formulation, and the one
+    that keeps the frequent set (and hence the output) bounded as the
+    corpus grows: with an absolute minsup, coincidence triples in
+    diffuse data accumulate quadratically with basket count. The
+    basket count rides every level's filter as a 1-row broadcast
+    crossJoin (the IdentityBroadcast pattern) — the operator stays
+    lazy.
+    """
+    # the distinct basket table feeds every A-priori level; it is NOT
+    # persisted deliberately — measured at sf0.1, persist() doubles the
+    # wall time (3.0 s -> 6-8 s: cache-write cost + losing whole-stage
+    # pipelining outweighs the recompute, which exchange reuse already
+    # amortizes)
+    b = (baskets.select(F.col(basket_col).alias("_bk"),
+                        F.col(item_col).alias("_it")).distinct())
+    if min_frac is None:
+        thr = F.lit(minsup).cast("long")
+
+        def with_thr(df: DataFrame) -> DataFrame:
+            return df
+    else:
+        nb = b.agg(F.countDistinct("_bk").alias("_nb"))
+        thr = F.greatest(F.lit(minsup),
+                         F.ceil(F.col("_nb") * min_frac)).cast("long")
+
+        def with_thr(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(nb))
+    f1 = (with_thr(b.groupBy("_it").agg(F.count("*").alias("_s")))
+          .where(F.col("_s") >= thr).select("_it"))
+    b1 = b.join(f1, "_it").select("_bk", "_it")
+    pairs = (with_thr(b1.alias("x").join(b1.alias("y"), "_bk")
+                      .where(F.col("x._it") < F.col("y._it"))
+                      .groupBy(F.col("x._it").alias("_ia"),
+                               F.col("y._it").alias("_ib"))
+                      .agg(F.count("*").alias("_s")))
+             .where(F.col("_s") >= thr)
+             .select("_ia", "_ib"))
+    # candidate (a, b) occurrences, kept only if the pair is frequent
+    ab = (b1.alias("x").join(b1.alias("y"), "_bk")
+          .where(F.col("x._it") < F.col("y._it"))
+          .select("_bk", F.col("x._it").alias("_ia"),
+                  F.col("y._it").alias("_ib"))
+          .join(pairs, ["_ia", "_ib"], "left_semi"))
+    # extend by c; (a, c) and (b, c) must also be frequent pairs
+    abc = (ab.join(b1.alias("z"), "_bk")
+           .where(F.col("z._it") > F.col("_ib"))
+           .select("_bk", "_ia", "_ib", F.col("z._it").alias("_ic"))
+           .join(pairs.select(F.col("_ia"), F.col("_ib").alias("_ic")),
+                 ["_ia", "_ic"], "left_semi")
+           .join(pairs.select(F.col("_ia").alias("_ib"),
+                              F.col("_ib").alias("_ic")),
+                 ["_ib", "_ic"], "left_semi"))
+    return (with_thr(abc.groupBy(F.col("_ia").alias("item_a"),
+                                 F.col("_ib").alias("item_b"),
+                                 F.col("_ic").alias("item_c"))
+                     .agg(F.count("*").cast("long").alias("support")))
+            .where(F.col("support") >= thr)
+            .select("item_a", "item_b", "item_c", "support"))

@@ -1915,3 +1915,76 @@ def parts_skyline(spark, sf_dir):
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size")
     return skyline_2d(p, "p_retailprice", "p_size", "p_partkey")
+
+
+# --- A-priori frequent 3-itemsets (E148, r10) -----------------------------------
+# Level 3 of the market-basket ladder (pairs = orders_market_basket):
+# the downward-closure pruning done as semi-joins — candidate (a,b)
+# occurrences are filtered against the frequent-pair table BEFORE
+# extending by c, and (a,c)/(b,c) must be frequent too, so triple
+# fan-out is driven by the small frequent-pair table, not raw basket
+# width. The oracle states the UNPRUNED definition (count all
+# within-basket triples, filter >= threshold): the parity row proves
+# the pruned plan equals the definition, the parts_skyline move.
+#
+# Workload design: support is RELATIVE (0.5% of baskets, floor 2) —
+# the textbook formulation, and the one that keeps the frequent set
+# bounded as the corpus grows (an absolute minsup accumulates
+# coincidence triples quadratically in diffuse data). TPC-H's random
+# baskets hold no real association structure, so two deterministic
+# promo bundles are planted in-query (orders %37 -> {501,502,503},
+# %53 -> {502,503,504}; family space is l_partkey % 500, so planted
+# ids are disjoint): their relative support (~2.7% / ~1.9%) clears the
+# threshold at EVERY SF while cross-bundle and bundle-x-natural
+# triples stay ~100x below it — the mined set is exactly the planted
+# ground truth, non-vacuously, at any scale.
+@register(
+    "orders_itemset_triples",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey % 500 AS i FROM lineitem
+    ),
+    ords AS (SELECT DISTINCT o FROM base),
+    planted AS (
+      SELECT o, unnest([501, 502, 503]) AS i FROM ords WHERE o % 37 = 0
+      UNION ALL
+      SELECT o, unnest([502, 503, 504]) AS i FROM ords WHERE o % 53 = 0
+    ),
+    b AS (
+      SELECT DISTINCT o, i FROM (
+        SELECT o, i FROM base UNION ALL SELECT o, i FROM planted)
+    ),
+    n AS (
+      SELECT greatest(2, CAST(ceil(count(DISTINCT o) * 0.005) AS BIGINT))
+               AS ms
+      FROM b
+    )
+    SELECT a.i AS item_a, x.i AS item_b, c.i AS item_c,
+           count(*)::BIGINT AS support
+    FROM b a
+    JOIN b x ON x.o = a.o AND a.i < x.i
+    JOIN b c ON c.o = a.o AND x.i < c.i
+    GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT ms FROM n)
+    """,
+    doc="A-priori frequent 3-itemsets over part-family baskets at "
+        "relative support (0.5% of baskets, floor 2), with planted "
+        "promo bundles as deterministic ground truth; semi-join "
+        "downward-closure pruning, oracle = the unpruned definition "
+        "so parity proves the pruning exact",
+)
+def orders_itemset_triples(spark, sf_dir):
+    from .operators.graph import itemset_triples
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        (F.col("l_partkey") % 500).alias("i"))
+    ords = li.select("o").distinct()
+    planted = (ords.where(F.col("o") % 37 == 0)
+               .select("o", F.explode(F.array(
+                   F.lit(501), F.lit(502), F.lit(503))).alias("i"))
+               .unionByName(
+                   ords.where(F.col("o") % 53 == 0)
+                   .select("o", F.explode(F.array(
+                       F.lit(502), F.lit(503), F.lit(504))).alias("i"))))
+    baskets = li.unionByName(planted.select("o", F.col("i").cast("long")))
+    return itemset_triples(baskets, "o", "i", minsup=2, min_frac=0.005)

@@ -422,6 +422,8 @@ _CARTESIAN_ALLOWLIST = {
     "orders_market_basket",          # 1-row basket-count broadcast
                                      #   (was an eager driver count —
                                      #   folded into the plan in r9)
+    "orders_itemset_triples",        # 1-row basket-count broadcast per
+                                     #   A-priori level (relative minsup)
     "doc_rerank_features",           # corpus N + avgdl (1 row, via
                                      #   the bm25_search_many stage)
     "streaming_spacesaving_topk",    # merged-sketch threshold (1 row)
@@ -434,6 +436,10 @@ _CARTESIAN_ALLOWLIST = {
     "knn_cosine_quantized",          # int8 face of the same baseline
     "knn_cosine_filtered",           # pre-filter + same bounded scoring
     "dedup_embedding_cosine",        # documented small-scale exact face
+    "knn_eval_ivf",                  # rollout gate composing the exact
+                                     #   baseline above with pinned IVF
+                                     #   (the brute-force side is the
+                                     #   declared run-once gate face)
 }
 
 

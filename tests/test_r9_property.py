@@ -250,3 +250,33 @@ def test_skyline_matches_dominance_definition(spark, pts):
     # beating every cheaper point's y
     ys = [y for _, _, y in sorted(kept, key=lambda t: t[1])]
     assert all(a < b for a, b in zip(ys, ys[1:]))
+
+
+# --- E148: A-priori frequent triples ---------------------------------------------
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5),                  # basket
+              st.integers(0, 7)),                 # item
+    min_size=1, max_size=40),
+    minsup=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_itemset_triples_match_unpruned_definition(spark, rows, minsup):
+    """On random small baskets the semi-join-pruned A-priori plan
+    equals the brute-force definition exactly — downward closure is an
+    optimization, never a semantics change."""
+    from itertools import combinations as comb
+
+    from big_data_hw_23_24_spark.operators.graph import itemset_triples
+
+    df = spark.createDataFrame(rows, "o long, i long")
+    got = {(r.item_a, r.item_b, r.item_c): r.support
+           for r in itemset_triples(df, "o", "i", minsup=minsup).collect()}
+    baskets: dict[int, set[int]] = {}
+    for o, i in rows:
+        baskets.setdefault(o, set()).add(i)
+    want: dict[tuple, int] = {}
+    for items in baskets.values():
+        for t in comb(sorted(items), 3):
+            want[t] = want.get(t, 0) + 1
+    want = {t: s for t, s in want.items() if s >= minsup}
+    assert got == want

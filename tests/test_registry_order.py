@@ -509,6 +509,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   range-partitioned prefix-max
                                      #   spine; oracle = the quadratic
                                      #   dominance definition
+        "orders_itemset_triples",    # r10: A-priori frequent triples
+                                     #   at relative support with
+                                     #   planted promo bundles; oracle
+                                     #   = the unpruned definition
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
