@@ -147,6 +147,7 @@ HEADLINE = [
     "media_block_dedup",        # aligned-block binary payload dedup
     "parts_skyline",            # 2-D Pareto frontier (prefix-max spine)
     "orders_itemset_triples",   # A-priori triples, relative support
+    "doc_hybrid_rrf",           # BM25 + QL fused by reciprocal rank
 ]
 
 

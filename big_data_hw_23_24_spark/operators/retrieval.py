@@ -293,3 +293,102 @@ def rerank_features(docs: DataFrame, queries: DataFrame, k: int = 20,
                     tf_total.cast("long").alias("tf_total"),
                     F.round(tf_total / dl, 6).alias("density"),
                     first_pos.cast("long").alias("first_pos")))
+
+
+def ql_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
+                   mu: float = 300.0, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Batch Dirichlet-smoothed query-likelihood retrieval (E150) →
+    top-``k`` docs per query, ``(qid, doc_id, n_hits, score, rank)``.
+
+    The classic second lexical retriever beside BM25 (Zhai & Lafferty
+    2001): score(q, d) = Σ_t∈q log((tf + μ·P(t|C)) / (dl + μ)),
+    decomposed so only MATCHED postings are touched —
+    Σ log(μ·cf_t/T) [per-query constant] + Σ_t∈q∩d log(1 + tf·T/(μ·cf_t))
+    [matched hits] − |q|·log(dl + μ) [per-doc length normalizer] —
+    the standard trick that makes LM retrieval an inverted-index
+    workload identical in shape to :func:`bm25_search_many` (same
+    pruned postings, same broadcast stats, same two-stage grouped
+    top-k). Query terms absent from the corpus are dropped from the
+    model (P(t|C)=0 would zero every document; |q| counts matched
+    terms only). Only docs matching ≥ 1 term are ranked (standard
+    OR-semantics retrieval; a no-hit doc's pure-smoothing score ranks
+    strictly below any single-hit doc of equal length).
+    """
+    from .grouped import grouped_topk
+    from .util import lowered_words
+
+    words = lowered_words(text_col)
+    base = docs.select(F.col(id_col), words.alias("_w"))
+    tot = base.agg(F.sum(F.size("_w")).cast("double").alias("_T"))
+    qterms = (queries.select("qid", F.explode("terms").alias("term"))
+              .select("qid", F.lower("term").alias("term"))
+              .distinct())
+    terms_only = qterms.select("term").distinct()
+    toks = (base.select(F.col(id_col), F.size("_w").alias("dl"),
+                        F.explode("_w").alias("term"))
+            .join(F.broadcast(terms_only), "term"))
+    toks = toks.localCheckpoint(eager=True)  # cf + postings both read it
+    cf = toks.groupBy("term").agg(F.count("*").cast("double").alias("_cf"))
+    postings = (toks.groupBy(id_col, "term")
+                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl")))
+    # per-query constant + matched-term count (OOV terms drop here)
+    qconst = (qterms.join(F.broadcast(cf), "term")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("qid")
+              .agg(F.count("*").alias("_nq"),
+                   F.sum(F.log(F.lit(mu) * F.col("_cf") / F.col("_T")))
+                   .alias("_qc")))
+    hit = F.log(F.lit(1.0) + F.col("tf") * F.col("_T")
+                / (F.lit(mu) * F.col("_cf")))
+    scored = (postings
+              .join(F.broadcast(qterms), "term")
+              .join(F.broadcast(cf), "term")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("qid", id_col)
+              .agg(F.count("*").cast("long").alias("n_hits"),
+                   F.sum(hit).alias("_hits"),
+                   F.first("dl").alias("_dl"))
+              .join(F.broadcast(qconst), "qid")
+              .select("qid", id_col, "n_hits",
+                      F.round(F.col("_qc") + F.col("_hits")
+                              - F.col("_nq")
+                              * F.log(F.col("_dl") + F.lit(mu)), 6)
+                      .alias("score")))
+    return grouped_topk(scored, ["qid"],
+                        [F.col("score").desc(), F.col(id_col)], k)
+
+
+def rrf_fuse(*ranked: DataFrame, k: int = 10, rrf_k: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of per-query ranked
+    lists → ``(qid, doc_id, rrf, rank)`` plus one ``rank_i`` column per
+    input list (−1 where the doc missed that list).
+
+    THE standard hybrid-retrieval combiner (lexical + semantic, or any
+    mix): rrf = Σ_lists 1/(rrf_k + rank_list), needing only ranks — no
+    score calibration across retrievers. Shuffle-light by
+    construction: the inputs are already k-row-per-query shortlists,
+    so the fusion is a full-outer join of bounded lists keyed on
+    (qid, id); determinism via (rrf desc, id) ordering of the exact
+    two-term double sum.
+    """
+    from functools import reduce
+
+    from .grouped import grouped_topk
+
+    slim = [r.select("qid", id_col,
+                     F.col("rank").alias(f"_r{i}"))
+            for i, r in enumerate(ranked)]
+    joined = reduce(lambda a, b: a.join(b, ["qid", id_col], "full_outer"),
+                    slim)
+    rrf = sum((F.when(F.col(f"_r{i}").isNotNull(),
+                      F.lit(1.0) / (F.lit(rrf_k) + F.col(f"_r{i}")))
+               .otherwise(F.lit(0.0)) for i in range(len(slim))),
+              start=F.lit(0.0))
+    out = joined.select(
+        "qid", id_col, F.round(rrf, 6).alias("rrf"),
+        *[F.coalesce(F.col(f"_r{i}"), F.lit(-1)).cast("int")
+          .alias(f"rank_{i}") for i in range(len(slim))])
+    return grouped_topk(out, ["qid"], [F.col("rrf").desc(), F.col(id_col)],
+                        k)

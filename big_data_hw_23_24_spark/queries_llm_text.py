@@ -1904,3 +1904,125 @@ def doc_pretoken_stats(spark, sf_dir):
     from .operators.tokenizer import pretokenize_stats
 
     return pretokenize_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --- hybrid retrieval fusion (E150, r10) --------------------------------------
+# THE standard production retrieval pattern: two retrievers with
+# incomparable score scales (BM25 + Dirichlet query-likelihood LM,
+# Zhai & Lafferty 2001) fused by reciprocal-rank fusion (Cormack et
+# al. 2009) — rrf = sum over lists of 1/(60 + rank), no score
+# calibration needed. Both retrievers ride the SAME pruned inverted
+# index shape; the fusion is a full-outer join of bounded k-row
+# shortlists. QL decomposes as per-query constant + matched-hit sum -
+# |q|*ln(dl+mu), so only matched postings are touched (the trick that
+# makes LM retrieval an inverted-index workload).
+@register(
+    "doc_hybrid_rrf",
+    """
+    WITH q AS (
+      SELECT * FROM (VALUES (1, 'spark'), (1, 'join'),
+                            (2, 'stream'), (2, 'window'),
+                            (3, 'merge'), (3, 'table'), (3, 'sort'))
+        AS t(qid, term)
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS words
+      FROM documents
+    ),
+    s AS (SELECT count(*) AS n, sum(len(words)) AS sumdl,
+                 sum(len(words)) * 1.0 AS T
+          FROM base),
+    post AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, len(words) AS dl, unnest(words) AS term
+            FROM base)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    cf AS (SELECT term, sum(tf) * 1.0 AS cf FROM post GROUP BY term),
+    bm_scored AS (
+      SELECT q.qid, p.doc_id,
+             round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * p.dl
+                                        / (s.sumdl * 1.0 / s.n)))), 6)
+               AS score
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN dfq ON p.term = dfq.term
+      CROSS JOIN s
+      GROUP BY q.qid, p.doc_id
+    ),
+    bm AS (
+      SELECT qid, doc_id, r FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS r
+        FROM bm_scored) WHERE r <= 10
+    ),
+    qc AS (
+      SELECT q.qid, count(*) AS nq,
+             sum(ln(300.0 * cf.cf / s.T)) AS qconst
+      FROM q JOIN cf ON cf.term = q.term CROSS JOIN s
+      GROUP BY q.qid
+    ),
+    ql_scored AS (
+      SELECT q.qid, p.doc_id,
+             any_value(p.dl) AS dl,
+             sum(ln(1.0 + p.tf * s.T / (300.0 * cf.cf))) AS hits
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN cf ON p.term = cf.term
+      CROSS JOIN s
+      GROUP BY q.qid, p.doc_id
+    ),
+    ql AS (
+      SELECT qid, doc_id, r FROM (
+        SELECT g.qid, g.doc_id,
+               row_number() OVER (
+                 PARTITION BY g.qid
+                 ORDER BY round(qc.qconst + g.hits
+                                - qc.nq * ln(g.dl + 300.0), 6) DESC,
+                          g.doc_id) AS r
+        FROM ql_scored g JOIN qc ON qc.qid = g.qid) WHERE r <= 10
+    ),
+    fused AS (
+      SELECT coalesce(bm.qid, ql.qid) AS qid,
+             coalesce(bm.doc_id, ql.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + bm.r), 0)
+                   + coalesce(1.0 / (60 + ql.r), 0), 6) AS rrf,
+             CAST(coalesce(bm.r, -1) AS INTEGER) AS rank_0,
+             CAST(coalesce(ql.r, -1) AS INTEGER) AS rank_1
+      FROM bm FULL OUTER JOIN ql
+        ON bm.qid = ql.qid AND bm.doc_id = ql.doc_id
+    )
+    SELECT qid, doc_id, rrf, rank_0, rank_1, rank FROM (
+      SELECT qid, doc_id, rrf, rank_0, rank_1,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY rrf DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM fused) WHERE rank <= 10
+    """,
+    doc="hybrid retrieval: BM25 top-10 and Dirichlet query-likelihood "
+        "top-10 (mu=300) over the same pruned inverted index, fused by "
+        "reciprocal-rank fusion 1/(60+rank) and re-ranked top-10 per "
+        "query; fusion joins only bounded shortlists",
+)
+def doc_hybrid_rrf(spark, sf_dir):
+    from .operators.retrieval import (bm25_search_many, ql_search_many,
+                                      rrf_fuse)
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, ["spark", "join"]), (2, ["stream", "window"]),
+         (3, ["merge", "table", "sort"])],
+        "qid int, terms array<string>")
+    bm = bm25_search_many(docs, qs, k=10)
+    ql = ql_search_many(docs, qs, k=10)
+    out = rrf_fuse(bm, ql, k=10)
+    return out.select(F.col("qid").cast("int").alias("qid"), "doc_id",
+                      "rrf", "rank_0", "rank_1",
+                      F.col("rank").cast("int").alias("rank"))

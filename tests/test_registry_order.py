@@ -513,6 +513,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   at relative support with
                                      #   planted promo bundles; oracle
                                      #   = the unpruned definition
+        "doc_hybrid_rrf",            # r10: BM25 + query-likelihood LM
+                                     #   retrieval fused by reciprocal
+                                     #   rank (the hybrid-search
+                                     #   production pattern)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
