@@ -17,11 +17,14 @@ Two design commitments, both load-bearing at scale:
   catch-up reads exactly the lagged slice, not everything-and-filter.
 * **Idempotence lives in the SINK, not the checkpoint**: each
   micro-batch lands via dynamic partition overwrite
-  (``partitionOverwriteMode=dynamic`` + ``partitionBy(bucket)``), so a
-  re-run (new checkpoint, epoch ids restarting at 0) overwrites the
-  same bucket partitions instead of appending. A checkpoint protects
-  one query's restart; the sink contract protects the OPERATOR being
-  run twice — the failure mode outages actually produce.
+  (``partitionOverwriteMode=dynamic`` + ``partitionBy(bucket,
+  src_part)``, where ``src_part`` derives from the source file name),
+  so a re-run (new checkpoint, epoch ids restarting at 0) overwrites
+  the same (bucket, file) sub-partitions instead of appending — and a
+  bucket whose files span several micro-batches never has a later
+  batch clobber an earlier one's rows. A checkpoint protects one
+  query's restart; the sink contract protects the OPERATOR being run
+  twice — the failure mode outages actually produce.
 
 The bounded replay itself uses ``trigger(availableNow=True)``: process
 everything the bounded source holds, then stop (the reference's
