@@ -1007,3 +1007,52 @@ def test_paragraph_dedup_first_owner_is_min_doc_then_position(spark):
     out = {r.doc_id: r for r in dedup_paragraphs_global(docs).collect()}
     assert out[5].clean_text == "x\ndup"   # second in-doc copy gone too
     assert out[9].clean_text == ""
+
+
+# --- E150: query-likelihood retrieval + RRF fusion -------------------------------
+
+def test_ql_prefers_rare_term_and_normalizes_length(spark):
+    """Dirichlet QL semantics, hand-checked: a doc matching the rare
+    query term outranks one matching only the common term; between two
+    docs with identical matches, the shorter one scores higher (the
+    -|q|*ln(dl+mu) length normalizer); OOV query terms drop from the
+    model instead of zeroing every document."""
+    from big_data_hw_23_24_spark.operators.retrieval import ql_search_many
+
+    rows = [
+        (1, "rareword common filler filler"),
+        (2, "common filler filler filler"),
+        (3, "rareword common"),                      # short, both terms
+        (4, "common common common common common"),   # common-heavy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(1, ["rareword", "common", "neverseen"])],
+        "qid int, terms array<string>")
+    out = {r.doc_id: r for r in ql_search_many(docs, qs, k=10).collect()}
+    assert set(out) == {1, 2, 3, 4}                  # OOV didn't zero docs
+    ranks = {d: out[d].rank for d in out}
+    # both-term docs beat single-term docs; short both-term doc wins
+    assert ranks[3] == 1
+    assert ranks[1] == 2
+    assert out[3].n_hits == 2 and out[2].n_hits == 1
+    assert ranks[3] < ranks[1] < min(ranks[2], ranks[4])
+
+
+def test_rrf_fuse_combines_and_flags_singles(spark):
+    """RRF hand case: a doc ranked 1st+2nd beats a doc ranked 2nd+1st
+    tie? no — symmetric; check exact values: 1/(61)+1/(62) for both;
+    tiebreak by doc_id. A doc present in only one list carries -1 for
+    the other and exactly one reciprocal term."""
+    from big_data_hw_23_24_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+                              "qid int, doc_id long, rank int")
+    b = spark.createDataFrame([(1, 20, 1), (1, 10, 2), (1, 99, 3)],
+                              "qid int, doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=10).collect()}
+    assert round(out[10].rrf, 6) == round(1 / 61 + 1 / 62, 6)
+    assert round(out[20].rrf, 6) == round(1 / 61 + 1 / 62, 6)
+    assert out[10].rank == 1 and out[20].rank == 2   # tie -> doc_id
+    assert out[30].rank_1 == -1 and round(out[30].rrf, 6) == round(1 / 63, 6)
+    assert out[99].rank_0 == -1 and round(out[99].rrf, 6) == round(1 / 63, 6)
