@@ -545,3 +545,19 @@ def test_semantic_dedup_single_scan_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize("qname", ["dedup_embedding_lsh",
+                                   "dedup_embedding_lsh_pinned"])
+def test_embedding_lsh_band_join_is_slim(spark, qname):
+    """r10 contract: the band explode and the candidate-pair shuffle
+    carry NO vector column — vectors join back once per deduped pair.
+    Before this, the bands-wide explode shipped every embedding through
+    the self-join shuffle (part of the 32x-at-10x-data regression the
+    sf1 probe caught)."""
+    plan = _plan(spark, qname, "simple")
+    for ln in plan.splitlines():
+        if "Generate explode" in ln:
+            assert " v#" not in ln and "embedding#" not in ln, ln
+        if "Exchange hashpartitioning(id_a#" in ln:
+            assert "va#" not in ln and "vb#" not in ln, ln
