@@ -412,6 +412,8 @@ _CARTESIAN_ALLOWLIST = {
                                      #   distinct-value grid broadcast
     "doc_bm25_multi",                # corpus N + avgdl (1 row)
     "doc_bm25_topk",                 # same 1-row corpus stats
+    "doc_hybrid_rrf",                # same 1-row corpus stats, via the
+                                     #   BM25 + QL retriever stages
     "doc_dsir_weights",              # target/proposal mass totals
     "corpus_temperature_mix",        # source-mass totals (1 row)
     "parts_size50_revenue_bloom",    # bloom bitmap scalar probe
