@@ -2020,8 +2020,11 @@ def doc_hybrid_rrf(spark, sf_dir):
         [(1, ["spark", "join"]), (2, ["stream", "window"]),
          (3, ["merge", "table", "sort"])],
         "qid int, terms array<string>")
-    bm = bm25_search_many(docs, qs, k=10)
-    ql = ql_search_many(docs, qs, k=10)
+    from .operators.retrieval import build_query_index
+
+    idx = build_query_index(docs, qs)
+    bm = bm25_search_many(docs, qs, k=10, index=idx)
+    ql = ql_search_many(docs, qs, k=10, index=idx)
     out = rrf_fuse(bm, ql, k=10)
     return out.select(F.col("qid").cast("int").alias("qid"), "doc_id",
                       "rrf", "rank_0", "rank_1",
