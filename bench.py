@@ -148,6 +148,7 @@ HEADLINE = [
     "parts_skyline",            # 2-D Pareto frontier (prefix-max spine)
     "orders_itemset_triples",   # A-priori triples, relative support
     "doc_hybrid_rrf",           # BM25 + QL fused by reciprocal rank
+    "corpus_drift_psi",         # PSI drift on baseline-decile edges
 ]
 
 

@@ -325,3 +325,61 @@ def percentile_drift(df: DataFrame, group_col: str, value_col: str,
         k.alias("target_rank"),
         disp_hi.alias("rank_displacement"),
         (disp_lo <= bound).alias("sketch_within_bound"))
+
+
+def psi_report(base: DataFrame, cur: DataFrame, value_col: str,
+               id_col: str, bins: int = 10) -> DataFrame:
+    """Population Stability Index drift report (E151) → one row per
+    bin: ``(bin, n_base, n_cur, psi_contrib)``.
+
+    The production drift metric beside the KS faces: bin edges are the
+    BASELINE's exact ``bins``-tiles (the standard convention — the
+    reference period defines the grid, the current period is scored
+    against it), both datasets are then assigned by the SAME edges
+    (ties at an edge go to the lower bin: bin = 1 + #edges strictly
+    below the value), and psi_contrib = (p − q)·ln(p/q) on add-half
+    smoothed proportions p = (n+0.5)/(N+0.5·bins) so empty bins cannot
+    produce ±inf. Total PSI = Σ contrib (>0.25 is the usual
+    "investigate" threshold).
+
+    Scale shape: edges come from the range-partitioned global-ntile
+    spine (never a single-reducer window), collapse to a bins−1-element
+    broadcast array, and each side's assignment is a narrow map + one
+    hash aggregate — two scans, no corpus-scale shuffle beyond the
+    spine.
+    """
+    from .ranking import global_ntile
+
+    nt = global_ntile(base.select(F.col(id_col), F.col(value_col)),
+                      bins, [F.col(value_col), F.col(id_col)],
+                      out_col="_nt")
+    edges = (nt.where(F.col("_nt") <= bins - 1)
+             .groupBy("_nt").agg(F.max(value_col).alias("_e"))
+             .groupBy()
+             .agg(F.sort_array(F.collect_list("_e")).alias("_es")))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = (F.lit(1) + F.size(F.filter(
+            F.col("_es"), lambda e: e < F.col(value_col)))).alias("bin")
+        return (df.crossJoin(F.broadcast(edges))
+                .select(b)
+                .groupBy("bin")
+                .agg(F.count("*").cast("long").alias(out)))
+
+    nb = binned(base, "n_base")
+    nc = binned(cur, "n_cur")
+    grid = base.sparkSession.range(1, bins + 1).select(
+        F.col("id").cast("int").alias("bin"))
+    j = (grid.join(nb, "bin", "left").join(nc, "bin", "left")
+         .select("bin",
+                 F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tb = j.groupBy().agg(F.sum("n_base").alias("_tb"),
+                         F.sum("n_cur").alias("_tc"))
+    p = (F.col("n_base") + 0.5) / (F.col("_tb") + 0.5 * bins)
+    q = (F.col("n_cur") + 0.5) / (F.col("_tc") + 0.5 * bins)
+    return (j.crossJoin(F.broadcast(tb))
+            .select("bin", "n_base", "n_cur",
+                    F.round((p - q) * F.log(p / q), 6)
+                    .alias("psi_contrib"))
+            .orderBy("bin"))

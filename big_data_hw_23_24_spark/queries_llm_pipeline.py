@@ -2039,3 +2039,82 @@ def events_trending_items(spark, sf_dir):
           .select(F.get_json_object("props", "$.k").try_cast("long")
                   .alias("item"), "ts"))
     return trending_items(ev, k=20)
+
+
+# --- population-stability drift report (E151, r10) ------------------------------
+# The production drift metric beside the KS faces (corpus_split_drift,
+# corpus_length_ks_matrix): bin edges = the BASELINE's exact deciles
+# (the reference period defines the grid), both periods assigned by
+# the same edges (ties at an edge go DOWN: bin = 1 + #edges strictly
+# below), psi_contrib = (p-q)*ln(p/q) on add-half-smoothed proportions
+# so an empty bin cannot produce +-inf. The "current" period is a
+# deterministic degraded re-crawl (every 3rd odd doc truncated to half
+# length), so several bins drift non-vacuously at every SF while the
+# baseline half stays untouched. Total PSI = sum(psi_contrib); > 0.25
+# is the usual investigate threshold.
+@register(
+    "corpus_drift_psi",
+    """
+    WITH base AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+    ),
+    cur AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars // 2
+                  ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    nt AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS b
+      FROM base
+    ),
+    edges AS (
+      SELECT list(e ORDER BY e) AS es FROM (
+        SELECT max(n_chars) AS e FROM nt WHERE b <= 9 GROUP BY b)
+    ),
+    nb AS (
+      SELECT 1 + len(list_filter(es, x -> x < n_chars)) AS bin,
+             count(*)::BIGINT AS n_base
+      FROM base CROSS JOIN edges GROUP BY 1
+    ),
+    nc AS (
+      SELECT 1 + len(list_filter(es, x -> x < n_chars)) AS bin,
+             count(*)::BIGINT AS n_cur
+      FROM cur CROSS JOIN edges GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(1, 10)) AS bin),
+    j AS (
+      SELECT CAST(grid.bin AS INTEGER) AS bin,
+             coalesce(n_base, 0) AS n_base,
+             coalesce(n_cur, 0) AS n_cur
+      FROM grid LEFT JOIN nb ON nb.bin = grid.bin
+                LEFT JOIN nc ON nc.bin = grid.bin
+    ),
+    t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+    SELECT bin, n_base, n_cur,
+           round(((n_base + 0.5) / (t.tb + 5.0)
+                  - (n_cur + 0.5) / (t.tc + 5.0))
+                 * ln(((n_base + 0.5) / (t.tb + 5.0))
+                      / ((n_cur + 0.5) / (t.tc + 5.0))), 6)
+             AS psi_contrib
+    FROM j CROSS JOIN t
+    """,
+    doc="population-stability-index drift report over doc length: "
+        "baseline-decile bin edges from the range-partitioned ntile "
+        "spine, both periods assigned by the same edges, add-half "
+        "smoothed (p-q)*ln(p/q) per bin; current period is a "
+        "deterministic degraded re-crawl so the drift is non-vacuous",
+)
+def corpus_drift_psi(spark, sf_dir):
+    from .operators.grouped import psi_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (docs.where(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "n_chars"))
+    cur = (docs.where(F.col("doc_id") % 2 == 1)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 3 == 0,
+                          (F.col("n_chars") / 2).cast("long"))
+                   .otherwise(F.col("n_chars")).alias("n_chars")))
+    return psi_report(base, cur, "n_chars", "doc_id", bins=10)

@@ -414,6 +414,8 @@ _CARTESIAN_ALLOWLIST = {
     "doc_bm25_topk",                 # same 1-row corpus stats
     "doc_hybrid_rrf",                # same 1-row corpus stats, via the
                                      #   BM25 + QL retriever stages
+    "corpus_drift_psi",              # 9-edge array + 1-row totals
+                                     #   broadcasts (PSI grid)
     "doc_dsir_weights",              # target/proposal mass totals
     "corpus_temperature_mix",        # source-mass totals (1 row)
     "parts_size50_revenue_bloom",    # bloom bitmap scalar probe

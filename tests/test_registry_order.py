@@ -517,6 +517,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   retrieval fused by reciprocal
                                      #   rank (the hybrid-search
                                      #   production pattern)
+        "corpus_drift_psi",          # r10: population-stability-index
+                                     #   drift on baseline-decile
+                                     #   edges, add-half smoothed
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
