@@ -149,6 +149,7 @@ HEADLINE = [
     "orders_itemset_triples",   # A-priori triples, relative support
     "doc_hybrid_rrf",           # BM25 + QL fused by reciprocal rank
     "corpus_drift_psi",         # PSI drift on baseline-decile edges
+    "events_attribution",       # U-shaped multi-touch credit (ppm)
 ]
 
 

@@ -215,3 +215,71 @@ def trending_items(events: DataFrame, item_col: str = "item",
                  F.sum("_w").cast("long").alias("decayed_micros"))
             .orderBy(F.col("decayed_micros").desc(), "item")
             .limit(k))
+
+
+def attribution_report(events: DataFrame, conversion_type: str,
+                       touch_types: list[str],
+                       lookback_hours: int = 24,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution (E152) →
+    ``(channel, n_touches, credit_ppm)``.
+
+    The marketing-analytics classic: each conversion distributes one
+    unit of credit over the touch events of the same user in the
+    preceding ``lookback_hours`` window — 40% to the first touch, 40%
+    to the last, the middle 20% split evenly (1 touch → 100%, 2 →
+    50/50). Credit is INTEGER PARTS-PER-MILLION (middle shares floor-
+    divided), so the per-channel totals are exact integer sums — no
+    float summation-order hazard across engines at any row count (the
+    integer-micro decay convention). Conversions with no touch in the
+    window are reported under the ``(none)`` channel, so total credit
+    ≈ conversions x 1M (minus middle-share flooring) and nothing is
+    silently dropped.
+
+    Scale shape: the touch join is user-keyed (equi) with the time
+    window as a residual predicate — fan-out is bounded by a user's
+    activity inside the lookback; position ranks come from a window
+    PARTITIONED by conversion id (groups bounded the same way); the
+    unattributed side is one anti-join on the same keys.
+    """
+    # ticks only ever feed differences and ordering here, so the
+    # constant session-tz offset ticks_us may apply cancels out
+    us = ticks_us(events, ts_col)
+    look = lookback_hours * 3_600_000_000
+    conv = (events.where(F.col(type_col) == conversion_type)
+            .select(F.col(user_col).alias("_u"),
+                    F.col(id_col).alias("_cid"), us.alias("_cts")))
+    touch = (events.where(F.col(type_col).isin(touch_types))
+             .select(F.col(user_col).alias("_u"),
+                     F.col(id_col).alias("_tid"),
+                     F.col(type_col).alias("channel"), us.alias("_tts")))
+    cond = [conv["_u"] == touch["_u"],
+            touch["_tts"] < conv["_cts"],
+            touch["_tts"] >= conv["_cts"] - look]
+    pairs = conv.join(touch, cond).select("_cid", "channel", "_tts", "_tid")
+    w = Window.partitionBy("_cid")
+    wr = w.orderBy("_tts", "_tid")
+    ranked = pairs.select(
+        "channel",
+        F.count("*").over(w).alias("_n"),
+        F.row_number().over(wr).alias("_r"))
+    credit = (F.when(F.col("_n") == 1, F.lit(1_000_000))
+              .when(F.col("_n") == 2, F.lit(500_000))
+              .when((F.col("_r") == 1) | (F.col("_r") == F.col("_n")),
+                    F.lit(400_000))
+              .otherwise((F.lit(200_000)
+                          / (F.col("_n") - 2)).cast("long")))
+    att = (ranked.select("channel", credit.alias("_c"))
+           .groupBy("channel")
+           .agg(F.count("*").cast("long").alias("n_touches"),
+                F.sum("_c").cast("long").alias("credit_ppm")))
+    unatt = (conv.join(touch, cond, "left_anti")
+             .agg(F.count("*").cast("long").alias("_n0"))
+             .select(F.lit("(none)").alias("channel"),
+                     F.lit(0).cast("long").alias("n_touches"),
+                     (F.col("_n0") * 1_000_000).cast("long")
+                     .alias("credit_ppm")))
+    return att.unionByName(unatt)

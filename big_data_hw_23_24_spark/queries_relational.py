@@ -1988,3 +1988,76 @@ def orders_itemset_triples(spark, sf_dir):
                        F.lit(502), F.lit(503), F.lit(504))).alias("i"))))
     baskets = li.unionByName(planted.select("o", F.col("i").cast("long")))
     return itemset_triples(baskets, "o", "i", minsup=2, min_frac=0.005)
+
+
+# --- U-shaped multi-touch attribution (E152, r10) -------------------------------
+# The marketing classic the funnel/retention/RFM tier was missing:
+# each purchase distributes 1M ppm of credit over the same user's
+# click/view/signup touches in the preceding 24h — 40% first, 40%
+# last, middle 20% floor-split (1 touch -> 100%, 2 -> 50/50). Integer
+# ppm keeps every per-channel total an exact integer sum (the
+# integer-micro convention), and untouched conversions land under
+# '(none)' so nothing drops silently. User-keyed equi join with the
+# window as residual predicate; position ranks over conversion-id
+# partitions (bounded by per-user 24h activity).
+@register(
+    "events_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS cid,
+             epoch_ns(ts) // 1000 AS cts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, event_id AS tid, event_type AS channel,
+             epoch_ns(ts) // 1000 AS tts
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    pairs AS (
+      SELECT c.cid, t.channel, t.tts, t.tid
+      FROM conv c JOIN touch t ON t.u = c.u
+       AND t.tts < c.cts AND t.tts >= c.cts - 86400000000
+    ),
+    ranked AS (
+      SELECT channel,
+             count(*) OVER (PARTITION BY cid) AS n,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tts, tid) AS r
+      FROM pairs
+    ),
+    credited AS (
+      SELECT channel,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN r = 1 OR r = n THEN 400000
+                  ELSE 200000 // (n - 2) END AS c
+      FROM ranked
+    ),
+    att AS (
+      SELECT channel, count(*)::BIGINT AS n_touches,
+             sum(c)::BIGINT AS credit_ppm
+      FROM credited GROUP BY channel
+    ),
+    unatt AS (
+      SELECT '(none)' AS channel, 0::BIGINT AS n_touches,
+             (count(*) * 1000000)::BIGINT AS credit_ppm
+      FROM conv c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM touch t WHERE t.u = c.u
+          AND t.tts < c.cts AND t.tts >= c.cts - 86400000000)
+    )
+    SELECT channel, n_touches, credit_ppm FROM att
+    UNION ALL SELECT channel, n_touches, credit_ppm FROM unatt
+    """,
+    doc="U-shaped multi-touch attribution: purchases credit the same "
+        "user's click/view/signup touches in the prior 24h (40/20/40 "
+        "position split, integer ppm, floor-divided middles), "
+        "untouched conversions under '(none)'; user-keyed join, "
+        "conversion-id-bounded rank windows",
+)
+def events_attribution(spark, sf_dir):
+    from .operators.timeseries import attribution_report
+
+    return attribution_report(_t(spark, sf_dir, "events"), "purchase",
+                              ["click", "view", "signup"],
+                              lookback_hours=24)

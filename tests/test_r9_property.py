@@ -280,3 +280,51 @@ def test_itemset_triples_match_unpruned_definition(spark, rows, minsup):
             want[t] = want.get(t, 0) + 1
     want = {t: s for t, s in want.items() if s >= minsup}
     assert got == want
+
+
+# --- E152: U-shaped attribution --------------------------------------------------
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2),                    # user
+              st.sampled_from(["purchase", "click", "view", "error"]),
+              st.integers(0, 48)),                  # hour offset
+    min_size=1, max_size=25))
+@settings(**_SETTINGS)
+def test_attribution_conserves_credit(spark, rows):
+    """Every conversion distributes exactly 1M ppm minus only the
+    middle-share flooring remainder (< n per conversion), and matches
+    a pure-Python U-shaped reference exactly."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        attribution_report)
+
+    H = 3_600_000_000
+    data = [(i, u, t, (1_700_000_000_000_000 + h * H))
+            for i, (u, t, h) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts long")
+    got = {r.channel: (r.n_touches, r.credit_ppm)
+           for r in attribution_report(
+               df, "purchase", ["click", "view"],
+               lookback_hours=24).collect()}
+    # pure-Python reference
+    want: dict[str, list] = {}
+    unatt = 0
+    for cid, u, t, cts in data:
+        if t != "purchase":
+            continue
+        touches = sorted((ts, i, ty) for i, uu, ty, ts in data
+                         if uu == u and ty in ("click", "view")
+                         and cts - 24 * H <= ts < cts)
+        n = len(touches)
+        if n == 0:
+            unatt += 1
+            continue
+        for r, (_, _, ty) in enumerate(touches, 1):
+            c = (1_000_000 if n == 1 else 500_000 if n == 2
+                 else 400_000 if r in (1, n) else 200_000 // (n - 2))
+            ch = want.setdefault(ty, [0, 0])
+            ch[0] += 1
+            ch[1] += c
+    want_d = {ch: tuple(v) for ch, v in want.items()}
+    want_d["(none)"] = (0, unatt * 1_000_000)
+    assert got == want_d

@@ -520,6 +520,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_drift_psi",          # r10: population-stability-index
                                      #   drift on baseline-decile
                                      #   edges, add-half smoothed
+        "events_attribution",        # r10: U-shaped multi-touch
+                                     #   attribution, integer-ppm
+                                     #   credit, '(none)' completeness
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
