@@ -150,6 +150,7 @@ HEADLINE = [
     "doc_hybrid_rrf",           # BM25 + QL fused by reciprocal rank
     "corpus_drift_psi",         # PSI drift on baseline-decile edges
     "events_attribution",       # U-shaped multi-touch credit (ppm)
+    "events_kmv_setops",        # KMV union/intersection/Jaccard + gate
 ]
 
 

@@ -459,3 +459,57 @@ def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
     return (sketch.groupBy("grp")
             .agg(n.alias("n_sketch"), kth.alias("kth_hash"),
                  est.alias("est_distinct")))
+
+
+def kmv_set_ops(sketch: DataFrame) -> DataFrame:
+    """Pairwise set-operation estimates from KMV sketches (E153) →
+    ``(grp_a, grp_b, n_s, n_common, est_union, est_intersection,
+    est_jaccard)`` for ``grp_a < grp_b``.
+
+    The theta-sketch pattern on KMV (Beyer et al. 2007): for groups
+    A, B let S = the k smallest hashes of sketch(A) ∪ sketch(B) —
+    EXACTLY the sketch of A ∪ B, by mergeability — and ρ = the
+    fraction of S present in BOTH input sketches. ρ is an unbiased
+    Jaccard estimator (each of the k union-minima is a uniform draw
+    from A ∪ B), est_union is the standard (k−1)/u_k on S (exact
+    below k), and est_intersection = ρ·est_union. This is how
+    sketch stores answer "how many users did both X and Y" without
+    ever joining the raw sets: everything after the per-group
+    sketches is arithmetic over ≤ k rows per pair.
+
+    Scale shape: the pair grid is #groups², built from the distinct
+    group table (bounded — this operator is for dimension-keyed
+    sketches); the union re-rank rides the same two-stage grouped
+    top-k as the sketches themselves.
+    """
+    from .grouped import grouped_topk
+
+    k = _kmv_k(sketch, None)
+    grps = sketch.select("grp").distinct()
+    pairs = (grps.alias("x").join(grps.alias("y"),
+                                  F.col("x.grp") < F.col("y.grp"))
+             .select(F.col("x.grp").alias("grp_a"),
+                     F.col("y.grp").alias("grp_b")))
+    ha = sketch.select(F.col("grp").alias("grp_a"), "h")
+    hb = sketch.select(F.col("grp").alias("grp_b"), "h")
+    u = (pairs.join(ha, "grp_a").select("grp_a", "grp_b", "h")
+         .unionByName(pairs.join(hb, "grp_b")
+                      .select("grp_a", "grp_b", "h"))
+         .distinct())
+    s = grouped_topk(u, ["grp_a", "grp_b"], [F.col("h")], k)
+    flagged = (s.join(ha.withColumn("_a", F.lit(True)), ["grp_a", "h"],
+                      "left")
+               .join(hb.withColumn("_b", F.lit(True)), ["grp_b", "h"],
+                     "left"))
+    n_s = F.count("*").cast("long")
+    n_common = F.count_if(F.col("_a") & F.col("_b")).cast("long")
+    u_k = F.max("h")
+    est_union_raw = F.when(
+        n_s < k, n_s.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_HASH_SPACE) / u_k)
+    return (flagged.groupBy("grp_a", "grp_b")
+            .agg(n_s.alias("n_s"), n_common.alias("n_common"),
+                 F.round(est_union_raw, 6).alias("est_union"),
+                 F.round(n_common * est_union_raw / n_s, 6)
+                 .alias("est_intersection"),
+                 F.round(n_common / n_s, 6).alias("est_jaccard")))

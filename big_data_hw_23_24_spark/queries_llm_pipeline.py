@@ -2118,3 +2118,126 @@ def corpus_drift_psi(spark, sf_dir):
                           (F.col("n_chars") / 2).cast("long"))
                    .otherwise(F.col("n_chars")).alias("n_chars")))
     return psi_report(base, cur, "n_chars", "doc_id", bins=10)
+
+
+# --- KMV set-operation estimates + exactness gate (E153, r10) ------------------
+# The theta-sketch pattern on the E135 KMV: "how many users did both X
+# and Y" answered from per-group sketches alone — S = k smallest of
+# sketch(A) u sketch(B) (exactly the union sketch, by mergeability),
+# rho = fraction of S in BOTH sketches estimates Jaccard, est_union =
+# (k-1)/u_k on S, est_intersection = rho * est_union. The exact
+# union/intersection ride along per pair (the E140/E145/E146 gate
+# convention), so the sketch's set-op error is REPORTED, not assumed.
+@register(
+    "events_kmv_setops",
+    """
+    WITH src AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS grp, user_id
+      FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-06'
+    ),
+    d AS (
+      SELECT DISTINCT grp,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM src
+    ),
+    r AS (
+      SELECT grp, h,
+             row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+      FROM (SELECT DISTINCT grp, h FROM d)
+    ),
+    sk AS (SELECT grp, h FROM r WHERE rk <= 64),
+    g AS (SELECT DISTINCT grp FROM sk),
+    pairs AS (
+      SELECT x.grp AS grp_a, y.grp AS grp_b
+      FROM g x JOIN g y ON x.grp < y.grp
+    ),
+    uh AS (
+      SELECT DISTINCT p.grp_a, p.grp_b, s.h
+      FROM pairs p JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b
+    ),
+    ur AS (
+      SELECT grp_a, grp_b, h,
+             row_number() OVER (PARTITION BY grp_a, grp_b
+                                ORDER BY h) AS rk
+      FROM uh
+    ),
+    s AS (SELECT grp_a, grp_b, h FROM ur WHERE rk <= 64),
+    fl AS (
+      SELECT s.grp_a, s.grp_b, s.h,
+             (sa.h IS NOT NULL AND sb.h IS NOT NULL) AS in_both
+      FROM s
+      LEFT JOIN sk sa ON sa.grp = s.grp_a AND sa.h = s.h
+      LEFT JOIN sk sb ON sb.grp = s.grp_b AND sb.h = s.h
+    ),
+    est AS (
+      SELECT grp_a, grp_b, count(*)::BIGINT AS n_s,
+             sum(CASE WHEN in_both THEN 1 ELSE 0 END)::BIGINT AS n_common,
+             round(CASE WHEN count(*) < 64 THEN count(*) * 1.0
+                        ELSE 63.0 * 1152921504606846976.0 / max(h) END, 6)
+               AS est_union,
+             round(sum(CASE WHEN in_both THEN 1 ELSE 0 END)
+                   * (CASE WHEN count(*) < 64 THEN count(*) * 1.0
+                           ELSE 63.0 * 1152921504606846976.0 / max(h) END)
+                   / count(*), 6) AS est_intersection,
+             round(sum(CASE WHEN in_both THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 6) AS est_jaccard
+      FROM fl GROUP BY grp_a, grp_b
+    ),
+    sets AS (SELECT DISTINCT grp, user_id FROM src),
+    sz AS (SELECT grp, count(*)::BIGINT AS n FROM sets GROUP BY grp),
+    inter AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, count(*)::BIGINT AS ni
+      FROM sets a JOIN sets b
+        ON a.user_id = b.user_id AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT e.grp_a, e.grp_b, e.n_s, e.n_common,
+           e.est_union, e.est_intersection, e.est_jaccard,
+           (za.n + zb.n - coalesce(i.ni, 0))::BIGINT AS exact_union,
+           coalesce(i.ni, 0)::BIGINT AS exact_intersection,
+           round(coalesce(i.ni, 0) * 1.0
+                 / (za.n + zb.n - coalesce(i.ni, 0)), 6) AS exact_jaccard
+    FROM est e
+    JOIN sz za ON za.grp = e.grp_a
+    JOIN sz zb ON zb.grp = e.grp_b
+    LEFT JOIN inter i ON i.grp_a = e.grp_a AND i.grp_b = e.grp_b
+    """,
+    doc="KMV set-operation estimates per day pair (first 5 days: union, "
+        "intersection, Jaccard from the k-min union sketch and the "
+        "both-membership fraction) beside the exact values — the "
+        "sketch's set-op error reported per pair, never assumed; "
+        "everything after the per-group sketches is arithmetic over "
+        "<= k rows per pair",
+)
+def events_kmv_setops(spark, sf_dir):
+    from .operators.frequent import kmv_set_ops, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    src = (ev.where(F.to_date("ts") < F.lit("2024-01-06").cast("date"))
+           .select(F.to_date("ts").cast("string").alias("day"), "user_id"))
+    ops = kmv_set_ops(kmv_sketch(src, "user_id", "day", k=64))
+    sets = src.select(F.col("day").alias("grp"), "user_id").distinct()
+    sz = sets.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    inter = (sets.alias("a")
+             .join(sets.alias("b"),
+                   (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.grp") < F.col("b.grp")))
+             .groupBy(F.col("a.grp").alias("grp_a"),
+                      F.col("b.grp").alias("grp_b"))
+             .agg(F.count("*").cast("long").alias("_ni")))
+    ex_union = (F.col("_na") + F.col("_nb")
+                - F.coalesce("_ni", F.lit(0))).cast("long")
+    return (ops
+            .join(sz.select(F.col("grp").alias("grp_a"),
+                            F.col("n").alias("_na")), "grp_a")
+            .join(sz.select(F.col("grp").alias("grp_b"),
+                            F.col("n").alias("_nb")), "grp_b")
+            .join(inter, ["grp_a", "grp_b"], "left")
+            .select("grp_a", "grp_b", "n_s", "n_common",
+                    "est_union", "est_intersection", "est_jaccard",
+                    ex_union.alias("exact_union"),
+                    F.coalesce("_ni", F.lit(0)).cast("long")
+                    .alias("exact_intersection"),
+                    F.round(F.coalesce("_ni", F.lit(0)) / ex_union, 6)
+                    .alias("exact_jaccard")))

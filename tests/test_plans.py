@@ -416,6 +416,9 @@ _CARTESIAN_ALLOWLIST = {
                                      #   BM25 + QL retriever stages
     "corpus_drift_psi",              # 9-edge array + 1-row totals
                                      #   broadcasts (PSI grid)
+    "events_kmv_setops",             # bounded group-pair grid from the
+                                     #   distinct-group table (the
+                                     #   dimension-keyed sketch contract)
     "doc_dsir_weights",              # target/proposal mass totals
     "corpus_temperature_mix",        # source-mass totals (1 row)
     "parts_size50_revenue_bloom",    # bloom bitmap scalar probe

@@ -523,6 +523,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_attribution",        # r10: U-shaped multi-touch
                                      #   attribution, integer-ppm
                                      #   credit, '(none)' completeness
+        "events_kmv_setops",         # r10: KMV set-operation
+                                     #   estimates (theta-sketch
+                                     #   pattern) beside exact values
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
