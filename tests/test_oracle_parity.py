@@ -162,6 +162,12 @@ _SF01_SCALE_SENSITIVE = [
     # sf0.01
     "media_block_dedup", "dedup_embedding_lsh_pinned",
     "events_percentile_drift", "knn_eval_ivf",
+    # late-r10: the prefix-max/ntile spines, the A-priori semi-join
+    # ladder, the user-keyed attribution join, the shared-index
+    # retrievers and the sketch-pair grid all cross partition
+    # boundaries only past sf0.01
+    "parts_skyline", "orders_itemset_triples", "corpus_drift_psi",
+    "events_attribution", "doc_hybrid_rrf", "events_kmv_setops",
 ]
 
 
