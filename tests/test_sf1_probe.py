@@ -60,6 +60,11 @@ PROBES = [
     "doc_rerank_features",       # broadcast-shortlist pair features
     "corpus_quality_calibration",  # decile x lexicon calibration
     "doc_bm25_multi",            # batch BM25 grouped top-k
+    # late-r10 faces in the new top-10 by cost
+    "doc_hybrid_rrf",            # shared-index BM25 + QL + fusion
+    "orders_itemset_triples",    # A-priori pair/triple joins
+    "events_kmv_setops",         # sketch build + pair grid
+    "corpus_drift_psi",          # ntile spine + binned assignment
 ]
 
 
@@ -105,6 +110,18 @@ def _synthesize(spark, dst: str) -> None:
              (F.col("user_id") + F.col("k") * uoff).alias("user_id"),
              "event_type", "value", "props")
      .write.mode("overwrite").parquet(os.path.join(dst, "events.parquet")))
+    # lineitem: replicas get fresh order keys (baskets replicate
+    # independently — planted bundle support and the relative minsup
+    # both scale with the basket count) but SHARE the part space, the
+    # structure a real 10x order volume over the same catalog has
+    li = load_table(spark, SF01, "lineitem")
+    ooff = li.agg(F.max("l_orderkey")).first()[0] + 1
+    (li.crossJoin(reps)
+     .select((F.col("l_orderkey") + F.col("k") * ooff).alias("l_orderkey"),
+             "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+             "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+             "l_linestatus", "l_shipdate")
+     .write.mode("overwrite").parquet(os.path.join(dst, "lineitem.parquet")))
 
 
 def _time_min(fn, spark, sf_dir: str, reps: int = 2) -> float:
