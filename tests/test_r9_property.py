@@ -1,8 +1,10 @@
-"""Property tests for the r9 operator tier: on random inputs the
-distributed plans must match pure-Python reference semantics exactly
-(trending decay, KMV merge, triangle counts) or respect their stated
-guarantees (winnowing co-selection, keep-one ⊆ strip-all). Example
-counts are kept small — every example runs real Spark jobs."""
+"""Property tests for the r9/r10 operator tiers: on random inputs
+the distributed plans must match pure-Python reference semantics
+exactly (trending decay, KMV merge, triangle counts, skyline,
+A-priori, attribution, block dedup) or respect their stated
+guarantees (winnowing co-selection, keep-one ⊆ strip-all, GK rank
+bounds). Example counts are kept small — every example runs real
+Spark jobs."""
 
 from __future__ import annotations
 
@@ -328,3 +330,84 @@ def test_attribution_conserves_credit(spark, rows):
     want_d = {ch: tuple(v) for ch, v in want.items()}
     want_d["(none)"] = (0, unatt * 1_000_000)
     assert got == want_d
+
+
+# --- E147: block dedup matches a pure-Python reference ----------------------------
+
+@given(texts=st.lists(
+    st.text(alphabet="abXY", min_size=0, max_size=40),
+    min_size=2, max_size=6))
+@settings(**_SETTINGS)
+def test_block_dedup_matches_python_reference(spark, texts):
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        block_dedup_pairs, media_from_documents)
+
+    B, MIN_SHARED, MAX_DF = 4, 2, 3
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r.media_a, r.media_b): (r.n_shared_blocks, r.full_dup)
+           for r in block_dedup_pairs(media_from_documents(docs),
+                                      block_bytes=B, min_shared=MIN_SHARED,
+                                      max_df=MAX_DF).collect()}
+    # reference: aligned blocks, df-guard, pair counting
+    blocks: dict[int, list] = {}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        blocks[i] = [(j, b[j * B:(j + 1) * B]) for j in
+                     range((len(b) + B - 1) // B)]
+    from collections import Counter
+    df_cnt = Counter(bl for bs in blocks.values() for bl in bs)
+    want: dict[tuple, int] = {}
+    for i in blocks:
+        for j in blocks:
+            if i < j:
+                n = sum(1 for bl in blocks[i]
+                        if df_cnt[bl] <= MAX_DF and bl in blocks[j])
+                if n >= MIN_SHARED:
+                    want[(i, j)] = n
+    assert {p: n for p, (n, _) in got.items()} == want
+    for (i, j), (_, full) in got.items():
+        assert full == (texts[i].encode() == texts[j].encode())
+
+
+# --- E145: percentile drift invariants on random data ------------------------------
+
+@given(vals=st.lists(st.integers(0, 40), min_size=3, max_size=60))
+@settings(**_SETTINGS)
+def test_percentile_drift_exact_mode_displacement_is_zero(spark, vals):
+    """With accuracy > n the GK sketch is exact rank selection, so the
+    displacement is structurally 0 and the compressing sketch stays
+    within its deterministic bound — on ANY input, ties included."""
+    from big_data_hw_23_24_spark.operators.grouped import percentile_drift
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "grp string, value double")
+    out = percentile_drift(df, "grp", "value").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.rank_displacement == 0
+        assert r.sketch_within_bound
+        assert r.n == len(vals)
+
+
+# --- E153: KMV set-op estimator sanity on disjoint/identical sets -------------------
+
+def test_kmv_setops_extremes(spark):
+    """Two identical sets estimate Jaccard exactly 1; two disjoint
+    sets (hash-disjoint with overwhelming probability at this size)
+    estimate 0 — and est_intersection follows rho exactly."""
+    from big_data_hw_23_24_spark.operators.frequent import (
+        kmv_set_ops, kmv_sketch)
+
+    rows = ([("a", f"x{i}") for i in range(100)]
+            + [("b", f"x{i}") for i in range(100)]       # b == a
+            + [("c", f"z{i}") for i in range(100)])      # c disjoint
+    df = spark.createDataFrame(rows, "grp string, item string")
+    ops = {(r.grp_a, r.grp_b): r
+           for r in kmv_set_ops(
+               kmv_sketch(df, "item", "grp", k=32)).collect()}
+    assert ops[("a", "b")].est_jaccard == 1.0
+    assert ops[("a", "b")].n_common == 32
+    assert ops[("a", "c")].est_jaccard == 0.0
+    assert ops[("a", "c")].est_intersection == 0.0
+    assert ops[("b", "c")].est_jaccard == 0.0
