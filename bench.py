@@ -151,6 +151,7 @@ HEADLINE = [
     "corpus_drift_psi",         # PSI drift on baseline-decile edges
     "events_attribution",       # U-shaped multi-touch credit (ppm)
     "events_kmv_setops",        # KMV union/intersection/Jaccard + gate
+    "corpus_incremental_stats",  # IVM: delta-maintained group stats
 ]
 
 

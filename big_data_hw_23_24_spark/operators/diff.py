@@ -186,3 +186,67 @@ def scd2_history(old: DataFrame, new: DataFrame,
             .select(F.col(id_col), F.explode(rows).alias("_r"))
             .select(id_col, "_r.fp", "_r.valid_from", "_r.valid_to",
                     "_r.is_current"))
+
+
+def incremental_stats(old: DataFrame, new: DataFrame,
+                      group_col: str = "source",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Incremental view maintenance of per-group corpus stats (E154)
+    → ``(group, n_docs, n_tokens)`` for the NEW snapshot, computed
+    from the OLD stats plus the change set — never a full re-scan.
+
+    The warehouse classic: a grouped aggregate over a 100 TB corpus is
+    maintained by applying per-group DELTAS from the (churn-sized)
+    snapshot diff — removed/modified docs decrement at their OLD
+    group, added/modified docs increment at their NEW group (modified
+    rows do both, which also handles a doc MOVING groups between
+    snapshots). Only changed documents' text is ever tokenized; the
+    base stats table is #groups rows. The face's oracle recomputes the
+    stats from the new snapshot directly, so the parity row is the
+    incremental-equals-full-recompute proof (the parts_skyline /
+    itemset move applied to view maintenance).
+    """
+    toks = F.size(F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != ""))
+    base = (old.groupBy(F.col(group_col).alias("grp"))
+            .agg(F.count("*").cast("long").alias("_n0"),
+                 F.sum(toks).cast("long").alias("_t0")))
+    # change detection must cover the VIEW's inputs, not just text: a
+    # doc that moves groups with unchanged text is invisible to the
+    # content-only snapshot_diff but changes two groups' stats (caught
+    # by the hypothesis property test). Fingerprint (group, normalized
+    # text) — normalization is token-count-invariant (case + space
+    # collapsing never change the split-and-filter count).
+    fp = F.md5(F.concat_ws(
+        "\x01", F.coalesce(F.col(group_col).cast("string"), F.lit("")),
+        F.coalesce(normalized_text(F.col(text_col)), F.lit(""))))
+    o = old.select(F.col(id_col), fp.alias("_ofp"))
+    n = new.select(F.col(id_col), fp.alias("_nfp"))
+    status = (F.when(F.col("_ofp").isNull(), F.lit("added"))
+              .when(F.col("_nfp").isNull(), F.lit("removed"))
+              .when(F.col("_ofp") == F.col("_nfp"), F.lit("unchanged"))
+              .otherwise(F.lit("modified")))
+    changed = (o.join(n, id_col, "full_outer")
+               .select(id_col, status.alias("status"))
+               .where(F.col("status") != "unchanged"))
+    dec = (changed.where(F.col("status").isin("removed", "modified"))
+           .join(old.select(id_col, group_col, text_col), id_col)
+           .select(F.col(group_col).alias("grp"),
+                   F.lit(-1).alias("_dd"), (-toks).alias("_dt")))
+    inc = (changed.where(F.col("status").isin("added", "modified"))
+           .join(new.select(id_col, group_col, text_col), id_col)
+           .select(F.col(group_col).alias("grp"),
+                   F.lit(1).alias("_dd"), toks.alias("_dt")))
+    delta = (dec.unionByName(inc).groupBy("grp")
+             .agg(F.sum("_dd").alias("_dd"), F.sum("_dt").alias("_dt")))
+    return (base.join(delta, "grp", "full_outer")
+            .select(F.col("grp").alias(group_col),
+                    (F.coalesce("_n0", F.lit(0))
+                     + F.coalesce("_dd", F.lit(0))).cast("long")
+                    .alias("n_docs"),
+                    (F.coalesce("_t0", F.lit(0))
+                     + F.coalesce("_dt", F.lit(0))).cast("long")
+                    .alias("n_tokens"))
+            .where(F.col("n_docs") > 0))

@@ -2241,3 +2241,46 @@ def events_kmv_setops(spark, sf_dir):
                     .alias("exact_intersection"),
                     F.round(F.coalesce("_ni", F.lit(0)) / ex_union, 6)
                     .alias("exact_jaccard")))
+
+
+# --- incremental view maintenance of corpus stats (E154, r10) -------------------
+# The warehouse classic completing the versioning tier (diff -> merge
+# -> SCD2 -> MAINTAINED AGGREGATE): per-source (n_docs, n_tokens) of
+# the new snapshot computed from the OLD stats plus churn-sized
+# deltas — removed/modified decrement at the old group, added/modified
+# increment at the new one; only changed docs' text is tokenized. The
+# oracle recomputes the stats from the new snapshot DIRECTLY, so the
+# parity row is the incremental-equals-full-recompute proof. Same
+# synthesized old/new as corpus_apply_snapshot/corpus_scd2_history, so
+# every delta branch populates at every SF.
+@register(
+    "corpus_incremental_stats",
+    """
+    WITH new AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 31 = 2 THEN text || ' rewritten'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 47 <> 0
+    )
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len(list_filter(string_split(coalesce(text, ''), ' '),
+                               w -> w <> '')))::BIGINT AS n_tokens
+    FROM new GROUP BY source
+    """,
+    doc="incremental view maintenance: per-source doc/token stats of "
+        "the new snapshot from old stats + churn-sized diff deltas "
+        "(only changed docs tokenized); the oracle is the full "
+        "recompute, so parity proves the maintenance exact",
+)
+def corpus_incremental_stats(spark, sf_dir):
+    from .operators.diff import incremental_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = (docs.where(F.col("doc_id") % 43 != 1)
+           .select("doc_id", "source", "text"))
+    new = (docs.where(F.col("doc_id") % 47 != 0)
+           .select("doc_id", "source",
+                   F.when(F.col("doc_id") % 31 == 2,
+                          F.concat(F.col("text"), F.lit(" rewritten")))
+                   .otherwise(F.col("text")).alias("text")))
+    return incremental_stats(old, new, "source")

@@ -411,3 +411,41 @@ def test_kmv_setops_extremes(spark):
     assert ops[("a", "c")].est_jaccard == 0.0
     assert ops[("a", "c")].est_intersection == 0.0
     assert ops[("b", "c")].est_jaccard == 0.0
+
+
+# --- E154: incremental view maintenance ---------------------------------------------
+
+@given(old_rows=st.lists(
+    st.tuples(st.integers(0, 9),                   # doc id
+              st.sampled_from(["s0", "s1", "s2"]),  # group
+              st.integers(0, 5)),                  # n words
+    min_size=0, max_size=10, unique_by=lambda r: r[0]),
+    new_rows=st.lists(
+    st.tuples(st.integers(0, 9),
+              st.sampled_from(["s0", "s1", "s2"]),
+              st.integers(0, 5)),
+    min_size=0, max_size=10, unique_by=lambda r: r[0]))
+@settings(**_SETTINGS)
+def test_incremental_stats_equal_full_recompute(spark, old_rows, new_rows):
+    """On ANY pair of snapshots — including docs that change text,
+    MOVE groups, appear, or vanish — the delta-maintained stats equal
+    a full recompute of the new snapshot exactly."""
+    from big_data_hw_23_24_spark.operators.diff import incremental_stats
+
+    def frame(rows):
+        data = [(i, g, " ".join(f"w{i}x{j}" for j in range(n)))
+                for i, g, n in rows]
+        return spark.createDataFrame(
+            data or [(None, None, None)],
+            "doc_id long, source string, text string"
+        ).where(F.col("doc_id").isNotNull())
+
+    old, new = frame(old_rows), frame(new_rows)
+    got = {r.source: (r.n_docs, r.n_tokens)
+           for r in incremental_stats(old, new, "source").collect()}
+    want: dict[str, list] = {}
+    for i, g, n in new_rows:
+        w = want.setdefault(g, [0, 0])
+        w[0] += 1
+        w[1] += n
+    assert got == {g: tuple(v) for g, v in want.items() if v[0] > 0}

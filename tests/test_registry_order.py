@@ -526,6 +526,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_kmv_setops",         # r10: KMV set-operation
                                      #   estimates (theta-sketch
                                      #   pattern) beside exact values
+        "corpus_incremental_stats",  # r10: incremental view
+                                     #   maintenance of group stats;
+                                     #   oracle = full recompute
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
