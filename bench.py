@@ -152,6 +152,7 @@ HEADLINE = [
     "events_attribution",       # U-shaped multi-touch credit (ppm)
     "events_kmv_setops",        # KMV union/intersection/Jaccard + gate
     "corpus_incremental_stats",  # IVM: delta-maintained group stats
+    "parts_hierarchy_rollup",   # bounded-depth closure vs recursive CTE
 ]
 
 

@@ -360,3 +360,42 @@ def itemset_triples(baskets: DataFrame, basket_col: str, item_col: str,
                      .agg(F.count("*").cast("long").alias("support")))
             .where(F.col("support") >= thr)
             .select("item_a", "item_b", "item_c", "support"))
+
+
+def hierarchy_rollup(nodes: DataFrame, key_col: str, value_col: str,
+                     max_depth: int = 7) -> DataFrame:
+    """Hierarchical (subtree) rollup over an implicit digit-decade tree
+    (E155) → ``(node, n_desc, subtree_value)``: for every node, the
+    count and value sum over ALL its descendants including itself,
+    where a node's parent is ``key // 10`` (roots are keys < 10).
+
+    The recursive-CTE classic (BOM explosion, org rollups) in the only
+    shape Spark supports natively: the ancestor closure is UNROLLED as
+    ``max_depth`` narrow expressions — pair (node, node // 10^j) until
+    the quotient drops below 10 — because the tree's depth is bounded
+    by construction (``log10(max_key)``; depth 7 covers keys < 10^7,
+    validated). One explode + one hash aggregate; the closure is
+    ≤ depth rows per node, never an iterative job per level. The
+    oracle face states the same closure as a DuckDB ``WITH RECURSIVE``
+    CTE — a genuinely different evaluation mechanism, so parity proves
+    the unrolling against the recursive definition itself. ``value``
+    is summed in integer cents (floor(value·100)) so subtree totals
+    are exact integer sums under any partitioning.
+    """
+    node = F.col(key_col)
+    arms = []
+    for j in range(max_depth + 1):
+        anc = F.expr(f"{key_col} div {10 ** j}")
+        if j == 0:
+            arms.append(anc)
+        else:
+            gate = F.expr(f"{key_col} div {10 ** (j - 1)}") >= 10
+            arms.append(F.when(gate, anc))
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    pairs = nodes.select(
+        cents.alias("_c"),
+        F.explode(F.filter(F.array(*arms),
+                           lambda a: a.isNotNull())).alias("_anc"))
+    return (pairs.groupBy(F.col("_anc").alias("node"))
+            .agg(F.count("*").cast("long").alias("n_desc"),
+                 F.sum("_c").cast("long").alias("subtree_cents")))

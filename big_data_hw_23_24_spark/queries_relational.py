@@ -2061,3 +2061,40 @@ def events_attribution(spark, sf_dir):
     return attribution_report(_t(spark, sf_dir, "events"), "purchase",
                               ["click", "view", "signup"],
                               lookback_hours=24)
+
+
+# --- hierarchical subtree rollup (E155, r10) ------------------------------------
+# The recursive-CTE classic (BOM explosion / org rollups) Spark lacks
+# natively: every part rolls its retail price up to ALL ancestors in
+# the implicit digit-decade tree (parent = key // 10, roots < 10).
+# Spark unrolls the bounded-depth closure as narrow expressions (depth
+# <= log10(max_key)); the ORACLE states the identical closure as a
+# DuckDB WITH RECURSIVE CTE — a genuinely different evaluation
+# mechanism, so the parity row proves the unrolling against the
+# recursive definition itself. Integer-cents value sums.
+@register(
+    "parts_hierarchy_rollup",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node,
+             p_partkey AS a,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS c
+      FROM part
+      UNION ALL
+      SELECT node, a // 10, c FROM anc WHERE a >= 10
+    )
+    SELECT a AS node, count(*)::BIGINT AS n_desc,
+           sum(c)::BIGINT AS subtree_cents
+    FROM anc GROUP BY a
+    """,
+    doc="hierarchical subtree rollup over the digit-decade part tree "
+        "(parent = key // 10): per-node descendant count + integer-"
+        "cents retail sum; Spark unrolls the bounded-depth ancestor "
+        "closure as narrow expressions, the oracle is a recursive CTE "
+        "— parity proves the unrolling against the recursion",
+)
+def parts_hierarchy_rollup(spark, sf_dir):
+    from .operators.graph import hierarchy_rollup
+
+    return hierarchy_rollup(_t(spark, sf_dir, "part"),
+                            "p_partkey", "p_retailprice")

@@ -449,3 +449,32 @@ def test_incremental_stats_equal_full_recompute(spark, old_rows, new_rows):
         w[0] += 1
         w[1] += n
     assert got == {g: tuple(v) for g, v in want.items() if v[0] > 0}
+
+
+# --- E155: hierarchy rollup matches the recursive definition -----------------------
+
+@given(keys=st.sets(st.integers(0, 9999), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_hierarchy_rollup_matches_python_closure(spark, keys):
+    """The unrolled ancestor closure equals a pure-Python recursion on
+    random sparse key sets (ancestors need NOT be present as nodes —
+    they still accumulate their descendants' values)."""
+    from big_data_hw_23_24_spark.operators.graph import hierarchy_rollup
+
+    rows = [(k, (k % 7) + 0.25) for k in sorted(keys)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {r.node: (r.n_desc, r.subtree_cents)
+           for r in hierarchy_rollup(df, "k", "v").collect()}
+    import math
+    want: dict[int, list] = {}
+    for k, v in rows:
+        c = math.floor(v * 100)
+        a = k
+        while True:
+            w = want.setdefault(a, [0, 0])
+            w[0] += 1
+            w[1] += c
+            if a < 10:
+                break
+            a //= 10
+    assert got == {a: tuple(w) for a, w in want.items()}

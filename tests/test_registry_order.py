@@ -529,6 +529,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_incremental_stats",  # r10: incremental view
                                      #   maintenance of group stats;
                                      #   oracle = full recompute
+        "parts_hierarchy_rollup",    # r10: subtree rollup via the
+                                     #   unrolled bounded-depth
+                                     #   closure; oracle = a recursive
+                                     #   CTE (different mechanism)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
