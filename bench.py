@@ -153,6 +153,7 @@ HEADLINE = [
     "events_kmv_setops",        # KMV union/intersection/Jaccard + gate
     "corpus_incremental_stats",  # IVM: delta-maintained group stats
     "parts_hierarchy_rollup",   # bounded-depth closure vs recursive CTE
+    "events_zorder_pruning",    # data-skipping audit, 2 layouts x 4 probes
 ]
 
 

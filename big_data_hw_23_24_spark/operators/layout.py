@@ -32,7 +32,7 @@ DuckDB SQL, so the arithmetic itself carries a driver-checked row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (shift, mask) steps spreading a 32-bit int's bits to the even bit
@@ -93,3 +93,73 @@ def z_value_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
     xs = spread(f"(CAST({x_expr} AS BIGINT) & {lim})")
     ys = spread(f"(CAST({y_expr} AS BIGINT) & {lim})")
     return f"({xs} | ({ys} << 1))"
+
+
+def layout_pruning_audit(df: DataFrame, cx_col: str, cy_col: str,
+                         order_col: str,
+                         probes: list[tuple[int, int, int, int, int]],
+                         n_files: int = 64,
+                         bits: int = 12) -> DataFrame:
+    """Data-skipping effectiveness audit (E156) → per (layout, probe):
+    ``(layout, probe_id, n_files_hit, n_files, n_rows_match)``.
+
+    The question every lakehouse layout decision hangs on — "how many
+    files would this predicate actually scan" — MEASURED instead of
+    assumed: rows are assigned to ``n_files`` files under (a) the
+    insertion order (``order_col``) and (b) the Z-order key of
+    (cx, cy); each file's min/max footer stats are computed per
+    dimension, and each probe rectangle counts the files whose stat
+    ranges overlap it (exactly the parquet row-group pruning rule).
+    ``n_rows_match`` is layout-independent by construction — the same
+    rows match either way, only the files touched differ — which makes
+    the report self-checking. At 100 TB this IS the scan cost model:
+    a 2-D predicate against the linear layout prunes only on the
+    insertion-correlated dimension; against the Z layout it prunes on
+    both (the Delta OPTIMIZE ZORDER BY rationale, quantified).
+
+    Scale shape: file ids come from the range-partitioned global-ntile
+    spine (twice — one sort per layout, the real cost of re-layout);
+    footer stats are one aggregate per layout (n_files rows); the
+    probe join is a broadcast of a literal probe table against
+    2·n_files stat rows.
+    """
+    from .ranking import global_ntile
+
+    spark = df.sparkSession
+    zv = z_value(F.col(cx_col), F.col(cy_col), bits=bits)
+    base = df.select(F.col(cx_col).alias("cx"), F.col(cy_col).alias("cy"),
+                     F.col(order_col).alias("_o"), zv.alias("_z"))
+    layouts = [
+        ("linear", [F.col("_o")]),
+        ("zorder", [F.col("_z"), F.col("_o")]),
+    ]
+    probe_df = F.broadcast(spark.createDataFrame(
+        list(probes),
+        "probe_id int, cx_lo long, cx_hi long, cy_lo long, cy_hi long"))
+    stats = None
+    for name, order in layouts:
+        filed = global_ntile(base, n_files, order, out_col="_f")
+        st = (filed.groupBy("_f")
+              .agg(F.min("cx").alias("min_cx"), F.max("cx").alias("max_cx"),
+                   F.min("cy").alias("min_cy"), F.max("cy").alias("max_cy"))
+              .withColumn("layout", F.lit(name)))
+        stats = st if stats is None else stats.unionByName(st)
+    hit = ((F.col("min_cx") <= F.col("cx_hi"))
+           & (F.col("max_cx") >= F.col("cx_lo"))
+           & (F.col("min_cy") <= F.col("cy_hi"))
+           & (F.col("max_cy") >= F.col("cy_lo")))
+    files_hit = (stats.crossJoin(probe_df)
+                 .groupBy("layout", "probe_id")
+                 .agg(F.count_if(hit).cast("long").alias("n_files_hit"),
+                      F.count("*").cast("long").alias("n_files")))
+    rows_match = (base.crossJoin(probe_df)
+                  .where((F.col("cx").between(F.col("cx_lo"),
+                                              F.col("cx_hi")))
+                         & (F.col("cy").between(F.col("cy_lo"),
+                                                F.col("cy_hi"))))
+                  .groupBy("probe_id")
+                  .agg(F.count("*").cast("long").alias("n_rows_match")))
+    return (files_hit.join(rows_match, "probe_id", "left")
+            .select("layout", "probe_id", "n_files_hit", "n_files",
+                    F.coalesce("n_rows_match", F.lit(0)).cast("long")
+                    .alias("n_rows_match")))

@@ -2284,3 +2284,91 @@ def corpus_incremental_stats(spark, sf_dir):
                           F.concat(F.col("text"), F.lit(" rewritten")))
                    .otherwise(F.col("text")).alias("text")))
     return incremental_stats(old, new, "source")
+
+
+# --- data-skipping (file pruning) audit (E156, r10) -----------------------------
+# The E81 Z-order claim, QUANTIFIED: rows land in 64 files under the
+# insertion order and under the Z-order key; per-file min/max footer
+# stats are probed by 4 rectangle predicates with the parquet
+# row-group pruning rule (stat-range overlap). n_rows_match is
+# layout-independent by construction — only files touched differ —
+# so the report is self-checking. Probes: user-range-only (linear
+# layout prunes nothing), event-range-only (linear prunes perfectly),
+# and two 2-D rectangles (Z prunes on both dimensions).
+def _zorder_pruning_oracle() -> str:
+    from .operators.layout import z_value_sql
+
+    z = z_value_sql("(user_id % 64) * 64", "event_id % 4096", bits=12)
+    return f"""
+    WITH base AS (
+      SELECT CAST((user_id % 64) * 64 AS BIGINT) AS cx,
+             CAST(event_id % 4096 AS BIGINT) AS cy,
+             event_id AS o, {z} AS zv
+      FROM events
+    ),
+    filed AS (
+      SELECT 'linear' AS layout, cx, cy,
+             ntile(64) OVER (ORDER BY o) AS f
+      FROM base
+      UNION ALL
+      SELECT 'zorder', cx, cy,
+             ntile(64) OVER (ORDER BY zv, o)
+      FROM base
+    ),
+    st AS (
+      SELECT layout, f,
+             min(cx) AS mcx, max(cx) AS xcx,
+             min(cy) AS mcy, max(cy) AS xcy
+      FROM filed GROUP BY 1, 2
+    ),
+    probes(probe_id, cx_lo, cx_hi, cy_lo, cy_hi) AS (
+      VALUES (1, 0, 511, 0, 4095), (2, 0, 4095, 0, 255),
+             (3, 0, 1023, 0, 1023), (4, 1024, 2047, 1024, 2047)
+    ),
+    fh AS (
+      SELECT layout, probe_id,
+             sum(CASE WHEN mcx <= cx_hi AND xcx >= cx_lo
+                       AND mcy <= cy_hi AND xcy >= cy_lo
+                      THEN 1 ELSE 0 END)::BIGINT AS n_files_hit,
+             count(*)::BIGINT AS n_files
+      FROM st CROSS JOIN probes GROUP BY 1, 2
+    ),
+    rm AS (
+      SELECT probe_id, count(*)::BIGINT AS n
+      FROM base CROSS JOIN probes
+      WHERE cx BETWEEN cx_lo AND cx_hi AND cy BETWEEN cy_lo AND cy_hi
+      GROUP BY 1
+    )
+    SELECT fh.layout, fh.probe_id, fh.n_files_hit, fh.n_files,
+           coalesce(rm.n, 0)::BIGINT AS n_rows_match
+    FROM fh LEFT JOIN rm ON rm.probe_id = fh.probe_id
+    """
+
+
+@register(
+    "events_zorder_pruning",
+    _zorder_pruning_oracle(),
+    doc="data-skipping audit: 64-file layouts under insertion order "
+        "vs the Z-order key, per-file min/max stats probed by 4 "
+        "rectangle predicates with the parquet pruning rule; "
+        "n_rows_match is layout-independent so the report "
+        "self-checks; file ids from the range-partitioned ntile spine",
+)
+def events_zorder_pruning(spark, sf_dir):
+    from .operators.layout import layout_pruning_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    # cx spreads the 6 user bits into the TOP of the 12-bit field:
+    # with raw user ids (~150 distinct) only the low bits populate and
+    # the interleave degenerates to cy order (measured: 63-vs-64 files
+    # pruned); spread, the contrast is textbook (17-vs-64 on the
+    # user-range probe, 7-vs-24 on the 2-D probe, and the cy-only
+    # probe modestly FAVORS linear, 7-vs-11 — the documented trade)
+    base = ev.select(
+        ((F.col("user_id") % 64) * 64).cast("long").alias("cx"),
+        (F.col("event_id") % 4096).cast("long").alias("cy"),
+        "event_id")
+    return layout_pruning_audit(
+        base, "cx", "cy", "event_id",
+        probes=[(1, 0, 511, 0, 4095), (2, 0, 4095, 0, 255),
+                (3, 0, 1023, 0, 1023), (4, 1024, 2047, 1024, 2047)])

@@ -169,6 +169,7 @@ _SF01_SCALE_SENSITIVE = [
     "parts_skyline", "orders_itemset_triples", "corpus_drift_psi",
     "events_attribution", "doc_hybrid_rrf", "events_kmv_setops",
     "corpus_incremental_stats", "parts_hierarchy_rollup",
+    "events_zorder_pruning",
 ]
 
 

@@ -419,6 +419,9 @@ _CARTESIAN_ALLOWLIST = {
     "events_kmv_setops",             # bounded group-pair grid from the
                                      #   distinct-group table (the
                                      #   dimension-keyed sketch contract)
+    "events_zorder_pruning",         # 4-row literal probe table against
+                                     #   2x64 file-stat rows + the
+                                     #   rows-match probe fanout
     "doc_dsir_weights",              # target/proposal mass totals
     "corpus_temperature_mix",        # source-mass totals (1 row)
     "parts_size50_revenue_bloom",    # bloom bitmap scalar probe

@@ -533,6 +533,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   unrolled bounded-depth
                                      #   closure; oracle = a recursive
                                      #   CTE (different mechanism)
+        "events_zorder_pruning",     # r10: data-skipping audit —
+                                     #   min/max file pruning measured
+                                     #   under linear vs Z layouts
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
