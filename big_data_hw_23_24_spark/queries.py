@@ -74,41 +74,28 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r10 rotation: the 14-query r9 queue admitted (none ever
-    # driver-checked), over 14 retired r8 first-green holdovers (each
-    # earned 2 greens, r08+r09; all annotated with their in-window
+    # ---- r11 rotation: the 12-query r10 queue admitted (none ever
+    # driver-checked), over 12 retired r9-admission holdovers (each
+    # earned 2 greens, r09+r10; all annotated with their in-window
     # sibling in tests/test_registry_order.py::declared_redundant).
-    # The 27 r9 admissions stay for their second row — including
-    # events_rfm_segments and events_user_burstiness, whose r9 reds
-    # were oracle-dtype-only (HUGEINT → float64; fixed with outer
-    # ::BIGINT casts) and need the driver re-check.
-    # r8 oracle conversions + pipeline tier (E104-E112), 1 green r09
+    # Kept r9 admissions staying for more rows: the two r9 dtype-red
+    # re-checks hold only 1 green (r10), and the rest listed below
+    # cover machinery with no other in-window sibling.
+    # r8 oracle conversions + pipeline tier, kept members
     "bpe_learned_merges",
     "dedup_embedding_lsh_pinned",
-    "corpus_apply_snapshot",
     "dedup_incremental_bloom",
-    "corpus_length_batches",
     "corpus_dedup_impact",
-    "doc_html_extract",
-    "events_transition_matrix",
-    "doc_chat_render",
-    # late-r8 analytics/safety tier (E113-E130), 1 green r09 except the
-    # two dtype reds being re-checked
-    "media_frame_plan",
-    "events_item_cooccurrence",
+    # late-r8 analytics/safety tier, kept members (events_rfm_segments
+    # and events_user_burstiness hold 1 green after the dtype fix)
     "corpus_epoch_schedule",
-    "corpus_split_drift",
     "corpus_dup_rate_daily",
     "events_rfm_segments",
     "corpus_gram_novelty",
-    "corpus_ngram_table",
     "doc_rake_keyphrases",
-    "customers_k_anonymity",
-    "doc_blocklist_gate",
     "doc_csv_ingest",
     "events_user_burstiness",
     "corpus_quality_calibration",
-    "orders_market_basket",
     "events_session_paths",
     "corpus_language_confusion",
     "corpus_shard_manifest",
@@ -141,6 +128,19 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "events_value_percentiles",
     "events_item_triangles",
     "frequent_users_cms_pinned",
+    # ---- r10 queue admitted in r11 (E145-E156) ----
+    "events_percentile_drift",
+    "knn_eval_ivf",
+    "media_block_dedup",
+    "parts_skyline",
+    "orders_itemset_triples",
+    "doc_hybrid_rrf",
+    "corpus_drift_psi",
+    "events_attribution",
+    "events_kmv_setops",
+    "corpus_incremental_stats",
+    "parts_hierarchy_rollup",
+    "events_zorder_pruning",
 )
 
 

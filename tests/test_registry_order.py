@@ -483,60 +483,72 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   events_value_percentiles (in
                                      #   window, exact interpolated
                                      #   percentile spine)
+        # retired in r11 AFTER earning 2 greens (r09+r10), to admit the
+        # 12-query r10 queue; each names the in-window sibling that
+        # keeps its machinery driver-checked
+        "corpus_apply_snapshot",     # 2 greens r09+r10; keyed MERGE of
+                                     #   a change set ⊂ corpus_scd2_history
+                                     #   (in window, same full-outer
+                                     #   snapshot join + upsert/tombstone
+                                     #   classification)
+        "corpus_length_batches",     # 2 greens r09+r10; global-rank
+                                     #   spine batching ⊂
+                                     #   events_value_percentiles (in
+                                     #   window, same range-partitioned
+                                     #   rank spine) + corpus_epoch_schedule
+                                     #   (packing-tier budget math)
+        "doc_html_extract",          # 2 greens r09+r10; tag-strip /
+                                     #   entity-decode narrow map ⊂
+                                     #   doc_unicode_nfc (in window, same
+                                     #   single-pass normalization shape)
+                                     #   + doc_csv_ingest (ingest probe)
+        "events_transition_matrix",  # 2 greens r09+r10; per-user
+                                     #   lag-window sequence pairs ⊂
+                                     #   events_session_paths (in window,
+                                     #   same user-ordered lag machinery)
+        "doc_chat_render",           # 2 greens r09+r10; content-span
+                                     #   assembly + loss masks ⊂
+                                     #   doc_char_span_flags (in window,
+                                     #   same exact char-span arithmetic)
+        "media_frame_plan",          # 2 greens r09+r10; codec-free
+                                     #   multimodal schedule ⊂
+                                     #   media_block_dedup (in window,
+                                     #   binary-payload tier, same typed
+                                     #   metadata plumbing)
+        "events_item_cooccurrence",  # 2 greens r09+r10; capped-basket
+                                     #   pair join ⊂ events_item_triangles
+                                     #   (in window, same oriented pair
+                                     #   machinery) + orders_itemset_triples
+        "corpus_split_drift",        # 2 greens r09+r10; KS split audit ⊂
+                                     #   corpus_drift_psi (in window,
+                                     #   same binned-distribution drift
+                                     #   comparison machinery)
+        "corpus_ngram_table",        # 2 greens r09+r10; one-scan gram
+                                     #   counts ⊂ corpus_gram_novelty (in
+                                     #   window, same shingle explode +
+                                     #   count-table aggregation)
+        "customers_k_anonymity",     # 2 greens r09+r10; quasi-identifier
+                                     #   class-size audit ⊂
+                                     #   doc_payment_pii_scan (in window,
+                                     #   privacy tier, same flag-and-count
+                                     #   shape over grouped classes)
+        "doc_blocklist_gate",        # 2 greens r09+r10; lexicon token
+                                     #   gate ⊂ doc_gopher_rules (in
+                                     #   window, same broadcast-lexicon
+                                     #   token-match rule battery)
+        "orders_market_basket",      # 2 greens r09+r10; pair support +
+                                     #   lift ⊂ orders_itemset_triples
+                                     #   (in window, same basket pair
+                                     #   mining, A-priori-pruned to L3)
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
     # rows) and is full-value oracle-compared in test_oracle_parity
     # meanwhile. The r6 queue (25) was admitted wholesale in r7, the
     # r7 queue (26) in r8, the r8 queue (27) in r9, the r9 queue (14)
-    # in r10 — this set holds only post-r10-rotation additions (the
-    # r11 rotation).
-    queued_for_rotation: set[str] = {
-        "events_percentile_drift",   # r10: approx-vs-exact percentile
-                                     #   rank-displacement audit (the
-                                     #   E14 sketch value-checked the
-                                     #   way E140 gates approx dedup)
-        "knn_eval_ivf",              # r10: pinned-IVF vs exact top-k
-                                     #   recall/displacement report —
-                                     #   the ANN rollout gate (third
-                                     #   of the approximation-gate
-                                     #   family after E140/E145)
-        "media_block_dedup",         # r10: aligned-block binary
-                                     #   payload dedup — the multimodal
-                                     #   tier's first value-checked
-                                     #   dedup (codec-free CAS blocks)
-        "parts_skyline",             # r10: 2-D Pareto frontier on the
-                                     #   range-partitioned prefix-max
-                                     #   spine; oracle = the quadratic
-                                     #   dominance definition
-        "orders_itemset_triples",    # r10: A-priori frequent triples
-                                     #   at relative support with
-                                     #   planted promo bundles; oracle
-                                     #   = the unpruned definition
-        "doc_hybrid_rrf",            # r10: BM25 + query-likelihood LM
-                                     #   retrieval fused by reciprocal
-                                     #   rank (the hybrid-search
-                                     #   production pattern)
-        "corpus_drift_psi",          # r10: population-stability-index
-                                     #   drift on baseline-decile
-                                     #   edges, add-half smoothed
-        "events_attribution",        # r10: U-shaped multi-touch
-                                     #   attribution, integer-ppm
-                                     #   credit, '(none)' completeness
-        "events_kmv_setops",         # r10: KMV set-operation
-                                     #   estimates (theta-sketch
-                                     #   pattern) beside exact values
-        "corpus_incremental_stats",  # r10: incremental view
-                                     #   maintenance of group stats;
-                                     #   oracle = full recompute
-        "parts_hierarchy_rollup",    # r10: subtree rollup via the
-                                     #   unrolled bounded-depth
-                                     #   closure; oracle = a recursive
-                                     #   CTE (different mechanism)
-        "events_zorder_pruning",     # r10: data-skipping audit —
-                                     #   min/max file pruning measured
-                                     #   under linear vs Z layouts
-    }
+    # in r10, the r10 queue (12) in r11 — this set holds only
+    # post-r11-rotation additions (the r12 rotation).
+    queued_for_rotation: set[str] = set()
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
                                      #   rounds unrolled as framed-symbol
@@ -614,13 +626,24 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_value_percentiles", "events_item_triangles",
         "frequent_users_cms_pinned",
     }
-    # the r8 queue was admitted wholesale in the r9 rotation — pin that
-    # every formerly-queued name now sits inside the checked window
-    # (the r9 admissions stay through r10 for their second green row)
-    assert _admitted_r9 <= set(_CHECKED_WINDOW), \
-        _admitted_r9 - set(_CHECKED_WINDOW)
+    # the 12-query r10 queue was admitted wholesale in the r11 rotation
+    _admitted_r11: set[str] = {
+        "events_percentile_drift", "knn_eval_ivf", "media_block_dedup",
+        "parts_skyline", "orders_itemset_triples", "doc_hybrid_rrf",
+        "corpus_drift_psi", "events_attribution", "events_kmv_setops",
+        "corpus_incremental_stats", "parts_hierarchy_rollup",
+        "events_zorder_pruning",
+    }
+    # every formerly-queued name either still sits inside the checked
+    # window or was retired to declared_redundant AFTER ≥2 green rows
+    # (the r11 rotation retired 12 two-green r9 admissions)
+    window_or_retired = set(_CHECKED_WINDOW) | declared_redundant
+    assert _admitted_r9 <= window_or_retired, \
+        _admitted_r9 - window_or_retired
     assert _admitted_r10 <= set(_CHECKED_WINDOW), \
         _admitted_r10 - set(_CHECKED_WINDOW)
+    assert _admitted_r11 <= set(_CHECKED_WINDOW), \
+        _admitted_r11 - set(_CHECKED_WINDOW)
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
