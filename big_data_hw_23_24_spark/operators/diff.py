@@ -191,28 +191,45 @@ def scd2_history(old: DataFrame, new: DataFrame,
 def incremental_stats(old: DataFrame, new: DataFrame,
                       group_col: str = "source",
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      old_stats: DataFrame | None = None) -> DataFrame:
     """Incremental view maintenance of per-group corpus stats (E154)
     → ``(group, n_docs, n_tokens)`` for the NEW snapshot, computed
-    from the OLD stats plus the change set — never a full re-scan.
+    from the OLD stats plus the change set.
 
     The warehouse classic: a grouped aggregate over a 100 TB corpus is
     maintained by applying per-group DELTAS from the (churn-sized)
     snapshot diff — removed/modified docs decrement at their OLD
     group, added/modified docs increment at their NEW group (modified
     rows do both, which also handles a doc MOVING groups between
-    snapshots). Only changed documents' text is ever tokenized; the
-    base stats table is #groups rows. The face's oracle recomputes the
-    stats from the new snapshot directly, so the parity row is the
+    snapshots). The delta side tokenizes only changed documents' text;
+    the base stats table is #groups rows.
+
+    The maintained-table contract lives in ``old_stats``: pass the
+    previously-maintained ``(group_col, n_docs, n_tokens)`` table (the
+    output of the prior round) and the old snapshot's TEXT is never
+    re-tokenized — old rows are read only for the id→(group, text)
+    lookup of the churn-sized changed set. Without ``old_stats`` the
+    base is recomputed from the old snapshot (a full old-side tokenize
+    pass) — the demo/parity mode, since the registry face has no
+    maintained table to hand. ``test_llm_ops.py`` pins that both modes
+    agree. The face's oracle recomputes the stats from the new
+    snapshot directly, so the parity row is the
     incremental-equals-full-recompute proof (the parts_skyline /
     itemset move applied to view maintenance).
     """
     toks = F.size(F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda w: w != ""))
-    base = (old.groupBy(F.col(group_col).alias("grp"))
-            .agg(F.count("*").cast("long").alias("_n0"),
-                 F.sum(toks).cast("long").alias("_t0")))
+    if old_stats is not None:
+        base = old_stats.select(
+            F.col(group_col).alias("grp"),
+            F.col("n_docs").cast("long").alias("_n0"),
+            F.col("n_tokens").cast("long").alias("_t0"))
+    else:
+        base = (old.groupBy(F.col(group_col).alias("grp"))
+                .agg(F.count("*").cast("long").alias("_n0"),
+                     F.sum(toks).cast("long").alias("_t0")))
     # change detection must cover the VIEW's inputs, not just text: a
     # doc that moves groups with unchanged text is invisible to the
     # content-only snapshot_diff but changes two groups' stats (caught

@@ -398,20 +398,43 @@ def kmv_sketch(df: DataFrame, item_col: str, group_col: str,
     from .grouped import grouped_topk
 
     return (grouped_topk(d, ["grp"], [F.col("h")], k)
-            .withColumn("k", F.lit(k)))
+            .withColumn("k", _kmv_k_lit(k)))
 
 
-def _kmv_k(sketch: DataFrame, k: int | None) -> int:
-    """Resolve the sketch's k: read the carried column (O(1) driver
-    pull) and validate any explicitly-passed value against it."""
+def _kmv_k_lit(k: int) -> Column:
+    """The carried-k column: a literal stamped with schema METADATA so
+    consumers resolve k from the plan — no driver job — and an empty
+    sketch still knows its k (metadata survives select/union/parquet;
+    the literal value stays as the row-level fallback for sketches
+    rebuilt through metadata-stripping transforms)."""
+    return F.lit(k).alias("k", metadata={"kmv_k": k})
+
+
+def _kmv_k(sketch: DataFrame, k: int | None) -> int | None:
+    """Resolve the sketch's k: prefer the schema metadata stamped by
+    :func:`kmv_sketch` / :func:`kmv_merge` (plan-side, no driver job),
+    fall back to reading the carried column (one O(1) driver pull),
+    and validate any explicitly-passed value against it.
+
+    A legitimately EMPTY sketch whose metadata was stripped has no row
+    to read — but any k is consistent with it (every downstream
+    aggregate is empty regardless), so resolution returns the passed
+    ``k``, which may be ``None`` ("any k"); callers treat None as
+    free choice over an empty result, never an error."""
     carried = None
     if "k" in sketch.columns:
-        row = sketch.select("k").first()
-        carried = None if row is None else int(row["k"])
-    if carried is None:  # empty sketch or pre-k-column build
+        meta = sketch.schema["k"].metadata or {}
+        if "kmv_k" in meta:
+            carried = int(meta["kmv_k"])
+        else:
+            row = sketch.select("k").first()
+            if row is None:  # empty + metadata-stripped: any k fits
+                return k
+            carried = int(row["k"])
+    if carried is None:  # pre-k-column build
         if k is None:
-            raise ValueError("sketch does not carry k (empty, or built "
-                             "before kmv_sketch stamped it) — pass k=")
+            raise ValueError("sketch does not carry k (built before "
+                             "kmv_sketch stamped it) — pass k=")
         return k
     if k is not None and k != carried:
         raise ValueError(f"k mismatch: sketch was built with k={carried} "
@@ -430,14 +453,16 @@ def kmv_merge(*sketches: DataFrame, k: int | None = None) -> DataFrame:
     from .grouped import grouped_topk
 
     ks = {_kmv_k(s, k) for s in sketches}
+    ks.discard(None)  # empty metadata-stripped sketches fit any k
     if len(ks) > 1:
         raise ValueError(f"cannot merge KMV sketches of different k: "
                          f"{sorted(ks)}")
-    (kk,) = ks
+    # every input empty and un-stamped: the union is empty for any k
+    kk = ks.pop() if ks else (k if k is not None else 2)
     u = reduce(lambda a, b: a.unionByName(b),
                [s.select("grp", "h") for s in sketches]).distinct()
     return (grouped_topk(u, ["grp"], [F.col("h")], kk)
-            .withColumn("k", F.lit(kk)))
+            .withColumn("k", _kmv_k_lit(kk)))
 
 
 def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
@@ -451,6 +476,8 @@ def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
     the sketch (passing it explicitly only validates).
     """
     k = _kmv_k(sketch, k)
+    if k is None:  # empty metadata-stripped sketch: no groups exist,
+        k = 2      # the estimator below never evaluates — any k works
     n = F.count("*").cast("long")
     kth = F.max("h")
     est = F.when(
@@ -485,6 +512,8 @@ def kmv_set_ops(sketch: DataFrame) -> DataFrame:
     from .grouped import grouped_topk
 
     k = _kmv_k(sketch, None)
+    if k is None:  # empty metadata-stripped sketch: no pairs exist
+        k = 2
     grps = sketch.select("grp").distinct()
     pairs = (grps.alias("x").join(grps.alias("y"),
                                   F.col("x.grp") < F.col("y.grp"))

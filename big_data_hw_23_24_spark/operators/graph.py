@@ -373,8 +373,15 @@ def hierarchy_rollup(nodes: DataFrame, key_col: str, value_col: str,
     shape Spark supports natively: the ancestor closure is UNROLLED as
     ``max_depth`` narrow expressions — pair (node, node // 10^j) until
     the quotient drops below 10 — because the tree's depth is bounded
-    by construction (``log10(max_key)``; depth 7 covers keys < 10^7,
-    validated). One explode + one hash aggregate; the closure is
+    by construction (``log10(max_key)``; depth 7 covers keys <
+    10^8 = 10^(max_depth+1)). The bound is ENFORCED at runtime by a
+    poisoned expression: any key whose quotient at ``max_depth`` is
+    still ≥ 10 would silently lose its deeper ancestors (and surface
+    non-root keys as roots), so such a row raises instead of
+    truncating — TPC-H ``p_partkey`` reaches 2·10^8 at sf1000, past
+    the depth-7 coverage, and callers at that scale must size
+    ``max_depth`` up (cost is one extra narrow arm per level).
+    One explode + one hash aggregate; the closure is
     ≤ depth rows per node, never an iterative job per level. The
     oracle face states the same closure as a DuckDB ``WITH RECURSIVE``
     CTE — a genuinely different evaluation mechanism, so parity proves
@@ -391,6 +398,17 @@ def hierarchy_rollup(nodes: DataFrame, key_col: str, value_col: str,
         else:
             gate = F.expr(f"{key_col} div {10 ** (j - 1)}") >= 10
             arms.append(F.when(gate, anc))
+    # depth-overflow guard: a key ≥ 10^(max_depth+1) still has a
+    # quotient ≥ 10 after max_depth divisions, i.e. ancestors the
+    # unrolling above cannot reach — raise rather than silently
+    # truncate the closure (null when in range, filtered with the
+    # other inactive arms)
+    too_deep = F.expr(f"{key_col} div {10 ** max_depth}") >= 10
+    arms.append(F.when(too_deep, F.raise_error(F.concat(
+        F.lit("hierarchy_rollup: key "), node.cast("string"),
+        F.lit(f" exceeds max_depth={max_depth} coverage (keys must be "
+              f"< {10 ** (max_depth + 1)}); raise max_depth")))
+        .cast("long")))
     cents = F.floor(F.col(value_col) * 100).cast("long")
     pairs = nodes.select(
         cents.alias("_c"),

@@ -191,8 +191,16 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str, id_col: str,
         withoff = withpid.withColumn("_off",
                                      F.element_at(off_map, F.col("_pid")))
     else:
+        # the offset column must keep y's NATIVE type: a hardcoded
+        # double would lose precision for int64 y above 2^53, which can
+        # flip the strict y > prefix-max comparison (and disagree with
+        # the <=256-partition map path, which stays native)
+        from pyspark.sql.types import IntegerType, StructField, StructType
+        off_schema = StructType([
+            StructField("_pid", IntegerType()),
+            StructField("_off", ranged.schema[y_col].dataType)])
         off_df = spark.createDataFrame(
-            [(p, o) for p, o in offsets.items()], "_pid int, _off double")
+            [(p, o) for p, o in offsets.items()], off_schema)
         withoff = withpid.join(F.broadcast(off_df), "_pid")
     w = (Window.partitionBy("_pid").orderBy(*cols)
          .rowsBetween(Window.unboundedPreceding, -1))

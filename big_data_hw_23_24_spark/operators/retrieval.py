@@ -47,20 +47,22 @@ def build_query_index(docs: DataFrame, queries: DataFrame,
     """The pruned inverted index every lexical retriever here consumes:
     ``(postings, stats, qterms)`` with postings = (id, term, tf, dl)
     restricted to query terms (eagerly pinned — several scorers read
-    it), stats = the lazy 1-row (n, sumdl) corpus aggregate, qterms =
-    lowercased distinct (qid, term).
+    it), stats = a 1-row LITERAL (n, sumdl) relation (collected once
+    here — a lazy aggregate would make every consumer re-scan and
+    re-tokenize the corpus for one row), qterms = lowercased distinct
+    (qid, term).
 
     Building it ONCE and passing it to both :func:`bm25_search_many`
-    and :func:`ql_search_many` makes hybrid retrieval a single corpus
-    scan instead of one per retriever (measured 3.3 s → 2.x s at
-    sf0.1 for doc_hybrid_rrf).
+    and :func:`ql_search_many` bounds hybrid retrieval at TWO corpus
+    passes total — the postings pin and the stats aggregate, which
+    must cover ALL docs (not just matched ones) so it cannot derive
+    from the pruned postings — with ZERO further scans per retriever
+    (measured 3.3 s → 2.x s at sf0.1 for doc_hybrid_rrf).
     """
     from .util import lowered_words
 
     words = lowered_words(text_col)
     base = docs.select(F.col(id_col), words.alias("_w"))
-    stats = base.agg(F.count("*").alias("_n"),
-                     F.sum(F.size("_w")).alias("_sumdl"))
     qterms = (queries.select("qid", F.explode("terms").alias("term"))
               .select("qid", F.lower("term").alias("term"))
               .distinct())
@@ -71,6 +73,12 @@ def build_query_index(docs: DataFrame, queries: DataFrame,
                 .groupBy(id_col, "term")
                 .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
                 .localCheckpoint(eager=True))
+    srow = base.agg(F.count("*").alias("_n"),
+                    F.sum(F.size("_w")).alias("_sumdl")).first()
+    stats = docs.sparkSession.range(1).select(
+        F.lit(srow["_n"]).cast("long").alias("_n"),
+        F.lit(srow["_sumdl"] if srow["_sumdl"] is not None else 0)
+        .cast("long").alias("_sumdl"))
     return postings, stats, qterms
 
 
@@ -357,8 +365,8 @@ def ql_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
 
     ``index`` shares a :func:`build_query_index` triple with BM25 —
     corpus frequency cf_t is Σ tf over the pruned postings, so the
-    whole scorer derives from the same pinned table and the hybrid
-    path scans the corpus once.
+    whole scorer derives from the same pinned table and literal stats
+    row — the hybrid path adds ZERO corpus scans per retriever.
     """
     from .grouped import grouped_topk
 
