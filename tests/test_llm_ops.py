@@ -223,6 +223,25 @@ def test_simhash_drops_zero_token_docs_by_contract(spark):
     assert pairs == {(1, 2)}
 
 
+def test_simhash_rejects_docs_past_packed_counter_range(spark):
+    """The SWAR-packed vote bounds per-doc token count at 2^20; a
+    longer document would silently corrupt neighboring lane counters,
+    so the poisoned-expression guard must raise instead."""
+    import pytest
+
+    from big_data_hw_23_24_spark.operators.dedup import (
+        simhash_fingerprints)
+
+    docs = spark.createDataFrame([(1, "w " * (1 << 20))],
+                                 "doc_id long, text string")
+    with pytest.raises(Exception, match="packed-counter range"):
+        simhash_fingerprints(docs).collect()
+    # boundary: 2^20 - 1 tokens still fingerprints cleanly
+    edge = spark.createDataFrame([(1, "w " * ((1 << 20) - 1))],
+                                 "doc_id long, text string")
+    assert simhash_fingerprints(edge).count() == 1
+
+
 def test_ivf_plan_constant_in_n_lists_and_probe_all_exact(spark, emb):
     """Regression guard for the r1 literal-centroid blowup: the Catalyst
     plan must not grow with n_lists (centroids ride in the pandas-UDF
