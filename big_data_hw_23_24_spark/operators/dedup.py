@@ -224,14 +224,18 @@ def minhash_match_against(batch: DataFrame, corpus_signed: DataFrame,
     from .util import ensure_fanout
 
     # the num_hashes-way signature map is the heavy stage: fan a
-    # sub-row-group batch out first (no-op when the scan has splits)
+    # sub-row-group batch out first (no-op when the scan has splits).
+    # The empty-shingle filter runs AFTER the checkpoint: filtering on
+    # the _nsh alias before it lets Catalyst inline the whole shingle
+    # HOF expression below the fanout exchange (scan DataFilter +
+    # Filter re-evaluation, in the scan's few input splits)
     batch_signed = (minhash_signature(word_shingles(
                         ensure_fanout(batch), text_col), num_hashes,
                         hash_family=hash_family)
                     .select(F.col(id_col), F.size("shingles").alias("_nsh"),
                             "signature")
-                    .where(F.col("_nsh") > 0)
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=True)
+                    .where(F.col("_nsh") > 0))
     return minhash_match_signed(batch_signed, corpus_signed,
                                 threshold=threshold, bands=bands,
                                 id_col=id_col)

@@ -109,14 +109,17 @@ class StreamingIngestMinhash:
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         idc, txt = self.id_col, self.text_col
+        # empty-filter AFTER the checkpoint: filtering on the _nsh
+        # alias before it lets Catalyst inline the shingle HOF below
+        # the fanout exchange (scan-stage re-evaluation)
         signed = (minhash_signature(
                       word_shingles(ensure_fanout(batch), txt),
                       self.num_hashes, hash_family=self.hash_family)
                   .select(F.col(idc), F.size("shingles").alias("_nsh"),
                           "signature")
+                  .localCheckpoint(eager=True)  # 3 consumers below
                   .where(F.col("_nsh") > 0)
-                  .select(idc, "signature")
-                  .localCheckpoint(eager=True))  # 3 consumers below
+                  .select(idc, "signature"))
         store = self.corpus_signatures(before_epoch=epoch_id)
         vs_corpus = (minhash_match_signed(
                          signed, store, threshold=self.threshold,
