@@ -39,10 +39,12 @@ pytestmark = pytest.mark.skipif(
 
 SF01 = "/root/testdata/sf0.1"
 REPLICAS = 10
-# data grows 10x; allow 2.5x headroom on perfectly-linear growth for
-# fixed costs amortizing differently and shuffle-partition granularity.
-# A quadratic term would land near 100x.
-MAX_GROWTH = 25.0
+# data grows 10x; a quadratic term would land near 100x. The gate sat
+# at 25x through r10; with the r11 filter-placement fix every probed
+# face lands 0.95-4.4x, so the gate tightens to 10x — sublinear-or-fail.
+# A band-crowding-class bug (the r10 embedding-LSH 32x) now FAILS the
+# probe instead of drifting inside a loose allowance.
+MAX_GROWTH = 10.0
 
 PROBES = [
     "dedup_minhash_banded",      # banded equi-join on (band, hash)
