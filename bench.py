@@ -154,6 +154,13 @@ HEADLINE = [
     "corpus_incremental_stats",  # IVM: delta-maintained group stats
     "parts_hierarchy_rollup",   # bounded-depth closure vs recursive CTE
     "events_zorder_pruning",    # data-skipping audit, 2 layouts x 4 probes
+    # r11 additions
+    "doc_linkage_blocked",      # blocked fuzzy record linkage
+    "doc_linkage_snm",          # sorted-neighborhood linkage (rank spine)
+    "events_calendar_gaps",     # missing-day feed-outage islands
+    "orders_benford_audit",     # Benford first-digit deviation report
+    "media_header_parse",       # binary magic/dims sniff + quarantine
+    "dedup_eval_bcubed",        # B-cubed cluster gate (size aggs only)
 ]
 
 

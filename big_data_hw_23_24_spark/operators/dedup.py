@@ -838,3 +838,40 @@ def dup_rate_by_window(docs: DataFrame, day_col: str = "day",
                  F.sum(dup).cast("long").alias("n_dups"),
                  F.round(F.sum(dup) / F.count("*"), 6).alias("dup_rate"))
             .orderBy("day"))
+
+
+def bcubed_report(assignments: DataFrame, id_col: str = "doc_id",
+                  pred_col: str = "pred", truth_col: str = "truth"
+                  ) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (E162) → ONE row
+    ``(n_docs, b3_precision, b3_recall, b3_f1)`` scoring a predicted
+    clustering against ground-truth clusters (Bagga & Baldwin 1998 —
+    the standard dedup/coreference cluster metric, unlike pair-F1 not
+    dominated by the largest cluster).
+
+    Per document d: precision(d) = |C(d) ∩ T(d)| / |C(d)|,
+    recall(d) = |C(d) ∩ T(d)| / |T(d)| where C/T are d's predicted /
+    truth clusters; the report averages over documents and takes the
+    harmonic mean. Everything derives from THREE hash aggregates —
+    predicted-cluster sizes, truth-cluster sizes, and (pred, truth)
+    CELL sizes — joined back onto the assignment rows: no document
+    pair is ever materialized, so the metric costs O(n) + cluster-count
+    aggregates at any corpus size (the naive pairwise definition is
+    quadratic in the largest cluster).
+    """
+    a = assignments.select(F.col(id_col).alias("_id"),
+                           F.col(pred_col).alias("_c"),
+                           F.col(truth_col).alias("_t"))
+    csz = a.groupBy("_c").agg(F.count("*").alias("_nc"))
+    tsz = a.groupBy("_t").agg(F.count("*").alias("_nt"))
+    cell = a.groupBy("_c", "_t").agg(F.count("*").alias("_cell"))
+    per = (a.join(cell, ["_c", "_t"]).join(csz, "_c").join(tsz, "_t")
+           .select((F.col("_cell") / F.col("_nc")).alias("_p"),
+                   (F.col("_cell") / F.col("_nt")).alias("_r")))
+    agg = per.agg(F.count("*").cast("long").alias("n_docs"),
+                  F.avg("_p").alias("_ap"), F.avg("_r").alias("_ar"))
+    f1 = 2 * F.col("_ap") * F.col("_ar") / (F.col("_ap") + F.col("_ar"))
+    return agg.select("n_docs",
+                      F.round("_ap", 6).alias("b3_precision"),
+                      F.round("_ar", 6).alias("b3_recall"),
+                      F.round(f1, 6).alias("b3_f1"))

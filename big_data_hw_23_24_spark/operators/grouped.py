@@ -383,3 +383,47 @@ def psi_report(base: DataFrame, cur: DataFrame, value_col: str,
                     F.round((p - q) * F.log(p / q), 6)
                     .alias("psi_contrib"))
             .orderBy("bin"))
+
+
+# Benford first-digit expectations log10(1 + 1/d), rounded to 6 — the
+# SAME literals ride the Spark plan and every oracle SQL string, so an
+# engine's log10 ulp can never flip a 6-decimal rounding.
+BENFORD_P = {d: round(__import__("math").log10(1 + 1 / d), 6)
+             for d in range(1, 10)}
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit (E160) → one row per digit 1-9:
+    ``(digit, n_obs, p_obs, p_benford, chi2_contrib)``.
+
+    The fraud/data-quality screen: naturally-grown magnitude data
+    (transactions, populations, file sizes) follows P(d) = log10(1+1/d)
+    for the FIRST significant digit; synthetic, capped, or uniform
+    data does not — the deviation IS the report (TPC-H totalprice is
+    range-uniform, so this face shows a strong, stable deviation; on a
+    fraud screen you'd alert on it).
+
+    Determinism: the first digit comes from the INTEGER CENTS rendered
+    as a string (``substr(cast(floor(v·100) as string), 1, 1)``) —
+    never from floor(log10(double)), whose 1-ulp engine differences
+    could flip the digit at exact powers of ten. Expected proportions
+    are shared literals (``BENFORD_P``). One narrow map + one 9-group
+    hash aggregate + a 1-row count broadcast; zero corpus-scale
+    shuffles beyond the aggregate.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (df.where(F.col(value_col) > 0)
+           .select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count("*").cast("long").alias("n_obs")))
+    tot = per.agg(F.sum("n_obs").alias("_n"))
+    pb = F.element_at(
+        F.create_map(*[F.lit(x) for kv in BENFORD_P.items() for x in kv]),
+        F.col("digit"))
+    exp = F.col("_n") * pb
+    return (per.crossJoin(F.broadcast(tot))
+            .select("digit", "n_obs",
+                    F.round(F.col("n_obs") / F.col("_n"), 6).alias("p_obs"),
+                    F.round(pb, 6).alias("p_benford"),
+                    F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp)
+                            / exp, 6).alias("chi2_contrib")))

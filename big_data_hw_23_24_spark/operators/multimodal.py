@@ -241,3 +241,66 @@ def block_dedup_pairs(media: DataFrame, block_bytes: int = 64,
             .select("media_a", "media_b", "n_shared_blocks",
                     "n_blocks_a", "n_blocks_b",
                     (F.col("_ha") == F.col("_hb")).alias("full_dup")))
+
+
+MEDIA_MAGICS = {"PNG8": "png", "JPG1": "jpeg", "RIFF": "wav"}
+
+
+def synth_media_headers(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table whose payloads carry a PARSEABLE
+    8-byte header: 4 ASCII magic bytes (format by ``doc_id % 3``) +
+    width and height as 2-byte big-endian ints, followed by the
+    document text as body bytes; every 13th asset is TRUNCATED to
+    3 bytes (a corrupt upload). Spark-side binary assembly only —
+    ``concat`` of a cast string (UTF-8 magic) and ``unhex`` of
+    zero-padded hex dims — so the table exercises the real
+    binary-column write path. Ground truth (format/dims/corrupt) is a
+    pure function of doc_id, which is what makes the parse face
+    oracle-checkable without any blob support in the oracle engine.
+    """
+    magics = list(MEDIA_MAGICS)
+    magic = (F.when(F.col("doc_id") % 3 == 0, F.lit(magics[0]))
+             .when(F.col("doc_id") % 3 == 1, F.lit(magics[1]))
+             .otherwise(F.lit(magics[2])))
+    width = (F.lit(16) + F.col("doc_id") % 640).cast("int")
+    height = (F.lit(16) + (F.col("doc_id") * 7) % 480).cast("int")
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    payload = F.concat(magic.cast("binary"), be16(width), be16(height),
+                       F.col("text").cast("binary"))
+    corrupt = F.col("doc_id") % 13 == 0
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(corrupt, F.substring(payload, 1, 3))
+        .otherwise(payload).alias("media"))
+
+
+def parse_media_headers(media: DataFrame) -> DataFrame:
+    """Header sniff over a BINARY column (E161) → ``(media_id, format,
+    width, height, n_bytes, header_ok)`` — the codec-free step every
+    100 TB media pipeline runs BEFORE any decode: read the magic,
+    pull the declared dimensions, and route/quarantine by it, all as
+    narrow JVM byte expressions (``substring`` on binary + ``conv`` of
+    the hex slice; no UDF, no decode library).
+
+    Unknown magics and short payloads report ``format='unknown'``,
+    null dims, ``header_ok=false`` — the quarantine branch. The parse
+    is engine-portable by the hex hop (the E147 move): an oracle
+    without blob slicing can still state the expected output, and the
+    registry face's oracle states it from the SYNTH SPEC, so the
+    parity row proves the whole bytes-roundtrip (assemble → binary →
+    parse) equals the specification.
+    """
+    magic = F.substring(F.col("media"), 1, 4).cast("string")
+    fmt = F.create_map(*[F.lit(x) for kv in MEDIA_MAGICS.items()
+                         for x in kv])
+    known = F.element_at(fmt, magic)
+    ok = (F.length("media") >= 8) & known.isNotNull()
+    be16 = lambda pos: F.conv(  # noqa: E731
+        F.hex(F.substring(F.col("media"), pos, 2)), 16, 10).cast("int")
+    return media.select(
+        "media_id",
+        F.when(ok, known).otherwise(F.lit("unknown")).alias("format"),
+        F.when(ok, be16(5)).otherwise(F.lit(None)).alias("width"),
+        F.when(ok, be16(7)).otherwise(F.lit(None)).alias("height"),
+        F.length("media").cast("long").alias("n_bytes"),
+        ok.alias("header_ok"))

@@ -283,3 +283,40 @@ def attribution_report(events: DataFrame, conversion_type: str,
                      (F.col("_n0") * 1_000_000).cast("long")
                      .alias("credit_ppm")))
     return att.unionByName(unatt)
+
+
+def calendar_gaps(df: DataFrame, date_col: str,
+                  group_col: str = "event_type") -> DataFrame:
+    """Missing-day report per group (E159) → ``(group, gap_start,
+    gap_end, n_days)``: runs of consecutive calendar days between each
+    group's first and last observed day on which the group produced NO
+    rows — the feed-outage / crawl-gap audit every ingestion pipeline
+    wants before it trusts a "daily" table.
+
+    Plan: one hash aggregate to distinct (group, day) — the only
+    corpus-scale pass — then everything is day-grid-sized: per-group
+    min/max, a ``sequence`` calendar spine (days × groups rows), a
+    left-anti join against the observed days, and the classic
+    gaps-and-islands grouping ``day − row_number`` (consecutive missing
+    days share the key). The island window partitions by group over
+    MISSING days only — bounded by the spine, never by the corpus.
+    Day columns are returned as ISO strings (the E72 convention: a
+    date column round-trips engines with dtype hazards; a string
+    doesn't).
+    """
+    obs = (df.select(F.col(group_col).alias("grp"),
+                     F.col(date_col).cast("date").alias("d"))
+           .where(F.col("d").isNotNull()).distinct())
+    rng = obs.groupBy("grp").agg(F.min("d").alias("_d0"),
+                                 F.max("d").alias("_d1"))
+    spine = rng.select(
+        "grp", F.explode(F.sequence("_d0", "_d1")).alias("d"))
+    missing = spine.join(obs, ["grp", "d"], "left_anti")
+    w = Window.partitionBy("grp").orderBy("d")
+    isl = missing.withColumn("_k", F.date_sub("d", F.row_number().over(w)))
+    return (isl.groupBy("grp", "_k")
+            .agg(F.min("d").cast("string").alias("gap_start"),
+                 F.max("d").cast("string").alias("gap_end"),
+                 F.count("*").cast("long").alias("n_days"))
+            .select(F.col("grp").alias(group_col),
+                    "gap_start", "gap_end", "n_days"))

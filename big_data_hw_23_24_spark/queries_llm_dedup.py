@@ -1325,3 +1325,202 @@ def dedup_eval_minhash(spark, sf_dir):
         cnt(p & ~t).alias("fp"), cnt(t & ~p).alias("fn"),
         F.round(tp / F.greatest(n_p, F.lit(1)), 6).alias("precision"),
         F.round(tp / F.greatest(n_t, F.lit(1)), 6).alias("recall"))
+
+
+# --- entity resolution tier (E157/E158, r11) ---------------------------------
+# Record linkage over short ENTITY STRINGS under typos — edit distance,
+# not set overlap, where the shingle families degenerate (a 1-char typo
+# in a 3-word title flips word shingles all-or-nothing). Entities are
+# the documents' 4-word "titles"; the dirty variants are deterministic
+# tail-character deletions (every 9th doc), so every planted pair is
+# distance 1 and shares its blocking key. Both classic candidate
+# strategies get a face: Fellegi-Sunter blocking (equi-join on a cheap
+# key, max_block-guarded) and Hernández-Stolfo sorted-neighborhood
+# (rank-adjacency, O(n·w) under any skew). The oracle states the
+# DEFINITION (all same-block pairs / all rank-window pairs + the same
+# levenshtein), so parity proves the guarded/bucketed plans equal it.
+
+_LINKAGE_ENTS_CTE = """
+    base AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:4], ' ') AS e
+      FROM documents
+    ),
+    ents AS (
+      SELECT doc_id, e FROM base
+      UNION ALL
+      SELECT doc_id + 3000000, substr(e, 1, length(e) - 1)
+      FROM base WHERE doc_id % 9 = 0 AND length(e) >= 8
+    )"""
+
+
+def _linkage_entities(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = F.array_join(F.slice(F.split("text", " "), 1, 4), " ")
+    base = docs.select("doc_id", e.alias("e"))
+    # the dirty variant deletes the LAST character: distance 1, never
+    # touches a space or the first two words, so the blocking key
+    # below is provably shared by every planted pair
+    dirty = (base.where((F.col("doc_id") % 9 == 0)
+                        & (F.length("e") >= 8))
+             .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                     F.expr("substr(e, 1, length(e) - 1)").alias("e")))
+    return base.unionByName(dirty)
+
+
+@register(
+    "doc_linkage_blocked",
+    f"""
+    WITH {_LINKAGE_ENTS_CTE},
+    blk AS (
+      SELECT doc_id, e,
+             split_part(e, ' ', 1) || ' ' || split_part(e, ' ', 2) AS b
+      FROM ents
+    ),
+    keep AS (SELECT b FROM blk GROUP BY b HAVING count(*) <= 1000),
+    s AS (SELECT blk.* FROM blk SEMI JOIN keep USING (b))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.e, b.e) AS INTEGER) AS dist
+    FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.e, b.e) <= 2
+    """,
+    doc="blocked fuzzy record linkage (Fellegi-Sunter blocking) over "
+        "4-word document titles: equi-join on the two-word block "
+        "(max_block=1000 guard), exact levenshtein <= 2 verify; every "
+        "9th doc gets a last-char-deletion variant (distance 1, block "
+        "intact) as planted ground truth; dist-0 rows are exact-title "
+        "duplicates",
+)
+def doc_linkage_blocked(spark, sf_dir):
+    from .operators.linkage import blocked_fuzzy_pairs
+
+    ents = _linkage_entities(spark, sf_dir)
+    # two-word block: a first-word-only key leaves ~30 blocks whose
+    # sizes grow linearly with the corpus (sum(block^2) ~1M pairs and
+    # 4.9 s at sf0.1); the refined key keeps every planted pair (the
+    # mangle never reaches the first two words) at ~18k block pairs
+    blk = F.concat(F.split_part(F.col("e"), F.lit(" "), F.lit(1)),
+                   F.lit(" "),
+                   F.split_part(F.col("e"), F.lit(" "), F.lit(2)))
+    return blocked_fuzzy_pairs(ents, "e", blk, max_dist=2,
+                               max_block=1000)
+
+
+@register(
+    "doc_linkage_snm",
+    f"""
+    WITH {_LINKAGE_ENTS_CTE},
+    r AS (
+      SELECT doc_id, e,
+             row_number() OVER (ORDER BY e, doc_id) AS rk
+      FROM ents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.rk - a.rk AS INTEGER) AS rank_gap,
+           CAST(levenshtein(a.e, b.e) AS INTEGER) AS dist
+    FROM r a JOIN r b
+      ON b.rk > a.rk AND b.rk - a.rk <= 4
+    WHERE levenshtein(a.e, b.e) <= 2
+    """,
+    doc="sorted-neighborhood record linkage (Hernandez-Stolfo SNM) "
+        "over the same titled entities: global rank by (title, id) on "
+        "the range-partitioned rank spine, candidates = rank distance "
+        "<= 4 via a bucket-adjacency self-join (O(n*w) under any "
+        "skew), exact levenshtein <= 2 verify; the oracle ranks with "
+        "a window row_number and joins the definitional rank window",
+)
+def doc_linkage_snm(spark, sf_dir):
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    ents = _linkage_entities(spark, sf_dir)
+    return sorted_neighborhood_pairs(ents, "e", window=4, max_dist=2)
+
+
+# --- E162: B-cubed cluster-quality gate ---------------------------------------
+# The fourth approximation gate (E140 dedup pairs, E145 percentiles,
+# E146 ANN): dedup is consumed as CLUSTERS, and pair-level P/R hides
+# which clusters broke — B-cubed (Bagga & Baldwin 1998) is the
+# standard cluster-extrinsic metric. Truth = planted families (every
+# 6th doc gets a case-mangled copy and a suffixed copy; the family is
+# the parent id); predicted = exact groups on NORMALIZED text, which
+# merges the case mangle but must miss the suffix — so recall < 1
+# structurally — while any naturally text-identical docs from
+# different families drag precision below 1. No pair is ever
+# materialized: three hash aggregates + joins back onto assignments.
+@register(
+    "dedup_eval_bcubed",
+    """
+    WITH fam AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000, upper(text) FROM documents
+      WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id + 5000000, text || ' zz tail' FROM documents
+      WHERE doc_id % 6 = 0
+      UNION ALL
+      -- boilerplate bleed: every 17th doc's family also emits a page
+      -- carrying the NEXT doc's text verbatim -> predicted dedup must
+      -- merge it into the WRONG family (precision < 1 structurally)
+      SELECT a.doc_id + 6000000, b.text
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 17 = 0
+    ),
+    a AS (
+      SELECT doc_id,
+             min(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                               ' +', ' ', 'g'))) AS c,
+             doc_id % 1000000 AS t
+      FROM fam
+    ),
+    csz AS (SELECT c, count(*) AS nc FROM a GROUP BY c),
+    tsz AS (SELECT t, count(*) AS nt FROM a GROUP BY t),
+    cell AS (SELECT c, t, count(*) AS cl FROM a GROUP BY c, t),
+    per AS (
+      SELECT 1.0 * cell.cl / csz.nc AS p, 1.0 * cell.cl / tsz.nt AS r
+      FROM a JOIN cell USING (c, t) JOIN csz USING (c) JOIN tsz USING (t)
+    ),
+    agg AS (SELECT count(*)::BIGINT AS n_docs, avg(p) AS ap, avg(r) AS ar
+            FROM per)
+    SELECT n_docs, round(ap, 6) AS b3_precision, round(ar, 6) AS b3_recall,
+           round(2 * ap * ar / (ap + ar), 6) AS b3_f1
+    FROM agg
+    """,
+    doc="B-cubed extrinsic evaluation of normalized-exact dedup "
+        "clusters against planted duplicate families (case-mangled "
+        "copy merges, suffixed copy must not, boilerplate-bleed pages "
+        "merge into the WRONG family): per-doc precision/"
+        "recall from cluster/truth/cell SIZE aggregates only — no "
+        "document pair materialized — averaged and F1'd; the cluster-"
+        "level rollout gate beside the pair-level E140",
+)
+def dedup_eval_bcubed(spark, sf_dir):
+    from .operators.dedup import bcubed_report, normalized_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sixth = docs.where(F.col("doc_id") % 6 == 0)
+    # boilerplate bleed: every 17th family emits a page carrying the
+    # NEXT doc's text verbatim — predicted dedup merges it into the
+    # wrong family, keeping the precision branch non-vacuous
+    bleed = (docs.alias("a").where(F.col("a.doc_id") % 17 == 0)
+             .join(docs.alias("b"),
+                   F.col("b.doc_id") == F.col("a.doc_id") + 1)
+             .select((F.col("a.doc_id") + 6000000).alias("doc_id"),
+                     F.col("b.text").alias("text")))
+    fam = (docs
+           .unionByName(sixth.select(
+               (F.col("doc_id") + 4000000).alias("doc_id"),
+               F.upper("text").alias("text")))
+           .unionByName(sixth.select(
+               (F.col("doc_id") + 5000000).alias("doc_id"),
+               F.concat("text", F.lit(" zz tail")).alias("text")))
+           .unionByName(bleed))
+    fp = F.md5(normalized_text(F.col("text")))
+    groups = (fam.select("doc_id", fp.alias("_fp"))
+              .groupBy("_fp").agg(F.min("doc_id").alias("_c")))
+    assign = (fam.select("doc_id", fp.alias("_fp"),
+                         (F.col("doc_id") % 1000000).alias("truth"))
+              .join(groups, "_fp")
+              .select("doc_id", F.col("_c").alias("pred"), "truth"))
+    return bcubed_report(assign)

@@ -889,3 +889,51 @@ def media_block_dedup(spark, sf_dir):
         docs.select("doc_id", "text")
         .unionByName(salted.select("doc_id", "text")))
     return block_dedup_pairs(media)
+
+
+# --- E161: binary header sniff (magic + declared dims) ------------------------
+# The codec-free step before any decode at 100 TB: read the magic,
+# pull the declared dimensions, quarantine what doesn't parse. The
+# payloads are assembled Spark-side with a REAL 8-byte header (ASCII
+# magic + big-endian u16 dims + body bytes; every 13th asset truncated
+# to 3 bytes) whose ground truth is a pure function of doc_id — so the
+# oracle states the SPEC directly and the parity row proves the whole
+# bytes roundtrip (assemble -> binary -> substring/conv parse) equals
+# it, without the oracle engine touching a blob.
+@register(
+    "media_header_parse",
+    """
+    WITH base AS (
+      SELECT doc_id AS media_id, text,
+             16 + doc_id % 640 AS w,
+             16 + (doc_id * 7) % 480 AS h,
+             (doc_id % 13 = 0) AS corrupt
+      FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN corrupt THEN 'unknown'
+                WHEN media_id % 3 = 0 THEN 'png'
+                WHEN media_id % 3 = 1 THEN 'jpeg'
+                ELSE 'wav' END AS format,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(w AS INTEGER) END AS width,
+           CASE WHEN corrupt THEN NULL
+                ELSE CAST(h AS INTEGER) END AS height,
+           CASE WHEN corrupt THEN 3
+                ELSE 8 + octet_length(encode(text)) END::BIGINT AS n_bytes,
+           NOT corrupt AS header_ok
+    FROM base
+    """,
+    doc="binary header sniff over the synthesized media table: 4-byte "
+        "ASCII magic -> format, 2-byte big-endian dims via "
+        "conv(hex(substring(binary))), short/unknown payloads "
+        "quarantined (format 'unknown', null dims, header_ok false); "
+        "oracle states the synthesis SPEC, so parity proves the "
+        "assemble->parse byte roundtrip",
+)
+def media_header_parse(spark, sf_dir):
+    from .operators.multimodal import (parse_media_headers,
+                                       synth_media_headers)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return parse_media_headers(synth_media_headers(docs))

@@ -2098,3 +2098,105 @@ def parts_hierarchy_rollup(spark, sf_dir):
 
     return hierarchy_rollup(_t(spark, sf_dir, "part"),
                             "p_partkey", "p_retailprice")
+
+
+# --- E159: per-type calendar-gap (feed outage) report ------------------------
+# The ingestion-health audit: runs of consecutive days on which a
+# "daily" feed produced nothing. The raw events table is dense (every
+# type, every day), so the face plants deterministic outages — error
+# loses Jan 5-7 and Jan 19, signup loses the dom%11==3 days — and the
+# report must recover exactly those runs. Day columns ride as ISO
+# strings (the E72 convention).
+@register(
+    "events_calendar_gaps",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d FROM events
+      WHERE NOT (event_type = 'error'
+                 AND extract(day FROM ts) IN (5, 6, 7, 19))
+        AND NOT (event_type = 'signup'
+                 AND extract(day FROM ts) % 11 = 3)
+    ),
+    obs AS (SELECT DISTINCT event_type, d FROM ev),
+    rng AS (SELECT event_type, min(d) AS d0, max(d) AS d1
+            FROM obs GROUP BY event_type),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM rng
+    ),
+    miss AS (
+      SELECT s.event_type, s.d FROM spine s
+      ANTI JOIN obs o ON o.event_type = s.event_type AND o.d = s.d
+    ),
+    isl AS (
+      SELECT event_type, d,
+             d - CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY d) AS INTEGER) AS k
+      FROM miss
+    )
+    SELECT event_type,
+           strftime(min(d), '%Y-%m-%d') AS gap_start,
+           strftime(max(d), '%Y-%m-%d') AS gap_end,
+           count(*)::BIGINT AS n_days
+    FROM isl GROUP BY event_type, k
+    """,
+    doc="gaps-and-islands calendar audit: per event type, runs of "
+        "consecutive missing days between its first and last observed "
+        "day; one corpus-scale distinct (type, day) aggregate, then "
+        "everything is day-grid-sized (sequence spine, anti-join, "
+        "day-minus-rank island keys); planted outages = error Jan 5-7 "
+        "+ Jan 19, signup every dom%11==3 day",
+)
+def events_calendar_gaps(spark, sf_dir):
+    from .operators.timeseries import calendar_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    dom = F.dayofmonth("ts")
+    kept = ev.where(
+        ~((F.col("event_type") == "error") & dom.isin(5, 6, 7, 19))
+        & ~((F.col("event_type") == "signup") & (dom % 11 == 3)))
+    return calendar_gaps(kept, "ts", "event_type")
+
+
+# --- E160: Benford first-digit audit -----------------------------------------
+from .operators.grouped import BENFORD_P  # noqa: E402
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_P.items())
+
+
+@register(
+    "orders_benford_audit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    per AS (SELECT digit, count(*)::BIGINT AS n_obs
+            FROM cents GROUP BY digit),
+    tot AS (SELECT sum(n_obs)::BIGINT AS n FROM per)
+    SELECT digit, n_obs,
+           round(n_obs / (1.0 * n), 6) AS p_obs,
+           round(CASE digit {_BENFORD_CASE} END, 6) AS p_benford,
+           round((n_obs - n * (CASE digit {_BENFORD_CASE} END))
+                 * (n_obs - n * (CASE digit {_BENFORD_CASE} END))
+                 / (n * (CASE digit {_BENFORD_CASE} END)), 6)
+             AS chi2_contrib
+    FROM per CROSS JOIN tot
+    """,
+    doc="Benford's-law first-significant-digit audit over order "
+        "totals: per digit 1-9, observed vs expected log10(1+1/d) "
+        "proportion and the chi-square contribution; digit taken from "
+        "INTEGER CENTS rendered as a string (never floor(log10(x)), "
+        "whose ulp differences could flip boundary digits); expected "
+        "proportions are shared 6-decimal literals in both engines; "
+        "TPC-H totalprice is range-uniform, so the audit reports a "
+        "strong stable deviation — the alert branch of a fraud screen",
+)
+def orders_benford_audit(spark, sf_dir):
+    from .operators.grouped import benford_report
+
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")

@@ -170,6 +170,11 @@ _SF01_SCALE_SENSITIVE = [
     "events_attribution", "doc_hybrid_rrf", "events_kmv_setops",
     "corpus_incremental_stats", "parts_hierarchy_rollup",
     "events_zorder_pruning",
+    # r11: the blocked/rank-adjacency linkage joins, the per-group
+    # calendar spine and the cluster-size aggregates only stretch
+    # across partition boundaries past sf0.01
+    "doc_linkage_blocked", "doc_linkage_snm", "events_calendar_gaps",
+    "dedup_eval_bcubed",
 ]
 
 

@@ -548,7 +548,30 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # r7 queue (26) in r8, the r8 queue (27) in r9, the r9 queue (14)
     # in r10, the r10 queue (12) in r11 — this set holds only
     # post-r11-rotation additions (the r12 rotation).
-    queued_for_rotation: set[str] = set()
+    queued_for_rotation: set[str] = {
+        "doc_linkage_blocked",       # r11: Fellegi-Sunter blocked fuzzy
+                                     #   record linkage (levenshtein
+                                     #   verify, max_block guard) — the
+                                     #   entity-resolution tier's first
+                                     #   face
+        "doc_linkage_snm",           # r11: sorted-neighborhood linkage
+                                     #   on the rank spine (bucket-
+                                     #   adjacency join, O(n·w) under
+                                     #   any skew)
+        "events_calendar_gaps",      # r11: gaps-and-islands missing-
+                                     #   day feed-outage audit on the
+                                     #   sequence calendar spine
+        "orders_benford_audit",      # r11: Benford first-digit audit
+                                     #   with integer-cents digits and
+                                     #   shared literal expectations
+        "media_header_parse",        # r11: binary magic/dims header
+                                     #   sniff; oracle = the synthesis
+                                     #   spec (bytes-roundtrip proof)
+        "dedup_eval_bcubed",         # r11: B-cubed cluster-extrinsic
+                                     #   dedup gate (4th approximation
+                                     #   gate; size aggregates only,
+                                     #   no pair materialized)
+    }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
                                      #   rounds unrolled as framed-symbol
