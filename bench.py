@@ -161,6 +161,11 @@ HEADLINE = [
     "orders_benford_audit",     # Benford first-digit deviation report
     "media_header_parse",       # binary magic/dims sniff + quarantine
     "dedup_eval_bcubed",        # B-cubed cluster gate (size aggs only)
+    "doc_homoglyph_scan",       # confusable-evasion skeleton election
+    "corpus_profile_report",    # one-pass column profile
+    "lineitem_contracts",       # contract validation + FK anti-join
+    "knn_reciprocal_best",      # mutual nearest neighbors
+    "corpus_shard_movement",    # rendezvous shard-growth audit
 ]
 
 

@@ -474,3 +474,45 @@ def html_extract(docs: DataFrame, html_col: str = "html",
         F.col(id_col), n_links.alias("n_links"),
         clean.alias("text"),
         F.length(clean).cast("long").alias("n_chars"))
+
+
+# Unicode confusables most used for filter evasion: Cyrillic and Greek
+# letters whose glyphs are indistinguishable from Latin. The map is a
+# module constant so the Spark plan and every oracle SQL string
+# translate the SAME alphabet.
+CONFUSABLES = {
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "х": "x", "у": "y", "ο": "o",
+}
+_CONF_FROM = "".join(CONFUSABLES)
+_CONF_TO = "".join(CONFUSABLES.values())
+
+
+def homoglyph_scan(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Homoglyph (unicode-confusable) evasion scan (E163) →
+    ``(doc_id, n_confusables, evasion_flag, skeleton_owner)``.
+
+    The data-poisoning screen every blocklist/dedup pipeline needs:
+    swapping Latin letters for their Cyrillic/Greek look-alikes slips
+    a document past exact fingerprints and lexicon gates while reading
+    identically to a human (and to a model). The scan SKELETONIZES the
+    text (``translate`` over the confusable alphabet — one narrow
+    JVM map), counts confusable code points, and elects a
+    ``skeleton_owner`` — the min doc id sharing the skeleton
+    fingerprint — so an evasion copy collapses onto its source
+    (owner ≠ own id + flag set = caught). One translate + one md5
+    group aggregate + one join back; the corpus never shuffles twice.
+    """
+    skel = F.translate(F.col(text_col), _CONF_FROM, _CONF_TO)
+    n_conf = (F.length(text_col)
+              - F.length(F.translate(F.col(text_col), _CONF_FROM, "")))
+    base = docs.select(
+        F.col(id_col),
+        n_conf.cast("int").alias("n_confusables"),
+        F.md5(skel).alias("_sk"))
+    owners = base.groupBy("_sk").agg(F.min(id_col).alias("skeleton_owner"))
+    return (base.join(owners, "_sk")
+            .select(id_col, "n_confusables",
+                    (F.col("n_confusables") > 0).alias("evasion_flag"),
+                    "skeleton_owner"))

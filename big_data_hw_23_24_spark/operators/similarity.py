@@ -844,3 +844,34 @@ def ivf_topk_pinned(corpus: DataFrame, queries: DataFrame, k: int = 10,
                           * F.sqrt(_dot(F.col("v"), F.col("v")))))
                       .alias("cosine_raw")))
     return _rank_topk(scored, k)
+
+
+def reciprocal_best_match(side_a: DataFrame, side_b: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Reciprocal best match / mutual nearest neighbors (E166) →
+    ``(id_a, id_b, cosine)``: pairs where b is a's cosine top-1 in
+    ``side_b`` AND a is b's top-1 back in ``side_a``.
+
+    The bilingual-lexicon-induction / cross-modal alignment primitive
+    (MUSE-style): one-directional top-1 is noisy under hubness —
+    mutuality is the standard filter. ``side_a`` is the bounded query
+    set (it broadcasts, the retrieval convention); the back direction
+    is scored only for the candidate b's that won a forward match —
+    ≤ |A| vectors — against ``side_a`` as the corpus, so the whole
+    operator is two query-bounded scans of the big side, never
+    |B|-side all-pairs.
+    """
+    fwd = (cosine_topk(side_b, side_a, k=1, id_col=id_col,
+                       vec_col=vec_col)
+           .select(F.col("query_id").alias("id_a"),
+                   F.col("neighbor_id").alias("id_b"),
+                   F.col("cosine").alias("cosine")))
+    cand = (side_b.join(
+        fwd.select(F.col("id_b").alias(id_col)).distinct(), id_col))
+    back = (cosine_topk(side_a, cand, k=1, id_col=id_col,
+                        vec_col=vec_col)
+            .select(F.col("query_id").alias("id_b"),
+                    F.col("neighbor_id").alias("id_a")))
+    return fwd.join(back, ["id_a", "id_b"]).select("id_a", "id_b",
+                                                   "cosine")

@@ -226,3 +226,59 @@ def leakage_safe_split(docs: DataFrame, components: DataFrame,
     gkey = F.coalesce(F.col("component"), F.col(id_col)).cast("string")
     return hash_split(joined.withColumn("_gkey", gkey), "_gkey",
                       fractions=fractions, out_col=out_col).drop("_gkey")
+
+
+def rendezvous_shard(key: Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment: shard =
+    argmax over s of h(key, s) — the consistent-hashing form with NO
+    ring state to store, and the same minimal-movement guarantee:
+    growing N → N+1 moves ONLY the keys whose new shard wins, ~1/(N+1)
+    of them, because every existing score is unchanged.
+
+    The per-shard hash is the engine-portable md5 prefix
+    (``conv(substr(md5(key || ':' || s), 1, 15), 16, 10)``, the E76
+    convention), so an oracle replays the assignment bit-for-bit.
+    Ties are measure-zero in the 60-bit space; ``array_position`` of
+    the max breaks them toward the lower shard deterministically.
+    """
+    scores = F.array(*[
+        F.conv(F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f":{s}"))), 1, 15),
+            16, 10).cast("long")
+        for s in range(n_shards)])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def shard_movement_report(df: DataFrame, key_col: str,
+                          n_from: int, n_to: int) -> DataFrame:
+    """Shard-count change audit (E167) → one row per target shard:
+    ``(shard, n_at_from, n_at_to, moved_in)`` under rendezvous
+    hashing with ``n_from`` → ``n_to`` shards.
+
+    The capacity-planning question ("what does adding a shard
+    actually move?") answered as data: rendezvous guarantees keys
+    move ONLY onto the new shards, so ``moved_in`` is 0 for every
+    surviving shard and ≈ n/n_to on each new one — the report
+    MEASURES the guarantee instead of asserting it (the E156 move).
+    Both assignments are narrow expressions over one scan; the report
+    is one n_to-group aggregate.
+    """
+    key = F.col(key_col)
+    a = df.select(rendezvous_shard(key, n_from).alias("_f"),
+                  rendezvous_shard(key, n_to).alias("_t"))
+    return (a.groupBy(F.col("_t").alias("shard"))
+            .agg(F.sum(F.when(F.col("_f") == F.col("_t"), 1).otherwise(0))
+                 .cast("long").alias("_stay"),
+                 F.count("*").cast("long").alias("n_at_to"),
+                 F.sum(F.when(F.col("_f") != F.col("_t"), 1).otherwise(0))
+                 .cast("long").alias("moved_in"))
+            .join(a.groupBy(F.col("_f").alias("shard"))
+                  .agg(F.count("*").cast("long").alias("n_at_from")),
+                  "shard", "full_outer")
+            .select("shard",
+                    F.coalesce("n_at_from", F.lit(0)).cast("long")
+                    .alias("n_at_from"),
+                    F.coalesce("n_at_to", F.lit(0)).cast("long")
+                    .alias("n_at_to"),
+                    F.coalesce("moved_in", F.lit(0)).cast("long")
+                    .alias("moved_in")))

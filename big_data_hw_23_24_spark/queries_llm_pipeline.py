@@ -2372,3 +2372,89 @@ def events_zorder_pruning(spark, sf_dir):
         base, "cx", "cy", "event_id",
         probes=[(1, 0, 511, 0, 4095), (2, 0, 4095, 0, 255),
                 (3, 0, 1023, 0, 1023), (4, 1024, 2047, 1024, 2047)])
+
+
+# --- E164: column profile report -----------------------------------------------
+@register(
+    "corpus_profile_report",
+    """
+    SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+           (count(*) - count(doc_id))::BIGINT AS n_null,
+           count(DISTINCT doc_id)::BIGINT AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+           count(DISTINCT lang)::BIGINT,
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+           count(DISTINCT source)::BIGINT,
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*)::BIGINT,
+           (count(*) - count(n_chars))::BIGINT,
+           count(DISTINCT n_chars)::BIGINT,
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    doc="column profile report (the Deequ/schema-discovery artifact): "
+        "per column, null count, exact distinct cardinality and "
+        "min/max bounds rendered as strings (typed ordering, shared "
+        "report schema); ONE aggregate pass computes every metric — "
+        "the per-column rows explode from the aggregated struct array, "
+        "never a scan per column",
+)
+def corpus_profile_report(spark, sf_dir):
+    from .operators.profile import profile_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_report(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+# --- E167: rendezvous-hashing shard movement audit ------------------------------
+@register(
+    "corpus_shard_movement",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             list_position(sc8, list_max(sc8)) - 1 AS f,
+             list_position(sc9, list_max(sc9)) - 1 AS t
+      FROM (
+        SELECT doc_id,
+               [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                     CAST(s AS VARCHAR)), 1, 15))::BIGINT
+                FOR s IN range(8)] AS sc8,
+               [('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                     CAST(s AS VARCHAR)), 1, 15))::BIGINT
+                FOR s IN range(9)] AS sc9
+        FROM documents)
+    ),
+    tt AS (
+      SELECT t AS shard, count(*)::BIGINT AS n_at_to,
+             sum(CASE WHEN f != t THEN 1 ELSE 0 END)::BIGINT AS moved_in
+      FROM a GROUP BY t
+    ),
+    ff AS (SELECT f AS shard, count(*)::BIGINT AS n_at_from
+           FROM a GROUP BY f)
+    SELECT CAST(coalesce(tt.shard, ff.shard) AS INTEGER) AS shard,
+           coalesce(ff.n_at_from, 0)::BIGINT AS n_at_from,
+           coalesce(tt.n_at_to, 0)::BIGINT AS n_at_to,
+           coalesce(tt.moved_in, 0)::BIGINT AS moved_in
+    FROM tt FULL OUTER JOIN ff ON ff.shard = tt.shard
+    """,
+    doc="rendezvous (HRW) consistent-hashing audit for growing 8 -> 9 "
+        "shards: per target shard, key counts under both shard counts "
+        "and how many keys moved in — rendezvous guarantees movement "
+        "lands ONLY on the new shard (~n/9 keys), and the report "
+        "MEASURES that instead of asserting it; md5-prefix scores so "
+        "the assignment replays bit-for-bit in the oracle",
+)
+def corpus_shard_movement(spark, sf_dir):
+    from .operators.splits import shard_movement_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_movement_report(docs, "doc_id", n_from=8, n_to=9)

@@ -937,3 +937,53 @@ def media_header_parse(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return parse_media_headers(synth_media_headers(docs))
+
+
+# --- E166: reciprocal best match (mutual nearest neighbors) --------------------
+@register(
+    "knn_reciprocal_best",
+    """
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    qa AS (SELECT * FROM x WHERE vec_id % 10 = 0),
+    qb AS (SELECT * FROM x WHERE vec_id % 10 <> 0),
+    fwd AS (
+      SELECT id_a, id_b, sc FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(a.v, b.v) AS sc,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                          b.vec_id) AS r
+        FROM qa a JOIN qb b ON a.vec_id <> b.vec_id
+      ) WHERE r = 1
+    ),
+    back AS (
+      SELECT id_b, id_a FROM (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY list_cosine_similarity(b.v, a.v) DESC,
+                          a.vec_id) AS r
+        FROM (SELECT DISTINCT qb.* FROM qb
+              SEMI JOIN fwd ON fwd.id_b = qb.vec_id) b
+        JOIN qa a ON a.vec_id <> b.vec_id
+      ) WHERE r = 1
+    )
+    SELECT f.id_a, f.id_b, round(f.sc, 6) AS cosine
+    FROM fwd f JOIN back k ON k.id_a = f.id_a AND k.id_b = f.id_b
+    """,
+    doc="reciprocal best match (mutual nearest neighbors, the "
+        "bilingual-lexicon-induction primitive): side A = every 10th "
+        "vector, forward cosine top-1 into side B, back direction "
+        "scored only for the forward winners (bounded by |A|) against "
+        "A as the corpus, mutual pairs kept — two query-bounded scans, "
+        "never |B|-side all-pairs",
+)
+def knn_reciprocal_best(spark, sf_dir):
+    from .operators.similarity import reciprocal_best_match
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    side_a = emb.where(F.col("vec_id") % 10 == 0)
+    side_b = emb.where(F.col("vec_id") % 10 != 0)
+    return reciprocal_best_match(side_a, side_b)

@@ -2029,3 +2029,49 @@ def doc_hybrid_rrf(spark, sf_dir):
     return out.select(F.col("qid").cast("int").alias("qid"), "doc_id",
                       "rrf", "rank_0", "rank_1",
                       F.col("rank").cast("int").alias("rank"))
+
+
+# --- E163: homoglyph evasion scan ---------------------------------------------
+# The data-poisoning screen: Cyrillic look-alikes slip a document past
+# exact fingerprints and lexicon gates. Salt = every 21st doc re-ingested
+# with its Latin a/e/o swapped for the Cyrillic confusables; the scan
+# must flag exactly those AND collapse them onto their source via the
+# skeleton-fingerprint owner election.
+@register(
+    "doc_homoglyph_scan",
+    """
+    WITH fam AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 7000000, translate(text, 'aeo', 'аео')
+      FROM documents WHERE doc_id % 21 = 0
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(length(text)
+                  - length(translate(text, 'аеорсхуο', ''))
+                  AS INTEGER) AS n_confusables,
+             md5(translate(text, 'аеорсхуο', 'aeopcxyo')) AS sk
+      FROM fam
+    ),
+    own AS (SELECT sk, min(doc_id) AS skeleton_owner FROM base GROUP BY sk)
+    SELECT b.doc_id, b.n_confusables,
+           b.n_confusables > 0 AS evasion_flag,
+           o.skeleton_owner
+    FROM base b JOIN own o USING (sk)
+    """,
+    doc="homoglyph (unicode-confusable) evasion scan: skeletonize via "
+        "translate over the Cyrillic/Greek confusable alphabet, count "
+        "confusable code points, elect the min-id skeleton owner so an "
+        "evasion copy collapses onto its source; salt = every 21st doc "
+        "re-ingested with a/e/o swapped to Cyrillic (flagged, owner = "
+        "the original)",
+)
+def doc_homoglyph_scan(spark, sf_dir):
+    from .operators.cleaning import homoglyph_scan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evaded = (docs.where(F.col("doc_id") % 21 == 0)
+              .select((F.col("doc_id") + 7000000).alias("doc_id"),
+                      F.translate("text", "aeo", "аео").alias("text")))
+    return homoglyph_scan(docs.unionByName(evaded))

@@ -2200,3 +2200,67 @@ def orders_benford_audit(spark, sf_dir):
     from .operators.grouped import benford_report
 
     return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# --- E165: data-contract validation -------------------------------------------
+# The expectations/Deequ pattern: declared contracts counted in ONE
+# conditional-sum pass over lineitem plus one anti-join count for the
+# cross-table referential contract. The l_discount <= 0.05 check fails
+# on real TPC-H data (discounts run to 0.10) — the failed branch is
+# structurally non-vacuous, not planted.
+@register(
+    "lineitem_contracts",
+    """
+    WITH v AS (
+      SELECT
+        sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+            THEN 1 ELSE 0 END)::BIGINT AS quantity_range,
+        sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT
+          AS discount_cap,
+        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+          AS shipdate_set,
+        sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+          AS price_positive
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT count(*)::BIGINT AS n FROM lineitem l
+      ANTI JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT 'quantity_in_1_50' AS check_name,
+           quantity_range AS n_violations, quantity_range = 0 AS passed
+    FROM v
+    UNION ALL
+    SELECT 'discount_le_5pct', discount_cap, discount_cap = 0 FROM v
+    UNION ALL
+    SELECT 'shipdate_not_null', shipdate_set, shipdate_set = 0 FROM v
+    UNION ALL
+    SELECT 'price_positive', price_positive, price_positive = 0 FROM v
+    UNION ALL
+    SELECT 'orderkey_fk_orders', n, n = 0 FROM fk
+    """,
+    doc="data-contract validation report: four single-table contracts "
+        "counted in one conditional-sum aggregate pass (range, cap, "
+        "non-null, positivity) plus the referential contract as an "
+        "anti-join count; discount_le_5pct FAILS on real data, so the "
+        "failed branch is non-vacuous without planting",
+)
+def lineitem_contracts(spark, sf_dir):
+    from .operators.profile import validate_contracts
+
+    li = _t(spark, sf_dir, "lineitem")
+    checks = {
+        "quantity_in_1_50": (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50),
+        "discount_le_5pct": F.col("l_discount") > 0.05,
+        "shipdate_not_null": F.col("l_shipdate").isNull(),
+        "price_positive": F.col("l_extendedprice") <= 0,
+    }
+    single = validate_contracts(li, checks)
+    orphans = (li.join(_t(spark, sf_dir, "orders"),
+                       li.l_orderkey == F.col("o_orderkey"), "left_anti")
+               .agg(F.count("*").cast("long").alias("n_violations"))
+               .select(F.lit("orderkey_fk_orders").alias("check_name"),
+                       "n_violations",
+                       (F.col("n_violations") == 0).alias("passed")))
+    return single.unionByName(orphans)

@@ -175,6 +175,9 @@ _SF01_SCALE_SENSITIVE = [
     # across partition boundaries past sf0.01
     "doc_linkage_blocked", "doc_linkage_snm", "events_calendar_gaps",
     "dedup_eval_bcubed",
+    # late-r11: the skeleton-owner election, the FK anti-join and the
+    # forward/back top-1 joins cross partition boundaries past sf0.01
+    "doc_homoglyph_scan", "lineitem_contracts", "knn_reciprocal_best",
 ]
 
 

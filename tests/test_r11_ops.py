@@ -155,3 +155,91 @@ def test_bcubed_hand_example(spark):
     assert r.b3_precision == pytest.approx(0.733333, abs=1e-6)
     assert r.b3_recall == pytest.approx(0.733333, abs=1e-6)
     assert r.b3_f1 == pytest.approx(0.733333, abs=1e-6)
+
+
+def test_homoglyph_scan_collapses_evasion_onto_source(spark):
+    """A Cyrillic-swapped copy is flagged and its skeleton owner is
+    the clean original; clean docs own themselves and stay unflagged."""
+    from big_data_hw_23_24_spark.operators.cleaning import homoglyph_scan
+
+    rows = [(1, "open the door"), (2, "open the dооr"),
+            (3, "unrelated text")]
+    got = {r.doc_id: r for r in homoglyph_scan(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert (got[1].n_confusables, got[1].evasion_flag,
+            got[1].skeleton_owner) == (0, False, 1)
+    assert (got[2].n_confusables, got[2].evasion_flag,
+            got[2].skeleton_owner) == (2, True, 1)
+    assert (got[3].evasion_flag, got[3].skeleton_owner) == (False, 3)
+
+
+def test_profile_report_single_scan_and_values(spark):
+    """Per-column metrics are exact and the whole report runs off ONE
+    aggregate (one scan of the input in the plan)."""
+    from big_data_hw_23_24_spark.operators.profile import profile_report
+
+    rows = [(1, "a", None), (2, "b", 5.0), (3, "a", 7.0), (4, None, 7.0)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    rep = profile_report(df)
+    got = {r.column: r for r in rep.collect()}
+    assert (got["s"].n_null, got["s"].n_distinct,
+            got["s"].min_value, got["s"].max_value) == (1, 2, "a", "b")
+    assert (got["v"].n_null, got["v"].n_distinct) == (1, 2)
+    assert got["id"].n_rows == 4
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1  # one scan feeds every metric
+
+
+def test_validate_contracts_counts_and_flags(spark):
+    from big_data_hw_23_24_spark.operators.profile import (
+        validate_contracts)
+
+    df = spark.createDataFrame([(1, 10.0), (2, -3.0), (3, 0.0)],
+                               "id long, v double")
+    got = {r.check_name: r for r in validate_contracts(df, {
+        "v_positive": F.col("v") <= 0,
+        "id_small": F.col("id") > 100}).collect()}
+    assert (got["v_positive"].n_violations,
+            got["v_positive"].passed) == (2, False)
+    assert (got["id_small"].n_violations, got["id_small"].passed) == (0, True)
+
+
+@given(n_keys=st.integers(20, 60), n_from=st.integers(2, 6))
+@settings(**_SETTINGS)
+def test_rendezvous_moves_keys_only_onto_new_shards(spark, n_keys, n_from):
+    """The HRW minimal-movement guarantee, measured: growing N -> N+1
+    moves keys ONLY onto the new shard (every surviving shard's
+    moved_in is 0), and every key keeps its shard unless the new shard
+    won it."""
+    from big_data_hw_23_24_spark.operators.splits import (
+        shard_movement_report)
+
+    df = spark.createDataFrame([(i,) for i in range(n_keys)], "k long")
+    rep = {r.shard: r for r in shard_movement_report(
+        df, "k", n_from, n_from + 1).collect()}
+    assert sum(r.n_at_from for r in rep.values()) == n_keys
+    assert sum(r.n_at_to for r in rep.values()) == n_keys
+    for s, r in rep.items():
+        if s < n_from:
+            assert r.moved_in == 0, (s, r)
+    assert rep[n_from].moved_in == rep[n_from].n_at_to
+
+
+def test_reciprocal_best_match_is_mutual(spark):
+    """Every reported pair is mutual top-1; a one-directional best
+    that is not reciprocated is excluded."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        cosine_topk, reciprocal_best_match)
+
+    # 2-D vectors: a0~b0 mutually; b1's best is a0 but a0 prefers b0
+    rows_a = [(0, [1.0, 0.0]), (10, [0.0, 1.0])]
+    rows_b = [(1, [0.99, 0.1]), (2, [0.8, 0.6]), (3, [-1.0, 0.1])]
+    A = spark.createDataFrame(rows_a, "vec_id long, embedding array<double>")
+    B = spark.createDataFrame(rows_b, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in reciprocal_best_match(A, B).collect()}
+    fwd = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk(B, A, k=1).collect()}
+    back = {(r.neighbor_id, r.query_id)
+            for r in cosine_topk(A, B, k=1).collect()}
+    assert got == fwd & back
+    assert (0, 1) in got            # mutual pair survives

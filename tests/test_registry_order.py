@@ -571,6 +571,20 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   dedup gate (4th approximation
                                      #   gate; size aggregates only,
                                      #   no pair materialized)
+        "doc_homoglyph_scan",        # r11: unicode-confusable evasion
+                                     #   scan with skeleton-owner
+                                     #   election (data-poisoning
+                                     #   screen)
+        "corpus_profile_report",     # r11: one-pass per-column
+                                     #   null/distinct/min/max profile
+        "lineitem_contracts",        # r11: Deequ-style contract
+                                     #   validation (one conditional-
+                                     #   sum pass + FK anti-join)
+        "knn_reciprocal_best",       # r11: mutual nearest neighbors
+                                     #   (query-bounded both ways)
+        "corpus_shard_movement",     # r11: rendezvous-hashing shard
+                                     #   growth audit (measures the
+                                     #   minimal-movement guarantee)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
