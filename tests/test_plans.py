@@ -450,6 +450,13 @@ _CARTESIAN_ALLOWLIST = {
                                      #   baseline above with pinned IVF
                                      #   (the brute-force side is the
                                      #   declared run-once gate face)
+    "knn_reciprocal_best",           # mutual-NN: both directions are
+                                     #   query-bounded broadcast scans
+                                     #   (back side <= |A| forward
+                                     #   winners), never all-pairs on
+                                     #   the big side
+    "orders_benford_audit",          # 1-row total-count broadcast onto
+                                     #   the 9-digit aggregate
 }
 
 
