@@ -432,16 +432,35 @@ def quality_calibration(docs: DataFrame, terms: list[str],
     the range-partitioned exact-ntile spine (prob, id tiebreak),
     counts and a single ratio division — so there is no float-sum
     hazard anywhere in the aggregation.
-    """
-    from .cleaning import linear_quality_score
-    from .ranking import global_ntile
-    from .textstats import blocklist_gate
 
-    scored = linear_quality_score(docs).select(id_col, "prob")
-    flags = blocklist_gate(docs, terms, max_hits,
-                           text_col=text_col, id_col=id_col) \
-        .select(id_col, "kept")
-    j = scored.join(flags, id_col)
+    Both signals are narrow per-row maps of the SAME text, so they are
+    computed in ONE projection (the classifier's Column form + the
+    blocklist predicate inline) — the previous two-frame id join cost
+    a second full text scan plus a corpus-keyed shuffle for what one
+    select expresses. The projection is FANOUT-GUARDED: ``prob`` is
+    the ntile spine's SORT KEY, so the range partitioner forces its
+    evaluation BEFORE the exchange — on an un-widened few-split scan
+    the whole classifier fold runs on two cores (measured: the fanout
+    is the fix that took the 10× sf1 probe from 8.9 s to ~3 s; the
+    join fusion alone moved nothing because the scan stage was the
+    bottleneck). Values identical, pinned by the oracle row.
+    """
+    from .cleaning import linear_quality_prob
+    from .ranking import global_ntile
+    from .util import ensure_fanout
+
+    # the blocklist predicate exactly as textstats.blocklist_gate
+    # states it (token match over the lowered split, count <= max_hits)
+    lowered = [t.lower() for t in terms]
+    arr = F.array(*[F.lit(t) for t in lowered])
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    n_hits = F.size(F.filter(
+        words, lambda w: F.array_contains(arr, w))).cast("long")
+    j = ensure_fanout(docs.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col),
+                linear_quality_prob(text_col).alias("prob"),
+                (n_hits <= max_hits).alias("kept"))
     d = global_ntile(j, n_tiles, [F.col("prob"), F.col(id_col)],
                      out_col="decile")
     flagged = (~F.col("kept")).cast("int")
