@@ -945,8 +945,8 @@ def media_header_parse(spark, sf_dir):
     """
     WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    qa AS (SELECT * FROM x WHERE vec_id % 10 = 0),
-    qb AS (SELECT * FROM x WHERE vec_id % 10 <> 0),
+    qa AS (SELECT * FROM x WHERE vec_id % 10 = 0 AND vec_id < 1000),
+    qb AS (SELECT * FROM x WHERE vec_id % 10 <> 0 OR vec_id >= 1000),
     fwd AS (
       SELECT id_a, id_b, sc FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -975,7 +975,8 @@ def media_header_parse(spark, sf_dir):
     """,
     doc="reciprocal best match (mutual nearest neighbors, the "
         "bilingual-lexicon-induction primitive): side A = every 10th "
-        "vector, forward cosine top-1 into side B, back direction "
+        "vector under the fixed id cap (bounded queries at any SF), "
+        "forward cosine top-1 into side B, back direction "
         "scored only for the forward winners (bounded by |A|) against "
         "A as the corpus, mutual pairs kept — two query-bounded scans, "
         "never |B|-side all-pairs",
@@ -984,6 +985,9 @@ def knn_reciprocal_best(spark, sf_dir):
     from .operators.similarity import reciprocal_best_match
 
     emb = load_table(spark, sf_dir, "embeddings")
-    side_a = emb.where(F.col("vec_id") % 10 == 0)
-    side_b = emb.where(F.col("vec_id") % 10 != 0)
-    return reciprocal_best_match(side_a, side_b)
+    # side A must be a FIXED-size query set: sampling it proportionally
+    # (%10 alone) grows |A|x|B| quadratically with the corpus — the
+    # id cap keeps the face bounded at any SF (identical results at
+    # the checked SFs, where every vec_id < 1000)
+    is_a = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1000)
+    return reciprocal_best_match(emb.where(is_a), emb.where(~is_a))

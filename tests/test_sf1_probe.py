@@ -67,6 +67,12 @@ PROBES = [
     "orders_itemset_triples",    # A-priori pair/triple joins
     "events_kmv_setops",         # sketch build + pair grid
     "corpus_drift_psi",          # ntile spine + binned assignment
+    # r11 faces whose joins/elections could hide a quadratic term
+    "knn_reciprocal_best",       # capped-query mutual-NN double scan
+    "doc_linkage_blocked",       # sum(block^2) under the max_block cap
+    "doc_linkage_snm",           # rank-spine bucket-adjacency O(n*w)
+    "dedup_eval_bcubed",         # cluster-size aggregates, no pairs
+    "doc_homoglyph_scan",        # corpus-wide skeleton owner election
 ]
 
 
