@@ -166,6 +166,8 @@ HEADLINE = [
     "lineitem_contracts",       # contract validation + FK anti-join
     "knn_reciprocal_best",      # mutual nearest neighbors
     "corpus_shard_movement",    # rendezvous shard-growth audit
+    "events_type_trend",        # grouped closed-form OLS vs regr_*
+    "corpus_weighted_median_length",  # weighted median, collapsed window
 ]
 
 

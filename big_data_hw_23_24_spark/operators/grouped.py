@@ -427,3 +427,84 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
                     F.round(pb, 6).alias("p_benford"),
                     F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp)
                             / exp, 6).alias("chi2_contrib")))
+
+
+def grouped_trend(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (E168) → ``(group, n,
+    slope, intercept, r2)`` from the closed-form sufficient statistics:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    THE scalable regression shape: five sums in one hash aggregate
+    (map-side partial), no iteration, no driver round — the way every
+    MPP engine implements ``regr_slope``. Groups with a degenerate x
+    (all equal, denominator 0) report null slope/intercept/r²;
+    constant-y groups report r² = null (0/0 by the formula — the
+    engines' regr_r2 convention). The registry face's oracle uses
+    DuckDB's BUILT-IN ``regr_slope/regr_intercept/regr_r2`` — a
+    genuinely different implementation — so the parity row proves the
+    closed form against an independent one.
+
+    Results are rounded to 6 after the final division; the sufficient
+    statistics are exact when x and y are integers (the face feeds
+    integer day indexes and counts), so the only float ops are the
+    two divisions both engines do in IEEE doubles.
+    """
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"))
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(var_x != 0, cov_n / var_x)
+    intercept = F.when(var_x != 0,
+                       (F.col("_sy") - (cov_n / var_x) * F.col("_sx")) / n)
+    r2 = F.when((var_x != 0) & (var_y != 0),
+                (cov_n * cov_n) / (var_x * var_y))
+    return agg.select(F.col("grp").alias(group_col), "n",
+                      F.round(slope, 6).alias("slope"),
+                      F.round(intercept, 6).alias("intercept"),
+                      F.round(r2, 6).alias("r2"))
+
+
+def grouped_weighted_median(df: DataFrame, group_col: str,
+                            value_col: str, weight_col: str) -> DataFrame:
+    """Per-group weighted median (E169) → ``(group, total_weight,
+    weighted_median)``: the smallest value v such that the summed
+    weight of rows with value ≤ v reaches half the group's total.
+
+    The curation statistic plain medians get wrong: "the document
+    length below which half the TOKENS live" weights each document by
+    its size — a handful of giant documents move it where the
+    doc-count median never budges (compute-budget planning reads this
+    number, not the row median). Plan: weights collapse per (group,
+    value) first — one hash aggregate, so the window below runs over
+    DISTINCT values per group, not rows — then a per-group cumulative
+    sum picks the threshold value. Integer weights make the half
+    comparison exact (2·cum ≥ total in integers, no float ordering
+    hazard).
+    """
+    from pyspark.sql import Window as W
+
+    per = (df.groupBy(F.col(group_col).alias("grp"),
+                      F.col(value_col).alias("v"))
+           .agg(F.sum(weight_col).cast("long").alias("_w")))
+    tot = per.groupBy("grp").agg(F.sum("_w").alias("_tot"))
+    w = (W.partitionBy("grp").orderBy("v")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (per.join(tot, "grp")
+           .withColumn("_cum", F.sum("_w").over(w))
+           .where(F.col("_cum") * 2 >= F.col("_tot")))
+    first = (cum.groupBy("grp")
+             .agg(F.min("v").alias("weighted_median"),
+                  F.first("_tot").alias("_tot")))
+    return first.select(F.col("grp").alias(group_col),
+                        F.col("_tot").cast("long").alias("total_weight"),
+                        "weighted_median")

@@ -2264,3 +2264,76 @@ def lineitem_contracts(spark, sf_dir):
                        "n_violations",
                        (F.col("n_violations") == 0).alias("passed")))
     return single.unionByName(orphans)
+
+
+# --- E168: per-type daily-volume OLS trend -------------------------------------
+# Grouped regression from closed-form sufficient statistics (five sums
+# in one hash aggregate — the MPP regr_slope shape), proven against
+# DuckDB's BUILT-IN regr_slope/regr_intercept/regr_r2: two independent
+# implementations of OLS, one parity row. x = day index (exact
+# integers), y = daily event count, so the sufficient statistics are
+# exact and only the final divisions run in doubles.
+@register(
+    "events_type_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2
+    FROM d GROUP BY event_type
+    """,
+    doc="per-event-type OLS trend of daily volume: Spark computes the "
+        "closed-form sufficient-statistic regression (5 sums, one hash "
+        "aggregate, no iteration), the oracle uses DuckDB's built-in "
+        "regr_* aggregates — parity proves the closed form against an "
+        "independent implementation; day index and counts are exact "
+        "integers, so only the final divisions are floating",
+)
+def events_type_trend(spark, sf_dir):
+    from .operators.grouped import grouped_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("x"))
+        .agg(F.count("*").alias("y")))
+    return grouped_trend(daily, "event_type", "x", "y")
+
+
+# --- E169: token-weighted median document length per source --------------------
+@register(
+    "corpus_weighted_median_length",
+    """
+    WITH per AS (
+      SELECT source AS grp, n_chars AS v, sum(n_chars) AS w
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, sum(w) AS t FROM per GROUP BY grp),
+    cum AS (
+      SELECT per.grp, v, t,
+             sum(w) OVER (PARTITION BY per.grp ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM per JOIN tot USING (grp)
+    )
+    SELECT grp AS source, CAST(min(t) AS BIGINT) AS total_weight,
+           min(v) AS weighted_median
+    FROM cum WHERE c * 2 >= t GROUP BY grp
+    """,
+    doc="token(char)-weighted median document length per source: the "
+        "length below which half the corpus BYTES live — weights "
+        "collapse per (group, value) first so the cumulative window "
+        "runs over distinct values, never rows; integer weights make "
+        "the half threshold exact",
+)
+def corpus_weighted_median_length(spark, sf_dir):
+    from .operators.grouped import grouped_weighted_median
+
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_weighted_median(docs, "source", "n_chars", "n_chars")

@@ -178,6 +178,9 @@ _SF01_SCALE_SENSITIVE = [
     # late-r11: the skeleton-owner election, the FK anti-join and the
     # forward/back top-1 joins cross partition boundaries past sf0.01
     "doc_homoglyph_scan", "lineitem_contracts", "knn_reciprocal_best",
+    # the per-(group, value) cumulative window only crosses partition
+    # boundaries past sf0.01
+    "corpus_weighted_median_length",
 ]
 
 

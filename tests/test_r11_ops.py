@@ -243,3 +243,41 @@ def test_reciprocal_best_match_is_mutual(spark):
             for r in cosine_topk(A, B, k=1).collect()}
     assert got == fwd & back
     assert (0, 1) in got            # mutual pair survives
+
+
+def test_grouped_trend_matches_polyfit(spark):
+    """Closed-form OLS equals numpy.polyfit on a known series;
+    degenerate groups (constant x / constant y) report nulls by the
+    regr_* convention."""
+    import numpy as np
+
+    from big_data_hw_23_24_spark.operators.grouped import grouped_trend
+
+    xs = list(range(10))
+    ys = [3.0 * x + 7 + (1 if x % 3 == 0 else -1) for x in xs]
+    rows = [("a", float(x), y) for x, y in zip(xs, ys)]
+    rows += [("degx", 5.0, float(v)) for v in (1, 2, 3)]   # constant x
+    rows += [("degy", float(x), 4.0) for x in range(3)]    # constant y
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {r.grp: r for r in grouped_trend(df, "grp", "x", "y").collect()}
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert got["a"].slope == pytest.approx(slope, abs=1e-6)
+    assert got["a"].intercept == pytest.approx(intercept, abs=1e-6)
+    assert 0.98 < got["a"].r2 <= 1.0
+    assert got["degx"].slope is None and got["degx"].r2 is None
+    assert got["degy"].slope == 0.0 and got["degy"].r2 is None
+
+
+def test_weighted_median_definition(spark):
+    """The weighted median is the smallest v with cumweight*2 >= total
+    — one giant row moves it where the row median never would."""
+    from big_data_hw_23_24_spark.operators.grouped import (
+        grouped_weighted_median)
+
+    rows = [("s", 1, 1), ("s", 2, 1), ("s", 3, 1), ("s", 100, 97),
+            ("t", 5, 2), ("t", 7, 2)]
+    df = spark.createDataFrame(rows, "grp string, v int, w int")
+    got = {r.grp: r for r in grouped_weighted_median(
+        df, "grp", "v", "w").collect()}
+    assert (got["s"].weighted_median, got["s"].total_weight) == (100, 100)
+    assert (got["t"].weighted_median, got["t"].total_weight) == (5, 4)

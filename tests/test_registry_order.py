@@ -585,6 +585,12 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_shard_movement",     # r11: rendezvous-hashing shard
                                      #   growth audit (measures the
                                      #   minimal-movement guarantee)
+        "events_type_trend",         # r11: grouped OLS from closed-
+                                     #   form sums; oracle = DuckDB's
+                                     #   built-in regr_* aggregates
+        "corpus_weighted_median_length",  # r11: weighted median on
+                                     #   the per-(group, value)
+                                     #   collapsed cumulative window
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
