@@ -168,6 +168,8 @@ HEADLINE = [
     "corpus_shard_movement",    # rendezvous shard-growth audit
     "events_type_trend",        # grouped closed-form OLS vs regr_*
     "corpus_weighted_median_length",  # weighted median, collapsed window
+    "doc_prefix_completions",   # autocomplete prefix grouped top-k
+    "embedding_centroid_drift",  # per-label centroid drift monitor
 ]
 
 

@@ -875,3 +875,45 @@ def reciprocal_best_match(side_a: DataFrame, side_b: DataFrame,
                     F.col("neighbor_id").alias("id_a")))
     return fwd.join(back, ["id_a", "id_b"]).select("id_a", "id_b",
                                                    "cosine")
+
+
+def centroid_drift(base: DataFrame, cur: DataFrame,
+                   label_col: str = "label", vec_col: str = "embedding",
+                   ) -> DataFrame:
+    """Per-label embedding centroid drift (E171) → ``(label, n_base,
+    n_cur, l2_shift, top_dim, top_dim_shift)``: how far each label's
+    mean vector moved between two snapshots, with the single most
+    responsible dimension.
+
+    The embedding-model drift monitor (re-embedding after a model
+    update, or data drift under a frozen model): centroids are
+    per-(label, dim) averages from one ``posexplode`` + one hash
+    aggregate per snapshot — the corpus never moves, only
+    #labels × dim aggregate rows — joined on (label, dim) and reduced
+    to the L2 norm and argmax dimension (min-dim tiebreak). Everything
+    after the two scans is dimension-grid-sized.
+    """
+    def cents(df, n_col):
+        ex = df.select(F.col(label_col).alias("lbl"),
+                       F.posexplode(vec_col).alias("dim", "v"))
+        return ex.groupBy("lbl", "dim").agg(
+            F.avg("v").alias("c"),
+            F.count("*").alias(n_col))
+    b = cents(base, "_nb")
+    c = cents(cur, "_nc")
+    j = (b.select("lbl", "dim", F.col("c").alias("_cb"), "_nb")
+         .join(c.select("lbl", "dim", F.col("c").alias("_cc"), "_nc"),
+               ["lbl", "dim"])
+         .select("lbl", "dim", "_nb", "_nc",
+                 (F.col("_cc") - F.col("_cb")).alias("_d")))
+    shift = F.sqrt(F.sum(F.col("_d") * F.col("_d")))
+    top = F.min(F.struct((-F.abs("_d")).alias("s"),
+                         F.col("dim").alias("d")))
+    return (j.groupBy(F.col("lbl").alias(label_col))
+            .agg(F.first("_nb").cast("long").alias("n_base"),
+                 F.first("_nc").cast("long").alias("n_cur"),
+                 F.round(shift, 6).alias("l2_shift"),
+                 top.alias("_t"))
+            .select(label_col, "n_base", "n_cur", "l2_shift",
+                    F.col("_t.d").cast("int").alias("top_dim"),
+                    F.round(-F.col("_t.s"), 6).alias("top_dim_shift")))

@@ -1443,3 +1443,37 @@ def language_confusion(docs: DataFrame, lang_col: str = "lang",
             .select(lang_col, "detected_lang", "n_docs", "label_total",
                     F.round(F.col("n_docs") / F.col("label_total"), 6)
                     .alias("recall")))
+
+
+def prefix_completions(docs: DataFrame, text_col: str = "text",
+                       n_words: int = 2, prefix_len: int = 3,
+                       k: int = 3) -> DataFrame:
+    """Autocomplete / prefix index (E170) → ``(prefix, rank,
+    completion, n)``: the ``k`` most frequent ``n_words``-word
+    completions per ``prefix_len``-char prefix, ranked by (count desc,
+    completion asc).
+
+    The search-suggestion index build: one narrow map to (prefix,
+    completion), one count aggregate, then the two-stage grouped top-k
+    (per-partition heaps — a hot prefix never funnels through one
+    reducer). Completions shorter than the prefix are skipped (no
+    partial-prefix buckets); the index is (distinct prefixes × k)
+    rows — bounded output at any corpus size.
+    """
+    from .util import lowered_words
+
+    words = lowered_words(text_col)
+    comp = F.array_join(F.slice(words, 1, n_words), " ")
+    base = (docs.select(comp.alias("completion"))
+            .where(F.length("completion") >= prefix_len)
+            .select(F.substring("completion", 1, prefix_len)
+                    .alias("prefix"), "completion")
+            .groupBy("prefix", "completion")
+            .agg(F.count("*").cast("long").alias("n")))
+    from .grouped import grouped_topk
+
+    top = grouped_topk(base, ["prefix"],
+                       [F.col("n").desc(), F.col("completion")], k)
+    return top.select("prefix",
+                      F.col("rank").cast("int").alias("rank"),
+                      "completion", "n")

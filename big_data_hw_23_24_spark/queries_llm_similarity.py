@@ -991,3 +991,77 @@ def knn_reciprocal_best(spark, sf_dir):
     # the checked SFs, where every vec_id < 1000)
     is_a = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1000)
     return reciprocal_best_match(emb.where(is_a), emb.where(~is_a))
+
+
+# --- E171: per-label embedding centroid drift -----------------------------------
+# The embedding-model drift monitor: the "current" snapshot is a
+# deterministic perturbation (labels 0-4 only: every 4th vector gets
+# +0.25 on dimension vec_id % 64), so perturbed labels must report the
+# planted shift and labels 5-9 must report EXACTLY zero — within one
+# engine both centroids of an untouched label aggregate the same
+# doubles in the same order, so d is exactly 0, and the zero branch is
+# deterministic (top_dim = 0 by the min-dim tiebreak over all-zero
+# shifts).
+@register(
+    "embedding_centroid_drift",
+    """
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ex AS (
+      SELECT label, vec_id, unnest(v) AS val,
+             generate_subscripts(v, 1) - 1 AS dim
+      FROM x
+    ),
+    curex AS (
+      SELECT label, vec_id, dim,
+             CASE WHEN label < 5 AND vec_id % 4 = 0
+                       AND dim = vec_id % 64
+                  THEN val + 0.25 ELSE val END AS val
+      FROM ex
+    ),
+    cb AS (SELECT label, dim, avg(val) AS c, count(*) AS n
+           FROM ex GROUP BY 1, 2),
+    cc AS (SELECT label, dim, avg(val) AS c FROM curex GROUP BY 1, 2),
+    j AS (
+      SELECT cb.label, cb.dim, cb.n, cc.c - cb.c AS d
+      FROM cb JOIN cc ON cc.label = cb.label AND cc.dim = cb.dim
+    ),
+    agg AS (
+      SELECT label, CAST(min(n) AS BIGINT) AS n_base,
+             CAST(min(n) AS BIGINT) AS n_cur,
+             round(sqrt(sum(d * d)), 6) AS l2_shift
+      FROM j GROUP BY label
+    ),
+    top AS (
+      SELECT label, dim, abs(d) AS ad,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY abs(d) DESC, dim) AS r
+      FROM j
+    )
+    SELECT a.label, a.n_base, a.n_cur, a.l2_shift,
+           CAST(t.dim AS INTEGER) AS top_dim,
+           round(t.ad, 6) AS top_dim_shift
+    FROM agg a JOIN top t ON t.label = a.label AND t.r = 1
+    """,
+    doc="per-label embedding centroid drift between two snapshots: "
+        "centroids from one posexplode + one hash aggregate per side "
+        "(the corpus never shuffles, only labels x dims aggregate "
+        "rows), L2 shift + argmax dimension with min-dim tiebreak; "
+        "perturbed labels (0-4) report the planted shift, untouched "
+        "labels report exactly zero",
+)
+def embedding_centroid_drift(spark, sf_dir):
+    from .operators.similarity import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+    perturbed = emb.select(
+        "vec_id", "label",
+        F.when((F.col("label") < 5) & (F.col("vec_id") % 4 == 0),
+               F.transform(
+                   "embedding",
+                   lambda v, i: F.when(i == F.col("vec_id") % 64,
+                                       v + 0.25).otherwise(v)))
+        .otherwise(F.col("embedding")).alias("embedding"))
+    return centroid_drift(emb, perturbed)

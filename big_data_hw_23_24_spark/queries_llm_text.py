@@ -2075,3 +2075,39 @@ def doc_homoglyph_scan(spark, sf_dir):
               .select((F.col("doc_id") + 7000000).alias("doc_id"),
                       F.translate("text", "aeo", "аео").alias("text")))
     return homoglyph_scan(docs.unionByName(evaded))
+
+
+# --- E170: autocomplete / prefix-completion index -----------------------------
+@register(
+    "doc_prefix_completions",
+    """
+    WITH c AS (
+      SELECT array_to_string(
+               (list_filter(string_split(lower(text), ' '),
+                            x -> x <> ''))[1:2], ' ') AS completion
+      FROM documents
+    ),
+    f AS (
+      SELECT substr(completion, 1, 3) AS prefix, completion,
+             count(*)::BIGINT AS n
+      FROM c WHERE length(completion) >= 3
+      GROUP BY 1, 2
+    )
+    SELECT prefix,
+           CAST(row_number() OVER (PARTITION BY prefix
+                                   ORDER BY n DESC, completion)
+                AS INTEGER) AS rank,
+           completion, n
+    FROM f QUALIFY rank <= 3
+    """,
+    doc="autocomplete index build: top-3 two-word completions per "
+        "3-char prefix ranked by (count desc, completion); one narrow "
+        "map + one count aggregate + the two-stage grouped top-k (a "
+        "hot prefix never funnels one reducer); output is bounded at "
+        "(distinct prefixes x 3) rows at any corpus size",
+)
+def doc_prefix_completions(spark, sf_dir):
+    from .operators.textstats import prefix_completions
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return prefix_completions(docs, n_words=2, prefix_len=3, k=3)

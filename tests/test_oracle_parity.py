@@ -181,6 +181,10 @@ _SF01_SCALE_SENSITIVE = [
     # the per-(group, value) cumulative window only crosses partition
     # boundaries past sf0.01
     "corpus_weighted_median_length",
+    # the prefix grouped top-k and the per-(label, dim) centroid
+    # averages (whose exact-zero branch rests on both snapshots
+    # aggregating in the same partition order) stretch past sf0.01
+    "doc_prefix_completions", "embedding_centroid_drift",
 ]
 
 

@@ -281,3 +281,39 @@ def test_weighted_median_definition(spark):
         df, "grp", "v", "w").collect()}
     assert (got["s"].weighted_median, got["s"].total_weight) == (100, 100)
     assert (got["t"].weighted_median, got["t"].total_weight) == (5, 4)
+
+
+def test_prefix_completions_ranking(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        prefix_completions)
+
+    rows = [("key agg fast",)] * 3 + [("key all slow",)] * 3 + \
+           [("key arg mid",)] * 2 + [("key ape x",)] + [("zz",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [(r.prefix, r.rank, r.completion, r.n) for r in
+           prefix_completions(df, n_words=2, prefix_len=3, k=3)
+           .orderBy("prefix", "rank").collect()]
+    # ties on n=3 break by completion asc; k=3 drops 'key ape'
+    assert got == [("key", 1, "key agg", 3), ("key", 2, "key all", 3),
+                   ("key", 3, "key arg", 2)]
+
+
+def test_centroid_drift_planted_and_zero(spark):
+    from big_data_hw_23_24_spark.operators.similarity import (
+        centroid_drift)
+
+    base = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", [1.0, 2.0, 3.0]) for i in range(8)],
+        "vec_id long, label string, embedding array<double>")
+    # shift label a's dim 1 by +0.5 on half its vectors -> mean +0.25
+    cur = base.selectExpr(
+        "vec_id", "label",
+        "CASE WHEN label = 'a' AND vec_id % 2 = 0 "
+        "THEN array(embedding[0], embedding[1] + 0.5, embedding[2]) "
+        "ELSE embedding END AS embedding")
+    got = {r.label: r for r in centroid_drift(base, cur).collect()}
+    assert got["a"].top_dim == 1
+    assert got["a"].l2_shift == got["a"].top_dim_shift == 0.25
+    assert (got["b"].l2_shift, got["b"].top_dim,
+            got["b"].top_dim_shift) == (0.0, 0, 0.0)
+    assert got["a"].n_base == got["a"].n_cur == 4

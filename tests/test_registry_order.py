@@ -591,6 +591,11 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_weighted_median_length",  # r11: weighted median on
                                      #   the per-(group, value)
                                      #   collapsed cumulative window
+        "doc_prefix_completions",    # r11: autocomplete index build
+                                     #   (prefix grouped top-k)
+        "embedding_centroid_drift",  # r11: per-label centroid L2
+                                     #   drift + argmax dimension;
+                                     #   exact-zero untouched branch
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
