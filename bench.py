@@ -13,6 +13,7 @@ mirroring how the reference times each operator around its action).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -205,6 +206,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
+        # r11 postmortem: with 126 queries in one JVM, late-position
+        # faces drifted up to 12x (corpus_profile_report 0.28 -> 3.3 s)
+        # with unchanged plans — localCheckpoint blocks from every
+        # prior query accumulate in the block manager until Python
+        # garbage-collects the DataFrame references and the
+        # ContextCleaner reclaims them. An explicit collect() per
+        # query releases the dead checkpoint RDDs before timing.
+        gc.collect()
         fn = _REGISTRY[name].spark_fn
         fn(spark, sf_dir).count()  # untimed target-sf warm (see above)
         runs: list[float] = []
