@@ -74,61 +74,40 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r11 rotation: the 12-query r10 queue admitted (none ever
-    # driver-checked), over 12 retired r9-admission holdovers (each
-    # earned 2 greens, r09+r10; all annotated with their in-window
-    # sibling in tests/test_registry_order.py::declared_redundant).
-    # Kept r9 admissions staying for more rows: the two r9 dtype-red
-    # re-checks hold only 1 green (r10), and the rest listed below
-    # cover machinery with no other in-window sibling.
-    # r8 oracle conversions + pipeline tier, kept members
+    # ---- r12 rotation: the 15-query r11 queue admitted (none ever
+    # driver-checked), over 15 retired holdovers (each earned ≥2
+    # greens; all annotated with their in-window or incoming sibling
+    # in tests/test_registry_order.py::declared_redundant).
+    # Kept multi-green members cover machinery with no other
+    # in-window sibling: BPE trainer, incremental-store statuses,
+    # repeat-factor schedule, ntile grid, ingest probe, burstiness,
+    # calibration, first-owner gram election, Luhn PII, fold chunker,
+    # skew stats, rule battery, weighted sampling, pagerank.
     "bpe_learned_merges",
-    "dedup_embedding_lsh_pinned",
     "dedup_incremental_bloom",
-    "corpus_dedup_impact",
-    # late-r8 analytics/safety tier, kept members (events_rfm_segments
-    # and events_user_burstiness hold 1 green after the dtype fix)
     "corpus_epoch_schedule",
-    "corpus_dup_rate_daily",
     "events_rfm_segments",
-    "corpus_gram_novelty",
-    "doc_rake_keyphrases",
     "doc_csv_ingest",
     "events_user_burstiness",
     "corpus_quality_calibration",
-    "events_session_paths",
-    "corpus_language_confusion",
-    "corpus_shard_manifest",
-    # ---- kept r8 first-green admissions whose machinery has no
-    # in-window sibling yet (retiring them would leave an evidence
-    # gap): bit-interleave, asymmetric containment, Luhn PII, fold
-    # chunker, skew stats, quality-rule battery, weighted sampling,
-    # iterative pagerank, unicode normalization ----
-    "dedup_containment_pairs",
-    "events_zorder_key",
+    "corpus_gram_novelty",
     "doc_payment_pii_scan",
     "doc_sentence_chunks",
     "events_skew_report",
     "doc_gopher_rules",
     "corpus_priority_sample",
     "events_item_pagerank",
-    "doc_unicode_nfc",
-    # ---- r9 queue admitted in r10 (E131-E144 + the eval gate) ----
-    "doc_span_dedup_keepone",
+    # ---- r9 queue admitted in r10 (E131-E144), kept members ----
     "doc_char_span_flags",
     "doc_rerank_features",
     "streaming_backfill_catchup",
-    "events_kmv_distinct",
     "corpus_scd2_history",
     "dedup_simhash_pinned",
     "doc_pretoken_stats",
     "knn_ivf_pinned",
-    "dedup_eval_minhash",
-    "events_trending_items",
-    "events_value_percentiles",
     "events_item_triangles",
     "frequent_users_cms_pinned",
-    # ---- r10 queue admitted in r11 (E145-E156) ----
+    # ---- r10 queue admitted in r11 (E145-E156), 1 green each ----
     "events_percentile_drift",
     "knn_eval_ivf",
     "media_block_dedup",
@@ -141,6 +120,22 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "corpus_incremental_stats",
     "parts_hierarchy_rollup",
     "events_zorder_pruning",
+    # ---- r11 queue admitted in r12 (E157-E171) ----
+    "doc_linkage_blocked",
+    "doc_linkage_snm",
+    "events_calendar_gaps",
+    "orders_benford_audit",
+    "media_header_parse",
+    "dedup_eval_bcubed",
+    "doc_homoglyph_scan",
+    "corpus_profile_report",
+    "lineitem_contracts",
+    "knn_reciprocal_best",
+    "corpus_shard_movement",
+    "events_type_trend",
+    "corpus_weighted_median_length",
+    "doc_prefix_completions",
+    "embedding_centroid_drift",
 )
 
 

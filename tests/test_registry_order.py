@@ -540,63 +540,96 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   lift ⊂ orders_itemset_triples
                                      #   (in window, same basket pair
                                      #   mining, A-priori-pruned to L3)
+        # retired in r12 AFTER earning ≥2 greens each, to admit the
+        # 15-query r11 queue (E157-E171); each names the in-window
+        # sibling that keeps its machinery driver-checked
+        "events_zorder_key",         # 4 greens r08-r11; bit-interleave
+                                     #   key ⊂ events_zorder_pruning
+                                     #   (in window, same interleave
+                                     #   expression + measured file
+                                     #   pruning on the written layout)
+        "dedup_containment_pairs",   # 4 greens r08-r11; inverted-index
+                                     #   capped pair join + asymmetric
+                                     #   overlap ⊂ media_block_dedup
+                                     #   (in window, same inverted
+                                     #   index + max_df stop-key guard)
+        "doc_unicode_nfc",           # 4 greens r08-r11; single-pass
+                                     #   normalization narrow map ⊂
+                                     #   doc_homoglyph_scan (in window,
+                                     #   same translate-based skeleton
+                                     #   normalization + election)
+        "corpus_dedup_impact",       # 3 greens r09-r11; cluster-size
+                                     #   histogram aggregates ⊂
+                                     #   dedup_eval_bcubed (in window,
+                                     #   same cluster-size aggregation,
+                                     #   no pair materialized)
+        "corpus_dup_rate_daily",     # 3 greens r09-r11; day-grid dup
+                                     #   trend ⊂ events_calendar_gaps
+                                     #   (in window, same calendar-day
+                                     #   spine) + corpus_drift_psi
+                                     #   (windowed distribution drift)
+        "corpus_shard_manifest",     # 3 greens r09-r11; shard content
+                                     #   checksums ⊂ corpus_shard_movement
+                                     #   (in window, same shard
+                                     #   assignment machinery, HRW keys)
+        "doc_rake_keyphrases",       # 3 greens r09-r11; phrase mining +
+                                     #   grouped top-3 ⊂
+                                     #   doc_prefix_completions (in
+                                     #   window, same grouped top-k
+                                     #   rank spine) + corpus_gram_novelty
+        "corpus_language_confusion", # 3 greens r09-r11; detector-vs-
+                                     #   truth eval matrix (per-cell
+                                     #   recall) ⊂ dedup_eval_bcubed
+                                     #   (in window, same extrinsic
+                                     #   P/R-vs-truth evaluation shape)
+        "events_session_paths",      # 3 greens r09-r11; per-user
+                                     #   ordered-sequence lag machinery
+                                     #   ⊂ events_attribution (in
+                                     #   window, same user-ordered
+                                     #   window walk)
+        "dedup_embedding_lsh_pinned",  # 3 greens r09-r11; md5-pinned
+                                     #   banded chunk equi-join ⊂
+                                     #   dedup_simhash_pinned (in
+                                     #   window, same pinned banding +
+                                     #   verify join over int codes)
+        "events_value_percentiles",  # 2 greens r10+r11; exact
+                                     #   interpolated percentile spine
+                                     #   ⊂ events_percentile_drift (in
+                                     #   window, same percentile
+                                     #   machinery) +
+                                     #   corpus_weighted_median_length
+                                     #   (in window, cumulative-weight
+                                     #   spine)
+        "events_kmv_distinct",       # 2 greens r10+r11; KMV sketch
+                                     #   build + estimate ⊂
+                                     #   events_kmv_setops (in window,
+                                     #   same sketch, k in schema
+                                     #   metadata, union/intersect)
+        "events_trending_items",     # 2 greens r10+r11; grouped
+                                     #   trend-over-time scoring ⊂
+                                     #   events_type_trend (in window,
+                                     #   closed-form grouped OLS slope)
+        "dedup_eval_minhash",        # 2 greens r10+r11; run-once
+                                     #   rollout gate (exact truth vs
+                                     #   approximate side) ⊂
+                                     #   knn_eval_ivf + dedup_eval_bcubed
+                                     #   (both in window, same
+                                     #   gate composition)
+        "doc_span_dedup_keepone",    # 2 greens r10+r11; positioned-
+                                     #   gram inverted index + span
+                                     #   strip ⊂ corpus_gram_novelty
+                                     #   (in window, same positioned-
+                                     #   gram first-owner election)
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
     # rows) and is full-value oracle-compared in test_oracle_parity
     # meanwhile. The r6 queue (25) was admitted wholesale in r7, the
     # r7 queue (26) in r8, the r8 queue (27) in r9, the r9 queue (14)
-    # in r10, the r10 queue (12) in r11 — this set holds only
-    # post-r11-rotation additions (the r12 rotation).
-    queued_for_rotation: set[str] = {
-        "doc_linkage_blocked",       # r11: Fellegi-Sunter blocked fuzzy
-                                     #   record linkage (levenshtein
-                                     #   verify, max_block guard) — the
-                                     #   entity-resolution tier's first
-                                     #   face
-        "doc_linkage_snm",           # r11: sorted-neighborhood linkage
-                                     #   on the rank spine (bucket-
-                                     #   adjacency join, O(n·w) under
-                                     #   any skew)
-        "events_calendar_gaps",      # r11: gaps-and-islands missing-
-                                     #   day feed-outage audit on the
-                                     #   sequence calendar spine
-        "orders_benford_audit",      # r11: Benford first-digit audit
-                                     #   with integer-cents digits and
-                                     #   shared literal expectations
-        "media_header_parse",        # r11: binary magic/dims header
-                                     #   sniff; oracle = the synthesis
-                                     #   spec (bytes-roundtrip proof)
-        "dedup_eval_bcubed",         # r11: B-cubed cluster-extrinsic
-                                     #   dedup gate (4th approximation
-                                     #   gate; size aggregates only,
-                                     #   no pair materialized)
-        "doc_homoglyph_scan",        # r11: unicode-confusable evasion
-                                     #   scan with skeleton-owner
-                                     #   election (data-poisoning
-                                     #   screen)
-        "corpus_profile_report",     # r11: one-pass per-column
-                                     #   null/distinct/min/max profile
-        "lineitem_contracts",        # r11: Deequ-style contract
-                                     #   validation (one conditional-
-                                     #   sum pass + FK anti-join)
-        "knn_reciprocal_best",       # r11: mutual nearest neighbors
-                                     #   (query-bounded both ways)
-        "corpus_shard_movement",     # r11: rendezvous-hashing shard
-                                     #   growth audit (measures the
-                                     #   minimal-movement guarantee)
-        "events_type_trend",         # r11: grouped OLS from closed-
-                                     #   form sums; oracle = DuckDB's
-                                     #   built-in regr_* aggregates
-        "corpus_weighted_median_length",  # r11: weighted median on
-                                     #   the per-(group, value)
-                                     #   collapsed cumulative window
-        "doc_prefix_completions",    # r11: autocomplete index build
-                                     #   (prefix grouped top-k)
-        "embedding_centroid_drift",  # r11: per-label centroid L2
-                                     #   drift + argmax dimension;
-                                     #   exact-zero untouched branch
-    }
+    # in r10, the r10 queue (12) in r11, the r11 queue (15) in r12 —
+    # this set holds only post-r12-rotation additions (the r13
+    # rotation).
+    queued_for_rotation: set[str] = set()
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
                                      #   rounds unrolled as framed-symbol
@@ -682,16 +715,28 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_incremental_stats", "parts_hierarchy_rollup",
         "events_zorder_pruning",
     }
+    # the 15-query r11 queue was admitted wholesale in the r12 rotation
+    _admitted_r12: set[str] = {
+        "doc_linkage_blocked", "doc_linkage_snm", "events_calendar_gaps",
+        "orders_benford_audit", "media_header_parse", "dedup_eval_bcubed",
+        "doc_homoglyph_scan", "corpus_profile_report", "lineitem_contracts",
+        "knn_reciprocal_best", "corpus_shard_movement", "events_type_trend",
+        "corpus_weighted_median_length", "doc_prefix_completions",
+        "embedding_centroid_drift",
+    }
     # every formerly-queued name either still sits inside the checked
     # window or was retired to declared_redundant AFTER ≥2 green rows
-    # (the r11 rotation retired 12 two-green r9 admissions)
+    # (the r11 rotation retired 12 two-green r9 admissions; the r12
+    # rotation retired 15 names holding 2-4 greens each)
     window_or_retired = set(_CHECKED_WINDOW) | declared_redundant
     assert _admitted_r9 <= window_or_retired, \
         _admitted_r9 - window_or_retired
-    assert _admitted_r10 <= set(_CHECKED_WINDOW), \
-        _admitted_r10 - set(_CHECKED_WINDOW)
+    assert _admitted_r10 <= window_or_retired, \
+        _admitted_r10 - window_or_retired
     assert _admitted_r11 <= set(_CHECKED_WINDOW), \
         _admitted_r11 - set(_CHECKED_WINDOW)
+    assert _admitted_r12 <= set(_CHECKED_WINDOW), \
+        _admitted_r12 - set(_CHECKED_WINDOW)
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
