@@ -457,12 +457,18 @@ def kmv_merge(*sketches: DataFrame, k: int | None = None) -> DataFrame:
     if len(ks) > 1:
         raise ValueError(f"cannot merge KMV sketches of different k: "
                          f"{sorted(ks)}")
-    # every input empty and un-stamped: the union is empty for any k
-    kk = ks.pop() if ks else (k if k is not None else 2)
+    any_k = not ks  # every input empty and un-stamped, no k passed:
+    # the union is empty for ANY k — propagate the "any k" state
+    # (typed-null column, no kmv_k metadata) instead of stamping a
+    # fabricated k that a later merge with a genuine sketch would
+    # reject as a mismatch
+    kk = ks.pop() if ks else 1  # top-k bound is irrelevant on 0 rows
     u = reduce(lambda a, b: a.unionByName(b),
                [s.select("grp", "h") for s in sketches]).distinct()
-    return (grouped_topk(u, ["grp"], [F.col("h")], kk)
-            .withColumn("k", _kmv_k_lit(kk)))
+    merged = grouped_topk(u, ["grp"], [F.col("h")], kk)
+    if any_k:
+        return merged.withColumn("k", F.lit(None).cast("integer"))
+    return merged.withColumn("k", _kmv_k_lit(kk))
 
 
 def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:

@@ -406,14 +406,18 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
     Determinism: the first digit comes from the INTEGER CENTS rendered
     as a string (``substr(cast(floor(v·100) as string), 1, 1)``) —
     never from floor(log10(double)), whose 1-ulp engine differences
-    could flip the digit at exact powers of ten. Expected proportions
-    are shared literals (``BENFORD_P``). One narrow map + one 9-group
-    hash aggregate + a 1-row count broadcast; zero corpus-scale
-    shuffles beyond the aggregate.
+    could flip the digit at exact powers of ten. Values below one
+    cent are excluded along with non-positives (``floor(v·100) ≥ 1``):
+    a value in (0, 0.01) has no first significant digit at cents
+    resolution, and letting it through would emit a digit-0 row with
+    null expectations, breaking the one-row-per-digit-1-9 schema.
+    Expected proportions are shared literals (``BENFORD_P``). One
+    narrow map + one 9-group hash aggregate + a 1-row count broadcast;
+    zero corpus-scale shuffles beyond the aggregate.
     """
     cents = F.floor(F.col(value_col) * 100).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    per = (df.where(F.col(value_col) > 0)
+    per = (df.where(cents >= 1)
            .select(digit.alias("digit"))
            .groupBy("digit").agg(F.count("*").cast("long").alias("n_obs")))
     tot = per.agg(F.sum("n_obs").alias("_n"))

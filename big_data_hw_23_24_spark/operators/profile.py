@@ -69,7 +69,10 @@ def validate_contracts(df: DataFrame, checks: dict[str, Column]
     (referential integrity) are anti-join counts — compose them in
     and union the rows; see the registry face.
     """
-    aggs = [F.sum(F.when(pred, 1).otherwise(0)).cast("long")
+    # coalesce: sum over ZERO rows is NULL — an empty-but-valid table
+    # must read as 0 violations / passed, not unverdicted
+    aggs = [F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+            .cast("long")
             .alias(f"_v_{i}") for i, pred in enumerate(checks.values())]
     one = df.agg(*aggs)
     rows = F.array(*[

@@ -861,6 +861,14 @@ def reciprocal_best_match(side_a: DataFrame, side_b: DataFrame,
     ≤ |A| vectors — against ``side_a`` as the corpus, so the whole
     operator is two query-bounded scans of the big side, never
     |B|-side all-pairs.
+
+    Contract: ``id_col`` values must be DISJOINT across the two sides.
+    Scoring reuses :func:`cosine_topk`, whose self-exclusion is by id
+    equality — a b sharing an id value with an a would be silently
+    excluded from both directions even though cross-set matching
+    legitimately allows equal ids. Callers matching sets with
+    overlapping id spaces must disambiguate first (e.g. prefix the id
+    by side); the registry face uses disjoint halves of ``vec_id``.
     """
     fwd = (cosine_topk(side_b, side_a, k=1, id_col=id_col,
                        vec_col=vec_col)
@@ -892,6 +900,15 @@ def centroid_drift(base: DataFrame, cur: DataFrame,
     #labels × dim aggregate rows — joined on (label, dim) and reduced
     to the L2 norm and argmax dimension (min-dim tiebreak). Everything
     after the two scans is dimension-grid-sized.
+
+    Contract: drift is reported only for labels present in BOTH
+    snapshots (the (label, dim) join is inner — a label that appeared
+    or vanished has no "shift", it's a membership change; diff it with
+    the snapshot-diff operator instead), and a label's vectors must
+    share one dimensionality — dims beyond a shorter vector have no
+    base/cur pair to compare. Per-label counts are taken as the MAX
+    across dims so ragged inputs surface as n_base/n_cur disagreement
+    rather than a nondeterministic first-dim read.
     """
     def cents(df, n_col):
         ex = df.select(F.col(label_col).alias("lbl"),
@@ -910,8 +927,8 @@ def centroid_drift(base: DataFrame, cur: DataFrame,
     top = F.min(F.struct((-F.abs("_d")).alias("s"),
                          F.col("dim").alias("d")))
     return (j.groupBy(F.col("lbl").alias(label_col))
-            .agg(F.first("_nb").cast("long").alias("n_base"),
-                 F.first("_nc").cast("long").alias("n_cur"),
+            .agg(F.max("_nb").cast("long").alias("n_base"),
+                 F.max("_nc").cast("long").alias("n_cur"),
                  F.round(shift, 6).alias("l2_shift"),
                  top.alias("_t"))
             .select(label_col, "n_base", "n_cur", "l2_shift",

@@ -2173,7 +2173,7 @@ _BENFORD_CASE = " ".join(
     WITH cents AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
-      FROM orders WHERE o_totalprice > 0
+      FROM orders WHERE floor(o_totalprice * 100) >= 1
     ),
     per AS (SELECT digit, count(*)::BIGINT AS n_obs
             FROM cents GROUP BY digit),
