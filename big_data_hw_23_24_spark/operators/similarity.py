@@ -264,11 +264,19 @@ def _lsh_band_verify(s: DataFrame, n_bits: int, bands: int,
       16-bit default band space (65 536) holds to ~100k vectors per
       partition-disjoint corpus slice; at billions of vectors use
       32-bit bands (the parameterization exists for exactly that).
+    * ``s`` is localCheckpoint'd before fan-out (the r11 simhash
+      lesson, same cause here): Catalyst does NOT reuse the signature
+      subtree across the self-join sides and the two verify joins —
+      un-checkpointed, the plan carried FOUR ArrowEvalPython nodes and
+      EIGHT parquet scans, re-running the projection UDF once per
+      consumer. Materializing (id, v, sig) once makes every consumer
+      a checkpoint read: one scan, one UDF pass.
     """
     width = n_bits // bands
     if width > 63 or 64 % width:
         raise ValueError(f"band width must divide 64 and be < 64, "
                          f"got {width} (n_bits={n_bits}, bands={bands})")
+    s = s.localCheckpoint(eager=True)
     base = s.select("id", "v")
     banded = s.select(
         "id",
