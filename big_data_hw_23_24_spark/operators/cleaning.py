@@ -503,6 +503,12 @@ def homoglyph_scan(docs: DataFrame, text_col: str = "text",
     fingerprint — so an evasion copy collapses onto its source
     (owner ≠ own id + flag set = caught). One translate + one md5
     group aggregate + one join back; the corpus never shuffles twice.
+
+    The slim (id, count, 32-hex fingerprint) base is checkpointed
+    before fan-out: the election and the join-back both consume it,
+    and Catalyst plans each consumer its own scan — un-materialized,
+    the full-text translate + md5 ran TWICE (the LSH/simhash
+    subtree-reuse lesson; text never rides past this point).
     """
     skel = F.translate(F.col(text_col), _CONF_FROM, _CONF_TO)
     n_conf = (F.length(text_col)
@@ -510,7 +516,7 @@ def homoglyph_scan(docs: DataFrame, text_col: str = "text",
     base = docs.select(
         F.col(id_col),
         n_conf.cast("int").alias("n_confusables"),
-        F.md5(skel).alias("_sk"))
+        F.md5(skel).alias("_sk")).localCheckpoint(eager=True)
     owners = base.groupBy("_sk").agg(F.min(id_col).alias("skeleton_owner"))
     return (base.join(owners, "_sk")
             .select(id_col, "n_confusables",

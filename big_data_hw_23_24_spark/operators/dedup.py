@@ -354,9 +354,14 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.8,
     # per doc by construction, so the count IS the set size)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     if max_df is not None:
-        keep = (sh.groupBy("_s").agg(F.count("*").alias("_df"))
-                .where(F.col("_df") <= max_df).select("_s"))
-        sh = sh.join(keep, "_s", "left_semi")
+        # anti-join against the STOP set, not semi against the keep
+        # set: survivors are ~every distinct shingle (corpus-scale
+        # shuffle as a join side) while stop shingles number ≤
+        # rows/max_df — shuffling the small complement is strictly
+        # cheaper, and AQE broadcasts it outright when it fits
+        stop = (sh.groupBy("_s").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") > max_df).select("_s"))
+        sh = sh.join(stop, "_s", "left_anti")
     a = sh.select(F.col(id_col).alias("id_a"), "_s")
     b = sh.select(F.col(id_col).alias("id_b"), "_s")
     pairs = (a.join(b, "_s")

@@ -51,6 +51,16 @@ def blocked_fuzzy_pairs(df: DataFrame, entity_col: str, block: Column,
     cost and let the caller refine the blocking key, not to explode.
     Pairs are emitted once (``id_a < id_b``); ties in the entity string
     are still pairs (dist 0 — exact-duplicate entities).
+
+    Verify cost per candidate pair is bounded two ways, both
+    result-identical: a LENGTH-BAND filter ahead of the edit distance
+    (``|len_a − len_b| > max_dist`` already implies
+    ``dist > max_dist`` — each edit changes length by ≤ 1 — so those
+    pairs never reach the dynamic program), and the THRESHOLDED
+    ``levenshtein(a, b, max_dist)``, which abandons the O(len²) DP as
+    soon as the banded diagonal exceeds the budget (O(len·max_dist))
+    and returns −1 — filtered with the over-budget pairs. Together
+    they make Σ block² a count of CHEAP comparisons.
     """
     slim = df.select(F.col(id_col).alias("_id"),
                      F.col(entity_col).alias("_e"),
@@ -61,11 +71,13 @@ def blocked_fuzzy_pairs(df: DataFrame, entity_col: str, block: Column,
     a, b = slim.alias("a"), slim.alias("b")
     return (a.join(b, (F.col("a._blk") == F.col("b._blk"))
                    & (F.col("a._id") < F.col("b._id")))
+            .where(F.abs(F.length(F.col("a._e"))
+                         - F.length(F.col("b._e"))) <= max_dist)
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.levenshtein(F.col("a._e"), F.col("b._e"))
-                    .cast("int").alias("dist"))
-            .where(F.col("dist") <= max_dist))
+                    F.levenshtein(F.col("a._e"), F.col("b._e"),
+                                  max_dist).cast("int").alias("dist"))
+            .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
 
 
 def sorted_neighborhood_pairs(df: DataFrame, entity_col: str,
@@ -108,13 +120,20 @@ def sorted_neighborhood_pairs(df: DataFrame, entity_col: str,
         F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_bkt"))
     pairs = (lhs.alias("a").join(base.alias("b"), "_bkt")
              .where((F.col("b._r") > F.col("a._r"))
-                    & (F.col("b._r") - F.col("a._r") <= window))
+                    & (F.col("b._r") - F.col("a._r") <= window)
+                    # length band: |len diff| > max_dist ⟹ dist >
+                    # max_dist (each edit moves length ≤ 1) — skip
+                    # the DP for pairs that cannot qualify
+                    & (F.abs(F.length(F.col("a._e"))
+                             - F.length(F.col("b._e"))) <= max_dist))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
                      (F.col("b._r") - F.col("a._r"))
                      .cast("int").alias("rank_gap"),
-                     F.levenshtein(F.col("a._e"), F.col("b._e"))
-                     .cast("int").alias("dist")))
+                     # thresholded: banded O(len·max_dist) DP, −1
+                     # past the budget (filtered below)
+                     F.levenshtein(F.col("a._e"), F.col("b._e"),
+                                   max_dist).cast("int").alias("dist")))
     # each (a, b) matches exactly once: a rides buckets {k, k+1} but b
     # holds a single bucket value — no distinct needed
-    return pairs.where(F.col("dist") <= max_dist)
+    return pairs.where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
