@@ -171,6 +171,8 @@ HEADLINE = [
     "corpus_weighted_median_length",  # weighted median, collapsed window
     "doc_prefix_completions",   # autocomplete prefix grouped top-k
     "embedding_centroid_drift",  # per-label centroid drift monitor
+    # r12 additions
+    "knn_reciprocal_ivf",       # mutual NN routed through pinned IVF
 ]
 
 

@@ -794,7 +794,8 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_topk_pinned(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     n_lists: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    cent_below: int | None = None) -> DataFrame:
     """IVF approximate top-k cosine with FIXED centroids — the oracle
     face of :func:`ivf_topk`, same schema as ``cosine_topk``.
 
@@ -813,8 +814,17 @@ def ivf_topk_pinned(corpus: DataFrame, queries: DataFrame, k: int = 10,
     centroid table broadcasts into one argmin per corpus vector, the
     probe join is an equi-join on list_id, and only probed lists are
     scored — never an all-pairs scan.
+
+    ``cent_below`` widens the pinned-centroid rule for corpora whose
+    id space doesn't start at 0 (the mutual-NN sides): centroids are
+    the corpus rows with ``id < cent_below`` (default ``n_lists``) —
+    still a pure predicate both engines state identically, and the
+    list count is however many corpus rows match (sparse id spaces
+    yield fewer, denser never more than the cap by construction of
+    the caller's choice).
     """
-    cents = (corpus.where(F.col(id_col) < n_lists)
+    cents = (corpus.where(F.col(id_col) < (cent_below if cent_below
+                                           is not None else n_lists))
              .select(F.col(id_col).cast("int").alias("list_id"),
                      F.col(vec_col).cast("array<double>").alias("cv")))
 
@@ -887,6 +897,46 @@ def reciprocal_best_match(side_a: DataFrame, side_b: DataFrame,
         fwd.select(F.col("id_b").alias(id_col)).distinct(), id_col))
     back = (cosine_topk(side_a, cand, k=1, id_col=id_col,
                         vec_col=vec_col)
+            .select(F.col("query_id").alias("id_b"),
+                    F.col("neighbor_id").alias("id_a")))
+    return fwd.join(back, ["id_a", "id_b"]).select("id_a", "id_b",
+                                                   "cosine")
+
+
+def reciprocal_best_match_ivf(side_a: DataFrame, side_b: DataFrame,
+                              nprobe: int = 4,
+                              cent_below_b: int = 16,
+                              cent_below_a: int = 16,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Mutual nearest neighbors with BOTH directions routed through
+    the pinned-IVF index (E172) → ``(id_a, id_b, cosine)``.
+
+    The 100 TB path for pipeline-embedded mutual-NN:
+    :func:`reciprocal_best_match` scans the big side exactly (the
+    honest run-once audit), while this variant scores each direction
+    against only the ``nprobe`` probed lists — per-query work is
+    ``nprobe / n_lists`` of the corpus, the IVF contract. The recall
+    cost of probing is MEASURED, not assumed: the ``knn_eval_reciprocal``
+    gate scores these pairs against the exact mutual set. Same
+    disjoint-id contract as the exact form.
+
+    ``cent_below_a`` / ``cent_below_b`` pin each side's centroid set
+    (rows with id below the bound — the sides' id spaces differ, so
+    one ``n_lists`` rule can't serve both); list assignment, probing
+    and scoring stay fully relational, hence oracle-checkable.
+    """
+    fwd = (ivf_topk_pinned(side_b, side_a, k=1, nprobe=nprobe,
+                           cent_below=cent_below_b, id_col=id_col,
+                           vec_col=vec_col)
+           .select(F.col("query_id").alias("id_a"),
+                   F.col("neighbor_id").alias("id_b"),
+                   F.col("cosine").alias("cosine")))
+    cand = (side_b.join(
+        fwd.select(F.col("id_b").alias(id_col)).distinct(), id_col))
+    back = (ivf_topk_pinned(side_a, cand, k=1, nprobe=nprobe,
+                            cent_below=cent_below_a, id_col=id_col,
+                            vec_col=vec_col)
             .select(F.col("query_id").alias("id_b"),
                     F.col("neighbor_id").alias("id_a")))
     return fwd.join(back, ["id_a", "id_b"]).select("id_a", "id_b",

@@ -1065,3 +1065,156 @@ def embedding_centroid_drift(spark, sf_dir):
                                        v + 0.25).otherwise(v)))
         .otherwise(F.col("embedding")).alias("embedding"))
     return centroid_drift(emb, perturbed)
+
+
+# --- E172: mutual nearest neighbors over IVF (r12) ----------------------------
+# The scale path for pipeline-embedded mutual-NN: knn_reciprocal_best
+# (E166) scans the big side exactly — the honest run-once audit —
+# while this face routes BOTH directions through the pinned-IVF index,
+# so per-query work is nprobe/n_lists of the corpus. Centroid sets are
+# pinned per side (id-below predicates both engines state literally);
+# every stage — assignment argmin, probe selection, cosine over probed
+# lists, top-1, mutuality join — is relational, so the whole
+# approximate dataflow value-checks. The recall cost of probing is
+# MEASURED by knn_eval_reciprocal below, never assumed.
+def _ivf_top1_sql(qcte: str, ccte: str, cent_below: int, nprobe: int,
+                  tag: str) -> str:
+    """One IVF-routed top-1 direction as DuckDB CTE text: queries from
+    ``qcte`` (vec_id, v) against corpus ``ccte``, centroids = corpus
+    rows with vec_id < cent_below, ``nprobe`` nearest lists probed.
+    Emits CTE ``top{tag}`` (qid, nid, s)."""
+    return f"""
+    c{tag} AS (SELECT vec_id AS list_id, v AS cv FROM {ccte}
+               WHERE vec_id < {cent_below}),
+    ad{tag} AS (
+      SELECT e.vec_id AS nid, e.v, c.list_id,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) ^ 2)) AS dist
+      FROM {ccte} e, c{tag} c
+    ),
+    a{tag} AS (SELECT nid, v, list_id FROM (
+                 SELECT nid, v, list_id,
+                        row_number() OVER (PARTITION BY nid
+                                           ORDER BY dist, list_id) AS rn
+                 FROM ad{tag}) WHERE rn = 1),
+    pd{tag} AS (
+      SELECT q.vec_id AS qid, q.qv AS qv, c.list_id,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+                                     i -> (q.qv[i] - c.cv[i]) ^ 2)) AS dist
+      FROM (SELECT vec_id, v AS qv FROM {qcte}) q, c{tag} c
+    ),
+    pr{tag} AS (SELECT qid, qv, list_id FROM (
+                  SELECT qid, qv, list_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY dist, list_id) AS rn
+                  FROM pd{tag}) WHERE rn <= {nprobe}),
+    sc{tag} AS (
+      SELECT p.qid, a.nid, list_cosine_similarity(p.qv, a.v) AS s
+      FROM pr{tag} p JOIN a{tag} a USING (list_id)
+      WHERE p.qid <> a.nid
+    ),
+    top{tag} AS (SELECT qid, nid, s FROM (
+                   SELECT qid, nid, s,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY s DESC, nid) AS rn
+                   FROM sc{tag}) WHERE rn = 1)"""
+
+
+def _reciprocal_ivf_sql() -> str:
+    return f"""
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    qa AS (SELECT * FROM x WHERE vec_id % 10 = 0 AND vec_id < 1000),
+    qb AS (SELECT * FROM x WHERE vec_id % 10 <> 0 OR vec_id >= 1000),
+    {_ivf_top1_sql("qa", "qb", 16, 4, "f")},
+    fwd AS (SELECT qid AS id_a, nid AS id_b, s FROM topf),
+    qbw AS (SELECT DISTINCT qb.* FROM qb
+            SEMI JOIN fwd ON fwd.id_b = qb.vec_id),
+    {_ivf_top1_sql("qbw", "qa", 160, 4, "k")},
+    back AS (SELECT qid AS id_b, nid AS id_a FROM topk)
+    SELECT f.id_a, f.id_b, round(f.s, 6) AS cosine
+    FROM fwd f JOIN back k ON k.id_a = f.id_a AND k.id_b = f.id_b
+    """
+
+
+@register(
+    "knn_reciprocal_ivf",
+    _reciprocal_ivf_sql(),
+    doc="mutual nearest neighbors with both directions routed through "
+        "the pinned-IVF index (nprobe=4): forward A->B against B's "
+        "14-list pinned centroid set, back direction only for forward "
+        "winners against A's 16-list set — per-query work is "
+        "nprobe/n_lists of the corpus in each direction, the "
+        "pipeline-embeddable form of knn_reciprocal_best; recall vs "
+        "the exact mutual set is measured by knn_eval_reciprocal",
+)
+def knn_reciprocal_ivf(spark, sf_dir):
+    from .operators.similarity import reciprocal_best_match_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_a = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1000)
+    return reciprocal_best_match_ivf(
+        emb.where(is_a), emb.where(~is_a), nprobe=4,
+        cent_below_b=16, cent_below_a=160)
+
+
+# The gate: IVF-mutual pairs scored against the exact mutual set — one
+# summary row (the E140/E145/E146 convention; the exact side is the
+# run-once brute-force audit, so this face is NOT benched).
+def _eval_reciprocal_sql() -> str:
+    return f"""
+    WITH ex AS ({_R["knn_reciprocal_best"].oracle}),
+    pv AS ({_reciprocal_ivf_sql()}),
+    j AS (
+      SELECT coalesce(ex.id_a, pv.id_a) AS id_a,
+             ex.id_a IS NOT NULL AS in_exact,
+             pv.id_a IS NOT NULL AS in_pred
+      FROM ex FULL OUTER JOIN pv
+        ON ex.id_a = pv.id_a AND ex.id_b = pv.id_b
+    )
+    SELECT sum(CASE WHEN in_exact THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+           sum(CASE WHEN in_pred THEN 1 ELSE 0 END)::BIGINT AS n_pred,
+           sum(CASE WHEN in_exact AND in_pred
+                    THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN in_exact AND in_pred THEN 1 ELSE 0 END)
+                 * 1.0 / sum(CASE WHEN in_exact THEN 1 ELSE 0 END), 6)
+             AS recall,
+           round(sum(CASE WHEN in_exact AND in_pred THEN 1 ELSE 0 END)
+                 * 1.0 / sum(CASE WHEN in_pred THEN 1 ELSE 0 END), 6)
+             AS precision
+    FROM j
+    """
+
+
+@register(
+    "knn_eval_reciprocal",
+    _eval_reciprocal_sql(),
+    doc="mutual-NN rollout gate: the IVF-routed mutual pairs scored "
+        "against the exact mutual set (knn_reciprocal_best) — pair "
+        "recall AND precision in one summary row (IVF can also *add* "
+        "pairs: a missed true top-1 can make a wrong pair mutual), "
+        "composed from two value-checked faces so every miss is the "
+        "real nprobe recall cost; gate face, not benched (E140 rule)",
+)
+def knn_eval_reciprocal(spark, sf_dir):
+    from .operators.similarity import (reciprocal_best_match,
+                                       reciprocal_best_match_ivf)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_a = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1000)
+    a, b = emb.where(is_a), emb.where(~is_a)
+    exact = (reciprocal_best_match(a, b)
+             .select("id_a", "id_b", F.lit(True).alias("in_exact")))
+    pred = (reciprocal_best_match_ivf(a, b, nprobe=4, cent_below_b=16,
+                                      cent_below_a=160)
+            .select("id_a", "id_b", F.lit(True).alias("in_pred")))
+    j = exact.join(pred, ["id_a", "id_b"], "full_outer")
+    ex = F.sum(F.when(F.col("in_exact"), 1).otherwise(0))
+    pr = F.sum(F.when(F.col("in_pred"), 1).otherwise(0))
+    hit = F.sum(F.when(F.col("in_exact") & F.col("in_pred"), 1)
+                .otherwise(0))
+    return j.agg(ex.cast("long").alias("n_exact"),
+                 pr.cast("long").alias("n_pred"),
+                 hit.cast("long").alias("n_hit"),
+                 F.round(hit / ex, 6).alias("recall"),
+                 F.round(hit / pr, 6).alias("precision"))

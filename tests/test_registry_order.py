@@ -629,7 +629,17 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # in r10, the r10 queue (12) in r11, the r11 queue (15) in r12 —
     # this set holds only post-r12-rotation additions (the r13
     # rotation).
-    queued_for_rotation: set[str] = set()
+    queued_for_rotation: set[str] = {
+        "knn_reciprocal_ivf",        # r12: mutual NN with both
+                                     #   directions routed through the
+                                     #   pinned-IVF index — the
+                                     #   pipeline-embeddable form of
+                                     #   knn_reciprocal_best
+        "knn_eval_reciprocal",       # r12: mutual-NN rollout gate —
+                                     #   IVF-routed pairs scored
+                                     #   against the exact mutual set
+                                     #   (pair recall AND precision)
+    }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
                                      #   rounds unrolled as framed-symbol
