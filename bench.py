@@ -173,6 +173,7 @@ HEADLINE = [
     "embedding_centroid_drift",  # per-label centroid drift monitor
     # r12 additions
     "knn_reciprocal_ivf",       # mutual NN routed through pinned IVF
+    "events_interval_join",     # bucketed range join (promo windows)
 ]
 
 

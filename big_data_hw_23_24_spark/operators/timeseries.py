@@ -320,3 +320,54 @@ def calendar_gaps(df: DataFrame, date_col: str,
                  F.count("*").cast("long").alias("n_days"))
             .select(F.col("grp").alias(group_col),
                     "gap_start", "gap_end", "n_days"))
+
+
+def interval_overlap_join(points: DataFrame, intervals: DataFrame,
+                          point_col: str, start_col: str, end_col: str,
+                          bucket_width: int,
+                          extra_keys: list[str] | None = None,
+                          max_span_buckets: int = 4096) -> DataFrame:
+    """Generic interval-overlap join (E173): every (point, interval)
+    pair with ``start <= point <= end`` (closed; all three LONG
+    columns in the caller's tick unit), optionally also equi-matched
+    on ``extra_keys``.
+
+    The range-join problem: a BETWEEN predicate alone gives Spark no
+    equi key, so the naive plan is a broadcast-nested-loop /
+    cartesian scan — O(points × intervals), the classic killer on
+    event-to-window joins at scale. The standard cure, done
+    relationally: quantize time into ``bucket_width`` buckets; each
+    interval EXPLODES to the buckets it covers (bounded by
+    span/bucket_width), each point maps to exactly ONE bucket, and
+    the join becomes an equi-join on (extra_keys…, bucket) with the
+    BETWEEN as a residual filter. Every true pair shares the point's
+    bucket, so recall is exact; a point meets an interval at most
+    once (one bucket per point) — no dedup pass needed.
+
+    Size ``bucket_width`` near the typical interval span: explode
+    factor is span/width (+1), probe fan-in is intervals-per-bucket.
+    ``max_span_buckets`` bounds the explode — a degenerate interval
+    spanning the whole timeline would fan out corpus-wide, so an
+    oversized span RAISES (poisoned-expression arm, the
+    hierarchy-rollup convention) instead of silently exploding.
+    Output: all ``points`` columns + all ``intervals`` columns.
+    """
+    w = int(bucket_width)
+    keys = list(extra_keys or [])
+    b0 = F.floor(F.col(start_col) / w).cast("long")
+    b1 = F.floor(F.col(end_col) / w).cast("long")
+    seq = F.when(
+        b1 - b0 < max_span_buckets, F.sequence(b0, b1)).otherwise(
+        F.array(F.raise_error(
+            F.concat(F.lit(f"interval spans >= {max_span_buckets} "
+                           f"buckets of width {w} ("),
+                     (b1 - b0 + 1).cast("string"),
+                     F.lit(") — widen bucket_width or split the "
+                           "interval"))).cast("long")))
+    iv = intervals.withColumn("_bkt", F.explode(seq))
+    pt = points.withColumn(
+        "_bkt", F.floor(F.col(point_col) / w).cast("long"))
+    joined = pt.join(iv, keys + ["_bkt"]).where(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col)))
+    return joined.drop("_bkt")

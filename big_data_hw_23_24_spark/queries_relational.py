@@ -2337,3 +2337,97 @@ def corpus_weighted_median_length(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return grouped_weighted_median(docs, "source", "n_chars", "n_chars")
+
+
+# --- E173: interval-overlap join (bucketed range join) ------------------------
+# The range-join problem made relational: event-to-promo-window joins
+# have no equi key on time, so the naive BETWEEN plan is a
+# broadcast-nested-loop scan — O(events x windows). The operator
+# quantizes time into buckets (intervals explode to covered buckets,
+# each point maps to ONE bucket) so the join is an equi-join on
+# (event_type, bucket) with the BETWEEN as a residual — exact recall,
+# no dedup (one bucket per point). Promo windows are synthesized from
+# shared literals (Jan 2024 Mondays + 12h, 36h long, six weeks — the
+# sixth lands past the data and must report zeros, so the empty-window
+# branch is non-vacuous at every SF). The oracle states the
+# definitional BETWEEN join, so the parity row proves bucket-explode
+# + residual == the definition.
+_PROMO_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_PROMO_WEEK_US = 7 * 86_400_000_000
+_PROMO_OFS_US = 43_200_000_000           # +12 h: windows not day-aligned
+_PROMO_LEN_US = 129_600_000_000          # 36 h
+
+
+@register(
+    "events_interval_join",
+    f"""
+    WITH promos AS (
+      SELECT t.event_type, CAST(k.k AS INTEGER) AS promo_k,
+             {_PROMO_EPOCH_US} + k.k * {_PROMO_WEEK_US}
+               + {_PROMO_OFS_US} AS p_start
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(range(6)) AS k) k
+    ),
+    pts AS (
+      SELECT event_type, epoch_ns(ts) // 1000 AS us, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    j AS (
+      SELECT p.event_type, p.promo_k, pts.user_id, pts.cents
+      FROM promos p JOIN pts ON pts.event_type = p.event_type
+       AND pts.us BETWEEN p.p_start
+                      AND p.p_start + {_PROMO_LEN_US} - 1
+    ),
+    a AS (
+      SELECT event_type, promo_k, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             sum(cents)::BIGINT AS value_cents
+      FROM j GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.promo_k,
+           coalesce(a.n_events, 0)::BIGINT AS n_events,
+           coalesce(a.n_users, 0)::BIGINT AS n_users,
+           coalesce(a.value_cents, 0)::BIGINT AS value_cents
+    FROM promos p LEFT JOIN a USING (event_type, promo_k)
+    """,
+    doc="bucketed interval-overlap join: events matched to 36-hour "
+        "promo windows via 6-hour time buckets (intervals explode to "
+        "covered buckets, each event maps to one bucket, BETWEEN as a "
+        "residual) — the equi-join form of the range join; per "
+        "(type, window): events, distinct users, integer-cents value; "
+        "the oracle is the definitional BETWEEN join; week-6 windows "
+        "land past the data and report zeros",
+)
+def events_interval_join(spark, sf_dir):
+    from .operators.timeseries import interval_overlap_join, ticks_us
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_type", ticks_us(ev).alias("us"), "user_id",
+                    F.floor(F.col("value") * 100).cast("long")
+                    .alias("cents"))
+    promos = (ev.select("event_type").distinct()
+              .crossJoin(spark.range(6)
+                         .select(F.col("id").cast("int")
+                                 .alias("promo_k")))
+              .select("event_type", "promo_k",
+                      (F.lit(_PROMO_EPOCH_US)
+                       + F.col("promo_k").cast("long") * _PROMO_WEEK_US
+                       + _PROMO_OFS_US).cast("long").alias("p_start")))
+    promos = promos.withColumn(
+        "p_end", (F.col("p_start") + _PROMO_LEN_US - 1).cast("long"))
+    j = interval_overlap_join(pts, promos, "us", "p_start", "p_end",
+                              bucket_width=21_600_000_000,
+                              extra_keys=["event_type"])
+    agg = j.groupBy("event_type", "promo_k").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("value_cents"))
+    return (promos.join(agg, ["event_type", "promo_k"], "left")
+            .select("event_type", "promo_k",
+                    F.coalesce("n_events", F.lit(0)).cast("long")
+                    .alias("n_events"),
+                    F.coalesce("n_users", F.lit(0)).cast("long")
+                    .alias("n_users"),
+                    F.coalesce("value_cents", F.lit(0)).cast("long")
+                    .alias("value_cents")))

@@ -52,3 +52,57 @@ def test_reciprocal_ivf_subset_of_exact_candidates(spark):
                                       cent_below_b=200,
                                       cent_below_a=100).collect()}
     assert pred == exact
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucket-explode + residual must equal the definitional BETWEEN
+    join on boundary-heavy intervals (closed ends, bucket-straddling
+    spans, zero-length intervals, points on bucket edges)."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        interval_overlap_join)
+
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(
+            [0, 9, 10, 11, 19, 20, 25, 99, 100, 101])],
+        "pid long, p long")
+    ivs = spark.createDataFrame(
+        [(100, 0, 9), (101, 10, 10), (102, 5, 25), (103, 20, 99),
+         (104, 101, 200)],
+        "iid long, s long, e long")
+    got = sorted((r.pid, r.iid) for r in interval_overlap_join(
+        pts, ivs, "p", "s", "e", bucket_width=10).collect())
+    want = sorted(
+        (p.pid, i.iid)
+        for p in pts.collect() for i in ivs.collect()
+        if i.s <= p.p <= i.e)
+    assert got == want
+
+
+def test_interval_overlap_join_is_an_equi_join(spark):
+    """The whole point: the physical plan must contain no
+    BroadcastNestedLoopJoin / CartesianProduct — the bucket key makes
+    it a hash-joinable equi join."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        interval_overlap_join)
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, p long")
+    ivs = spark.createDataFrame([(2, 0, 9)], "iid long, s long, e long")
+    df = interval_overlap_join(pts, ivs, "p", "s", "e", bucket_width=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_interval_overlap_join_raises_on_degenerate_span(spark):
+    """An interval spanning >= max_span_buckets must RAISE (poisoned
+    expression), never silently fan out corpus-wide."""
+    import pytest
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        interval_overlap_join)
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, p long")
+    ivs = spark.createDataFrame([(2, 0, 10_000_000)],
+                                "iid long, s long, e long")
+    with pytest.raises(Exception, match="buckets"):
+        interval_overlap_join(pts, ivs, "p", "s", "e", bucket_width=10,
+                              max_span_buckets=100).collect()

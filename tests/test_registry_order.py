@@ -639,6 +639,11 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   IVF-routed pairs scored
                                      #   against the exact mutual set
                                      #   (pair recall AND precision)
+        "events_interval_join",      # r12: bucketed interval-overlap
+                                     #   (range) join — equi-join on
+                                     #   (key, time bucket) with the
+                                     #   BETWEEN as a residual; oracle
+                                     #   is the definitional theta join
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
