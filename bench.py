@@ -174,6 +174,7 @@ HEADLINE = [
     # r12 additions
     "knn_reciprocal_ivf",       # mutual NN routed through pinned IVF
     "events_interval_join",     # bucketed range join (promo windows)
+    "doc_readability",          # Flesch scores, zero-shuffle map
 ]
 
 

@@ -1477,3 +1477,52 @@ def prefix_completions(docs: DataFrame, text_col: str = "text",
     return top.select("prefix",
                       F.col("rank").cast("int").alias("rank"),
                       "completion", "n")
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch readability (E174) → ``(doc_id, n_words, n_sentences,
+    n_syllables, flesch, fk_grade)``.
+
+    The classic curation quality signal the rule batteries (C4/Gopher)
+    don't carry: reading-ease from sentence and word lengths — too-low
+    scores flag legalese/boilerplate, absurdly high ones flag
+    word-salad. Heuristic, engine-portable definitions (documented,
+    deterministic, identical in the oracle SQL):
+
+    * words = non-empty space splits;
+    * sentences = ``[.!?]+`` terminator runs, floored at 1;
+    * syllables = per word, lowercase vowel-group (``[aeiouy]+``)
+      count floored at 1 (the standard approximation; a real
+      hyphenator is lexicon-bound and adds nothing to the plan shape).
+
+    Formulas evaluated in the SAME operation order both engines:
+    flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W),
+    fk_grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59, both rounded 6.
+    One narrow map, no shuffle at all — at 100 TB this is a free
+    rider on any existing corpus scan.
+    """
+    words = F.filter(F.split(F.col(text_col), " "),
+                     lambda w: w != "")
+    n_w = F.size(words)
+    n_s = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit("[.!?]+"), F.lit(0))))
+    syl = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.lower(w),
+                                        F.lit("[aeiouy]+"), F.lit(0)))))
+    wps = n_w.cast("double") / n_s.cast("double")
+    spw = syl.cast("double") / n_w.cast("double")
+    return (docs.where(n_w > 0)
+            .select(F.col(id_col),
+                    n_w.cast("long").alias("n_words"),
+                    n_s.cast("long").alias("n_sentences"),
+                    syl.cast("long").alias("n_syllables"),
+                    F.round(F.lit(206.835) - F.lit(1.015) * wps
+                            - F.lit(84.6) * spw, 6).alias("flesch"),
+                    F.round(F.lit(0.39) * wps + F.lit(11.8) * spw
+                            - F.lit(15.59), 6).alias("fk_grade")))

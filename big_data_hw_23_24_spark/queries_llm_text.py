@@ -2111,3 +2111,47 @@ def doc_prefix_completions(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return prefix_completions(docs, n_words=2, prefix_len=3, k=3)
+
+
+# --- E174: Flesch readability scores (r12) ------------------------------------
+# The classic curation quality signal the rule batteries don't carry:
+# reading-ease from sentence/word lengths and a vowel-group syllable
+# heuristic — all definitions deterministic and stated identically in
+# both engines (see the operator docstring). One narrow map, zero
+# shuffles: a free rider on any corpus scan at 100 TB.
+@register(
+    "doc_readability",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(ws) AS n_w, n_s,
+             list_sum(list_transform(ws, x -> greatest(1,
+               len(regexp_extract_all(lower(x), '[aeiouy]+'))))) AS syl
+      FROM w WHERE len(ws) > 0
+    )
+    SELECT doc_id, CAST(n_w AS BIGINT) AS n_words,
+           CAST(n_s AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (CAST(n_w AS DOUBLE) / n_s)
+                 - 84.6 * (CAST(syl AS DOUBLE) / n_w), 6) AS flesch,
+           round(0.39 * (CAST(n_w AS DOUBLE) / n_s)
+                 + 11.8 * (CAST(syl AS DOUBLE) / n_w) - 15.59, 6)
+             AS fk_grade
+    FROM c
+    """,
+    doc="Flesch reading ease + Flesch-Kincaid grade per document: "
+        "words = non-empty space splits, sentences = [.!?]+ runs "
+        "floored at 1, syllables = per-word lowercase vowel groups "
+        "floored at 1 (the standard heuristic); formulas evaluated in "
+        "the same operation order in both engines, rounded 6 — one "
+        "narrow map, no shuffle",
+)
+def doc_readability(spark, sf_dir):
+    from .operators.textstats import readability_scores
+
+    return readability_scores(load_table(spark, sf_dir, "documents"))

@@ -106,3 +106,25 @@ def test_interval_overlap_join_raises_on_degenerate_span(spark):
     with pytest.raises(Exception, match="buckets"):
         interval_overlap_join(pts, ivs, "p", "s", "e", bucket_width=10,
                               max_span_buckets=100).collect()
+
+
+def test_readability_hand_case(spark):
+    """Known-by-hand Flesch values; zero-vowel and no-terminator
+    branches exercised (floor-at-1 rules)."""
+    from big_data_hw_23_24_spark.operators.textstats import (
+        readability_scores)
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat on the mat."),
+         (2, "xyz brrr"),           # zero-vowel words, no terminator
+         (3, "")],                  # empty -> filtered out
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(docs).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 1, 6)
+    assert r1.flesch == round(206.835 - 1.015 * 6 - 84.6 * 1, 6)
+    assert r1.fk_grade == round(0.39 * 6 + 11.8 * 1 - 15.59, 6)
+    r2 = got[2]
+    # both words floor to 1 syllable; sentence count floors to 1
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (2, 1, 2)

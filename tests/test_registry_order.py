@@ -644,6 +644,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   (key, time bucket) with the
                                      #   BETWEEN as a residual; oracle
                                      #   is the definitional theta join
+        "doc_readability",           # r12: Flesch reading ease + FK
+                                     #   grade (vowel-group syllable
+                                     #   heuristic, zero-shuffle map)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
