@@ -175,6 +175,7 @@ HEADLINE = [
     "knn_reciprocal_ivf",       # mutual NN routed through pinned IVF
     "events_interval_join",     # bucketed range join (promo windows)
     "doc_readability",          # Flesch scores, zero-shuffle map
+    "doc_domain_cap",           # per-domain diversity cap (top-k spine)
 ]
 
 

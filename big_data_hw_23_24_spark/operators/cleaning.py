@@ -522,3 +522,33 @@ def homoglyph_scan(docs: DataFrame, text_col: str = "text",
             .select(id_col, "n_confusables",
                     (F.col("n_confusables") > 0).alias("evasion_flag"),
                     "skeleton_owner"))
+
+
+def domain_cap(docs: DataFrame, url_col: str = "url",
+               id_col: str = "doc_id", k: int = 5,
+               order_by: list | None = None) -> DataFrame:
+    """Per-domain diversity cap (E175) → the kept rows as
+    ``(domain, doc_id, rank)``: at most ``k`` documents per
+    registrable domain, best-first.
+
+    The crawl-diversity step every web corpus runs (C4 / RefinedWeb
+    style): unbounded per-site document counts let one boilerplate-
+    heavy host dominate training mixes, so each registrable domain is
+    capped at its k best documents. Registrable domain = the last two
+    dot-labels of the lowercased host (scheme and path stripped) — a
+    documented heuristic; the real public-suffix list is a broadcast
+    lexicon swap, not a plan change. Ranking runs on the two-stage
+    grouped top-k (per-partition heaps), so a mega-domain never
+    funnels one reducer; ``order_by`` defaults to ``id_col`` asc —
+    callers pass their quality ordering (the face keeps the longest).
+    """
+    from .grouped import grouped_topk
+
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]+)", 1))
+    dom = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    base = docs.withColumn("domain", dom)
+    order = list(order_by) if order_by else []
+    top = grouped_topk(base, ["domain"], order + [F.col(id_col)], k)
+    return top.select("domain", F.col(id_col),
+                      F.col("rank").cast("int").alias("rank"))

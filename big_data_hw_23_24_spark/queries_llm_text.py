@@ -2155,3 +2155,57 @@ def doc_readability(spark, sf_dir):
     from .operators.textstats import readability_scores
 
     return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+# --- E175: per-domain diversity cap (r12) --------------------------------------
+# The crawl-diversity step every web corpus runs (C4/RefinedWeb):
+# unbounded per-site counts let one boilerplate-heavy host dominate
+# the training mix, so each registrable domain keeps only its k best
+# documents. URLs are synthesized from shared literals (many
+# registrable domains, several docs each, so both the keep and drop
+# branches are non-vacuous at every SF); the oracle ranks with the
+# definitional partitioned row_number, so the parity row proves the
+# two-stage grouped top-k == the definition on this keying too.
+_DOMAIN_URL_SPARK = (
+    "concat('https://sub', CAST(doc_id % 13 AS STRING), '.dom', "
+    "CAST(doc_id % 29 AS STRING), '.com/p', CAST(doc_id AS STRING))")
+_DOMAIN_URL_DUCK = (
+    "'https://sub' || CAST(doc_id % 13 AS VARCHAR) || '.dom' || "
+    "CAST(doc_id % 29 AS VARCHAR) || '.com/p' || "
+    "CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "doc_domain_cap",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, {_DOMAIN_URL_DUCK} AS url FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(regexp_extract(lower(url),
+               '^(?:[a-z][a-z0-9+.-]*://)?([^/?#]+)', 1),
+               '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM u
+    )
+    SELECT domain, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT domain, doc_id,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM d
+    ) WHERE rank <= 5
+    """,
+    doc="per-registrable-domain diversity cap: keep the 5 longest "
+        "documents per domain (last-two-label host heuristic; the "
+        "public-suffix list is a lexicon swap, not a plan change), "
+        "ranked on the two-stage grouped top-k so a mega-domain never "
+        "funnels one reducer; oracle = the definitional partitioned "
+        "row_number",
+)
+def doc_domain_cap(spark, sf_dir):
+    from .operators.cleaning import domain_cap
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars",
+                    F.expr(_DOMAIN_URL_SPARK).alias("url")))
+    return domain_cap(docs, k=5, order_by=[F.col("n_chars").desc()])

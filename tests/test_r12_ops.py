@@ -128,3 +128,21 @@ def test_readability_hand_case(spark):
     r2 = got[2]
     # both words floor to 1 syllable; sentence count floors to 1
     assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (2, 1, 2)
+
+
+def test_domain_cap_extracts_registrable_and_caps(spark):
+    """Registrable-domain heuristic (scheme/path/port stripped, last
+    two labels) + the cap keeps exactly k best per domain."""
+    from big_data_hw_23_24_spark.operators.cleaning import domain_cap
+
+    docs = spark.createDataFrame(
+        [(1, 100, "https://a.b.example.com/x?q=1"),
+         (2, 300, "http://example.com/y"),
+         (3, 200, "WWW.Example.COM"),
+         (4, 50, "https://other.org/z"),
+         (5, 10, "sub.other.org/w")],
+        "doc_id long, n_chars long, url string")
+    got = sorted((r.domain, r.doc_id, r.rank) for r in domain_cap(
+        docs, k=2, order_by=[F.col("n_chars").desc()]).collect())
+    assert got == [("example.com", 2, 1), ("example.com", 3, 2),
+                   ("other.org", 4, 1), ("other.org", 5, 2)]

@@ -647,6 +647,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_readability",           # r12: Flesch reading ease + FK
                                      #   grade (vowel-group syllable
                                      #   heuristic, zero-shuffle map)
+        "doc_domain_cap",            # r12: per-registrable-domain
+                                     #   diversity cap (k best docs,
+                                     #   two-stage grouped top-k)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
