@@ -176,6 +176,7 @@ HEADLINE = [
     "events_interval_join",     # bucketed range join (promo windows)
     "doc_readability",          # Flesch scores, zero-shuffle map
     "doc_domain_cap",           # per-domain diversity cap (top-k spine)
+    "corpus_labeler_agreement",  # Cohen's kappa detector-vs-label
 ]
 
 

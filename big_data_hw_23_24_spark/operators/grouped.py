@@ -512,3 +512,47 @@ def grouped_weighted_median(df: DataFrame, group_col: str,
     return first.select(F.col("grp").alias(group_col),
                         F.col("_tot").cast("long").alias("total_weight"),
                         "weighted_median")
+
+
+def cohens_kappa(cells: DataFrame, label_col: str, pred_col: str,
+                 n_col: str) -> DataFrame:
+    """Cohen's kappa from a confusion-matrix table (E176) → one row
+    ``(n_obs, n_agree, po, pe, kappa)``.
+
+    The chance-corrected agreement statistic every labeling/detector
+    QA wants next to raw accuracy: po = observed agreement, pe =
+    expected agreement from the marginals (Σ_l p_a(l)·p_b(l)),
+    kappa = (po − pe) / (1 − pe). Input is the already-aggregated
+    (label, predicted, count) grid — label-grid-sized, so everything
+    here is arithmetic over bounded rows; the corpus-scale work is
+    whatever built the matrix (one hash aggregate).
+
+    Exactness: counts and the marginal product sum stay BIGINT (the
+    product sum is ≤ n², exact to n ≈ 3·10⁹ observations; past that,
+    pre-scale the marginals), divisions run in doubles in the same
+    operation order both engines, outputs rounded 6. A degenerate
+    grid (pe = 1: both sides constant) reports null kappa (0/0).
+    """
+    lbl, prd, n = F.col(label_col), F.col(pred_col), F.col(n_col)
+    t = cells.agg(
+        F.sum(n).cast("long").alias("n_obs"),
+        F.sum(F.when(lbl == prd, n).otherwise(0)).cast("long")
+        .alias("n_agree"))
+    ca = cells.groupBy(lbl.alias("_l")).agg(
+        F.sum(n).cast("long").alias("_ca"))
+    cb = cells.groupBy(prd.alias("_l")).agg(
+        F.sum(n).cast("long").alias("_cb"))
+    sp = (ca.join(cb, "_l")
+          .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long")
+               .alias("_sp")))
+    po = F.col("n_agree") / F.col("n_obs")
+    pe = F.col("_sp") / (F.col("n_obs").cast("double") * F.col("n_obs"))
+    # the 0/0 degenerate (pe = 1) must yield NULL, not an ANSI
+    # divide-by-zero raise
+    kappa = F.when(pe != 1.0,
+                   F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return (t.crossJoin(sp)
+            .select("n_obs", "n_agree",
+                    F.round(po, 6).alias("po"),
+                    F.round(pe, 6).alias("pe"),
+                    kappa.alias("kappa")))

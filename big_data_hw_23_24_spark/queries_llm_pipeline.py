@@ -2458,3 +2458,53 @@ def corpus_shard_movement(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return shard_movement_report(docs, "doc_id", n_from=8, n_to=9)
+
+
+# --- E176: Cohen's kappa labeler agreement (r12) -------------------------------
+# The chance-corrected agreement statistic detector/labeler QA wants
+# next to raw accuracy: high observed agreement means nothing when one
+# class dominates — kappa subtracts the marginal-product expectation.
+# The oracle COMPOSES the already-value-checked confusion-matrix face,
+# so a disagreement here is kappa arithmetic, never detector drift.
+def _kappa_sql() -> str:
+    return f"""
+    WITH cm AS ({_R["corpus_language_confusion"].oracle}),
+    t AS (SELECT sum(n_docs)::BIGINT AS n_obs,
+                 sum(CASE WHEN lang = detected_lang THEN n_docs
+                          ELSE 0 END)::BIGINT AS n_agree
+          FROM cm),
+    ca AS (SELECT lang AS l, sum(n_docs)::BIGINT AS ca
+           FROM cm GROUP BY 1),
+    cb AS (SELECT detected_lang AS l, sum(n_docs)::BIGINT AS cb
+           FROM cm GROUP BY 1),
+    sp AS (SELECT sum(ca.ca * cb.cb)::BIGINT AS sp
+           FROM ca JOIN cb USING (l))
+    SELECT t.n_obs, t.n_agree,
+           round(t.n_agree * 1.0 / t.n_obs, 6) AS po,
+           round(sp.sp / (CAST(t.n_obs AS DOUBLE) * t.n_obs), 6) AS pe,
+           round((t.n_agree * 1.0 / t.n_obs
+                  - sp.sp / (CAST(t.n_obs AS DOUBLE) * t.n_obs))
+                 / (1.0 - sp.sp / (CAST(t.n_obs AS DOUBLE) * t.n_obs)),
+                 6) AS kappa
+    FROM t, sp
+    """
+
+
+@register(
+    "corpus_labeler_agreement",
+    _kappa_sql(),
+    doc="Cohen's kappa between the stopword-profile language detector "
+        "and the provenance labels: observed agreement po, "
+        "marginal-product expectation pe, kappa = (po-pe)/(1-pe) — "
+        "exact BIGINT counts and marginal products, divisions in the "
+        "same operation order both engines; oracle composes the "
+        "value-checked confusion-matrix face",
+)
+def corpus_labeler_agreement(spark, sf_dir):
+    from .operators.grouped import cohens_kappa
+    from .operators.textstats import language_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = language_confusion(docs).select("lang", "detected_lang",
+                                            "n_docs")
+    return cohens_kappa(cells, "lang", "detected_lang", "n_docs")

@@ -146,3 +146,22 @@ def test_domain_cap_extracts_registrable_and_caps(spark):
         docs, k=2, order_by=[F.col("n_chars").desc()]).collect())
     assert got == [("example.com", 2, 1), ("example.com", 3, 2),
                    ("other.org", 4, 1), ("other.org", 5, 2)]
+
+
+def test_cohens_kappa_hand_case(spark):
+    """Textbook 2x2 kappa: po=0.7, pe=0.5 -> kappa=0.4; and the
+    degenerate both-constant grid reports null kappa (0/0)."""
+    from big_data_hw_23_24_spark.operators.grouped import cohens_kappa
+
+    cells = spark.createDataFrame(
+        [("y", "y", 40), ("y", "n", 10), ("n", "y", 20), ("n", "n", 30)],
+        "a string, b string, n long")
+    r = cohens_kappa(cells, "a", "b", "n").collect()[0]
+    assert (r.n_obs, r.n_agree) == (100, 70)
+    assert r.po == 0.7
+    # pe = (50*60 + 50*40) / 100^2 = 0.5
+    assert r.pe == 0.5
+    assert r.kappa == round((0.7 - 0.5) / 0.5, 6)
+    const = spark.createDataFrame([("y", "y", 5)],
+                                  "a string, b string, n long")
+    assert cohens_kappa(const, "a", "b", "n").collect()[0].kappa is None

@@ -650,6 +650,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_domain_cap",            # r12: per-registrable-domain
                                      #   diversity cap (k best docs,
                                      #   two-stage grouped top-k)
+        "corpus_labeler_agreement",  # r12: Cohen's kappa between the
+                                     #   language detector and the
+                                     #   provenance labels (oracle
+                                     #   composes the confusion face)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
