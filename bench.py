@@ -177,6 +177,7 @@ HEADLINE = [
     "doc_readability",          # Flesch scores, zero-shuffle map
     "doc_domain_cap",           # per-domain diversity cap (top-k spine)
     "corpus_labeler_agreement",  # Cohen's kappa detector-vs-label
+    "corpus_compaction_plan",   # small-files planner on the cumsum spine
 ]
 
 

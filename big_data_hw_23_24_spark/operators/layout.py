@@ -163,3 +163,37 @@ def layout_pruning_audit(df: DataFrame, cx_col: str, cy_col: str,
             .select("layout", "probe_id", "n_files_hit", "n_files",
                     F.coalesce("n_rows_match", F.lit(0)).cast("long")
                     .alias("n_rows_match")))
+
+
+def compaction_plan(files: DataFrame, size_col: str,
+                    order_by: list, target_bytes: int,
+                    num_partitions: int | None = None) -> DataFrame:
+    """Small-files compaction planner (E178) → one row per planned
+    output file: ``(out_file, n_inputs, total_bytes)``.
+
+    The other half of the layout tier: Z-order/stats make PRUNING
+    work, but a table of millions of sub-row-group files is slow
+    before any predicate runs (footer fetches, scheduler overhead —
+    the classic small-files problem). The plan assigns input files,
+    in ``order_by`` order (keep it the table's sort/cluster order so
+    compaction preserves locality), to contiguous output groups by
+    the streaming rule ``out_file = floor(cum_before / target)`` —
+    every output (except possibly the last) lands within one
+    max-input-size of the target (total ∈ (target − max_in,
+    target + max_in)): the guarantee the stateless rule gives with no
+    iteration and no cross-file coordination beyond the prefix sum. The cumulative offset rides the range-partitioned
+    cumsum spine (:func:`.ranking.global_cumsum`) — never a
+    single-reducer window; manifest rows are file-count-sized, tiny
+    next to the data they describe.
+    """
+    from .ranking import global_cumsum
+
+    cum = global_cumsum(files, order_by, size_col, out_col="_cum",
+                        num_partitions=num_partitions)
+    grp = F.floor((F.col("_cum") - F.col(size_col))
+                  / target_bytes).cast("long")
+    return (cum.select(grp.alias("out_file"),
+                       F.col(size_col).alias("_sz"))
+            .groupBy("out_file")
+            .agg(F.count("*").cast("long").alias("n_inputs"),
+                 F.sum("_sz").cast("long").alias("total_bytes")))

@@ -2508,3 +2508,49 @@ def corpus_labeler_agreement(spark, sf_dir):
     cells = language_confusion(docs).select("lang", "detected_lang",
                                             "n_docs")
     return cohens_kappa(cells, "lang", "detected_lang", "n_docs")
+
+
+# --- E178: small-files compaction planner (r12) ---------------------------------
+# The other half of the layout tier: pruning audits prove stats-based
+# skipping, but millions of sub-row-group files are slow before any
+# predicate runs (footer fetches, task scheduling). The planner
+# assigns manifest files, in table order, to contiguous target-size
+# output groups by the streaming rule floor(cum_before / target) on
+# the range-partitioned cumsum spine. The oracle states the
+# definitional single-window running total, so the parity row proves
+# spine == definition on a VALUE prefix sum too (the rank spine's
+# sibling). Manifest synthesized as 256 per-bucket byte totals.
+@register(
+    "corpus_compaction_plan",
+    """
+    WITH manifest AS (
+      SELECT doc_id % 256 AS file_id, sum(n_chars)::BIGINT AS n_bytes
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT file_id, n_bytes,
+             sum(n_bytes) OVER (ORDER BY file_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM manifest
+    )
+    SELECT CAST(floor((cum - n_bytes) / 10000.0) AS BIGINT) AS out_file,
+           count(*)::BIGINT AS n_inputs,
+           sum(n_bytes)::BIGINT AS total_bytes
+    FROM cum GROUP BY 1
+    """,
+    doc="small-files compaction plan: 256-file synthesized manifest "
+        "assigned to ~10 kB contiguous output groups by "
+        "floor(cumulative-before / target) on the range-partitioned "
+        "cumsum spine (never a single-reducer window); every output "
+        "except the last lands within one max-input of the target — "
+        "the stateless-rule guarantee, no iteration; oracle = the definitional "
+        "running-total window",
+)
+def corpus_compaction_plan(spark, sf_dir):
+    from .operators.layout import compaction_plan
+
+    manifest = (load_table(spark, sf_dir, "documents")
+                .groupBy((F.col("doc_id") % 256).alias("file_id"))
+                .agg(F.sum("n_chars").cast("long").alias("n_bytes")))
+    return compaction_plan(manifest, "n_bytes", [F.col("file_id")],
+                           target_bytes=10_000)

@@ -165,3 +165,28 @@ def test_cohens_kappa_hand_case(spark):
     const = spark.createDataFrame([("y", "y", 5)],
                                   "a string, b string, n long")
     assert cohens_kappa(const, "a", "b", "n").collect()[0].kappa is None
+
+
+def test_compaction_plan_greedy_guarantee(spark):
+    """Every planned output (except possibly the last) lands within
+    one max-input-size of the target, inputs stay contiguous, and
+    totals are conserved — across forced partitions so the cumsum
+    spine (not a lucky single partition) is what's tested."""
+    from big_data_hw_23_24_spark.operators.layout import compaction_plan
+
+    rows = [(i, 30 + (i * 7) % 50) for i in range(200)]
+    files = spark.createDataFrame(rows, "file_id long, n_bytes long") \
+        .repartition(8)
+    target = 500
+    plan = compaction_plan(files, "n_bytes", [F.col("file_id")],
+                           target_bytes=target, num_partitions=4)
+    got = {r.out_file: (r.n_inputs, r.total_bytes)
+           for r in plan.collect()}
+    assert sum(n for n, _ in got.values()) == 200
+    assert sum(b for _, b in got.values()) == sum(b for _, b in rows)
+    max_in = max(b for _, b in rows)
+    last = max(got)
+    assert set(got) == set(range(last + 1))  # contiguous group ids
+    for g, (_, total) in got.items():
+        if g != last:
+            assert target - max_in < total < target + max_in, (g, total)

@@ -654,6 +654,11 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   language detector and the
                                      #   provenance labels (oracle
                                      #   composes the confusion face)
+        "corpus_compaction_plan",    # r12: small-files compaction
+                                     #   planner — contiguous target-
+                                     #   size groups on the cumsum
+                                     #   spine; oracle = definitional
+                                     #   running-total window
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
