@@ -168,7 +168,7 @@ def layout_pruning_audit(df: DataFrame, cx_col: str, cy_col: str,
 def compaction_plan(files: DataFrame, size_col: str,
                     order_by: list, target_bytes: int,
                     num_partitions: int | None = None) -> DataFrame:
-    """Small-files compaction planner (E178) → one row per planned
+    """Small-files compaction planner (E177) → one row per planned
     output file: ``(out_file, n_inputs, total_bytes)``.
 
     The other half of the layout tier: Z-order/stats make PRUNING

@@ -2510,7 +2510,7 @@ def corpus_labeler_agreement(spark, sf_dir):
     return cohens_kappa(cells, "lang", "detected_lang", "n_docs")
 
 
-# --- E178: small-files compaction planner (r12) ---------------------------------
+# --- E177: small-files compaction planner (r12) ---------------------------------
 # The other half of the layout tier: pruning audits prove stats-based
 # skipping, but millions of sub-row-group files are slow before any
 # predicate runs (footer fetches, task scheduling). The planner
