@@ -178,6 +178,7 @@ HEADLINE = [
     "doc_domain_cap",           # per-domain diversity cap (top-k spine)
     "corpus_labeler_agreement",  # Cohen's kappa detector-vs-label
     "corpus_compaction_plan",   # small-files planner on the cumsum spine
+    "doc_phrase_search",        # positional-index exact phrase lookup
 ]
 
 

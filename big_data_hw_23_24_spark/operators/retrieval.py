@@ -438,3 +438,52 @@ def rrf_fuse(*ranked: DataFrame, k: int = 10, rrf_k: int = 60,
           .alias(f"rank_{i}") for i in range(len(slim))])
     return grouped_topk(out, ["qid"], [F.col("rrf").desc(), F.col(id_col)],
                         k)
+
+
+def phrase_search(docs: DataFrame, phrases: list[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact word-level phrase search via a POSITIONAL index (E178) →
+    ``(phrase, doc_id, n_occurrences)`` for documents containing the
+    phrase as consecutive words.
+
+    The indexed path for exact phrase lookup: a ``contains()`` scan
+    reads the whole corpus per query — fine once, unusable as a
+    serving pattern at 100 TB. Here the corpus explodes ONCE into a
+    positional posting table ``(word, doc, pos)``, pruned to words any
+    phrase uses (broadcast vocabulary — the postings for everything
+    else are never materialized), and each phrase becomes a chain of
+    position-adjacency equi-joins: word₁ postings ⋈ word₂ postings on
+    ``(doc, pos+1)`` ⋈ … — shuffle keys are (word) then (doc, pos),
+    never a scan per phrase. Occurrences count ALL word-aligned match
+    positions (overlapping included — the definitional count).
+
+    Multi-phrase: the vocabulary filter is the union of all phrase
+    words; per-phrase chains reuse the same pruned postings
+    (checkpointed — the subtree-reuse lesson: K phrases would
+    otherwise re-explode the corpus K times).
+    """
+    from functools import reduce
+
+    words = [p.split() for p in phrases]
+    if not words or any(len(w) < 1 for w in words):
+        raise ValueError("phrases must be non-empty strings")
+    vocab = sorted({w for ws in words for w in ws})
+    tok = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    post = (docs.select(F.col(id_col).alias("_d"),
+                        F.posexplode(tok).alias("_p", "_w"))
+            .where(F.col("_w").isin(vocab))
+            .localCheckpoint(eager=True))
+    outs = []
+    for phrase, ws in zip(phrases, words):
+        cur = (post.where(F.col("_w") == ws[0])
+               .select("_d", F.col("_p").alias("_p0")))
+        for i, w in enumerate(ws[1:], start=1):
+            nxt = (post.where(F.col("_w") == w)
+                   .select("_d", (F.col("_p") - i).alias("_p0")))
+            cur = cur.join(nxt, ["_d", "_p0"])
+        outs.append(cur.groupBy("_d").agg(
+            F.count("*").cast("long").alias("n_occurrences"))
+            .select(F.lit(phrase).alias("phrase"),
+                    F.col("_d").alias(id_col), "n_occurrences"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

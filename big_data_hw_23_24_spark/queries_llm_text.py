@@ -2209,3 +2209,58 @@ def doc_domain_cap(spark, sf_dir):
             .select("doc_id", "n_chars",
                     F.expr(_DOMAIN_URL_SPARK).alias("url")))
     return domain_cap(docs, k=5, order_by=[F.col("n_chars").desc()])
+
+
+# --- E178: positional-index phrase search (r12) ---------------------------------
+# Exact word-level phrase lookup as an INDEXED operation: contains()
+# is a full corpus scan per query — fine once, unusable as a serving
+# pattern at 100 TB. The corpus explodes ONCE into (word, doc, pos)
+# postings pruned to the query vocabulary (broadcast), checkpointed
+# (K phrases must not re-explode the corpus K times — the
+# subtree-reuse lesson), and each phrase is a chain of
+# position-adjacency equi-joins. Occurrences count ALL word-aligned
+# positions (overlaps included); the oracle states the definitional
+# per-document window scan over the word array. One phrase lands 0
+# rows at sf0.01 (the empty branch is real, not planted).
+_PHRASES = ["hash join", "table scan", "batch batch batch"]
+
+
+def _phrase_search_sql() -> str:
+    parts = []
+    for p in _PHRASES:
+        ws = p.split()
+        n = len(ws)
+        conds = " AND ".join(f"ws[i + {j}] = '{w}'"
+                             for j, w in enumerate(ws))
+        parts.append(f"""
+      SELECT '{p}' AS phrase, doc_id,
+             len(list_filter(range(1, len(ws) + 2 - {n}),
+                             i -> {conds}))::BIGINT AS n_occurrences
+      FROM w""")
+    union = "\n      UNION ALL".join(parts)
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    hits AS ({union})
+    SELECT phrase, doc_id, n_occurrences
+    FROM hits WHERE n_occurrences > 0
+    """
+
+
+@register(
+    "doc_phrase_search",
+    _phrase_search_sql(),
+    doc="positional-index exact phrase search: one pruned (word, doc, "
+        "pos) posting explode shared by all phrases (checkpointed), "
+        "each phrase a chain of position-adjacency equi-joins; "
+        "occurrence counts include overlapping matches; oracle = the "
+        "definitional per-document window scan over the word array",
+)
+def doc_phrase_search(spark, sf_dir):
+    from .operators.retrieval import phrase_search
+
+    return phrase_search(load_table(spark, sf_dir, "documents"),
+                         _PHRASES)

@@ -190,3 +190,19 @@ def test_compaction_plan_greedy_guarantee(spark):
     for g, (_, total) in got.items():
         if g != last:
             assert target - max_in < total < target + max_in, (g, total)
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark):
+    """Word-aligned occurrence counts, overlaps included; absent
+    phrases yield no row; multi-word chains join on adjacency."""
+    from big_data_hw_23_24_spark.operators.retrieval import (
+        phrase_search)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),        # "a b a" overlaps: positions 0, 2
+         (2, "x a b y a b"),      # "a b" twice
+         (3, "b a")],             # reversed -> no match
+        "doc_id long, text string")
+    got = sorted((r.phrase, r.doc_id, r.n_occurrences) for r in
+                 phrase_search(docs, ["a b", "a b a", "zz"]).collect())
+    assert got == [("a b", 1, 2), ("a b", 2, 2), ("a b a", 1, 2)]

@@ -659,6 +659,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   size groups on the cumsum
                                      #   spine; oracle = definitional
                                      #   running-total window
+        "doc_phrase_search",         # r12: positional-index exact
+                                     #   phrase search (adjacency
+                                     #   equi-join chain over pruned
+                                     #   postings)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
