@@ -227,13 +227,22 @@ def item_triangles(events: DataFrame, user_col: str = "user_id",
     all-wedges form explodes on exactly the hub items this caps.
     Joins are equi-joins on node ids throughout; per-item counts come
     from one 3-row explode per triangle.
+
+    The slim edge, degree and oriented-edge tables are each
+    checkpointed before fan-out: edges feed the degree count AND the
+    orientation, oriented edges feed both wedge sides AND the closing
+    probe, degrees feed both endpoint joins AND the final report —
+    un-materialized, Catalyst re-planned the whole co-occurrence
+    pipeline per consumer MULTIPLICATIVELY (136 parquet scans in one
+    plan; the subtree-reuse lesson at its worst).
     """
     edges = (item_cooccurrence(events, item_col=item_col,
                                user_col=user_col, cap=cap, min_co=min_co)
-             .select("item_a", "item_b"))
+             .select("item_a", "item_b").localCheckpoint(eager=True))
     deg = (edges.select(F.col("item_a").alias("item"))
            .unionAll(edges.select(F.col("item_b").alias("item")))
-           .groupBy("item").agg(F.count("*").cast("long").alias("degree")))
+           .groupBy("item").agg(F.count("*").cast("long").alias("degree"))
+           .localCheckpoint(eager=True))
     da = deg.select(F.col("item").alias("item_a"),
                     F.col("degree").alias("_dega"))
     db = deg.select(F.col("item").alias("item_b"),
@@ -248,7 +257,7 @@ def item_triangles(events: DataFrame, user_col: str = "user_id",
         F.when(a_first, F.col("item_b")).otherwise(F.col("item_a"))
         .alias("dst"),
         F.when(a_first, F.col("_degb")).otherwise(F.col("_dega"))
-        .alias("_ddeg"))
+        .alias("_ddeg")).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # each unordered out-neighbor pair once, ordered by the SAME total
     # order the orientation uses

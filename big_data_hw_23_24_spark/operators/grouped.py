@@ -534,6 +534,10 @@ def cohens_kappa(cells: DataFrame, label_col: str, pred_col: str,
     grid (pe = 1: both sides constant) reports null kappa (0/0).
     """
     lbl, prd, n = F.col(label_col), F.col(pred_col), F.col(n_col)
+    # the grid is bounded but feeds FOUR consumers (totals, both
+    # marginals, and whatever built it may be a full corpus scan) —
+    # materialize once
+    cells = cells.localCheckpoint(eager=True)
     t = cells.agg(
         F.sum(n).cast("long").alias("n_obs"),
         F.sum(F.when(lbl == prd, n).otherwise(0)).cast("long")

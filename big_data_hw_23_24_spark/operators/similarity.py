@@ -888,11 +888,15 @@ def reciprocal_best_match(side_a: DataFrame, side_b: DataFrame,
     overlapping id spaces must disambiguate first (e.g. prefix the id
     by side); the registry face uses disjoint halves of ``vec_id``.
     """
+    # fwd is ≤|A| rows but consumed twice (candidate semi-join + the
+    # mutuality join) — un-checkpointed, the whole forward scan of the
+    # big side re-runs per consumer (the subtree-reuse lesson)
     fwd = (cosine_topk(side_b, side_a, k=1, id_col=id_col,
                        vec_col=vec_col)
            .select(F.col("query_id").alias("id_a"),
                    F.col("neighbor_id").alias("id_b"),
-                   F.col("cosine").alias("cosine")))
+                   F.col("cosine").alias("cosine"))
+           .localCheckpoint(eager=True))
     cand = (side_b.join(
         fwd.select(F.col("id_b").alias(id_col)).distinct(), id_col))
     back = (cosine_topk(side_a, cand, k=1, id_col=id_col,
@@ -931,7 +935,8 @@ def reciprocal_best_match_ivf(side_a: DataFrame, side_b: DataFrame,
                            vec_col=vec_col)
            .select(F.col("query_id").alias("id_a"),
                    F.col("neighbor_id").alias("id_b"),
-                   F.col("cosine").alias("cosine")))
+                   F.col("cosine").alias("cosine"))
+           .localCheckpoint(eager=True))  # ≤|A| rows, two consumers
     cand = (side_b.join(
         fwd.select(F.col("id_b").alias(id_col)).distinct(), id_col))
     back = (ivf_topk_pinned(side_a, cand, k=1, nprobe=nprobe,
