@@ -179,6 +179,8 @@ HEADLINE = [
     "corpus_labeler_agreement",  # Cohen's kappa detector-vs-label
     "corpus_compaction_plan",   # small-files planner on the cumsum spine
     "doc_phrase_search",        # positional-index exact phrase lookup
+    "events_ab_uplift",         # Welch z on hash-assigned arms
+    "events_rolling_distinct_kmv",  # 7-day actives via KMV merge
 ]
 
 

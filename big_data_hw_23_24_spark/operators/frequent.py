@@ -548,3 +548,58 @@ def kmv_set_ops(sketch: DataFrame) -> DataFrame:
                  F.round(n_common * est_union_raw / n_s, 6)
                  .alias("est_intersection"),
                  F.round(n_common / n_s, 6).alias("est_jaccard")))
+
+
+def rolling_distinct_kmv(df: DataFrame, item_col: str, day_col: str,
+                         window_days: int = 7, k: int = 128) -> DataFrame:
+    """Trailing-window distinct counts from per-day KMV sketches
+    (E180) → ``(day_num, n_days, n_sketch, est_distinct,
+    exact_distinct)`` for every observed day.
+
+    The streaming-analytics classic ("7-day active users"), done the
+    way it scales: an exact rolling countDistinct re-touches every
+    raw row ``window`` times, while the sketch path aggregates each
+    day ONCE into ≤ k hash rows and the window merge works on
+    day-grid-sized data — mergeability (the k smallest of a union of
+    per-day sketches IS the window's sketch, exactly) is the whole
+    point of carrying a sketch per partition of time. Windows are
+    keyed by the trailing ``window_days`` ending at each observed
+    day; partial windows at the corpus start report their smaller
+    ``n_days``. The EXACT rolling distinct rides along (the gate
+    convention), so the estimator's error is reported, never assumed.
+    """
+    from .grouped import grouped_topk
+
+    e = (df.select(F.col(day_col).alias("_d"),
+                   F.col(item_col).alias("_i"))
+         .distinct().localCheckpoint(eager=True))  # sketch + exact read it
+    days = (e.select(F.col("_d").alias("wd")).distinct()
+            .localCheckpoint(eager=True))          # three consumers
+    span = F.sequence(F.col("_d"), F.col("_d") + (window_days - 1))
+    sk = (kmv_sketch(e, "_i", "_d", k=k)
+          .select(F.col("grp").alias("_d"), "h"))
+    merged = (sk.withColumn("wd", F.explode(span))
+              .join(days, "wd", "left_semi")
+              .select("wd", "h").distinct())
+    n, kth = F.count("*").cast("long"), F.max("h")
+    est = (grouped_topk(merged, ["wd"], [F.col("h")], k)
+           .groupBy("wd")
+           .agg(n.alias("n_sketch"),
+                F.when(n < k, n.cast("double"))
+                .otherwise(F.round(F.lit(float(k - 1))
+                                   * F.lit(_KMV_HASH_SPACE) / kth, 6))
+                .alias("est_distinct")))
+    exact = (e.withColumn("wd", F.explode(span))
+             .join(days, "wd", "left_semi")
+             .groupBy("wd")
+             .agg(F.countDistinct("_i").cast("long")
+                  .alias("exact_distinct")))
+    nd = (days.select(F.col("wd").alias("_md"))
+          .withColumn("wd", F.explode(
+              F.sequence(F.col("_md"), F.col("_md") + (window_days - 1))))
+          .join(days, "wd", "left_semi")
+          .groupBy("wd").agg(F.count("*").cast("long").alias("n_days")))
+    return (nd.join(est, "wd").join(exact, "wd")
+            .select(F.col("wd").cast("long").alias("day_num"),
+                    "n_days", "n_sketch", "est_distinct",
+                    "exact_distinct"))

@@ -560,3 +560,49 @@ def cohens_kappa(cells: DataFrame, label_col: str, pred_col: str,
                     F.round(po, 6).alias("po"),
                     F.round(pe, 6).alias("pe"),
                     kappa.alias("kappa")))
+
+
+def ab_uplift_report(df: DataFrame, arm_col: str, value_col: str,
+                     arm_a: str = "a", arm_b: str = "b") -> DataFrame:
+    """Two-sample A/B uplift report (E179) → one row ``(n_a, n_b,
+    mean_a, mean_b, uplift, z_score)``.
+
+    The experiment-readout primitive: per-unit metric values (ALREADY
+    aggregated to the randomization unit — users, not events; mixing
+    units inflates significance) compared across two arms with the
+    Welch z statistic ``(mean_a − mean_b) / sqrt(s²_a/n_a +
+    s²_b/n_b)``. Everything reduces in ONE conditional-sum aggregate
+    pass (n, Σx, Σx² per arm — map-side combinable): variance comes
+    from the closed form ``(Σx² − (Σx)²/n)/(n − 1)``, exact while the
+    sums are integral (keep ``value_col`` integer cents; Σx² is exact
+    BIGINT to ~3·10⁹ unit-cents² mass — pre-scale past that).
+    Degenerate denominators (either arm < 2 units, or both variances
+    zero) report null z rather than raising under ANSI division.
+    """
+    x = F.col(value_col)
+
+    def arm(tag: str, val: str):
+        cond = F.col(arm_col) == val
+        return [F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                .alias(f"n_{tag}"),
+                F.sum(F.when(cond, x).otherwise(0)).cast("long")
+                .alias(f"_sx_{tag}"),
+                F.sum(F.when(cond, x * x).otherwise(0)).cast("long")
+                .alias(f"_sxx_{tag}")]
+
+    agg = df.agg(*arm("a", arm_a), *arm("b", arm_b))
+    mean = {t: F.col(f"_sx_{t}") / F.col(f"n_{t}") for t in "ab"}
+    var = {t: (F.col(f"_sxx_{t}")
+               - (F.col(f"_sx_{t}").cast("double") * F.col(f"_sx_{t}"))
+               / F.col(f"n_{t}"))
+           / (F.col(f"n_{t}") - 1) for t in "ab"}
+    se2 = var["a"] / F.col("n_a") + var["b"] / F.col("n_b")
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    z = F.when(ok & (se2 > 0),
+               F.round((mean["a"] - mean["b"]) / F.sqrt(se2), 6))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(mean["a"], 6).alias("mean_a"),
+        F.round(mean["b"], 6).alias("mean_b"),
+        F.round(mean["a"] - mean["b"], 6).alias("uplift"),
+        z.alias("z_score"))

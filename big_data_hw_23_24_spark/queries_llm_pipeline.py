@@ -2554,3 +2554,87 @@ def corpus_compaction_plan(spark, sf_dir):
                 .agg(F.sum("n_chars").cast("long").alias("n_bytes")))
     return compaction_plan(manifest, "n_bytes", [F.col("file_id")],
                            target_bytes=10_000)
+
+
+# --- E180: rolling-window distinct via KMV merge (r12) ---------------------------
+# "7-day active users" done the way it scales: exact rolling distinct
+# re-touches every raw row once per window position; the sketch path
+# aggregates each day ONCE into <= k hash rows and merges on the day
+# grid — mergeability (k smallest of a union of per-day sketches IS
+# the window's sketch, exactly) is why sketches are carried per time
+# partition at all. The exact rolling distinct rides along (gate
+# convention) so the estimator error is measured per window.
+@register(
+    "events_rolling_distinct_kmv",
+    """
+    WITH e AS (
+      SELECT DISTINCT
+             (epoch_ns(ts) // 1000) // 86400000000 AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d AS wd FROM e),
+    sk AS (
+      SELECT d, h FROM (
+        SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk
+        FROM (SELECT DISTINCT d,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1, 15))::BIGINT AS h
+              FROM e)
+      ) WHERE rk <= 128
+    ),
+    m AS (
+      SELECT DISTINCT wd, h FROM (
+        SELECT sk.d + k.k AS wd, sk.h
+        FROM sk, (SELECT unnest(range(7)) AS k) k)
+      SEMI JOIN days USING (wd)
+    ),
+    top AS (
+      SELECT wd, h FROM (
+        SELECT wd, h, row_number() OVER (PARTITION BY wd ORDER BY h)
+               AS rk
+        FROM m
+      ) WHERE rk <= 128
+    ),
+    est AS (
+      SELECT wd, count(*)::BIGINT AS n_sketch,
+             CASE WHEN count(*) < 128 THEN count(*) * 1.0
+                  ELSE round(127.0 * 1152921504606846976.0 / max(h), 6)
+             END AS est_distinct
+      FROM top GROUP BY wd
+    ),
+    exact AS (
+      SELECT wd, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM (SELECT DISTINCT wd, user_id FROM (
+              SELECT e.d + k.k AS wd, e.user_id
+              FROM e, (SELECT unnest(range(7)) AS k) k)
+            SEMI JOIN days USING (wd))
+      GROUP BY wd
+    ),
+    nd AS (
+      SELECT wd, count(*)::BIGINT AS n_days
+      FROM (SELECT b.wd + k.k AS wd
+            FROM (SELECT wd FROM days) b,
+                 (SELECT unnest(range(7)) AS k) k)
+      SEMI JOIN days USING (wd)
+      GROUP BY wd
+    )
+    SELECT nd.wd::BIGINT AS day_num, nd.n_days, est.n_sketch,
+           est.est_distinct, exact.exact_distinct
+    FROM nd JOIN est USING (wd) JOIN exact USING (wd)
+    """,
+    doc="trailing-7-day distinct users from per-day KMV sketches "
+        "(k=128): each day aggregates once into <= k hash rows, the "
+        "window merge is day-grid-sized, and the merged k-smallest "
+        "set IS the window's sketch by mergeability; exact rolling "
+        "distinct rides along so the estimator error is measured, "
+        "never assumed; partial windows at the corpus start report "
+        "their smaller n_days",
+)
+def events_rolling_distinct_kmv(spark, sf_dir):
+    from .operators.frequent import rolling_distinct_kmv
+    from .operators.timeseries import ticks_us
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.floor(ticks_us(ev) / F.lit(86_400_000_000)).cast("long")
+    return rolling_distinct_kmv(ev.select(d.alias("d"), "user_id"),
+                                "user_id", "d", window_days=7, k=128)

@@ -2431,3 +2431,73 @@ def events_interval_join(spark, sf_dir):
                     .alias("n_users"),
                     F.coalesce("value_cents", F.lit(0)).cast("long")
                     .alias("value_cents")))
+
+
+# --- E179: A/B uplift readout (r12) --------------------------------------------
+# The experiment primitive: users hash-assigned to two arms (md5
+# bucket — the engine-portable split convention), per-USER metric
+# first (the randomization unit; per-event comparison inflates
+# significance), then one conditional-sum pass for the Welch z. The
+# synthetic assignment is a true A/A test, so |z| is small — the
+# honest null readout, not a planted effect.
+@register(
+    "events_ab_uplift",
+    """
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 'a' ELSE 'b' END AS arm,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN arm = 'a' THEN cents ELSE 0 END)::BIGINT
+               AS sx_a,
+             sum(CASE WHEN arm = 'b' THEN cents ELSE 0 END)::BIGINT
+               AS sx_b,
+             sum(CASE WHEN arm = 'a' THEN cents * cents ELSE 0
+                 END)::BIGINT AS sxx_a,
+             sum(CASE WHEN arm = 'b' THEN cents * cents ELSE 0
+                 END)::BIGINT AS sxx_b
+      FROM units
+    )
+    SELECT n_a, n_b,
+           round(sx_a * 1.0 / n_a, 6) AS mean_a,
+           round(sx_b * 1.0 / n_b, 6) AS mean_b,
+           round(sx_a * 1.0 / n_a - sx_b * 1.0 / n_b, 6) AS uplift,
+           CASE WHEN n_a >= 2 AND n_b >= 2
+                 AND ((sxx_a - (CAST(sx_a AS DOUBLE) * sx_a) / n_a)
+                      / (n_a - 1)) / n_a
+                   + ((sxx_b - (CAST(sx_b AS DOUBLE) * sx_b) / n_b)
+                      / (n_b - 1)) / n_b > 0
+                THEN round((sx_a * 1.0 / n_a - sx_b * 1.0 / n_b)
+                           / sqrt(((sxx_a - (CAST(sx_a AS DOUBLE)
+                                             * sx_a) / n_a)
+                                   / (n_a - 1)) / n_a
+                                  + ((sxx_b - (CAST(sx_b AS DOUBLE)
+                                               * sx_b) / n_b)
+                                     / (n_b - 1)) / n_b), 6)
+                ELSE NULL END AS z_score
+    FROM g
+    """,
+    doc="A/B uplift readout on hash-assigned arms: per-user integer-"
+        "cents metric (the randomization unit), Welch z from one "
+        "conditional-sum pass (n, Sx, Sxx per arm — exact BIGINT "
+        "sums, closed-form variance); the md5 split is an A/A test, "
+        "so the small |z| is the honest null, not a planted effect",
+)
+def events_ab_uplift(spark, sf_dir):
+    from .operators.grouped import ab_uplift_report
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 2 == 0, "a").otherwise("b")
+    units = (ev.groupBy("user_id")
+             .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+                  .cast("long").alias("cents"))
+             .withColumn("arm", arm))
+    return ab_uplift_report(units, "arm", "cents")

@@ -206,3 +206,50 @@ def test_phrase_search_counts_overlapping_occurrences(spark):
     got = sorted((r.phrase, r.doc_id, r.n_occurrences) for r in
                  phrase_search(docs, ["a b", "a b a", "zz"]).collect())
     assert got == [("a b", 1, 2), ("a b", 2, 2), ("a b a", 1, 2)]
+
+
+def test_ab_uplift_matches_hand_welch(spark):
+    """Welch z computed by hand; the n<2 degenerate reports null."""
+    import math
+
+    from big_data_hw_23_24_spark.operators.grouped import (
+        ab_uplift_report)
+
+    a_vals = [10, 20, 30, 40]
+    b_vals = [15, 25, 35]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "arm string, cents long")
+    r = ab_uplift_report(df, "arm", "cents").collect()[0]
+    ma, mb = sum(a_vals) / 4, sum(b_vals) / 3
+    va = sum((x - ma) ** 2 for x in a_vals) / 3
+    vb = sum((x - mb) ** 2 for x in b_vals) / 2
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert r.mean_a == round(ma, 6) and r.mean_b == round(mb, 6)
+    assert r.z_score == round((ma - mb) / math.sqrt(va / 4 + vb / 3), 6)
+    tiny = spark.createDataFrame([("a", 1), ("b", 2), ("b", 3)],
+                                 "arm string, cents long")
+    assert ab_uplift_report(tiny, "arm", "cents").collect()[0] \
+        .z_score is None
+
+
+def test_rolling_distinct_kmv_merge_equals_window_sketch(spark):
+    """Mergeability: the merged per-day sketches must equal the sketch
+    built directly on each window's distinct items — and below k the
+    estimate IS the exact count (partial windows included)."""
+    from big_data_hw_23_24_spark.operators.frequent import (
+        rolling_distinct_kmv)
+
+    rows = [(d, u) for d in range(10, 20) for u in range(d * 3 % 7 + 3)]
+    df = spark.createDataFrame(rows, "d long, user long")
+    got = {r.day_num: r for r in
+           rolling_distinct_kmv(df, "user", "d", window_days=3,
+                                k=64).collect()}
+    assert set(got) == set(range(10, 20))
+    for wd, r in got.items():
+        members = {u for d, u in rows if wd - 2 <= d <= wd}
+        n_days = len({d for d, _ in rows if wd - 2 <= d <= wd})
+        assert r.n_days == n_days
+        assert r.exact_distinct == len(members)
+        # below k the merged sketch is the whole distinct set: exact
+        assert r.n_sketch == len(members)
+        assert r.est_distinct == float(len(members))

@@ -663,6 +663,12 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   phrase search (adjacency
                                      #   equi-join chain over pruned
                                      #   postings)
+        "events_ab_uplift",          # r12: A/B readout — Welch z from
+                                     #   one conditional-sum pass on
+                                     #   per-user integer cents
+        "events_rolling_distinct_kmv",  # r12: trailing-7-day distinct
+                                     #   users via per-day KMV sketch
+                                     #   merge + exact ride-along
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training

@@ -73,6 +73,11 @@ PROBES = [
     "doc_linkage_snm",           # rank-spine bucket-adjacency O(n*w)
     "dedup_eval_bcubed",         # cluster-size aggregates, no pairs
     "doc_homoglyph_scan",        # corpus-wide skeleton owner election
+    # r12 faces whose joins could hide a superlinear term
+    "knn_reciprocal_ivf",        # IVF-routed mutual NN, both directions
+    "events_interval_join",      # bucket-explode range join
+    "doc_phrase_search",         # positional postings adjacency chain
+    "doc_domain_cap",            # per-domain grouped top-k
 ]
 
 
