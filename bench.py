@@ -181,6 +181,7 @@ HEADLINE = [
     "doc_phrase_search",        # positional-index exact phrase lookup
     "events_ab_uplift",         # Welch z on hash-assigned arms
     "events_rolling_distinct_kmv",  # 7-day actives via KMV merge
+    "doc_context_fit",          # head+tail truncation, zero-shuffle map
 ]
 
 

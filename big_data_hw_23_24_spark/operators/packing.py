@@ -110,3 +110,41 @@ def length_batches(docs: DataFrame, batch_size: int = 32,
         F.max("n_tokens").over(w).alias("batch_max"))
         .withColumn("pad_waste",
                     (F.col("batch_max") - F.col("n_tokens")).cast("long")))
+
+
+def head_tail_truncate(docs: DataFrame, budget: int = 64,
+                       head: int = 48, tail: int = 15,
+                       marker: str = "...",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Head+tail context-window truncation (E181) → ``(doc_id,
+    n_tokens, n_kept, truncated, fitted_text)``.
+
+    The long-document policy packing pipelines apply BEFORE chunking
+    or padding decisions: middle-out truncation keeps the head (titles,
+    ledes) and the tail (conclusions, signatures) — the two spans with
+    the highest information density in web/document text — joined by
+    an explicit elision marker so the seam is visible to the model and
+    to audits. ``head + 1 + tail`` must equal ``budget`` (validated);
+    docs at or under budget pass through untouched (``truncated`` =
+    false, text byte-identical). Pure array slicing over the split —
+    one narrow map, zero shuffles, a free rider on any corpus scan.
+    """
+    if head + 1 + tail != budget:
+        raise ValueError(f"head ({head}) + marker (1) + tail ({tail}) "
+                         f"must equal budget ({budget})")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(words)
+    fitted = F.when(
+        n > budget,
+        F.array_join(F.concat(F.slice(words, 1, head),
+                              F.array(F.lit(marker)),
+                              F.slice(words, -tail, tail)), " ")) \
+        .otherwise(F.array_join(words, " "))
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(n > budget, F.lit(budget)).otherwise(n).cast("long")
+        .alias("n_kept"),
+        (n > budget).alias("truncated"),
+        fitted.alias("fitted_text"))

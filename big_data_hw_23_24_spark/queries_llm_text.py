@@ -2264,3 +2264,40 @@ def doc_phrase_search(spark, sf_dir):
 
     return phrase_search(load_table(spark, sf_dir, "documents"),
                          _PHRASES)
+
+
+# --- E181: head+tail context-window truncation (r12) -----------------------------
+# The long-document policy applied before chunking/padding: middle-out
+# truncation keeps the head (titles, ledes) and tail (conclusions)
+# with an explicit elision marker at the seam; under-budget docs pass
+# through byte-identical. Pure array slicing, zero shuffles.
+@register(
+    "doc_context_fit",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(ws) > 64 THEN 64 ELSE len(ws) END
+                AS BIGINT) AS n_kept,
+           len(ws) > 64 AS truncated,
+           CASE WHEN len(ws) > 64
+                THEN array_to_string(
+                       list_concat(list_concat(ws[1:48], ['...']),
+                                   ws[-15:]), ' ')
+                ELSE array_to_string(ws, ' ') END AS fitted_text
+    FROM w
+    """,
+    doc="head+tail truncation to a 64-token budget (48 head + elision "
+        "marker + 15 tail): the middle-out long-document policy, "
+        "seam visible to audits; under-budget docs byte-identical; "
+        "one narrow map, zero shuffles",
+)
+def doc_context_fit(spark, sf_dir):
+    from .operators.packing import head_tail_truncate
+
+    return head_tail_truncate(load_table(spark, sf_dir, "documents"),
+                              budget=64, head=48, tail=15)

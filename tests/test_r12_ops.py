@@ -253,3 +253,25 @@ def test_rolling_distinct_kmv_merge_equals_window_sketch(spark):
         # below k the merged sketch is the whole distinct set: exact
         assert r.n_sketch == len(members)
         assert r.est_distinct == float(len(members))
+
+
+def test_head_tail_truncate_boundaries(spark):
+    """At-budget passes through byte-identical; over-budget keeps
+    exactly head + marker + tail; geometry mismatch raises."""
+    import pytest
+    from big_data_hw_23_24_spark.operators.packing import (
+        head_tail_truncate)
+
+    at = " ".join(str(i) for i in range(8))
+    over = " ".join(str(i) for i in range(20))
+    docs = spark.createDataFrame([(1, at), (2, over)],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in head_tail_truncate(
+        docs, budget=8, head=5, tail=2).collect()}
+    assert not got[1].truncated and got[1].fitted_text == at
+    assert got[1].n_kept == 8
+    r2 = got[2]
+    assert r2.truncated and r2.n_tokens == 20 and r2.n_kept == 8
+    assert r2.fitted_text == "0 1 2 3 4 ... 18 19"
+    with pytest.raises(ValueError, match="budget"):
+        head_tail_truncate(docs, budget=8, head=5, tail=3)

@@ -669,6 +669,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_rolling_distinct_kmv",  # r12: trailing-7-day distinct
                                      #   users via per-day KMV sketch
                                      #   merge + exact ride-along
+        "doc_context_fit",           # r12: head+tail context-window
+                                     #   truncation (middle-out, seam
+                                     #   marker, zero-shuffle map)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
