@@ -457,6 +457,19 @@ _CARTESIAN_ALLOWLIST = {
                                      #   the big side
     "orders_benford_audit",          # 1-row total-count broadcast onto
                                      #   the 9-digit aggregate
+    # r12 additions, all bounded-side by construction
+    "knn_reciprocal_ivf",            # pinned centroid broadcasts (14-
+                                     #   and 16-row) for both IVF
+                                     #   directions' assignment/probe
+                                     #   argmins — the knn_ivf_pinned
+                                     #   shape, twice
+    "knn_eval_reciprocal",           # rollout gate composing the
+                                     #   exact mutual face (declared
+                                     #   run-once) with the IVF form
+    "corpus_labeler_agreement",      # two 1-row aggregates crossed
+                                     #   into the single kappa row
+    "events_interval_join",          # 5-type × 6-week literal promo
+                                     #   grid (bounded dims both sides)
 }
 
 
