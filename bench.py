@@ -182,6 +182,7 @@ HEADLINE = [
     "events_ab_uplift",         # Welch z on hash-assigned arms
     "events_rolling_distinct_kmv",  # 7-day actives via KMV merge
     "doc_context_fit",          # head+tail truncation, zero-shuffle map
+    "dedup_setsim_prefix",      # exact Jaccard join, prefix-filtered
 ]
 
 

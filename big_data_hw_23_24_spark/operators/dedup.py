@@ -880,3 +880,77 @@ def bcubed_report(assignments: DataFrame, id_col: str = "doc_id",
                       F.round("_ap", 6).alias("b3_precision"),
                       F.round("_ar", 6).alias("b3_recall"),
                       F.round(f1, 6).alias("b3_f1"))
+
+
+def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
+                       n: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ t via prefix filtering (E182) →
+    ``(id_a, id_b, jaccard)`` — the AllPairs/PPJoin family (Bayardo et
+    al. 2007), the exact-at-scale complement of MinHash-LSH (whose
+    recall is probabilistic) and of ``exact_jaccard_pairs`` (whose
+    index holds EVERY token, so Σ df² runs over the full vocabulary).
+
+    Prefix principle: order each document's distinct shingle hashes by
+    one GLOBAL total order (the hash value itself) and index only the
+    first ``L = |d| − ⌈t·|d|⌉ + 1`` of them. Completeness: J(A,B) ≥ t
+    implies |A∩B| ≥ ⌈t·max(|A|,|B|)⌉; the globally smallest common
+    element c cannot sit in A's last ⌈t|A|⌉−1 positions (everything of
+    A∩B is ≥ c, and fewer than |A∩B| elements fit there) — so c is in
+    BOTH prefixes and the pair meets the index. The suffix — the bulk
+    of every document at high t — is never indexed, which is the whole
+    cost win: candidate mass is Σ df_prefix², a (1−t)-fraction token
+    sample of the full index.
+
+    Guards, both exact: the prefix bound uses ``floor(t·|d|)`` (≤ the
+    true ceiling under any float rounding — can only LENGTHEN the
+    prefix, never break completeness), and the symmetric length filter
+    ``10⁶·min ≥ round(10⁶t)·max`` runs in integers (a float
+    ``t·size`` comparison can over-prune the exact boundary pair;
+    thresholds are treated as 6-decimal rationals). Verification is
+    the exact hash-set intersection on candidates only, rounded 6
+    before the threshold compare (the cross-engine convention). The
+    slim (id, sorted-hash-array, size) table is checkpointed — prefix
+    explode plus two verify joins consume it (root-cause 4).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tm = int(round(threshold * 1_000_000))
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    hashes = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - n + 1),
+        lambda i: F.xxhash64(*[F.element_at(words, i + j)
+                               for j in range(n)])))
+    arr = F.sort_array(F.when(F.size(words) >= n, hashes)
+                       .otherwise(F.array().cast("array<bigint>")))
+    slim = (docs.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+            .withColumn("_sz", F.size("_arr"))
+            .where(F.col("_sz") >= 1)
+            .localCheckpoint(eager=True))
+    pref_len = (F.col("_sz")
+                - F.floor(F.lit(threshold) * F.col("_sz")).cast("int")
+                + 1)
+    prefix = slim.select(
+        "_id", "_sz",
+        F.explode(F.slice("_arr", 1, pref_len)).alias("_h"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a._h") == F.col("b._h"))
+                   & (F.col("a._id") < F.col("b._id"))
+                   & (F.col("a._sz") * 1_000_000
+                      >= F.lit(tm) * F.col("b._sz"))
+                   & (F.col("b._sz") * 1_000_000
+                      >= F.lit(tm) * F.col("a._sz")))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+    va = slim.select(F.col("_id").alias("id_a"),
+                     F.col("_arr").alias("_aa"),
+                     F.col("_sz").alias("_sa"))
+    vb = slim.select(F.col("_id").alias("id_b"),
+                     F.col("_arr").alias("_ab"),
+                     F.col("_sz").alias("_sb"))
+    inter = F.size(F.array_intersect("_aa", "_ab"))
+    j = F.round(inter / (F.col("_sa") + F.col("_sb") - inter), 6)
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

@@ -1524,3 +1524,86 @@ def dedup_eval_bcubed(spark, sf_dir):
               .join(groups, "_fp")
               .select("doc_id", F.col("_c").alias("pred"), "truth"))
     return bcubed_report(assign)
+
+
+# --- E182: exact set-similarity join via prefix filtering (r12) -----------------
+# The exact-at-scale member of the dedup tier: MinHash-LSH recall is
+# probabilistic and exact_jaccard_pairs indexes EVERY token (Σ df²
+# over the full vocabulary) — the AllPairs/PPJoin prefix filter keeps
+# the result exactly complete while indexing only the first
+# |d| − ⌈t·|d|⌉ + 1 hash-ordered shingles per document (the globally
+# smallest common element of any qualifying pair provably lands in
+# both prefixes). Salt: every 11th doc re-ingested with every 25th
+# word dropped — J against its source ≈ 0.75-0.9 (each dropped word
+# kills ≤3 shingles, adds ≤1 bridge), comfortably over the 0.7
+# threshold, so true pairs exist at every SF. The oracle states the
+# DEFINITIONAL all-pairs Jaccard over the same salted corpus, so the
+# parity row is the completeness proof run as data.
+@register(
+    "dedup_setsim_prefix",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 8000000,
+             array_to_string(
+               list_filter(
+                 list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN i % 25 = 0 THEN NULL ELSE ws[i] END),
+                 x -> x IS NOT NULL), ' ')
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                     AS ws
+            FROM documents)
+      WHERE doc_id % 11 = 0
+    ),
+    w AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM all_docs)
+      WHERE word <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM w a
+      JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(ix * 1.0 / (sa.sz + sb.sz - ix), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(ix * 1.0 / (sa.sz + sb.sz - ix), 6) >= 0.7
+    """,
+    doc="exact all-pairs Jaccard >= 0.7 via AllPairs/PPJoin prefix "
+        "filtering: only the first |d| - ceil(t|d|) + 1 hash-ordered "
+        "shingles are indexed (completeness proven via the smallest "
+        "common element), integer-exact length filter, exact "
+        "verification on candidates only; oracle = the definitional "
+        "all-pairs join, so parity IS the completeness proof; salted "
+        "with word-dropped re-ingests (J ~ 0.8)",
+)
+def dedup_setsim_prefix(spark, sf_dir):
+    from .operators.dedup import setsim_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    # 2-param HOF lambda receives (element, 0-based index): keep words
+    # whose 1-based position is not a multiple of 25
+    dropped = F.array_join(
+        F.filter(words, lambda w, i: (i + 1) % 25 != 0), " ")
+    salt = (docs.where(F.col("doc_id") % 11 == 0)
+            .select((F.col("doc_id") + 8000000).alias("doc_id"),
+                    dropped.alias("text")))
+    return setsim_join_prefix(docs.unionByName(salt), threshold=0.7)

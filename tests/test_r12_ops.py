@@ -275,3 +275,46 @@ def test_head_tail_truncate_boundaries(spark):
     assert r2.fitted_text == "0 1 2 3 4 ... 18 19"
     with pytest.raises(ValueError, match="budget"):
         head_tail_truncate(docs, budget=8, head=5, tail=3)
+
+
+def test_setsim_prefix_equals_bruteforce(spark):
+    """Completeness + precision: the prefix-filtered join must equal
+    the definitional all-pairs Jaccard on seeded random docs with
+    planted near-dups, boundary sizes and exact duplicates — across
+    forced partitions."""
+    import random
+
+    from big_data_hw_23_24_spark.operators.dedup import (
+        setsim_join_prefix, word_shingles)
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted: drop one word from every 6th doc; exact dup of doc 0
+    for i in range(0, 60, 6):
+        ws = rows[i][1].split()
+        rows.append((1000 + i, " ".join(ws[:-1])))
+    rows.append((2000, rows[0][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(7)
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           setsim_join_prefix(docs, threshold=0.7).collect()}
+    # brute force over string shingle sets (hash sets are 1:1 barring
+    # 64-bit collisions)
+    sh = {r.doc_id: set(r.shingles) for r in
+          word_shingles(docs).select("doc_id", "shingles").collect()}
+    want = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sh[a] or not sh[b]:
+                continue
+            ix = len(sh[a] & sh[b])
+            j = round(ix / (len(sh[a]) + len(sh[b]) - ix), 6)
+            if j >= 0.7:
+                want[(a, b)] = j
+    assert got == want

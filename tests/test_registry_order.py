@@ -672,6 +672,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "doc_context_fit",           # r12: head+tail context-window
                                      #   truncation (middle-out, seam
                                      #   marker, zero-shuffle map)
+        "dedup_setsim_prefix",       # r12: EXACT all-pairs Jaccard
+                                     #   via AllPairs/PPJoin prefix
+                                     #   filtering; oracle = the
+                                     #   definitional all-pairs join
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
