@@ -44,24 +44,44 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _shifted_gram_zip(words: Column, n: int) -> Column:
+    """Struct array of ``n`` consecutive words, evaluating ``words``
+    exactly ``n`` times per ROW: ``arrays_zip`` of n shifted slices,
+    trimmed to the m−n+1 full windows.
+
+    The r12 shingling root-cause: a transform lambda that INDEXES the
+    words expression (``element_at(words, i+j)`` or
+    ``slice(words, i+1, n)``) re-evaluates the whole split+filter
+    subexpression PER ELEMENT — there is no common-subexpression
+    elimination inside higher-order-function codegen — turning O(len)
+    shingling into O(len²) (measured 6.8 s → 0.6 s at sf0.1 for the
+    hash form, 2.2 s → 1.0 s for strings). Zipping shifted slices
+    keeps every consumer a per-row O(len) map and stays a pure lazy
+    Column — no materialization needed.
+    """
+    m = F.size(words)
+    z = F.arrays_zip(words, *[F.slice(words, j + 1, m - j)
+                              for j in range(1, n)])
+    return F.slice(z, 1, m - n + 1)
+
+
 def word_shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
                   out_col: str = "shingles") -> DataFrame:
     """Distinct word n-gram shingles as an array column (JVM-side).
 
-    ``transform(sequence(...))`` + ``slice`` keeps shingling inside
-    whole-stage codegen; empty tokens from repeated spaces are dropped
-    first so the shingle set is insensitive to run-length of spaces.
-    Documents with fewer than ``n`` words get an empty shingle array
-    (``sequence`` would count *down* for a negative span, so the short
-    case is branched out explicitly).
+    Shingles come from ``arrays_zip`` of shifted slices (see
+    :func:`_shifted_gram_zip` — an index-into-words lambda would
+    re-evaluate the split per element); empty tokens from repeated
+    spaces are dropped first so the shingle set is insensitive to
+    run-length of spaces. Documents with fewer than ``n`` words get
+    an empty shingle array.
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    z = _shifted_gram_zip(words, n)
     grams = F.when(
         F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
+        F.transform(z, lambda x: F.concat_ws(
+            " ", *[x[str(j)] for j in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
     return docs.withColumn(out_col, F.array_distinct(grams))
 
@@ -341,9 +361,8 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.8,
 
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     hashes = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(words) - n + 1),
-        lambda i: F.xxhash64(*[F.element_at(words, i + j)
-                               for j in range(n)])))
+        _shifted_gram_zip(words, n),
+        lambda x: F.xxhash64(*[x[str(j)] for j in range(n)])))
     arr = F.when(F.size(words) >= n, hashes) \
         .otherwise(F.array().cast("array<bigint>"))
     sh = ((ensure_fanout(docs) if fanout else docs)
@@ -902,28 +921,43 @@ def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
     cost win: candidate mass is Σ df_prefix², a (1−t)-fraction token
     sample of the full index.
 
-    Guards, both exact: the prefix bound uses ``floor(t·|d|)`` (≤ the
+    Guards, all exact: the prefix bound uses ``floor(t·|d|)`` (≤ the
     true ceiling under any float rounding — can only LENGTHEN the
-    prefix, never break completeness), and the symmetric length filter
+    prefix, never break completeness); the symmetric length filter
     ``10⁶·min ≥ round(10⁶t)·max`` runs in integers (a float
     ``t·size`` comparison can over-prune the exact boundary pair;
-    thresholds are treated as 6-decimal rationals). Verification is
-    the exact hash-set intersection on candidates only, rounded 6
-    before the threshold compare (the cross-engine convention). The
-    slim (id, sorted-hash-array, size) table is checkpointed — prefix
-    explode plus two verify joins consume it (root-cause 4).
+    thresholds are treated as 6-decimal rationals); and the PPJoin
+    POSITIONAL filter prunes before any array moves: the smallest
+    matching prefix token of a pair IS the pair's globally smallest
+    common element (the completeness argument again), every common
+    element is ≥ it, so ``overlap ≤ min(|A|−pa, |B|−pb)`` at its
+    positions — pairs whose bound can't reach the required overlap
+    ``o·(10⁶+10⁶t) ≥ 10⁶t·(|A|+|B|)`` are dropped (integer compare;
+    measured 214k → 81k candidates at sf0.1, and it tightens as
+    documents grow, exactly when verify gets expensive).
+    Verification is the exact hash-set intersection on survivors
+    only, rounded 6 before the threshold compare (the cross-engine
+    convention). The slim (id, sorted-hash-array, size) table is
+    checkpointed — prefix explode plus two verify joins consume it
+    (root-cause 4).
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from .util import ensure_fanout
+
     tm = int(round(threshold * 1_000_000))
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words = F.filter(F.split(F.col("_t"), " "), lambda w: w != "")
     hashes = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.size(words) - n + 1),
-        lambda i: F.xxhash64(*[F.element_at(words, i + j)
-                               for j in range(n)])))
+        _shifted_gram_zip(words, n),
+        lambda x: F.xxhash64(*[x[str(j)] for j in range(n)])))
     arr = F.sort_array(F.when(F.size(words) >= n, hashes)
                        .otherwise(F.array().cast("array<bigint>")))
-    slim = (docs.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+    # fanout BEFORE the shingle+sort projection: a sub-row-group local
+    # scan would evaluate the whole per-doc hashing/sorting on two
+    # splits while the cluster idles (the calibration-face lesson)
+    slim = (ensure_fanout(docs.select(F.col(id_col).alias("_id"),
+                                      F.col(text_col).alias("_t")))
+            .select("_id", arr.alias("_arr"))
             .withColumn("_sz", F.size("_arr"))
             .where(F.col("_sz") >= 1)
             .localCheckpoint(eager=True))
@@ -932,17 +966,29 @@ def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
                 + 1)
     prefix = slim.select(
         "_id", "_sz",
-        F.explode(F.slice("_arr", 1, pref_len)).alias("_h"))
+        F.posexplode(F.slice("_arr", 1, pref_len)).alias("_p", "_h"))
     a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (a.join(b, (F.col("a._h") == F.col("b._h"))
-                   & (F.col("a._id") < F.col("b._id"))
-                   & (F.col("a._sz") * 1_000_000
-                      >= F.lit(tm) * F.col("b._sz"))
-                   & (F.col("b._sz") * 1_000_000
-                      >= F.lit(tm) * F.col("a._sz")))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"))
-            .distinct())
+    matches = (a.join(b, (F.col("a._h") == F.col("b._h"))
+                      & (F.col("a._id") < F.col("b._id"))
+                      & (F.col("a._sz") * 1_000_000
+                         >= F.lit(tm) * F.col("b._sz"))
+                      & (F.col("b._sz") * 1_000_000
+                         >= F.lit(tm) * F.col("a._sz")))
+               .select(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"),
+                       F.struct(F.col("a._h").alias("h"),
+                                F.col("a._p").alias("pa"),
+                                F.col("b._p").alias("pb"),
+                                F.col("a._sz").alias("sa"),
+                                F.col("b._sz").alias("sb")).alias("_m")))
+    # min over h = the pair's smallest common element (it is provably
+    # in both prefixes); its positions give the PPJoin overlap bound
+    first = (matches.groupBy("id_a", "id_b")
+             .agg(F.min("_m").alias("_m"))
+             .select("id_a", "id_b", "_m.pa", "_m.pb", "_m.sa", "_m.sb"))
+    ub = F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+    cand = first.where(ub * (1_000_000 + tm)
+                       >= F.lit(tm) * (F.col("sa") + F.col("sb")))
     va = slim.select(F.col("_id").alias("id_a"),
                      F.col("_arr").alias("_aa"),
                      F.col("_sz").alias("_sa"))
@@ -951,6 +997,7 @@ def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
                      F.col("_sz").alias("_sb"))
     inter = F.size(F.array_intersect("_aa", "_ab"))
     j = F.round(inter / (F.col("_sa") + F.col("_sb") - inter), 6)
-    return (cand.join(va, "id_a").join(vb, "id_b")
+    return (cand.select("id_a", "id_b")
+            .join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b", j.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))

@@ -207,13 +207,14 @@ def repetition_scores(docs: DataFrame, text_col: str = "text",
     base = docs.select(F.col(id_col), F.col(text_col)) \
         .repartition(F.col(id_col))
     words = _words(F.col(text_col))
-    # CASE WHEN is evaluated lazily per row, so the sequence/element_at
-    # branch never sees a <2-token array (ANSI mode would reject the
-    # out-of-bounds index otherwise)
+    from .dedup import _shifted_gram_zip
+
+    # CASE WHEN guards the <2-token branch (ANSI mode); the zip form
+    # evaluates the words expression per ROW, never per element (the
+    # r12 shingling root-cause)
     bigrams = F.when(F.size(words) >= 2, F.transform(
-        F.sequence(F.lit(2), F.size(words)),
-        lambda i: F.concat_ws(" ", F.element_at(words, i - 1),
-                              F.element_at(words, i)))
+        _shifted_gram_zip(words, 2),
+        lambda x: F.concat_ws(" ", x["0"], x["1"]))
     ).otherwise(F.array().cast("array<string>"))
     n_bg = F.greatest(F.size(words) - 1, F.lit(0))
     dup_bg = F.when(

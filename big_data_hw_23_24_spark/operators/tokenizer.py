@@ -272,12 +272,15 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     join, which is the same plan minus the broadcast). Documents with
     fewer than 2 tokens are kept with score 0.
     """
+    from .dedup import _shifted_gram_zip
+
     words = _words(F.col(text_col))
-    # CASE guards the <2-token branch for ANSI mode, as in textstats
+    # CASE guards the <2-token branch for ANSI mode, as in textstats;
+    # the zip form evaluates words per ROW, never per element (the
+    # r12 shingling root-cause)
     doc_pairs = F.when(F.size(words) >= 2, F.transform(
-        F.sequence(F.lit(2), F.size(words)),
-        lambda i: F.struct(F.element_at(words, i - 1).alias("prev"),
-                           F.element_at(words, i).alias("word")))
+        _shifted_gram_zip(words, 2),
+        lambda x: F.struct(x["0"].alias("prev"), x["1"].alias("word")))
     ).otherwise(F.array().cast("array<struct<prev:string,word:string>>"))
 
     base = docs.select(F.col(id_col), F.col(text_col)) \
