@@ -154,11 +154,13 @@ def dsir_importance(docs: DataFrame, is_target: Column,
 
     # lowered word bigrams (the lowercase sibling of
     # textstats._ngram_pairs at n=2)
+    from .dedup import _shifted_gram_zip
+
     words = lowered_words(text_col)
     grams = F.when(
         F.size(words) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
+        F.transform(_shifted_gram_zip(words, 2),
+                    lambda x: F.concat_ws(" ", x["0"], x["1"])),
     ).otherwise(F.array().cast("array<string>"))
 
     from .util import ensure_fanout

@@ -323,17 +323,25 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
     n = F.size(words)
     # sequence(1, 0) DESCENDS in Spark — guard the too-short cases to
     # an explicit empty array instead
+    from .dedup import _shifted_gram_zip
+
+    # zip forms throughout: slicing a COMPUTED array inside a
+    # transform lambda re-evaluates it per element (SCALING
+    # root-cause 6) — the window minimum over grams was re-running
+    # the whole md5 gram build once per WINDOW
     grams = F.when(n >= k, F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.substring(
-            F.md5(F.array_join(F.slice(words, i, k), " ")), 1, 16))) \
+        _shifted_gram_zip(words, k),
+        lambda x: F.substring(
+            F.md5(F.concat_ws(" ", *[x[str(j)] for j in range(k)])),
+            1, 16))) \
         .otherwise(empty)
     n_grams = F.size(grams)
     # docs with fewer than w grams still fingerprint: one window over
-    # everything (so any ≥ k-word document has ≥ 1 selected hash)
+    # everything (so any ≥ k-word document has ≥ 1 selected hash);
+    # sliding min = element-wise least over w shifted gram slices
     sel = F.when(n_grams >= w, F.array_distinct(F.transform(
-        F.sequence(F.lit(1), n_grams - w + 1),
-        lambda j: F.array_min(F.slice(grams, j, w))))) \
+        _shifted_gram_zip(grams, w),
+        lambda x: F.least(*[x[str(j)] for j in range(w)])))) \
         .when(n_grams >= 1, F.array(F.array_min(grams))) \
         .otherwise(empty)
     base = (docs
@@ -578,11 +586,14 @@ def _ngram_pairs(docs: DataFrame, n: int, text_col: str,
     document — the shared base table of the boilerplate ops. Narrow
     explode + ONE hash aggregate on (doc, ngram); at corpus scale this
     is the table to checkpoint once and feed both consumers."""
+    from .dedup import _shifted_gram_zip
+
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     grams = F.when(
         F.size(words) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(words) - n),
-                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+        F.transform(_shifted_gram_zip(words, n),
+                    lambda x: F.concat_ws(
+                        " ", *[x[str(j)] for j in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
     from .util import ensure_fanout
 
@@ -840,12 +851,15 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, n: int = 8,
            .select(id_col, F.col("_p.start").alias("start"),
                    F.col("_p.gram").alias("gram")))
 
+    from .dedup import _shifted_gram_zip as _sgz
+
     bwords = F.filter(F.split(F.col(bench_text_col), " "),
                       lambda w: w != "")
     bgrams = F.when(
         F.size(bwords) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(bwords) - n + 1),
-                    lambda i: F.concat_ws(" ", F.slice(bwords, i, n))),
+        F.transform(_sgz(bwords, n),
+                    lambda x: F.concat_ws(
+                        " ", *[x[str(j)] for j in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
     bench_grams = (benchmark.select(F.explode(bgrams).alias("gram"))
                    .distinct())
@@ -1020,11 +1034,13 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 20,
         raise ValueError(f"k must be positive, got {k}")
     from .util import ensure_fanout, lowered_words
 
+    from .dedup import _shifted_gram_zip
+
     words = lowered_words(text_col)
     grams = F.when(
         F.size(words) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2))),
+        F.transform(_shifted_gram_zip(words, 2),
+                    lambda x: F.concat_ws(" ", x["0"], x["1"])),
     ).otherwise(F.array().cast("array<string>"))
     base = ensure_fanout(docs)
     pairs = (base.select(F.explode(grams).alias("pair"))
