@@ -535,9 +535,12 @@ def domain_cap(docs: DataFrame, url_col: str = "url",
     style): unbounded per-site document counts let one boilerplate-
     heavy host dominate training mixes, so each registrable domain is
     capped at its k best documents. Registrable domain = the last two
-    dot-labels of the lowercased host (scheme and path stripped) — a
-    documented heuristic; the real public-suffix list is a broadcast
-    lexicon swap, not a plan change. Ranking runs on the two-stage
+    dot-labels of the lowercased host (scheme, userinfo, port and
+    path stripped — a port-varied URL must not mint a fresh k-budget;
+    dotless hosts like ``localhost`` fall back to the whole host
+    rather than pooling into one '' pseudo-domain) — a documented
+    heuristic; the real public-suffix list is a broadcast lexicon
+    swap, not a plan change. Ranking runs on the two-stage
     grouped top-k (per-partition heaps), so a mega-domain never
     funnels one reducer; ``order_by`` defaults to ``id_col`` asc —
     callers pass their quality ordering (the face keeps the longest).
@@ -545,9 +548,11 @@ def domain_cap(docs: DataFrame, url_col: str = "url",
     from .grouped import grouped_topk
 
     host = F.lower(F.regexp_extract(
-        F.col(url_col), "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]+)", 1))
+        F.col(url_col),
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)", 1))
     dom = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    base = docs.withColumn("domain", dom)
+    base = docs.withColumn(
+        "domain", F.when(dom != "", dom).otherwise(host))
     order = list(order_by) if order_by else []
     top = grouped_topk(base, ["domain"], order + [F.col(id_col)], k)
     return top.select("domain", F.col(id_col),

@@ -936,8 +936,11 @@ def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
     measured 214k → 81k candidates at sf0.1, and it tightens as
     documents grow, exactly when verify gets expensive).
     Verification is the exact hash-set intersection on survivors
-    only, rounded 6 before the threshold compare (the cross-engine
-    convention). The slim (id, sorted-hash-array, size) table is
+    only, with the UNROUNDED ratio compared against t (the ratio of
+    exact integers divides to the identical double in any engine, so
+    the usual round-before-compare convention is unnecessary — and
+    would admit boundary pairs the exact filters already pruned);
+    only the reported value is rounded. The slim (id, sorted-hash-array, size) table is
     checkpointed — prefix explode plus two verify joins consume it
     (root-cause 4).
     """
@@ -965,9 +968,11 @@ def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
                 - F.floor(F.lit(threshold) * F.col("_sz")).cast("int")
                 + 1)
     prefix = slim.select(
-        "_id", "_sz",
+        "_id", F.col("_sz").cast("long").alias("_sz"),
         F.posexplode(F.slice("_arr", 1, pref_len)).alias("_p", "_h"))
     a, b = prefix.alias("a"), prefix.alias("b")
+    # sizes ride as LONG: int32 size * 10^6 overflows at ~2148
+    # shingles (ANSI raise, or silent mis-pruning with ANSI off)
     matches = (a.join(b, (F.col("a._h") == F.col("b._h"))
                       & (F.col("a._id") < F.col("b._id"))
                       & (F.col("a._sz") * 1_000_000
@@ -987,7 +992,7 @@ def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
              .agg(F.min("_m").alias("_m"))
              .select("id_a", "id_b", "_m.pa", "_m.pb", "_m.sa", "_m.sb"))
     ub = F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
-    cand = first.where(ub * (1_000_000 + tm)
+    cand = first.where(ub.cast("long") * (1_000_000 + tm)
                        >= F.lit(tm) * (F.col("sa") + F.col("sb")))
     va = slim.select(F.col("_id").alias("id_a"),
                      F.col("_arr").alias("_aa"),
@@ -996,8 +1001,13 @@ def setsim_join_prefix(docs: DataFrame, threshold: float = 0.7,
                      F.col("_arr").alias("_ab"),
                      F.col("_sz").alias("_sb"))
     inter = F.size(F.array_intersect("_aa", "_ab"))
-    j = F.round(inter / (F.col("_sa") + F.col("_sb") - inter), 6)
+    jraw = inter / (F.col("_sa") + F.col("_sb") - inter)
+    # the filters enforce J >= t EXACTLY, so verify must too: compare
+    # the unrounded ratio (exact-integer division, identical doubles
+    # in any engine) and round only the reported value — a rounded
+    # compare would admit boundary pairs the filters already pruned
     return (cand.select("id_a", "id_b")
             .join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", j.alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+            .where(jraw >= threshold)
+            .select("id_a", "id_b",
+                    F.round(jraw, 6).alias("jaccard")))

@@ -580,15 +580,15 @@ def rolling_distinct_kmv(df: DataFrame, item_col: str, day_col: str,
           .select(F.col("grp").alias("_d"), "h"))
     merged = (sk.withColumn("wd", F.explode(span))
               .join(days, "wd", "left_semi")
-              .select("wd", "h").distinct())
-    n, kth = F.count("*").cast("long"), F.max("h")
-    est = (grouped_topk(merged, ["wd"], [F.col("h")], k)
-           .groupBy("wd")
-           .agg(n.alias("n_sketch"),
-                F.when(n < k, n.cast("double"))
-                .otherwise(F.round(F.lit(float(k - 1))
-                                   * F.lit(_KMV_HASH_SPACE) / kth, 6))
-                .alias("est_distinct")))
+              .select(F.col("wd").alias("grp"), "h").distinct())
+    # the merged window sketch IS a KMV sketch of the window — rank
+    # it, stamp k, and let kmv_estimate do the estimating (one
+    # estimator implementation, not a third inline copy)
+    wsk = (grouped_topk(merged, ["grp"], [F.col("h")], k)
+           .withColumn("k", _kmv_k_lit(k)))
+    est = (kmv_estimate(wsk, k=k)
+           .select(F.col("grp").alias("wd"), "n_sketch",
+                   "est_distinct"))
     exact = (e.withColumn("wd", F.explode(span))
              .join(days, "wd", "left_semi")
              .groupBy("wd")

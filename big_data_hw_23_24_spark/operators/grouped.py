@@ -591,7 +591,11 @@ def ab_uplift_report(df: DataFrame, arm_col: str, value_col: str,
                 .alias(f"_sxx_{tag}")]
 
     agg = df.agg(*arm("a", arm_a), *arm("b", arm_b))
-    mean = {t: F.col(f"_sx_{t}") / F.col(f"n_{t}") for t in "ab"}
+    # an empty arm must report null means (0/0 would NaN), matching
+    # the null-on-degenerate convention of z_score
+    mean = {t: F.when(F.col(f"n_{t}") > 0,
+                      F.col(f"_sx_{t}") / F.col(f"n_{t}"))
+            for t in "ab"}
     var = {t: (F.col(f"_sxx_{t}")
                - (F.col(f"_sx_{t}").cast("double") * F.col(f"_sx_{t}"))
                / F.col(f"n_{t}"))

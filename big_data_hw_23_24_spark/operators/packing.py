@@ -126,9 +126,13 @@ def head_tail_truncate(docs: DataFrame, budget: int = 64,
     the highest information density in web/document text — joined by
     an explicit elision marker so the seam is visible to the model and
     to audits. ``head + 1 + tail`` must equal ``budget`` (validated);
-    docs at or under budget pass through untouched (``truncated`` =
-    false, text byte-identical). Pure array slicing over the split —
-    one narrow map, zero shuffles, a free rider on any corpus scan.
+    docs at or under budget pass through BYTE-IDENTICAL
+    (``truncated`` = false; ``fitted_text`` IS the input column, not
+    a re-join of the split, which would collapse repeated
+    whitespace). ``n_kept`` counts EMITTED tokens, so on the
+    truncated branch it includes the elision marker (head + marker +
+    tail = budget). Pure array slicing over the split — one narrow
+    map, zero shuffles, a free rider on any corpus scan.
     """
     if head + 1 + tail != budget:
         raise ValueError(f"head ({head}) + marker (1) + tail ({tail}) "
@@ -140,7 +144,7 @@ def head_tail_truncate(docs: DataFrame, budget: int = 64,
         F.array_join(F.concat(F.slice(words, 1, head),
                               F.array(F.lit(marker)),
                               F.slice(words, -tail, tail)), " ")) \
-        .otherwise(F.array_join(words, " "))
+        .otherwise(F.col(text_col))
     return docs.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),

@@ -347,9 +347,11 @@ def interval_overlap_join(points: DataFrame, intervals: DataFrame,
     Size ``bucket_width`` near the typical interval span: explode
     factor is span/width (+1), probe fan-in is intervals-per-bucket.
     ``max_span_buckets`` bounds the explode — a degenerate interval
-    spanning the whole timeline would fan out corpus-wide, so an
-    oversized span RAISES (poisoned-expression arm, the
-    hierarchy-rollup convention) instead of silently exploding.
+    spanning the whole timeline would fan out corpus-wide, so a span
+    covering MORE than ``max_span_buckets`` buckets RAISES
+    (poisoned-expression arm, the hierarchy-rollup convention)
+    instead of silently exploding; exactly ``max_span_buckets`` is
+    allowed.
     Output: all ``points`` columns + all ``intervals`` columns.
     """
     w = int(bucket_width)
@@ -357,10 +359,11 @@ def interval_overlap_join(points: DataFrame, intervals: DataFrame,
     b0 = F.floor(F.col(start_col) / w).cast("long")
     b1 = F.floor(F.col(end_col) / w).cast("long")
     seq = F.when(
-        b1 - b0 < max_span_buckets, F.sequence(b0, b1)).otherwise(
+        b1 - b0 + 1 <= max_span_buckets, F.sequence(b0, b1)).otherwise(
         F.array(F.raise_error(
-            F.concat(F.lit(f"interval spans >= {max_span_buckets} "
-                           f"buckets of width {w} ("),
+            F.concat(F.lit(f"interval spans more than "
+                           f"{max_span_buckets} buckets of width "
+                           f"{w} ("),
                      (b1 - b0 + 1).cast("string"),
                      F.lit(") — widen bucket_width or split the "
                            "interval"))).cast("long")))

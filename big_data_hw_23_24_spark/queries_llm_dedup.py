@@ -1584,7 +1584,7 @@ def dedup_eval_bcubed(spark, sf_dir):
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(ix * 1.0 / (sa.sz + sb.sz - ix), 6) >= 0.7
+    WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.7
     """,
     doc="exact all-pairs Jaccard >= 0.7 via AllPairs/PPJoin prefix "
         "filtering: only the first |d| - ceil(t|d|) + 1 hash-ordered "

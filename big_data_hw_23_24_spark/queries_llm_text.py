@@ -2183,10 +2183,14 @@ _DOMAIN_URL_DUCK = (
     ),
     d AS (
       SELECT doc_id, n_chars,
-             regexp_extract(regexp_extract(lower(url),
-               '^(?:[a-z][a-z0-9+.-]*://)?([^/?#]+)', 1),
-               '([^.]+\\.[^.]+)$', 1) AS domain
-      FROM u
+             CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+                  THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                  ELSE host END AS domain
+      FROM (SELECT doc_id, n_chars,
+                   regexp_extract(lower(url),
+                     '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)',
+                     1) AS host
+            FROM u)
     )
     SELECT domain, doc_id, CAST(rank AS INTEGER) AS rank FROM (
       SELECT domain, doc_id,
@@ -2275,7 +2279,7 @@ def doc_phrase_search(spark, sf_dir):
     "doc_context_fit",
     """
     WITH w AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              list_filter(string_split(text, ' '), x -> x <> '') AS ws
       FROM documents
     )
@@ -2288,7 +2292,7 @@ def doc_phrase_search(spark, sf_dir):
                 THEN array_to_string(
                        list_concat(list_concat(ws[1:48], ['...']),
                                    ws[-15:]), ' ')
-                ELSE array_to_string(ws, ' ') END AS fitted_text
+                ELSE text END AS fitted_text
     FROM w
     """,
     doc="head+tail truncation to a 64-token budget (48 head + elision "

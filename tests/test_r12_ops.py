@@ -318,3 +318,78 @@ def test_setsim_prefix_equals_bruteforce(spark):
             if j >= 0.7:
                 want[(a, b)] = j
     assert got == want
+
+
+def test_setsim_prefix_survives_long_documents(spark):
+    """int64 filter arithmetic: a >=2148-distinct-shingle document
+    overflowed the int32 size*10^6 products (ANSI raise, or silent
+    mis-pruning with ANSI off)."""
+    from big_data_hw_23_24_spark.operators.dedup import (
+        setsim_join_prefix)
+
+    long_text = " ".join(f"w{i}" for i in range(2300))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, long_text)],  # exact dup pair
+        "doc_id long, text string")
+    got = setsim_join_prefix(docs, threshold=0.7).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_ab_uplift_empty_arm_reports_null_means(spark):
+    """An absent arm must report null mean/uplift, never NaN."""
+    from big_data_hw_23_24_spark.operators.grouped import (
+        ab_uplift_report)
+
+    df = spark.createDataFrame([("a", 5), ("a", 7)],
+                               "arm string, cents long")
+    r = ab_uplift_report(df, "arm", "cents").collect()[0]
+    assert r.n_b == 0
+    assert r.mean_b is None and r.uplift is None and r.z_score is None
+
+
+def test_head_tail_passthrough_is_byte_identical(spark):
+    """Repeated whitespace must survive the under-budget branch."""
+    from big_data_hw_23_24_spark.operators.packing import (
+        head_tail_truncate)
+
+    docs = spark.createDataFrame([(1, "hello  world ")],
+                                 "doc_id long, text string")
+    r = head_tail_truncate(docs, budget=8, head=5, tail=2).collect()[0]
+    assert not r.truncated and r.fitted_text == "hello  world "
+
+
+def test_domain_cap_strips_port_and_handles_dotless(spark):
+    """A port-varied URL must not mint a fresh k-budget; dotless
+    hosts keep their own identity instead of pooling into ''."""
+    from big_data_hw_23_24_spark.operators.cleaning import domain_cap
+
+    docs = spark.createDataFrame(
+        [(1, 30, "https://example.com/x"),
+         (2, 20, "https://example.com:8080/y"),
+         (3, 10, "https://user@example.com:8081/z"),
+         (4, 5, "http://localhost/a"),
+         (5, 4, "intranethost/b")],
+        "doc_id long, n_chars long, url string")
+    got = sorted((r.domain, r.doc_id) for r in domain_cap(
+        docs, k=2, order_by=[F.col("n_chars").desc()]).collect())
+    assert got == [("example.com", 1), ("example.com", 2),
+                   ("intranethost", 5), ("localhost", 4)]
+
+
+def test_interval_join_allows_exact_max_span(spark):
+    """A span of exactly max_span_buckets buckets is allowed; one
+    more raises (the documented boundary)."""
+    import pytest
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        interval_overlap_join)
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, p long")
+    ok = spark.createDataFrame([(2, 0, 39)], "iid long, s long, e long")
+    assert interval_overlap_join(pts, ok, "p", "s", "e",
+                                 bucket_width=10,
+                                 max_span_buckets=4).count() == 1
+    over = spark.createDataFrame([(2, 0, 40)],
+                                 "iid long, s long, e long")
+    with pytest.raises(Exception, match="more than 4 buckets"):
+        interval_overlap_join(pts, over, "p", "s", "e", bucket_width=10,
+                              max_span_buckets=4).collect()
