@@ -78,6 +78,8 @@ PROBES = [
     "events_interval_join",      # bucket-explode range join
     "doc_phrase_search",         # positional postings adjacency chain
     "doc_domain_cap",            # per-domain grouped top-k
+    "dedup_setsim_prefix",       # prefix-filtered exact Jaccard join
+    "events_rolling_distinct_kmv",  # windowed KMV merge + exact side
 ]
 
 
