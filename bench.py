@@ -183,6 +183,8 @@ HEADLINE = [
     "events_rolling_distinct_kmv",  # 7-day actives via KMV merge
     "doc_context_fit",          # head+tail truncation, zero-shuffle map
     "dedup_setsim_prefix",      # exact Jaccard join, prefix-filtered
+    "events_bootstrap_ci",      # Poisson-bootstrap grouped 95% CI
+    "doc_mojibake_scan",        # cp1252 double-encoding scan + repair
 ]
 
 

@@ -557,3 +557,53 @@ def domain_cap(docs: DataFrame, url_col: str = "url",
     top = grouped_topk(base, ["domain"], order + [F.col(id_col)], k)
     return top.select("domain", F.col(id_col),
                       F.col("rank").cast("int").alias("rank"))
+
+
+# UTF-8 text mis-decoded as cp1252 and re-saved ("mojibake"): each
+# non-ASCII code point's UTF-8 bytes surface as this 2-3 character
+# marker sequence. Marker → original is a module constant so the Spark
+# plan and every oracle SQL string scan (and repair) the SAME lexicon;
+# each entry is verified equal to original.encode('utf-8')
+# .decode('cp1252') by the unit test.
+MOJIBAKE = {
+    "Ã©": "é", "Ã¨": "è", "Ã¼": "ü", "Ã¶": "ö", "Ã¤": "ä",
+    "Ã±": "ñ", "Ã§": "ç", "Ã³": "ó", "Ãº": "ú",
+    "â€™": "’", "â€œ": "“", "â€”": "—", "â€“": "–", "â€¦": "…",
+}
+
+
+def mojibake_scan(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Mojibake (encoding-corruption) scan (E184) → ``(doc_id,
+    n_markers, mojibake_flag, n_chars_recovered)``.
+
+    The encoding-failure screen web-crawl curation needs next to NFC
+    normalization (E's unicode face) and homoglyph evasion (E163):
+    text that was UTF-8 on the wire but decoded as cp1252 somewhere in
+    the pipeline carries tell-tale multi-character sequences ("é" →
+    "Ã©", "’" → "â€™") that poison tokenizers and dedup fingerprints
+    while evading ASCII-only validators. The scan counts marker
+    occurrences from the shared ``MOJIBAKE`` lexicon and measures the
+    repair: chained marker → original replaces (the inverse of the
+    corruption, exact for every lexicon hit), reporting how many
+    characters the repair recovers. Markers never overlap and repairs
+    emit characters outside the marker alphabet, so the chained
+    replace is order-independent and idempotent.
+
+    Pure narrow string expressions over one scan — zero shuffles, a
+    free rider on any corpus pass at 100 TB; the lexicon is a
+    14-entry compile-time constant, not a join.
+    """
+    t = F.col(text_col)
+    n = F.lit(0)
+    for m in MOJIBAKE:
+        n = n + (F.length(t) - F.length(F.replace(t, F.lit(m)))) / len(m)
+    repaired = t
+    for m, orig in MOJIBAKE.items():
+        repaired = F.replace(repaired, F.lit(m), F.lit(orig))
+    return docs.select(
+        F.col(id_col),
+        n.cast("int").alias("n_markers"),
+        (n > 0).alias("mojibake_flag"),
+        (F.length(t) - F.length(repaired)).cast("int")
+        .alias("n_chars_recovered"))

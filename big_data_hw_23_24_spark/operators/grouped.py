@@ -610,3 +610,85 @@ def ab_uplift_report(df: DataFrame, arm_col: str, value_col: str,
         F.round(mean["b"], 6).alias("mean_b"),
         F.round(mean["a"] - mean["b"], 6).alias("uplift"),
         z.alias("z_score"))
+
+
+# Poisson(1) CDF to 6 decimals, cumulative from k = 0. A module
+# constant so the Spark plan and every oracle SQL string invert the
+# SAME distribution: replicate weight w = #{thresholds <= u}, capping
+# the per-unit multiplicity at 8 (P[w > 8 | lambda=1] ~ 1e-6).
+POISSON1_CDF = (0.367879, 0.735759, 0.919699, 0.981012,
+                0.996340, 0.999406, 0.999917, 0.999990)
+
+# 2**32 as a double — the md5-prefix-to-uniform divisor shared with
+# the oracle strings (8 hex digits = 32 bits).
+U32_DIVISOR = 4294967296.0
+
+
+def bootstrap_ci(units: DataFrame, group_cols: list[str],
+                 unit_col: str, value_col: str,
+                 n_replicates: int = 41,
+                 alpha: float = 0.05) -> DataFrame:
+    """Poisson-bootstrap grouped confidence interval (E183) → one row
+    per group: ``(group…, n_units, mean_val, ci_lo, ci_hi)``.
+
+    The bootstrap the way it scales: classical resampling draws n
+    units WITH replacement per replicate — a shuffle of the whole
+    input per replicate, unrunnable at corpus size. The Poisson
+    bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012; Kleiner et al.'s BLB is the related
+    bag-of-little-bootstraps) replaces the multinomial with
+    independent per-unit Poisson(1) multiplicities, so every
+    replicate is ONE weighted pass over the units — all R replicates
+    compute in a single narrow explode + one hash aggregate, no
+    resample shuffle ever.
+
+    Determinism engineering (both engines must draw the SAME
+    replicates): the uniform is the first 8 md5 hex digits of
+    ``unit_id:replicate`` over 2³², and the Poisson inverse CDF is a
+    threshold count against the shared 6-decimal ``POISSON1_CDF``
+    literals — no engine RNG anywhere. The default ``n_replicates=41``
+    is chosen so the CI ranks land ON order statistics
+    (0.025·(41−1) = 1 exactly): the percentile returns an element,
+    not interpolation arithmetic that could differ in the last ulp
+    between engines.
+
+    Input contract: ``units`` is already aggregated to the
+    randomization unit (one row per (group…, unit)) with an INTEGER
+    ``value_col`` (cents) — Σw and Σ(w·x) then stay exact BIGINT and
+    each replicate mean is one exact integer division. Units, not raw
+    rows, ride the ×R explode: at 100 TB the corpus-scale work is the
+    one aggregate that built ``units``; the bootstrap costs
+    |units|·R ≪ |rows|. A replicate whose weights all land 0 (only
+    plausible for tiny groups) reports a null mean and drops out of
+    the percentile in both engines.
+    """
+    gs = list(group_cols)
+    x = F.col(value_col)
+    point = units.groupBy(*gs).agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.round(F.sum(x) * 1.0 / F.count("*"), 6).alias("mean_val"))
+    rep = units.select(
+        *gs, F.col(unit_col).cast("string").alias("_unit"), x.alias("_x")
+    ).withColumn(
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))))
+    u = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("_unit"),
+                              F.col("_r").cast("string"))), 1, 8),
+         16, 10).cast("long") / F.lit(U32_DIVISOR))
+    w = sum(((u >= F.lit(c)).cast("int") for c in POISSON1_CDF),
+            F.lit(0))
+    rm = (rep.withColumn("_w", w)
+          .groupBy(*gs, "_r")
+          .agg(F.sum("_w").cast("long").alias("_sw"),
+               F.sum(F.col("_w") * F.col("_x")).cast("long")
+               .alias("_swx"))
+          .select(*gs,
+                  F.when(F.col("_sw") > 0,
+                         F.round(F.col("_swx") * 1.0 / F.col("_sw"), 6))
+                  .alias("_mr")))
+    ci = rm.groupBy(*gs).agg(
+        F.round(F.percentile("_mr", F.lit(alpha / 2)), 6).alias("ci_lo"),
+        F.round(F.percentile("_mr", F.lit(1 - alpha / 2)), 6)
+        .alias("ci_hi"))
+    return point.join(ci, gs).select(
+        *gs, "n_units", "mean_val", "ci_lo", "ci_hi")

@@ -2305,3 +2305,58 @@ def doc_context_fit(spark, sf_dir):
 
     return head_tail_truncate(load_table(spark, sf_dir, "documents"),
                               budget=64, head=48, tail=15)
+
+
+# --- E184: mojibake (encoding-corruption) scan (r12) ----------------------------
+# UTF-8 decoded as cp1252 leaves tell-tale 2-3 char sequences that
+# poison tokenizers and dedup fingerprints while passing ASCII-tolerant
+# validators. Salt = every 23rd doc re-ingested with an appended
+# mojibake'd suffix (" â€” thÃ© â€¦" = " — thé …" corrupted), so the
+# flagged branch is non-vacuous at every SF and the repair measurably
+# recovers characters. The oracle scan/repair SQL is GENERATED from the
+# same MOJIBAKE module constant the Spark plan compiles.
+from .operators.cleaning import MOJIBAKE as _MOJI
+
+_MOJI_SUFFIX = " â€” thÃ© â€¦"
+_MOJI_N_SQL = " + ".join(
+    f"(length(text) - length(replace(text, '{m}', ''))) / {len(m)}"
+    for m in _MOJI)
+_MOJI_REPAIR_SQL = "text"
+for _m, _o in _MOJI.items():
+    _MOJI_REPAIR_SQL = f"replace({_MOJI_REPAIR_SQL}, '{_m}', '{_o}')"
+
+_MOJI_ORACLE = f"""
+    WITH fam AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 8000000, text || ' {_MOJI_SUFFIX.strip()}'
+      FROM documents WHERE doc_id % 23 = 0
+    )
+    SELECT doc_id,
+           CAST({_MOJI_N_SQL} AS INTEGER) AS n_markers,
+           ({_MOJI_N_SQL}) > 0 AS mojibake_flag,
+           CAST(length(text) - length({_MOJI_REPAIR_SQL}) AS INTEGER)
+             AS n_chars_recovered
+    FROM fam
+"""
+
+
+@register(
+    "doc_mojibake_scan",
+    _MOJI_ORACLE,
+    doc="mojibake (UTF-8-as-cp1252 double-encoding) scan: count "
+        "tell-tale marker sequences from the shared 14-entry lexicon, "
+        "flag corrupted docs, and measure the chained marker->original "
+        "repair; salt = every 23rd doc re-ingested with an appended "
+        "corrupted suffix (3 markers, 5 recoverable chars); pure "
+        "narrow string expressions, zero shuffles",
+)
+def doc_mojibake_scan(spark, sf_dir):
+    from .operators.cleaning import mojibake_scan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = (docs.where(F.col("doc_id") % 23 == 0)
+              .select((F.col("doc_id") + 8000000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+                      .alias("text")))
+    return mojibake_scan(docs.unionByName(salted))

@@ -2501,3 +2501,78 @@ def events_ab_uplift(spark, sf_dir):
                   .cast("long").alias("cents"))
              .withColumn("arm", arm))
     return ab_uplift_report(units, "arm", "cents")
+
+
+# --- E183: Poisson-bootstrap grouped CI (r12) -----------------------------------
+# The uncertainty readout every per-group mean should ship with at
+# corpus scale: classical bootstrap resampling is a shuffle per
+# replicate, the Poisson bootstrap is ONE weighted pass for all R
+# replicates. Both engines draw the SAME replicates: md5(unit:r)
+# uniforms inverted through the shared 6-decimal Poisson(1) CDF
+# literals, and n_replicates=41 puts the 2.5%/97.5% ranks exactly ON
+# order statistics (no interpolation arithmetic to differ in the last
+# ulp). The oracle SQL below is GENERATED from the same module
+# constants the Spark plan compiles, so the distribution literally
+# cannot drift between engines.
+from .operators.grouped import POISSON1_CDF as _P1CDF
+from .operators.grouped import U32_DIVISOR as _U32
+
+_BOOT_W_SQL = " + ".join(
+    f"(CASE WHEN u >= {c} THEN 1 ELSE 0 END)" for c in _P1CDF)
+
+_BOOT_ORACLE = f"""
+    WITH units AS (
+      SELECT event_type, user_id,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    reps AS (
+      SELECT event_type, cents, t.range AS r,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                 || CAST(t.range AS VARCHAR)),
+                             1, 8))::BIGINT / {_U32!r} AS u
+      FROM units, range(41) t
+    ),
+    wt AS (
+      SELECT event_type, r, cents, {_BOOT_W_SQL} AS w FROM reps
+    ),
+    rm AS (
+      SELECT event_type, r,
+             CASE WHEN sum(w) > 0
+                  THEN round(sum(w * cents) * 1.0 / sum(w), 6)
+             END AS mean_r
+      FROM wt GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT event_type, count(*)::BIGINT AS n_units,
+             round(sum(cents) * 1.0 / count(*), 6) AS mean_val
+      FROM units GROUP BY 1
+    )
+    SELECT p.event_type, p.n_units, p.mean_val,
+           round(quantile_cont(rm.mean_r, 0.025), 6) AS ci_lo,
+           round(quantile_cont(rm.mean_r, 0.975), 6) AS ci_hi
+    FROM pt p JOIN rm ON p.event_type = rm.event_type
+    GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "events_bootstrap_ci",
+    _BOOT_ORACLE,
+    doc="Poisson-bootstrap 95% CI for mean per-user spend by event "
+        "type: per-user integer cents (the randomization unit), 41 "
+        "replicates as md5-deterministic Poisson(1) weights inverted "
+        "through shared CDF literals, replicate means from exact "
+        "BIGINT sums, CI ranks landing on order statistics — all R "
+        "replicates in one narrow explode + one hash aggregate, no "
+        "resample shuffle",
+)
+def events_bootstrap_ci(spark, sf_dir):
+    from .operators.grouped import bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    units = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long").alias("cents"))
+    return bootstrap_ci(units, ["event_type"], "user_id", "cents",
+                        n_replicates=41, alpha=0.05)

@@ -393,3 +393,93 @@ def test_interval_join_allows_exact_max_span(spark):
     with pytest.raises(Exception, match="more than 4 buckets"):
         interval_overlap_join(pts, over, "p", "s", "e", bucket_width=10,
                               max_span_buckets=4).collect()
+
+
+def test_bootstrap_ci_matches_python_recompute(spark):
+    """The whole Poisson-bootstrap pipeline — md5 uniforms, CDF
+    threshold weights, exact replicate means, order-statistic CI —
+    recomputed in pure Python must equal the Spark result exactly
+    (the determinism contract both engines rely on)."""
+    import hashlib
+    import math
+
+    from big_data_hw_23_24_spark.operators.grouped import (
+        POISSON1_CDF, U32_DIVISOR, bootstrap_ci)
+
+    rows = [(g, f"u{g}{i}", (i + 1) * (7 + gi))
+            for gi, g in enumerate(["x", "y"]) for i in range(10)]
+    units = spark.createDataFrame(rows, "grp string, unit string, cents long")
+    got = {r.grp: r for r in
+           bootstrap_ci(units, ["grp"], "unit", "cents",
+                        n_replicates=41, alpha=0.05).collect()}
+
+    def r6(v):  # Spark round = HALF_UP; python round is banker's
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    def weight(unit, rep):
+        u = int(hashlib.md5(f"{unit}:{rep}".encode()).hexdigest()[:8],
+                16) / U32_DIVISOR
+        return sum(1 for c in POISSON1_CDF if u >= c)
+
+    def pctl(vals, p):  # linear interpolation at p*(n-1), like both engines
+        vals = sorted(vals)
+        pos = p * (len(vals) - 1)
+        lo, frac = int(math.floor(pos)), pos - math.floor(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return r6(vals[lo] + (vals[hi] - vals[lo]) * frac)
+
+    w_sum = n_draws = 0
+    for g in ["x", "y"]:
+        us = [(u, c) for gg, u, c in rows if gg == g]
+        means = []
+        for rep in range(41):
+            ws = [(weight(u, rep), c) for u, c in us]
+            w_sum += sum(w for w, _ in ws); n_draws += len(ws)
+            sw = sum(w for w, _ in ws)
+            if sw > 0:
+                means.append(r6(sum(w * c for w, c in ws) / sw))
+        row = got[g]
+        assert row.n_units == len(us)
+        assert row.mean_val == r6(sum(c for _, c in us) / len(us))
+        assert row.ci_lo == pctl(means, 0.025), g
+        assert row.ci_hi == pctl(means, 0.975), g
+    # the deterministic draws really are Poisson(1)-like: mean ~ 1
+    assert 0.8 < w_sum / n_draws < 1.2
+
+
+def test_mojibake_lexicon_is_cp1252_roundtrip():
+    """Every marker must BE its original's UTF-8 bytes read as cp1252
+    (the corruption the scan claims to detect), and no marker may be a
+    substring of another (the chained repair's order-independence)."""
+    from big_data_hw_23_24_spark.operators.cleaning import MOJIBAKE
+
+    for marker, orig in MOJIBAKE.items():
+        assert orig.encode("utf-8").decode("cp1252") == marker
+    ms = list(MOJIBAKE)
+    for a in ms:
+        for b in ms:
+            assert a == b or a not in b
+
+
+def test_mojibake_scan_flags_and_repairs(spark):
+    """Hand cases: clean text reports zeros; corrupted text counts
+    every marker (including adjacent ones) and the repair recovers
+    exactly the collapsed characters."""
+    from big_data_hw_23_24_spark.operators.cleaning import mojibake_scan
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii text, nothing wrong"),
+         (2, "cafÃ© â€” rÃ©sumÃ©"),        # 3x 'Ã©' + 1x 'â€”'
+         (3, "Ã©Ã©"),                       # adjacent markers
+         (4, "naÃ¯ve")],                    # Ã¯ NOT in the lexicon
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in mojibake_scan(docs).collect()}
+    assert (got[1].n_markers, got[1].mojibake_flag,
+            got[1].n_chars_recovered) == (0, False, 0)
+    # doc 2: markers 3 + 1 = 4; recovered = 3*(2-1) + (3-1) = 5
+    assert (got[2].n_markers, got[2].mojibake_flag,
+            got[2].n_chars_recovered) == (4, True, 5)
+    assert (got[3].n_markers, got[3].n_chars_recovered) == (2, 2)
+    # unknown sequences are conservatively left alone
+    assert (got[4].n_markers, got[4].mojibake_flag,
+            got[4].n_chars_recovered) == (0, False, 0)

@@ -676,6 +676,17 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   via AllPairs/PPJoin prefix
                                      #   filtering; oracle = the
                                      #   definitional all-pairs join
+        "events_bootstrap_ci",       # r12: Poisson-bootstrap grouped
+                                     #   CI — md5-deterministic
+                                     #   Poisson(1) replicate weights,
+                                     #   41 replicates in one explode +
+                                     #   one hash aggregate, CI ranks
+                                     #   on order statistics
+        "doc_mojibake_scan",         # r12: UTF-8-as-cp1252 double-
+                                     #   encoding scan + measured
+                                     #   repair from the shared
+                                     #   14-marker lexicon (salted
+                                     #   every-23rd corrupted copy)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
