@@ -664,12 +664,18 @@ def bootstrap_ci(units: DataFrame, group_cols: list[str],
     """
     gs = list(group_cols)
     x = F.col(value_col)
+    # Both the point estimate and the replicate path consume `units`,
+    # and Catalyst plans each consumer its own scan — un-materialized,
+    # the corpus-scale aggregate that BUILT the units would run twice
+    # (the homoglyph/LSH subtree-reuse lesson). The checkpointed frame
+    # is unit-scale, slim, and feeds both paths from memory.
+    units = units.select(*gs, F.col(unit_col).cast("string").alias("_unit"),
+                         x.alias("_x")).localCheckpoint(eager=True)
+    x = F.col("_x")
     point = units.groupBy(*gs).agg(
         F.count("*").cast("long").alias("n_units"),
         F.round(F.sum(x) * 1.0 / F.count("*"), 6).alias("mean_val"))
-    rep = units.select(
-        *gs, F.col(unit_col).cast("string").alias("_unit"), x.alias("_x")
-    ).withColumn(
+    rep = units.withColumn(
         "_r", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))))
     u = (F.conv(F.substring(
             F.md5(F.concat_ws(":", F.col("_unit"),
