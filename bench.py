@@ -185,6 +185,7 @@ HEADLINE = [
     "dedup_setsim_prefix",      # exact Jaccard join, prefix-filtered
     "events_bootstrap_ci",      # Poisson-bootstrap grouped 95% CI
     "doc_mojibake_scan",        # cp1252 double-encoding scan + repair
+    "suppliers_sole_delay",     # Q21 shape, decorrelated to windows
 ]
 
 

@@ -2576,3 +2576,67 @@ def events_bootstrap_ci(spark, sf_dir):
         .cast("long").alias("cents"))
     return bootstrap_ci(units, ["event_type"], "user_id", "cents",
                         n_replicates=41, alpha=0.05)
+
+
+# --- E185: sole-late-supplier attribution (TPC-H Q21 shape, r12) ----------------
+# The classic multi-correlation query: a per-group EXISTS plus a
+# per-group NOT EXISTS against the same self-joined table. The naive
+# translation is two correlated self-joins of lineitem (the largest
+# table, twice); the Spark-first plan DECORRELATES both subqueries
+# into one window over the per-(order, supplier) lateness aggregate —
+# EXISTS(other supplier) becomes n_supp >= 2, NOT EXISTS(other LATE
+# supplier) becomes n_late = 1 — so lineitem is scanned once and the
+# two "subqueries" are two window columns over one exchange. The
+# ORACLE is the textbook correlated form, so the parity row proves the
+# decorrelation exact. Lateness = shipped > 90 days after order date
+# (this synthetic lineitem carries no commit/receipt dates).
+@register(
+    "suppliers_sole_delay",
+    """
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM late t JOIN supplier s ON t.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = t.l_orderkey
+                    AND l2.l_suppkey <> t.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late t3
+                      WHERE t3.l_orderkey = t.l_orderkey
+                        AND t3.l_suppkey <> t.l_suppkey)
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+    doc="sole-late-supplier attribution (the TPC-H Q21 shape): "
+        "suppliers who were the ONLY late supplier on a finished "
+        "multi-supplier order, top-10 by blocked-order count; the "
+        "correlated EXISTS / NOT EXISTS pair decorrelates into two "
+        "window columns (n_supp >= 2, n_late = 1) over one lineitem "
+        "scan — the oracle runs the textbook correlated form",
+)
+def suppliers_sole_delay(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("_late"))
+    per = (j.groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max("_late").alias("_is_late")))
+    w = W.partitionBy("l_orderkey")
+    flagged = per.select(
+        "l_suppkey", "_is_late",
+        F.count("*").over(w).alias("_n_supp"),
+        F.sum(F.col("_is_late").cast("int")).over(w).alias("_n_late"))
+    qual = flagged.where(F.col("_is_late") & (F.col("_n_supp") >= 2)
+                         & (F.col("_n_late") == 1))
+    sup = _t(spark, sf_dir, "supplier")
+    agg = qual.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("numwait"))
+    return (agg.join(F.broadcast(sup),
+                     agg["l_suppkey"] == sup["s_suppkey"])
+            .select("s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_name").limit(10))

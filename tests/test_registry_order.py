@@ -687,6 +687,11 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   repair from the shared
                                      #   14-marker lexicon (salted
                                      #   every-23rd corrupted copy)
+        "suppliers_sole_delay",      # r12: TPC-H Q21 shape — the
+                                     #   correlated EXISTS/NOT EXISTS
+                                     #   pair decorrelated into two
+                                     #   window columns; oracle = the
+                                     #   textbook correlated form
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
