@@ -186,6 +186,7 @@ HEADLINE = [
     "events_bootstrap_ci",      # Poisson-bootstrap grouped 95% CI
     "doc_mojibake_scan",        # cp1252 double-encoding scan + repair
     "suppliers_sole_delay",     # Q21 shape, decorrelated to windows
+    "corpus_preference_pairs",  # DPO pair mining, margin-gated
 ]
 
 

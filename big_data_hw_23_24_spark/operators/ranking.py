@@ -211,3 +211,48 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str, id_col: str,
                                           F.col("_off")))
             .where(F.col("_pm").isNull() | (F.col(y_col) > F.col("_pm")))
             .drop("_pid", "_off", "_pm"))
+
+
+def preference_pairs(cands: DataFrame, prompt_col: str, id_col: str,
+                     score_col: str, min_margin: int = 1) -> DataFrame:
+    """Preference-pair mining for RLHF/DPO data prep (E186) →
+    ``(prompt, chosen_id, rejected_id, chosen_score, rejected_score,
+    margin)``.
+
+    The alignment-data stage after response scoring: per prompt, pair
+    the best-scored response against the worst as (chosen, rejected),
+    keeping only pairs whose score margin clears ``min_margin`` —
+    near-tie pairs teach a preference model noise, so the margin gate
+    is the standard filter. Both extremes ride the two-stage grouped
+    top-k (per-partition heaps first), so a prompt with a million
+    sampled responses never funnels one reducer; the ordering is made
+    total with the id as tiebreaker (best: score desc/id asc, worst:
+    score asc/id desc — a single-response prompt picks the SAME row
+    for both sides and is dropped by the chosen ≠ rejected guard, not
+    by an arbitrary tie flip). The slim (prompt, id, score) projection
+    is checkpointed once: both extreme-selections consume it, and
+    un-materialized Catalyst would re-run the corpus-scale score
+    expression per consumer (the subtree-reuse lesson). ``score_col``
+    should be integral so margins are exact.
+    """
+    from .grouped import grouped_topk
+
+    slim = cands.select(prompt_col, id_col, score_col).localCheckpoint(
+        eager=True)
+    best = grouped_topk(
+        slim, [prompt_col],
+        [F.col(score_col).desc(), F.col(id_col).asc()], 1).select(
+        prompt_col, F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"))
+    worst = grouped_topk(
+        slim, [prompt_col],
+        [F.col(score_col).asc(), F.col(id_col).desc()], 1).select(
+        prompt_col, F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"))
+    return (best.join(worst, prompt_col)
+            .withColumn("margin", (F.col("chosen_score")
+                                   - F.col("rejected_score")).cast("int"))
+            .where((F.col("chosen_id") != F.col("rejected_id"))
+                   & (F.col("margin") >= min_margin))
+            .select(prompt_col, "chosen_id", "rejected_id",
+                    "chosen_score", "rejected_score", "margin"))

@@ -2638,3 +2638,55 @@ def events_rolling_distinct_kmv(spark, sf_dir):
     d = F.floor(ticks_us(ev) / F.lit(86_400_000_000)).cast("long")
     return rolling_distinct_kmv(ev.select(d.alias("d"), "user_id"),
                                 "user_id", "d", window_days=7, k=128)
+
+
+# --- E186: preference-pair mining (RLHF/DPO data prep, r12) ---------------------
+# The alignment-data stage after response scoring: per prompt, pair
+# the best response against the worst, gated on score margin (near-tie
+# pairs teach a preference model noise). Both extremes ride the
+# two-stage grouped top-k; the margin-drop and single-response-drop
+# branches are non-vacuous at the oracle-checked SFs (margin >= 4
+# drops 6-7 of the 125 groups). Score = distinct-word count — an
+# integral lexical-diversity proxy both engines state identically.
+@register(
+    "corpus_preference_pairs",
+    """
+    WITH c AS (
+      SELECT doc_id % 125 AS prompt_id, doc_id,
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+                 x -> x <> '')))::INTEGER AS score
+      FROM documents
+    ),
+    b AS (SELECT prompt_id, doc_id AS chosen_id, score AS chosen_score
+          FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                          ORDER BY score DESC, doc_id) AS r FROM c)
+          WHERE r = 1),
+    w AS (SELECT prompt_id, doc_id AS rejected_id, score AS rejected_score
+          FROM (SELECT *, row_number() OVER (PARTITION BY prompt_id
+                          ORDER BY score, doc_id DESC) AS r FROM c)
+          WHERE r = 1)
+    SELECT b.prompt_id, chosen_id, rejected_id, chosen_score,
+           rejected_score,
+           (chosen_score - rejected_score)::INTEGER AS margin
+    FROM b JOIN w USING (prompt_id)
+    WHERE chosen_id <> rejected_id
+      AND chosen_score - rejected_score >= 4
+    """,
+    doc="preference-pair mining for RLHF/DPO: per synthetic prompt "
+        "(doc_id % 125), the best-vs-worst response pair by distinct-"
+        "word score with id tiebreakers (a total order), kept only "
+        "when the margin clears 4 — both extremes via the two-stage "
+        "grouped top-k, the slim scored projection checkpointed so "
+        "the corpus-scale score expression runs once",
+)
+def corpus_preference_pairs(spark, sf_dir):
+    from .operators.ranking import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.size(F.array_distinct(F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda x: x != F.lit("")))).cast("int")
+    cands = docs.select((F.col("doc_id") % 125).alias("prompt_id"),
+                        "doc_id", score.alias("score"))
+    return preference_pairs(cands, "prompt_id", "doc_id", "score",
+                            min_margin=4)

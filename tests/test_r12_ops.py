@@ -483,3 +483,27 @@ def test_mojibake_scan_flags_and_repairs(spark):
     # unknown sequences are conservatively left alone
     assert (got[4].n_markers, got[4].mojibake_flag,
             got[4].n_chars_recovered) == (0, False, 0)
+
+
+def test_preference_pairs_margins_ties_and_singles(spark):
+    """Hand cases: a clear-margin group pairs best vs worst; a
+    below-margin group is dropped; a single-response prompt picks the
+    same row for both sides and is dropped by the guard (never by an
+    arbitrary tie flip); score ties break on id (asc for chosen,
+    desc for rejected)."""
+    from big_data_hw_23_24_spark.operators.ranking import preference_pairs
+
+    rows = [  # (prompt, id, score)
+        ("p1", 1, 10), ("p1", 2, 3), ("p1", 3, 7),   # margin 7 -> kept
+        ("p2", 4, 5), ("p2", 5, 4),                  # margin 1 -> dropped
+        ("p3", 6, 9),                                # single -> dropped
+        ("p4", 7, 8), ("p4", 8, 8), ("p4", 9, 1),    # tie at top: id 7
+    ]
+    df = spark.createDataFrame(rows, "prompt string, rid long, score long")
+    got = {r.prompt: r for r in preference_pairs(
+        df, "prompt", "rid", "score", min_margin=3).collect()}
+    assert set(got) == {"p1", "p4"}
+    assert (got["p1"].chosen_id, got["p1"].rejected_id,
+            got["p1"].margin) == (1, 2, 7)
+    assert (got["p4"].chosen_id, got["p4"].rejected_id,
+            got["p4"].margin) == (7, 9, 7)

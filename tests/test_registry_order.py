@@ -692,6 +692,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   pair decorrelated into two
                                      #   window columns; oracle = the
                                      #   textbook correlated form
+        "corpus_preference_pairs",   # r12: RLHF/DPO pair mining —
+                                     #   best-vs-worst per prompt on
+                                     #   the two-stage top-k with a
+                                     #   margin gate
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
