@@ -565,10 +565,19 @@ def domain_cap(docs: DataFrame, url_col: str = "url",
 # plan and every oracle SQL string scan (and repair) the SAME lexicon;
 # each entry is verified equal to original.encode('utf-8')
 # .decode('cp1252') by the unit test.
+#
+# ORDER IS LOAD-BEARING for the chained repair: one repair output is a
+# character of another marker ('â€œ' repairs to '“', which is the
+# third character of 'â€“'), so a repair can COMPLETE a marker out of
+# adjacent corrupt bytes ("â€" + "â€œ" → "â€" + "“" = "â€“"). Sequences
+# created that way were not markers in the source and must stay
+# unrepaired, so 'â€“' is chained BEFORE 'â€œ'; the unit test pins the
+# general invariant (no repair output is a substring of any LATER
+# marker) and the cascade case itself.
 MOJIBAKE = {
     "Ã©": "é", "Ã¨": "è", "Ã¼": "ü", "Ã¶": "ö", "Ã¤": "ä",
     "Ã±": "ñ", "Ã§": "ç", "Ã³": "ó", "Ãº": "ú",
-    "â€™": "’", "â€œ": "“", "â€”": "—", "â€“": "–", "â€¦": "…",
+    "â€™": "’", "â€“": "–", "â€œ": "“", "â€”": "—", "â€¦": "…",
 }
 
 
@@ -586,9 +595,12 @@ def mojibake_scan(docs: DataFrame, text_col: str = "text",
     occurrences from the shared ``MOJIBAKE`` lexicon and measures the
     repair: chained marker → original replaces (the inverse of the
     corruption, exact for every lexicon hit), reporting how many
-    characters the repair recovers. Markers never overlap and repairs
-    emit characters outside the marker alphabet, so the chained
-    replace is order-independent and idempotent.
+    characters the repair recovers. No marker is a substring of
+    another, and the chain runs in ``MOJIBAKE`` declaration order,
+    which is arranged so no repair output can complete a marker that
+    a LATER chain step would consume (see the lexicon comment) —
+    counting always happens on the source text, so ``n_markers`` is
+    order-independent by construction.
 
     Pure narrow string expressions over one scan — zero shuffles, a
     free rider on any corpus pass at 100 TB; the lexicon is a

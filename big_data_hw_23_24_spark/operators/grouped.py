@@ -644,9 +644,14 @@ def bootstrap_ci(units: DataFrame, group_cols: list[str],
 
     Determinism engineering (both engines must draw the SAME
     replicates): the uniform is the first 8 md5 hex digits of
-    ``unit_id:replicate`` over 2³², and the Poisson inverse CDF is a
-    threshold count against the shared 6-decimal ``POISSON1_CDF``
-    literals — no engine RNG anywhere. The default ``n_replicates=41``
+    ``group…:unit_id:replicate`` over 2³², and the Poisson inverse
+    CDF is a threshold count against the shared 6-decimal
+    ``POISSON1_CDF`` literals — no engine RNG anywhere. The group is
+    part of the seed so a unit appearing in several groups draws
+    INDEPENDENT multiplicities per group — each group's CI is an
+    independent bootstrap readout (drop the group from the seed only
+    if you want paired replicates for cross-slice ratio consistency,
+    the streaming-Poisson-bootstrap convention). The default ``n_replicates=41``
     is chosen so the CI ranks land ON order statistics
     (0.025·(41−1) = 1 exactly): the percentile returns an element,
     not interpolation arithmetic that could differ in the last ulp
@@ -678,7 +683,8 @@ def bootstrap_ci(units: DataFrame, group_cols: list[str],
     rep = units.withColumn(
         "_r", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))))
     u = (F.conv(F.substring(
-            F.md5(F.concat_ws(":", F.col("_unit"),
+            F.md5(F.concat_ws(":", *[F.col(g).cast("string") for g in gs],
+                              F.col("_unit"),
                               F.col("_r").cast("string"))), 1, 8),
          16, 10).cast("long") / F.lit(U32_DIVISOR))
     w = sum(((u >= F.lit(c)).cast("int") for c in POISSON1_CDF),

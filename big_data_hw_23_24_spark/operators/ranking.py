@@ -223,33 +223,27 @@ def preference_pairs(cands: DataFrame, prompt_col: str, id_col: str,
     the best-scored response against the worst as (chosen, rejected),
     keeping only pairs whose score margin clears ``min_margin`` —
     near-tie pairs teach a preference model noise, so the margin gate
-    is the standard filter. Both extremes ride the two-stage grouped
-    top-k (per-partition heaps first), so a prompt with a million
-    sampled responses never funnels one reducer; the ordering is made
-    total with the id as tiebreaker (best: score desc/id asc, worst:
-    score asc/id desc — a single-response prompt picks the SAME row
-    for both sides and is dropped by the chosen ≠ rejected guard, not
-    by an arbitrary tie flip). The slim (prompt, id, score) projection
-    is checkpointed once: both extreme-selections consume it, and
-    un-materialized Catalyst would re-run the corpus-scale score
-    expression per consumer (the subtree-reuse lesson). ``score_col``
-    should be integral so margins are exact.
+    is the standard filter. Both extremes come from ONE hash aggregate
+    (``max_by`` / ``min_by`` over the same total ordering struct) —
+    map-side partial combine means a prompt with a million sampled
+    responses never funnels one reducer, and the corpus is scanned,
+    scored, and shuffled exactly once. The ordering is made total
+    with the id as tiebreaker (best: score desc/id asc, worst: score
+    asc/id desc — encoded as ``(score, −id)``, so ``id_col`` must be
+    numeric; a single-response prompt picks the SAME row for both
+    sides and is dropped by the chosen ≠ rejected guard, not by an
+    arbitrary tie flip). ``score_col`` should be integral so margins
+    are exact.
     """
-    from .grouped import grouped_topk
-
-    slim = cands.select(prompt_col, id_col, score_col).localCheckpoint(
-        eager=True)
-    best = grouped_topk(
-        slim, [prompt_col],
-        [F.col(score_col).desc(), F.col(id_col).asc()], 1).select(
-        prompt_col, F.col(id_col).alias("chosen_id"),
-        F.col(score_col).alias("chosen_score"))
-    worst = grouped_topk(
-        slim, [prompt_col],
-        [F.col(score_col).asc(), F.col(id_col).desc()], 1).select(
-        prompt_col, F.col(id_col).alias("rejected_id"),
-        F.col(score_col).alias("rejected_score"))
-    return (best.join(worst, prompt_col)
+    ordv = F.struct(F.col(score_col), (-F.col(id_col)).alias("_negid"))
+    agg = cands.groupBy(prompt_col).agg(
+        F.max_by(F.struct(F.col(id_col).alias("chosen_id"),
+                          F.col(score_col).alias("chosen_score")),
+                 ordv).alias("_b"),
+        F.min_by(F.struct(F.col(id_col).alias("rejected_id"),
+                          F.col(score_col).alias("rejected_score")),
+                 ordv).alias("_w"))
+    return (agg.select(prompt_col, "_b.*", "_w.*")
             .withColumn("margin", (F.col("chosen_score")
                                    - F.col("rejected_score")).cast("int"))
             .where((F.col("chosen_id") != F.col("rejected_id"))

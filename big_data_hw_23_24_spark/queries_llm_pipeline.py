@@ -2643,9 +2643,9 @@ def events_rolling_distinct_kmv(spark, sf_dir):
 # --- E186: preference-pair mining (RLHF/DPO data prep, r12) ---------------------
 # The alignment-data stage after response scoring: per prompt, pair
 # the best response against the worst, gated on score margin (near-tie
-# pairs teach a preference model noise). Both extremes ride the
-# two-stage grouped top-k; the margin-drop and single-response-drop
-# branches are non-vacuous at the oracle-checked SFs (margin >= 4
+# pairs teach a preference model noise). Both extremes come from ONE
+# max_by/min_by hash aggregate; the margin-drop and single-response-
+# drop branches are non-vacuous at the oracle-checked SFs (margin >= 4
 # drops 6-7 of the 125 groups). Score = distinct-word count — an
 # integral lexical-diversity proxy both engines state identically.
 @register(
@@ -2675,9 +2675,10 @@ def events_rolling_distinct_kmv(spark, sf_dir):
     doc="preference-pair mining for RLHF/DPO: per synthetic prompt "
         "(doc_id % 125), the best-vs-worst response pair by distinct-"
         "word score with id tiebreakers (a total order), kept only "
-        "when the margin clears 4 — both extremes via the two-stage "
-        "grouped top-k, the slim scored projection checkpointed so "
-        "the corpus-scale score expression runs once",
+        "when the margin clears 4 — both extremes from ONE map-side-"
+        "combinable max_by/min_by aggregate over the same total-order "
+        "struct, so the corpus is scanned, scored and shuffled "
+        "exactly once",
 )
 def corpus_preference_pairs(spark, sf_dir):
     from .operators.ranking import preference_pairs

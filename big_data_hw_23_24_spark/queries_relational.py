@@ -2507,7 +2507,7 @@ def events_ab_uplift(spark, sf_dir):
 # The uncertainty readout every per-group mean should ship with at
 # corpus scale: classical bootstrap resampling is a shuffle per
 # replicate, the Poisson bootstrap is ONE weighted pass for all R
-# replicates. Both engines draw the SAME replicates: md5(unit:r)
+# replicates. Both engines draw the SAME replicates: md5(group:unit:r)
 # uniforms inverted through the shared 6-decimal Poisson(1) CDF
 # literals, and n_replicates=41 puts the 2.5%/97.5% ranks exactly ON
 # order statistics (no interpolation arithmetic to differ in the last
@@ -2528,7 +2528,8 @@ _BOOT_ORACLE = f"""
     ),
     reps AS (
       SELECT event_type, cents, t.range AS r,
-             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+             ('0x' || substr(md5(event_type || ':'
+                                 || CAST(user_id AS VARCHAR) || ':'
                                  || CAST(t.range AS VARCHAR)),
                              1, 8))::BIGINT / {_U32!r} AS u
       FROM units, range(41) t

@@ -416,8 +416,8 @@ def test_bootstrap_ci_matches_python_recompute(spark):
     def r6(v):  # Spark round = HALF_UP; python round is banker's
         return math.floor(v * 1e6 + 0.5) / 1e6
 
-    def weight(unit, rep):
-        u = int(hashlib.md5(f"{unit}:{rep}".encode()).hexdigest()[:8],
+    def weight(grp, unit, rep):
+        u = int(hashlib.md5(f"{grp}:{unit}:{rep}".encode()).hexdigest()[:8],
                 16) / U32_DIVISOR
         return sum(1 for c in POISSON1_CDF if u >= c)
 
@@ -433,7 +433,7 @@ def test_bootstrap_ci_matches_python_recompute(spark):
         us = [(u, c) for gg, u, c in rows if gg == g]
         means = []
         for rep in range(41):
-            ws = [(weight(u, rep), c) for u, c in us]
+            ws = [(weight(g, u, rep), c) for u, c in us]
             w_sum += sum(w for w, _ in ws); n_draws += len(ws)
             sw = sum(w for w, _ in ws)
             if sw > 0:
@@ -449,8 +449,11 @@ def test_bootstrap_ci_matches_python_recompute(spark):
 
 def test_mojibake_lexicon_is_cp1252_roundtrip():
     """Every marker must BE its original's UTF-8 bytes read as cp1252
-    (the corruption the scan claims to detect), and no marker may be a
-    substring of another (the chained repair's order-independence)."""
+    (the corruption the scan claims to detect); no marker may be a
+    substring of another; and no repair OUTPUT may be a substring of
+    any LATER marker in chain order — otherwise a repair could
+    complete a marker out of adjacent corrupt bytes and a later chain
+    step would consume the created (never-in-source) sequence."""
     from big_data_hw_23_24_spark.operators.cleaning import MOJIBAKE
 
     for marker, orig in MOJIBAKE.items():
@@ -459,6 +462,23 @@ def test_mojibake_lexicon_is_cp1252_roundtrip():
     for a in ms:
         for b in ms:
             assert a == b or a not in b
+    for i, a in enumerate(ms):
+        for b in ms[i + 1:]:
+            assert MOJIBAKE[a] not in b, (a, b)
+
+
+def test_mojibake_repair_created_sequences_stay(spark):
+    """The cascade case the chain order exists for: 'â€' + 'â€œ' —
+    repairing 'â€œ' to '“' COMPLETES an 'â€“' sequence that was never
+    a marker in the source; it must stay unrepaired (the 'â€“' step
+    runs earlier in the chain), so exactly one marker is counted and
+    exactly 5−3=2 characters are recovered."""
+    from big_data_hw_23_24_spark.operators.cleaning import mojibake_scan
+
+    docs = spark.createDataFrame([(1, "â€â€œ")], "doc_id long, text string")
+    row = mojibake_scan(docs).collect()[0]
+    assert (row.n_markers, row.mojibake_flag,
+            row.n_chars_recovered) == (1, True, 2)
 
 
 def test_mojibake_scan_flags_and_repairs(spark):
