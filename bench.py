@@ -187,6 +187,7 @@ HEADLINE = [
     "doc_mojibake_scan",        # cp1252 double-encoding scan + repair
     "suppliers_sole_delay",     # Q21 shape, decorrelated to windows
     "corpus_preference_pairs",  # DPO pair mining, margin-gated
+    "customers_typo_pairs",     # FastSS deletion-neighborhood join
 ]
 
 

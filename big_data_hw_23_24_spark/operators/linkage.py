@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_fuzzy_pairs", "sorted_neighborhood_pairs"]
+__all__ = ["blocked_fuzzy_pairs", "edit1_neighborhood_pairs",
+           "sorted_neighborhood_pairs"]
 
 
 def blocked_fuzzy_pairs(df: DataFrame, entity_col: str, block: Column,
@@ -137,3 +138,53 @@ def sorted_neighborhood_pairs(df: DataFrame, entity_col: str,
     # each (a, b) matches exactly once: a rides buckets {k, k+1} but b
     # holds a single bucket value — no distinct needed
     return pairs.where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+
+
+def edit1_neighborhood_pairs(rows: DataFrame, id_col: str,
+                             term_col: str) -> DataFrame:
+    """Exact edit-distance-1 self-join via deletion neighborhoods
+    (FastSS, E187) → ``(id_a, term_a, id_b, term_b)`` with
+    ``id_a < id_b`` and ``levenshtein(term_a, term_b) = 1``.
+
+    The third candidate-generation strategy of the linkage tier, and
+    the only EXACT one: blocking (E157) and SNM (E158) trade recall
+    for cost, while the deletion neighborhood is provably complete for
+    distance 1 — two strings a, b satisfy ``lev(a,b) ≤ 1`` iff their
+    variant sets intersect, where variants(t) = {t} ∪ {t with char i
+    deleted}: equal strings share t itself; a substitution at i means
+    both i-deletions coincide; an insertion/deletion means one
+    string's deletion IS the other string. So candidates are ONE
+    equi-join on the exploded variant key — each term fans out to
+    len+1 variants (a narrow map), never to the O(Σ·len) substitution
+    alphabet — followed by exact ``levenshtein`` verification of the
+    deduplicated candidates (variant-set intersection over-generates:
+    'ab'/'ba' share deletions {'a','b'} at different positions, and
+    the verify is what makes the result exact rather than the
+    positioned-variant bookkeeping the original FastSS carries).
+
+    Scale shape: the shuffle key is the variant string; bucket sizes
+    are the number of terms within distance 1 of a given deletion —
+    corpus-content-bounded, not corpus-size-bounded. No bucket is
+    dropped (exactness); callers with massive duplicate-term mass
+    should collapse to distinct terms + weights first, or the
+    duplicate class itself is the quadratic term.
+    """
+    t = F.col(term_col)
+    variants = rows.select(
+        F.col(id_col), t,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.length(t)),
+            lambda i: F.when(i == F.lit(0), t).otherwise(
+                F.concat(t.substr(F.lit(1), i - 1),
+                         t.substr(i + 1, F.length(t) - i)))))
+        .alias("_v"))
+    a = variants.select(F.col(id_col).alias("id_a"),
+                        F.col(term_col).alias("term_a"), "_v")
+    b = variants.select(F.col(id_col).alias("id_b"),
+                        F.col(term_col).alias("term_b"), "_v")
+    cands = (a.join(b, "_v")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "term_a", "id_b", "term_b")
+             .distinct())
+    return cands.where(
+        F.levenshtein(F.col("term_a"), F.col("term_b")) == 1)

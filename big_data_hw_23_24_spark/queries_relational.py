@@ -2641,3 +2641,36 @@ def suppliers_sole_delay(spark, sf_dir):
                      agg["l_suppkey"] == sup["s_suppkey"])
             .select("s_name", "numwait")
             .orderBy(F.col("numwait").desc(), "s_name").limit(10))
+
+
+# --- E187: edit-distance-1 join via deletion neighborhoods (FastSS, r12) --------
+# The exact member of the linkage candidate-generation tier: blocking
+# (E157) and SNM (E158) trade recall for cost; the deletion
+# neighborhood is provably COMPLETE for distance 1 (variant sets
+# intersect iff lev <= 1), so the parity row against the definitional
+# all-pairs theta join is the completeness proof run as data. TPC-H
+# customer names are dense zero-padded ids, so one-digit-apart names
+# give the face real distance-1 structure (19.5k pairs at sf0.01)
+# with no planted salt.
+@register(
+    "customers_typo_pairs",
+    """
+    SELECT a.c_custkey AS id_a, a.c_name AS term_a,
+           b.c_custkey AS id_b, b.c_name AS term_b
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) = 1
+    """,
+    doc="typo-tolerant entity matching: all customer-name pairs at "
+        "edit distance exactly 1 via the FastSS deletion-neighborhood "
+        "equi-join (each name fans out to len+1 deletion variants, "
+        "candidates = variant-key join, exact levenshtein verify on "
+        "deduplicated candidates only) — the oracle is the "
+        "definitional all-pairs theta join, so parity proves the "
+        "neighborhood join complete",
+)
+def customers_typo_pairs(spark, sf_dir):
+    from .operators.linkage import edit1_neighborhood_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit1_neighborhood_pairs(c, "c_custkey", "c_name")

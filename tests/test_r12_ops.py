@@ -527,3 +527,40 @@ def test_preference_pairs_margins_ties_and_singles(spark):
             got["p1"].margin) == (1, 2, 7)
     assert (got["p4"].chosen_id, got["p4"].rejected_id,
             got["p4"].margin) == (7, 9, 7)
+
+
+def test_edit1_neighborhood_equals_bruteforce(spark):
+    """Candidate generation must be COMPLETE for distance 1 (the
+    FastSS variant-intersection property) and the verify must kill
+    the over-generated candidates ('ab'/'ba' share deletion variants
+    at different positions but sit at distance 2): equality against
+    brute-force levenshtein over random short strings, across forced
+    partitions."""
+    import itertools
+    import random
+
+    from big_data_hw_23_24_spark.operators.linkage import (
+        edit1_neighborhood_pairs)
+
+    rng = random.Random(11)
+    terms = list({"".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+                  for _ in range(60)})
+    terms += ["ab", "ba", "xy", "yx"]  # the false-candidate shape
+    rows = list(enumerate(terms))
+    df = spark.createDataFrame(rows, "rid long, term string").repartition(7)
+    got = {(r.id_a, r.id_b) for r in
+           edit1_neighborhood_pairs(df, "rid", "term").collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(i, j) for (i, a), (j, b) in
+            itertools.combinations(rows, 2) if lev(a, b) == 1}
+    assert got == want and want  # non-vacuous

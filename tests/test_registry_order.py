@@ -693,9 +693,14 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   window columns; oracle = the
                                      #   textbook correlated form
         "corpus_preference_pairs",   # r12: RLHF/DPO pair mining —
-                                     #   best-vs-worst per prompt on
-                                     #   the two-stage top-k with a
-                                     #   margin gate
+                                     #   best-vs-worst per prompt from
+                                     #   one max_by/min_by aggregate
+                                     #   with a margin gate
+        "customers_typo_pairs",      # r12: FastSS deletion-
+                                     #   neighborhood edit-1 join;
+                                     #   oracle = the definitional
+                                     #   all-pairs theta join
+                                     #   (completeness proof as data)
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
