@@ -188,6 +188,7 @@ HEADLINE = [
     "suppliers_sole_delay",     # Q21 shape, decorrelated to windows
     "corpus_preference_pairs",  # DPO pair mining, margin-gated
     "customers_typo_pairs",     # FastSS deletion-neighborhood join
+    "events_ewma_forecast",     # EWMA forecast + MAPE backtest
 ]
 
 

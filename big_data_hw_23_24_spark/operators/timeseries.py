@@ -374,3 +374,74 @@ def interval_overlap_join(points: DataFrame, intervals: DataFrame,
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) <= F.col(end_col)))
     return joined.drop("_bkt")
+
+
+# Integer-micro EWMA lag weights, alpha = 0.3 over 14 lags:
+# w_k = round(1e6 * 0.3 * 0.7^(k-1)). Derived once at import from the
+# stated formula and interpolated into every oracle SQL string, so
+# both engines weight the SAME integers and the weighted sum stays
+# exact BIGINT (the events_trending_items integer-micro convention) —
+# no float power evaluated per row in either engine.
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 14
+EWMA_MICRO = tuple(round(1_000_000 * EWMA_ALPHA * (1 - EWMA_ALPHA) ** (k - 1))
+                   for k in range(1, EWMA_LAGS + 1))
+
+
+def ewma_forecast(daily: DataFrame, key_cols: list[str], day_col: str,
+                  value_col: str,
+                  weights: tuple = EWMA_MICRO) -> DataFrame:
+    """Grouped one-step-ahead EWMA forecast + accuracy readout (E188)
+    → one row per key: ``(key…, n_days, n_forecast_days, mape,
+    next_forecast)``.
+
+    The capacity-planning primitive next to the anomaly screen (E's
+    trailing-baseline face): exponentially weighted moving average
+    over the last ``len(weights)`` observed periods, evaluated two
+    ways — BACKTEST (each day forecast from its own trailing window;
+    ``mape`` = mean absolute percentage error over the days where the
+    full window exists, the honest accuracy readout) and the actual
+    ``next_forecast`` for the period after the last observed one
+    (null until a full window of history exists).
+
+    Scale shape: ``daily`` is already the per-period aggregate, so the
+    corpus-scale work happened upstream; everything here runs on the
+    keys × periods grid. The lag battery and the recency rank are two
+    Window specs over the SAME partitioning — one exchange, two Window
+    nodes (the E19 two-frames-one-shuffle shape) — then ONE hash
+    aggregate emits backtest and forecast together. Weighted sums are
+    exact BIGINT (integer-micro weights × integer values; keep
+    ``value_col`` integral); only the final normalizations divide,
+    rounded 6 in both engines.
+    """
+    L = len(weights)
+    W = sum(weights)
+    ks = list(key_cols)
+    x = F.col(value_col)
+    asc = Window.partitionBy(*ks).orderBy(day_col)
+    desc = Window.partitionBy(*ks).orderBy(F.col(day_col).desc())
+    num = None
+    for k, wk in enumerate(weights, 1):
+        term = F.lag(x, k).over(asc) * F.lit(wk)
+        num = term if num is None else num + term
+    arr = F.array(*[F.lit(w) for w in weights])
+    frame = daily.select(
+        *ks, x.alias("_x"),
+        F.round(num * 1.0 / F.lit(W), 6).alias("_f"),
+        F.row_number().over(desc).alias("_rn"))
+    ape = F.when(F.col("_f").isNotNull() & (F.col("_x") != 0),
+                 F.abs(F.col("_x") - F.col("_f")) / F.col("_x"))
+    nxt = F.when(F.col("_rn") <= L,
+                 F.element_at(arr, F.col("_rn")) * F.col("_x"))
+    out = frame.groupBy(*ks).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("_f").isNotNull().cast("int")).cast("long")
+        .alias("n_forecast_days"),
+        F.round(F.avg(ape), 6).alias("mape"),
+        F.sum(nxt).alias("_nn"),
+        F.sum(F.when(F.col("_rn") <= L, 1)).alias("_nc"))
+    return out.select(
+        *ks, "n_days", "n_forecast_days", "mape",
+        F.when(F.col("_nc") == L,
+               F.round(F.col("_nn") * 1.0 / F.lit(W), 6))
+        .alias("next_forecast"))

@@ -2674,3 +2674,68 @@ def customers_typo_pairs(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return edit1_neighborhood_pairs(c, "c_custkey", "c_name")
+
+
+# --- E188: grouped EWMA one-step-ahead forecast + MAPE backtest (r12) -----------
+# The capacity-planning primitive next to the anomaly screen: per
+# event type, forecast tomorrow's volume from the last 14 days with
+# integer-micro EWMA weights (exact BIGINT weighted sums — the
+# trending-items convention), and report the backtest MAPE so the
+# forecast ships with its own measured accuracy. The lag battery and
+# the recency rank share one exchange (two Window specs, same
+# partitioning); the corpus-scale work is the one day aggregate.
+from .operators.timeseries import EWMA_LAGS as _EW_L
+from .operators.timeseries import EWMA_MICRO as _EW_W
+
+_EW_NUM_SQL = " + ".join(f"{w} * lag(n, {k}) OVER win"
+                         for k, w in enumerate(_EW_W, 1))
+_EW_ARR_SQL = "[" + ", ".join(str(w) for w in _EW_W) + "]"
+_EW_TOT = sum(_EW_W)
+
+_EWMA_ORACLE = f"""
+    WITH g AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS d,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_type, n,
+             round(({_EW_NUM_SQL}) * 1.0 / {_EW_TOT}, 6) AS fc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d DESC) AS rn
+      FROM g WINDOW win AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, count(*)::BIGINT AS n_days,
+           sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_forecast_days,
+           round(avg(CASE WHEN fc IS NOT NULL AND n <> 0
+                          THEN abs(n - fc) / n END), 6) AS mape,
+           CASE WHEN sum(CASE WHEN rn <= {_EW_L} THEN 1 END) = {_EW_L}
+                THEN round(sum(CASE WHEN rn <= {_EW_L}
+                               THEN ({_EW_ARR_SQL})[rn] * n END)
+                           * 1.0 / {_EW_TOT}, 6)
+           END AS next_forecast
+    FROM f GROUP BY 1
+"""
+
+
+@register(
+    "events_ewma_forecast",
+    _EWMA_ORACLE,
+    doc="grouped EWMA one-step-ahead volume forecast with MAPE "
+        "backtest: per event type, 14-lag integer-micro decay weights "
+        "(exact BIGINT weighted sums, derived once from alpha=0.3 and "
+        "shared with the oracle), each day backtested from its own "
+        "trailing window, plus the actual next-day forecast from the "
+        "14 most recent days — lags and recency rank share one "
+        "exchange, one hash aggregate emits both readouts",
+)
+def events_ewma_forecast(spark, sf_dir):
+    from .operators.timeseries import ewma_forecast, ticks_us
+
+    ev = _t(spark, sf_dir, "events")
+    d = F.floor(ticks_us(ev) / F.lit(86_400_000_000)).cast("long")
+    daily = (ev.select("event_type", d.alias("d"))
+             .groupBy("event_type", "d")
+             .agg(F.count("*").cast("long").alias("n")))
+    return ewma_forecast(daily, ["event_type"], "d", "n")

@@ -564,3 +564,27 @@ def test_edit1_neighborhood_equals_bruteforce(spark):
     want = {(i, j) for (i, a), (j, b) in
             itertools.combinations(rows, 2) if lev(a, b) == 1}
     assert got == want and want  # non-vacuous
+
+
+def test_ewma_forecast_hand_case(spark):
+    """Two-lag weights (0.6, 0.4 in micros) make every number
+    hand-checkable: backtest forecasts, MAPE, the next-day forecast,
+    and the partial-history branches (exactly-L days forecasts; fewer
+    than L days reports null)."""
+    from big_data_hw_23_24_spark.operators.timeseries import ewma_forecast
+
+    rows = ([("a", d, n) for d, n in [(1, 10), (2, 20), (3, 30), (4, 40)]]
+            + [("b", 1, 5), ("b", 2, 7)] + [("c", 9, 3)])
+    daily = spark.createDataFrame(rows, "k string, d long, n long")
+    got = {r.k: r for r in ewma_forecast(
+        daily, ["k"], "d", "n", weights=(600000, 400000)).collect()}
+    a = got["a"]
+    # fc(d3)=0.6*20+0.4*10=16, fc(d4)=0.6*30+0.4*20=26
+    assert (a.n_days, a.n_forecast_days) == (4, 2)
+    assert a.mape == round((14 / 30 + 14 / 40) / 2, 6)
+    assert a.next_forecast == round(0.6 * 40 + 0.4 * 30, 6)
+    b = got["b"]  # exactly L days: no backtest rows, but a forecast
+    assert (b.n_days, b.n_forecast_days, b.mape) == (2, 0, None)
+    assert b.next_forecast == round(0.6 * 7 + 0.4 * 5, 6)
+    c = got["c"]  # < L days: nothing
+    assert (c.n_forecast_days, c.mape, c.next_forecast) == (0, None, None)

@@ -701,6 +701,9 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   oracle = the definitional
                                      #   all-pairs theta join
                                      #   (completeness proof as data)
+        "events_ewma_forecast",      # r12: grouped EWMA next-day
+                                     #   forecast + MAPE backtest on
+                                     #   integer-micro decay weights
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
