@@ -682,9 +682,17 @@ def bootstrap_ci(units: DataFrame, group_cols: list[str],
         F.round(F.sum(x) * 1.0 / F.count("*"), 6).alias("mean_val"))
     rep = units.withColumn(
         "_r", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))))
+    # NULL handling must be explicit: concat_ws silently SKIPS nulls
+    # while the oracle's '||' propagates them — a null group value
+    # would make the engines draw different weights. Each component is
+    # coalesced to a sentinel both engines state. (A ':' inside a
+    # group value can collide two groups' seeds — both engines collide
+    # identically, so parity holds and only the independence of those
+    # two groups' draws degrades.)
+    seed_parts = [F.coalesce(F.col(g).cast("string"), F.lit("\\N"))
+                  for g in gs]
     u = (F.conv(F.substring(
-            F.md5(F.concat_ws(":", *[F.col(g).cast("string") for g in gs],
-                              F.col("_unit"),
+            F.md5(F.concat_ws(":", *seed_parts, F.col("_unit"),
                               F.col("_r").cast("string"))), 1, 8),
          16, 10).cast("long") / F.lit(U32_DIVISOR))
     w = sum(((u >= F.lit(c)).cast("int") for c in POISSON1_CDF),

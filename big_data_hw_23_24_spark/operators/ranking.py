@@ -235,6 +235,15 @@ def preference_pairs(cands: DataFrame, prompt_col: str, id_col: str,
     arbitrary tie flip). ``score_col`` should be integral so margins
     are exact.
     """
+    # the negated tiebreaker requires a numeric id; a string id would
+    # implicitly cast to NULL under unary minus and break ties
+    # ARBITRARILY per run — fail loudly instead
+    id_type = dict(cands.dtypes).get(id_col, "")
+    if not (id_type in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double") or id_type.startswith("decimal")):
+        raise ValueError(
+            f"preference_pairs needs a numeric id_col for the desc "
+            f"tiebreaker; {id_col!r} is {id_type!r}")
     ordv = F.struct(F.col(score_col), (-F.col(id_col)).alias("_negid"))
     agg = cands.groupBy(prompt_col).agg(
         F.max_by(F.struct(F.col(id_col).alias("chosen_id"),

@@ -399,10 +399,12 @@ def ewma_forecast(daily: DataFrame, key_cols: list[str], day_col: str,
     trailing-baseline face): exponentially weighted moving average
     over the last ``len(weights)`` observed periods, evaluated two
     ways — BACKTEST (each day forecast from its own trailing window;
-    ``mape`` = mean absolute percentage error over the days where the
-    full window exists, the honest accuracy readout) and the actual
-    ``next_forecast`` for the period after the last observed one
-    (null until a full window of history exists).
+    ``mape`` = mean absolute percentage error over the full-window
+    days whose ACTUAL value is nonzero — a zero actual has no defined
+    percentage error, so such days count in ``n_forecast_days`` but
+    not in the MAPE average) and the actual ``next_forecast`` for the
+    period after the last observed one (null until a full window of
+    history exists, i.e. ``n_days ≥ len(weights)``).
 
     Scale shape: ``daily`` is already the per-period aggregate, so the
     corpus-scale work happened upstream; everything here runs on the
@@ -438,10 +440,11 @@ def ewma_forecast(daily: DataFrame, key_cols: list[str], day_col: str,
         F.sum(F.col("_f").isNotNull().cast("int")).cast("long")
         .alias("n_forecast_days"),
         F.round(F.avg(ape), 6).alias("mape"),
-        F.sum(nxt).alias("_nn"),
-        F.sum(F.when(F.col("_rn") <= L, 1)).alias("_nc"))
+        F.sum(nxt).alias("_nn"))
+    # sum(when(rn <= L, 1)) would be min(n_days, L) — the full-window
+    # gate is simply n_days >= L, no extra aggregate state needed
     return out.select(
         *ks, "n_days", "n_forecast_days", "mape",
-        F.when(F.col("_nc") == L,
+        F.when(F.col("n_days") >= L,
                F.round(F.col("_nn") * 1.0 / F.lit(W), 6))
         .alias("next_forecast"))

@@ -2528,7 +2528,7 @@ _BOOT_ORACLE = f"""
     ),
     reps AS (
       SELECT event_type, cents, t.range AS r,
-             ('0x' || substr(md5(event_type || ':'
+             ('0x' || substr(md5(coalesce(event_type, '\\N') || ':'
                                  || CAST(user_id AS VARCHAR) || ':'
                                  || CAST(t.range AS VARCHAR)),
                              1, 8))::BIGINT / {_U32!r} AS u
@@ -2710,7 +2710,7 @@ _EWMA_ORACLE = f"""
              AS n_forecast_days,
            round(avg(CASE WHEN fc IS NOT NULL AND n <> 0
                           THEN abs(n - fc) / n END), 6) AS mape,
-           CASE WHEN sum(CASE WHEN rn <= {_EW_L} THEN 1 END) = {_EW_L}
+           CASE WHEN count(*) >= {_EW_L}
                 THEN round(sum(CASE WHEN rn <= {_EW_L}
                                THEN ({_EW_ARR_SQL})[rn] * n END)
                            * 1.0 / {_EW_TOT}, 6)
