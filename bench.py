@@ -189,6 +189,7 @@ HEADLINE = [
     "corpus_preference_pairs",  # DPO pair mining, margin-gated
     "customers_typo_pairs",     # FastSS deletion-neighborhood join
     "events_ewma_forecast",     # EWMA forecast + MAPE backtest
+    "users_survival_km",        # Kaplan-Meier right-censored curve
 ]
 
 

@@ -448,3 +448,57 @@ def ewma_forecast(daily: DataFrame, key_cols: list[str], day_col: str,
         F.when(F.col("n_days") >= L,
                F.round(F.col("_nn") * 1.0 / F.lit(W), 6))
         .alias("next_forecast"))
+
+
+def km_survival(lifetimes: DataFrame, duration_col: str,
+                censored_col: str) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring (E189) →
+    ``(duration, n_risk, n_events, survival)``, one row per duration
+    at which at least one event occurred.
+
+    The survival-analysis primitive (time-to-churn, time-to-failure,
+    time-to-conversion) that a plain "share converted by day t" gets
+    WRONG under censoring: units still under observation at cutoff
+    carry information (they survived *at least* this long) that
+    dropping them discards and counting them as non-events biases.
+    The product-limit estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) uses
+    every unit exactly as long as it was observed. Convention: at a
+    tied duration, events precede censorings (the standard KM tie
+    rule — a unit censored at t was at risk at t).
+
+    Shape: ``lifetimes`` is already one row per unit (the corpus-scale
+    work is the upstream per-unit aggregate); the estimator itself
+    runs on the DURATION GRID — bounded by the number of distinct
+    durations (hours/days of an observation window), never by unit
+    count — so its unpartitioned ordered windows (the at-risk reverse
+    cumsum and the cumulative product) move ≤ grid rows through one
+    task by design. The product is computed as ``exp(Σ ln(1 − d/n))``
+    (the engine-portable window-product form, same ln/exp convention
+    as the LM-logprob faces). A time where everyone at risk exits is
+    made EXPLICIT: Spark's ``log(0)`` is NULL (it would silently drop
+    the factor) while DuckDB's ``ln(0)`` is −inf, so the d = n branch
+    contributes a literal −inf in the Spark plan — the cumulative sum
+    pins to −inf and survival is exactly 0.0 from that time on, in
+    both engines.
+    """
+    dur = F.col(duration_col)
+    g = lifetimes.groupBy(dur.alias("duration")).agg(
+        F.sum((~F.col(censored_col)).cast("int")).cast("long").alias("_d"),
+        F.count("*").cast("long").alias("_leaving"))
+    at_risk = (Window.orderBy("duration")
+               .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    cum = (Window.orderBy("duration")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = g.select(
+        "duration", "_d",
+        F.sum("_leaving").over(at_risk).cast("long").alias("n_risk"))
+    term = F.when(F.col("_d") < F.col("n_risk"),
+                  F.log(1 - F.col("_d") * 1.0 / F.col("n_risk"))
+                  ).otherwise(F.lit(float("-inf")))
+    k = r.select(
+        "duration", "_d", "n_risk",
+        F.exp(F.sum(term).over(cum)).alias("_s"))
+    return (k.where(F.col("_d") > 0)
+            .select("duration", "n_risk",
+                    F.col("_d").alias("n_events"),
+                    F.round("_s", 6).alias("survival")))

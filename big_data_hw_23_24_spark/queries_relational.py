@@ -2739,3 +2739,73 @@ def events_ewma_forecast(spark, sf_dir):
              .groupBy("event_type", "d")
              .agg(F.count("*").cast("long").alias("n")))
     return ewma_forecast(daily, ["event_type"], "d", "n")
+
+
+# --- E189: Kaplan-Meier survival curve (right-censored, r12) --------------------
+# Survival analysis joins the stats tier: time-to-first-'error' per
+# user in hours from the user's first event, administratively censored
+# at the 72 h observation cutoff (users with no error inside the
+# window survived AT LEAST 72 h — the information a naive "share
+# errored by hour t" either discards or biases). ~21% of users censor
+# at sf0.01, so both branches are structurally non-vacuous. The
+# estimator runs on the <=73-row duration grid; the corpus-scale work
+# is the one per-user aggregate.
+@register(
+    "users_survival_km",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(epoch_ns(ts) // 1000) AS t0,
+             min(CASE WHEN event_type = 'error'
+                      THEN epoch_ns(ts) // 1000 END) AS te
+      FROM events GROUP BY 1
+    ),
+    lt AS (
+      SELECT CASE WHEN te IS NULL OR (te - t0) // 3600000000 >= 72
+                  THEN 72
+                  ELSE (te - t0) // 3600000000 END::BIGINT AS dur,
+             (te IS NULL OR (te - t0) // 3600000000 >= 72) AS censored
+      FROM u
+    ),
+    g AS (
+      SELECT dur,
+             sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d,
+             count(*)::BIGINT AS leaving
+      FROM lt GROUP BY 1
+    ),
+    r AS (
+      SELECT dur, d,
+             sum(leaving) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM g
+    ),
+    k AS (
+      SELECT dur, d, n_risk,
+             exp(sum(ln(1 - d * 1.0 / n_risk)) OVER (ORDER BY dur)) AS s
+      FROM r
+    )
+    SELECT dur AS duration, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, round(s, 6) AS survival
+    FROM k WHERE d > 0
+    """,
+    doc="Kaplan-Meier time-to-first-error curve: per-user duration in "
+        "hours from first event to first 'error', right-censored at "
+        "the 72 h observation cutoff; product-limit estimator as "
+        "exp(sum(ln(1 - d/n_risk))) over the bounded duration grid "
+        "(at-risk = reverse cumulative sum), events-before-censorings "
+        "tie convention",
+)
+def users_survival_km(spark, sf_dir):
+    from .operators.timeseries import km_survival, ticks_us
+
+    ev = _t(spark, sf_dir, "events")
+    tick = ticks_us(ev)
+    u = ev.groupBy("user_id").agg(
+        F.min(tick).alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", tick)).alias("te"))
+    dur_h = F.floor((F.col("te") - F.col("t0")) / F.lit(3_600_000_000))
+    cens = F.col("te").isNull() | (dur_h >= 72)
+    lt = u.select(
+        F.when(cens, F.lit(72)).otherwise(dur_h).cast("long").alias("dur"),
+        cens.alias("censored"))
+    return km_survival(lt, "dur", "censored")

@@ -588,3 +588,25 @@ def test_ewma_forecast_hand_case(spark):
     assert b.next_forecast == round(0.6 * 7 + 0.4 * 5, 6)
     c = got["c"]  # < L days: nothing
     assert (c.n_forecast_days, c.mape, c.next_forecast) == (0, None, None)
+
+
+def test_km_survival_textbook_case(spark):
+    """Hand-worked product-limit estimator: censored units stay in the
+    at-risk set until their censoring time, event rows only at event
+    times, and the everyone-exits tail reaches survival exactly 0.0
+    (ln(0) -> -inf -> exp -> 0 in both engines)."""
+    from big_data_hw_23_24_spark.operators.timeseries import km_survival
+
+    lt = spark.createDataFrame(
+        [(1, False), (2, False), (2, True), (3, False), (4, True)],
+        "dur long, censored boolean")
+    got = [(r.duration, r.n_risk, r.n_events, r.survival)
+           for r in km_survival(lt, "dur", "censored")
+           .orderBy("duration").collect()]
+    # S(1)=4/5, S(2)=4/5*3/4=0.6, S(3)=0.6*1/2=0.3; dur 4 censor-only
+    assert got == [(1, 5, 1, 0.8), (2, 4, 1, 0.6), (3, 2, 1, 0.3)]
+
+    dead = spark.createDataFrame([(1, False), (1, False)],
+                                 "dur long, censored boolean")
+    row = km_survival(dead, "dur", "censored").collect()[0]
+    assert (row.n_risk, row.n_events, row.survival) == (2, 2, 0.0)

@@ -704,6 +704,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "events_ewma_forecast",      # r12: grouped EWMA next-day
                                      #   forecast + MAPE backtest on
                                      #   integer-micro decay weights
+        "users_survival_km",         # r12: Kaplan-Meier time-to-first-
+                                     #   error curve, right-censored at
+                                     #   the 72h cutoff; estimator on
+                                     #   the bounded duration grid
     }
     _admitted_r9: set[str] = {
         "bpe_learned_merges",        # r8 oracle conversion: training
