@@ -372,6 +372,11 @@ _VOCAB_SCALE_WINDOW_ALLOWLIST = {
     # SpaceSaving's final rank runs on the merged sketch — at most
     # partitions × k counter rows, a bound independent of data size
     "streaming_spacesaving_topk",
+    # the KM estimator's at-risk reverse cumsum and cumulative product
+    # run on the DURATION GRID (<= 73 rows at the face's 72 h cutoff —
+    # bounded by the observation window, not by unit count); the
+    # corpus-scale work is the per-user aggregate below the window
+    "users_survival_km",
 }
 
 
