@@ -149,42 +149,55 @@ def edit1_neighborhood_pairs(rows: DataFrame, id_col: str,
     The third candidate-generation strategy of the linkage tier, and
     the only EXACT one: blocking (E157) and SNM (E158) trade recall
     for cost, while the deletion neighborhood is provably complete for
-    distance 1 — two strings a, b satisfy ``lev(a,b) ≤ 1`` iff their
-    variant sets intersect, where variants(t) = {t} ∪ {t with char i
-    deleted}: equal strings share t itself; a substitution at i means
-    both i-deletions coincide; an insertion/deletion means one
-    string's deletion IS the other string. So candidates are ONE
-    equi-join on the exploded variant key — each term fans out to
-    len+1 variants (a narrow map), never to the O(Σ·len) substitution
-    alphabet — followed by exact ``levenshtein`` verification of the
-    deduplicated candidates (variant-set intersection over-generates:
-    'ab'/'ba' share deletions {'a','b'} at different positions, and
-    the verify is what makes the result exact rather than the
-    positioned-variant bookkeeping the original FastSS carries).
+    distance 1. The POSITIONED form (the original FastSS) splits the
+    two ways lev(a,b) = 1 can happen into two equi-joins whose buckets
+    are alphabet-bounded, not content-bounded:
 
-    Scale shape: the shuffle key is the variant string; bucket sizes
-    are the number of terms within distance 1 of a given deletion —
-    corpus-content-bounded, not corpus-size-bounded. No bucket is
-    dropped (exactness); callers with massive duplicate-term mass
-    should collapse to distinct terms + weights first, or the
-    duplicate class itself is the quadratic term.
+    * SUBSTITUTION at position p ⟺ the two p-deletions coincide — a
+      self-join keyed on ``(variant, position)``; everything meeting
+      there differs at most at p, so a bucket holds at most
+      the alphabet size terms regardless of corpus shape (keying on the
+      variant ALONE puts every same-length near-sibling in one bucket
+      — the dense zero-padded customer names drove Σ bucket² to 6.6 s
+      at sf0.1; the positioned key reads 1.2 s);
+    * INSERTION/DELETION ⟺ one string IS a deletion of the other — a
+      join of full terms against deletion variants (both id
+      orientations normalized to ``id_a < id_b``).
+
+    Both joins emit ONLY true distance ≤ 1 pairs by construction (the
+    classic 'ab'/'ba' cross-position false candidate never meets a
+    positioned key), so the final ``levenshtein = 1`` filter merely
+    excludes identical-term pairs (distance 0) and documents the
+    contract; the ``distinct()`` dedupes pairs that meet at several
+    positions (repeated characters). Per-term fan-out is len deletion
+    variants — a narrow map, never the O(Σ·len) substitution alphabet.
     """
     t = F.col(term_col)
-    variants = rows.select(
-        F.col(id_col), t,
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.length(t)),
-            lambda i: F.when(i == F.lit(0), t).otherwise(
-                F.concat(t.substr(F.lit(1), i - 1),
-                         t.substr(i + 1, F.length(t) - i)))))
-        .alias("_v"))
-    a = variants.select(F.col(id_col).alias("id_a"),
-                        F.col(term_col).alias("term_a"), "_v")
-    b = variants.select(F.col(id_col).alias("id_b"),
-                        F.col(term_col).alias("term_b"), "_v")
-    cands = (a.join(b, "_v")
+    dels_arr = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.concat(t.substr(F.lit(1), i - 1),
+                           t.substr(i + 1, F.length(t) - i)))
+    dels = rows.select(F.col(id_col), t,
+                       F.posexplode(dels_arr).alias("_p", "_v"))
+    a = dels.select(F.col(id_col).alias("id_a"),
+                    F.col(term_col).alias("term_a"), "_p", "_v")
+    b = dels.select(F.col(id_col).alias("id_b"),
+                    F.col(term_col).alias("term_b"), "_p", "_v")
+    subst = (a.join(b, ["_v", "_p"])
              .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "term_a", "id_b", "term_b")
-             .distinct())
+             .select("id_a", "term_a", "id_b", "term_b"))
+    full = rows.select(F.col(id_col).alias("_fid"),
+                       F.col(term_col).alias("_ft"))
+    met = (full.join(dels, full["_ft"] == dels["_v"])
+           .where(F.col("_fid") != F.col(id_col)))
+    lo = F.col("_fid") < F.col(id_col)
+    indel = met.select(
+        F.when(lo, F.col("_fid")).otherwise(F.col(id_col)).alias("id_a"),
+        F.when(lo, F.col("_ft")).otherwise(F.col(term_col))
+        .alias("term_a"),
+        F.when(lo, F.col(id_col)).otherwise(F.col("_fid")).alias("id_b"),
+        F.when(lo, F.col(term_col)).otherwise(F.col("_ft"))
+        .alias("term_b"))
+    cands = subst.unionByName(indel).distinct()
     return cands.where(
         F.levenshtein(F.col("term_a"), F.col("term_b")) == 1)
