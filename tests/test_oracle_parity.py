@@ -185,6 +185,18 @@ _SF01_SCALE_SENSITIVE = [
     # averages (whose exact-zero branch rests on both snapshots
     # aggregating in the same partition order) stretch past sf0.01
     "doc_prefix_completions", "embedding_centroid_drift",
+    # r12: the IVF routing joins, the bucket-explode range join, the
+    # postings adjacency chain, the grouped top-k cap, the prefix
+    # inverted index, the per-day sketch-merge join and the cumsum
+    # spine all cross partition boundaries only past sf0.01
+    "knn_reciprocal_ivf", "events_interval_join", "doc_phrase_search",
+    "doc_domain_cap", "dedup_setsim_prefix",
+    "events_rolling_distinct_kmv", "corpus_compaction_plan",
+    # late-r12: the positioned variant joins, the per-order window +
+    # broadcast dim, and max_by partial-state merges stretch past
+    # sf0.01
+    "customers_typo_pairs", "suppliers_sole_delay",
+    "corpus_preference_pairs",
 ]
 
 
