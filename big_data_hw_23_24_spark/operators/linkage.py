@@ -156,10 +156,10 @@ def edit1_neighborhood_pairs(rows: DataFrame, id_col: str,
     * SUBSTITUTION at position p ⟺ the two p-deletions coincide — a
       self-join keyed on ``(variant, position)``; everything meeting
       there differs at most at p, so a bucket holds at most
-      the alphabet size terms regardless of corpus shape (keying on the
-      variant ALONE puts every same-length near-sibling in one bucket
-      — the dense zero-padded customer names drove Σ bucket² to 6.6 s
-      at sf0.1; the positioned key reads 1.2 s);
+      alphabet-size DISTINCT terms (keying on the variant ALONE puts
+      every same-length near-sibling in one bucket — the dense
+      zero-padded customer names drove Σ bucket² to 6.6 s at sf0.1;
+      the positioned key reads 2.8 s for the same exact output);
     * INSERTION/DELETION ⟺ one string IS a deletion of the other — a
       join of full terms against deletion variants (both id
       orientations normalized to ``id_a < id_b``).
@@ -171,6 +171,12 @@ def edit1_neighborhood_pairs(rows: DataFrame, id_col: str,
     contract; the ``distinct()`` dedupes pairs that meet at several
     positions (repeated characters). Per-term fan-out is len deletion
     variants — a narrow map, never the O(Σ·len) substitution alphabet.
+
+    The alphabet bound counts DISTINCT terms: k rows carrying the
+    IDENTICAL term emit identical keys and drive O(len·k²) rows
+    through the join regardless of positioning — callers with massive
+    duplicate-term mass should collapse to distinct terms + weights
+    first, or the duplicate class itself is the quadratic term.
     """
     t = F.col(term_col)
     dels_arr = F.transform(

@@ -475,11 +475,11 @@ def km_survival(lifetimes: DataFrame, duration_col: str,
     task by design. The product is computed as ``exp(Σ ln(1 − d/n))``
     (the engine-portable window-product form, same ln/exp convention
     as the LM-logprob faces). A time where everyone at risk exits is
-    made EXPLICIT: Spark's ``log(0)`` is NULL (it would silently drop
-    the factor) while DuckDB's ``ln(0)`` is −inf, so the d = n branch
-    contributes a literal −inf in the Spark plan — the cumulative sum
-    pins to −inf and survival is exactly 0.0 from that time on, in
-    both engines.
+    made EXPLICIT in BOTH engines — neither handles ``ln(0)`` usably
+    here (Spark's ``log(0)`` is NULL and silently drops the factor;
+    DuckDB's ``ln(0)`` RAISES an out-of-range error) — so the d = n
+    branch contributes a literal −inf on each side: the cumulative sum
+    pins to −inf and survival is exactly 0.0 from that time on.
     """
     dur = F.col(duration_col)
     g = lifetimes.groupBy(dur.alias("duration")).agg(

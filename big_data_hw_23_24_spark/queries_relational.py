@@ -2662,10 +2662,12 @@ def suppliers_sole_delay(spark, sf_dir):
      AND levenshtein(a.c_name, b.c_name) = 1
     """,
     doc="typo-tolerant entity matching: all customer-name pairs at "
-        "edit distance exactly 1 via the FastSS deletion-neighborhood "
-        "equi-join (each name fans out to len+1 deletion variants, "
-        "candidates = variant-key join, exact levenshtein verify on "
-        "deduplicated candidates only) — the oracle is the "
+        "edit distance exactly 1 via positioned FastSS deletion "
+        "neighborhoods — substitutions self-join on (variant, "
+        "position) with alphabet-bounded buckets, insertions/"
+        "deletions join full names against deletion variants; both "
+        "joins emit only true distance<=1 pairs, the levenshtein "
+        "filter excludes distance-0 duplicates — the oracle is the "
         "definitional all-pairs theta join, so parity proves the "
         "neighborhood join complete",
 )
@@ -2781,7 +2783,10 @@ def events_ewma_forecast(spark, sf_dir):
     ),
     k AS (
       SELECT dur, d, n_risk,
-             exp(sum(ln(1 - d * 1.0 / n_risk)) OVER (ORDER BY dur)) AS s
+             exp(sum(CASE WHEN d < n_risk
+                          THEN ln(1 - d * 1.0 / n_risk)
+                          ELSE CAST('-infinity' AS DOUBLE) END)
+                 OVER (ORDER BY dur)) AS s
       FROM r
     )
     SELECT dur AS duration, CAST(n_risk AS BIGINT) AS n_risk,

@@ -610,3 +610,37 @@ def test_km_survival_textbook_case(spark):
                                  "dur long, censored boolean")
     row = km_survival(dead, "dur", "censored").collect()[0]
     assert (row.n_risk, row.n_events, row.survival) == (2, 2, 0.0)
+
+
+def test_km_exhaustion_branch_matches_duckdb(spark):
+    """The everyone-exits branch must be EXPLICIT in both engines:
+    Spark's log(0) is NULL (drops the factor) and DuckDB's ln(0)
+    RAISES — each side contributes a literal -inf instead, and the
+    curves (including the exact-0.0 tail) must agree."""
+    import duckdb
+
+    from big_data_hw_23_24_spark.operators.timeseries import km_survival
+
+    rows = [(1, False), (2, False), (2, False), (2, False)]
+    lt = spark.createDataFrame(rows, "dur long, censored boolean")
+    got = sorted((r.duration, r.n_risk, r.n_events, r.survival)
+                 for r in km_survival(lt, "dur", "censored").collect())
+    vals = ", ".join(f"({d}, {str(c).lower()})" for d, c in rows)
+    want = sorted(tuple(r) for r in duckdb.sql(f"""
+        WITH lt(dur, censored) AS (VALUES {vals}),
+        g AS (SELECT dur,
+                sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d,
+                count(*)::BIGINT AS leaving FROM lt GROUP BY 1),
+        r AS (SELECT dur, d,
+                sum(leaving) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS n_risk
+              FROM g),
+        k AS (SELECT dur, d, n_risk,
+                exp(sum(CASE WHEN d < n_risk
+                             THEN ln(1 - d * 1.0 / n_risk)
+                             ELSE CAST('-infinity' AS DOUBLE) END)
+                    OVER (ORDER BY dur)) AS s FROM r)
+        SELECT dur, CAST(n_risk AS BIGINT), d, round(s, 6)
+        FROM k WHERE d > 0""").fetchall())
+    assert got == want
+    assert got[-1][3] == 0.0  # the exhaustion tail is exactly zero
