@@ -658,8 +658,12 @@ def bootstrap_ci(units: DataFrame, group_cols: list[str],
     between engines.
 
     Input contract: ``units`` is already aggregated to the
-    randomization unit (one row per (group…, unit)) with an INTEGER
-    ``value_col`` (cents) — Σw and Σ(w·x) then stay exact BIGINT and
+    randomization unit (one row per (group…, unit)); a NULL unit id
+    is coalesced to the same ``\\N`` sentinel as the group components
+    (so the seed string is engine-portable even then — though NULL
+    unit ids in one group collide into ONE bootstrap unit, which is
+    almost never what the caller means), and ``value_col`` is INTEGER
+    (cents) — Σw and Σ(w·x) then stay exact BIGINT and
     each replicate mean is one exact integer division. Units, not raw
     rows, ride the ×R explode: at 100 TB the corpus-scale work is the
     one aggregate that built ``units``; the bootstrap costs
@@ -674,7 +678,14 @@ def bootstrap_ci(units: DataFrame, group_cols: list[str],
     # the corpus-scale aggregate that BUILT the units would run twice
     # (the homoglyph/LSH subtree-reuse lesson). The checkpointed frame
     # is unit-scale, slim, and feeds both paths from memory.
-    units = units.select(*gs, F.col(unit_col).cast("string").alias("_unit"),
+    # the unit id gets the SAME '\N' sentinel as the group components:
+    # a bare cast would let concat_ws silently skip a NULL unit (real
+    # weights drawn) while an oracle's '||' propagates NULL through
+    # md5 (weight 0 everywhere) — the engines would draw different
+    # replicates (r12 ADVICE finding)
+    units = units.select(*gs,
+                         F.coalesce(F.col(unit_col).cast("string"),
+                                    F.lit("\\N")).alias("_unit"),
                          x.alias("_x")).localCheckpoint(eager=True)
     x = F.col("_x")
     point = units.groupBy(*gs).agg(

@@ -230,20 +230,25 @@ def preference_pairs(cands: DataFrame, prompt_col: str, id_col: str,
     scored, and shuffled exactly once. The ordering is made total
     with the id as tiebreaker (best: score desc/id asc, worst: score
     asc/id desc — encoded as ``(score, −id)``, so ``id_col`` must be
-    numeric; a single-response prompt picks the SAME row for both
-    sides and is dropped by the chosen ≠ rejected guard, not by an
-    arbitrary tie flip). ``score_col`` should be integral so margins
-    are exact.
+    integral or decimal — exact types only, because a fractional or
+    >2^53 float id would make both the negated tiebreaker and the
+    chosen ≠ rejected guard unreliable; a single-response prompt picks
+    the SAME row for both sides and is dropped by the chosen ≠
+    rejected guard, not by an arbitrary tie flip). ``score_col``
+    should be integral so margins are exact.
     """
-    # the negated tiebreaker requires a numeric id; a string id would
-    # implicitly cast to NULL under unary minus and break ties
-    # ARBITRARILY per run — fail loudly instead
+    # the negated tiebreaker requires an EXACT numeric id: a string id
+    # would implicitly cast to NULL under unary minus and break ties
+    # ARBITRARILY per run, and a float/double id can be fractional or
+    # lose integer precision above 2^53 (ties then compare unreliably
+    # and id != id misfires) — fail loudly on both
     id_type = dict(cands.dtypes).get(id_col, "")
-    if not (id_type in ("tinyint", "smallint", "int", "bigint",
-                        "float", "double") or id_type.startswith("decimal")):
+    if not (id_type in ("tinyint", "smallint", "int", "bigint")
+            or id_type.startswith("decimal")):
         raise ValueError(
-            f"preference_pairs needs a numeric id_col for the desc "
-            f"tiebreaker; {id_col!r} is {id_type!r}")
+            f"preference_pairs needs an integral or decimal id_col for "
+            f"the desc tiebreaker (exact equality + exact negation); "
+            f"{id_col!r} is {id_type!r}")
     ordv = F.struct(F.col(score_col), (-F.col(id_col)).alias("_negid"))
     agg = cands.groupBy(prompt_col).agg(
         F.max_by(F.struct(F.col(id_col).alias("chosen_id"),

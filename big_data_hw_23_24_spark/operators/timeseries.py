@@ -70,8 +70,16 @@ def ticks_us(events: DataFrame, ts_col: str = "ts"):
     either depending on session conf history) go through
     ``unix_micros(cast(ts as timestamp))`` — the cast applies a
     constant session-tz offset, which cancels wherever ticks are used
-    as DIFFERENCES or an ordering (the only uses in this package); an
-    already-integer column is used as-is (caller's tick unit).
+    as DIFFERENCES or an ordering. NOT every use in this package is a
+    difference any more: the rolling-distinct-KMV and EWMA-forecast
+    faces bucket ABSOLUTE days via ``floor(ticks / 86 400e6)``, where
+    the offset does not cancel against DuckDB's ``epoch_ns`` unless
+    the Spark session timezone is UTC — ``session.py`` pins UTC for
+    every harness entrypoint, and the registry faces that bucket
+    absolute days pin it on their own session too; a non-UTC caller
+    session would otherwise shift a near-midnight event across a day
+    boundary relative to the oracle.
+    An already-integer column is used as-is (caller's tick unit).
     DuckDB's identical integer is ``epoch_ns(ts) // 1000``.
     """
     dtype = dict(events.dtypes).get(ts_col, "")

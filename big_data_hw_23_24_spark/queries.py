@@ -74,40 +74,21 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r12 rotation: the 15-query r11 queue admitted (none ever
-    # driver-checked), over 15 retired holdovers (each earned ≥2
-    # greens; all annotated with their in-window or incoming sibling
-    # in tests/test_registry_order.py::declared_redundant).
+    # ---- r13 rotation: the 19-query r12 queue admitted (none ever
+    # driver-checked), over 19 retired holdovers (each earned ≥2
+    # greens — six 5-green, six 4-green, seven 3-green; all annotated
+    # with their in-window or incoming sibling in
+    # tests/test_registry_order.py::declared_redundant).
     # Kept multi-green members cover machinery with no other
-    # in-window sibling: BPE trainer, incremental-store statuses,
-    # repeat-factor schedule, ntile grid, ingest probe, burstiness,
-    # calibration, first-owner gram election, Luhn PII, fold chunker,
-    # skew stats, rule battery, weighted sampling, pagerank.
-    "bpe_learned_merges",
-    "dedup_incremental_bloom",
-    "corpus_epoch_schedule",
-    "events_rfm_segments",
-    "doc_csv_ingest",
-    "events_user_burstiness",
-    "corpus_quality_calibration",
-    "corpus_gram_novelty",
-    "doc_payment_pii_scan",
-    "doc_sentence_chunks",
-    "events_skew_report",
-    "doc_gopher_rules",
-    "corpus_priority_sample",
-    "events_item_pagerank",
+    # in-window sibling: tokenizer pre-stats, pinned SimHash,
+    # streaming backfill (the window's only streaming face), oriented
+    # triangle counting.
     # ---- r9 queue admitted in r10 (E131-E144), kept members ----
-    "doc_char_span_flags",
-    "doc_rerank_features",
     "streaming_backfill_catchup",
-    "corpus_scd2_history",
     "dedup_simhash_pinned",
     "doc_pretoken_stats",
-    "knn_ivf_pinned",
     "events_item_triangles",
-    "frequent_users_cms_pinned",
-    # ---- r10 queue admitted in r11 (E145-E156), 1 green each ----
+    # ---- r10 queue admitted in r11 (E145-E156), 2 greens each ----
     "events_percentile_drift",
     "knn_eval_ivf",
     "media_block_dedup",
@@ -136,6 +117,27 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "corpus_weighted_median_length",
     "doc_prefix_completions",
     "embedding_centroid_drift",
+    # ---- r12 queue admitted in r13 (E172-E189 + knn_eval_reciprocal),
+    # never driver-checked before this window ----
+    "knn_reciprocal_ivf",
+    "knn_eval_reciprocal",
+    "events_interval_join",
+    "doc_readability",
+    "doc_domain_cap",
+    "corpus_labeler_agreement",
+    "corpus_compaction_plan",
+    "doc_phrase_search",
+    "events_ab_uplift",
+    "events_rolling_distinct_kmv",
+    "doc_context_fit",
+    "dedup_setsim_prefix",
+    "events_bootstrap_ci",
+    "doc_mojibake_scan",
+    "suppliers_sole_delay",
+    "corpus_preference_pairs",
+    "customers_typo_pairs",
+    "events_ewma_forecast",
+    "users_survival_km",
 )
 
 

@@ -2634,6 +2634,10 @@ def events_rolling_distinct_kmv(spark, sf_dir):
     from .operators.frequent import rolling_distinct_kmv
     from .operators.timeseries import ticks_us
 
+    # absolute-day bucketing (floor(ticks/day)) only matches the
+    # oracle's epoch_ns under a UTC session tz — pin it, don't assume
+    # the caller's session (see ticks_us docstring)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     d = F.floor(ticks_us(ev) / F.lit(86_400_000_000)).cast("long")
     return rolling_distinct_kmv(ev.select(d.alias("d"), "user_id"),

@@ -2735,6 +2735,10 @@ _EWMA_ORACLE = f"""
 def events_ewma_forecast(spark, sf_dir):
     from .operators.timeseries import ewma_forecast, ticks_us
 
+    # absolute-day bucketing (floor(ticks/day)) only matches the
+    # oracle's epoch_ns under a UTC session tz — pin it, don't assume
+    # the caller's session (see ticks_us docstring)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events")
     d = F.floor(ticks_us(ev) / F.lit(86_400_000_000)).cast("long")
     daily = (ev.select("event_type", d.alias("d"))

@@ -620,16 +620,136 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   strip ⊂ corpus_gram_novelty
                                      #   (in window, same positioned-
                                      #   gram first-owner election)
+        # retired in r13 AFTER earning ≥2 greens each (six 5-green,
+        # six 4-green, seven 3-green), to admit the 19-query r12 queue
+        # (E172-E189 + knn_eval_reciprocal); each names the sibling —
+        # in-window or admitted this same rotation — that keeps its
+        # machinery driver-checked. ("in window" in OLDER annotations
+        # above reflects the rotation that wrote them; a sibling that
+        # has itself since rotated out stays full-value oracle-compared
+        # in test_oracle_parity every suite run, so the evidence chain
+        # holds.)
+        "doc_payment_pii_scan",      # 5 greens r08-r12; shared-lexicon
+                                     #   scan battery (Luhn digits) ⊂
+                                     #   doc_homoglyph_scan (in window,
+                                     #   same broadcast-lexicon
+                                     #   scan-and-flag shape); Luhn
+                                     #   checksum pinned in
+                                     #   tests/test_cleaning.py
+        "doc_sentence_chunks",       # 5 greens r08-r12; fold chunker /
+                                     #   window-fitting ⊂ doc_context_fit
+                                     #   (admitted r13, same
+                                     #   truncate-to-budget span
+                                     #   arithmetic, zero-shuffle map)
+        "events_skew_report",        # 5 greens r08-r12; one-pass
+                                     #   grouped skew stats ⊂
+                                     #   corpus_profile_report (in
+                                     #   window, same single-aggregate
+                                     #   profiling battery)
+        "doc_gopher_rules",          # 5 greens r08-r12; zero-shuffle
+                                     #   per-doc rule battery ⊂
+                                     #   doc_readability (admitted r13,
+                                     #   same fold-expression signal
+                                     #   battery in textstats.py)
+        "corpus_priority_sample",    # 5 greens r08-r12; weight-ordered
+                                     #   selection spine ⊂
+                                     #   corpus_weighted_median_length
+                                     #   (in window, same cumulative-
+                                     #   weight rank spine)
+        "events_item_pagerank",      # 5 greens r08-r12; fixed-round
+                                     #   keyed-join graph iteration ⊂
+                                     #   events_item_triangles (in
+                                     #   window, graph tier, same edge
+                                     #   build + keyed join machinery)
+        "bpe_learned_merges",        # 4 greens r09-r12; vocab-scale
+                                     #   tokenizer aggregates ⊂
+                                     #   doc_pretoken_stats (in window,
+                                     #   same pretokenize explode +
+                                     #   count-table machinery)
+        "dedup_incremental_bloom",   # 4 greens r09-r12; incremental-
+                                     #   store statuses ⊂
+                                     #   corpus_incremental_stats (in
+                                     #   window, same new/dup/carry
+                                     #   status machinery); membership
+                                     #   join ⊂ dedup_setsim_prefix
+                                     #   (admitted r13)
+        "corpus_epoch_schedule",     # 4 greens r09-r12; repeat-factor
+                                     #   schedule on the cumsum spine ⊂
+                                     #   corpus_compaction_plan
+                                     #   (admitted r13, same range-
+                                     #   partitioned running-total
+                                     #   spine grouping)
+        "doc_csv_ingest",            # 4 greens r09-r12; typed parse +
+                                     #   ok-probe ingest face ⊂
+                                     #   media_header_parse (in window,
+                                     #   same sniff-parse-validate
+                                     #   probe shape); S2 core row
+                                     #   stays golden-tested in
+                                     #   tests/test_sources.py
+        "corpus_quality_calibration",  # 4 greens r09-r12; score-decile
+                                     #   vs label agreement audit ⊂
+                                     #   corpus_labeler_agreement
+                                     #   (admitted r13, same
+                                     #   detector-vs-label agreement
+                                     #   machinery, kappa form)
+        "corpus_gram_novelty",       # 4 greens r09-r12; positioned-
+                                     #   gram posting index +
+                                     #   first-owner election ⊂
+                                     #   doc_phrase_search (admitted
+                                     #   r13, same positional posting
+                                     #   build + position equi-join)
+        "events_rfm_segments",       # 3 greens r10-r12; exact-ntile
+                                     #   grid on the rank spine ⊂
+                                     #   events_percentile_drift (in
+                                     #   window, same exact rank-spine
+                                     #   percentile machinery)
+        "events_user_burstiness",    # 3 greens r10-r12; inter-arrival
+                                     #   gap stats (lag + grouped CV) ⊂
+                                     #   events_calendar_gaps (in
+                                     #   window, same per-key ordered
+                                     #   lag-gap machinery)
+        "doc_char_span_flags",       # 3 greens r10-r12; exact char-
+                                     #   span arithmetic ⊂
+                                     #   doc_mojibake_scan (admitted
+                                     #   r13, same marker-position
+                                     #   span scan from a shared
+                                     #   lexicon) + doc_context_fit
+        "doc_rerank_features",       # 3 greens r10-r12; retrieval
+                                     #   feature join ⊂ doc_hybrid_rrf
+                                     #   (in window, same pruned-
+                                     #   postings index + per-query
+                                     #   score join machinery)
+        "corpus_scd2_history",       # 3 greens r10-r12; keyed
+                                     #   change-tracking windows ⊂
+                                     #   corpus_incremental_stats (in
+                                     #   window, same incremental
+                                     #   snapshot-diff machinery)
+        "knn_ivf_pinned",            # 3 greens r10-r12; pinned-IVF
+                                     #   probe routing ⊂
+                                     #   knn_reciprocal_ivf (admitted
+                                     #   r13, routes BOTH directions
+                                     #   through the same pinned-IVF
+                                     #   index build + nprobe join)
+        "frequent_users_cms_pinned",  # 3 greens r10-r12; pinned-sketch
+                                     #   build + merge ⊂
+                                     #   events_rolling_distinct_kmv
+                                     #   (admitted r13, same
+                                     #   deterministic-hash sketch
+                                     #   merge) + events_kmv_setops
+                                     #   (in window); CMS width/depth
+                                     #   error bound property-tested
+                                     #   in tests/test_frequent.py
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
     # rows) and is full-value oracle-compared in test_oracle_parity
     # meanwhile. The r6 queue (25) was admitted wholesale in r7, the
     # r7 queue (26) in r8, the r8 queue (27) in r9, the r9 queue (14)
-    # in r10, the r10 queue (12) in r11, the r11 queue (15) in r12 —
-    # this set holds only post-r12-rotation additions (the r13
-    # rotation).
-    queued_for_rotation: set[str] = {
+    # in r10, the r10 queue (12) in r11, the r11 queue (15) in r12,
+    # the r12 queue (19) in r13 — this set holds only
+    # post-r13-rotation additions (the r14 rotation).
+    queued_for_rotation: set[str] = set()
+    _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
                                      #   directions routed through the
                                      #   pinned-IVF index — the
@@ -806,16 +926,19 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # every formerly-queued name either still sits inside the checked
     # window or was retired to declared_redundant AFTER ≥2 green rows
     # (the r11 rotation retired 12 two-green r9 admissions; the r12
-    # rotation retired 15 names holding 2-4 greens each)
+    # rotation retired 15 names holding 2-4 greens each; the r13
+    # rotation retired 19 names holding 3-5 greens each)
     window_or_retired = set(_CHECKED_WINDOW) | declared_redundant
     assert _admitted_r9 <= window_or_retired, \
         _admitted_r9 - window_or_retired
     assert _admitted_r10 <= window_or_retired, \
         _admitted_r10 - window_or_retired
-    assert _admitted_r11 <= set(_CHECKED_WINDOW), \
-        _admitted_r11 - set(_CHECKED_WINDOW)
+    assert _admitted_r11 <= window_or_retired, \
+        _admitted_r11 - window_or_retired
     assert _admitted_r12 <= set(_CHECKED_WINDOW), \
         _admitted_r12 - set(_CHECKED_WINDOW)
+    assert _r12_queue_admitted_r13 <= set(_CHECKED_WINDOW), \
+        _r12_queue_admitted_r13 - set(_CHECKED_WINDOW)
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
