@@ -196,6 +196,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = os.getloadavg()[0]  # before the JVM spins up
     spark = get_session("bench")
     _ensure_loaded()
 
@@ -253,7 +254,21 @@ def main() -> None:
     # live in BENCH_DETAIL.json and the line carries min-of-3 only.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    # Provenance: the r12 verdict found the driver's under-load run
+    # differs from the builder's idle run by up to 2x on individual
+    # faces — so the detail file must SAY which condition produced it.
+    # The 1-minute loadavg before warm-up and after the last timed rep
+    # is recorded verbatim (objective, no self-assessment); a loadavg
+    # well above the bench's own footprint at START means the numbers
+    # were taken under external load and cross-round comparisons
+    # should prefer a committed idle record.
     detail = {"estimator": "min3_warmed", "sf": float(sf),
+              "load": {"loadavg_1m_start": round(load_start, 2),
+                       "loadavg_1m_end": round(os.getloadavg()[0], 2),
+                       "note": ("1-min loadavg at bench start/end; "
+                                "start >> 0 means external load — "
+                                "compare rounds on committed idle "
+                                "records only")},
               "queries_min": timings, "queries_median": medians}
     try:  # keep the opt-in sf1 probe record (tests/test_sf1_probe.py)
         with open(detail_path) as f:
