@@ -723,3 +723,109 @@ def bootstrap_ci(units: DataFrame, group_cols: list[str],
         .alias("ci_hi"))
     return point.join(ci, gs).select(
         *gs, "n_units", "mean_val", "ci_lo", "ci_hi")
+
+
+def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
+                   group_a: str, group_b: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two arms (E192) → ONE row
+    ``(n_a, n_b, u_stat, z, effect_r)``.
+
+    The nonparametric sibling of the Welch-z uplift face: "did arm A's
+    values stochastically dominate arm B's" without assuming normality
+    — the right test when the metric is heavy-tailed (revenue,
+    latency), where the mean-based z is driven by its own outliers.
+    U_a counts pairwise wins (ties half), computed via average ranks:
+    U_a = R_a − n_a(n_a+1)/2; z uses the normal approximation WITH the
+    tie correction σ² = n_a·n_b/12 · (N+1 − Σ(t³−t)/(N(N−1))); the
+    rank-biserial effect size r = 1 − 2U_a/(n_a·n_b) is the readable
+    companion (0 = no dominance, ±1 = total).
+
+    Scale shape: ranks never materialize per row — the corpus-scale
+    work is ONE hash aggregate to per-distinct-value arm counts, then
+    the cumulative count over the value order runs on the
+    range-partitioned cumsum spine (ranking.global_cumsum — never a
+    single-reducer window), and one final aggregate folds R_a, the tie
+    term and both n's in a single pass. Average ranks are multiples of
+    0.5, so the double sums are EXACT (every partial sum below 2^52 is
+    representable) — summation order cannot move the result; the final
+    z is one identical expression in both engines. No-continuity-
+    correction convention, stated so the oracle matches by
+    construction.
+    """
+    from .ranking import global_cumsum
+
+    v = F.col(value_col)
+    two = df.where(F.col(group_col).isin(group_a, group_b))
+    per = two.groupBy(v.alias("_v")).agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).alias("_ca"),
+        F.sum((F.col(group_col) == group_b).cast("long")).alias("_cb"))
+    per = per.withColumn("_c", F.col("_ca") + F.col("_cb"))
+    cum = global_cumsum(per, ["_v"], "_c", out_col="_cum")
+    less = F.col("_cum") - F.col("_c")
+    avg_rank = less + (F.col("_c") + 1) / 2.0
+    agg = cum.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.sum(F.col("_ca") * avg_rank).alias("_ra"),
+        F.sum(F.col("_c").cast("double") * F.col("_c") * F.col("_c")
+              - F.col("_c")).alias("_t"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("_ra") - na * (na + 1) / 2.0
+    var = (na * nb / 12.0 * ((n + 1) - F.col("_t") / (n * (n - 1))))
+    # every value tied -> the correction removes ALL variance; z is
+    # null by contract (there is no distribution to test against)
+    z = F.when(var > 0, F.round((u - na * nb / 2.0) / F.sqrt(var), 6))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(u, 2).alias("u_stat"),
+        z.alias("z"),
+        F.round(1 - 2 * u / (na * nb), 6).alias("effect_r"))
+
+
+def gini_concentration(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str) -> DataFrame:
+    """Gini coefficient of an integral value per group (E193) → one
+    row per group: ``(group, n_units, total_value, gini)``.
+
+    The concentration readout behind every "does 1% of X own 90% of
+    Y" question — revenue concentration per segment, token share per
+    source, traffic share per domain. Gini from the rank form of the
+    Lorenz sum: with units ranked 1..n ascending by value within the
+    group, G = (2·Σ rᵢvᵢ − (n+1)·Σ vᵢ) / (n·Σ vᵢ); 0 = perfectly
+    even, →1 = one unit owns everything. All-zero groups → null by
+    contract (no distribution to concentrate).
+
+    Scale shape: the within-group rank is the GLOBAL range-partitioned
+    rank on (group, value, id) minus a per-group offset — a #groups-row
+    broadcast — so a mega-group never funnels one reducer the way a
+    ``Window.partitionBy(group)`` would. ``value_col`` must be
+    integral (cents, tokens, bytes): both moment sums accumulate as
+    DECIMAL(38,0), exact at any scale and order-independent, and only
+    the final G divides in doubles — the same expression in both
+    engines, so 6-dp parity is structural.
+    """
+    from .ranking import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(group_col).alias("_g"),
+                  F.col(value_col).cast("long").alias("_v"),
+                  F.col(id_col).alias("_id")),
+        ["_g", "_v", "_id"], rank_col="_r")
+    offs = ranked.groupBy("_g").agg(F.min("_r").alias("_off"))
+    ri = F.col("_r") - F.col("_off") + 1
+    dec = "decimal(38,0)"
+    agg = (ranked.join(F.broadcast(offs), "_g")
+           .groupBy("_g")
+           .agg(F.count("*").cast("long").alias("n_units"),
+                F.sum(F.col("_v").cast(dec)).alias("_s0"),
+                F.sum((ri * F.col("_v")).cast(dec)).alias("_s1")))
+    n = F.col("n_units").cast("double")
+    s0 = F.col("_s0").cast("double")
+    s1 = F.col("_s1").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col), "n_units",
+        F.col("_s0").cast("long").alias("total_value"),
+        F.when(F.col("_s0") != 0,
+               F.round((2 * s1 - (n + 1) * s0) / (n * s0), 6))
+        .alias("gini"))

@@ -510,3 +510,120 @@ def km_survival(lifetimes: DataFrame, duration_col: str,
             .select("duration", "n_risk",
                     F.col("_d").alias("n_events"),
                     F.round("_s", 6).alias("survival")))
+
+
+def cusum_changepoint(daily: DataFrame, key_cols: list[str], day_col: str,
+                      value_col: str) -> DataFrame:
+    """Retrospective CUSUM change-in-mean detection per key (E190) →
+    one row per key: ``(key…, n_days, cp_day, cusum_stat, mean_before,
+    mean_after, shift)``.
+
+    The "did this slice's level CHANGE, and when" question the trend
+    face (OLS/Theil-Sen: gradual drift) and the anomaly face (single
+    outlier days) both miss: a step change — a source switching
+    crawlers, a feed dropping a shard — shows up as a sustained offset,
+    not a slope and not a spike. Page's retrospective CUSUM localizes
+    it: with C_t = Σ_{i≤t}(v_i − v̄), the changepoint estimate is the
+    argmax of |C_t| and the normalized statistic max|C_t|/(s·√n) reads
+    like a z-score for "a level shift exists" (≳ 1.4 is the classic
+    5%-ish boundary for the Brownian-bridge sup).
+
+    Determinism: the variance is computed from integer sufficient
+    statistics (Σv, Σv² — keep ``value_col`` integral) via the same
+    expression in both engines, so s is bit-identical; the argmax
+    runs on the 6-dp-ROUNDED statistic with the day as tiebreaker
+    (earliest wins) so a last-ulp difference cannot move the
+    changepoint. n < 2 or s = 0 → null stat by contract (a flat
+    series has no changepoint, not an infinitely significant one).
+
+    Shape: ``daily`` is the per-(key, day) aggregate, so the
+    corpus-scale work happened upstream; the cumsum/argmax windows are
+    PARTITIONED BY key over the day grid (days × keys rows), and the
+    before/after means are one more grid-sized aggregate against the
+    broadcast per-key changepoint row. Nothing here scales with row
+    count, only with keys × days.
+    """
+    ks = list(key_cols)
+    v = F.col(value_col).cast("double")
+    part = Window.partitionBy(*ks)
+    asc = part.orderBy(day_col)
+    cum = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = daily.select(
+        *ks, F.col(day_col).alias("_d"), v.alias("_v"),
+        F.count("*").over(part).cast("long").alias("_n"),
+        F.sum(v).over(part).alias("_s1"),
+        F.sum(v * v).over(part).alias("_s2"),
+        F.sum(v).over(cum).alias("_c"),
+        F.row_number().over(asc).alias("_rn"))
+    mean = F.col("_s1") / F.col("_n")
+    var = F.when(F.col("_n") > 1,
+                 (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"))
+                 / (F.col("_n") - 1))
+    dev = F.abs(F.col("_c") - F.col("_rn") * mean)
+    stat = F.when(var > 0, F.round(
+        dev / (F.sqrt(var) * F.sqrt(F.col("_n").cast("double"))), 6))
+    scored = (g.select(*ks, "_d", "_v", "_n", stat.alias("_stat"))
+              .withColumn("_pick", F.row_number().over(
+                  part.orderBy(F.col("_stat").desc_nulls_last(),
+                               F.col("_d").asc()))))
+    cp = scored.where(F.col("_pick") == 1).select(
+        *ks, F.col("_d").alias("cp_day"),
+        F.col("_n").alias("n_days"), F.col("_stat").alias("cusum_stat"))
+    sides = (scored.join(F.broadcast(cp.select(*ks, "cp_day")), ks)
+             .groupBy(*ks)
+             .agg(F.round(F.avg(F.when(F.col("_d") <= F.col("cp_day"),
+                                       F.col("_v"))), 6)
+                  .alias("mean_before"),
+                  F.round(F.avg(F.when(F.col("_d") > F.col("cp_day"),
+                                       F.col("_v"))), 6)
+                  .alias("mean_after")))
+    return (cp.join(sides, ks)
+            .select(*ks, "n_days", "cp_day", "cusum_stat",
+                    "mean_before", "mean_after",
+                    F.round(F.col("mean_after") - F.col("mean_before"), 6)
+                    .alias("shift")))
+
+
+def theilsen_trend(daily: DataFrame, key_cols: list[str], x_col: str,
+                   y_col: str) -> DataFrame:
+    """Theil-Sen robust trend per key (E191) → one row per key:
+    ``(key…, n_days, n_pairs, slope, intercept)``.
+
+    The robust sibling of the OLS face (grouped_trend): OLS breaks
+    under a single corrupted day (one bot flood drags the fitted slope
+    arbitrarily), while the median-of-pairwise-slopes estimator has a
+    29% breakdown point — the standard volume-trend readout when the
+    series is known to contain the very anomalies the anomaly face
+    flags. slope = median over all x₁<x₂ pairs of (y₂−y₁)/(x₂−x₁);
+    intercept = median over days of (y − slope·x) (the Conover form).
+
+    Shape: the pair join is the day GRID squared per key — bounded by
+    the observation window (30 days → 435 pairs), never by corpus
+    size; ``daily`` is the per-(key, day) aggregate so the corpus-scale
+    work happened upstream. Both medians interpolate exactly
+    (percentile 0.5 ≡ ANSI percentile_cont ≡ DuckDB quantile_cont);
+    slopes are ratios of integer diffs, evaluated identically in both
+    engines, so the medians are bit-identical before the 6-dp round.
+    """
+    ks = list(key_cols)
+    a = daily.select(*ks, F.col(x_col).alias("_x1"),
+                     F.col(y_col).cast("double").alias("_y1"))
+    b = daily.select(*ks, F.col(x_col).alias("_x2"),
+                     F.col(y_col).cast("double").alias("_y2"))
+    pairs = (a.join(b, ks)
+             .where(F.col("_x1") < F.col("_x2"))
+             .select(*ks, ((F.col("_y2") - F.col("_y1"))
+                           / (F.col("_x2") - F.col("_x1"))).alias("_m")))
+    m = pairs.groupBy(*ks).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.percentile(F.col("_m"), F.lit(0.5)).alias("_slope"))
+    resid = (daily.join(F.broadcast(m), ks)
+             .groupBy(*ks)
+             .agg(F.count("*").cast("long").alias("n_days"),
+                  F.percentile(F.col(y_col).cast("double")
+                               - F.col("_slope") * F.col(x_col),
+                               F.lit(0.5)).alias("_icept")))
+    return (m.join(resid, ks)
+            .select(*ks, "n_days", "n_pairs",
+                    F.round("_slope", 6).alias("slope"),
+                    F.round("_icept", 6).alias("intercept")))

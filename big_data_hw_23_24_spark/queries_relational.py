@@ -2824,3 +2824,234 @@ def users_survival_km(spark, sf_dir):
         F.when(cens, F.lit(72)).otherwise(dur_h).cast("long").alias("dur"),
         cens.alias("censored"))
     return km_survival(lt, "dur", "censored")
+
+
+# --- E190: CUSUM level-shift changepoint -----------------------------------
+# The step-change detector between the trend face (gradual drift) and
+# the anomaly face (single days). The raw events table is level, so
+# the face PLANTS a deterministic regime change — click loses 40% of
+# its volume (event_id % 5 IN (0, 1)) strictly after Jan 15 — and the
+# report must localize exactly that day for click while the other
+# types stay sub-threshold. Day columns ride as ISO strings (the E72
+# convention).
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+      FROM events
+      WHERE NOT (event_type = 'click'
+                 AND extract(day FROM ts) > 15
+                 AND event_id % 5 IN (0, 1))
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, d, y,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS s1,
+             sum(y * y) OVER (PARTITION BY event_type) AS s2,
+             sum(y) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d) AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT event_type, d, y, n,
+             CASE WHEN n > 1 AND (s2 - s1 * s1 * 1.0 / n) / (n - 1) > 0
+                  THEN round(abs(c - rn * (s1 * 1.0 / n))
+                             / (sqrt((s2 - s1 * s1 * 1.0 / n) / (n - 1))
+                                * sqrt(n * 1.0)), 6)
+             END AS stat
+      FROM g
+    ),
+    p AS (
+      SELECT event_type, d, y, n, stat,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY stat DESC NULLS LAST, d)
+               AS pick
+      FROM s
+    ),
+    cp AS (SELECT event_type, d AS cpd, n, stat FROM p WHERE pick = 1)
+    SELECT s.event_type,
+           cp.n::BIGINT AS n_days,
+           strftime(cp.cpd, '%Y-%m-%d') AS cp_day,
+           cp.stat AS cusum_stat,
+           round(avg(CASE WHEN s.d <= cp.cpd THEN s.y END), 6)
+             AS mean_before,
+           round(avg(CASE WHEN s.d > cp.cpd THEN s.y END), 6)
+             AS mean_after,
+           round(round(avg(CASE WHEN s.d > cp.cpd THEN s.y END), 6)
+                 - round(avg(CASE WHEN s.d <= cp.cpd THEN s.y END), 6), 6)
+             AS shift
+    FROM s JOIN cp USING (event_type)
+    GROUP BY s.event_type, cp.n, cp.cpd, cp.stat
+    """,
+    doc="retrospective CUSUM change-in-mean per event type: C_t = "
+        "cumulative (count - mean), changepoint = argmax |C_t| on the "
+        "6-dp-rounded normalized statistic (earliest day wins ties), "
+        "variance from integer sufficient statistics so both engines "
+        "agree bit-for-bit; planted regime change: click loses "
+        "event_id%5 IN (0,1) strictly after Jan 15",
+)
+def events_cusum_changepoint(spark, sf_dir):
+    from .operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    kept = ev.where(~((F.col("event_type") == "click")
+                      & (F.dayofmonth("ts") > 15)
+                      & (F.col("event_id") % 5).isin(0, 1)))
+    daily = (kept.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast("long").alias("y")))
+    out = cusum_changepoint(daily, ["event_type"], "d", "y")
+    return out.withColumn("cp_day",
+                          F.date_format("cp_day", "yyyy-MM-dd"))
+
+
+# --- E191: Theil-Sen robust volume trend -----------------------------------
+@register(
+    "events_theilsen_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT a.event_type,
+             count(*)::BIGINT AS n_pairs,
+             quantile_cont((b.y - a.y) * 1.0 / (b.x - a.x), 0.5) AS slope
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.x < b.x
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT d.event_type,
+             count(*)::BIGINT AS n_days,
+             quantile_cont(d.y - m.slope * d.x, 0.5) AS icept
+      FROM d JOIN m USING (event_type)
+      GROUP BY 1
+    )
+    SELECT m.event_type, r.n_days, m.n_pairs,
+           round(m.slope, 6) AS slope,
+           round(r.icept, 6) AS intercept
+    FROM m JOIN r USING (event_type)
+    """,
+    doc="Theil-Sen robust trend of daily volume per event type: "
+        "median of pairwise slopes over the day grid (29% breakdown "
+        "point vs OLS's zero), Conover intercept = median residual; "
+        "the pair join is day-grid-squared per key, bounded by the "
+        "observation window, never by corpus size",
+)
+def events_theilsen_trend(spark, sf_dir):
+    from .operators.timeseries import theilsen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("x"))
+        .agg(F.count("*").cast("long").alias("y")))
+    return theilsen_trend(daily, ["event_type"], "x", "y")
+
+
+# --- E192: Mann-Whitney U rank-sum test -------------------------------------
+@register(
+    "events_mannwhitney",
+    """
+    WITH two AS (
+      SELECT value AS v, event_type FROM events
+      WHERE event_type IN ('purchase', 'view')
+    ),
+    per AS (
+      SELECT v,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS ca,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               ::BIGINT AS cb
+      FROM two GROUP BY v
+    ),
+    cum AS (
+      SELECT ca, cb, ca + cb AS c,
+             sum(ca + cb) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cm
+      FROM per
+    ),
+    agg AS (
+      SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+             sum(ca * ((cm - c) + (c + 1) / 2.0)) AS ra,
+             sum(c * 1.0 * c * c - c) AS t
+      FROM cum
+    )
+    SELECT n_a, n_b,
+           round(ra - n_a * (n_a + 1.0) / 2, 2) AS u_stat,
+           round((ra - n_a * (n_a + 1.0) / 2 - n_a * 1.0 * n_b / 2)
+                 / sqrt(n_a * 1.0 * n_b / 12
+                        * ((n_a + n_b + 1)
+                           - t / ((n_a + n_b) * 1.0
+                                  * (n_a + n_b - 1)))), 6) AS z,
+           round(1 - 2 * (ra - n_a * (n_a + 1.0) / 2)
+                 / (n_a * 1.0 * n_b), 6) AS effect_r
+    FROM agg
+    """,
+    doc="Mann-Whitney U between purchase and view values: average "
+        "ranks from per-distinct-value arm counts + the range-"
+        "partitioned cumsum spine (never a single-reducer rank), tie-"
+        "corrected normal z, rank-biserial effect size; half-integer "
+        "rank sums are exact in doubles so order cannot move them",
+)
+def events_mannwhitney(spark, sf_dir):
+    from .operators.grouped import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "view")
+
+
+# --- E193: revenue Gini concentration per segment ---------------------------
+@register(
+    "customers_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             coalesce(sum(round(o.o_totalprice * 100)), 0)::BIGINT AS v
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT c_mktsegment, v,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY v, c_custkey) AS ri
+      FROM rev
+    ),
+    a AS (
+      SELECT c_mktsegment,
+             count(*)::BIGINT AS n_units,
+             sum(v) AS s0, sum(ri * v) AS s1
+      FROM r GROUP BY 1
+    )
+    SELECT c_mktsegment, n_units,
+           s0::BIGINT AS total_value,
+           CASE WHEN s0 <> 0
+                THEN round((2 * (s1 * 1.0) - (n_units + 1) * (s0 * 1.0))
+                           / (n_units * (s0 * 1.0)), 6)
+           END AS gini
+    FROM a
+    """,
+    doc="Gini coefficient of per-customer revenue (cents) within each "
+        "market segment, customers with no orders included at zero: "
+        "rank-form Lorenz sum on the range-partitioned GLOBAL rank "
+        "minus a per-segment broadcast offset — a mega-segment never "
+        "funnels one reducer; moment sums exact as DECIMAL(38,0)",
+)
+def customers_revenue_gini(spark, sf_dir):
+    from .operators.grouped import gini_concentration
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (cust.join(orders,
+                     cust["c_custkey"] == orders["o_custkey"], "left")
+           .groupBy("c_mktsegment", "c_custkey")
+           .agg(F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100)),
+                           F.lit(0)).cast("long").alias("v")))
+    return gini_concentration(rev, "c_mktsegment", "v", "c_custkey")

@@ -1,0 +1,163 @@
+"""Operator tests for the round-13 additions (E190+)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- CUSUM ----
+
+def _daily(spark, rows):
+    return spark.createDataFrame(rows, "k string, d int, y long")
+
+
+def test_cusum_localizes_planted_step(spark):
+    """A clean level shift 10 -> 20 after day 14 must put the argmax
+    of |C_t| exactly at the last day of the old regime."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        cusum_changepoint)
+
+    rows = [("a", d, 10) for d in range(1, 15)] + \
+           [("a", d, 20) for d in range(15, 29)]
+    out = cusum_changepoint(_daily(spark, rows), ["k"], "d", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cp_day == 14
+    assert r.n_days == 28
+    assert r.mean_before == 10.0 and r.mean_after == 20.0
+    assert r.shift == 10.0
+    # normalized stat for a half-half split of size n and shift h is
+    # (n/4)*h / (s*sqrt(n)); just pin that it is large
+    assert r.cusum_stat > 1.4
+
+
+def test_cusum_flat_series_null_stat(spark):
+    """Zero variance -> no changepoint signal: stat is null by
+    contract, argmax tie-breaks to the earliest day."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        cusum_changepoint)
+
+    rows = [("a", d, 7) for d in range(1, 11)]
+    r = cusum_changepoint(_daily(spark, rows), ["k"], "d", "y").collect()[0]
+    assert r.cusum_stat is None
+    assert r.cp_day == 1  # ties (all null) -> earliest day
+
+
+def test_cusum_single_day_null(spark):
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        cusum_changepoint)
+
+    r = cusum_changepoint(_daily(spark, [("a", 1, 5)]),
+                          ["k"], "d", "y").collect()[0]
+    assert r.cusum_stat is None and r.n_days == 1
+    assert r.mean_before == 5.0 and r.mean_after is None
+
+
+# ------------------------------------------------------------- Theil-Sen ----
+
+def test_theilsen_exact_line_recovered(spark):
+    """y = 3x + 2 exactly -> slope 3, intercept 2, all pairs agree."""
+    from big_data_hw_23_24_spark.operators.timeseries import theilsen_trend
+
+    rows = [("a", x, 3 * x + 2) for x in range(10)]
+    r = theilsen_trend(_daily(spark, rows), ["k"], "d", "y").collect()[0]
+    assert r.slope == 3.0 and r.intercept == 2.0
+    assert r.n_pairs == 45 and r.n_days == 10
+
+
+def test_theilsen_shrugs_off_outlier_where_ols_breaks(spark):
+    """One corrupted day moves the OLS slope but not the pairwise
+    median — the reason the robust face exists."""
+    from big_data_hw_23_24_spark.operators.timeseries import theilsen_trend
+    from big_data_hw_23_24_spark.operators.grouped import grouped_trend
+
+    rows = [("a", x, 5 * x + 1) for x in range(21)]
+    rows[20] = ("a", 20, 100000)  # bot flood on the last day
+    # (an END-of-series outlier has maximal leverage on OLS; a
+    # centered one would only move the intercept)
+    daily = _daily(spark, rows)
+    ts = theilsen_trend(daily, ["k"], "d", "y").collect()[0]
+    ols = grouped_trend(daily.withColumnRenamed("d", "x"),
+                        "k", "x", "y").collect()[0]
+    assert ts.slope == 5.0
+    assert abs(ols.slope - 5.0) > 100  # OLS dragged by the outlier
+
+
+# ---------------------------------------------------------- Mann-Whitney ----
+
+def test_mannwhitney_hand_computed_no_ties(spark):
+    """A = {1,2,3}, B = {4,5,6}: every B beats every A, so U_a = 0,
+    effect_r = 1 - 0 = 1, z = -sqrt(27/... ) computed by hand."""
+    from big_data_hw_23_24_spark.operators.grouped import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(float(v), "a") for v in (1, 2, 3)]
+        + [(float(v), "b") for v in (4, 5, 6)], "value double, g string")
+    r = mann_whitney_u(df, "value", "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.u_stat) == (3, 3, 0.0)
+    assert r.effect_r == 1.0
+    # z = (0 - 4.5) / sqrt(9/12 * 7) = -4.5 / sqrt(5.25)
+    assert r.z == round(-4.5 / math.sqrt(5.25), 6)
+
+
+def test_mannwhitney_ties_average_ranks(spark):
+    """All values equal: U_a = n_a*n_b/2 via half-credit ties, z is
+    null (sigma = 0 -> division yields null, not a crash)."""
+    from big_data_hw_23_24_spark.operators.grouped import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [(1.0, "a")] * 4 + [(1.0, "b")] * 4, "value double, g string")
+    r = mann_whitney_u(df, "value", "g", "a", "b").collect()[0]
+    assert r.u_stat == 8.0  # 4*4/2
+    assert r.effect_r == 0.0
+    assert r.z is None  # tie correction kills the variance entirely
+
+
+def test_mannwhitney_symmetric(spark):
+    """Swapping the arms negates z and the effect size; U_a + U_b =
+    n_a * n_b."""
+    from big_data_hw_23_24_spark.operators.grouped import mann_whitney_u
+
+    rows = [(float(v), "a") for v in (1, 4, 7, 9)] + \
+           [(float(v), "b") for v in (2, 3, 8)]
+    df = spark.createDataFrame(rows, "value double, g string")
+    ab = mann_whitney_u(df, "value", "g", "a", "b").collect()[0]
+    ba = mann_whitney_u(df, "value", "g", "b", "a").collect()[0]
+    assert ab.u_stat + ba.u_stat == 12.0
+    assert ab.z == -ba.z and ab.effect_r == -ba.effect_r
+
+
+# ------------------------------------------------------------------ Gini ----
+
+def _units(spark, rows):
+    return spark.createDataFrame(rows, "g string, id long, v long")
+
+
+def test_gini_uniform_is_zero(spark):
+    from big_data_hw_23_24_spark.operators.grouped import gini_concentration
+
+    df = _units(spark, [("a", i, 50) for i in range(8)])
+    r = gini_concentration(df, "g", "v", "id").collect()[0]
+    assert r.gini == 0.0 and r.total_value == 400 and r.n_units == 8
+
+
+def test_gini_single_owner_is_n_minus_1_over_n(spark):
+    from big_data_hw_23_24_spark.operators.grouped import gini_concentration
+
+    df = _units(spark, [("a", i, 0) for i in range(9)] + [("a", 9, 1000)])
+    r = gini_concentration(df, "g", "v", "id").collect()[0]
+    assert r.gini == 0.9  # (n-1)/n with n = 10
+
+
+def test_gini_zero_group_null_and_groups_independent(spark):
+    from big_data_hw_23_24_spark.operators.grouped import gini_concentration
+
+    df = _units(spark, [("z", 1, 0), ("z", 2, 0),
+                        ("a", 1, 10), ("a", 2, 30)])
+    got = {r.g: r.gini for r in
+           gini_concentration(df, "g", "v", "id").collect()}
+    assert got["z"] is None
+    # n=2, ranks 1,2 on (10,30): G = (2*(1*10+2*30) - 3*40)/(2*40) = 0.25
+    assert got["a"] == 0.25

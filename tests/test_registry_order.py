@@ -748,7 +748,21 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # in r10, the r10 queue (12) in r11, the r11 queue (15) in r12,
     # the r12 queue (19) in r13 — this set holds only
     # post-r13-rotation additions (the r14 rotation).
-    queued_for_rotation: set[str] = set()
+    queued_for_rotation: set[str] = {
+        "events_cusum_changepoint",  # r13: retrospective CUSUM level-
+                                     #   shift localization on the
+                                     #   per-(type, day) grid, planted
+                                     #   regime change
+        "events_theilsen_trend",     # r13: median-of-pairwise-slopes
+                                     #   robust trend, day-grid-squared
+                                     #   pair join
+        "events_mannwhitney",        # r13: tie-corrected rank-sum test
+                                     #   on the range-partitioned
+                                     #   cumsum spine
+        "customers_revenue_gini",    # r13: rank-form Lorenz/Gini per
+                                     #   segment on the global-rank
+                                     #   spine, exact decimal moments
+    }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
                                      #   directions routed through the
