@@ -3055,3 +3055,125 @@ def customers_revenue_gini(spark, sf_dir):
            .agg(F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100)),
                            F.lit(0)).cast("long").alias("v")))
     return gini_concentration(rev, "c_mktsegment", "v", "c_custkey")
+
+
+# --- E194: TPC-H Q13 shape — customer order-count distribution --------------
+# The classic LEFT-join double aggregate: customers with ZERO orders
+# must appear in the 0 bucket (an inner join silently drops them — the
+# bug this query shape exists to catch). The priority filter stands in
+# for Q13's comment NOT LIKE predicate.
+@register(
+    "customers_order_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: orders per customer including the zero "
+        "bucket (left join with the filter in the JOIN condition, not "
+        "the WHERE — a WHERE would turn it inner), then the count-of-"
+        "counts histogram; both aggregates map-side combinable, the "
+        "second runs on the per-customer table",
+)
+def customers_order_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per = (cust.join(
+        orders.where(F.col("o_orderpriority") != "1-URGENT"),
+        cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count("*").cast("long").alias("custdist")))
+
+
+# --- E195: TPC-H Q17 shape — small-quantity revenue loss --------------------
+# The correlated-scalar-subquery classic: "revenue from lineitems
+# whose quantity is below 20% of that part's own average". The oracle
+# runs the textbook correlated form; the engine decorrelates it into
+# a per-part window over ONE scan of the (already part-filtered)
+# lineitem join — parity proves the decorrelation, exactly the Q21
+# treatment (suppliers_sole_delay).
+@register(
+    "parts_small_qty_revenue",
+    """
+    SELECT count(*)::BIGINT AS n_lineitems,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND p.p_size < 10
+      AND l.l_quantity < 0.2 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: revenue/7 over lineitems below 20% of their "
+        "part's average quantity, parts filtered to Brand#4 size<10; "
+        "the filtered part dim BROADCASTS into the lineitem scan, the "
+        "correlated average decorrelates to avg() OVER (PARTITION BY "
+        "partkey) on that single joined scan — no second lineitem "
+        "pass, no per-part subquery",
+)
+def parts_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (_t(spark, sf_dir, "part")
+             .where((F.col("p_brand") == "Brand#4")
+                    & (F.col("p_size") < 10))
+             .select("p_partkey"))
+    joined = li.join(F.broadcast(parts),
+                     li["l_partkey"] == parts["p_partkey"])
+    avg_qty = F.avg("l_quantity").over(W.partitionBy("l_partkey"))
+    flagged = joined.withColumn("_avg", avg_qty)
+    return (flagged.where(F.col("l_quantity") < 0.2 * F.col("_avg"))
+            .agg(F.count("*").cast("long").alias("n_lineitems"),
+                 F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+# --- E196: TPC-H Q18 shape — large-volume customers -------------------------
+@register(
+    "customers_large_volume",
+    """
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(s.sum_qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ) s
+    JOIN orders o ON o.o_orderkey = s.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds 250 "
+        "(HAVING on the map-side-combinable per-order aggregate — the "
+        "filter shrinks the corpus-scale side to a sliver BEFORE any "
+        "join), then the surviving keys broadcast into orders and "
+        "customer; top-20 under a total order (totalprice desc, "
+        "orderkey asc) via TakeOrderedAndProject",
+)
+def customers_large_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 250))
+    return (orders.join(F.broadcast(big),
+                        orders["o_orderkey"] == big["l_orderkey"])
+            .join(F.broadcast(cust),
+                  orders["o_custkey"] == cust["c_custkey"])
+            .select("c_name", "o_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("sum_qty", 2).alias("sum_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(20))

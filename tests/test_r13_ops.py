@@ -161,3 +161,59 @@ def test_gini_zero_group_null_and_groups_independent(spark):
     assert got["z"] is None
     # n=2, ranks 1,2 on (10,30): G = (2*(1*10+2*30) - 3*40)/(2*40) = 0.25
     assert got["a"] == 0.25
+
+
+# ----------------------------------------------------------- TPC-H shapes ----
+
+def test_q13_zero_bucket_counts_orderless_customers(spark):
+    """Customers with no (surviving) orders must land in c_count = 0 —
+    the LEFT-join-with-filter-in-ON contract."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    got = {r.c_count: r.custdist for r in
+           _REGISTRY["customers_order_distribution"]
+           .spark_fn(spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+    orderless = duckdb.sql("""
+        SELECT count(*) FROM '/root/testdata/sf0.001/customer.parquet' c
+        WHERE NOT EXISTS (SELECT 1
+          FROM '/root/testdata/sf0.001/orders.parquet' o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority <> '1-URGENT')""").fetchone()[0]
+    assert got.get(0, 0) == orderless
+
+
+def test_q17_single_lineitem_scan_with_broadcast(spark):
+    """The decorrelated Q17 plan: ONE lineitem scan, the filtered part
+    dim broadcast, the correlated avg as a per-part Window — never a
+    second scan or a per-part subquery."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    df = _REGISTRY["parts_small_qty_revenue"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "lineitem" in ln]
+    assert len(scans) == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_q18_takeordered_and_broadcasts(spark):
+    """Q18's top-20 compiles to TakeOrderedAndProject (never a global
+    sort) and both dim joins broadcast."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    df = _REGISTRY["customers_large_volume"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert all(r.sum_qty > 250 for r in rows)

@@ -762,6 +762,15 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "customers_revenue_gini",    # r13: rank-form Lorenz/Gini per
                                      #   segment on the global-rank
                                      #   spine, exact decimal moments
+        "customers_order_distribution",  # r13: TPC-H Q13 shape — zero-
+                                     #   bucket left-join double
+                                     #   aggregate
+        "parts_small_qty_revenue",   # r13: TPC-H Q17 shape — correlated
+                                     #   scalar avg decorrelated to a
+                                     #   per-part window on one scan
+        "customers_large_volume",    # r13: TPC-H Q18 shape — HAVING-
+                                     #   filtered per-order aggregate
+                                     #   broadcast into the dims
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
