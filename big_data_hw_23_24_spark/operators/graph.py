@@ -438,3 +438,53 @@ def hierarchy_rollup(nodes: DataFrame, key_col: str, value_col: str,
     return (pairs.groupBy(F.col("_anc").alias("node"))
             .agg(F.count("*").cast("long").alias("n_desc"),
                  F.sum("_c").cast("long").alias("subtree_cents")))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity of an undirected graph (E201) → ONE row
+    ``(n_nodes, n_edges, assortativity)``.
+
+    Newman's r (2002): the Pearson correlation of the degrees at the
+    two ends of every edge — positive means hubs attach to hubs (a
+    social-network signature), negative means hubs attach to leaves
+    (star/spam topologies, the shape that makes the co-occurrence
+    graph's pair joins skew). One number that says which regime the
+    graph is in BEFORE the expensive graph faces (PageRank,
+    triangles) are tuned for it.
+
+    Shape: degrees are one hash aggregate over the symmetrized edge
+    list; the edge-end degree pairs are two equi-joins back; r comes
+    from integer sufficient statistics (Σx, Σx², Σxy over the 2·E
+    directed end-pairs — degrees are BIGINTs, so the sums are exact
+    and engine-identical, and symmetrization makes Σx = Σy by
+    construction so one pass suffices). Degenerate variance (all
+    degrees equal, e.g. a perfect cycle) → null by contract.
+    Everything is keyed equi-join + aggregate: no windows, no
+    cartesian, linear in E.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    sym = e.unionByName(e.select(F.col("_v").alias("_u"),
+                                 F.col("_u").alias("_v")))
+    deg = sym.groupBy("_u").agg(F.count("*").cast("long").alias("_d"))
+    du = deg.select(F.col("_u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_u").alias("_v"), F.col("_d").alias("_dv"))
+    ends = sym.join(du, "_u").join(dv, "_v")
+    m = ends.agg(
+        F.count("*").cast("long").alias("_m2"),
+        F.sum("_du").alias("_sx"),
+        F.sum(F.col("_du") * F.col("_du")).alias("_sxx"),
+        F.sum(F.col("_du") * F.col("_dv")).alias("_sxy"))
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    # every sum enters the float stage via an explicit double cast and
+    # the SAME product order as the oracle SQL — the integer sums are
+    # exact, so the doubles are bit-identical across engines
+    mm = F.col("_m2").cast("double")
+    sx = F.col("_sx").cast("double")
+    cov = F.col("_sxy").cast("double") * mm - sx * sx
+    var = F.col("_sxx").cast("double") * mm - sx * sx
+    return (m.crossJoin(F.broadcast(nodes))
+            .select("n_nodes",
+                    (F.col("_m2") / 2).cast("long").alias("n_edges"),
+                    F.when(var > 0, F.round(cov / var, 6))
+                    .alias("assortativity")))

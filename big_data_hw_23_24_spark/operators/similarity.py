@@ -997,3 +997,237 @@ def centroid_drift(base: DataFrame, cur: DataFrame,
             .select(label_col, "n_base", "n_cur", "l2_shift",
                     F.col("_t.d").cast("int").alias("top_dim"),
                     F.round(-F.col("_t.s"), 6).alias("top_dim_shift")))
+
+
+def hubness_report(emb: DataFrame, k: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hubness diagnostic of the exact k-NN graph (E197) → ONE row
+    ``(n_vectors, k, max_in_degree, n_antihubs, skewness)``.
+
+    The ANN-health readout Radovanovic et al. 2010 made standard: in
+    high dimension, a few "hub" vectors appear in a disproportionate
+    share of OTHER vectors' top-k lists while "antihubs" appear in
+    none — a skewed in-degree distribution degrades every downstream
+    consumer (near-dup verify misses, retrieval over-returns hubs) and
+    is invisible to recall-style gates, which score each query
+    independently. Readout: the in-degree distribution's max, the
+    antihub count (in-degree 0, ZERO-degree vectors included via the
+    left join — dropping them understates the pathology), and its
+    population skewness g₁ from integer moment sums (Σd, Σd², Σd³ are
+    exact BIGINTs, so both engines divide the same integers — parity
+    is structural).
+
+    Scale: the exact k-NN graph is quadratic by intent — this is a
+    RUN-ONCE index-rollout gate on the pinned eval subset (the
+    knn_reciprocal_best treatment), not a pipeline stage; production
+    paths route through the IVF faces, and hubness on a larger corpus
+    is measured on a deterministic id-ordered sample.
+    """
+    nn = cosine_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    indeg = nn.groupBy(F.col("neighbor_id").alias("_id")).agg(
+        F.count("*").cast("long").alias("_d"))
+    full = (emb.select(F.col(id_col).alias("_id"))
+            .join(indeg, "_id", "left")
+            .select(F.coalesce(F.col("_d"), F.lit(0)).alias("_d")))
+    m = full.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.max("_d").alias("max_in_degree"),
+        F.sum((F.col("_d") == 0).cast("long")).cast("long")
+        .alias("n_antihubs"),
+        F.sum("_d").alias("_s1"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_s2"),
+        F.sum(F.col("_d") * F.col("_d") * F.col("_d")).alias("_s3"))
+    n = F.col("n_vectors").cast("double")
+    mu = F.col("_s1") / n
+    var = F.col("_s2") / n - mu * mu
+    m3 = F.col("_s3") / n - 3 * mu * F.col("_s2") / n + 2 * mu * mu * mu
+    # denominator as var * sqrt(var), never pow(sqrt(var), 3): the two
+    # engines' pow() libraries may differ in the last ulp, plain * and
+    # sqrt are IEEE-pinned
+    return m.select(
+        "n_vectors", F.lit(k).cast("long").alias("k"),
+        "max_in_degree", "n_antihubs",
+        F.when(var > 0, F.round(m3 / (var * F.sqrt(var)), 6))
+        .alias("skewness"))
+
+
+def prefix_dim_recall(emb: DataFrame, k: int = 10, prefix: int = 32,
+                      n_queries: int = 20, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka prefix-dimension retrieval gate (E198) → ONE row
+    ``(n_queries, k, prefix_dim, recall)``.
+
+    The rollout question for truncatable (MRL-style) embeddings: "if
+    we keep only the first ``prefix`` of ``dim`` coordinates — half
+    the storage, half the FLOPs — what fraction of the full-dimension
+    top-k do we still retrieve?" recall = |top_k(prefix) ∩
+    top_k(full)| / k averaged over the pinned query set, the same
+    pair-set metric as the IVF gate so the two readouts compare.
+
+    Scale: two bounded-query-set exact scans (the sanctioned
+    brute-force shape — queries broadcast, corpus scanned once each),
+    one equi-join on (query, neighbor), one global average. The
+    prefix side SLICES the stored vector in-plan; no second embedding
+    table is materialized.
+    """
+    queries = emb.where(F.col(id_col) < n_queries)
+    full = cosine_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    pemb = emb.select(id_col, F.slice(vec_col, 1, prefix).alias(vec_col))
+    pq = pemb.where(F.col(id_col) < n_queries)
+    pref = cosine_topk(pemb, pq, k=k, id_col=id_col, vec_col=vec_col)
+    hits = (full.select("query_id", "neighbor_id")
+            .join(pref.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count("*").alias("_h")))
+    per_q = (full.select("query_id").distinct()
+             .join(hits, "query_id", "left")
+             .select(F.coalesce(F.col("_h"), F.lit(0)).alias("_h")))
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.lit(k).alias("k"), F.lit(prefix).alias("prefix_dim"),
+        F.round(F.sum("_h") / (F.count("*") * k), 6).alias("recall"))
+
+
+def triplet_mining(emb: DataFrame, label_col: str = "label",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   anchors_below: int = 30) -> DataFrame:
+    """Hardest-positive / semi-hard-negative triplet mining (E199) →
+    one row per anchor: ``(anchor_id, pos_id, pos_cos, neg_id,
+    neg_cos, margin)``.
+
+    The contrastive-training data step (FaceNet's mining rule,
+    Schroff et al. 2015) on a labeled embedding table: per anchor,
+    the hardest POSITIVE is the same-label vector with the LOWEST
+    cosine (the pair the model finds hardest to pull together) and
+    the SEMI-HARD negative is the different-label vector with the
+    highest cosine that is still FARTHER than the positive
+    (cos_neg < cos_pos) — harder negatives than the positive produce
+    gradient collapse, so the semi-hard band is the useful one.
+    Anchors with no semi-hard negative surface with null neg columns
+    (dropping them would hide exactly the anchors whose positives are
+    already too weak). margin = pos_cos − neg_cos.
+
+    Determinism: both argmaxes run as ONE min/max of a (cosine, id)
+    struct — lexicographic, so ties break to the smaller id for the
+    positive and (via negated id) the smaller id for the negative,
+    with no row_number shuffle. Scale: the anchor set is bounded and
+    BROADCASTS against the corpus (the sanctioned bounded-query-set
+    scan); per-anchor state is two structs, map-side combinable.
+    """
+    anchors = emb.select(F.col(id_col).alias("_aid"),
+                         F.col(label_col).alias("_alab"),
+                         F.col(vec_col).alias("_avec"))
+    anchors = with_l2_norm(anchors.where(F.col("_aid") < anchors_below),
+                           "_avec", "_anorm")
+    cand = with_l2_norm(
+        emb.select(F.col(id_col).alias("_cid"),
+                   F.col(label_col).alias("_clab"),
+                   F.col(vec_col).alias("_cvec")), "_cvec", "_cnorm")
+    scored = (F.broadcast(anchors).crossJoin(cand)
+              .where(F.col("_aid") != F.col("_cid"))
+              .select("_aid", "_alab", "_clab", "_cid",
+                      (_dot(F.col("_avec"), F.col("_cvec"))
+                       / (F.col("_anorm") * F.col("_cnorm")))
+                      .alias("_cos")))
+    pos = (scored.where(F.col("_clab") == F.col("_alab"))
+           .groupBy("_aid")
+           .agg(F.min(F.struct("_cos", "_cid")).alias("_p"))
+           .select("_aid", F.col("_p._cid").alias("pos_id"),
+                   F.col("_p._cos").alias("_pcos")))
+    neg = (scored.where(F.col("_clab") != F.col("_alab"))
+           .join(F.broadcast(pos), "_aid")
+           .where(F.col("_cos") < F.col("_pcos"))
+           .groupBy("_aid")
+           .agg(F.max(F.struct(F.col("_cos"),
+                               (-F.col("_cid")).alias("_nid")))
+                .alias("_n"))
+           .select("_aid", (-F.col("_n._nid")).alias("neg_id"),
+                   F.col("_n._cos").alias("_ncos")))
+    return (pos.join(neg, "_aid", "left")
+            .select(F.col("_aid").alias("anchor_id"), "pos_id",
+                    F.round("_pcos", 6).alias("pos_cos"), "neg_id",
+                    F.round("_ncos", 6).alias("neg_cos"),
+                    F.round(F.col("_pcos") - F.col("_ncos"), 6)
+                    .alias("margin")))
+
+
+def rp_distortion(emb: DataFrame, target_dim: int = 16,
+                  offsets: tuple = (1, 7, 49), seed: str = "rp",
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection distortion audit
+    (E200) → ONE row ``(n_pairs, target_dim, mean_ratio, min_ratio,
+    max_ratio)``.
+
+    The pre-flight check before swapping full vectors for a k-dim
+    sketch in the dedup/ANN tier: project with a ±1 sign matrix and
+    measure, over a deterministic pair sample, the ratio
+    ``‖Rx−Ry‖² / (k·‖x−y‖²)`` — E[ratio] = 1 by construction, and the
+    min/max spread IS the distortion the sketch would inject into
+    every downstream distance. Signs are md5-derived
+    (``seed:i:j`` parity — the engine-wide deterministic-draw
+    convention), so the matrix is identical across runs, partitions
+    and engines without materializing randomness anywhere.
+
+    Scale: the projection is relational — posexplode the vector ONCE,
+    equi-join the dim×k broadcast sign table, one hash aggregate to
+    (id, j) — no UDF, fully codegen. The pair sample joins each id to
+    id+offset (equi-joins, linear in corpus size, never all-pairs);
+    distances on the k-dim projected LONG table are one more
+    (pair, j)-keyed aggregate.
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    proj = (spark.range(dim * target_dim)
+            .select((F.col("id") / target_dim).cast("long").alias("_i"),
+                    (F.col("id") % target_dim).alias("_j")))
+    u = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed),
+                          F.col("_i").cast("string"),
+                          F.col("_j").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    proj = proj.select("_i", "_j",
+                       F.when(u % 2 == 0, F.lit(1.0))
+                       .otherwise(F.lit(-1.0)).alias("_s"))
+    ex = emb.select(F.col(id_col).alias("_id"),
+                    F.posexplode(vec_col).alias("_i", "_x"))
+    y = (ex.join(F.broadcast(proj), "_i")
+         .groupBy("_id", "_j")
+         .agg(F.sum(F.col("_x").cast("double") * F.col("_s"))
+              .alias("_y")))
+    ids = emb.select(F.col(id_col).alias("_a"))
+    pairs = None
+    for off in offsets:
+        p = ids.join(emb.select((F.col(id_col) - off).alias("_a"),
+                                F.col(id_col).alias("_b")), "_a")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    dorig = (pairs
+             .join(emb.select(F.col(id_col).alias("_a"),
+                              F.col(vec_col).alias("_va")), "_a")
+             .join(emb.select(F.col(id_col).alias("_b"),
+                              F.col(vec_col).alias("_vb")), "_b")
+             .select("_a", "_b",
+                     F.aggregate(
+                         F.zip_with("_va", "_vb",
+                                    lambda x, v: (x.cast("double")
+                                                  - v.cast("double"))
+                                    * (x.cast("double")
+                                       - v.cast("double"))),
+                         F.lit(0.0), lambda acc, v: acc + v)
+                     .alias("_d2")))
+    ya = y.select(F.col("_id").alias("_a"), "_j", F.col("_y").alias("_ya"))
+    yb = y.select(F.col("_id").alias("_b"), "_j", F.col("_y").alias("_yb"))
+    dproj = (pairs.join(ya, "_a").join(yb, ["_b", "_j"])
+             .groupBy("_a", "_b")
+             .agg(F.sum((F.col("_ya") - F.col("_yb"))
+                        * (F.col("_ya") - F.col("_yb"))).alias("_p2")))
+    ratios = (dorig.join(dproj, ["_a", "_b"])
+              .where(F.col("_d2") > 0)
+              .select((F.col("_p2") / (F.lit(float(target_dim))
+                                       * F.col("_d2"))).alias("_r")))
+    return ratios.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.lit(target_dim).alias("target_dim"),
+        F.round(F.avg("_r"), 6).alias("mean_ratio"),
+        F.round(F.min("_r"), 6).alias("min_ratio"),
+        F.round(F.max("_r"), 6).alias("max_ratio"))

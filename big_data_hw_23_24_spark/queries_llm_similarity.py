@@ -1218,3 +1218,239 @@ def knn_eval_reciprocal(spark, sf_dir):
                  hit.cast("long").alias("n_hit"),
                  F.round(hit / ex, 6).alias("recall"),
                  F.round(hit / pr, 6).alias("precision"))
+
+
+# --- E197: hubness diagnostic of the exact k-NN graph -----------------------
+@register(
+    "knn_hubness",
+    """
+    WITH nn AS (
+      SELECT neighbor_id FROM (
+        SELECT c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      ) WHERE rank <= 10
+    ),
+    indeg AS (
+      SELECT coalesce(d.d, 0) AS d
+      FROM embeddings e
+      LEFT JOIN (SELECT neighbor_id, count(*)::BIGINT AS d
+                 FROM nn GROUP BY 1) d
+        ON d.neighbor_id = e.vec_id
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS n_vectors,
+             max(d)::BIGINT AS max_in_degree,
+             sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_antihubs,
+             sum(d) AS s1, sum(d * d) AS s2, sum(d * d * d) AS s3
+      FROM indeg
+    )
+    SELECT n_vectors, CAST(10 AS BIGINT) AS k, max_in_degree,
+           n_antihubs,
+           CASE WHEN s2 * 1.0 / n_vectors
+                     - (s1 * 1.0 / n_vectors) * (s1 * 1.0 / n_vectors)
+                     > 0
+                THEN round(
+                  (s3 * 1.0 / n_vectors
+                   - 3 * (s1 * 1.0 / n_vectors) * (s2 * 1.0 / n_vectors)
+                   + 2 * (s1 * 1.0 / n_vectors) * (s1 * 1.0 / n_vectors)
+                     * (s1 * 1.0 / n_vectors))
+                  / ((s2 * 1.0 / n_vectors
+                      - (s1 * 1.0 / n_vectors) * (s1 * 1.0 / n_vectors))
+                     * sqrt(s2 * 1.0 / n_vectors
+                            - (s1 * 1.0 / n_vectors)
+                              * (s1 * 1.0 / n_vectors))), 6)
+           END AS skewness
+    FROM m
+    """,
+    doc="hubness audit of the exact top-10 cosine graph over the eval "
+        "table: in-degree max / antihub count / population skewness "
+        "g1 from exact integer moment sums (zero-degree vectors "
+        "included via left join); RUN-ONCE rollout gate — the exact "
+        "all-pairs graph is quadratic by intent, the pipeline path "
+        "is the IVF tier",
+)
+def knn_hubness(spark, sf_dir):
+    from .operators.similarity import hubness_report
+
+    return hubness_report(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+# --- E198: Matryoshka prefix-dimension retrieval gate ------------------------
+@register(
+    "knn_prefix_dim_eval",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    pq AS (SELECT vec_id, CAST(embedding[1:32] AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 20),
+    pc AS (SELECT vec_id, CAST(embedding[1:32] AS DOUBLE[]) AS v
+           FROM embeddings),
+    fullk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                          c.vec_id) AS rank
+        FROM q JOIN c ON q.vec_id <> c.vec_id
+      ) WHERE rank <= 10
+    ),
+    prefk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY pq.vec_id
+                 ORDER BY list_cosine_similarity(pq.v, pc.v) DESC,
+                          pc.vec_id) AS rank
+        FROM pq JOIN pc ON pq.vec_id <> pc.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT (SELECT count(DISTINCT query_id) FROM fullk)::BIGINT
+             AS n_queries,
+           CAST(10 AS BIGINT) AS k,
+           CAST(32 AS BIGINT) AS prefix_dim,
+           round((SELECT count(*) FROM fullk
+                  JOIN prefk USING (query_id, neighbor_id))
+                 / ((SELECT count(DISTINCT query_id) FROM fullk)
+                    * 10.0), 6) AS recall
+    """,
+    doc="Matryoshka gate: recall@10 of first-32-dims cosine against "
+        "full-64-dims cosine over the pinned 20-query set — the "
+        "half-storage rollout readout; two bounded-query exact scans "
+        "(the sanctioned brute-force shape), prefix sliced in-plan",
+)
+def knn_prefix_dim_eval(spark, sf_dir):
+    from .operators.similarity import prefix_dim_recall
+
+    return prefix_dim_recall(load_table(spark, sf_dir, "embeddings"),
+                             k=10, prefix=32, n_queries=20)
+
+
+# --- E199: hardest-positive / semi-hard-negative triplet mining --------------
+@register(
+    "embedding_triplet_mining",
+    """
+    WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sc AS (
+      SELECT a.vec_id AS aid, a.label AS alab,
+             c.vec_id AS cid, c.label AS clab,
+             list_cosine_similarity(a.v, c.v) AS cos
+      FROM x a JOIN x c ON a.vec_id <> c.vec_id
+      WHERE a.vec_id < 30
+    ),
+    pos AS (
+      SELECT aid, cid AS pos_id, cos AS pcos FROM (
+        SELECT aid, cid, cos,
+               row_number() OVER (PARTITION BY aid
+                                  ORDER BY cos, cid) AS rn
+        FROM sc WHERE clab = alab
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT aid, cid AS neg_id, cos AS ncos FROM (
+        SELECT s.aid, s.cid, s.cos,
+               row_number() OVER (PARTITION BY s.aid
+                                  ORDER BY s.cos DESC, s.cid) AS rn
+        FROM sc s JOIN pos p ON p.aid = s.aid
+        WHERE s.clab <> s.alab AND s.cos < p.pcos
+      ) WHERE rn = 1
+    )
+    SELECT p.aid AS anchor_id, p.pos_id,
+           round(p.pcos, 6) AS pos_cos,
+           n.neg_id, round(n.ncos, 6) AS neg_cos,
+           round(p.pcos - n.ncos, 6) AS margin
+    FROM pos p LEFT JOIN neg n ON n.aid = p.aid
+    """,
+    doc="FaceNet-rule triplet mining over the labeled eval table: per "
+        "anchor (vec_id < 30) the hardest positive (lowest same-label "
+        "cosine) and the semi-hard negative (highest different-label "
+        "cosine still below the positive); argmaxes as single "
+        "(cosine, id)-struct min/max aggregates, anchors broadcast "
+        "against one corpus scan, no-semi-hard anchors kept with null "
+        "neg columns",
+)
+def embedding_triplet_mining(spark, sf_dir):
+    from .operators.similarity import triplet_mining
+
+    return triplet_mining(load_table(spark, sf_dir, "embeddings"),
+                          anchors_below=30)
+
+
+# --- E200: Johnson-Lindenstrauss projection distortion audit -----------------
+@register(
+    "embedding_rp_distortion",
+    """
+    WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS i),
+    js AS (SELECT unnest(range(0, 16)) AS j),
+    proj AS (
+      SELECT i, j,
+             CASE WHEN ('0x' || substr(md5('rp:' || (i - 1) || ':' || j),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM dims, js
+    ),
+    ex AS (SELECT vec_id, i, v[i] AS xv FROM x, dims),
+    y AS (
+      SELECT vec_id, j, sum(xv * s) AS y
+      FROM ex JOIN proj USING (i) GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM x a JOIN x b ON b.vec_id = a.vec_id + 1
+      UNION ALL
+      SELECT a.vec_id, b.vec_id
+      FROM x a JOIN x b ON b.vec_id = a.vec_id + 7
+      UNION ALL
+      SELECT a.vec_id, b.vec_id
+      FROM x a JOIN x b ON b.vec_id = a.vec_id + 49
+    ),
+    orig AS (
+      SELECT p.a, p.b,
+             list_sum(list_transform(range(1, 65),
+               i -> (xa.v[i] - xb.v[i]) * (xa.v[i] - xb.v[i]))) AS d2
+      FROM pairs p
+      JOIN x xa ON xa.vec_id = p.a
+      JOIN x xb ON xb.vec_id = p.b
+    ),
+    pr AS (
+      SELECT p.a, p.b, sum((ya.y - yb.y) * (ya.y - yb.y)) AS p2
+      FROM pairs p
+      JOIN y ya ON ya.vec_id = p.a
+      JOIN y yb ON yb.vec_id = p.b AND yb.j = ya.j
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT pr.p2 / (16.0 * orig.d2) AS r
+      FROM orig JOIN pr ON pr.a = orig.a AND pr.b = orig.b
+      WHERE orig.d2 > 0
+    )
+    SELECT count(*)::BIGINT AS n_pairs,
+           CAST(16 AS BIGINT) AS target_dim,
+           round(avg(r), 6) AS mean_ratio,
+           round(min(r), 6) AS min_ratio,
+           round(max(r), 6) AS max_ratio
+    FROM r
+    """,
+    doc="JL random-projection distortion: md5-derived +-1 sign matrix "
+        "(64 -> 16 dims), projection as posexplode + broadcast sign "
+        "join + one hash aggregate (no UDF, fully codegen), distance "
+        "ratios ||Rx-Ry||^2/(16 ||x-y||^2) over the deterministic "
+        "+1/+7/+49 offset pair sample — linear equi-joins, never "
+        "all-pairs; +-1 signs keep products exact so the sums agree "
+        "across engines",
+)
+def embedding_rp_distortion(spark, sf_dir):
+    from .operators.similarity import rp_distortion
+
+    return rp_distortion(load_table(spark, sf_dir, "embeddings"),
+                         target_dim=16, offsets=(1, 7, 49))

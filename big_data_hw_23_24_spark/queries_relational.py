@@ -3177,3 +3177,81 @@ def customers_large_volume(spark, sf_dir):
                     F.round("sum_qty", 2).alias("sum_qty"))
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
             .limit(20))
+
+
+# --- E201: degree assortativity of the co-occurrence graph -------------------
+# Newman's r over the same capped item-item graph the pagerank /
+# triangle faces consume: tells which topology regime (hub-to-hub vs
+# hub-to-leaf) the graph tier is operating in.
+@register(
+    "events_graph_assortativity",
+    """
+    WITH ui AS (
+      SELECT user_id, TRY_CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS item,
+             count(*) AS n
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, item) AS rk
+        FROM ui)
+      WHERE rk <= 20
+    ),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT item_a, item_b FROM co WHERE n_co >= 2),
+    sym AS (
+      SELECT item_a AS u, item_b AS v FROM edges
+      UNION ALL
+      SELECT item_b, item_a FROM edges
+    ),
+    deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym JOIN deg du ON du.u = sym.u
+               JOIN deg dv ON dv.u = sym.v
+    ),
+    m AS (
+      SELECT count(*)::BIGINT AS m2, sum(x) AS sx,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM ends
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+    SELECT n_nodes, (m2 // 2)::BIGINT AS n_edges,
+           CASE WHEN CAST(sxx AS DOUBLE) * CAST(m2 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN round((CAST(sxy AS DOUBLE) * CAST(m2 AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(sxx AS DOUBLE) * CAST(m2 AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                           6)
+           END AS assortativity
+    FROM m, nn
+    """,
+    doc="Newman degree assortativity of the capped item co-occurrence "
+        "graph (the pagerank/triangles edge build): Pearson r of the "
+        "end degrees over the symmetrized edge list, from exact "
+        "integer moment sums entering the float stage through one "
+        "pinned expression; hash aggregates + equi-joins only, linear "
+        "in E",
+)
+def events_graph_assortativity(spark, sf_dir):
+    from .operators.graph import degree_assortativity, item_cooccurrence
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.get_json_object("props", "$.k").try_cast("long")
+                  .alias("item")))
+    edges = item_cooccurrence(ev).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return degree_assortativity(edges)

@@ -475,6 +475,20 @@ _CARTESIAN_ALLOWLIST = {
                                      #   into the single kappa row
     "events_interval_join",          # 5-type × 6-week literal promo
                                      #   grid (bounded dims both sides)
+    # r13 additions, all bounded-side by construction
+    "knn_hubness",                   # exact k-NN graph over the pinned
+                                     #   eval table — declared RUN-ONCE
+                                     #   rollout gate (the
+                                     #   knn_reciprocal_best class);
+                                     #   production path is IVF
+    "knn_prefix_dim_eval",           # two bounded-query brute-force
+                                     #   scans (full + prefix dims) of
+                                     #   the sanctioned ANN-baseline
+                                     #   shape
+    "embedding_triplet_mining",      # 30-anchor set broadcast against
+                                     #   one corpus scan
+    "events_graph_assortativity",    # 1-row node-count broadcast onto
+                                     #   the single moment-sum row
 }
 
 

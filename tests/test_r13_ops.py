@@ -217,3 +217,136 @@ def test_q18_takeordered_and_broadcasts(spark):
     prices = [r.o_totalprice for r in rows]
     assert prices == sorted(prices, reverse=True)
     assert all(r.sum_qty > 250 for r in rows)
+
+
+# ------------------------------------------------------ embeddings tier ----
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_hubness_planted_hub_dominates(spark):
+    """Standard-basis satellites are mutually orthogonal (cos 0) but
+    all at cos 1/sqrt(d) to the all-ones hub: with k=1 every
+    satellite's nearest neighbor IS the hub, so in-degree piles up on
+    one vector and the distribution is right-skewed."""
+    from big_data_hw_23_24_spark.operators.similarity import hubness_report
+
+    d = 8
+    rows = [(0, [1.0] * d, 0)]  # the hub
+    rows += [(i, [1.0 if j == i - 1 else 0.0 for j in range(d)], 0)
+             for i in range(1, d + 1)]
+    r = hubness_report(_labeled(spark, rows), k=1).collect()[0]
+    assert r.n_vectors == d + 1
+    assert r.max_in_degree == d  # every satellite points at the hub
+    # the hub's own pick (satellite 1, the id tiebreak) gets 1; every
+    # other satellite is an antihub
+    assert r.n_antihubs == d - 1
+    assert r.skewness is not None and r.skewness > 0
+
+
+def test_prefix_dim_recall_perfect_when_suffix_is_noise_free(spark):
+    """Vectors whose last half is all zeros: prefix cosine == full
+    cosine, so recall must be exactly 1."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        prefix_dim_recall)
+
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)] + [0.0] * 4, 0)
+            for i in range(25)]
+    r = prefix_dim_recall(_labeled(spark, rows), k=5, prefix=4,
+                          n_queries=6).collect()[0]
+    assert r.recall == 1.0
+    assert r.n_queries == 6 and r.k == 5 and r.prefix_dim == 4
+
+
+def test_triplet_mining_picks_planted_structure(spark):
+    """Label 0: anchor + a near copy + a far same-label vector; the
+    hardest positive is the FAR one. Negatives: one inside the
+    semi-hard band, one closer than the positive (excluded)."""
+    from big_data_hw_23_24_spark.operators.similarity import triplet_mining
+
+    rows = [
+        (0, [1.0, 0.0], 0),          # anchor
+        (1, [0.99, 0.1], 0),         # easy positive (high cos)
+        (2, [0.0, 1.0], 0),          # hardest positive (cos 0)
+        (3, [0.9, 0.5], 1),          # negative closer than pos -> excluded
+        (4, [-1.0, 0.2], 1),         # semi-hard negative (cos < 0)
+    ]
+    got = {r.anchor_id: r for r in
+           triplet_mining(_labeled(spark, rows),
+                          anchors_below=1).collect()}
+    t = got[0]
+    assert t.pos_id == 2 and t.pos_cos == 0.0
+    assert t.neg_id == 4  # id 3 has cos > pos_cos, not semi-hard
+    assert t.neg_cos < 0 and t.margin == t.pos_cos - t.neg_cos
+
+
+def test_triplet_mining_no_semihard_keeps_anchor_with_nulls(spark):
+    from big_data_hw_23_24_spark.operators.similarity import triplet_mining
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),       # positive at cos 0
+        (2, [1.0, 0.01], 1),      # every negative closer than the positive
+    ]
+    t = triplet_mining(_labeled(spark, rows), anchors_below=1).collect()[0]
+    assert t.pos_id == 1 and t.neg_id is None and t.margin is None
+
+
+def test_rp_distortion_ratios_bracket_one(spark):
+    """JL with +-1 signs: ratios concentrate around 1; the mean over
+    pairs must land inside [min, max] and near 1."""
+    from big_data_hw_23_24_spark.operators.similarity import rp_distortion
+
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)], 0)
+            for i in range(60)]
+    r = rp_distortion(_labeled(spark, rows), target_dim=8,
+                      offsets=(1, 5)).collect()[0]
+    assert r.n_pairs == 59 + 55
+    assert r.min_ratio <= r.mean_ratio <= r.max_ratio
+    assert 0.5 < r.mean_ratio < 1.5
+    assert r.min_ratio > 0
+
+
+def test_rp_distortion_deterministic_across_runs(spark):
+    from big_data_hw_23_24_spark.operators.similarity import rp_distortion
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(16)], 0)
+            for i in range(20)]
+    a = rp_distortion(_labeled(spark, rows), target_dim=4,
+                      offsets=(1,)).collect()[0]
+    b = rp_distortion(_labeled(spark, rows), target_dim=4,
+                      offsets=(1,)).collect()[0]
+    assert a == b
+
+
+# ------------------------------------------------------------ graph tier ----
+
+def test_assortativity_star_is_negative_one(spark):
+    """A star graph is the textbook disassortative extreme: r = -1
+    (hub degree n-1 always pairs with leaf degree 1)."""
+    from big_data_hw_23_24_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 7)],
+                                  "src long, dst long")
+    r = degree_assortativity(edges).collect()[0]
+    assert r.assortativity == -1.0
+    assert r.n_nodes == 7 and r.n_edges == 6
+
+
+def test_assortativity_cycle_degenerate_null(spark):
+    """A cycle has every degree equal -> zero variance -> null by
+    contract."""
+    from big_data_hw_23_24_spark.operators.graph import degree_assortativity
+
+    n = 5
+    edges = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)],
+                                  "src long, dst long")
+    r = degree_assortativity(edges).collect()[0]
+    assert r.assortativity is None
+    assert r.n_nodes == n and r.n_edges == n

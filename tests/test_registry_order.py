@@ -771,6 +771,18 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "customers_large_volume",    # r13: TPC-H Q18 shape — HAVING-
                                      #   filtered per-order aggregate
                                      #   broadcast into the dims
+        "knn_hubness",               # r13: in-degree skew audit of the
+                                     #   exact k-NN graph (run-once
+                                     #   gate, integer moment sums)
+        "knn_prefix_dim_eval",       # r13: Matryoshka recall@10 of
+                                     #   prefix-32 vs full-64 cosine
+        "embedding_triplet_mining",  # r13: hardest-positive/semi-hard-
+                                     #   negative mining via struct
+                                     #   min/max aggregates
+        "embedding_rp_distortion",   # r13: JL +-1 projection distortion
+                                     #   over deterministic offset pairs
+        "events_graph_assortativity",  # r13: Newman r of the capped
+                                     #   co-occurrence graph
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
