@@ -84,3 +84,47 @@ def validate_contracts(df: DataFrame, checks: dict[str, Column]
                     F.col("_r.n_violations").cast("long")
                     .alias("n_violations"),
                     (F.col("_r.n_violations") == 0).alias("passed")))
+
+
+def fk_orphan_audit(edges: list[tuple[DataFrame, str, str,
+                                      DataFrame, str, str]]
+                    ) -> DataFrame:
+    """Referential-integrity audit across foreign-key edges (E204) →
+    one row per edge: ``(child_table, fk_col, parent_table,
+    n_child_rows, n_orphans, orphan_share, passed)``.
+
+    The cross-TABLE sibling of the per-table contract battery
+    (validate_contracts): a star schema's correctness lives in its
+    edges, and a broken upstream export shows up as child rows whose
+    FK matches no parent — invisible to every single-table check and
+    silently DROPPED by the inner joins downstream queries use (the
+    damage is missing revenue, not an error). NULL FKs count as
+    orphans: a key that can't join is an orphan for the audit's
+    purpose, whatever the schema says about nullability.
+
+    Shape per edge: distinct parent keys (a key-only aggregate), one
+    LEFT equi-join, one count aggregate — linear, no windows; the
+    report is a union of single-row frames. Each edge is an
+    independent job; at cluster scale edges run concurrently.
+    """
+    reports = []
+    for child, fk, child_name, parent, pk, parent_name in edges:
+        pkeys = parent.select(F.col(pk).alias("_pk")).distinct()
+        joined = child.select(F.col(fk).alias("_fk")).join(
+            pkeys, F.col("_fk") == F.col("_pk"), "left")
+        rep = joined.agg(
+            F.count("*").cast("long").alias("n_child_rows"),
+            F.sum(F.col("_pk").isNull().cast("long")).cast("long")
+            .alias("n_orphans"))
+        reports.append(rep.select(
+            F.lit(child_name).alias("child_table"),
+            F.lit(fk).alias("fk_col"),
+            F.lit(parent_name).alias("parent_table"),
+            "n_child_rows", "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_child_rows"), 6)
+            .alias("orphan_share"),
+            (F.col("n_orphans") == 0).alias("passed")))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1543,3 +1543,59 @@ def readability_scores(docs: DataFrame, text_col: str = "text",
                             - F.lit(84.6) * spw, 6).alias("flesch"),
                     F.round(F.lit(0.39) * wps + F.lit(11.8) * spw
                             - F.lit(15.59), 6).alias("fk_grade")))
+
+
+def source_jsd_matrix(docs: DataFrame, text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (E202) → one row per unordered source pair:
+    ``(source_a, source_b, n_union, jsd)``.
+
+    The mixing-weight diagnostic that containment (E96: literal
+    n-gram overlap) misses: two sources can share zero 8-grams yet
+    have near-identical WORD DISTRIBUTIONS (same template language,
+    machine-generated from one model) — JSD reads that. Symmetric,
+    bounded [0, ln 2], defined via add-one smoothing over the GLOBAL
+    vocabulary so every p is positive: p_w = (c_w + 1)/(T_s + V).
+    Words absent from both sources of a pair still contribute (their
+    smoothed masses differ through the totals) — the textbook
+    definition, which is why the grid below is the full vocab, not
+    the co-occurring subset.
+
+    Shape: one corpus-scale tokenize + (source, word) aggregate; the
+    word grid is distinct-vocab × the #sources-row broadcast; the
+    pair join is word-KEYED with per-word fanout ≤ sources², so the
+    heavy table is V·s² rows — bounded by vocabulary, never by corpus
+    size, the E96 containment-matrix bound with the s² paid once per
+    word. For hundreds of sources, shard the pair grid into batches;
+    the per-pair math is unchanged.
+    """
+    w = (docs.select(F.col(source_col).alias("_s"),
+                     F.explode(F.split(F.lower(F.col(text_col)), " "))
+                     .alias("_w"))
+         .where(F.col("_w") != ""))
+    cnt = w.groupBy("_s", "_w").agg(F.count("*").cast("long").alias("_c"))
+    tot = cnt.groupBy("_s").agg(F.sum("_c").alias("_t"))
+    vocab = cnt.select("_w").distinct()
+    vsize = vocab.agg(F.count("*").alias("_v"))
+    grid = (vocab.crossJoin(F.broadcast(tot))
+            .join(cnt, ["_s", "_w"], "left")
+            .select("_s", "_w", "_t",
+                    F.coalesce(F.col("_c"), F.lit(0)).alias("_c")))
+    a = grid.select(F.col("_s").alias("source_a"), "_w",
+                    F.col("_c").alias("_ca"), F.col("_t").alias("_ta"))
+    b = grid.select(F.col("_s").alias("source_b"), "_w",
+                    F.col("_c").alias("_cb"), F.col("_t").alias("_tb"))
+    pairs = (a.join(b, "_w")
+             .where(F.col("source_a") < F.col("source_b"))
+             .crossJoin(F.broadcast(vsize)))
+    p = (F.col("_ca") + 1) / (F.col("_ta") + F.col("_v"))
+    q = (F.col("_cb") + 1) / (F.col("_tb") + F.col("_v"))
+    m = (p + q) / 2
+    term = (p * F.log(p / m) + q * F.log(q / m)) / 2
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.sum(((F.col("_ca") > 0) | (F.col("_cb") > 0))
+                       .cast("long")).cast("long").alias("n_union"),
+                 F.round(F.sum(term), 6).alias("jsd")))
+
+

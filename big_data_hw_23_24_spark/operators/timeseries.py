@@ -627,3 +627,66 @@ def theilsen_trend(daily: DataFrame, key_cols: list[str], x_col: str,
             .select(*ks, "n_days", "n_pairs",
                     F.round("_slope", 6).alias("slope"),
                     F.round("_icept", 6).alias("intercept")))
+
+
+def peak_concurrency(events: DataFrame, gap_minutes: int = 30,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """Sweep-line peak session concurrency per day (E203) → one row
+    per day: ``(day, peak, peak_minute)``.
+
+    The capacity readout interval faces don't give: "how many user
+    sessions were OPEN at once, at worst, each day" — the number that
+    sizes connection pools and streaming-state stores. Sessions are
+    the engine's standard gaps-and-islands sessionization (keyed lag,
+    ``gap_minutes`` rule, event-id tiebreak); each session emits a +1
+    boundary at its first event and a −1 at its last, END-EXCLUSIVE
+    (at an equal tick the −1 sorts first, so a session ending exactly
+    when another starts never double-counts — within a run of equal
+    (tick, delta) the running max is order-invariant, so the spine's
+    session-id tiebreak only pins determinism, not the answer).
+
+    Scale: the running concurrency is a GLOBAL cumulative sum over
+    2·#sessions boundary rows — on the range-partitioned cumsum spine
+    (ranking.global_cumsum), never a single-reducer window; per-day
+    peak and its earliest minute are two keyed aggregates on the
+    cumsum'd boundary table. Day/minute bucketing is absolute, so
+    callers pin the session timezone to UTC (the ticks_us contract).
+    """
+    from .ranking import global_cumsum
+
+    tick = ticks_us(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(tick, F.col(id_col))
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap = tick - F.lag(tick).over(w)
+    new_sess = (gap.isNull() | (gap > gap_us)).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = events.select(F.col(user_col).alias("_u"), tick.alias("_tk"),
+                      F.sum(new_sess).over(
+                          Window.partitionBy(user_col)
+                          .orderBy(tick, F.col(id_col))
+                          .rowsBetween(Window.unboundedPreceding, 0))
+                      .alias("_sid"))
+    sess = s.groupBy("_u", "_sid").agg(F.min("_tk").alias("_t0"),
+                                       F.max("_tk").alias("_t1"))
+    starts = sess.select("_u", "_sid", F.col("_t0").alias("_tk"),
+                         F.lit(1).alias("_d"))
+    ends = sess.select("_u", "_sid", F.col("_t1").alias("_tk"),
+                       F.lit(-1).alias("_d"))
+    bounds = starts.unionByName(ends)
+    cum = global_cumsum(bounds, ["_tk", "_d", "_u", "_sid"], "_d",
+                        out_col="_c")
+    day = F.floor(F.col("_tk") / F.lit(86_400_000_000)).alias("_day")
+    daily = cum.select(day, "_tk", "_c")
+    peaks = daily.groupBy("_day").agg(F.max("_c").alias("peak"))
+    first = (daily.join(F.broadcast(peaks), "_day")
+             .where(F.col("_c") == F.col("peak"))
+             .groupBy("_day", "peak")
+             .agg(F.min("_tk").alias("_pt")))
+    return first.select(
+        F.date_format(F.timestamp_micros(F.col("_day")
+                                         * F.lit(86_400_000_000)),
+                      "yyyy-MM-dd").alias("day"),
+        F.col("peak").cast("long").alias("peak"),
+        F.date_format(F.timestamp_micros("_pt"), "HH:mm")
+        .alias("peak_minute"))

@@ -2695,3 +2695,53 @@ def corpus_preference_pairs(spark, sf_dir):
                         "doc_id", score.alias("score"))
     return preference_pairs(cands, "prompt_id", "doc_id", "score",
                             min_margin=4)
+
+
+# --- E202: pairwise source JSD matrix ----------------------------------------
+@register(
+    "corpus_jsd_matrix",
+    """
+    WITH wx AS (
+      SELECT source AS s, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT s, w, count(*)::BIGINT AS c FROM wx
+            WHERE w <> '' GROUP BY 1, 2),
+    tot AS (SELECT s, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+    vocab AS (SELECT DISTINCT w FROM cnt),
+    vs AS (SELECT count(*)::BIGINT AS v FROM vocab),
+    grid AS (
+      SELECT tot.s, vocab.w, tot.t, coalesce(cnt.c, 0) AS c
+      FROM vocab CROSS JOIN tot
+      LEFT JOIN cnt ON cnt.s = tot.s AND cnt.w = vocab.w
+    ),
+    pairs AS (
+      SELECT a.s AS source_a, b.s AS source_b,
+             a.c AS ca, a.t AS ta, b.c AS cb, b.t AS tb, vs.v
+      FROM grid a JOIN grid b ON a.w = b.w AND a.s < b.s, vs
+    )
+    SELECT source_a, source_b,
+           sum(CASE WHEN ca > 0 OR cb > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_union,
+           round(sum(((ca + 1) / (ta + v)
+                      * ln(((ca + 1) / (ta + v))
+                           / (((ca + 1) / (ta + v)
+                               + (cb + 1) / (tb + v)) / 2))
+                      + (cb + 1) / (tb + v)
+                      * ln(((cb + 1) / (tb + v))
+                           / (((ca + 1) / (ta + v)
+                               + (cb + 1) / (tb + v)) / 2))) / 2), 6)
+             AS jsd
+    FROM pairs GROUP BY 1, 2
+    """,
+    doc="pairwise Jensen-Shannon divergence between source unigram "
+        "distributions, add-one smoothed over the GLOBAL vocabulary "
+        "(absent-in-both words still contribute through the totals — "
+        "the textbook definition): the distributional independence "
+        "readout literal-overlap containment (E96) misses; word-keyed "
+        "pair join bounded by vocab x sources^2, never corpus-scale",
+)
+def corpus_jsd_matrix(spark, sf_dir):
+    from .operators.textstats import source_jsd_matrix
+
+    return source_jsd_matrix(load_table(spark, sf_dir, "documents"))

@@ -3255,3 +3255,147 @@ def events_graph_assortativity(spark, sf_dir):
     edges = item_cooccurrence(ev).select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
     return degree_assortativity(edges)
+
+
+# --- E203: sweep-line peak session concurrency --------------------------------
+@register(
+    "events_peak_concurrency",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tk FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, tk,
+             CASE WHEN lag(tk) OVER w IS NULL
+                       OR tk - lag(tk) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tk, event_id)
+    ),
+    sid AS (
+      SELECT user_id, tk,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY tk, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    sess AS (
+      SELECT user_id, sid, min(tk) AS t0, max(tk) AS t1
+      FROM sid GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, sid, t0 AS tk, 1 AS d FROM sess
+      UNION ALL
+      SELECT user_id, sid, t1, -1 FROM sess
+    ),
+    cum AS (
+      SELECT tk, tk // 86400000000 AS day,
+             sum(d) OVER (ORDER BY tk, d, user_id, sid
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM bounds
+    ),
+    peaks AS (SELECT day, max(c)::BIGINT AS peak FROM cum GROUP BY 1),
+    first AS (
+      SELECT cum.day, peaks.peak, min(cum.tk) AS pt
+      FROM cum JOIN peaks ON peaks.day = cum.day AND cum.c = peaks.peak
+      GROUP BY 1, 2
+    )
+    SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d')
+             AS day,
+           peak,
+           strftime(make_timestamp(pt), '%H:%M') AS peak_minute
+    FROM first
+    """,
+    doc="sweep-line peak concurrent sessions per day: gaps-and-islands "
+        "sessionization (30-min rule, event-id tiebreak), +1/-1 "
+        "boundaries END-EXCLUSIVE (-1 sorts first at equal ticks), "
+        "running concurrency on the range-partitioned global-cumsum "
+        "spine — never a single-reducer window in the engine (the "
+        "oracle may window freely); per-day peak + earliest peak "
+        "minute as two keyed aggregates; UTC session pinned for the "
+        "absolute day/minute bucketing",
+)
+def events_peak_concurrency(spark, sf_dir):
+    from .operators.timeseries import peak_concurrency
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return peak_concurrency(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# --- E204: star-schema FK orphan audit ----------------------------------------
+# The cross-table contract battery. The raw star is referentially
+# clean, so one edge PLANTS parent deletions (custkey % 97 == 0
+# removed before the audit) and must count exactly those orders as
+# orphans while the six real edges report zero — the audit's both
+# branches stay structurally non-vacuous (the calendar_gaps planting
+# convention).
+_FK_EDGE_SQL = """
+    SELECT '{child}' AS child_table, '{fk}' AS fk_col,
+           '{parent}' AS parent_table,
+           count(*)::BIGINT AS n_child_rows,
+           sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_orphans,
+           round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS orphan_share,
+           sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} AS _pk FROM {parent_rel}) p
+      ON c.{fk} = p._pk
+"""
+
+
+@register(
+    "schema_fk_orphans",
+    " UNION ALL ".join([
+        _FK_EDGE_SQL.format(
+            child="orders", fk="o_custkey", parent="customer_planted",
+            pk="c_custkey",
+            parent_rel="customer WHERE c_custkey % 97 <> 0"),
+        _FK_EDGE_SQL.format(child="lineitem", fk="l_orderkey",
+                            parent="orders", pk="o_orderkey",
+                            parent_rel="orders"),
+        _FK_EDGE_SQL.format(child="lineitem", fk="l_partkey",
+                            parent="part", pk="p_partkey",
+                            parent_rel="part"),
+        _FK_EDGE_SQL.format(child="lineitem", fk="l_suppkey",
+                            parent="supplier", pk="s_suppkey",
+                            parent_rel="supplier"),
+        _FK_EDGE_SQL.format(child="customer", fk="c_nationkey",
+                            parent="nation", pk="n_nationkey",
+                            parent_rel="nation"),
+        _FK_EDGE_SQL.format(child="supplier", fk="s_nationkey",
+                            parent="nation", pk="n_nationkey",
+                            parent_rel="nation"),
+        _FK_EDGE_SQL.format(child="nation", fk="n_regionkey",
+                            parent="region", pk="r_regionkey",
+                            parent_rel="region"),
+    ]),
+    doc="referential-integrity audit over the star's seven FK edges: "
+        "distinct parent keys + one LEFT join + one count per edge "
+        "(linear, no windows), rows unioned; NULL FKs count as "
+        "orphans; the orders->customer edge audits against a PLANTED "
+        "parent deletion (custkey % 97 removed) so the orphan branch "
+        "is non-vacuous while the six real edges prove clean",
+)
+def schema_fk_orphans(spark, sf_dir):
+    from .operators.profile import fk_orphan_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust_planted = cust.where(F.col("c_custkey") % 97 != 0)
+    return fk_orphan_audit([
+        (orders, "o_custkey", "orders", cust_planted, "c_custkey",
+         "customer_planted"),
+        (li, "l_orderkey", "lineitem", orders, "o_orderkey", "orders"),
+        (li, "l_partkey", "lineitem", _t(spark, sf_dir, "part"),
+         "p_partkey", "part"),
+        (li, "l_suppkey", "lineitem", supp, "s_suppkey", "supplier"),
+        (cust, "c_nationkey", "customer", nation, "n_nationkey",
+         "nation"),
+        (supp, "s_nationkey", "supplier", nation, "n_nationkey",
+         "nation"),
+        (nation, "n_regionkey", "nation", region, "r_regionkey",
+         "region"),
+    ])

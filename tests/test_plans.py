@@ -489,6 +489,9 @@ _CARTESIAN_ALLOWLIST = {
                                      #   one corpus scan
     "events_graph_assortativity",    # 1-row node-count broadcast onto
                                      #   the single moment-sum row
+    "corpus_jsd_matrix",             # #sources-row totals broadcast
+                                     #   onto the vocab grid + 1-row
+                                     #   vocab-size broadcast
 }
 
 

@@ -350,3 +350,120 @@ def test_assortativity_cycle_degenerate_null(spark):
     r = degree_assortativity(edges).collect()[0]
     assert r.assortativity is None
     assert r.n_nodes == n and r.n_edges == n
+
+
+# ---------------------------------------------------------------- JSD ----
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, text string")
+
+
+def test_jsd_identical_sources_zero(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        source_jsd_matrix)
+
+    df = _docs(spark, [("a", "x y z x"), ("b", "x y z x")])
+    r = source_jsd_matrix(df).collect()[0]
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert r.jsd == 0.0  # identical counts AND totals -> p == q per word
+    assert r.n_union == 3
+
+
+def test_jsd_disjoint_vocab_near_ln2_and_symmetric_bounds(spark):
+    import math
+
+    from big_data_hw_23_24_spark.operators.textstats import (
+        source_jsd_matrix)
+
+    # each word 20x: with add-one smoothing a count-1 word is mostly
+    # smoothing mass (p ~ 2/(T+V) vs q ~ 1/(T+V)), so disjoint vocab
+    # needs real counts to read as divergent — exactly the behavior
+    # the smoothing is supposed to have on hapax noise
+    df = _docs(spark, [
+        ("a", " ".join([f"w{i}" for i in range(50)] * 20)),
+        ("b", " ".join([f"v{i}" for i in range(50)] * 20))])
+    r = source_jsd_matrix(df).collect()[0]
+    assert 0 < r.jsd <= math.log(2) + 1e-9
+    assert r.jsd > 0.2  # disjoint vocab with real mass -> divergent
+    assert r.n_union == 100
+
+
+def test_jsd_pair_count_is_choose_2(spark):
+    from big_data_hw_23_24_spark.operators.textstats import (
+        source_jsd_matrix)
+
+    df = _docs(spark, [(f"s{i}", "alpha beta gamma") for i in range(4)])
+    rows = source_jsd_matrix(df).collect()
+    assert len(rows) == 6  # C(4,2), unordered, a < b
+    assert all(r.source_a < r.source_b for r in rows)
+    assert all(r.jsd == 0.0 for r in rows)  # identical distributions
+
+
+# ----------------------------------------------------- peak concurrency ----
+
+def test_peak_concurrency_hand_layout(spark):
+    """Three users: A 00:00-00:10, B 00:05-00:12, C 00:11-00:15.
+    End-exclusive sweep: peak 2 at 00:05 (A+B); at 00:10 A's -1
+    lands before C's +1 (11 > 10), so 3-way overlap never happens."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        peak_concurrency)
+
+    base = "2024-03-01 00:"
+    rows = [
+        (1, 10, f"{base}00:00"), (1, 11, f"{base}10:00"),
+        (2, 20, f"{base}05:00"), (2, 21, f"{base}12:00"),
+        (3, 30, f"{base}11:00"), (3, 31, f"{base}15:00"),
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s string") \
+        .select("user_id", "event_id",
+                F.col("s").cast("timestamp").alias("ts"))
+    r = peak_concurrency(df, gap_minutes=30).collect()
+    assert len(r) == 1
+    assert r[0].day == "2024-03-01"
+    assert r[0].peak == 2
+    assert r[0].peak_minute == "00:05"
+
+
+def test_peak_concurrency_end_exclusive_touching_sessions(spark):
+    """B starts exactly when A ends: -1 sorts first at the tick, so
+    concurrency never reads 2."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        peak_concurrency)
+
+    rows = [
+        (1, 1, "2024-03-02 08:00:00"), (1, 2, "2024-03-02 08:20:00"),
+        (2, 3, "2024-03-02 08:20:00"), (2, 4, "2024-03-02 08:40:00"),
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s string") \
+        .select("user_id", "event_id",
+                F.col("s").cast("timestamp").alias("ts"))
+    r = peak_concurrency(df, gap_minutes=30).collect()
+    assert r[0].peak == 1
+
+
+# ------------------------------------------------------------- FK audit ----
+
+def test_fk_audit_counts_planted_orphans_and_nulls(spark):
+    from big_data_hw_23_24_spark.operators.profile import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    r = fk_orphan_audit(
+        [(child, "fk", "child", parent, "pk", "parent")]).collect()[0]
+    assert r.n_child_rows == 4
+    assert r.n_orphans == 2  # the missing key AND the null
+    assert r.orphan_share == 0.5
+    assert r.passed is False
+
+
+def test_fk_audit_clean_edge_passes(spark):
+    from big_data_hw_23_24_spark.operators.profile import fk_orphan_audit
+
+    child = spark.createDataFrame([(1,), (1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_orphan_audit(
+        [(child, "fk", "child", parent, "pk", "parent")]).collect()[0]
+    assert r.n_orphans == 0 and r.passed is True and r.orphan_share == 0.0

@@ -783,6 +783,12 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   over deterministic offset pairs
         "events_graph_assortativity",  # r13: Newman r of the capped
                                      #   co-occurrence graph
+        "corpus_jsd_matrix",         # r13: pairwise source JSD, add-one
+                                     #   smoothed over the global vocab
+        "events_peak_concurrency",   # r13: sweep-line concurrency on
+                                     #   the global-cumsum spine
+        "schema_fk_orphans",         # r13: star-schema FK orphan audit
+                                     #   with one planted-deletion edge
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
