@@ -190,6 +190,22 @@ HEADLINE = [
     "customers_typo_pairs",     # FastSS deletion-neighborhood join
     "events_ewma_forecast",     # EWMA forecast + MAPE backtest
     "users_survival_km",        # Kaplan-Meier right-censored curve
+    # r13 additions
+    "events_cusum_changepoint",  # CUSUM level-shift localization
+    "events_theilsen_trend",    # median-of-pairwise-slopes trend
+    "events_mannwhitney",       # rank-sum test on the cumsum spine
+    "customers_revenue_gini",   # Lorenz/Gini per segment (rank spine)
+    "customers_order_distribution",  # TPC-H Q13 zero-bucket histogram
+    "parts_small_qty_revenue",  # TPC-H Q17 decorrelated to a window
+    "customers_large_volume",   # TPC-H Q18 HAVING + broadcast top-20
+    "knn_hubness",              # k-NN in-degree skew (run-once gate)
+    "knn_prefix_dim_eval",      # Matryoshka prefix-dim recall gate
+    "embedding_triplet_mining",  # hardest-pos / semi-hard-neg mining
+    "embedding_rp_distortion",  # JL +-1 projection distortion audit
+    "events_graph_assortativity",  # Newman r of the co-occurrence graph
+    "corpus_jsd_matrix",        # pairwise source JSD (vocab grid)
+    "events_peak_concurrency",  # sweep-line concurrency (cumsum spine)
+    "schema_fk_orphans",        # star FK orphan audit, 7 edges
 ]
 
 

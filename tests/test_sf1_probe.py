@@ -84,6 +84,20 @@ PROBES = [
     # for 12.6x output, measured standalone in r12) into the gate so
     # the recorded sf1_probe block owns the number
     "customers_typo_pairs",      # positioned FastSS deletion join
+    # r13 faces whose spines/joins could hide a superlinear term.
+    # knn_hubness is deliberately NOT probed: its all-pairs k-NN graph
+    # is quadratic BY DEFINITION (a declared run-once rollout gate,
+    # the dedup_eval_minhash treatment) — probing it would only
+    # re-measure the definition.
+    "events_mannwhitney",        # distinct-value aggregate + cumsum spine
+    "customers_revenue_gini",    # global-rank spine over customer rev
+    "corpus_jsd_matrix",         # vocab x sources^2 pair grid
+    "events_graph_assortativity",  # degree joins on the co-occur graph
+    "embedding_triplet_mining",  # fixed anchor set x 10x corpus
+    "embedding_rp_distortion",   # posexplode grid + offset pair joins
+    "events_peak_concurrency",   # boundary cumsum spine, 2 rows/session
+    "schema_fk_orphans",         # seven linear anti-join audits
+    "customers_large_volume",    # Q18 HAVING aggregate + broadcasts
 ]
 
 
@@ -156,6 +170,26 @@ def _synthesize(spark, dst: str) -> None:
              "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
              "l_linestatus", "l_shipdate")
      .write.mode("overwrite").parquet(os.path.join(dst, "lineitem.parquet")))
+    # orders: fresh orderkeys ALIGNED with the replicated lineitem keys
+    # (same per-replica offset arithmetic) and custkeys aligned with the
+    # replicated customers — the Q13/Q18/gini join structure a real 10x
+    # order volume has: per-customer order counts and per-order baskets
+    # unchanged, only the population scales
+    # offset MUST be the lineitem ooff above: max(l_orderkey) ==
+    # max(o_orderkey) in this star (asserted), so replicated lineitems
+    # keep joining their replicated parent orders
+    od = load_table(spark, SF01, "orders")
+    assert od.agg(F.max("o_orderkey")).first()[0] + 1 == ooff
+    (od.crossJoin(reps)
+     .select((F.col("o_orderkey") + F.col("k") * ooff).alias("o_orderkey"),
+             (F.col("o_custkey") + F.col("k") * coff).alias("o_custkey"),
+             "o_orderstatus", "o_totalprice", "o_orderdate",
+             "o_orderpriority")
+     .write.mode("overwrite").parquet(os.path.join(dst, "orders.parquet")))
+    # the FK audit and region/nation-keyed faces read the dims as-is
+    for dim_name in ("part", "supplier", "nation", "region"):
+        load_table(spark, SF01, dim_name).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{dim_name}.parquet"))
 
 
 def _time_min(fn, spark, sf_dir: str, reps: int = 2) -> float:
