@@ -206,6 +206,8 @@ HEADLINE = [
     "corpus_jsd_matrix",        # pairwise source JSD (vocab grid)
     "events_peak_concurrency",  # sweep-line concurrency (cumsum spine)
     "schema_fk_orphans",        # star FK orphan audit, 7 edges
+    "events_hll_pinned",        # bit-pinned HLL vs exact, two m's
+    "events_rec_hitrate",       # recommender temporal-holdout eval
 ]
 
 

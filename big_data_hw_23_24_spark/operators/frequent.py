@@ -603,3 +603,111 @@ def rolling_distinct_kmv(df: DataFrame, item_col: str, day_col: str,
             .select(F.col("wd").cast("long").alias("day_num"),
                     "n_days", "n_sketch", "est_distinct",
                     "exact_distinct"))
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constants (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, item_col: str, group_col: str,
+                  p: int = 6) -> DataFrame:
+    """md5-pinned HyperLogLog registers (E205) → per group the
+    PRESENT registers as rows ``(grp, bucket, rho)``.
+
+    The sketch family's last rows-only member made value-checkable:
+    the built-in ``hll_sketch_agg`` face stays rows-only because its
+    register layout is engine-private — this build pins every bit
+    instead. Hash = the engine-portable 60-bit md5 (kmv_hash); bucket
+    = the top ``p`` bits (shiftright), remainder = the low 60−p bits
+    (mask); rho = leading zeros in the remainder field + 1, computed
+    as ``(60−p) + 1 − digitlen₂(rem)`` via base-2 string length
+    (Spark ``conv(x,10,2)`` ≡ DuckDB ``bin(x)``, both strip leading
+    zeros) — NO floating log2, whose floor can miss at exact powers
+    of two. Register value = max rho per bucket; absent buckets are
+    implicit zeros (the estimator counts them arithmetically — no
+    m-row grid join needed).
+
+    Mergeable by construction: registers of a union = per-bucket max
+    of partial registers (pinned by test). Scale: one hash aggregate
+    to ≤ m rows per group, map-side combinable — the minimum possible
+    work for a distinct sketch.
+    """
+    rem_bits = 60 - p
+    h = kmv_hash(F.col(item_col))
+    bucket = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rem > 0,
+                 F.lit(rem_bits + 1) - F.length(F.conv(rem, 10, 2))) \
+        .otherwise(F.lit(rem_bits + 1))
+    return (df.select(F.col(group_col).alias("grp"),
+                      bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").cast("long").alias("rho")))
+
+
+def hll_estimate(regs: DataFrame, p: int) -> DataFrame:
+    """Estimate distinct counts from pinned HLL registers → per group
+    ``(grp, m, est)``.
+
+    The harmonic sum is EXACT integer arithmetic: Σ2^(−ρⱼ) scaled by
+    2^(rem_bits+1) makes every term a long (zero registers contribute
+    2^(rem_bits+1) each, counted as m − #present — never materialized),
+    so both engines divide the same integer by the same power of two
+    and the estimate is bit-identical before its round. Small-range
+    branch: raw ≤ 2.5m with V > 0 empty registers → linear counting
+    m·ln(m/V), the standard correction; branch selection compares
+    exact doubles, so it cannot diverge across engines.
+    """
+    m = 1 << p
+    rem_bits = 60 - p
+    alpha = _hll_alpha(m)
+    scale = 1 << (rem_bits + 1)
+    # the Python shiftleft() helper takes only a literal bit count;
+    # the SQL form accepts a column expression for it
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rem_bits + 1} - rho)")
+    agg = regs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("_nb"),
+        F.sum(term).alias("_s_present"))
+    v = F.lit(m) - F.col("_nb")
+    s = (F.col("_s_present")
+         + v.cast("long") * F.lit(scale).cast("long")) / F.lit(float(scale))
+    raw = F.lit(alpha * m * m) / s
+    est = F.when((raw <= 2.5 * m) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+        .otherwise(raw)
+    return agg.select("grp", F.lit(m).cast("long").alias("m"),
+                      est.alias("est"))
+
+
+def hll_report(df: DataFrame, item_col: str, group_col: str,
+               ps: tuple = (6, 12)) -> DataFrame:
+    """Pinned-HLL rollout gate → one row per (group, m): ``(grp, m,
+    n_exact, est, rel_err)``.
+
+    Runs the estimator at several register counts against the exact
+    distinct count, so BOTH estimator branches stay value-checked on
+    natural data: small m → raw harmonic estimate, large m (n ≪ m)
+    → linear counting. rel_err = (est − n)/n, the number that decides
+    whether a given m is deployable for this key's cardinality.
+    """
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(item_col).cast("long").alias("n_exact"))
+    outs = []
+    for p in ps:
+        e = hll_estimate(hll_registers(df, item_col, group_col, p), p)
+        outs.append(e)
+    ests = outs[0]
+    for o in outs[1:]:
+        ests = ests.unionByName(o)
+    return (ests.join(exact, "grp")
+            .select(F.col("grp").alias(group_col), "m", "n_exact",
+                    F.round("est", 2).alias("est"),
+                    F.round((F.col("est") - F.col("n_exact"))
+                            / F.col("n_exact"), 6).alias("rel_err")))

@@ -488,3 +488,68 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
                     (F.col("_m2") / 2).cast("long").alias("n_edges"),
                     F.when(var > 0, F.round(cov / var, 6))
                     .alias("assortativity")))
+
+
+def rec_hitrate(events: DataFrame, split_day: int, k: int = 3,
+                item_col: str = "item", user_col: str = "user_id",
+                ts_col: str = "ts", cap: int = 20,
+                min_co: int = 2) -> DataFrame:
+    """Temporal holdout evaluation of the co-occurrence recommender
+    (E206) → ONE row ``(k, n_test_pairs, n_hits, hitrate)``.
+
+    The end-to-end eval that closes the recommender loop: the
+    co-occurrence faces BUILD an item-item similarity graph, but
+    nothing says whether "users who touched A also touched B" actually
+    predicts future behavior. Protocol: train on days < ``split_day``,
+    build each user's candidate set as the union of the top-``k``
+    most-similar items (Jaccard desc, item-id tiebreak — on the
+    6-dp-ROUNDED jaccard the operator already emits, so the k
+    boundary cannot ulp-flip) of their train items, then score
+    against the NEW (user, item) pairs in the test window (items the
+    user already touched in train are anti-joined out — recommending
+    the past is not a hit). hitrate = hits / test pairs, the
+    leakage-free number (the split is temporal, the similarity graph
+    never sees test data).
+
+    Scale: reuses item_cooccurrence's capped build (fan-out ≤ cap²
+    per user); the similarity edges symmetrize (Jaccard is symmetric,
+    the build emits a < b once) and top-k per item runs on the
+    two-stage grouped top-k, never a per-item reducer funnel; eval is
+    three keyed joins + one aggregate. A user with no recommendable
+    train items simply contributes misses — the honest denominator.
+    """
+    day = F.dayofmonth(ts_col)
+    train = events.where(day < split_day)
+    test = events.where(day >= split_day)
+    sim = item_cooccurrence(train, item_col=item_col, user_col=user_col,
+                            cap=cap, min_co=min_co)
+    edges = sim.select(F.col("item_a").alias("_src"),
+                       F.col("item_b").alias("_dst"), "jaccard") \
+        .unionByName(sim.select(F.col("item_b").alias("_src"),
+                                F.col("item_a").alias("_dst"), "jaccard"))
+    from .grouped import grouped_topk
+
+    recs = grouped_topk(edges, ["_src"],
+                        [F.col("jaccard").desc(), F.col("_dst")], k) \
+        .select("_src", "_dst")
+    ut = (train.where(F.col(item_col).isNotNull())
+          .select(F.col(user_col).alias("_u"),
+                  F.col(item_col).alias("_it")).distinct())
+    user_recs = (ut.join(recs, ut["_it"] == recs["_src"])
+                 .select("_u", F.col("_dst").alias("_it")).distinct())
+    test_pairs = (test.where(F.col(item_col).isNotNull())
+                  .select(F.col(user_col).alias("_u"),
+                          F.col(item_col).alias("_it")).distinct()
+                  .join(ut, ["_u", "_it"], "left_anti"))
+    hits = test_pairs.join(user_recs, ["_u", "_it"], "left_semi")
+    n_test = test_pairs.agg(F.count("*").cast("long").alias("n_test_pairs"))
+    n_hit = hits.agg(F.count("*").cast("long").alias("n_hits"))
+    # no test pairs -> null hitrate by contract (there is nothing to
+    # evaluate), never an ANSI divide-by-zero
+    return (n_test.crossJoin(F.broadcast(n_hit))
+            .select(F.lit(k).cast("long").alias("k"),
+                    "n_test_pairs", "n_hits",
+                    F.when(F.col("n_test_pairs") > 0,
+                           F.round(F.col("n_hits")
+                                   / F.col("n_test_pairs"), 6))
+                    .alias("hitrate")))

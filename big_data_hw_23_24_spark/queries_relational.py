@@ -3399,3 +3399,179 @@ def schema_fk_orphans(spark, sf_dir):
         (nation, "n_regionkey", "nation", region, "r_regionkey",
          "region"),
     ])
+
+
+# --- E205: md5-pinned HyperLogLog (value-checked registers) -------------------
+# Closes the sketch family's last rows-only gap: the built-in
+# hll_sketch_agg face (approx_distinct_users_hll) can only be
+# rows-checked because its register layout is engine-private; this
+# build pins every bit (60-bit md5 hash, shift/mask bucketing, base-2
+# digit-length rho, exact-integer harmonic sum), so the ESTIMATE
+# itself is value-compared, at two register counts covering both
+# estimator branches on natural data.
+from .operators.frequent import _hll_alpha  # noqa: E402
+
+
+def _hll_cte(p: int) -> str:
+    m = 1 << p
+    rem = 60 - p
+    mask = (1 << rem) - 1
+    scale = 1 << (rem + 1)
+    am2 = _hll_alpha(m) * m * m
+    return f"""
+      SELECT grp, CAST({m} AS BIGINT) AS m,
+             CASE WHEN {am2!r} / ((sp + (({m} - nb) * CAST({scale}
+                    AS HUGEINT))) / {float(scale)!r})
+                    <= {2.5 * m!r}
+                   AND ({m} - nb) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - nb))
+                  ELSE {am2!r} / ((sp + (({m} - nb) * CAST({scale}
+                    AS HUGEINT))) / {float(scale)!r})
+             END AS est
+      FROM (
+        SELECT grp, count(*)::BIGINT AS nb,
+               sum(1::BIGINT << ({rem + 1} - rho)) AS sp
+        FROM (
+          SELECT grp, h >> {rem} AS bucket,
+                 max(CASE WHEN (h & {mask}) > 0
+                          THEN {rem + 1} - length(bin(h & {mask}))
+                          ELSE {rem + 1} END)::BIGINT AS rho
+          FROM hashed GROUP BY 1, 2
+        ) GROUP BY 1
+      )
+    """
+
+
+@register(
+    "events_hll_pinned",
+    f"""
+    WITH hashed AS (
+      SELECT event_type AS grp,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+      FROM events
+    ),
+    exact AS (
+      SELECT event_type AS grp,
+             count(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1
+    ),
+    ests AS ({_hll_cte(6)} UNION ALL {_hll_cte(12)})
+    SELECT ests.grp AS event_type, m, n_exact,
+           round(est, 2) AS est,
+           round((est - n_exact) / n_exact, 6) AS rel_err
+    FROM ests JOIN exact ON exact.grp = ests.grp
+    """,
+    doc="md5-pinned HyperLogLog distinct-user estimates per event "
+        "type at m=64 and m=4096 vs the exact count: 60-bit md5 hash, "
+        "top-p-bit buckets (shiftright), rho from base-2 digit length "
+        "(no floating log2), EXACT-integer harmonic sum (every 2^-rho "
+        "scaled to a long; zeros counted arithmetically, never "
+        "materialized), linear-counting small-range branch — both "
+        "branches value-checked on natural data, the sketch family's "
+        "last rows-only member now bit-pinned",
+)
+def events_hll_pinned(spark, sf_dir):
+    from .operators.frequent import hll_report
+
+    return hll_report(_t(spark, sf_dir, "events"), "user_id",
+                      "event_type", ps=(6, 12))
+
+
+# --- E206: co-occurrence recommender temporal-holdout eval --------------------
+@register(
+    "events_rec_hitrate",
+    """
+    WITH train AS (
+      SELECT * FROM events WHERE extract(day FROM ts) < 25
+    ),
+    test AS (
+      SELECT * FROM events WHERE extract(day FROM ts) >= 25
+    ),
+    ui AS (
+      SELECT user_id, TRY_CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS item, count(*) AS n
+      FROM train
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, item) AS rk
+        FROM ui)
+      WHERE rk <= 20
+    ),
+    sz AS (SELECT item, count(*) AS nu FROM capped GROUP BY 1),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT item_a, item_b,
+             round(n_co * 1.0 / (sa.nu + sb.nu - n_co), 6) AS jaccard
+      FROM co
+      JOIN sz sa ON sa.item = item_a
+      JOIN sz sb ON sb.item = item_b
+      WHERE n_co >= 2
+    ),
+    edges AS (
+      SELECT item_a AS src, item_b AS dst, jaccard FROM sim
+      UNION ALL
+      SELECT item_b, item_a, jaccard FROM sim
+    ),
+    recs AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY jaccard DESC, dst) AS rk
+        FROM edges)
+      WHERE rk <= 3
+    ),
+    ut AS (SELECT DISTINCT user_id AS u, item AS it FROM ui),
+    user_recs AS (
+      SELECT DISTINCT ut.u, recs.dst AS it
+      FROM ut JOIN recs ON recs.src = ut.it
+    ),
+    test_pairs AS (
+      SELECT DISTINCT t.user_id AS u,
+             TRY_CAST(json_extract_string(t.props, '$.k') AS BIGINT)
+               AS it
+      FROM test t
+      WHERE TRY_CAST(json_extract_string(t.props, '$.k') AS BIGINT)
+            IS NOT NULL
+    ),
+    new_pairs AS (
+      SELECT tp.u, tp.it FROM test_pairs tp
+      ANTI JOIN ut ON ut.u = tp.u AND ut.it = tp.it
+    ),
+    hits AS (
+      SELECT np.u, np.it FROM new_pairs np
+      SEMI JOIN user_recs ur ON ur.u = np.u AND ur.it = np.it
+    )
+    SELECT CAST(3 AS BIGINT) AS k,
+           (SELECT count(*) FROM new_pairs)::BIGINT AS n_test_pairs,
+           (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+           round((SELECT count(*) FROM hits) * 1.0
+                 / (SELECT count(*) FROM new_pairs), 6) AS hitrate
+    """,
+    doc="temporal-holdout eval of the co-occurrence recommender: "
+        "train days 1-24 build the capped Jaccard graph, each user's "
+        "candidate set = union of top-3 neighbors (ranked on the "
+        "6-dp-rounded jaccard, id tiebreak) of their train items, "
+        "scored against NEW (user, item) pairs in days 25-30 (train "
+        "items anti-joined out); leakage-free by construction, keyed "
+        "joins + grouped top-k only",
+)
+def events_rec_hitrate(spark, sf_dir):
+    from .operators.graph import rec_hitrate
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "ts",
+                  F.get_json_object("props", "$.k").try_cast("long")
+                  .alias("item")))
+    return rec_hitrate(ev, split_day=25, k=3)

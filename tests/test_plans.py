@@ -492,6 +492,9 @@ _CARTESIAN_ALLOWLIST = {
     "corpus_jsd_matrix",             # #sources-row totals broadcast
                                      #   onto the vocab grid + 1-row
                                      #   vocab-size broadcast
+    "events_rec_hitrate",            # two 1-row count aggregates
+                                     #   crossed into the single
+                                     #   hitrate row
 }
 
 

@@ -467,3 +467,111 @@ def test_fk_audit_clean_edge_passes(spark):
     r = fk_orphan_audit(
         [(child, "fk", "child", parent, "pk", "parent")]).collect()[0]
     assert r.n_orphans == 0 and r.passed is True and r.orphan_share == 0.0
+
+
+# ------------------------------------------------------------- pinned HLL ----
+
+def test_hll_registers_merge_equals_whole(spark):
+    """Registers of a union == per-bucket max of partial registers —
+    the property that makes any sketch scale."""
+    from big_data_hw_23_24_spark.operators.frequent import hll_registers
+
+    rows_a = [("g", i) for i in range(200)]
+    rows_b = [("g", i) for i in range(150, 400)]
+    a = spark.createDataFrame(rows_a, "grp string, item long")
+    b = spark.createDataFrame(rows_b, "grp string, item long")
+    whole = hll_registers(a.unionByName(b), "item", "grp", p=4)
+    merged = (hll_registers(a, "item", "grp", p=4)
+              .unionByName(hll_registers(b, "item", "grp", p=4))
+              .groupBy("grp", "bucket")
+              .agg(F.max("rho").cast("long").alias("rho")))
+    got = sorted(map(tuple, whole.collect()))
+    want = sorted(map(tuple, merged.collect()))
+    assert got == want
+
+
+def test_hll_estimate_within_stderr(spark):
+    """n=2000 distinct at m=256: the estimate must land within ~5
+    standard errors (1.04/sqrt(m) ~ 6.5%) of the truth."""
+    from big_data_hw_23_24_spark.operators.frequent import hll_report
+
+    df = spark.createDataFrame([("g", i) for i in range(2000)],
+                               "grp string, item long")
+    r = {row.m: row for row in
+         hll_report(df, "item", "grp", ps=(8,)).collect()}
+    row = r[256]
+    assert row.n_exact == 2000
+    assert abs(row.rel_err) < 5 * 1.04 / (256 ** 0.5)
+
+
+def test_hll_linear_counting_small_n(spark):
+    """n=30 at m=4096: the small-range branch (linear counting) is
+    near-exact — most registers empty, est ~ m ln(m/V)."""
+    from big_data_hw_23_24_spark.operators.frequent import hll_report
+
+    df = spark.createDataFrame([("g", i) for i in range(30)],
+                               "grp string, item long")
+    row = hll_report(df, "item", "grp", ps=(12,)).collect()[0]
+    assert row.n_exact == 30
+    assert abs(row.rel_err) < 0.1  # LC is tight when n << m
+
+
+def test_hll_duplicates_dont_move_registers(spark):
+    from big_data_hw_23_24_spark.operators.frequent import hll_report
+
+    once = spark.createDataFrame([("g", i) for i in range(500)],
+                                 "grp string, item long")
+    thrice = once.unionByName(once).unionByName(once)
+    a = hll_report(once, "item", "grp", ps=(8,)).collect()[0]
+    b = hll_report(thrice, "item", "grp", ps=(8,)).collect()[0]
+    assert a.est == b.est and a.n_exact == b.n_exact
+
+
+# ------------------------------------------------------------ rec hitrate ----
+
+def test_rec_hitrate_planted_pattern(spark):
+    """Train: many users touch {1, 2} together; user 99 touched only
+    item 1. Test: user 99 touches item 2 -> that pair must be a hit
+    (2 is in item 1's top-k)."""
+    from big_data_hw_23_24_spark.operators.graph import rec_hitrate
+
+    rows = []
+    eid = 0
+    for u in range(10):  # co-occurrence mass for (1, 2)
+        for it in (1, 2):
+            eid += 1
+            rows.append((u, eid, f"2024-01-0{(u % 5) + 1} 10:00:00", it))
+    eid += 1
+    rows.append((99, eid, "2024-01-03 10:00:00", 1))  # train: item 1 only
+    eid += 1
+    rows.append((99, eid, "2024-01-28 10:00:00", 2))  # test: item 2
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s string, item long") \
+        .select("user_id", "event_id",
+                F.col("s").cast("timestamp").alias("ts"), "item")
+    r = rec_hitrate(df, split_day=25, k=3).collect()[0]
+    assert r.n_test_pairs == 1
+    assert r.n_hits == 1
+    assert r.hitrate == 1.0
+
+
+def test_rec_hitrate_train_items_not_counted(spark):
+    """A test interaction with an item the user already touched in
+    train is excluded from the denominator entirely."""
+    from big_data_hw_23_24_spark.operators.graph import rec_hitrate
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for it in (1, 2):
+            eid += 1
+            rows.append((u, eid, "2024-01-02 09:00:00", it))
+    # user 5 re-touches item 1 (already in their train set) in test
+    rows.append((5, 999, "2024-01-27 09:00:00", 1))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s string, item long") \
+        .select("user_id", "event_id",
+                F.col("s").cast("timestamp").alias("ts"), "item")
+    r = rec_hitrate(df, split_day=25, k=3).collect()[0]
+    assert r.n_test_pairs == 0 and r.n_hits == 0
+    assert r.hitrate is None  # 0/0 -> null by ANSI division contract

@@ -789,6 +789,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   the global-cumsum spine
         "schema_fk_orphans",         # r13: star-schema FK orphan audit
                                      #   with one planted-deletion edge
+        "events_hll_pinned",         # r13: bit-pinned HLL estimate vs
+                                     #   exact, both branches checked
+        "events_rec_hitrate",        # r13: temporal-holdout eval of the
+                                     #   co-occurrence recommender
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
