@@ -208,6 +208,8 @@ HEADLINE = [
     "schema_fk_orphans",        # star FK orphan audit, 7 edges
     "events_hll_pinned",        # bit-pinned HLL vs exact, two m's
     "events_rec_hitrate",       # recommender temporal-holdout eval
+    "doc_retrieval_mrr",        # passage-origin BM25 eval (exact ppm)
+    "corpus_quantile_normalize",  # pooled-quantile batch-effect fix
 ]
 
 

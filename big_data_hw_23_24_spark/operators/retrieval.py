@@ -487,3 +487,63 @@ def phrase_search(docs: DataFrame, phrases: list[str],
             .select(F.lit(phrase).alias("phrase"),
                     F.col("_d").alias(id_col), "n_occurrences"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def origin_retrieval_eval(docs: DataFrame, k: int = 10, every: int = 17,
+                          offset: int = 3, span_start: int = 6,
+                          span_len: int = 8, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Passage-origin retrieval eval (E207) → ONE row ``(n_queries,
+    n_found, recall_at_k, mrr_ppm)``.
+
+    The self-supervised eval protocol that needs no human qrels:
+    sample a word span from a document, use it as the query, and the
+    document it came from IS the relevant answer — if BM25 cannot
+    retrieve a passage's own source, it will not retrieve anything
+    harder. Queries are deterministic (every ``every``-th doc by id,
+    words ``span_start..span_start+span_len-1`` of its token stream,
+    de-duplicated — repeated terms would double-count in the OR-
+    semantics scorer), so the eval is reproducible and the oracle can
+    generate the identical query set.
+
+    Readouts: recall@k (source doc anywhere in its query's top-k) and
+    MRR in integer PARTS-PER-MILLION — each reciprocal rank is
+    ``1_000_000 // rank`` (exact integers, the trending-items micro
+    convention), so the mean is a ratio of exact sums and cannot move
+    with summation order. Queries whose source doc is missed
+    contribute 0 to both (the honest denominator).
+
+    Scale: rides :func:`bm25_search_many` — corpus-side cost is ONE
+    (doc, term) postings aggregate regardless of query count; the
+    query table here is a 1/``every`` sample of doc ids, generated
+    in-plan (no driver materialization).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != "")
+    base = docs.select(F.col(id_col), words.alias("_w"))
+    queries = (base
+               .where((F.col(id_col) % every == offset)
+                      & (F.size("_w") >= span_start + span_len - 1))
+               .select(F.col(id_col).alias("qid"),
+                       F.array_distinct(
+                           F.slice("_w", span_start, span_len))
+                       .alias("terms")))
+    hits = bm25_search_many(docs, queries, k=k, text_col=text_col,
+                            id_col=id_col)
+    origin = (hits.where(F.col("qid") == F.col(id_col))
+              .select("qid", "rank"))
+    per_q = (queries.select("qid")
+             .join(origin, "qid", "left")
+             .select(F.when(F.col("rank").isNotNull(),
+                            F.floor(F.lit(1_000_000) / F.col("rank"))
+                            .cast("long"))
+                     .otherwise(F.lit(0)).alias("_rr"),
+                     F.col("rank").isNotNull().cast("long").alias("_hit")))
+    # floor() EXPLICIT on both reductions: Spark's double->long cast
+    # truncates but DuckDB's rounds — floor is the one both agree on
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("_hit").cast("long").alias("n_found"),
+        F.round(F.sum("_hit") / F.count("*"), 6).alias("recall_at_k"),
+        F.floor(F.sum("_rr") / F.count("*")).cast("long")
+        .alias("mrr_ppm"))

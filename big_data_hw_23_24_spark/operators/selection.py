@@ -509,3 +509,62 @@ def shard_manifest(docs: DataFrame, target: int = 2000,
                  F.sum("n_tokens").cast("long").alias("n_tokens"),
                  F.sum("_fp").cast("long").alias("checksum"))
             .orderBy("shard"))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str) -> DataFrame:
+    """Cross-group quantile normalization (E208) → one row per input
+    row: ``(id, group, value, normalized)``.
+
+    The batch-effect correction for mixing per-group scores whose
+    SCALES disagree (each source's quality/length/perplexity scorer
+    drifts differently): map every row to its mid-rank plotting
+    position p = (rank − 0.5)/n within its own group, then read the
+    POOLED distribution's interpolated quantile at p — after which
+    "top decile" means the same thing in every group (the
+    normalization genomics standardized and score-mixing pipelines
+    reuse). Monotone within each group by construction.
+
+    Scale engineering: BOTH ranks ride the range-partitioned global
+    rank spine (ranking.py) — the within-group rank is the global
+    (group, value, id) rank minus a #groups-row broadcast offset (the
+    Gini shape: a mega-group never funnels one reducer), the pooled
+    rank is a second spine on (value, group, id). The interpolation
+    is two integer-keyed equi-joins against the pooled table (floor
+    and ceil positions; pos < N strictly under the mid-rank position,
+    so the ceil row always exists — the left join + coalesce only
+    guards the N = 1 degenerate pool). Determinism: pos is the same
+    double expression in both engines; its floor cannot diverge.
+    """
+    from .ranking import global_rank
+
+    base = df.select(F.col(group_col).alias("_g"),
+                     F.col(value_col).cast("long").alias("_v"),
+                     F.col(id_col).alias("_id"))
+    ranked = global_rank(base, ["_g", "_v", "_id"], rank_col="_r")
+    per_g = ranked.groupBy("_g").agg(F.min("_r").alias("_off"),
+                                     F.count("*").alias("_ng"))
+    pooled = global_rank(base, ["_v", "_g", "_id"], rank_col="_pr")
+    total = pooled.agg(F.count("*").alias("_nn"))
+    rg = F.col("_r") - F.col("_off") + 1
+    pos = 1 + (rg - 0.5) / F.col("_ng") * (F.col("_nn") - 1)
+    t = (ranked.join(F.broadcast(per_g), "_g")
+         .crossJoin(F.broadcast(total))
+         .select("_g", "_v", "_id", pos.alias("_pos")))
+    t = t.select("_g", "_v", "_id",
+                 F.floor("_pos").cast("long").alias("_lo"),
+                 (F.col("_pos") - F.floor("_pos")).alias("_frac"))
+    plo = pooled.select(F.col("_pr").alias("_lo"),
+                        F.col("_v").alias("_vlo"))
+    phi = pooled.select((F.col("_pr") - 1).alias("_lo"),
+                        F.col("_v").alias("_vhi"))
+    out = (t.join(plo, "_lo")
+           .join(phi, "_lo", "left")
+           .select(F.col("_id").alias(id_col),
+                   F.col("_g").alias(group_col),
+                   F.col("_v").alias(value_col),
+                   F.round(F.col("_vlo")
+                           + F.col("_frac")
+                           * (F.coalesce(F.col("_vhi"), F.col("_vlo"))
+                              - F.col("_vlo")), 6).alias("normalized")))
+    return out

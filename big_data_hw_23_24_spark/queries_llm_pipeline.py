@@ -2745,3 +2745,54 @@ def corpus_jsd_matrix(spark, sf_dir):
     from .operators.textstats import source_jsd_matrix
 
     return source_jsd_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# --- E208: cross-source quantile normalization --------------------------------
+@register(
+    "corpus_quantile_normalize",
+    """
+    WITH x AS (SELECT doc_id, source, n_chars AS v FROM documents),
+    r AS (
+      SELECT doc_id, source, v,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY v, doc_id) AS rg,
+             count(*) OVER (PARTITION BY source) AS ng
+      FROM x
+    ),
+    p AS (
+      SELECT v, row_number() OVER (ORDER BY v, source, doc_id) AS pr
+      FROM x
+    ),
+    n AS (SELECT count(*) AS nn FROM x),
+    t AS (
+      SELECT r.doc_id, r.source, r.v,
+             1 + (r.rg - 0.5) / r.ng * (n.nn - 1) AS pos
+      FROM r, n
+    ),
+    j AS (
+      SELECT doc_id, source, v,
+             CAST(floor(pos) AS BIGINT) AS lo,
+             pos - floor(pos) AS frac
+      FROM t
+    )
+    SELECT j.doc_id, j.source, j.v AS n_chars,
+           round(plo.v + j.frac
+                 * (coalesce(phi.v, plo.v) - plo.v), 6) AS normalized
+    FROM j
+    JOIN p plo ON plo.pr = j.lo
+    LEFT JOIN p phi ON phi.pr = j.lo + 1
+    """,
+    doc="cross-source quantile normalization of a per-doc score "
+        "(n_chars as the stand-in; any score column plugs in): map "
+        "each row to its mid-rank position within its source, read "
+        "the POOLED distribution's interpolated quantile there — "
+        "after which 'top decile' means the same thing in every "
+        "source; both ranks on the range-partitioned global-rank "
+        "spine (within-group = global minus broadcast offset, the "
+        "Gini shape), interpolation = two integer-keyed equi-joins",
+)
+def corpus_quantile_normalize(spark, sf_dir):
+    from .operators.selection import quantile_normalize
+
+    return quantile_normalize(load_table(spark, sf_dir, "documents"),
+                              "source", "n_chars", "doc_id")

@@ -2360,3 +2360,80 @@ def doc_mojibake_scan(spark, sf_dir):
                       F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
                       .alias("text")))
     return mojibake_scan(docs.unionByName(salted))
+
+
+# --- E207: passage-origin retrieval eval --------------------------------------
+@register(
+    "doc_retrieval_mrr",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS words
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id AS qid,
+             unnest(list_distinct(words[6:13])) AS term
+      FROM base
+      WHERE doc_id % 17 = 3 AND len(words) >= 13
+    ),
+    s AS (SELECT count(*) AS n, sum(len(words)) AS sumdl FROM base),
+    post AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, len(words) AS dl, unnest(words) AS term
+            FROM base)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    scored AS (
+      SELECT q.qid, p.doc_id,
+             round(sum(ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * p.dl
+                                        / (s.sumdl * 1.0 / s.n)))), 6)
+               AS score
+      FROM post p
+      JOIN q ON p.term = q.term
+      JOIN dfq ON p.term = dfq.term
+      CROSS JOIN s
+      GROUP BY q.qid, p.doc_id
+    ),
+    topk AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    ),
+    origin AS (
+      SELECT qid, rank FROM topk WHERE qid = doc_id
+    ),
+    per_q AS (
+      SELECT CASE WHEN o.rank IS NOT NULL
+                  THEN 1000000 // o.rank ELSE 0 END AS rr,
+             CASE WHEN o.rank IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM (SELECT DISTINCT qid FROM q) qq
+      LEFT JOIN origin o ON o.qid = qq.qid
+    )
+    SELECT count(*)::BIGINT AS n_queries,
+           sum(hit)::BIGINT AS n_found,
+           round(sum(hit) * 1.0 / count(*), 6) AS recall_at_k,
+           floor(sum(rr) * 1.0 / count(*))::BIGINT AS mrr_ppm
+    FROM per_q
+    """,
+    doc="passage-origin retrieval eval, no human qrels needed: every "
+        "17th doc contributes words 6-13 as a query whose relevant "
+        "answer IS its source doc; BM25 batch top-10 via the shared "
+        "inverted index (one postings aggregate regardless of query "
+        "count), recall@10 + MRR in exact integer ppm (1e6 // rank — "
+        "summation order cannot move it); misses count 0 in the "
+        "honest denominator",
+)
+def doc_retrieval_mrr(spark, sf_dir):
+    from .operators.retrieval import origin_retrieval_eval
+
+    return origin_retrieval_eval(load_table(spark, sf_dir, "documents"),
+                                 k=10, every=17, offset=3)

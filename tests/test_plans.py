@@ -495,6 +495,10 @@ _CARTESIAN_ALLOWLIST = {
     "events_rec_hitrate",            # two 1-row count aggregates
                                      #   crossed into the single
                                      #   hitrate row
+    "doc_retrieval_mrr",             # corpus N + avgdl (1 row, via
+                                     #   the bm25_search_many stage)
+    "corpus_quantile_normalize",     # 1-row pooled-total broadcast
+                                     #   onto the position expression
 }
 
 

@@ -575,3 +575,88 @@ def test_rec_hitrate_train_items_not_counted(spark):
     r = rec_hitrate(df, split_day=25, k=3).collect()[0]
     assert r.n_test_pairs == 0 and r.n_hits == 0
     assert r.hitrate is None  # 0/0 -> null by ANSI division contract
+
+
+# ------------------------------------------------------- retrieval MRR ----
+
+def test_origin_eval_perfect_on_unique_vocab(spark):
+    """Docs with disjoint vocabularies: each query's terms occur only
+    in its source doc, so recall = 1 and MRR = 1e6 (rank 1 always)."""
+    from big_data_hw_23_24_spark.operators.retrieval import (
+        origin_retrieval_eval)
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = origin_retrieval_eval(df, k=10, every=10, offset=3).collect()[0]
+    assert r.n_queries == 4  # doc_ids 3, 13, 23, 33
+    assert r.n_found == 4
+    assert r.recall_at_k == 1.0
+    assert r.mrr_ppm == 1_000_000
+
+
+def test_origin_eval_misses_count_zero(spark):
+    """A query doc whose span words are SHARED boilerplate occurring
+    in every doc can rank below k; the miss contributes 0, not a
+    dropped row."""
+    from big_data_hw_23_24_spark.operators.retrieval import (
+        origin_retrieval_eval)
+
+    common = " ".join(f"tok{j % 16}" for j in range(20))  # >= 13 words
+    rows = [(i, common) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = origin_retrieval_eval(df, k=3, every=10, offset=3).collect()[0]
+    assert r.n_queries == 3
+    # identical docs -> scores all tie -> the doc_id-asc top-3 is
+    # {0, 1, 2} for EVERY query; sources 3/13/23 all miss, yet the
+    # denominator keeps all three queries
+    assert r.n_found == 0 and r.recall_at_k == 0.0 and r.mrr_ppm == 0
+
+
+# ------------------------------------------------- quantile normalization ----
+
+def test_quantile_normalize_identical_groups_fixed_point(spark):
+    """Two groups with the SAME distribution: normalization maps each
+    value near itself (mid-rank vs pooled interpolation), preserving
+    order exactly."""
+    from big_data_hw_23_24_spark.operators.selection import (
+        quantile_normalize)
+
+    rows = [(g, i, v) for g in ("a", "b")
+            for i, v in enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {(r.g, r.id): r.normalized for r in
+           quantile_normalize(df, "g", "v", "id").collect()}
+    for g in ("a", "b"):
+        vals = [out[(g, i)] for i in range(5)]
+        assert vals == sorted(vals)  # monotone within group
+    # same distribution -> both groups normalize identically
+    assert all(out[("a", i)] == out[("b", i)] for i in range(5))
+
+
+def test_quantile_normalize_shifts_biased_group_onto_pool(spark):
+    """Group b = group a shifted +1000: after normalization the two
+    groups' value SETS coincide (rank k of a maps to the same pooled
+    quantile as rank k of b)."""
+    from big_data_hw_23_24_spark.operators.selection import (
+        quantile_normalize)
+
+    rows = [("a", i, 10 * (i + 1)) for i in range(6)] + \
+           [("b", i, 1000 + 10 * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {(r.g, r.id): r.normalized for r in
+           quantile_normalize(df, "g", "v", "id").collect()}
+    assert all(out[("a", i)] == out[("b", i)] for i in range(6))
+
+
+def test_quantile_normalize_single_row_group(spark):
+    from big_data_hw_23_24_spark.operators.selection import (
+        quantile_normalize)
+
+    df = spark.createDataFrame([("a", 1, 5), ("a", 2, 15), ("z", 9, 7)],
+                               "g string, id long, v long")
+    rows = quantile_normalize(df, "g", "v", "id").collect()
+    assert len(rows) == 3
+    z = [r for r in rows if r.g == "z"][0]
+    # n=1 -> p=0.5 -> pooled median of {5,7,15} = 7
+    assert z.normalized == 7.0

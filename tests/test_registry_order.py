@@ -793,6 +793,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   exact, both branches checked
         "events_rec_hitrate",        # r13: temporal-holdout eval of the
                                      #   co-occurrence recommender
+        "doc_retrieval_mrr",         # r13: passage-origin BM25 eval,
+                                     #   recall@10 + exact-ppm MRR
+        "corpus_quantile_normalize",  # r13: pooled-quantile batch-effect
+                                     #   correction on two rank spines
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both

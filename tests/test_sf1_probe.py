@@ -202,6 +202,16 @@ def _time_min(fn, spark, sf_dir: str, reps: int = 2) -> float:
     return min(runs)
 
 
+# Faces whose EXACT output legitimately superlinearizes under the
+# synthesis (an exact join's work is Omega(its output)): gated on
+# time-vs-OUTPUT growth instead of time-vs-input. customers_typo_pairs:
+# dense zero-padded TPC-H keys gain a digit position at 10x, so the
+# true edit-1 pair count grows 12.6x — a synthesis artifact (real name
+# spaces don't densify), but the honest gate for it is "time grows no
+# faster than the answer" (x1.2 slack for fixed costs).
+_OUTPUT_BOUND_PROBES = {"customers_typo_pairs"}
+
+
 def test_sf1_growth_is_linearish(spark):
     _ensure_loaded()
     dst = tempfile.mkdtemp(prefix="sf1_probe_")
@@ -217,7 +227,14 @@ def test_sf1_growth_is_linearish(spark):
             results[name] = {"sec_sf0.1": round(t01, 3),
                              "sec_sf1": round(t1, 3),
                              "growth": round(ratio, 2)}
-            if ratio > MAX_GROWTH:
+            gate = MAX_GROWTH
+            if name in _OUTPUT_BOUND_PROBES:
+                out01 = fn(spark, SF01).count()
+                out1 = fn(spark, dst).count()
+                out_growth = out1 / max(out01, 1)
+                results[name]["output_growth"] = round(out_growth, 2)
+                gate = max(MAX_GROWTH, out_growth * 1.2)
+            if ratio > gate:
                 failures.append((name, round(ratio, 2)))
         detail_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
