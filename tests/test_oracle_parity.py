@@ -197,6 +197,17 @@ _SF01_SCALE_SENSITIVE = [
     # sf0.01
     "customers_typo_pairs", "suppliers_sole_delay",
     "corpus_preference_pairs",
+    # r13: the rank/cumsum spine consumers (MWU distinct-value cumsum,
+    # Gini within-group ranks, peak-concurrency boundary spine, the
+    # double quantile-normalize spines), the vocab x sources^2 JSD
+    # grid, the degree joins, the capped-graph recommender chain, the
+    # per-bucket HLL register merge and the postings-ride MRR eval all
+    # cross partition boundaries only past sf0.01
+    "events_mannwhitney", "customers_revenue_gini",
+    "corpus_quantile_normalize", "events_peak_concurrency",
+    "corpus_jsd_matrix", "events_graph_assortativity",
+    "events_rec_hitrate", "events_hll_pinned", "doc_retrieval_mrr",
+    "schema_fk_orphans", "customers_large_volume",
 ]
 
 
