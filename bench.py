@@ -210,6 +210,8 @@ HEADLINE = [
     "events_rec_hitrate",       # recommender temporal-holdout eval
     "doc_retrieval_mrr",        # passage-origin BM25 eval (exact ppm)
     "corpus_quantile_normalize",  # pooled-quantile batch-effect fix
+    "orders_ivm_join_view",     # join-view IVM via delta algebra
+    "events_hilbert_pruning",   # Hilbert vs zorder vs linear, measured
 ]
 
 

@@ -267,3 +267,81 @@ def incremental_stats(old: DataFrame, new: DataFrame,
                      + F.coalesce("_dt", F.lit(0))).cast("long")
                     .alias("n_tokens"))
             .where(F.col("n_docs") > 0))
+
+
+def ivm_join_view(old_fact: DataFrame, new_fact: DataFrame,
+                  dim: DataFrame, fact_id: str, fk_col: str,
+                  dim_key: str, group_col: str, value_col: str,
+                  old_view: DataFrame | None = None) -> DataFrame:
+    """Incremental maintenance of a JOIN view (E209) → the NEW state
+    of ``SELECT group, count(*), sum(value) FROM fact JOIN dim`` as
+    ``(group, n_rows, total_value)``, computed from the OLD view plus
+    churn-sized deltas.
+
+    The join-view extension of :func:`incremental_stats` (which
+    maintains a single-table aggregate): the classic delta algebra
+    ``Δ(F ⋈ D) = ΔF ⋈ D`` when the dimension is STATIC — so only the
+    churn-sized fact delta ever touches the join, never the 100 TB
+    fact history. Changes are keyed on ``fact_id``: added rows
+    contribute +1, removed rows −1, modified rows BOTH (−old, +new),
+    which also handles a row MOVING groups via an FK change — the old
+    FK's group decrements, the new FK's group increments (pinned by
+    test). Groups whose count reaches zero drop out of the view, as a
+    full recompute would have them.
+
+    ``old_view`` is the maintained-table contract: pass the prior
+    round's output and the old fact is read only for the id→(fk,
+    value) lookup of the changed set; without it the base view is
+    recomputed from the old fact (the demo/parity mode). ``value_col``
+    must be integral (cents) so every delta is exact and the
+    maintained totals cannot drift from a recompute through float
+    summation — drift-free maintenance is the whole point.
+    """
+    of = old_fact.select(F.col(fact_id).alias("_id"),
+                         F.col(fk_col).alias("_fk"),
+                         F.col(value_col).cast("long").alias("_v"))
+    nf = new_fact.select(F.col(fact_id).alias("_id"),
+                         F.col(fk_col).alias("_fk"),
+                         F.col(value_col).cast("long").alias("_v"))
+    d = dim.select(F.col(dim_key).alias("_fk"),
+                   F.col(group_col).alias("_g"))
+    j = (of.alias("o").join(nf.alias("n"), "_id", "full_outer")
+         .select(F.col("o._fk").alias("_ofk"), F.col("o._v").alias("_ov"),
+                 F.col("n._fk").alias("_nfk"), F.col("n._v").alias("_nv")))
+    minus = (j.where(F.col("_ofk").isNotNull()
+                     & (F.col("_nfk").isNull()
+                        | (F.col("_nfk") != F.col("_ofk"))
+                        | (F.col("_nv") != F.col("_ov"))))
+             .select(F.col("_ofk").alias("_fk"), F.col("_ov").alias("_v"),
+                     F.lit(-1).alias("_s")))
+    plus = (j.where(F.col("_nfk").isNotNull()
+                    & (F.col("_ofk").isNull()
+                       | (F.col("_ofk") != F.col("_nfk"))
+                       | (F.col("_ov") != F.col("_nv"))))
+            .select(F.col("_nfk").alias("_fk"), F.col("_nv").alias("_v"),
+                    F.lit(1).alias("_s")))
+    delta = (minus.unionByName(plus)
+             .join(d, "_fk")
+             .groupBy("_g")
+             .agg(F.sum("_s").cast("long").alias("_dn"),
+                  F.sum(F.col("_s") * F.col("_v")).cast("long")
+                  .alias("_dv")))
+    if old_view is not None:
+        base = old_view.select(F.col(group_col).alias("_g"),
+                               F.col("n_rows").cast("long").alias("_n0"),
+                               F.col("total_value").cast("long")
+                               .alias("_v0"))
+    else:
+        base = (of.join(d, "_fk")
+                .groupBy("_g")
+                .agg(F.count("*").cast("long").alias("_n0"),
+                     F.sum("_v").cast("long").alias("_v0")))
+    return (base.join(delta, "_g", "full_outer")
+            .select(F.col("_g").alias(group_col),
+                    (F.coalesce("_n0", F.lit(0))
+                     + F.coalesce("_dn", F.lit(0))).cast("long")
+                    .alias("n_rows"),
+                    (F.coalesce("_v0", F.lit(0))
+                     + F.coalesce("_dv", F.lit(0))).cast("long")
+                    .alias("total_value"))
+            .where(F.col("n_rows") > 0))

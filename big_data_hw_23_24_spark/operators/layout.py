@@ -99,7 +99,8 @@ def layout_pruning_audit(df: DataFrame, cx_col: str, cy_col: str,
                          order_col: str,
                          probes: list[tuple[int, int, int, int, int]],
                          n_files: int = 64,
-                         bits: int = 12) -> DataFrame:
+                         bits: int = 12,
+                         include_hilbert: bool = False) -> DataFrame:
     """Data-skipping effectiveness audit (E156) → per (layout, probe):
     ``(layout, probe_id, n_files_hit, n_files, n_rows_match)``.
 
@@ -133,6 +134,11 @@ def layout_pruning_audit(df: DataFrame, cx_col: str, cy_col: str,
         ("linear", [F.col("_o")]),
         ("zorder", [F.col("_z"), F.col("_o")]),
     ]
+    if include_hilbert:
+        # the automaton joins run ONCE on the shared base; the hilbert
+        # layout then re-sorts on the carried column like the others
+        base = with_hilbert(base, "cx", "cy", bits=bits, out_col="_h")
+        layouts.append(("hilbert", [F.col("_h"), F.col("_o")]))
     probe_df = F.broadcast(spark.createDataFrame(
         list(probes),
         "probe_id int, cx_lo long, cx_hi long, cy_lo long, cy_hi long"))
@@ -197,3 +203,88 @@ def compaction_plan(files: DataFrame, size_col: str,
             .groupBy("out_file")
             .agg(F.count("*").cast("long").alias("n_inputs"),
                  F.sum("_sz").cast("long").alias("total_bytes")))
+
+
+# The 2-D Hilbert curve as a 4-state automaton over (x, y) bit pairs,
+# MSB first: key = state*4 + 2*bx + by -> (digit, next_state). Derived
+# programmatically from the textbook xy2d rotate-and-flip algorithm
+# (suffix-signature DFA construction) and verified exhaustively against
+# it on a 64x64 grid in tests — the table IS the spec both engines
+# share, the same contract as z_spread_steps for the Morton key.
+HILBERT_TABLE: tuple[tuple[int, int, int], ...] = (
+    (0, 0, 1), (1, 1, 0), (2, 3, 2), (3, 2, 0),
+    (4, 0, 0), (5, 3, 3), (6, 1, 1), (7, 2, 1),
+    (8, 2, 2), (9, 1, 2), (10, 3, 0), (11, 0, 3),
+    (12, 2, 3), (13, 3, 1), (14, 1, 3), (15, 0, 2),
+)
+
+
+def with_hilbert(df: DataFrame, x_col: str, y_col: str, bits: int = 12,
+                 out_col: str = "hilbert") -> DataFrame:
+    """Append the Hilbert index of two NON-NEGATIVE ints (E210).
+
+    Unlike the Morton key (pure bit-shuffling, one expression), the
+    Hilbert walk carries ROTATION STATE from high bits to low bits —
+    a naive unrolled CASE chain would reference the previous level's
+    state expression in every branch and the inlined Catalyst tree
+    grows 16^bits. The scale-safe relational form is the automaton
+    itself: ``bits`` BROADCAST joins against the 16-row HILBERT_TABLE,
+    each keyed on (carried state, this level's bit pair) — plan size
+    linear in ``bits``, per-row cost ``bits`` hash probes, and the
+    oracle runs the IDENTICAL join chain (hilbert_sql_parts generates
+    it from the same table literals).
+
+    Why bother over Z-order: the Hilbert walk has no Morton "seams"
+    (the curve never jumps across the space), so file min/max boxes
+    are tighter and range probes touch fewer files — the
+    events_hilbert_pruning face MEASURES that claim beside zorder
+    and linear on identical probes rather than assuming it.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in 1..31, got {bits}")
+    spark = df.sparkSession
+    ht = F.broadcast(spark.createDataFrame(
+        list(HILBERT_TABLE), "k int, digit int, nxt int"))
+    lim = F.lit((1 << bits) - 1)
+    x = F.col(x_col).cast("long").bitwiseAND(lim)
+    y = F.col(y_col).cast("long").bitwiseAND(lim)
+    cur = (df.withColumn("_hst", F.lit(0))
+           .withColumn(out_col, F.lit(0).cast("long")))
+    for i in range(bits - 1, -1, -1):
+        key = (F.col("_hst") * 4
+               + F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2
+               + F.shiftright(y, i).bitwiseAND(F.lit(1)))
+        cur = (cur.withColumn("_hk", key.cast("int"))
+               .join(ht, F.col("_hk") == F.col("k"))
+               .withColumn(out_col,
+                           F.shiftleft(F.col(out_col), 2)
+                           + F.col("digit").cast("long"))
+               .withColumn("_hst", F.col("nxt"))
+               .drop("k", "digit", "nxt", "_hk"))
+    return cur.drop("_hst")
+
+
+def hilbert_sql_parts(x_expr: str, y_expr: str, bits: int = 12
+                      ) -> tuple[str, str, str]:
+    """The identical computation as portable SQL: returns
+    ``(values_cte, join_chain, hv_expr)`` — a ``ht(k, digit, nxt)``
+    VALUES list, the left-deep ``bits``-join chain, and the digit
+    recombination expression, all generated from HILBERT_TABLE so the
+    oracle can never drift from the Column form."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in 1..31, got {bits}")
+    vals = ", ".join(f"({k}, {d}, {n})" for k, d, n in HILBERT_TABLE)
+    cte = f"ht(k, digit, nxt) AS (VALUES {vals})"
+    lim = (1 << bits) - 1
+    xm = f"(CAST({x_expr} AS BIGINT) & {lim})"
+    ym = f"(CAST({y_expr} AS BIGINT) & {lim})"
+    joins, terms = [], []
+    prev = "0"
+    for i in range(bits - 1, -1, -1):
+        a = f"h{i}"
+        joins.append(
+            f"JOIN ht {a} ON {a}.k = ({prev}) * 4"
+            f" + (({xm} >> {i}) & 1) * 2 + (({ym} >> {i}) & 1)")
+        prev = f"{a}.nxt"
+        terms.append(f"{a}.digit * CAST({4 ** i} AS BIGINT)")
+    return cte, "\n      ".join(joins), "(" + " + ".join(terms) + ")"

@@ -2796,3 +2796,100 @@ def corpus_quantile_normalize(spark, sf_dir):
 
     return quantile_normalize(load_table(spark, sf_dir, "documents"),
                               "source", "n_chars", "doc_id")
+
+
+# --- E210: Hilbert vs Z-order pruning comparison --------------------------------
+# The E156 audit with the third layout: the Hilbert walk has no Morton
+# seams, so its file boxes are tighter — MEASURED here on identical
+# probes rather than asserted. The Hilbert key itself is the 4-state
+# automaton as a 12-round broadcast-join chain (a naive unrolled CASE
+# would grow the Catalyst tree 16^bits); the oracle runs the SAME join
+# chain generated from the same 16-row table.
+def _hilbert_pruning_oracle() -> str:
+    from .operators.layout import hilbert_sql_parts, z_value_sql
+
+    z = z_value_sql("cx0", "cy0", bits=12)
+    cte, joins, hv = hilbert_sql_parts("b.cx", "b.cy", bits=12)
+    return f"""
+    WITH {cte},
+    raw AS (
+      SELECT CAST((user_id % 64) * 64 AS BIGINT) AS cx0,
+             CAST(event_id % 4096 AS BIGINT) AS cy0,
+             event_id AS o
+      FROM events
+    ),
+    base AS (
+      SELECT cx0 AS cx, cy0 AS cy, o, {z} AS zv FROM raw
+    ),
+    hil AS (
+      SELECT b.cx, b.cy, b.o, {hv} AS hvv
+      FROM base b
+      {joins}
+    ),
+    filed AS (
+      SELECT 'linear' AS layout, cx, cy,
+             ntile(64) OVER (ORDER BY o) AS f
+      FROM base
+      UNION ALL
+      SELECT 'zorder', cx, cy,
+             ntile(64) OVER (ORDER BY zv, o)
+      FROM base
+      UNION ALL
+      SELECT 'hilbert', cx, cy,
+             ntile(64) OVER (ORDER BY hvv, o)
+      FROM hil
+    ),
+    st AS (
+      SELECT layout, f,
+             min(cx) AS mcx, max(cx) AS xcx,
+             min(cy) AS mcy, max(cy) AS xcy
+      FROM filed GROUP BY 1, 2
+    ),
+    probes(probe_id, cx_lo, cx_hi, cy_lo, cy_hi) AS (
+      VALUES (1, 0, 511, 0, 4095), (2, 0, 4095, 0, 255),
+             (3, 0, 1023, 0, 1023), (4, 1024, 2047, 1024, 2047)
+    ),
+    fh AS (
+      SELECT layout, probe_id,
+             sum(CASE WHEN mcx <= cx_hi AND xcx >= cx_lo
+                       AND mcy <= cy_hi AND xcy >= cy_lo
+                      THEN 1 ELSE 0 END)::BIGINT AS n_files_hit,
+             count(*)::BIGINT AS n_files
+      FROM st CROSS JOIN probes GROUP BY 1, 2
+    ),
+    rm AS (
+      SELECT probe_id, count(*)::BIGINT AS n
+      FROM base CROSS JOIN probes
+      WHERE cx BETWEEN cx_lo AND cx_hi AND cy BETWEEN cy_lo AND cy_hi
+      GROUP BY 1
+    )
+    SELECT fh.layout, fh.probe_id, fh.n_files_hit, fh.n_files,
+           coalesce(rm.n, 0)::BIGINT AS n_rows_match
+    FROM fh LEFT JOIN rm ON rm.probe_id = fh.probe_id
+    """
+
+
+@register(
+    "events_hilbert_pruning",
+    _hilbert_pruning_oracle(),
+    doc="data-skipping audit, three layouts x four probes: linear, "
+        "Z-order and HILBERT file assignment over the same (cx, cy) "
+        "grid — the Hilbert key from the 4-state automaton as a "
+        "12-round broadcast-join chain (plan linear in bits; a nested "
+        "CASE would inline 16^bits), exhaustively verified against "
+        "the textbook rotate-and-flip algorithm; n_rows_match stays "
+        "layout-independent, so the report is self-checking",
+)
+def events_hilbert_pruning(spark, sf_dir):
+    from .operators.layout import layout_pruning_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        ((F.col("user_id") % 64) * 64).cast("long").alias("cx"),
+        (F.col("event_id") % 4096).cast("long").alias("cy"),
+        "event_id")
+    return layout_pruning_audit(
+        base, "cx", "cy", "event_id",
+        probes=[(1, 0, 511, 0, 4095), (2, 0, 4095, 0, 255),
+                (3, 0, 1023, 0, 1023), (4, 1024, 2047, 1024, 2047)],
+        include_hilbert=True)

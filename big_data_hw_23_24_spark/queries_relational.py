@@ -3575,3 +3575,60 @@ def events_rec_hitrate(spark, sf_dir):
                   F.get_json_object("props", "$.k").try_cast("long")
                   .alias("item")))
     return rec_hitrate(ev, split_day=25, k=3)
+
+
+# --- E209: incremental maintenance of a JOIN view ----------------------------
+# The join-view extension of the IVM tier (corpus_incremental_stats
+# maintains a single-table aggregate): revenue-by-nation =
+# customer ⨝ orders, maintained under synthesized churn — removals
+# (orderkey % 43 == 1 vanish), additions (% 47 == 0 appear), price
+# changes (% 31 == 2 gain 1000 cents) AND an FK move (% 37 == 3
+# reassign to custkey 1 — the two-group delta case). The oracle
+# recomputes the view from the new fact directly, so parity is the
+# incremental-equals-full-recompute proof.
+@register(
+    "orders_ivm_join_view",
+    """
+    WITH newf AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 37 = 3 THEN 1
+                  ELSE o_custkey END AS o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 31 = 2 THEN 1000 ELSE 0 END
+               AS cents
+      FROM orders WHERE o_orderkey % 47 <> 0
+    )
+    SELECT c.c_nationkey, count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS total_value
+    FROM newf o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    doc="join-view IVM: revenue-cents-by-nation maintained from the "
+        "old view plus churn-sized deltas (delta(F join D) = "
+        "deltaF join D for a static dim) — removals decrement, "
+        "additions increment, modifications do both, FK moves hit two "
+        "groups; integral cents keep maintenance drift-free; oracle = "
+        "full recompute on the new fact",
+)
+def orders_ivm_join_view(spark, sf_dir):
+    from .operators.diff import ivm_join_view
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 37 == 3, F.lit(1))
+        .otherwise(F.col("o_custkey")).alias("cust_new"),
+        F.col("o_custkey").alias("cust_old"),
+        cents.alias("cents_old"),
+        (cents + F.when(F.col("o_orderkey") % 31 == 2, F.lit(1000))
+         .otherwise(F.lit(0))).alias("cents_new"))
+    old = (base.where(F.col("o_orderkey") % 43 != 1)
+           .select("o_orderkey", F.col("cust_old").alias("o_custkey"),
+                   F.col("cents_old").alias("cents")))
+    new = (base.where(F.col("o_orderkey") % 47 != 0)
+           .select("o_orderkey", F.col("cust_new").alias("o_custkey"),
+                   F.col("cents_new").alias("cents")))
+    return ivm_join_view(old, new, _t(spark, sf_dir, "customer"),
+                         "o_orderkey", "o_custkey", "c_custkey",
+                         "c_nationkey", "cents")

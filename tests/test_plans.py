@@ -499,6 +499,11 @@ _CARTESIAN_ALLOWLIST = {
                                      #   the bm25_search_many stage)
     "corpus_quantile_normalize",     # 1-row pooled-total broadcast
                                      #   onto the position expression
+    "events_hilbert_pruning",        # 4-row literal probe table vs
+                                     #   3x64 file-stat rows + the
+                                     #   rows-match probe fanout (the
+                                     #   events_zorder_pruning shape,
+                                     #   one more layout)
 }
 
 

@@ -660,3 +660,123 @@ def test_quantile_normalize_single_row_group(spark):
     z = [r for r in rows if r.g == "z"][0]
     # n=1 -> p=0.5 -> pooled median of {5,7,15} = 7
     assert z.normalized == 7.0
+
+
+# ---------------------------------------------------------------- IVM join ----
+
+def test_ivm_join_view_fk_move_hits_two_groups(spark):
+    """A fact row whose FK moves between snapshots decrements the old
+    group and increments the new one."""
+    from big_data_hw_23_24_spark.operators.diff import ivm_join_view
+
+    dim = spark.createDataFrame([(1, "g1"), (2, "g2")], "k long, g string")
+    old = spark.createDataFrame([(100, 1, 50), (101, 2, 30)],
+                                "id long, fk long, v long")
+    new = spark.createDataFrame([(100, 2, 50), (101, 2, 30)],
+                                "id long, fk long, v long")
+    got = {r.g: (r.n_rows, r.total_value) for r in
+           ivm_join_view(old, new, dim, "id", "fk", "k", "g", "v")
+           .collect()}
+    assert "g1" not in got  # count reached zero -> row drops
+    assert got["g2"] == (2, 80)
+
+
+def test_ivm_join_view_matches_full_recompute(spark):
+    """Randomized churn: the maintained view must equal the direct
+    recompute on the new snapshot, row for row."""
+    import random
+
+    from big_data_hw_23_24_spark.operators.diff import ivm_join_view
+
+    rng = random.Random(5)
+    dim = spark.createDataFrame([(k, f"g{k % 4}") for k in range(12)],
+                                "k long, g string")
+    old_rows = [(i, rng.randrange(12), rng.randrange(100))
+                for i in range(80)]
+    new_rows = [(i, rng.randrange(12), rng.randrange(100))
+                if rng.random() < 0.3 else r
+                for i, r in enumerate(old_rows) if rng.random() < 0.9]
+    new_rows += [(1000 + j, rng.randrange(12), rng.randrange(100))
+                 for j in range(15)]
+    old = spark.createDataFrame(old_rows, "id long, fk long, v long")
+    new = spark.createDataFrame(new_rows, "id long, fk long, v long")
+    got = sorted(map(tuple,
+                     ivm_join_view(old, new, dim, "id", "fk", "k",
+                                   "g", "v").collect()))
+    want = sorted(map(tuple,
+                      new.join(dim, new["fk"] == dim["k"])
+                      .groupBy("g")
+                      .agg(F.count("*").cast("long").alias("n_rows"),
+                           F.sum("v").cast("long").alias("total_value"))
+                      .collect()))
+    assert got == want
+
+
+def test_ivm_join_view_maintained_table_mode(spark):
+    """Passing old_view (the production contract) gives the same
+    answer as the recompute mode."""
+    from big_data_hw_23_24_spark.operators.diff import ivm_join_view
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string")
+    old = spark.createDataFrame([(1, 1, 10), (2, 2, 20)],
+                                "id long, fk long, v long")
+    new = spark.createDataFrame([(1, 1, 15), (3, 2, 5)],
+                                "id long, fk long, v long")
+    demo = ivm_join_view(old, new, dim, "id", "fk", "k", "g", "v")
+    ov = (old.join(dim, old["fk"] == dim["k"]).groupBy("g")
+          .agg(F.count("*").cast("long").alias("n_rows"),
+               F.sum("v").cast("long").alias("total_value")))
+    prod = ivm_join_view(old, new, dim, "id", "fk", "k", "g", "v",
+                         old_view=ov)
+    assert sorted(map(tuple, demo.collect())) == \
+        sorted(map(tuple, prod.collect()))
+
+
+# ----------------------------------------------------------------- Hilbert ----
+
+def _xy2d_ref(order, x, y):
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_exhaustively(spark):
+    """The automaton join chain reproduces the textbook rotate-and-
+    flip xy2d on the full 32x32 grid (bits=5)."""
+    from big_data_hw_23_24_spark.operators.layout import with_hilbert
+
+    n = 32
+    df = spark.createDataFrame([(x, y) for x in range(n)
+                                for y in range(n)], "x long, y long")
+    got = {(r.x, r.y): r.h for r in
+           with_hilbert(df, "x", "y", bits=5, out_col="h").collect()}
+    assert all(got[(x, y)] == _xy2d_ref(n, x, y)
+               for x in range(n) for y in range(n))
+
+
+def test_hilbert_locality_no_seams(spark):
+    """Consecutive Hilbert indexes are ALWAYS grid neighbors (step
+    distance 1) — the locality property Z-order lacks (Morton seams
+    jump across the space)."""
+    from big_data_hw_23_24_spark.operators.layout import with_hilbert
+
+    n = 16
+    df = spark.createDataFrame([(x, y) for x in range(n)
+                                for y in range(n)], "x long, y long")
+    pts = sorted((r.h, r.x, r.y) for r in
+                 with_hilbert(df, "x", "y", bits=4, out_col="h")
+                 .collect())
+    assert [h for h, _, _ in pts] == list(range(n * n))  # a bijection
+    steps = [abs(pts[i + 1][1] - pts[i][1])
+             + abs(pts[i + 1][2] - pts[i][2]) for i in range(len(pts) - 1)]
+    assert all(s == 1 for s in steps)

@@ -797,6 +797,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   recall@10 + exact-ppm MRR
         "corpus_quantile_normalize",  # r13: pooled-quantile batch-effect
                                      #   correction on two rank spines
+        "orders_ivm_join_view",      # r13: join-view IVM via delta
+                                     #   algebra, FK moves included
+        "events_hilbert_pruning",    # r13: Hilbert automaton join chain
+                                     #   vs zorder/linear, measured
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
