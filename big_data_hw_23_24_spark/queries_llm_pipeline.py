@@ -2893,3 +2893,16 @@ def events_hilbert_pruning(spark, sf_dir):
         probes=[(1, 0, 511, 0, 4095), (2, 0, 4095, 0, 255),
                 (3, 0, 1023, 0, 1023), (4, 1024, 2047, 1024, 2047)],
         include_hilbert=True)
+
+
+# --- E211: watermark late-data audit ------------------------------------------
+# The lateness face the ordered replays deliberately avoid: arrival
+# order = md5(event_id), decorrelated from event time, so the
+# watermark protocol (late-row drop, state eviction, the
+# never-finalized tail) IS the behavior under test. The oracle
+# simulates the full protocol — cumulative batch maxima, the
+# one-batch-lagged filter, final-watermark emission — so the parity
+# row pins Spark's append-mode semantics end to end.
+from .streaming_entry_late import register_late_audit  # noqa: E402
+
+register_late_audit()

@@ -362,6 +362,9 @@ _EAGER_HARNESS_QUERIES = {
     # selection steps (the iterative contract), so construction runs
     # jobs and the tail plan sits on checkpointed RDDs
     "knn_mmr_rerank",
+    # the watermark audit runs its availableNow replay at construction
+    # and returns the pinned memory-sink copy
+    "streaming_late_data_audit",
 }
 
 # The ONLY operators allowed a partitionless (single-partition) Window:

@@ -780,3 +780,68 @@ def test_hilbert_locality_no_seams(spark):
     steps = [abs(pts[i + 1][1] - pts[i][1])
              + abs(pts[i + 1][2] - pts[i][2]) for i in range(len(pts) - 1)]
     assert all(s == 1 for s in steps)
+
+
+# ------------------------------------------------------- late-data audit ----
+
+def test_late_audit_protocol_rule(spark):
+    """Pins the empirically derived watermark protocol the oracle
+    encodes: eviction at the reported watermark, the late-row filter
+    lagging ONE batch behind it, never-finalized tails withheld.
+
+    Layout (5 batches of 2, 15-min windows, 30-min delay):
+      b0: 10:00, 10:05      b1: 11:00, 10:01      b2: 12:00, 10:02
+      b3: 12:30, 11:59      b4: 13:00, 10:03
+    wm(b2) = 11:00-30m = 10:30 > window(10:00).end — yet the 10:02
+    row lands (filter lags); the 10:03 row at b4 (filter wm 11:30)
+    is dropped; 12:30/13:00 windows never finalize.
+    """
+    import tempfile
+
+    from big_data_hw_23_24_spark.streaming.replay import (
+        replay_shuffle_cap, write_microbatches)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (0, 1, "2024-01-01 10:00:00"), (1, 2, "2024-01-01 10:05:00"),
+        (2, 3, "2024-01-01 11:00:00"), (3, 4, "2024-01-01 10:01:00"),
+        (4, 5, "2024-01-01 12:00:00"), (5, 6, "2024-01-01 10:02:00"),
+        (6, 7, "2024-01-01 12:30:00"), (7, 8, "2024-01-01 11:59:00"),
+        (8, 9, "2024-01-01 13:00:00"), (9, 10, "2024-01-01 10:03:00"),
+    ]
+    df = spark.createDataFrame(rows, "seq long, event_id long, s string") \
+        .select("seq", "event_id", F.col("s").cast("timestamp").alias("ts"))
+    d = tempfile.mkdtemp(prefix="wm_rule_")
+    glob = write_microbatches(df, d, n_buckets=5)
+    src = (spark.readStream.schema("seq long, event_id long, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(glob))
+    agg = (src.withWatermark("ts", "30 minutes")
+           .groupBy(F.window("ts", "15 minutes").alias("w"))
+           .agg(F.sort_array(F.collect_list("event_id")).alias("ids")))
+    with replay_shuffle_cap(spark):
+        q = (agg.writeStream.format("memory").queryName("wm_rule")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    got = {str(r.start): list(r.ids) for r in
+           spark.sql("SELECT w.start AS start, ids FROM wm_rule").collect()}
+    assert got == {
+        "2024-01-01 10:00:00": [1, 2, 4, 6],  # 6 in DESPITE wm > end
+        "2024-01-01 11:00:00": [3],
+        "2024-01-01 11:45:00": [8],
+        "2024-01-01 12:00:00": [5],
+        # 10 dropped (lagged filter passed); 7, 9 never finalized
+    }
+
+
+def test_late_audit_runs_and_counts(spark):
+    from big_data_hw_23_24_spark.streaming.late_audit import (
+        run_late_data_audit)
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = run_late_data_audit(spark, ev).collect()
+    assert len(out) > 0
+    assert all(r.n_events > 0 for r in out)
+    # heavy lateness by construction: far fewer counted than ingested
+    assert sum(r.n_events for r in out) < ev.count()

@@ -801,6 +801,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   algebra, FK moves included
         "events_hilbert_pruning",    # r13: Hilbert automaton join chain
                                      #   vs zorder/linear, measured
+        "streaming_late_data_audit",  # r13: append-mode watermark
+                                     #   protocol vs full simulation
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
