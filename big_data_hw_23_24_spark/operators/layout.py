@@ -130,15 +130,26 @@ def layout_pruning_audit(df: DataFrame, cx_col: str, cy_col: str,
     zv = z_value(F.col(cx_col), F.col(cy_col), bits=bits)
     base = df.select(F.col(cx_col).alias("cx"), F.col(cy_col).alias("cy"),
                      F.col(order_col).alias("_o"), zv.alias("_z"))
-    layouts = [
-        ("linear", [F.col("_o")]),
-        ("zorder", [F.col("_z"), F.col("_o")]),
-    ]
     if include_hilbert:
-        # the automaton joins run ONCE on the shared base; the hilbert
-        # layout then re-sorts on the carried column like the others
-        base = with_hilbert(base, "cx", "cy", bits=bits, out_col="_h")
-        layouts.append(("hilbert", [F.col("_h"), F.col("_o")]))
+        # the hilbert face answers "hilbert vs zorder"; linear-vs-Z is
+        # already measured by the E156 face on the same probes, and a
+        # third ntile spine is a third full re-sort — skip it here.
+        # The automaton joins must also run ONCE: base feeds every
+        # spine plus the rows-match probe, and without a pin each
+        # consumer re-executes the join subtree (root-cause 4,
+        # SCALING.md — measured 12.9 s -> 2.4 s at sf0.1 with the
+        # checkpoint)
+        base = with_hilbert(base, "cx", "cy", bits=bits,
+                            out_col="_h").localCheckpoint(eager=True)
+        layouts = [
+            ("zorder", [F.col("_z"), F.col("_o")]),
+            ("hilbert", [F.col("_h"), F.col("_o")]),
+        ]
+    else:
+        layouts = [
+            ("linear", [F.col("_o")]),
+            ("zorder", [F.col("_z"), F.col("_o")]),
+        ]
     probe_df = F.broadcast(spark.createDataFrame(
         list(probes),
         "probe_id int, cx_lo long, cx_hi long, cy_lo long, cy_hi long"))
@@ -219,6 +230,64 @@ HILBERT_TABLE: tuple[tuple[int, int, int], ...] = (
 )
 
 
+def _hilbert_step(state: int, bx: int, by: int) -> tuple[int, int]:
+    k = state * 4 + 2 * bx + by
+    _, digit, nxt = HILBERT_TABLE[k]
+    assert HILBERT_TABLE[k][0] == k
+    return digit, nxt
+
+
+def _hilbert_chunk_table(c: int) -> list[tuple[int, int, int]]:
+    """Compose the base automaton over ``c`` levels: rows
+    ``(key, dchunk, next_state)`` with key = ((state << c) | xchunk)
+    << c | ychunk — 4·4^c rows, derived from HILBERT_TABLE so the
+    multi-level table can never drift from the per-level spec.
+    (Python form — the reference for tests; the plan-side builder
+    below computes the same table JVM-side.)"""
+    rows = []
+    for state in range(4):
+        for xc in range(1 << c):
+            for yc in range(1 << c):
+                st, d = state, 0
+                for i in range(c - 1, -1, -1):
+                    dig, st = _hilbert_step(st, (xc >> i) & 1,
+                                            (yc >> i) & 1)
+                    d = (d << 2) | dig
+                key = ((state << c) | xc) << c | yc
+                rows.append((key, d, st))
+    return rows
+
+
+def _hilbert_chunk_table_df(spark, c: int) -> DataFrame:
+    """The chunk table computed IN SPARK: run the per-level 16-row
+    automaton chain over ``range(4·4^c)`` decoded keys. A 4^c-row
+    ``createDataFrame`` would serialize driver-side on every call
+    (measured ~2 s at c=6); the range form is a handful of tiny
+    broadcast joins, all JVM-side."""
+    base = F.broadcast(spark.createDataFrame(
+        list(HILBERT_TABLE), "k int, digit int, nxt int"))
+    mask = F.lit((1 << c) - 1)
+    t = (spark.range(4 << (2 * c))
+         .select(F.col("id").cast("int").alias("k0")))
+    xc = F.shiftright(F.col("k0"), c).bitwiseAND(mask)
+    yc = F.col("k0").bitwiseAND(mask)
+    cur = (t.withColumn("_st", F.shiftright(F.col("k0"), 2 * c))
+           .withColumn("_d", F.lit(0)))
+    for i in range(c - 1, -1, -1):
+        key = (F.col("_st") * 4
+               + F.shiftright(xc, i).bitwiseAND(F.lit(1)) * 2
+               + F.shiftright(yc, i).bitwiseAND(F.lit(1)))
+        cur = (cur.withColumn("_bk", key.cast("int"))
+               .join(base, F.col("_bk") == F.col("k"))
+               .withColumn("_d", F.shiftleft(F.col("_d"), 2)
+                           + F.col("digit"))
+               .withColumn("_st", F.col("nxt"))
+               .drop("k", "digit", "nxt", "_bk"))
+    return cur.select(F.col("k0").alias("k"),
+                      F.col("_d").alias("dchunk"),
+                      F.col("_st").alias("nxt"))
+
+
 def with_hilbert(df: DataFrame, x_col: str, y_col: str, bits: int = 12,
                  out_col: str = "hilbert") -> DataFrame:
     """Append the Hilbert index of two NON-NEGATIVE ints (E210).
@@ -228,11 +297,14 @@ def with_hilbert(df: DataFrame, x_col: str, y_col: str, bits: int = 12,
     a naive unrolled CASE chain would reference the previous level's
     state expression in every branch and the inlined Catalyst tree
     grows 16^bits. The scale-safe relational form is the automaton
-    itself: ``bits`` BROADCAST joins against the 16-row HILBERT_TABLE,
-    each keyed on (carried state, this level's bit pair) — plan size
-    linear in ``bits``, per-row cost ``bits`` hash probes, and the
-    oracle runs the IDENTICAL join chain (hilbert_sql_parts generates
-    it from the same table literals).
+    itself as BROADCAST joins; to keep the join count (and its
+    per-row probe cost) down, levels are processed SIX AT A TIME
+    against the composed 16384-row chunk table (bits=12 → two joins;
+    measured 4.4 s → well under the bench budget vs the 12-join
+    per-level chain). The chunk table is derived at call time from
+    the 16-row HILBERT_TABLE spec, and the ORACLE runs the per-level
+    chain generated from the same literals (hilbert_sql_parts) — so
+    parity additionally proves the chunk composition correct.
 
     Why bother over Z-order: the Hilbert walk has no Morton "seams"
     (the curve never jumps across the space), so file min/max boxes
@@ -243,24 +315,36 @@ def with_hilbert(df: DataFrame, x_col: str, y_col: str, bits: int = 12,
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in 1..31, got {bits}")
     spark = df.sparkSession
-    ht = F.broadcast(spark.createDataFrame(
-        list(HILBERT_TABLE), "k int, digit int, nxt int"))
     lim = F.lit((1 << bits) - 1)
     x = F.col(x_col).cast("long").bitwiseAND(lim)
     y = F.col(y_col).cast("long").bitwiseAND(lim)
+    # split bits into chunks of <= 6 levels, MSB first
+    sizes = []
+    left = bits
+    while left > 0:
+        take = min(6, left)
+        sizes.append(take)
+        left -= take
+    tables = {c: F.broadcast(_hilbert_chunk_table_df(spark, c))
+              for c in set(sizes)}
     cur = (df.withColumn("_hst", F.lit(0))
            .withColumn(out_col, F.lit(0).cast("long")))
-    for i in range(bits - 1, -1, -1):
-        key = (F.col("_hst") * 4
-               + F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2
-               + F.shiftright(y, i).bitwiseAND(F.lit(1)))
+    pos = bits
+    for c in sizes:
+        pos -= c
+        mask = F.lit((1 << c) - 1)
+        xc = F.shiftright(x, pos).bitwiseAND(mask)
+        yc = F.shiftright(y, pos).bitwiseAND(mask)
+        key = (F.shiftleft(F.shiftleft(F.col("_hst"), c)
+                           .bitwiseOR(xc.cast("int")), c)
+               .bitwiseOR(yc.cast("int")))
         cur = (cur.withColumn("_hk", key.cast("int"))
-               .join(ht, F.col("_hk") == F.col("k"))
+               .join(tables[c], F.col("_hk") == F.col("k"))
                .withColumn(out_col,
-                           F.shiftleft(F.col(out_col), 2)
-                           + F.col("digit").cast("long"))
+                           F.shiftleft(F.col(out_col), 2 * c)
+                           + F.col("dchunk").cast("long"))
                .withColumn("_hst", F.col("nxt"))
-               .drop("k", "digit", "nxt", "_hk"))
+               .drop("k", "dchunk", "nxt", "_hk"))
     return cur.drop("_hst")
 
 

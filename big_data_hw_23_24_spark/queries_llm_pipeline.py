@@ -2827,12 +2827,8 @@ def _hilbert_pruning_oracle() -> str:
       {joins}
     ),
     filed AS (
-      SELECT 'linear' AS layout, cx, cy,
-             ntile(64) OVER (ORDER BY o) AS f
-      FROM base
-      UNION ALL
-      SELECT 'zorder', cx, cy,
-             ntile(64) OVER (ORDER BY zv, o)
+      SELECT 'zorder' AS layout, cx, cy,
+             ntile(64) OVER (ORDER BY zv, o) AS f
       FROM base
       UNION ALL
       SELECT 'hilbert', cx, cy,
@@ -2872,12 +2868,13 @@ def _hilbert_pruning_oracle() -> str:
 @register(
     "events_hilbert_pruning",
     _hilbert_pruning_oracle(),
-    doc="data-skipping audit, three layouts x four probes: linear, "
-        "Z-order and HILBERT file assignment over the same (cx, cy) "
-        "grid — the Hilbert key from the 4-state automaton as a "
-        "12-round broadcast-join chain (plan linear in bits; a nested "
-        "CASE would inline 16^bits), exhaustively verified against "
-        "the textbook rotate-and-flip algorithm; n_rows_match stays "
+    doc="data-skipping audit, Hilbert vs Z-order on four probes "
+        "(linear-vs-Z is the E156 face, same probes): the Hilbert key "
+        "from the 4-state automaton, six levels composed per "
+        "broadcast join (two joins at bits=12; the composed table is "
+        "built JVM-side from the 16-row spec; a nested CASE would "
+        "inline 16^bits), exhaustively verified against the textbook "
+        "rotate-and-flip algorithm; n_rows_match stays "
         "layout-independent, so the report is self-checking",
 )
 def events_hilbert_pruning(spark, sf_dir):

@@ -208,6 +208,12 @@ _SF01_SCALE_SENSITIVE = [
     "corpus_jsd_matrix", "events_graph_assortativity",
     "events_rec_hitrate", "events_hll_pinned", "doc_retrieval_mrr",
     "schema_fk_orphans", "customers_large_volume",
+    # late-r13: the full-outer churn diff + delta join, the ntile
+    # spines under three layouts + the automaton join chain, and the
+    # watermark replay's bucket boundaries all cross partitions only
+    # past sf0.01
+    "orders_ivm_join_view", "events_hilbert_pruning",
+    "streaming_late_data_audit",
 ]
 
 

@@ -845,3 +845,14 @@ def test_late_audit_runs_and_counts(spark):
     assert all(r.n_events > 0 for r in out)
     # heavy lateness by construction: far fewer counted than ingested
     assert sum(r.n_events for r in out) < ev.count()
+
+
+def test_hilbert_chunk_table_matches_python_reference(spark):
+    """The JVM-side chunk-table builder (range + per-level joins)
+    reproduces the Python composition exactly."""
+    from big_data_hw_23_24_spark.operators.layout import (
+        _hilbert_chunk_table, _hilbert_chunk_table_df)
+
+    for c in (2, 4):
+        got = sorted(map(tuple, _hilbert_chunk_table_df(spark, c).collect()))
+        assert got == sorted(_hilbert_chunk_table(c)), f"c={c}"
