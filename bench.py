@@ -211,7 +211,8 @@ HEADLINE = [
     "doc_retrieval_mrr",        # passage-origin BM25 eval (exact ppm)
     "corpus_quantile_normalize",  # pooled-quantile batch-effect fix
     "orders_ivm_join_view",     # join-view IVM via delta algebra
-    "events_hilbert_pruning",   # Hilbert vs zorder vs linear, measured
+    "events_hilbert_pruning",   # Hilbert vs zorder, measured
+    "events_chisq_independence",  # X^2 + Cramer's V on the cell grid
 ]
 
 

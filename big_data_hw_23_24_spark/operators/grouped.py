@@ -829,3 +829,54 @@ def gini_concentration(df: DataFrame, group_col: str, value_col: str,
         F.when(F.col("_s0") != 0,
                F.round((2 * s1 - (n + 1) * s0) / (n * s0), 6))
         .alias("gini"))
+
+
+def chisq_independence(df: DataFrame, row_col: str, col_col: str
+                       ) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns (E212) → ONE row ``(n, n_rows, n_cols, chi2, dof,
+    cramers_v)``.
+
+    The categorical companion to the numeric two-sample tests (Welch
+    z, Mann-Whitney): "does the distribution of X differ across
+    levels of Y" for label × label questions — event mix by weekday,
+    language by source, detector flag by shard. X² = Σ (o − e)²/e
+    with e = row_total·col_total/N; effect size = Cramér's V =
+    √(X²/(N·min(r−1, c−1))), the readable 0..1 companion the raw
+    statistic (which grows with N) is not. Degenerate single-level
+    inputs (dof = 0) → null statistic by contract.
+
+    Shape: ONE corpus-scale hash aggregate to the r×c cell grid; the
+    margins are two grid-sized aggregates broadcast back; everything
+    after the first aggregate is cell-grid arithmetic. Counts are
+    exact BIGINTs and e is the same two-product expression in both
+    engines, so the 6-dp parity is structural.
+    """
+    cells = (df.groupBy(F.col(row_col).alias("_r"),
+                        F.col(col_col).alias("_c"))
+             .agg(F.count("*").cast("long").alias("_o")))
+    rm = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rt"))
+    cm = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_ct"))
+    tot = cells.agg(F.sum("_o").cast("long").alias("_n"),
+                    F.countDistinct("_r").cast("long").alias("n_rows"),
+                    F.countDistinct("_c").cast("long").alias("n_cols"))
+    e = (F.col("_rt").cast("double") * F.col("_ct").cast("double")
+         / F.col("_n").cast("double"))
+    terms = (cells.join(F.broadcast(rm), "_r")
+             .join(F.broadcast(cm), "_c")
+             .crossJoin(F.broadcast(tot))
+             .select(((F.col("_o") - e) * (F.col("_o") - e) / e)
+                     .alias("_t"),
+                     "_n", "n_rows", "n_cols"))
+    agg = terms.groupBy("_n", "n_rows", "n_cols").agg(
+        F.sum("_t").alias("_chi2"))
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    mind = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    return agg.select(
+        F.col("_n").alias("n"), "n_rows", "n_cols",
+        F.when(dof > 0, F.round("_chi2", 6)).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.when(dof > 0,
+               F.round(F.sqrt(F.col("_chi2")
+                              / (F.col("_n") * mind)), 6))
+        .alias("cramers_v"))

@@ -3632,3 +3632,58 @@ def orders_ivm_join_view(spark, sf_dir):
     return ivm_join_view(old, new, _t(spark, sf_dir, "customer"),
                          "o_orderkey", "o_custkey", "c_custkey",
                          "c_nationkey", "cents")
+
+
+# --- E212: chi-square independence (event mix x weekday) ----------------------
+@register(
+    "events_chisq_independence",
+    """
+    WITH cells AS (
+      SELECT event_type AS r, dayofweek(ts) AS c,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, sum(o)::BIGINT AS rt FROM cells GROUP BY 1),
+    cm AS (SELECT c, sum(o)::BIGINT AS ct FROM cells GROUP BY 1),
+    tot AS (
+      SELECT sum(o)::BIGINT AS n,
+             count(DISTINCT r)::BIGINT AS n_rows,
+             count(DISTINCT c)::BIGINT AS n_cols
+      FROM cells
+    ),
+    terms AS (
+      SELECT (cells.o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+             * (cells.o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS t,
+             n, n_rows, n_cols
+      FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot
+    )
+    SELECT n, n_rows, n_cols,
+           CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+                THEN round(sum(t), 6) END AS chi2,
+           ((n_rows - 1) * (n_cols - 1))::BIGINT AS dof,
+           CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+                THEN round(sqrt(sum(t)
+                     / (n * least(n_rows - 1, n_cols - 1))), 6)
+           END AS cramers_v
+    FROM terms GROUP BY n, n_rows, n_cols
+    """,
+    doc="chi-square independence of event type x weekday: one hash "
+        "aggregate to the r x c cell grid, margins broadcast back, "
+        "X^2 and Cramer's V from exact integer counts through one "
+        "pinned expression; the categorical companion to the Welch-z "
+        "and Mann-Whitney two-sample faces",
+)
+def events_chisq_independence(spark, sf_dir):
+    from .operators.grouped import chisq_independence
+
+    # absolute weekday bucketing: pin UTC (the ticks_us contract);
+    # X^2 is invariant to the engines' different weekday NUMBERING
+    # (Spark 1-7 vs DuckDB 0-6) — it only needs the same PARTITION
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow"))
+    return chisq_independence(ev, "event_type", "dow")

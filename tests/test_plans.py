@@ -503,10 +503,12 @@ _CARTESIAN_ALLOWLIST = {
     "corpus_quantile_normalize",     # 1-row pooled-total broadcast
                                      #   onto the position expression
     "events_hilbert_pruning",        # 4-row literal probe table vs
-                                     #   3x64 file-stat rows + the
+                                     #   2x64 file-stat rows + the
                                      #   rows-match probe fanout (the
                                      #   events_zorder_pruning shape,
-                                     #   one more layout)
+                                     #   hilbert beside zorder)
+    "events_chisq_independence",     # 1-row totals broadcast onto the
+                                     #   r x c cell grid
 }
 
 

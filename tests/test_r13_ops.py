@@ -856,3 +856,44 @@ def test_hilbert_chunk_table_matches_python_reference(spark):
     for c in (2, 4):
         got = sorted(map(tuple, _hilbert_chunk_table_df(spark, c).collect()))
         assert got == sorted(_hilbert_chunk_table(c)), f"c={c}"
+
+
+# -------------------------------------------------------------- chi-square ----
+
+def test_chisq_hand_computed_2x2(spark):
+    """2x2 with counts [[10, 20], [20, 10]]: X^2 = 60*(10*10-20*20)^2
+    / (30*30*30*30) = 20/3; V = sqrt((20/3)/60)."""
+    import math
+
+    from big_data_hw_23_24_spark.operators.grouped import (
+        chisq_independence)
+
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 10)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chisq_independence(df, "r", "c").collect()[0]
+    assert out.n == 60 and out.dof == 1
+    assert out.chi2 == round(20 / 3, 6)
+    assert out.cramers_v == round(math.sqrt((20 / 3) / 60), 6)
+
+
+def test_chisq_independent_table_zero(spark):
+    """A perfectly proportional table has X^2 exactly 0."""
+    from big_data_hw_23_24_spark.operators.grouped import (
+        chisq_independence)
+
+    rows = ([("a", "x")] * 4 + [("a", "y")] * 8
+            + [("b", "x")] * 2 + [("b", "y")] * 4)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chisq_independence(df, "r", "c").collect()[0]
+    assert out.chi2 == 0.0 and out.cramers_v == 0.0
+
+
+def test_chisq_degenerate_single_level_null(spark):
+    from big_data_hw_23_24_spark.operators.grouped import (
+        chisq_independence)
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), ("a", "x")],
+                               "r string, c string")
+    out = chisq_independence(df, "r", "c").collect()[0]
+    assert out.dof == 0 and out.chi2 is None and out.cramers_v is None

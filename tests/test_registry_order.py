@@ -803,6 +803,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   vs zorder/linear, measured
         "streaming_late_data_audit",  # r13: append-mode watermark
                                      #   protocol vs full simulation
+        "events_chisq_independence",  # r13: categorical X^2 + Cramer's
+                                     #   V from the r x c cell grid
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
