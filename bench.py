@@ -213,6 +213,12 @@ HEADLINE = [
     "orders_ivm_join_view",     # join-view IVM via delta algebra
     "events_hilbert_pruning",   # Hilbert vs zorder, measured
     "events_chisq_independence",  # X^2 + Cramer's V on the cell grid
+    # late-r13 additions: the TPC-H completion quintet
+    "parts_min_cost_supplier",  # TPC-H Q2 correlated-min, decorrelated
+    "parts_value_share",        # TPC-H Q11 global-scalar HAVING
+    "supplier_top_revenue",     # TPC-H Q15 view + max, exact cents
+    "suppliers_dominant_share",  # TPC-H Q20 nested-IN share threshold
+    "customers_dormant_rich",   # TPC-H Q22 scalar avg + anti-join
 ]
 
 

@@ -3687,3 +3687,301 @@ def events_chisq_independence(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.dayofweek("ts").alias("dow"))
     return chisq_independence(ev, "event_type", "dow")
+
+
+# --- E213: TPC-H Q2 shape — minimum-cost supplier per part -------------------
+# The correlated-scalar-MIN classic (Q2 proper runs it on partsupp;
+# this corpus has no partsupp, so the observed per-unit price in
+# lineitem stands in for ps_supplycost — the SHAPE is identical: a
+# region-restricted scalar min correlated on the part key, with the
+# outer join set filtered by the same region). The oracle runs the
+# textbook correlated form; the engine decorrelates to a per-part
+# window MIN over ONE scan of the (part- and region-filtered) join —
+# the Q17/Q21 treatment. Unit cost is one double division, identical
+# in both engines, so min-equality matches the same rows; ties (two
+# suppliers at the same min cost) are all returned, as in Q2.
+@register(
+    "parts_min_cost_supplier",
+    """
+    SELECT * FROM (
+      SELECT DISTINCT round(s.s_acctbal, 2) AS s_acctbal, s.s_name,
+             n.n_name, p.p_partkey,
+             round(l.l_extendedprice / l.l_quantity, 2) AS unit_cost
+      FROM part p, lineitem l, supplier s, nation n, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND s.s_nationkey = n.n_nationkey
+        AND n.n_regionkey = r.r_regionkey
+        AND p.p_type = 'STANDARD' AND p.p_size < 15
+        AND r.r_name = 'EUROPE'
+        AND l.l_extendedprice / l.l_quantity = (
+          SELECT min(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p.p_partkey
+            AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    )
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: cheapest EUROPE supplier per STANDARD small "
+        "part — the correlated scalar MIN decorrelated to min() OVER "
+        "(PARTITION BY partkey) on one scan of the doubly-filtered "
+        "join (part dim and the 100-row supplier-nation-region side "
+        "both BROADCAST); unit cost is a single double division, "
+        "bit-identical across engines, so equality-to-min selects the "
+        "same rows; top-100 under a total order",
+)
+def parts_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (_t(spark, sf_dir, "part")
+             .where((F.col("p_type") == "STANDARD")
+                    & (F.col("p_size") < 15))
+             .select("p_partkey"))
+    eu = (_t(spark, sf_dir, "supplier")
+          .join(_t(spark, sf_dir, "nation"),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(_t(spark, sf_dir, "region"),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .where(F.col("r_name") == "EUROPE")
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    joined = (li.join(F.broadcast(parts),
+                      li["l_partkey"] == parts["p_partkey"])
+              .join(F.broadcast(eu),
+                    li["l_suppkey"] == F.col("s_suppkey"))
+              .withColumn("_ucost",
+                          F.col("l_extendedprice") / F.col("l_quantity")))
+    wmin = F.min("_ucost").over(W.partitionBy("p_partkey"))
+    return (joined.withColumn("_min", wmin)
+            .where(F.col("_ucost") == F.col("_min"))
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                    "s_name", "n_name", "p_partkey",
+                    F.round("_ucost", 2).alias("unit_cost"))
+            .distinct()
+            .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+            .limit(100))
+
+
+# --- E214: TPC-H Q11 shape — important part value share ----------------------
+# The global-scalar HAVING classic: per-part inventory value restricted
+# to one region's suppliers, keeping parts worth more than a threshold
+# FRACTION of the whole. Q11's literal fraction (0.0001/SF) is
+# SF-dependent by spec; the self-scaling equivalent keeps the shape
+# honest at every SF: value > 2x the average per-part share, i.e.
+# val * n_parts > 2 * total — compared as EXACT INTEGERS (cents x
+# count), so the cut cannot flip on a double ulp in either engine.
+@register(
+    "parts_value_share",
+    """
+    WITH v AS (
+      SELECT l.l_partkey AS p_partkey,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                            * 100) AS BIGINT))::BIGINT AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(value_cents) AS t, count(*)::BIGINT AS np FROM v)
+    SELECT p_partkey, value_cents
+    FROM v, tot
+    WHERE value_cents * np > 2 * t
+    """,
+    doc="TPC-H Q11 shape: per-part value over ASIA suppliers, HAVING "
+        "against a global scalar — parts worth > 2x the average share; "
+        "the 100-row region-filtered supplier side broadcasts into the "
+        "lineitem scan, the global (total, n_parts) is a 1-row "
+        "broadcast cross join, and the cut compares exact integers "
+        "(cents x part count), never a double fraction",
+)
+def parts_value_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    asia = (_t(spark, sf_dir, "supplier")
+            .join(_t(spark, sf_dir, "nation"),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(_t(spark, sf_dir, "region"),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .where(F.col("r_name") == "ASIA")
+            .select("s_suppkey"))
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    v = (li.join(F.broadcast(asia), li["l_suppkey"] == asia["s_suppkey"])
+         .groupBy(F.col("l_partkey").alias("p_partkey"))
+         .agg(F.sum(cents).alias("value_cents")))
+    tot = v.agg(F.sum("value_cents").alias("t"),
+                F.count("*").cast("long").alias("np"))
+    return (v.crossJoin(F.broadcast(tot))
+            .where(F.col("value_cents") * F.col("np") > 2 * F.col("t"))
+            .select("p_partkey", "value_cents"))
+
+
+# --- E215: TPC-H Q15 shape — top revenue supplier ----------------------------
+# The view-plus-global-max classic: quarterly revenue per supplier,
+# return the supplier(s) equal to the maximum. Revenue accumulates in
+# EXACT INTEGER cents (each row rounds once, the sum is a BIGINT), so
+# the max-equality match is bit-identical across engines — a double
+# revenue sum would make "== max" an ulp lottery under Spark's
+# unordered partial aggregation.
+@register(
+    "supplier_top_revenue",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey, sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(r.total / 100.0, 2) AS total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT max(total) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: per-supplier revenue over a one-quarter "
+        "shipdate window (filter pushed to the parquet scan), max via "
+        "a 1-row broadcast cross join, equality match on EXACT integer "
+        "cents so ties and the max itself cannot diverge between "
+        "engines; the supplier dim broadcasts for the name lookup",
+)
+def supplier_top_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    rev = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+        .groupBy("l_suppkey").agg(F.sum(cents).alias("total")))
+    mx = rev.agg(F.max("total").alias("mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total") == F.col("mx"))
+            .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("total") / 100.0, 2)
+                    .alias("total_revenue")))
+
+
+# --- E216: TPC-H Q20 shape — dominant suppliers of a part family -------------
+# The nested-IN-with-correlated-threshold classic (Q20 proper compares
+# ps_availqty to half a part's shipped quantity; with no partsupp the
+# reshaped predicate keeps the same algebra: suppliers who shipped
+# MORE THAN 20% of a 'red%' part's total quantity — a per-part share
+# threshold feeding a distinct-supplier IN). The oracle nests the
+# correlated half-sum subquery verbatim; the engine computes the
+# per-part total as a window over the ALREADY-AGGREGATED
+# (part, supplier) grid — the corpus is touched once, everything
+# after is grid-sized. Quantities are integral-valued; CAST to BIGINT
+# makes the 5x-share comparison exact in both engines.
+@register(
+    "suppliers_dominant_share",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name, d.n_parts
+    FROM (
+      SELECT l_suppkey, count(*)::BIGINT AS n_parts
+      FROM (
+        SELECT l.l_partkey, l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY l.l_partkey, l.l_suppkey
+        HAVING 5 * sum(CAST(l.l_quantity AS BIGINT)) > (
+          SELECT sum(CAST(l2.l_quantity AS BIGINT))
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      )
+      GROUP BY 1
+    ) d
+    JOIN supplier s ON s.s_suppkey = d.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="TPC-H Q20 shape: suppliers shipping > 20% of a red-family "
+        "part's total quantity, with how many parts they dominate; "
+        "the correlated half-sum decorrelates to sum() OVER "
+        "(PARTITION BY partkey) on the (part, supplier) AGGREGATE "
+        "grid — one corpus-scale hash agg, the window moves only "
+        "grid rows; the red-part dim and the supplier-nation lookup "
+        "both broadcast; share compared as 5*q > total in BIGINTs",
+)
+def suppliers_dominant_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    red = (_t(spark, sf_dir, "part")
+           .where(F.col("p_name").like("red%"))
+           .select("p_partkey"))
+    grid = (li.join(F.broadcast(red),
+                    li["l_partkey"] == red["p_partkey"])
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("q")))
+    tq = F.sum("q").over(W.partitionBy("l_partkey"))
+    dom = (grid.withColumn("_tq", tq)
+           .where(5 * F.col("q") > F.col("_tq"))
+           .groupBy("l_suppkey")
+           .agg(F.count("*").cast("long").alias("n_parts")))
+    sn = (_t(spark, sf_dir, "supplier")
+          .join(_t(spark, sf_dir, "nation"),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name"))
+    return (dom.join(F.broadcast(sn),
+                     dom["l_suppkey"] == sn["s_suppkey"])
+            .select("s_suppkey", "s_name", "n_name", "n_parts"))
+
+
+# --- E217: TPC-H Q22 shape — dormant above-average customers -----------------
+# The scalar-average-plus-anti-join classic: customers richer than the
+# average POSITIVE balance who have placed no order in the recent
+# window (this corpus has every customer ordering at least once, so
+# Q22's "no orders at all" would be vacuous — "no orders since
+# 2000-01-01" keeps the anti-join branch live: 5 / 55 customers
+# qualify at the two checked SFs). BOTH engines state the threshold
+# in cross-multiplied EXACT integers (cents * count > sum-of-cents):
+# algebraically identical to "balance > avg", but a customer sitting
+# exactly on the average cannot flip on the division's rounding. The
+# NOT EXISTS stays textbook in the oracle; the engine runs a LEFT
+# ANTI join against the date-filtered orders.
+@register(
+    "customers_dormant_rich",
+    """
+    WITH pos AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, count(*)::BIGINT AS numcust,
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                 / 100.0, 2) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: per-segment count and balance of customers "
+        "above the average positive balance with no orders since "
+        "2000-01-01; the (count, sum) scalar is a 1-row broadcast, "
+        "the threshold compares cross-multiplied exact cents, the "
+        "no-recent-orders predicate is a LEFT ANTI join against the "
+        "date-filtered (pushed-down) orders scan, and the final "
+        "aggregate is segment-sized",
+)
+def customers_dormant_rich(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = (cust.where(F.col("c_acctbal") > 0)
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(cents).alias("s")))
+    recent = (orders
+              .where(F.col("o_orderdate")
+                     >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_custkey"))
+    rich = (cust.withColumn("_cents", cents)
+            .crossJoin(F.broadcast(pos))
+            .where(F.col("_cents") * F.col("n") > F.col("s")))
+    return (rich.join(recent, rich["c_custkey"] == recent["o_custkey"],
+                      "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("numcust"),
+                 F.round(F.sum("_cents") / 100.0, 2).alias("totacctbal")))

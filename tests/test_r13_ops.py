@@ -897,3 +897,182 @@ def test_chisq_degenerate_single_level_null(spark):
                                "r string, c string")
     out = chisq_independence(df, "r", "c").collect()[0]
     assert out.dof == 0 and out.chi2 is None and out.cramers_v is None
+
+
+# ------------------------------------------- TPC-H completion quintet ----
+
+def test_q2_rows_are_exactly_the_per_part_min(spark):
+    """Every returned (part, unit_cost) must equal that part's min
+    EUROPE unit cost, and every min-achieving supplier must appear
+    (ties returned, as Q2 specifies) — checked against an independent
+    DuckDB recompute of the correlated form's inner scalar."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    rows = (_REGISTRY["parts_min_cost_supplier"]
+            .spark_fn(spark, "/root/testdata/sf0.001").collect())
+    assert rows
+    import duckdb
+    mins = dict(duckdb.sql("""
+        SELECT l.l_partkey, round(min(l.l_extendedprice / l.l_quantity), 2)
+        FROM '/root/testdata/sf0.001/lineitem.parquet' l
+        JOIN '/root/testdata/sf0.001/supplier.parquet' s
+          ON s.s_suppkey = l.l_suppkey
+        JOIN '/root/testdata/sf0.001/nation.parquet' n
+          ON n.n_nationkey = s.s_nationkey
+        JOIN '/root/testdata/sf0.001/region.parquet' r
+          ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1""").fetchall())
+    for r in rows:
+        assert r.unit_cost == mins[r.p_partkey]
+
+
+def test_q2_one_lineitem_scan_window_and_broadcasts(spark):
+    """The decorrelated Q2 plan: ONE lineitem scan, part and the
+    supplier-nation-region side both broadcast, the correlated min as
+    a per-part Window — never a second scan."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    df = _REGISTRY["parts_min_cost_supplier"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "lineitem" in ln]
+    assert len(scans) == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" in plan
+
+
+def test_q11_threshold_is_exact_and_two_sided(spark):
+    """The Q11 cut (value * n_parts > 2 * total) must keep exactly the
+    parts DuckDB keeps — and at least one part must fall on each side
+    so the HAVING is non-vacuous."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    got = {r.p_partkey: r.value_cents for r in
+           _REGISTRY["parts_value_share"]
+           .spark_fn(spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+    vals = dict(duckdb.sql("""
+        SELECT l.l_partkey,
+               sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100)
+                        AS BIGINT))::BIGINT
+        FROM '/root/testdata/sf0.001/lineitem.parquet' l
+        JOIN '/root/testdata/sf0.001/supplier.parquet' s
+          ON s.s_suppkey = l.l_suppkey
+        JOIN '/root/testdata/sf0.001/nation.parquet' n
+          ON n.n_nationkey = s.s_nationkey
+        JOIN '/root/testdata/sf0.001/region.parquet' r
+          ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA' GROUP BY 1""").fetchall())
+    total, np_ = sum(vals.values()), len(vals)
+    want = {k: v for k, v in vals.items() if v * np_ > 2 * total}
+    assert got == want
+    assert 0 < len(want) < np_  # both sides of the cut populated
+
+
+def test_q15_returns_exactly_the_argmax_set(spark):
+    """Max-revenue equality on exact integer cents: the returned
+    suppliers are exactly DuckDB's argmax set."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    rows = (_REGISTRY["supplier_top_revenue"]
+            .spark_fn(spark, "/root/testdata/sf0.001").collect())
+    assert rows
+    import duckdb
+    want = duckdb.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                          AS BIGINT)) AS total
+          FROM '/root/testdata/sf0.001/lineitem.parquet'
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT l_suppkey FROM revenue
+        WHERE total = (SELECT max(total) FROM revenue)""").fetchall()
+    assert {r.s_suppkey for r in rows} == {w[0] for w in want}
+
+
+def test_q20_share_threshold_and_grid_window(spark):
+    """Dominance is per-part: a supplier counts once per part whose
+    total it exceeds 20% of; the window must run over the AGGREGATED
+    grid, after the single lineitem scan."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    df = _REGISTRY["suppliers_dominant_share"].spark_fn(
+        spark, "/root/testdata/sf0.001")
+    # read the plan BEFORE materializing: after collect, AQE's
+    # toString appends the Initial Plan section, double-counting scans
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rows = df.collect()
+    assert rows
+    import duckdb
+    want = dict(duckdb.sql("""
+        SELECT l_suppkey, count(*)::BIGINT FROM (
+          SELECT l.l_partkey, l.l_suppkey
+          FROM '/root/testdata/sf0.001/lineitem.parquet' l
+          JOIN '/root/testdata/sf0.001/part.parquet' p
+            ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE 'red%'
+          GROUP BY 1, 2
+          HAVING 5 * sum(CAST(l.l_quantity AS BIGINT)) > (
+            SELECT sum(CAST(l2.l_quantity AS BIGINT))
+            FROM '/root/testdata/sf0.001/lineitem.parquet' l2
+            WHERE l2.l_partkey = l.l_partkey)
+        ) GROUP BY 1""").fetchall())
+    assert {r.s_suppkey: r.n_parts for r in rows} == want
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan parquet" in ln and "lineitem" in ln]
+    assert len(scans) == 1, plan
+    assert "Window" in plan
+
+
+def test_q22_anti_join_excludes_recent_orderers(spark):
+    """The dormancy anti-join must be live: no returned segment count
+    may include a customer with an order on/after the cutoff, and the
+    threshold keeps only above-average positive balances (strict >,
+    cross-multiplied exact cents)."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    got = {r.c_mktsegment: (r.numcust, r.totacctbal) for r in
+           _REGISTRY["customers_dormant_rich"]
+           .spark_fn(spark, "/root/testdata/sf0.001").collect()}
+    assert got
+    import duckdb
+    want = {seg: (n, t) for seg, n, t in duckdb.sql("""
+        WITH pos AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(CAST(round(c_acctbal*100) AS BIGINT)) AS s
+          FROM '/root/testdata/sf0.001/customer.parquet'
+          WHERE c_acctbal > 0)
+        SELECT c.c_mktsegment, count(*)::BIGINT,
+               round(sum(CAST(round(c.c_acctbal*100) AS BIGINT))
+                     / 100.0, 2)
+        FROM '/root/testdata/sf0.001/customer.parquet' c, pos
+        WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * pos.n > pos.s
+          AND NOT EXISTS (
+            SELECT 1 FROM '/root/testdata/sf0.001/orders.parquet' o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1""").fetchall()}
+    assert got == want
+    # the anti-join actually removed someone: rich customers overall
+    # outnumber the dormant-rich ones
+    rich_total = duckdb.sql("""
+        WITH pos AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(CAST(round(c_acctbal*100) AS BIGINT)) AS s
+          FROM '/root/testdata/sf0.001/customer.parquet'
+          WHERE c_acctbal > 0)
+        SELECT count(*) FROM '/root/testdata/sf0.001/customer.parquet' c,
+             pos
+        WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * pos.n
+              > pos.s""").fetchone()[0]
+    assert rich_total > sum(n for n, _ in got.values())

@@ -805,6 +805,17 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   protocol vs full simulation
         "events_chisq_independence",  # r13: categorical X^2 + Cramer's
                                      #   V from the r x c cell grid
+        "parts_min_cost_supplier",   # r13: TPC-H Q2 shape — correlated
+                                     #   scalar MIN decorrelated to a
+                                     #   per-part window
+        "parts_value_share",         # r13: TPC-H Q11 shape — global-
+                                     #   scalar HAVING in exact cents
+        "supplier_top_revenue",      # r13: TPC-H Q15 shape — view +
+                                     #   max, integer-cents equality
+        "suppliers_dominant_share",  # r13: TPC-H Q20 shape — nested IN
+                                     #   with per-part share threshold
+        "customers_dormant_rich",    # r13: TPC-H Q22 shape — scalar
+                                     #   avg + LEFT ANTI dormancy
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
