@@ -219,6 +219,10 @@ HEADLINE = [
     "supplier_top_revenue",     # TPC-H Q15 view + max, exact cents
     "suppliers_dominant_share",  # TPC-H Q20 nested-IN share threshold
     "customers_dormant_rich",   # TPC-H Q22 scalar avg + anti-join
+    "events_spearman_drift",    # Spearman rho on doubled mid-ranks
+    "events_acf_daily",         # lag-1/7 ACF, exact moment sums
+    "users_bh_fdr",             # BH step-up FDR decision vector
+    "events_did_uplift",        # DiD with planted treated-post effect
 ]
 
 

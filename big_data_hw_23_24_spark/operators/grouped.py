@@ -880,3 +880,198 @@ def chisq_independence(df: DataFrame, row_col: str, col_col: str
                F.round(F.sqrt(F.col("_chi2")
                               / (F.col("_n") * mind)), 6))
         .alias("cramers_v"))
+
+
+def spearman_corr(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str, id_col: str) -> DataFrame:
+    """Spearman rank correlation of two columns per group (E218) →
+    one row per group: ``(group, n, rho)``.
+
+    The robust companion to the OLS trend face (E119) and the rank
+    spine's natural correlation: Pearson on TIE-ADJUSTED mid-ranks,
+    invariant to any monotone transform of either column — "is value
+    drifting with time" without assuming linearity, "does length
+    track quality" without trusting either scale. Groups with n < 2
+    or a constant column (zero rank variance) → null by contract.
+
+    Determinism: mid-ranks enter DOUBLED (2·rank + ties − 1, an exact
+    BIGINT — rank here is the min position of a tie run, so the
+    doubled mid-rank is integral even for even tie runs), the five
+    moment sums accumulate as DECIMAL(38,0) — exact at any scale and
+    order-independent — and only the final rho divides in doubles
+    through the same expression in both engines, so 6-dp parity is
+    structural (Pearson is scale-invariant, so doubling changes
+    nothing).
+
+    Scale shape: a mid-rank depends only on (group, value), so the
+    rank spine runs over the DISTINCT-VALUE GRID, not corpus rows —
+    counts per (group, value) feed a range-partitioned global cumsum
+    (rows before = cum − count), the per-group offset is a #groups
+    broadcast, and the two corpus-scale costs are the equi-joins
+    stitching each axis's grid back to the rows. A mega-group never
+    funnels one reducer (no ``Window.partitionBy(group)`` anywhere).
+    ``id_col`` is unused for ranking (ties collapse to mid-ranks) —
+    it stays in the signature as the row identity contract.
+    """
+    from .ranking import global_cumsum
+
+    base = (df.select(F.col(group_col).alias("_g"),
+                      F.col(x_col).alias("_x"),
+                      F.col(y_col).alias("_y"))
+            .localCheckpoint(eager=True))
+
+    def axis_grid(col: str, out: str) -> DataFrame:
+        counts = base.groupBy("_g", col).agg(
+            F.count("*").cast("long").alias("_c"))
+        cum = global_cumsum(counts, ["_g", col], "_c", out_col="_cum")
+        before = (F.col("_cum") - F.col("_c")).alias("_before")
+        g = cum.select("_g", col, "_c", before)
+        offs = g.groupBy("_g").agg(F.min("_before").alias("_goff"))
+        # doubled mid-rank = 2·rank_min + ties − 1 with rank_min =
+        # (rows before within the group) + 1
+        return (g.join(F.broadcast(offs), "_g")
+                .select("_g", col,
+                        (2 * (F.col("_before") - F.col("_goff") + 1)
+                         + F.col("_c") - 1).cast("long").alias(out)))
+
+    rx = axis_grid("_x", "_rx")
+    ry = axis_grid("_y", "_ry")
+    joined = base.join(rx, ["_g", "_x"]).join(ry, ["_g", "_y"])
+    dec = "decimal(38,0)"
+    agg = joined.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("_rx").cast(dec)).alias("_sx"),
+        F.sum(F.col("_ry").cast(dec)).alias("_sy"),
+        F.sum((F.col("_rx") * F.col("_rx")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_ry") * F.col("_ry")).cast(dec)).alias("_syy"),
+        F.sum((F.col("_rx") * F.col("_ry")).cast(dec)).alias("_sxy"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return agg.select(
+        F.col("_g").alias(group_col), "n",
+        F.when((F.col("n") >= 2) & (varx > 0) & (vary > 0),
+               F.round((nd * sxy - sx * sy)
+                       / F.sqrt(varx * vary), 6)).alias("rho"))
+
+
+def bh_fdr(df: DataFrame, id_col: str, p_col: str,
+           alpha: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (E220) → one row per
+    test: ``(id, p, rank, rejected)``.
+
+    The multiple-testing guard the per-group test batteries (Welch z
+    E180, Mann-Whitney E192, chi-square E212) need the moment they
+    run per segment: at 10⁵ segments, α = 0.05 hands you ~5 000 false
+    "significant" segments; BH keeps the FALSE DISCOVERY RATE at α
+    instead. Step-up rule: with p-values ascending p₍₁₎…p₍ₘ₎, find
+    k* = max{i : p₍ᵢ₎ ≤ i·α/m} and reject exactly ranks 1..k* (note
+    the rule rejects THROUGH k* even if some earlier rank failed its
+    own inequality — the step-up subtlety a naive filter gets wrong).
+    No rank passes → k* = 0, nothing rejected.
+
+    Determinism: the comparison is stated as p·m ≤ i·α — the SAME
+    multiplication order in both engines, so the boundary cannot
+    flip on an ulp; ranks come off the global spine with the id as
+    tiebreaker (equal p-values order identically in both engines).
+
+    Scale shape: the ascending rank rides the range-partitioned
+    global-rank spine (never a single-reducer window — the ORACLE
+    windows freely; the engine does not); k* is one aggregate
+    broadcast back as a 1-row cross join; the ranked frame is
+    checkpointed once so the k*-side and the output-side consumers
+    don't re-execute the spine (the subtree-per-consumer lesson,
+    SCALING root-cause 4).
+    """
+    from .ranking import global_rank
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(p_col).cast("double").alias("_p"))
+    ranked = (global_rank(base, ["_p", "_id"], rank_col="_i")
+              .localCheckpoint(eager=True))
+    m = ranked.agg(F.count("*").cast("long").alias("_m"))
+    flagged = ranked.crossJoin(F.broadcast(m))
+    kstar = (flagged
+             .where(F.col("_p") * F.col("_m") <= F.col("_i") * F.lit(alpha))
+             .agg(F.coalesce(F.max("_i"), F.lit(0)).alias("_k")))
+    return (flagged.crossJoin(F.broadcast(kstar))
+            .select(F.col("_id").alias(id_col),
+                    F.col("_p").alias(p_col),
+                    F.col("_i").alias("rank"),
+                    (F.col("_i") <= F.col("_k")).alias("rejected")))
+
+
+def diff_in_diff(units: DataFrame, treat_col: str, post_col: str,
+                 value_col: str) -> DataFrame:
+    """Difference-in-differences estimator (E221) → ONE row:
+    ``(n_c0, n_c1, n_t0, n_t1, mean_c0, mean_c1, mean_t0, mean_t1,
+    did, z)``.
+
+    The causal companion to the A/B face (E180): when assignment
+    isn't randomized per event but a treatment SWITCHES ON at a date,
+    the naive post-minus-pre difference absorbs the secular time
+    trend; DiD removes it with the control group's own pre/post
+    drift: DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre). The
+    parallel-trends assumption is the caller's to defend — this is
+    the estimator, not the identification argument.
+
+    Input contract: one row per (unit, period) — aggregate to the
+    randomization unit FIRST (per-event rows inflate significance;
+    the bootstrap/uplift faces state the same rule); ``value_col``
+    integral (cents), ``treat_col``/``post_col`` boolean. Cells with
+    n < 2 → null z; empty cells → null did (no estimate, by
+    contract).
+
+    Shape: ONE conditional-sum hash aggregate over the unit table
+    (n, Σx, Σx² per cell — map-side combinable, exact BIGINTs);
+    everything after is a 1-row expression. The z uses the Welch
+    form over the four cells: se² = Σᵢ s²ᵢ/nᵢ.
+    """
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    x = F.col(value_col).cast("long")
+
+    def cell(tag: str, tv: bool, pv: bool) -> list:
+        m = (t == F.lit(tv)) & (p == F.lit(pv))
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).cast("long")
+            .alias(f"n_{tag}"),
+            F.sum(F.when(m, x).otherwise(0)).cast("long")
+            .alias(f"_s_{tag}"),
+            F.sum(F.when(m, x * x).otherwise(0)).cast("long")
+            .alias(f"_q_{tag}"),
+        ]
+
+    agg = units.agg(*(cell("c0", False, False) + cell("c1", False, True)
+                      + cell("t0", True, False) + cell("t1", True, True)))
+
+    def mean(tag: str):
+        return F.col(f"_s_{tag}") * 1.0 / F.col(f"n_{tag}")
+
+    def var_over_n(tag: str):
+        n = F.col(f"n_{tag}")
+        s = F.col(f"_s_{tag}").cast("double")
+        q = F.col(f"_q_{tag}").cast("double")
+        return ((q - s * s / n) / (n - 1)) / n
+
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    all_present = (F.col("n_c0") > 0) & (F.col("n_c1") > 0) \
+        & (F.col("n_t0") > 0) & (F.col("n_t1") > 0)
+    all_two = (F.col("n_c0") >= 2) & (F.col("n_c1") >= 2) \
+        & (F.col("n_t0") >= 2) & (F.col("n_t1") >= 2)
+    se2 = (var_over_n("c0") + var_over_n("c1")
+           + var_over_n("t0") + var_over_n("t1"))
+    out_cols = [F.col("n_c0"), F.col("n_c1"),
+                F.col("n_t0"), F.col("n_t1")]
+    for tag in ("c0", "c1", "t0", "t1"):
+        out_cols.append(
+            F.when(F.col(f"n_{tag}") > 0, F.round(mean(tag), 6))
+            .alias(f"mean_{tag}"))
+    return agg.select(
+        *out_cols,
+        F.when(all_present, F.round(did, 6)).alias("did"),
+        F.when(all_present & all_two & (se2 > 0),
+               F.round(did / F.sqrt(se2), 6)).alias("z"))

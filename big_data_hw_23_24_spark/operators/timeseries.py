@@ -690,3 +690,65 @@ def peak_concurrency(events: DataFrame, gap_minutes: int = 30,
         F.col("peak").cast("long").alias("peak"),
         F.date_format(F.timestamp_micros("_pt"), "HH:mm")
         .alias("peak_minute"))
+
+
+def autocorrelation(df: DataFrame, group_cols: list[str], t_col: str,
+                    y_col: str, lags: list[int]) -> DataFrame:
+    """Lag-k autocorrelation of an integer-indexed series per group
+    (E219) → one row per (group, lag) with at least one pair:
+    ``(group…, lag, n_days, n_pairs, acf)``.
+
+    The seasonality readout the trend faces (OLS E119, Theil-Sen
+    E191, EWMA E188) can't give: acf(7) high says "weekly rhythm",
+    acf(1) ≈ 0 says "yesterday doesn't predict today" — the check
+    that picks the EWMA face's alpha and the anomaly face's baseline
+    window. Textbook estimator: r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y−ȳ)²
+    with the FULL-series mean and denominator, so r_k is bounded and
+    comparable across lags. Constant series (zero variance) → null
+    acf by contract; lags beyond the observed span emit no row
+    (nothing pairs). Gaps in t simply don't pair — the estimator
+    runs on the observed grid.
+
+    Determinism: ``y_col`` must be integral (daily counts, cents);
+    expanding the numerator clears ȳ = S/n so every accumulated term
+    is an exact integer — n²·num = n²P − nS(A+B) + mS² and n²·den =
+    n(nQ − S²), with P = Σ y_t·y_{t+k}, A/B the paired-end sums, Q =
+    Σy², all DECIMAL(38,0) (order-independent at any scale); only
+    the final ratio divides in doubles through the same expression
+    in both engines, so 6-dp parity is structural.
+
+    Scale shape: the input is one row per (group, t) — already
+    aggregated, grid-sized; the lag pairing is an equi-join on
+    (group, t+lag) after a #lags explode; the moments are two hash
+    aggregates. Nothing here touches corpus-scale rows.
+    """
+    base = df.select(*group_cols,
+                     F.col(t_col).cast("long").alias("_t"),
+                     F.col(y_col).cast("long").alias("_y"))
+    dec = "decimal(38,0)"
+    glob = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("_y").cast(dec)).alias("_s"),
+        F.sum((F.col("_y") * F.col("_y")).cast(dec)).alias("_q"))
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    left = (base.withColumn("lag", F.explode(lag_arr))
+            .select(*group_cols, "lag", F.col("_y").alias("_yl"),
+                    (F.col("_t") + F.col("lag")).alias("_tr")))
+    right = base.select(*group_cols, F.col("_t").alias("_tr"),
+                        F.col("_y").alias("_yr"))
+    pairs = (left.join(right, [*group_cols, "_tr"])
+             .groupBy(*group_cols, "lag")
+             .agg(F.count("*").cast("long").alias("n_pairs"),
+                  F.sum((F.col("_yl") * F.col("_yr")).cast(dec))
+                  .alias("_p"),
+                  F.sum(F.col("_yl").cast(dec)).alias("_a"),
+                  F.sum(F.col("_yr").cast(dec)).alias("_b")))
+    j = pairs.join(F.broadcast(glob), [*group_cols])
+    n = F.col("n_days").cast("double")
+    s_, q_ = F.col("_s").cast("double"), F.col("_q").cast("double")
+    p_, m_ = F.col("_p").cast("double"), F.col("n_pairs").cast("double")
+    ab = F.col("_a").cast("double") + F.col("_b").cast("double")
+    num = n * n * p_ - n * s_ * ab + m_ * s_ * s_
+    den = n * (n * q_ - s_ * s_)
+    return j.select(*group_cols, "lag", "n_days", "n_pairs",
+                    F.when(den > 0, F.round(num / den, 6)).alias("acf"))

@@ -3985,3 +3985,283 @@ def customers_dormant_rich(spark, sf_dir):
             .groupBy("c_mktsegment")
             .agg(F.count("*").cast("long").alias("numcust"),
                  F.round(F.sum("_cents") / 100.0, 2).alias("totacctbal")))
+
+
+# --- E218: Spearman rank correlation (value drift vs time) -------------------
+# The monotone-drift readout the OLS (E119) and Theil-Sen (E191)
+# trends can't give: "is value drifting with time AT ALL", invariant
+# to any monotone transform of either axis. Ranks ride the global
+# rank spine; ties enter as doubled mid-ranks (exact BIGINTs); the
+# five moment sums are DECIMAL(38,0). Both engines rank time on the
+# same integer microsecond ticks (unix_micros vs epoch_ns//1000 — the
+# ticks_us convention), so the tie structure cannot diverge.
+@register(
+    "events_spearman_drift",
+    """
+    WITH r AS (
+      SELECT event_type AS g,
+             2 * rank() OVER (PARTITION BY event_type
+                              ORDER BY epoch_ns(ts) // 1000)
+               + count(*) OVER (PARTITION BY event_type,
+                                epoch_ns(ts) // 1000) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+               + count(*) OVER (PARTITION BY event_type, value) - 1
+               AS ry
+      FROM events
+    ),
+    a AS (
+      SELECT g, count(*)::BIGINT AS n,
+             sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+             sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+             sum(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+             sum(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+             sum(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+      FROM r GROUP BY 1
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS rho
+    FROM a
+    """,
+    doc="Spearman rank correlation of event value vs time per event "
+        "type — the monotone-drift readout, invariant to any monotone "
+        "transform of either axis; tie-adjusted doubled mid-ranks on "
+        "the global rank spine, DECIMAL(38,0) moment sums, one final "
+        "double division (the oracle windows freely; the engine does "
+        "not)",
+)
+def events_spearman_drift(spark, sf_dir):
+    from .operators.grouped import spearman_corr
+    from .operators.timeseries import ticks_us
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type",
+                     ticks_us(ev).alias("x"),
+                     F.col("value").alias("y"),
+                     F.col("event_id").alias("id"))
+    return spearman_corr(base, "event_type", "x", "y", "id")
+
+
+# --- E219: lag-k autocorrelation of daily volume ------------------------------
+@register(
+    "events_acf_daily",
+    """
+    WITH d AS (
+      SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS t,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             sum(CAST(y AS DECIMAL(38,0))) AS s,
+             sum(CAST(y AS DECIMAL(38,0)) * y) AS q
+      FROM d GROUP BY 1
+    ),
+    p AS (
+      SELECT l.event_type, k.lag, count(*)::BIGINT AS n_pairs,
+             sum(CAST(l.y AS DECIMAL(38,0)) * r.y) AS p,
+             sum(CAST(l.y AS DECIMAL(38,0))) AS a,
+             sum(CAST(r.y AS DECIMAL(38,0))) AS b
+      FROM d l
+      CROSS JOIN (VALUES (1), (7)) k(lag)
+      JOIN d r ON r.event_type = l.event_type AND r.t = l.t + k.lag
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.lag, g.n_days, p.n_pairs,
+           CASE WHEN CAST(g.n_days AS DOUBLE)
+                     * (CAST(g.n_days AS DOUBLE) * CAST(g.q AS DOUBLE)
+                        - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) > 0
+                THEN round(
+                  (CAST(g.n_days AS DOUBLE) * CAST(g.n_days AS DOUBLE)
+                     * CAST(p.p AS DOUBLE)
+                   - CAST(g.n_days AS DOUBLE) * CAST(g.s AS DOUBLE)
+                     * (CAST(p.a AS DOUBLE) + CAST(p.b AS DOUBLE))
+                   + CAST(p.n_pairs AS DOUBLE) * CAST(g.s AS DOUBLE)
+                     * CAST(g.s AS DOUBLE))
+                  / (CAST(g.n_days AS DOUBLE)
+                     * (CAST(g.n_days AS DOUBLE) * CAST(g.q AS DOUBLE)
+                        - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))),
+                  6)
+           END AS acf
+    FROM p JOIN g USING (event_type)
+    """,
+    doc="lag-1 and lag-7 autocorrelation of daily event volume per "
+        "type — the seasonality readout that picks the EWMA alpha and "
+        "the anomaly baseline window; exact DECIMAL moment sums on the "
+        "expanded estimator (the mean is cleared algebraically), one "
+        "final double ratio; the lag pairing is a grid-sized equi-join "
+        "on (type, day+lag), UTC pinned (the ticks_us absolute-"
+        "bucketing contract)",
+)
+def events_acf_daily(spark, sf_dir):
+    from .operators.timeseries import autocorrelation, ticks_us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    d = F.floor(ticks_us(ev) / F.lit(86_400_000_000)).cast("long")
+    daily = (ev.select("event_type", d.alias("t"))
+             .groupBy("event_type", "t")
+             .agg(F.count("*").cast("long").alias("y")))
+    return autocorrelation(daily, ["event_type"], "t", "y", [1, 7])
+
+
+# --- E220: Benjamini-Hochberg FDR control -------------------------------------
+# The multiple-testing guard for every per-segment battery: p-values
+# here are the engine's deterministic md5 draws (uniform nulls +
+# users %13 planted at p/1024 — a stand-in for "any upstream test's
+# p column", the planted-audit convention), so the full decision
+# vector is value-checked: the step-up rule rejects THROUGH k* even
+# where an earlier rank failed its own inequality.
+@register(
+    "users_bh_fdr",
+    """
+    WITH t AS (SELECT DISTINCT user_id FROM events),
+    pv AS (
+      SELECT user_id,
+             CASE WHEN user_id % 13 = 0 THEN u / 1024 ELSE u END AS p
+      FROM (
+        SELECT user_id,
+               ('0x' || substr(md5('bh:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+        FROM t)
+    ),
+    r AS (
+      SELECT user_id, p,
+             row_number() OVER (ORDER BY p, user_id) AS rank,
+             count(*) OVER () AS m
+      FROM pv
+    ),
+    k AS (SELECT coalesce(max(rank), 0) AS kstar
+          FROM r WHERE p * m <= rank * 0.05)
+    SELECT r.user_id, round(r.p, 6) AS p, r.rank,
+           r.rank <= k.kstar AS rejected
+    FROM r, k
+    """,
+    doc="Benjamini-Hochberg step-up FDR control at alpha=0.05 over "
+        "per-user p-values (md5-deterministic uniforms, users %13 "
+        "planted 1024x smaller): ascending ranks on the global rank "
+        "spine, k* = max{i: p*m <= i*alpha} as one broadcast scalar, "
+        "the comparison stated in the same multiplication order in "
+        "both engines so the boundary cannot flip on an ulp",
+)
+def users_bh_fdr(spark, sf_dir):
+    from .operators.grouped import bh_fdr
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("bh:"),
+                           F.col("user_id").cast("string"))), 1, 8),
+         16, 10).cast("long") / F.lit(4294967296.0))
+    pv = users.select(
+        "user_id",
+        F.when(F.col("user_id") % 13 == 0, u / 1024).otherwise(u)
+        .alias("p"))
+    out = bh_fdr(pv, "user_id", "p", alpha=0.05)
+    return out.select("user_id", F.round("p", 6).alias("p"),
+                      "rank", "rejected")
+
+
+# --- E221: difference-in-differences uplift ------------------------------------
+# The causal companion to the A/B face (E179): treatment = md5 arm
+# (the engine-portable split), periods split at 2024-01-16 (ticks —
+# absolute, so UTC pinned), and a PLANTED +20% treated-post effect
+# (floor(cents/5), exact integers) so the estimator has a real
+# interaction to recover while the control arm's own drift nets out.
+@register(
+    "events_did_uplift",
+    """
+    WITH units AS (
+      SELECT user_id,
+             ((epoch_ns(ts) // 1000) >= 1705363200000000) AS post,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                             1, 8))::BIGINT % 2 = 0 AS treat,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    b AS (
+      SELECT treat, post,
+             cents + CASE WHEN treat AND post
+                          THEN CAST(floor(cents / 5.0) AS BIGINT)
+                          ELSE 0 END AS cents
+      FROM units
+    ),
+    g AS (
+      SELECT
+        sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)::BIGINT AS n_c0,
+        sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)::BIGINT AS n_c1,
+        sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)::BIGINT AS n_t0,
+        sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)::BIGINT AS n_t1,
+        sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END)::BIGINT AS s_c0,
+        sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END)::BIGINT AS s_c1,
+        sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END)::BIGINT AS s_t0,
+        sum(CASE WHEN treat AND post THEN cents ELSE 0 END)::BIGINT AS s_t1,
+        sum(CASE WHEN NOT treat AND NOT post THEN cents * cents ELSE 0 END)::BIGINT AS q_c0,
+        sum(CASE WHEN NOT treat AND post THEN cents * cents ELSE 0 END)::BIGINT AS q_c1,
+        sum(CASE WHEN treat AND NOT post THEN cents * cents ELSE 0 END)::BIGINT AS q_t0,
+        sum(CASE WHEN treat AND post THEN cents * cents ELSE 0 END)::BIGINT AS q_t1
+      FROM b
+    )
+    SELECT n_c0, n_c1, n_t0, n_t1,
+           CASE WHEN n_c0 > 0 THEN round(s_c0 * 1.0 / n_c0, 6) END AS mean_c0,
+           CASE WHEN n_c1 > 0 THEN round(s_c1 * 1.0 / n_c1, 6) END AS mean_c1,
+           CASE WHEN n_t0 > 0 THEN round(s_t0 * 1.0 / n_t0, 6) END AS mean_t0,
+           CASE WHEN n_t1 > 0 THEN round(s_t1 * 1.0 / n_t1, 6) END AS mean_t1,
+           CASE WHEN n_c0 > 0 AND n_c1 > 0 AND n_t0 > 0 AND n_t1 > 0
+                THEN round((s_t1 * 1.0 / n_t1 - s_t0 * 1.0 / n_t0)
+                           - (s_c1 * 1.0 / n_c1 - s_c0 * 1.0 / n_c0), 6)
+           END AS did,
+           CASE WHEN n_c0 >= 2 AND n_c1 >= 2 AND n_t0 >= 2 AND n_t1 >= 2
+                 AND ((CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c0) / (n_c0 - 1)) / n_c0
+                   + ((CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c1) / (n_c1 - 1)) / n_c1
+                   + ((CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t0) / (n_t0 - 1)) / n_t0
+                   + ((CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t1) / (n_t1 - 1)) / n_t1 > 0
+                THEN round(((s_t1 * 1.0 / n_t1 - s_t0 * 1.0 / n_t0)
+                            - (s_c1 * 1.0 / n_c1 - s_c0 * 1.0 / n_c0))
+                           / sqrt(
+                  ((CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c0) / (n_c0 - 1)) / n_c0
+                  + ((CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c1) / (n_c1 - 1)) / n_c1
+                  + ((CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t0) / (n_t0 - 1)) / n_t0
+                  + ((CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t1) / (n_t1 - 1)) / n_t1), 6)
+           END AS z
+    FROM g
+    """,
+    doc="difference-in-differences with md5-arm treatment, a "
+        "2024-01-16 period cut on absolute ticks (UTC pinned), and a "
+        "planted +20% treated-post effect in exact integer cents: "
+        "per-(user, period) units from one corpus aggregate, then ONE "
+        "conditional-sum pass for all four cells (n, Sx, Sxx — "
+        "map-side combinable), Welch-form z over the cells",
+)
+def events_did_uplift(spark, sf_dir):
+    from .operators.grouped import diff_in_diff
+    from .operators.timeseries import ticks_us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    units = (ev.groupBy(
+        "user_id",
+        (ticks_us(ev) >= F.lit(1705363200000000)).alias("post"),
+        (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                            1, 8), 16, 10).cast("long") % 2 == 0)
+        .alias("treat"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("cents")))
+    boosted = units.select(
+        "treat", "post",
+        (F.col("cents")
+         + F.when(F.col("treat") & F.col("post"),
+                  F.floor(F.col("cents") / 5.0).cast("long"))
+         .otherwise(F.lit(0))).alias("cents"))
+    return diff_in_diff(boosted, "treat", "post", "cents")

@@ -1076,3 +1076,188 @@ def test_q22_anti_join_excludes_recent_orderers(spark):
         WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * pos.n
               > pos.s""").fetchone()[0]
     assert rich_total > sum(n for n, _ in got.values())
+
+
+# -------------------------------------------------------------- Spearman ----
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "g string, x double, y double, id int")
+
+
+def test_spearman_perfect_monotone(spark):
+    """Any monotone map of x must give rho = 1 exactly; reversed
+    order gives -1."""
+    from big_data_hw_23_24_spark.operators.grouped import spearman_corr
+
+    rows = [("up", float(i), float(i * i * i), i) for i in range(1, 9)] + \
+           [("down", float(i), float(-i * i * i), i + 100)
+            for i in range(1, 9)]
+    got = {r.g: r.rho for r in
+           spearman_corr(_xy(spark, rows), "g", "x", "y", "id").collect()}
+    assert got["up"] == 1.0
+    assert got["down"] == -1.0
+
+
+def test_spearman_ties_midrank_hand_value(spark):
+    """Tied values take mid-ranks: x = (1,2,3,4), y = (10,20,20,30)
+    -> y mid-ranks (1, 2.5, 2.5, 4); rho = Pearson on ranks =
+    0.9486833 at 6dp (hand-computed)."""
+    from big_data_hw_23_24_spark.operators.grouped import spearman_corr
+
+    rows = [("a", 1.0, 10.0, 1), ("a", 2.0, 20.0, 2),
+            ("a", 3.0, 20.0, 3), ("a", 4.0, 30.0, 4)]
+    r = spearman_corr(_xy(spark, rows), "g", "x", "y", "id").collect()[0]
+    assert r.n == 4
+    assert r.rho == 0.948683
+
+
+def test_spearman_constant_column_null(spark):
+    """Zero rank variance on either axis -> null by contract; n=1
+    likewise."""
+    from big_data_hw_23_24_spark.operators.grouped import spearman_corr
+
+    rows = [("c", float(i), 5.0, i) for i in range(1, 6)] + \
+           [("s", 1.0, 1.0, 99)]
+    got = {r.g: r.rho for r in
+           spearman_corr(_xy(spark, rows), "g", "x", "y", "id").collect()}
+    assert got["c"] is None
+    assert got["s"] is None
+
+
+# ------------------------------------------------------ Autocorrelation ----
+
+def test_acf_hand_computed_alternating(spark):
+    """y = (0,2,0,2) on t = 0..3: acf(1) = -3/4, acf(2) = +1/2
+    (hand-computed from the textbook estimator with the full-series
+    mean); a lag beyond the span emits no row."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        autocorrelation)
+
+    df = spark.createDataFrame(
+        [("a", t, y) for t, y in enumerate([0, 2, 0, 2])],
+        "g string, t int, y long")
+    got = {r.lag: r for r in
+           autocorrelation(df, ["g"], "t", "y", [1, 2, 9]).collect()}
+    assert set(got) == {1, 2}  # lag 9 pairs nothing -> no row
+    assert got[1].acf == -0.75 and got[1].n_pairs == 3
+    assert got[2].acf == 0.5 and got[2].n_pairs == 2
+    assert got[1].n_days == 4
+
+
+def test_acf_constant_series_null(spark):
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        autocorrelation)
+
+    df = spark.createDataFrame([("a", t, 5) for t in range(6)],
+                               "g string, t int, y long")
+    r = autocorrelation(df, ["g"], "t", "y", [1]).collect()[0]
+    assert r.acf is None and r.n_pairs == 5
+
+
+def test_acf_gaps_simply_dont_pair(spark):
+    """A missing day removes exactly the pairs that touch it — the
+    estimator runs on the observed grid, never interpolates."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        autocorrelation)
+
+    full = spark.createDataFrame(
+        [("a", t, (t * 7919) % 13) for t in range(10)],
+        "g string, t int, y long")
+    gapped = full.where(F.col("t") != 5)
+    r = autocorrelation(gapped, ["g"], "t", "y", [1]).collect()[0]
+    assert r.n_days == 9
+    assert r.n_pairs == 7  # 9 rows, pairs (4,5) and (5,6) both gone
+
+
+# ---------------------------------------------------------------- BH-FDR ----
+
+def test_bh_stepup_rejects_through_kstar(spark):
+    """p = (.02, .03, .035, .04) at alpha=.05: ranks 1 and 2 FAIL
+    their own inequalities (.02 > .0125, .03 > .025) but ranks 3 and
+    4 pass, so k* = 4 and ALL FOUR are rejected — the step-up rule a
+    naive per-row filter gets wrong."""
+    from big_data_hw_23_24_spark.operators.grouped import bh_fdr
+
+    df = spark.createDataFrame(
+        [(1, 0.02), (2, 0.03), (3, 0.035), (4, 0.04)],
+        "id int, p double")
+    got = {r.id: r.rejected for r in
+           bh_fdr(df, "id", "p", alpha=0.05).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: True}
+
+
+def test_bh_nothing_passes_rejects_nothing(spark):
+    from big_data_hw_23_24_spark.operators.grouped import bh_fdr
+
+    df = spark.createDataFrame([(i, 0.9) for i in range(5)],
+                               "id int, p double")
+    rows = bh_fdr(df, "id", "p", alpha=0.05).collect()
+    assert all(not r.rejected for r in rows)
+    assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_bh_partial_rejection_boundary(spark):
+    """Classic mixed case: p = (.001, .008, .039, .041, .9) at
+    alpha=.05, m=5 -> thresholds (.01, .02, .03, .04, .05): rank 4
+    fails (.041 > .04), rank 3 fails (.039 > .03), rank 2 passes
+    (.008 <= .02) -> k* = 2, exactly the first two rejected."""
+    from big_data_hw_23_24_spark.operators.grouped import bh_fdr
+
+    df = spark.createDataFrame(
+        [(1, 0.001), (2, 0.008), (3, 0.039), (4, 0.041), (5, 0.9)],
+        "id int, p double")
+    got = {r.id: r.rejected for r in
+           bh_fdr(df, "id", "p", alpha=0.05).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+# -------------------------------------------------------------------- DiD ----
+
+def _did_units(spark, rows):
+    return spark.createDataFrame(
+        rows, "treat boolean, post boolean, v long")
+
+
+def test_did_removes_the_common_trend(spark):
+    """Control drifts 10 -> 16 (+6), treated drifts 20 -> 30 (+10):
+    DiD = 10 - 6 = 4 — the naive treated post-minus-pre (10) is
+    wrong by exactly the secular trend."""
+    from big_data_hw_23_24_spark.operators.grouped import diff_in_diff
+
+    rows = ([(False, False, 10)] * 3 + [(False, True, 16)] * 3
+            + [(True, False, 20)] * 3 + [(True, True, 30)] * 3)
+    r = diff_in_diff(_did_units(spark, rows), "treat", "post",
+                     "v").collect()[0]
+    assert (r.n_c0, r.n_c1, r.n_t0, r.n_t1) == (3, 3, 3, 3)
+    assert (r.mean_c0, r.mean_c1, r.mean_t0, r.mean_t1) == \
+        (10.0, 16.0, 20.0, 30.0)
+    assert r.did == 4.0
+    assert r.z is None  # zero within-cell variance -> se = 0 -> null
+
+
+def test_did_empty_cell_null_estimate(spark):
+    from big_data_hw_23_24_spark.operators.grouped import diff_in_diff
+
+    rows = [(False, False, 10), (False, True, 12), (True, False, 20)]
+    r = diff_in_diff(_did_units(spark, rows), "treat", "post",
+                     "v").collect()[0]
+    assert r.n_t1 == 0
+    assert r.did is None and r.z is None
+    assert r.mean_t1 is None and r.mean_c0 == 10.0
+
+
+def test_did_z_hand_computed(spark):
+    """Cells with variance: c0 = (9,11), c1 = (10,14), t0 = (19,21),
+    t1 = (28,32): did = 30-20-(12-10) = 8; each cell var = 2, 8, 2, 8
+    -> se^2 = (2+8+2+8)/2 = 10, z = 8/sqrt(10)."""
+    from big_data_hw_23_24_spark.operators.grouped import diff_in_diff
+    import math
+
+    rows = [(False, False, 9), (False, False, 11),
+            (False, True, 10), (False, True, 14),
+            (True, False, 19), (True, False, 21),
+            (True, True, 28), (True, True, 32)]
+    r = diff_in_diff(_did_units(spark, rows), "treat", "post",
+                     "v").collect()[0]
+    assert r.did == 8.0
+    assert r.z == round(8 / math.sqrt(10), 6)

@@ -816,6 +816,14 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   with per-part share threshold
         "customers_dormant_rich",    # r13: TPC-H Q22 shape — scalar
                                      #   avg + LEFT ANTI dormancy
+        "events_spearman_drift",     # r13: tie-adjusted Spearman rho
+                                     #   on the global rank spine
+        "events_acf_daily",          # r13: lag-1/7 autocorrelation,
+                                     #   DECIMAL moment sums
+        "users_bh_fdr",              # r13: Benjamini-Hochberg step-up
+                                     #   FDR decision vector
+        "events_did_uplift",         # r13: difference-in-differences
+                                     #   with planted interaction
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
