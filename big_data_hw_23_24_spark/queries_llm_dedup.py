@@ -1607,3 +1607,145 @@ def dedup_setsim_prefix(spark, sf_dir):
             .select((F.col("doc_id") + 8000000).alias("doc_id"),
                     dropped.alias("text")))
     return setsim_join_prefix(docs.unionByName(salt), threshold=0.7)
+
+
+# --- E223: LSH candidate recall vs the exact join ------------------------------
+# The rollout gate for the banding CONFIG itself: E76 value-checks
+# the banded plan, E182 proves the exact join complete — this face
+# measures what the probabilistic step actually costs, candidate
+# recall AND candidate precision of md5-banded LSH against the
+# definitional Jaccard >= 0.7 truth set on the SAME salted corpus
+# (the knn_eval_reciprocal treatment applied to the dedup tier).
+@register(
+    "dedup_eval_lsh_recall",
+    f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 8000000,
+             array_to_string(
+               list_filter(
+                 list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN i % 25 = 0 THEN NULL ELSE ws[i] END),
+                 x -> x IS NOT NULL), ' ')
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                     AS ws
+            FROM documents)
+      WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 16000000,
+             array_to_string(
+               list_filter(
+                 list_transform(range(1, len(ws) + 1),
+                   i -> CASE WHEN i % 12 = 0 THEN NULL ELSE ws[i] END),
+                 x -> x IS NOT NULL), ' ')
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> w <> '')
+                     AS ws
+            FROM documents)
+      WHERE doc_id % 7 = 0
+    ),
+    w AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS i
+            FROM all_docs)
+      WHERE word <> ''
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM w a
+      JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.7
+    ),
+    {_md5_minhash_sig_cte("all_docs")},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND ({_BAND_COLLIDE})
+    ),
+    tc AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+    cc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+    hc AS (SELECT count(*)::BIGINT AS n_hit
+           FROM truth t JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT n_truth, n_candidates, n_hit,
+           CASE WHEN n_truth > 0
+                THEN round(n_hit * 1.0 / n_truth, 6) END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN round(n_hit * 1.0 / n_candidates, 6)
+           END AS candidate_precision
+    FROM tc, cc, hc
+    """,
+    doc="banded-LSH rollout gate: candidate recall and precision of "
+        "the md5 32-hash / 8-band pipeline against the definitional "
+        "exact Jaccard >= 0.7 pair set on the word-drop-salted corpus; "
+        "the corpus is checkpointed once for both sides, both pair "
+        "sets are pair-scale checkpoints, the readout is three counts",
+)
+def dedup_eval_lsh_recall(spark, sf_dir):
+    from .operators.dedup import (
+        lsh_candidate_pairs, minhash_signature, setsim_join_prefix,
+        word_shingles)
+    from .operators.util import ensure_fanout
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    # dual salt: every-25th-word drops (J ~ 0.88 — the always-caught
+    # anchor) plus every-12th-word drops (J ~ 0.70 — the near-threshold
+    # band where banding at b=8, r=4 actually misses: P(catch) ~ 0.92
+    # at J = 0.72), so recall < 1 and precision < 1 are both REAL
+    drop25 = F.array_join(
+        F.filter(words, lambda w, i: (i + 1) % 25 != 0), " ")
+    drop12 = F.array_join(
+        F.filter(words, lambda w, i: (i + 1) % 12 != 0), " ")
+    salt_a = (docs.where(F.col("doc_id") % 11 == 0)
+              .select((F.col("doc_id") + 8000000).alias("doc_id"),
+                      drop25.alias("text")))
+    salt_b = (docs.where(F.col("doc_id") % 7 == 0)
+              .select((F.col("doc_id") + 16000000).alias("doc_id"),
+                      drop12.alias("text")))
+    # the exact side AND the signature side both scan the corpus:
+    # fan out once, checkpoint once (root-cause 4)
+    corpus = (ensure_fanout(docs.unionByName(salt_a).unionByName(salt_b))
+              .localCheckpoint(eager=True))
+    truth = (setsim_join_prefix(corpus, threshold=0.7)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+    signed = (minhash_signature(word_shingles(corpus), hash_family="md5")
+              .select("doc_id", F.size("shingles").alias("_n_sh"),
+                      "signature")
+              .localCheckpoint(eager=True)
+              .where(F.col("_n_sh") > 0)
+              .select("doc_id", "signature"))
+    cand = (lsh_candidate_pairs(signed, bands=8)
+            .localCheckpoint(eager=True))
+    tc = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    cc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    hc = (truth.join(cand, ["id_a", "id_b"])
+          .agg(F.count("*").cast("long").alias("n_hit")))
+    return (tc.crossJoin(cc).crossJoin(hc)
+            .select("n_truth", "n_candidates", "n_hit",
+                    F.when(F.col("n_truth") > 0,
+                           F.round(F.col("n_hit") * 1.0
+                                   / F.col("n_truth"), 6)).alias("recall"),
+                    F.when(F.col("n_candidates") > 0,
+                           F.round(F.col("n_hit") * 1.0
+                                   / F.col("n_candidates"), 6))
+                    .alias("candidate_precision")))

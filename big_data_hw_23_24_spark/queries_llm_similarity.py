@@ -1454,3 +1454,60 @@ def embedding_rp_distortion(spark, sf_dir):
 
     return rp_distortion(load_table(spark, sf_dir, "embeddings"),
                          target_dim=16, offsets=(1, 7, 49))
+
+
+# --- E222: representative-based silhouette per label --------------------------
+# The cluster-separation gate: medoid-style s = (b-a)/max(a,b)
+# against each label's min-id representative — linear, broadcast
+# fan-out bounded by the label alphabet, per-row s quantized to
+# integer micros so the per-label mean is an exact BIGINT sum.
+@register(
+    "embedding_silhouette",
+    """
+    WITH reps AS (
+      SELECT label AS rl, arg_min(embedding, vec_id) AS rep
+      FROM embeddings GROUP BY 1
+    ),
+    d AS (
+      SELECT e.label AS l, e.vec_id AS id, r.rl,
+             list_distance(CAST(e.embedding AS DOUBLE[]),
+                           CAST(r.rep AS DOUBLE[])) AS d
+      FROM embeddings e CROSS JOIN reps r
+    ),
+    pr AS (
+      SELECT l, id,
+             min(CASE WHEN l = rl THEN d END) AS a,
+             min(CASE WHEN l <> rl THEN d END) AS b
+      FROM d GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l,
+             CAST(round(a * 1e6) AS BIGINT) AS am,
+             CAST(round(b * 1e6) AS BIGINT) AS bm,
+             CASE WHEN b IS NOT NULL
+                  THEN CAST(round(
+                    CASE WHEN greatest(a, b) > 0
+                         THEN (b - a) / greatest(a, b) ELSE 0
+                    END * 1e6) AS BIGINT)
+             END AS sm
+      FROM pr
+    )
+    SELECT l AS label, count(*)::BIGINT AS n,
+           round(sum(am) / 1e6 / count(*), 6) AS mean_a,
+           CASE WHEN count(bm) > 0
+                THEN round(sum(bm) / 1e6 / count(bm), 6) END AS mean_b,
+           CASE WHEN count(sm) > 0
+                THEN round(sum(sm) / 1e6 / count(sm), 6) END AS mean_s
+    FROM m GROUP BY 1
+    """,
+    doc="medoid-style silhouette per embedding label: a = distance to "
+        "the own label's min-id representative, b = nearest foreign "
+        "representative, s = (b-a)/max(a,b); #labels-row broadcast, "
+        "one corpus pass with label-alphabet fan-out, per-row s in "
+        "exact integer micros so the mean survives summation order",
+)
+def embedding_silhouette(spark, sf_dir):
+    from .operators.similarity import label_silhouette
+
+    return label_silhouette(load_table(spark, sf_dir, "embeddings"),
+                            "label", "embedding", "vec_id")

@@ -1261,3 +1261,71 @@ def test_did_z_hand_computed(spark):
                      "v").collect()[0]
     assert r.did == 8.0
     assert r.z == round(8 / math.sqrt(10), 6)
+
+
+# ------------------------------------------------------------- Silhouette ----
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows,
+                                 "label string, vec_id long, v array<float>")
+
+
+def test_silhouette_separated_clusters_near_one(spark):
+    """Two tight, far-apart clusters: every point sits much closer to
+    its own representative than the foreign one -> mean_s ~ 1."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        label_silhouette)
+
+    rows = [("a", i, [0.0 + i * 0.01, 0.0]) for i in range(4)] + \
+           [("b", 10 + i, [100.0 + i * 0.01, 0.0]) for i in range(4)]
+    got = {r.label: r for r in
+           label_silhouette(_emb(spark, rows), "label", "v",
+                            "vec_id").collect()}
+    assert got["a"].mean_s > 0.99 and got["b"].mean_s > 0.99
+    assert got["a"].n == 4
+
+
+def test_silhouette_mislabeled_point_negative(spark):
+    """A point labeled 'a' sitting ON cluster b's representative gets
+    s < 0 and drags the label mean down — the mislabel signal."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        label_silhouette)
+
+    rows = [("a", 0, [0.0, 0.0]), ("a", 1, [1.0, 0.0]),
+            ("a", 2, [50.0, 0.0]),  # sits on b's representative
+            ("b", 10, [50.0, 0.0]), ("b", 11, [51.0, 0.0])]
+    got = {r.label: r for r in
+           label_silhouette(_emb(spark, rows), "label", "v",
+                            "vec_id").collect()}
+    # point 2: a = 50 (to rep a at origin), b = 0 -> s = (0-50)/50 = -1
+    # points 0,1: s near 1 -> mean ~ (1 + 0.98 - 1)/3
+    assert got["a"].mean_s < 0.5
+    assert got["b"].mean_s > 0.9
+
+
+def test_silhouette_single_label_nulls(spark):
+    from big_data_hw_23_24_spark.operators.similarity import (
+        label_silhouette)
+
+    rows = [("only", i, [float(i), 1.0]) for i in range(3)]
+    r = label_silhouette(_emb(spark, rows), "label", "v",
+                         "vec_id").collect()[0]
+    assert r.mean_b is None and r.mean_s is None
+    assert r.n == 3 and r.mean_a is not None
+
+
+# ----------------------------------------------------------- LSH recall ----
+
+def test_lsh_recall_gate_shows_real_misses(spark):
+    """The dual-salted gate must be non-vacuous in BOTH directions at
+    sf0.01: banding misses some near-threshold truth pairs
+    (recall < 1) and surfaces sub-threshold candidates
+    (precision < 1), while hits never exceed either side."""
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+
+    _ensure_loaded()
+    r = (_REGISTRY["dedup_eval_lsh_recall"]
+         .spark_fn(spark, "/root/testdata/sf0.01").collect()[0])
+    assert r.n_hit <= min(r.n_truth, r.n_candidates)
+    assert 0 < r.recall < 1
+    assert 0 < r.candidate_precision < 1

@@ -824,6 +824,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   FDR decision vector
         "events_did_uplift",         # r13: difference-in-differences
                                      #   with planted interaction
+        "embedding_silhouette",      # r13: medoid-style label
+                                     #   separation gate, zero-shuffle
+        "dedup_eval_lsh_recall",     # r13: banded-LSH recall/precision
+                                     #   vs the exact join (run-once)
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
