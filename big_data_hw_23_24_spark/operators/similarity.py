@@ -1312,3 +1312,82 @@ def label_silhouette(df: DataFrame, label_col: str = "label",
                F.round(F.sum("_sm") / 1e6 / F.count("_sm"), 6))
         .alias("mean_s"))
         .withColumnRenamed("_l", label_col))
+
+
+def top_eigenvector(emb: DataFrame, vec_col: str = "embedding",
+                    rounds: int = 5) -> DataFrame:
+    """Top principal direction of the embedding Gram matrix via power
+    iteration (E224) → one row per dimension: ``(dim, component,
+    rayleigh)`` with the Rayleigh quotient repeated per row.
+
+    The oracle-checkable face of :func:`pca_components` (whose numpy
+    eigendecomposition no SQL engine replays): the leading direction
+    is what PCA-whitening, ZCA conditioning and the Matryoshka
+    prefix-dim gate all consume first, and the Rayleigh quotient is
+    the variance it explains. Composition: the corpus-scale work is
+    the ONE distributed pass of :func:`embedding_gram`; the iteration
+    runs on the collected d×d matrix (dim-bounded — the k-centroid /
+    BPE-argmax driver convention).
+
+    Determinism — the novel bit: the iteration runs in EXACT INTEGER
+    arithmetic. Gram entries are 6-dp decimals by contract → integer
+    micros; v₀ = all-ones; each matvec Σⱼ Gᵢⱼvⱼ is an exact integer
+    (Python bigint / DuckDB HUGEINT), and because the Gram is PSD no
+    normalization is needed for a bounded number of rounds — values
+    grow by ≤ d·max|G_micro| per round, guarded against 10³⁷ (the
+    HUGEINT/DECIMAL(38) ceiling) at runtime. Floats appear exactly
+    ONCE, at the end: unit-normalize V_r and form the Rayleigh
+    quotient — so cross-engine divergence has a single rounding
+    surface instead of compounding per round.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    gram = embedding_gram(emb, vec_col=vec_col).collect()
+    if not gram:
+        return emb.sparkSession.createDataFrame(
+            [], "dim int, component double, rayleigh double")
+    dim = max(max(r.i, r.j) for r in gram)
+    G = [[0] * (dim + 1) for _ in range(dim + 1)]
+    for r in gram:
+        # value is an exact 6-dp decimal in a double: ×1e6 lands within
+        # 1e-4 of an integer, so nearest-int is unambiguous (no .5 case
+        # for banker's rounding to bite)
+        g = int(round(r.value * 1e6))
+        G[r.i][r.j] = g
+        G[r.j][r.i] = g
+    # growth bound: |V_r|∞ ≤ (max row L1 norm)^r from v₀ = 1; HUGEINT
+    # tops out at 1.7e38 — guard with margin
+    rowsum = max(sum(abs(G[i][j]) for j in range(1, dim + 1))
+                 for i in range(1, dim + 1))
+    if rowsum and rowsum ** rounds >= 10 ** 38:
+        raise ValueError(
+            f"power iteration would overflow the oracle's HUGEINT: "
+            f"(max row L1 of G_micro)^rounds = {rowsum}^{rounds}; "
+            f"reduce rounds or rescale the vectors")
+    v_int = [1] * (dim + 1)
+    for _ in range(rounds):
+        v_int = [0] + [
+            sum(G[i][j] * v_int[j] for j in range(1, dim + 1))
+            for i in range(1, dim + 1)]
+    fl = [float(x) for x in v_int[1:]]
+    nm = math.sqrt(sum(x * x for x in fl))
+    spark = emb.sparkSession
+    if nm == 0.0:  # all-zero Gram: no direction, by contract
+        return spark.createDataFrame(
+            [(i, None, None) for i in range(1, dim + 1)],
+            "dim int, component double, rayleigh double")
+    v = [x / nm for x in fl]
+    lam = sum((G[i][j] / 1e6) * v[i - 1] * v[j - 1]
+              for i in range(1, dim + 1) for j in range(1, dim + 1))
+
+    def r6(x: float) -> float:
+        # HALF_UP on the shortest decimal rendering — the same
+        # convention Spark's round() applies (BigDecimal.valueOf)
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    lam6 = r6(lam)
+    return spark.createDataFrame(
+        [(i, r6(v[i - 1]), lam6) for i in range(1, dim + 1)],
+        "dim int, component double, rayleigh double")

@@ -1511,3 +1511,65 @@ def embedding_silhouette(spark, sf_dir):
 
     return label_silhouette(load_table(spark, sf_dir, "embeddings"),
                             "label", "embedding", "vec_id")
+
+
+# --- E224: top eigenvector via integer-exact power iteration -------------------
+def _eigen_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled power-iteration oracle (the BPE-oracle treatment):
+    integer-micro Gram, HUGEINT matvecs, floats only at the final
+    normalize + Rayleigh step — the same literals the operator uses."""
+    ctes = []
+    prev = "v0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"v{r} AS (SELECT gs.i AS i, sum(gs.g * {prev}.c) AS c\n"
+            f"          FROM gs JOIN {prev} ON {prev}.i = gs.j"
+            f" GROUP BY 1)")
+        prev = f"v{r}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    idx AS (SELECT unnest(range(1, 65)) AS i),
+    gu AS (
+      SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+             CAST(round(round(sum(v[p.i] * v[p.j]) / count(*), 6)
+                        * 1e6) AS BIGINT) AS g
+      FROM e, (SELECT a.i AS i, b.i AS j
+               FROM idx a JOIN idx b ON b.i >= a.i) p
+      GROUP BY p.i, p.j
+    ),
+    gs AS (SELECT i, j, g FROM gu
+           UNION ALL SELECT j, i, g FROM gu WHERE i <> j),
+    v0 AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i,
+                  CAST(1 AS HUGEINT) AS c),
+    {joined},
+    nrm AS (SELECT sqrt(sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))
+                   AS nm
+            FROM {prev}),
+    vv AS (SELECT i, CAST(c AS DOUBLE) / nm AS v FROM {prev}, nrm),
+    lam AS (SELECT sum((CAST(gs.g AS DOUBLE) / 1e6) * a.v * b.v) AS l
+            FROM gs JOIN vv a ON a.i = gs.i JOIN vv b ON b.i = gs.j)
+    SELECT vv.i AS dim, round(vv.v, 6) AS component,
+           round(lam.l, 6) AS rayleigh
+    FROM vv, lam
+    """
+
+
+@register(
+    "embedding_top_eigen",
+    _eigen_oracle_sql(rounds=5),
+    doc="top principal direction of the embedding Gram via 5 rounds "
+        "of power iteration in EXACT INTEGER arithmetic (6-dp gram -> "
+        "integer micros, HUGEINT matvecs, PSD so no per-round "
+        "normalization) — floats appear once, at the final "
+        "unit-normalize + Rayleigh step; the corpus-scale work is the "
+        "one distributed Gram pass, the iteration is dim-bounded "
+        "driver math (the BPE-argmax convention); the oracle unrolls "
+        "the identical rounds over HUGEINT CTEs",
+)
+def embedding_top_eigen(spark, sf_dir):
+    from .operators.similarity import top_eigenvector
+
+    return top_eigenvector(load_table(spark, sf_dir, "embeddings"),
+                           rounds=5)

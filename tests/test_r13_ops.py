@@ -1329,3 +1329,56 @@ def test_lsh_recall_gate_shows_real_misses(spark):
     assert r.n_hit <= min(r.n_truth, r.n_candidates)
     assert 0 < r.recall < 1
     assert 0 < r.candidate_precision < 1
+
+
+# --------------------------------------------------------- Power iteration ----
+
+def test_top_eigen_recovers_planted_direction(spark):
+    """Vectors concentrated along e1 (plus small e2 noise): the top
+    eigenvector must load ~entirely on dim 1 and the Rayleigh
+    quotient must approximate E[x1^2]."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        top_eigenvector)
+
+    rows = [(i, [4.0 if i % 2 == 0 else -4.0, 0.01 * (i % 3)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.dim: r for r in top_eigenvector(df, rounds=5).collect()}
+    assert abs(got[1].component) > 0.999
+    assert abs(got[2].component) < 0.05
+    # E[x1^2] = 16; rayleigh of the top direction ~ 16
+    assert abs(got[1].rayleigh - 16.0) < 0.1
+    assert got[1].rayleigh == got[2].rayleigh  # repeated per row
+
+
+def test_top_eigen_hand_diagonal_case(spark):
+    """G = diag(1/2, 1/4) from vectors {(1,0)x2, (0,1), (0,0)}: the
+    iteration from all-ones converges onto e1; with exact integer
+    matvecs the components are (1/2)^5 vs (1/4)^5 normalized."""
+    from big_data_hw_23_24_spark.operators.similarity import (
+        top_eigenvector)
+    import math
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]), (4, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.dim: r for r in top_eigenvector(df, rounds=5).collect()}
+    # gram = diag(2/4, 1/4) (n = 4 includes the zero vector) →
+    # micros diag(500000, 250000); v5 = (5e5^5, 2.5e5^5)
+    a, b = 500000 ** 5, 250000 ** 5
+    nm = math.sqrt(float(a) ** 2 + float(b) ** 2)
+    assert got[1].component == round(a / nm, 6)
+    assert got[2].component == round(b / nm, 6)
+    # rayleigh = 0.5·v1² + 0.25·v2² for the computed unit v
+    v1, v2 = a / nm, b / nm
+    assert abs(got[1].rayleigh - (0.5 * v1 * v1 + 0.25 * v2 * v2)) < 1e-6
+
+
+def test_top_eigen_zero_gram_nulls(spark):
+    from big_data_hw_23_24_spark.operators.similarity import (
+        top_eigenvector)
+
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    rows = top_eigenvector(df, rounds=3).collect()
+    assert all(r.component is None and r.rayleigh is None for r in rows)

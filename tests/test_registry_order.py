@@ -828,6 +828,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   separation gate, zero-shuffle
         "dedup_eval_lsh_recall",     # r13: banded-LSH recall/precision
                                      #   vs the exact join (run-once)
+        "embedding_top_eigen",       # r13: integer-exact power
+                                     #   iteration on the Gram
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
