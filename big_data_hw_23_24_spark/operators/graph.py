@@ -553,3 +553,70 @@ def rec_hitrate(events: DataFrame, split_day: int, k: int = 3,
                            F.round(F.col("n_hits")
                                    / F.col("n_test_pairs"), 6))
                     .alias("hitrate")))
+
+
+def adamic_adar(events: DataFrame, user_col: str = "user_id",
+                item_col: str = "item", cap: int = 20, min_co: int = 2,
+                max_hub: int = 64, k: int = 20) -> DataFrame:
+    """Adamic-Adar link prediction over the co-occurrence graph
+    (E225) → the top-``k`` NON-adjacent item pairs most likely to
+    co-occur next: ``(item_a, item_b, n_common, aa_score)``.
+
+    The classic link-prediction baseline (Adamic & Adar 2003), the
+    predictive companion to the descriptive graph tier (co-occurrence
+    E111, triangles E143, assortativity E201): score(a, b) =
+    Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg z) — a shared RARE neighbor says more
+    than a shared hub. This is what "customers who buy these together
+    will soon buy THOSE together" and cross-domain corpus affinity
+    forecasting run on.
+
+    Determinism: each middle node's contribution is quantized to
+    integer MICROS (round(1e6/ln d) — d is a small exact integer, so
+    both engines evaluate ln on the same handful of values), the
+    per-pair score is an exact BIGINT sum (order-free), and the
+    top-k orders on that integer with the pair as tiebreak — a total
+    order no double ulp can reshuffle.
+
+    Scale shape: rides :func:`item_cooccurrence`'s capped edges
+    (fan-out ≤ cap² per user); wedge fan-out is Σ deg² over MIDDLE
+    nodes, bounded by dropping hubs with deg > ``max_hub`` — the
+    df-cap treatment: a ubiquitous neighbor contributes at most
+    1/ln(max_hub) ≈ 0.24 per pair while costing deg² join rows, the
+    classic signal-per-cost cliff. Existing edges leave via one
+    LEFT ANTI join; the top-k is TakeOrderedAndProject.
+    """
+    edges = (item_cooccurrence(events, item_col=item_col,
+                               user_col=user_col, cap=cap,
+                               min_co=min_co)
+             .select("item_a", "item_b")
+             .localCheckpoint(eager=True))
+    sym = edges.unionByName(
+        edges.select(F.col("item_b").alias("item_a"),
+                     F.col("item_a").alias("item_b")))
+    deg = (sym.groupBy("item_a")
+           .agg(F.count("*").cast("long").alias("_d"))
+           .withColumnRenamed("item_a", "_z"))
+    mid = (sym.select(F.col("item_a").alias("_z"),
+                      F.col("item_b").alias("_nb"))
+           .join(deg, "_z")
+           # degree-1 middles can't form a wedge, and ln(1) = 0 would
+           # divide by zero under ANSI — prune them before t
+           .where((F.col("_d") >= 2) & (F.col("_d") <= max_hub)))
+    t = F.round(F.lit(1_000_000.0) / F.log(F.col("_d"))).cast("long")
+    n1 = mid.select("_z", F.col("_nb").alias("_a"), t.alias("_t"))
+    n2 = mid.select("_z", F.col("_nb").alias("_b"))
+    scores = (n1.join(n2, "_z")
+              .where(F.col("_a") < F.col("_b"))
+              .groupBy("_a", "_b")
+              .agg(F.count("*").cast("long").alias("n_common"),
+                   F.sum("_t").alias("_aa")))
+    non_adjacent = scores.join(
+        edges.select(F.col("item_a").alias("_a"),
+                     F.col("item_b").alias("_b")),
+        ["_a", "_b"], "left_anti")
+    return (non_adjacent
+            .orderBy(F.col("_aa").desc(), "_a", "_b")
+            .limit(k)
+            .select(F.col("_a").alias("item_a"),
+                    F.col("_b").alias("item_b"), "n_common",
+                    F.round(F.col("_aa") / 1e6, 6).alias("aa_score")))

@@ -568,3 +568,58 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                            * (F.coalesce(F.col("_vhi"), F.col("_vlo"))
                               - F.col("_vlo")), 6).alias("normalized")))
     return out
+
+
+def apportion_quota(weights: DataFrame, group_col: str,
+                    weight_col: str, total: int) -> DataFrame:
+    """Hamilton largest-remainder apportionment (E226) → one row per
+    group: ``(group, weight, quota)`` with Σ quota = ``total``
+    exactly.
+
+    The integer-allocation primitive the mixing tier keeps needing:
+    "give each source a share of the 100k-example budget ∝ its
+    tokens" — naive rounding of the real quotas over- or under-shoots
+    the total by up to #groups/2; Hamilton's method floors every
+    quota and hands the leftover seats to the largest fractional
+    remainders, the unique allocation that never deviates from the
+    real quota by ≥ 1 (the same machinery as parliamentary seat
+    apportionment and stratified-sample sizing).
+
+    Determinism — NO FLOATS ANYWHERE: base = (total·w) div W and
+    remainder = (total·w) mod W are exact BIGINT operations (weights
+    must be integral; total·w must fit 2⁶³ — guard your units), and
+    the leftover ranks on (remainder desc, group) — a total order.
+    W = 0 (all-zero weights) → null quotas by contract (no
+    proportional basis to allocate on).
+
+    Scale shape: input is one row per group (aggregate first); the
+    scalar (W, leftover) is a 1-row broadcast; the remainder ranking
+    rides the range-partitioned global-rank spine, never a
+    single-reducer window (the ORACLE windows freely; the engine
+    does not).
+    """
+    from .ranking import global_rank
+
+    base = weights.select(F.col(group_col).alias("_g"),
+                          F.col(weight_col).cast("long").alias("_w"))
+    tot = base.agg(F.sum("_w").alias("_tw"))
+    t = F.lit(int(total)).cast("long")
+    with_base = (base.crossJoin(F.broadcast(tot))
+                 .select("_g", "_w",
+                         F.when(F.col("_tw") > 0,
+                                F.expr(f"({int(total)} * _w) DIV _tw"))
+                         .alias("_base"),
+                         F.when(F.col("_tw") > 0,
+                                F.pmod(t * F.col("_w"), F.col("_tw")))
+                         .alias("_rem")))
+    leftover = with_base.agg(
+        (t - F.coalesce(F.sum("_base"), F.lit(0))).alias("_R"))
+    ranked = global_rank(with_base, [F.col("_rem").desc(), "_g"],
+                         rank_col="_rk")
+    return (ranked.crossJoin(F.broadcast(leftover))
+            .select(F.col("_g").alias(group_col),
+                    F.col("_w").alias(weight_col),
+                    F.when(F.col("_base").isNotNull(),
+                           F.col("_base")
+                           + (F.col("_rk") <= F.col("_R")).cast("long"))
+                    .alias("quota")))

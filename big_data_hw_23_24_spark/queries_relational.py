@@ -4265,3 +4265,121 @@ def events_did_uplift(spark, sf_dir):
                   F.floor(F.col("cents") / 5.0).cast("long"))
          .otherwise(F.lit(0))).alias("cents"))
     return diff_in_diff(boosted, "treat", "post", "cents")
+
+
+# --- E225: Adamic-Adar link prediction -----------------------------------------
+@register(
+    "events_link_prediction",
+    """
+    WITH ui AS (
+      SELECT user_id, TRY_CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS item,
+             count(*) AS n
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, item) AS rk
+        FROM ui)
+      WHERE rk <= 20
+    ),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT item_a, item_b FROM co WHERE n_co >= 2),
+    sym AS (
+      SELECT item_a AS u, item_b AS v FROM edges
+      UNION ALL
+      SELECT item_b, item_a FROM edges
+    ),
+    deg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+    mid AS (
+      SELECT sym.u AS z, sym.v AS nb,
+             CAST(round(1000000.0 / ln(deg.d)) AS BIGINT) AS t
+      FROM sym JOIN deg ON deg.u = sym.u
+      WHERE deg.d >= 2 AND deg.d <= 64
+    ),
+    scores AS (
+      SELECT a.nb AS item_a, b.nb AS item_b,
+             count(*)::BIGINT AS n_common, sum(a.t)::BIGINT AS aa
+      FROM mid a JOIN mid b ON a.z = b.z AND a.nb < b.nb
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_common, round(aa / 1e6, 6) AS aa_score
+    FROM scores s
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.item_a = s.item_a
+                        AND e.item_b = s.item_b)
+    ORDER BY aa DESC, item_a, item_b
+    LIMIT 20
+    """,
+    doc="Adamic-Adar link prediction on the capped co-occurrence "
+        "graph: top-20 non-adjacent pairs by sum of 1/ln(common-"
+        "neighbor degree), each middle node's contribution quantized "
+        "to integer micros so the per-pair sum and the top-k order "
+        "are exact BIGINTs; hub middles (deg > 64) dropped — the "
+        "df-cap treatment for the deg-squared wedge fan-out",
+)
+def events_link_prediction(spark, sf_dir):
+    from .operators.graph import adamic_adar
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.get_json_object("props", "$.k").try_cast("long")
+                  .alias("item")))
+    return adamic_adar(ev)
+
+
+# --- E226: Hamilton largest-remainder quota allocation --------------------------
+@register(
+    "corpus_quota_allocation",
+    """
+    WITH w AS (
+      SELECT source, sum(n_chars)::BIGINT AS total_chars
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(total_chars)::BIGINT AS W FROM w),
+    b AS (
+      SELECT source, total_chars,
+             CASE WHEN W > 0
+                  THEN (100000 * total_chars) // W END AS base,
+             CASE WHEN W > 0
+                  THEN (100000 * total_chars) % W END AS rem
+      FROM w, tot
+    ),
+    l AS (SELECT 100000 - coalesce(sum(base), 0) AS R FROM b),
+    r AS (
+      SELECT source, total_chars, base,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b
+    )
+    SELECT r.source, r.total_chars,
+           CASE WHEN r.base IS NOT NULL
+                THEN (r.base + CASE WHEN r.rk <= l.R THEN 1 ELSE 0
+                               END)::BIGINT
+           END AS quota
+    FROM r, l
+    """,
+    doc="Hamilton largest-remainder apportionment of a 100k-example "
+        "budget across sources proportional to total characters: "
+        "base = (total*w) div W and remainder = (total*w) mod W are "
+        "exact BIGINT ops (no floats anywhere), leftover seats go to "
+        "the largest remainders ranked on the global spine — the "
+        "allocation sums to the budget EXACTLY, the property naive "
+        "per-group rounding loses",
+)
+def corpus_quota_allocation(spark, sf_dir):
+    from .operators.selection import apportion_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (docs.groupBy("source")
+         .agg(F.sum("n_chars").cast("long").alias("total_chars")))
+    return apportion_quota(w, "source", "total_chars", 100_000)

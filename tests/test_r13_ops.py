@@ -1382,3 +1382,99 @@ def test_top_eigen_zero_gram_nulls(spark):
                                "vec_id long, embedding array<float>")
     rows = top_eigenvector(df, rounds=3).collect()
     assert all(r.component is None and r.rayleigh is None for r in rows)
+
+
+# ------------------------------------------------------------ Adamic-Adar ----
+
+def _uitems(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, item long")
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Path graph 1-2, 2-3 (from co-occurring baskets): the only
+    non-adjacent pair with a common neighbor is (1,3) through node 2
+    of degree 2 -> score = 1/ln(2) = 1.442695."""
+    from big_data_hw_23_24_spark.operators.graph import adamic_adar
+
+    # users co-touch items: edges need n_co >= 2 users each
+    rows = []
+    for u in (1, 2):          # two users touch {1, 2} -> edge 1-2
+        rows += [(u, 1), (u, 2)]
+    for u in (3, 4):          # two users touch {2, 3} -> edge 2-3
+        rows += [(u, 2), (u, 3)]
+    got = adamic_adar(_uitems(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.item_a, r.item_b, r.n_common) == (1, 3, 1)
+    assert r.aa_score == 1.442695
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    """A triangle has common neighbors for every pair but all pairs
+    are already edges -> no predictions."""
+    from big_data_hw_23_24_spark.operators.graph import adamic_adar
+
+    rows = []
+    for u in (1, 2):
+        rows += [(u, 1), (u, 2), (u, 3)]
+    got = adamic_adar(_uitems(spark, rows)).collect()
+    assert got == []
+
+
+def test_adamic_adar_rare_neighbor_outranks_hub(spark):
+    """Two candidate pairs: one through a degree-2 middle, one
+    through a degree-3 middle — the rarer middle scores higher
+    (1/ln 2 > 1/ln 3)."""
+    from big_data_hw_23_24_spark.operators.graph import adamic_adar
+
+    rows = []
+    # star around hub 10: edges 10-1, 10-2, 10-3 (hub degree 3)
+    for leaf in (1, 2, 3):
+        for u in (100 + leaf, 200 + leaf):
+            rows += [(u, 10), (u, leaf)]
+    # path around middle 20: edges 20-4, 20-5 (middle degree 2)
+    for leaf in (4, 5):
+        for u in (300 + leaf, 400 + leaf):
+            rows += [(u, 20), (u, leaf)]
+    got = adamic_adar(_uitems(spark, rows)).collect()
+    scores = {(r.item_a, r.item_b): r.aa_score for r in got}
+    assert scores[(4, 5)] == 1.442695          # 1/ln 2
+    hub_pairs = [(1, 2), (1, 3), (2, 3)]
+    for p in hub_pairs:
+        assert scores[p] == 0.910239           # 1/ln 3
+    assert got[0].item_a == 4  # rare-middle pair ranks first
+
+
+# ------------------------------------------------------------ Apportionment ----
+
+def test_quota_sums_exactly_and_follows_remainders(spark):
+    """weights (5, 3, 2) over total 7: real quotas (3.5, 2.1, 1.4),
+    floors (3, 2, 1) leave one seat -> largest remainder .5 wins:
+    allocation (4, 2, 1), summing to exactly 7."""
+    from big_data_hw_23_24_spark.operators.selection import (
+        apportion_quota)
+
+    df = spark.createDataFrame([("a", 5), ("b", 3), ("c", 2)],
+                               "g string, w long")
+    got = {r.g: r.quota for r in
+           apportion_quota(df, "g", "w", 7).collect()}
+    assert got == {"a": 4, "b": 2, "c": 1}
+
+
+def test_quota_zero_weights_null(spark):
+    from big_data_hw_23_24_spark.operators.selection import (
+        apportion_quota)
+
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "g string, w long")
+    rows = apportion_quota(df, "g", "w", 10).collect()
+    assert all(r.quota is None for r in rows)
+
+
+def test_quota_exact_division_no_remainders(spark):
+    from big_data_hw_23_24_spark.operators.selection import (
+        apportion_quota)
+
+    df = spark.createDataFrame([("a", 2), ("b", 2)], "g string, w long")
+    got = {r.g: r.quota for r in
+           apportion_quota(df, "g", "w", 10).collect()}
+    assert got == {"a": 5, "b": 5}

@@ -830,6 +830,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   vs the exact join (run-once)
         "embedding_top_eigen",       # r13: integer-exact power
                                      #   iteration on the Gram
+        "events_link_prediction",    # r13: Adamic-Adar top-k in
+                                     #   integer micros, hub-capped
+        "corpus_quota_allocation",   # r13: Hamilton largest-remainder
+                                     #   quotas, no floats anywhere
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both

@@ -98,6 +98,14 @@ PROBES = [
     "events_peak_concurrency",   # boundary cumsum spine, 2 rows/session
     "schema_fk_orphans",         # seven linear anti-join audits
     "customers_large_volume",    # Q18 HAVING aggregate + broadcasts
+    # late-r13 faces whose spines/joins could hide a superlinear term.
+    # dedup_eval_lsh_recall is deliberately NOT probed: it composes
+    # dedup_setsim_prefix + dedup_minhash_banded, both probed above,
+    # and is a declared run-once gate.
+    "events_spearman_drift",     # distinct-value grid spine + two
+                                 #   corpus stitch-back equi-joins
+    "users_bh_fdr",              # rank spine over the hypothesis table
+    "embedding_top_eigen",       # one Gram pass; iteration dim-bounded
 ]
 
 
