@@ -227,6 +227,7 @@ HEADLINE = [
     "embedding_top_eigen",      # integer-exact power iteration
     "events_link_prediction",   # Adamic-Adar top-k, integer micros
     "corpus_quota_allocation",  # Hamilton largest-remainder quotas
+    "events_orc_roundtrip",     # partitioned ORC write->read fidelity
     # dedup_eval_lsh_recall is deliberately NOT benched: it runs BOTH
     # the exact setsim join and the banded pipeline on a dual-salted
     # corpus (~9 s at sf0.1) — a run-once rollout gate whose two

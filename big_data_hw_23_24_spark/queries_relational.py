@@ -4383,3 +4383,44 @@ def corpus_quota_allocation(spark, sf_dir):
     w = (docs.groupBy("source")
          .agg(F.sum("n_chars").cast("long").alias("total_chars")))
     return apportion_quota(w, "source", "total_chars", 100_000)
+
+
+# --- E227: ORC round-trip sink/source -------------------------------------------
+# Format breadth beside the parquet/CSV/JSONL paths: write a
+# partitioned ORC dataset (Spark's second built-in columnar format),
+# read it back through partition discovery, and aggregate — the
+# oracle computes the same aggregate straight from the parquet view,
+# so parity proves WRITE→DISCOVER→READ fidelity (types, partition
+# values, row completeness). Cents are exact BIGINTs so the checksum
+# can't hide a lossy round trip.
+@register(
+    "events_orc_roundtrip",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS cents,
+           min(event_id)::BIGINT AS min_id,
+           max(event_id)::BIGINT AS max_id
+    FROM events GROUP BY 1
+    """,
+    doc="ORC round-trip: write events partitioned by event_type to an "
+        "ORC sink (overwrite-idempotent fixed path), read back through "
+        "partition discovery, aggregate counts + exact integer cents + "
+        "id range per partition; the oracle aggregates the original "
+        "parquet, so parity IS the fidelity proof for the second "
+        "built-in columnar format",
+)
+def events_orc_roundtrip(spark, sf_dir):
+    import os
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join("/tmp", "spark_graft_orc_roundtrip", tag)
+    (ev.write.mode("overwrite").partitionBy("event_type").orc(path))
+    back = spark.read.orc(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum("cents").cast("long").alias("cents"),
+                 F.min("event_id").cast("long").alias("min_id"),
+                 F.max("event_id").cast("long").alias("max_id")))

@@ -509,6 +509,20 @@ _CARTESIAN_ALLOWLIST = {
                                      #   hilbert beside zorder)
     "events_chisq_independence",     # 1-row totals broadcast onto the
                                      #   r x c cell grid
+    # late-r13 additions, all bounded-side by construction
+    "parts_value_share",             # 1-row (total, n_parts) broadcast
+                                     #   (TPC-H Q11 global scalar)
+    "supplier_top_revenue",          # 1-row max-revenue broadcast
+                                     #   (TPC-H Q15 view + max)
+    "customers_dormant_rich",        # 1-row (n, sum) positive-balance
+                                     #   scalar broadcast (TPC-H Q22)
+    "users_bh_fdr",                  # 1-row m and 1-row k* broadcasts
+                                     #   onto the ranked p-value table
+    "dedup_eval_lsh_recall",         # three 1-row count aggregates
+                                     #   crossed into the single gate
+                                     #   row (truth/candidates/hits)
+    "corpus_quota_allocation",       # 1-row weight-total and leftover
+                                     #   broadcasts (Hamilton quotas)
 }
 
 

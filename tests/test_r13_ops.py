@@ -1478,3 +1478,31 @@ def test_quota_exact_division_no_remainders(spark):
     got = {r.g: r.quota for r in
            apportion_quota(df, "g", "w", 10).collect()}
     assert got == {"a": 5, "b": 5}
+
+
+# ---------------------------------------------------------- ORC round trip ----
+
+def test_orc_roundtrip_prunes_partitions(spark):
+    """The ORC sink is partitioned by event_type: a type filter on the
+    read-back side must prune to partition directories (the scan shows
+    a PartitionFilters entry), and row counts must survive the round
+    trip exactly."""
+    import os
+    from pyspark.sql import functions as F
+    from big_data_hw_23_24_spark.queries import _ensure_loaded, _REGISTRY
+    from big_data_hw_23_24_spark.sources.tables import load_table
+
+    _ensure_loaded()
+    # run the face once so the sink exists
+    out = (_REGISTRY["events_orc_roundtrip"]
+           .spark_fn(spark, "/root/testdata/sf0.001").collect())
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {r.event_type: r.n for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("n"))
+            .collect()}
+    assert {r.event_type: r.n_events for r in out} == want
+    path = "/tmp/spark_graft_orc_roundtrip/sf0.001"
+    filtered = spark.read.orc(path).where(F.col("event_type") == "view")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    assert filtered.count() == want["view"]

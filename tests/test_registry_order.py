@@ -834,6 +834,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   integer micros, hub-capped
         "corpus_quota_allocation",   # r13: Hamilton largest-remainder
                                      #   quotas, no floats anywhere
+        "events_orc_roundtrip",      # r13: partitioned ORC sink/source
+                                     #   fidelity vs the parquet truth
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
