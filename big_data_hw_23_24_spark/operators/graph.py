@@ -620,3 +620,74 @@ def adamic_adar(events: DataFrame, user_col: str = "user_id",
             .select(F.col("_a").alias("item_a"),
                     F.col("_b").alias("item_b"), "n_common",
                     F.round(F.col("_aa") / 1e6, 6).alias("aa_score")))
+
+
+def hits_scores(events: DataFrame, user_col: str = "user_id",
+                item_col: str = "item", cap: int = 20,
+                double_rounds: int = 3, k: int = 20) -> DataFrame:
+    """HITS hubs-and-authorities on the user-item incidence (E228) →
+    the top-``k`` authority items: ``(item, rank, authority)``.
+
+    Kleinberg's alternating eigenvector pair on the BIPARTITE graph —
+    the ranking the unipartite faces can't give: PageRank (E121)
+    ranks items inside the item-item projection, HITS ranks items BY
+    the quality of the users touching them (a(i) = Σ h(u), h(u) =
+    Σ a(i)) — the classic curator/content decomposition. Three
+    double-rounds from h₀ = 1 ≈ the leading singular direction of the
+    incidence matrix.
+
+    Determinism — the E224 treatment, distributed: the incidence is
+    0/1, so every update is a pure grouped SUM of exact integers (no
+    products, no normalization inside the loop — DECIMAL(38,0) on the
+    Spark side, HUGEINT in the oracle); growth per double-round is
+    ≤ (cap · max item degree), guarded against the 10³⁸ ceiling at
+    runtime; the top-k orders on the exact integer authority with the
+    item as tiebreak (a total order), and the reported score
+    normalizes to the max authority in ONE final double division.
+
+    Scale shape: per-user baskets capped at ``cap`` (the
+    co-occurrence treatment) so h-updates fan in ≤ cap rows per user;
+    the iteration is 2·rounds keyed equi-join + hash-aggregate pairs
+    over the incidence — each carries one integer per node, never a
+    vector; the incidence is checkpointed once for its 2·rounds + 1
+    consumers (root-cause 4).
+    """
+    per = (events.where(F.col(item_col).isNotNull())
+           .groupBy(user_col, item_col)
+           .agg(F.count("*").alias("_n")))
+    w = Window.partitionBy(user_col).orderBy(F.col("_n").desc(),
+                                             F.col(item_col))
+    inc = (per.withColumn("_rk", F.row_number().over(w))
+           .where(F.col("_rk") <= cap)
+           .select(F.col(user_col).alias("_u"),
+                   F.col(item_col).alias("_i"))
+           .localCheckpoint(eager=True))
+    # runtime overflow guard: per double-round growth ≤ cap · max
+    # item degree (h picks up ≤ cap authorities, a ≤ deg_i hubs)
+    max_ideg = (inc.groupBy("_i").count()
+                .agg(F.max("count")).first()[0] or 0)
+    if max_ideg and (cap * max_ideg) ** double_rounds >= 10 ** 38:
+        raise ValueError(
+            f"HITS would overflow the oracle's HUGEINT: "
+            f"(cap·max_item_degree)^rounds = "
+            f"({cap}·{max_ideg})^{double_rounds}")
+    dec = "decimal(38,0)"
+    h = (inc.select("_u").distinct()
+         .withColumn("_h", F.lit(1).cast(dec)))
+    a = None
+    for _ in range(double_rounds):
+        a = (inc.join(h, "_u")
+             .groupBy("_i").agg(F.sum("_h").cast(dec).alias("_a")))
+        h = (inc.join(a, "_i")
+             .groupBy("_u").agg(F.sum("_a").cast(dec).alias("_h")))
+    amax = a.agg(F.max("_a").alias("_m"))
+    return (a.crossJoin(F.broadcast(amax))
+            .orderBy(F.col("_a").desc(), "_i")
+            .limit(k)
+            .select(F.col("_i").alias("item"),
+                    F.row_number().over(
+                        Window.orderBy(F.col("_a").desc(), "_i"))
+                    .cast("long").alias("rank"),
+                    F.round(F.col("_a").cast("double")
+                            / F.col("_m").cast("double"), 6)
+                    .alias("authority")))

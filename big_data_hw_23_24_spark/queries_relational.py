@@ -4424,3 +4424,57 @@ def events_orc_roundtrip(spark, sf_dir):
                  F.sum("cents").cast("long").alias("cents"),
                  F.min("event_id").cast("long").alias("min_id"),
                  F.max("event_id").cast("long").alias("max_id")))
+
+
+# --- E228: HITS authorities on the user-item incidence ---------------------------
+@register(
+    "events_hits_authority",
+    """
+    WITH ui AS (
+      SELECT user_id, TRY_CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS item,
+             count(*) AS n
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, item) AS rk
+        FROM ui)
+      WHERE rk <= 20
+    ),
+    inc AS (SELECT user_id AS u, item AS i FROM capped),
+    h0 AS (SELECT DISTINCT u, CAST(1 AS HUGEINT) AS h FROM inc),
+    a1 AS (SELECT i, sum(h) AS a FROM inc JOIN h0 USING (u) GROUP BY 1),
+    h1 AS (SELECT u, sum(a) AS h FROM inc JOIN a1 USING (i) GROUP BY 1),
+    a2 AS (SELECT i, sum(h) AS a FROM inc JOIN h1 USING (u) GROUP BY 1),
+    h2 AS (SELECT u, sum(a) AS h FROM inc JOIN a2 USING (i) GROUP BY 1),
+    a3 AS (SELECT i, sum(h) AS a FROM inc JOIN h2 USING (u) GROUP BY 1),
+    m AS (SELECT max(a) AS m FROM a3)
+    SELECT i AS item,
+           row_number() OVER (ORDER BY a DESC, i) AS rank,
+           round(CAST(a AS DOUBLE) / CAST(m AS DOUBLE), 6) AS authority
+    FROM a3, m
+    ORDER BY a DESC, i
+    LIMIT 20
+    """,
+    doc="HITS top-20 authority items on the capped user-item "
+        "incidence: three alternating double-rounds of PURE integer "
+        "grouped sums (0/1 incidence means no products — DECIMAL(38,0) "
+        "/ HUGEINT exact, overflow-guarded), top-k ordered on the "
+        "exact integer authority, ONE final double division "
+        "normalizing to the max; the bipartite companion to the "
+        "item-item PageRank face",
+)
+def events_hits_authority(spark, sf_dir):
+    from .operators.graph import hits_scores
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.get_json_object("props", "$.k").try_cast("long")
+                  .alias("item")))
+    return hits_scores(ev)

@@ -380,6 +380,9 @@ _VOCAB_SCALE_WINDOW_ALLOWLIST = {
     # bounded by the observation window, not by unit count); the
     # corpus-scale work is the per-user aggregate below the window
     "users_survival_km",
+    # HITS' final rank window runs AFTER TakeOrderedAndProject — at
+    # most k = 20 rows, independent of data size
+    "events_hits_authority",
 }
 
 

@@ -1506,3 +1506,38 @@ def test_orc_roundtrip_prunes_partitions(spark):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_type" in plan
     assert filtered.count() == want["view"]
+
+
+# -------------------------------------------------------------------- HITS ----
+
+def test_hits_separates_authority_tiers(spark):
+    """Star data: item 1 touched by every user, item 2 by half, item
+    3 by one — authority order must be 1, 2, 3 with score ratios
+    following the integer iteration exactly."""
+    from big_data_hw_23_24_spark.operators.graph import hits_scores
+
+    rows = []
+    for u in range(1, 9):
+        rows.append((u, 1))
+    for u in range(1, 5):
+        rows.append((u, 2))
+    rows.append((1, 3))
+    df = spark.createDataFrame(rows, "user_id long, item long")
+    got = hits_scores(df).collect()
+    assert [r.item for r in got] == [1, 2, 3]
+    assert got[0].authority == 1.0
+    assert got[0].rank == 1 and got[2].rank == 3
+    assert got[1].authority > got[2].authority > 0
+
+
+def test_hits_matches_hand_iteration(spark):
+    """Two users, two items: u1 -> {1, 2}, u2 -> {1}. Hand-run the
+    integer double-rounds: a=(2,1), h=(3,2), a=(5,3), h=(8,5),
+    a=(13,8) -> authorities (1.0, 8/13)."""
+    from big_data_hw_23_24_spark.operators.graph import hits_scores
+
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)],
+                               "user_id long, item long")
+    got = {r.item: r.authority for r in hits_scores(df).collect()}
+    assert got[1] == 1.0
+    assert got[2] == round(8 / 13, 6)

@@ -836,6 +836,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   quotas, no floats anywhere
         "events_orc_roundtrip",      # r13: partitioned ORC sink/source
                                      #   fidelity vs the parquet truth
+        "events_hits_authority",     # r13: HITS exact-integer double-
+                                     #   rounds, bipartite authorities
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
