@@ -229,6 +229,7 @@ HEADLINE = [
     "corpus_quota_allocation",  # Hamilton largest-remainder quotas
     "events_orc_roundtrip",     # partitioned ORC write->read fidelity
     "events_hits_authority",    # HITS integer double-rounds, top-20
+    "events_isotonic_purchase",  # PAV minimax calibration fit
     # dedup_eval_lsh_recall is deliberately NOT benched: it runs BOTH
     # the exact setsim join and the banded pipeline on a dual-salted
     # corpus (~9 s at sf0.1) — a run-once rollout gate whose two

@@ -1075,3 +1075,56 @@ def diff_in_diff(units: DataFrame, treat_col: str, post_col: str,
         F.when(all_present, F.round(did, 6)).alias("did"),
         F.when(all_present & all_two & (se2 > 0),
                F.round(did / F.sqrt(se2), 6)).alias("z"))
+
+
+def isotonic_fit(grid: DataFrame, x_col: str, n_col: str,
+                 s_col: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression over a bounded
+    bucket grid (E229) → one row per bucket: ``(x, n, rate,
+    fitted)``.
+
+    THE calibration fit for "does the score actually order the
+    outcome": the L2-optimal monotone curve through the per-bucket
+    rates, the standard post-hoc calibrator (Zadrozny & Elkan 2002)
+    and the correctness check behind every "higher quality score ⇒
+    higher keep-rate" claim in the selection tier. Instead of the
+    sequential pool-adjacent-violators loop, this computes the CLOSED
+    FORM fitted(i) = max_{j≤i} min_{k≥i} avg(y over buckets j..k) —
+    the textbook minimax characterization of the PAV solution — so
+    the whole fit is three grid-bounded joins both engines can run
+    verbatim (the oracle needs no iteration either).
+
+    Determinism: every interval average is a ratio of exact BIGINT
+    sums (one double division, the same expression in both engines);
+    min/max over identical doubles cannot diverge; only the reported
+    columns round. Input contract: one row per bucket with integral
+    ``n_col``/``s_col`` (counts), and a BOUNDED bucket count — the
+    minimax join is O(B³) BY DESIGN, the right trade for B ≤ a few
+    hundred calibration buckets, never run on raw rows (aggregate
+    first; the corpus-scale work is building the grid).
+    """
+    b = grid.select(F.col(x_col).cast("long").alias("_x"),
+                    F.col(n_col).cast("long").alias("_n"),
+                    F.col(s_col).cast("long").alias("_s"))
+    b = b.localCheckpoint(eager=True)  # grid-sized; 4 consumers
+    j = b.select(F.col("_x").alias("_j"))
+    k = b.select(F.col("_x").alias("_k"))
+    mem = b.select(F.col("_x").alias("_b"), "_n", "_s")
+    intervals = (j.join(k, j["_j"] <= k["_k"])
+                 .join(mem, (F.col("_b") >= F.col("_j"))
+                       & (F.col("_b") <= F.col("_k")))
+                 .groupBy("_j", "_k")
+                 .agg(F.sum("_n").alias("_N"), F.sum("_s").alias("_S")))
+    avg = (F.col("_S").cast("double") / F.col("_N").cast("double"))
+    ivals = intervals.select("_j", "_k", avg.alias("_avg"))
+    i = b.select(F.col("_x").alias("_i"))
+    inner = (ivals.join(i, (F.col("_i") >= F.col("_j"))
+                        & (F.col("_i") <= F.col("_k")))
+             .groupBy("_i", "_j")
+             .agg(F.min("_avg").alias("_m")))
+    fitted = inner.groupBy("_i").agg(F.max("_m").alias("_f"))
+    return (b.join(fitted, b["_x"] == fitted["_i"])
+            .select(F.col("_x").alias(x_col),
+                    F.col("_n").alias(n_col),
+                    F.round(F.col("_s") / F.col("_n"), 6).alias("rate"),
+                    F.round("_f", 6).alias("fitted")))

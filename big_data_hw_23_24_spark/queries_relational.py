@@ -4478,3 +4478,54 @@ def events_hits_authority(spark, sf_dir):
                   F.get_json_object("props", "$.k").try_cast("long")
                   .alias("item")))
     return hits_scores(ev)
+
+
+# --- E229: isotonic calibration (minimax closed form) ----------------------------
+@register(
+    "events_isotonic_purchase",
+    """
+    WITH g AS (
+      SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END)::BIGINT AS s
+      FROM events GROUP BY 1
+    ),
+    iv AS (
+      SELECT j.bucket AS j, k.bucket AS k,
+             CAST(sum(m.s) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE)
+               AS avg_jk
+      FROM g j
+      JOIN g k ON j.bucket <= k.bucket
+      JOIN g m ON m.bucket >= j.bucket AND m.bucket <= k.bucket
+      GROUP BY 1, 2
+    ),
+    inner_min AS (
+      SELECT i.bucket AS i, iv.j, min(iv.avg_jk) AS m
+      FROM iv JOIN g i ON i.bucket >= iv.j AND i.bucket <= iv.k
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT i, max(m) AS f FROM inner_min GROUP BY 1)
+    SELECT g.bucket, g.n,
+           round(g.s * 1.0 / g.n, 6) AS rate,
+           round(fit.f, 6) AS fitted
+    FROM g JOIN fit ON fit.i = g.bucket
+    """,
+    doc="isotonic calibration of purchase rate vs value decile-bucket "
+        "via the PAV minimax CLOSED FORM fitted(i) = max_{j<=i} "
+        "min_{k>=i} avg(j..k) — no sequential pooling loop, three "
+        "grid-bounded joins both engines run verbatim (O(B^3) on ~50 "
+        "buckets BY DESIGN — the corpus-scale work is the one "
+        "aggregate building the grid); interval averages are ratios "
+        "of exact BIGINT sums",
+)
+def events_isotonic_purchase(spark, sf_dir):
+    from .operators.grouped import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events")
+    g = (ev.groupBy(F.floor(F.col("value") / 10).cast("long")
+                    .alias("bucket"))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast("long").alias("s")))
+    return isotonic_fit(g, "bucket", "n", "s")

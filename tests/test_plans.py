@@ -526,6 +526,10 @@ _CARTESIAN_ALLOWLIST = {
                                      #   row (truth/candidates/hits)
     "corpus_quota_allocation",       # 1-row weight-total and leftover
                                      #   broadcasts (Hamilton quotas)
+    "events_isotonic_purchase",      # PAV minimax interval joins on
+                                     #   the ~50-bucket calibration
+                                     #   grid — O(B^3) BY DESIGN, the
+                                     #   corpus never enters the joins
 }
 
 

@@ -1541,3 +1541,46 @@ def test_hits_matches_hand_iteration(spark):
     got = {r.item: r.authority for r in hits_scores(df).collect()}
     assert got[1] == 1.0
     assert got[2] == round(8 / 13, 6)
+
+
+# ---------------------------------------------------------------- Isotonic ----
+
+def _iso_grid(spark, triples):
+    return spark.createDataFrame(triples, "x long, n long, s long")
+
+
+def test_isotonic_pools_adjacent_violators(spark):
+    """Rates (1.0, 0.0, 1.0) with equal counts: PAV pools the first
+    two into 0.5 and leaves the last at 1.0 — the textbook minimax
+    hand case."""
+    from big_data_hw_23_24_spark.operators.grouped import isotonic_fit
+
+    g = _iso_grid(spark, [(1, 2, 2), (2, 2, 0), (3, 2, 2)])
+    got = {r.x: r.fitted for r in
+           isotonic_fit(g, "x", "n", "s").collect()}
+    assert got == {1: 0.5, 2: 0.5, 3: 1.0}
+
+
+def test_isotonic_monotone_input_is_fixed_point(spark):
+    from big_data_hw_23_24_spark.operators.grouped import isotonic_fit
+
+    g = _iso_grid(spark, [(1, 10, 1), (2, 10, 4), (3, 10, 9)])
+    rows = isotonic_fit(g, "x", "n", "s").collect()
+    for r in rows:
+        assert r.fitted == r.rate
+
+
+def test_isotonic_output_always_monotone_and_weighted(spark):
+    """Weighted pooling: rates (0.9 with n=1, 0.1 with n=9) pool to
+    the WEIGHTED mean (0.9 + 0.9)/10 = 0.18, not the midpoint; and
+    any input yields a non-decreasing fit."""
+    from big_data_hw_23_24_spark.operators.grouped import isotonic_fit
+
+    g = _iso_grid(spark, [(1, 1, 1), (2, 9, 1), (3, 5, 4)])
+    # bucket1 rate 1.0 (n=1), bucket2 rate 1/9 -> pooled (1+1)/10 = .2
+    rows = sorted(isotonic_fit(g, "x", "n", "s").collect(),
+                  key=lambda r: r.x)
+    fits = [r.fitted for r in rows]
+    assert fits == sorted(fits)
+    assert rows[0].fitted == 0.2 and rows[1].fitted == 0.2
+    assert rows[2].fitted == 0.8

@@ -838,6 +838,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   fidelity vs the parquet truth
         "events_hits_authority",     # r13: HITS exact-integer double-
                                      #   rounds, bipartite authorities
+        "events_isotonic_purchase",  # r13: PAV minimax isotonic
+                                     #   calibration on the bucket grid
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
