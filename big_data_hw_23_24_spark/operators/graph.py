@@ -691,3 +691,69 @@ def hits_scores(events: DataFrame, user_col: str = "user_id",
                     F.round(F.col("_a").cast("double")
                             / F.col("_m").cast("double"), 6)
                     .alias("authority")))
+
+
+def label_propagation(events: DataFrame, user_col: str = "user_id",
+                      item_col: str = "item", cap: int = 20,
+                      min_co: int = 2, rounds: int = 3) -> DataFrame:
+    """Semi-supervised label propagation over the co-occurrence graph
+    (E230) → one row per node: ``(item, label, is_seed)``.
+
+    The "spread the labels you have" primitive (Zhu & Ghahramani
+    2002, clamped-seed form): seed nodes keep their label forever;
+    every unlabeled node adopts, per round, the MAJORITY label among
+    its labeled neighbors. Three rounds reach everything within
+    graph distance 3 of a seed — on a co-occurrence graph that is
+    effectively everything. This is how a 1% hand-labeled catalog
+    becomes a fully-labeled one, and how topic labels reach unlabeled
+    corpus sources through the affinity graph.
+
+    Determinism: votes are integer COUNTS; the winner is picked by
+    (max count, then smallest label) through an explicit two-step
+    max-count join + min-label aggregate — never an engine's
+    unspecified arg_max tie behavior; round count is fixed, so both
+    engines run the identical unrolled computation. Nodes with no
+    labeled neighbor stay null that round (and may resolve later).
+
+    Scale shape: rides the capped co-occurrence edges; each round is
+    ONE join of the symmetric edge list against the current label
+    table (one label per node — never a vector) + two grid-sized
+    aggregates; labels are checkpointed per round so round r+1
+    doesn't re-execute rounds 1..r (the iterative-algorithm
+    convention shared with connected components).
+    """
+    edges = (item_cooccurrence(events, item_col=item_col,
+                               user_col=user_col, cap=cap,
+                               min_co=min_co)
+             .select("item_a", "item_b")
+             .localCheckpoint(eager=True))
+    sym = edges.unionByName(
+        edges.select(F.col("item_b").alias("item_a"),
+                     F.col("item_a").alias("item_b")))
+    nodes = (sym.select(F.col("item_a").alias("_i")).distinct()
+             .localCheckpoint(eager=True))
+    seed_label = F.when(F.col("_i") % 7 == 0, F.col("_i") % 5)
+    labels = nodes.select(
+        "_i", seed_label.cast("long").alias("_l"),
+        (F.col("_i") % 7 == 0).alias("is_seed")).localCheckpoint(True)
+    for _ in range(rounds):
+        votes = (sym.join(labels.where(F.col("_l").isNotNull())
+                          .select(F.col("_i").alias("item_b"),
+                                  F.col("_l").alias("_nl")),
+                          "item_b")
+                 .groupBy(F.col("item_a").alias("_i"), "_nl")
+                 .agg(F.count("*").alias("_c")))
+        best_c = votes.groupBy("_i").agg(F.max("_c").alias("_bc"))
+        winner = (votes.join(best_c, "_i")
+                  .where(F.col("_c") == F.col("_bc"))
+                  .groupBy("_i").agg(F.min("_nl").alias("_wl")))
+        labels = (labels.join(winner, "_i", "left")
+                  .select("_i",
+                          F.when(F.col("is_seed"), F.col("_l"))
+                          .otherwise(F.coalesce(F.col("_wl"),
+                                                F.col("_l")))
+                          .alias("_l"),
+                          "is_seed")
+                  .localCheckpoint(eager=True))
+    return labels.select(F.col("_i").alias(item_col),
+                         F.col("_l").alias("label"), "is_seed")

@@ -4529,3 +4529,93 @@ def events_isotonic_purchase(spark, sf_dir):
               F.sum(F.when(F.col("event_type") == "purchase", 1)
                     .otherwise(0)).cast("long").alias("s")))
     return isotonic_fit(g, "bucket", "n", "s")
+
+
+# --- E230: semi-supervised label propagation -------------------------------------
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled clamped-seed label-propagation oracle: per round, one
+    vote join + explicit (max count, min label) winner election —
+    never an engine's unspecified arg_max tie behavior."""
+    ctes = []
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""v{r} AS (
+      SELECT s.item_a AS i, l.l AS nl, count(*) AS c
+      FROM sym s JOIN {prev} l
+        ON l.i = s.item_b AND l.l IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT i, max(c) AS bc FROM v{r} GROUP BY 1),
+    w{r} AS (
+      SELECT v{r}.i, min(nl) AS wl
+      FROM v{r} JOIN b{r} ON b{r}.i = v{r}.i AND v{r}.c = b{r}.bc
+      GROUP BY 1
+    ),
+    l{r} AS (
+      SELECT p.i,
+             CASE WHEN p.is_seed THEN p.l
+                  ELSE coalesce(w{r}.wl, p.l) END AS l,
+             p.is_seed
+      FROM {prev} p LEFT JOIN w{r} ON w{r}.i = p.i
+    )""")
+        prev = f"l{r}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH ui AS (
+      SELECT user_id, TRY_CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS item,
+             count(*) AS n
+      FROM events
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+            IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, item) AS rk
+        FROM ui)
+      WHERE rk <= 20
+    ),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT item_a, item_b FROM co WHERE n_co >= 2),
+    sym AS (
+      SELECT item_a, item_b FROM edges
+      UNION ALL
+      SELECT item_b, item_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT item_a AS i FROM sym),
+    l0 AS (
+      SELECT i, CASE WHEN i % 7 = 0 THEN i % 5 END AS l,
+             i % 7 = 0 AS is_seed
+      FROM nodes
+    ),
+    {joined}
+    SELECT i AS item, l AS label, is_seed FROM {prev}
+    """
+
+
+@register(
+    "events_label_propagation",
+    _lpa_oracle_sql(rounds=3),
+    doc="clamped-seed label propagation on the capped co-occurrence "
+        "graph: items %7 seed label item%5, three synchronous rounds "
+        "of integer majority votes with (max count, min label) "
+        "winner election stated explicitly in both engines; each "
+        "round is one edge-vs-labels join + two grid aggregates, "
+        "labels checkpointed per round",
+)
+def events_label_propagation(spark, sf_dir):
+    from .operators.graph import label_propagation
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.get_json_object("props", "$.k").try_cast("long")
+                  .alias("item")))
+    return label_propagation(ev, rounds=3)

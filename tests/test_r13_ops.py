@@ -1584,3 +1584,62 @@ def test_isotonic_output_always_monotone_and_weighted(spark):
     assert fits == sorted(fits)
     assert rows[0].fitted == 0.2 and rows[1].fitted == 0.2
     assert rows[2].fitted == 0.8
+
+
+# ------------------------------------------------------- Label propagation ----
+
+def test_lpa_spreads_to_distance_rounds(spark):
+    """Path 7 - 1 - 2 - 3 built from co-baskets with a single seed
+    (item 7, label 7%5=2): after 3 rounds the label reaches distance
+    3 (item 3) but the graph's only seed label wins everywhere."""
+    from big_data_hw_23_24_spark.operators.graph import label_propagation
+
+    rows = []
+    for u, (a, b) in enumerate([(7, 1), (1, 2), (2, 3)] * 2):
+        rows += [(100 * (u % 3) + u, a), (100 * (u % 3) + u, b)]
+    # build each edge from two users sharing exactly that pair
+    rows = []
+    uid = 0
+    for a, b in [(7, 1), (1, 2), (2, 3)]:
+        for _ in range(2):
+            rows += [(uid, a), (uid, b)]
+            uid += 1
+    df = spark.createDataFrame(rows, "user_id long, item long")
+    got = {r.item: (r.label, r.is_seed) for r in
+           label_propagation(df, rounds=3).collect()}
+    assert got[7] == (2, True)
+    assert got[1] == (2, False)
+    assert got[2] == (2, False)
+    assert got[3] == (2, False)  # distance 3: reached on round 3
+
+
+def test_lpa_majority_and_min_label_tiebreak(spark):
+    """A node between two seeds of different labels with equal votes
+    must take the SMALLER label (the pinned tie rule)."""
+    from big_data_hw_23_24_spark.operators.graph import label_propagation
+
+    rows = []
+    uid = 0
+    for a, b in [(7, 1), (14, 1)]:  # seeds 7 (label 2) and 14 (label 4)
+        for _ in range(2):
+            rows += [(uid, a), (uid, b)]
+            uid += 1
+    df = spark.createDataFrame(rows, "user_id long, item long")
+    got = {r.item: r.label for r in
+           label_propagation(df, rounds=2).collect()}
+    assert got[7] == 2 and got[14] == 4  # seeds clamped
+    assert got[1] == 2                   # tie -> min(2, 4)
+
+
+def test_lpa_isolated_from_seeds_stays_null(spark):
+    from big_data_hw_23_24_spark.operators.graph import label_propagation
+
+    rows = []
+    uid = 0
+    for a, b in [(1, 2), (3, 4)]:  # no seeds anywhere (none %7==0)
+        for _ in range(2):
+            rows += [(uid, a), (uid, b)]
+            uid += 1
+    df = spark.createDataFrame(rows, "user_id long, item long")
+    rows_out = label_propagation(df, rounds=3).collect()
+    assert all(r.label is None for r in rows_out)
