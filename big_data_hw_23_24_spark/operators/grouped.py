@@ -1128,3 +1128,54 @@ def isotonic_fit(grid: DataFrame, x_col: str, n_col: str,
                     F.col("_n").alias(n_col),
                     F.round(F.col("_s") / F.col("_n"), 6).alias("rate"),
                     F.round("_f", 6).alias("fitted")))
+
+
+def oneway_anova(df: DataFrame, group_col: str, value_col: str
+                 ) -> DataFrame:
+    """One-way ANOVA over an integral value column (E231) → ONE row:
+    ``(n, k, f_stat, eta_sq)``.
+
+    The k-group extension of the two-sample faces (Welch z E180,
+    Mann-Whitney E192): "does the mean differ across ANY of the k
+    groups" in one test, instead of k² pairwise comparisons with the
+    multiple-testing bill (that's what the BH face is for when you do
+    go pairwise). F = (SSB/(k−1)) / (SSW/(n−k)); effect size η² =
+    SSB/SST — the variance share the grouping explains, readable
+    where the N-growing F is not. Degenerate inputs (k < 2 or n ≤ k
+    or zero within-variance) → null statistics by contract.
+
+    Determinism: ``value_col`` must be integral (cents); the per-
+    group sufficient statistics (n, Σx, Σx²) are exact BIGINTs from
+    ONE map-side-combinable hash aggregate, and the sums of squares
+    expand algebraically (SST = ΣΣx² − (ΣΣx)²/n, SSB = Σ(Sg²/ng) −
+    (ΣΣx)²/n) so doubles appear only in the final k-row expression —
+    the same expression in both engines, 6-dp parity structural.
+
+    Shape: one corpus-scale aggregate to k rows; everything after is
+    k-row arithmetic crossed with a 1-row total.
+    """
+    x = F.col(value_col).cast("long")
+    per = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"))
+    sg2_over_n = (F.col("_s").cast("double") * F.col("_s").cast("double")
+                  / F.col("_n").cast("double"))
+    agg = per.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("_s").cast("long").alias("_ts"),
+        F.sum("_q").cast("long").alias("_tq"),
+        F.sum(sg2_over_n).alias("_sg"))
+    n = F.col("n").cast("double")
+    cm = F.col("_ts").cast("double") * F.col("_ts").cast("double") / n
+    sst = F.col("_tq").cast("double") - cm
+    ssb = F.col("_sg") - cm
+    ssw = sst - ssb
+    kd = F.col("k").cast("double")
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return agg.select(
+        "n", "k",
+        F.when(ok, F.round((ssb / (kd - 1))
+                           / (ssw / (n - kd)), 6)).alias("f_stat"),
+        F.when(ok & (sst > 0), F.round(ssb / sst, 6)).alias("eta_sq"))

@@ -4619,3 +4619,70 @@ def events_label_propagation(spark, sf_dir):
                   F.get_json_object("props", "$.k").try_cast("long")
                   .alias("item")))
     return label_propagation(ev, rounds=3)
+
+
+# --- E231: one-way ANOVA (value by event type) ------------------------------------
+@register(
+    "events_anova_value",
+    """
+    WITH per AS (
+      SELECT event_type AS g, count(*)::BIGINT AS n,
+             sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS s,
+             sum(CAST(floor(value * 100) AS BIGINT)
+                 * CAST(floor(value * 100) AS BIGINT))::BIGINT AS q
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+             sum(s)::BIGINT AS ts, sum(q)::BIGINT AS tq,
+             sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS sg
+      FROM per
+    )
+    SELECT n, k,
+           CASE WHEN k >= 2 AND n > k
+                 AND (CAST(tq AS DOUBLE)
+                      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   - (sg - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                           / CAST(n AS DOUBLE)) > 0
+                THEN round(
+                  ((sg - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (k - 1))
+                  / (((CAST(tq AS DOUBLE)
+                       - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      - (sg - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                              / CAST(n AS DOUBLE))) / (n - k)), 6)
+           END AS f_stat,
+           CASE WHEN k >= 2 AND n > k
+                 AND (CAST(tq AS DOUBLE)
+                      - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   - (sg - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                           / CAST(n AS DOUBLE)) > 0
+                 AND CAST(tq AS DOUBLE)
+                     - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0
+                THEN round((sg - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                           / (CAST(tq AS DOUBLE)
+                              - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                                / CAST(n AS DOUBLE)), 6)
+           END AS eta_sq
+    FROM a
+    """,
+    doc="one-way ANOVA of event value (cents) across the five event "
+        "types: per-group (n, Sx, Sxx) exact BIGINTs from one hash "
+        "aggregate, sums of squares expanded algebraically so doubles "
+        "appear only in the final k-row expression; F plus the "
+        "readable eta-squared effect size — the k-group companion to "
+        "the Welch-z and rank-sum faces",
+)
+def events_anova_value(spark, sf_dir):
+    from .operators.grouped import oneway_anova
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    return oneway_anova(ev, "event_type", "cents")

@@ -1643,3 +1643,41 @@ def test_lpa_isolated_from_seeds_stays_null(spark):
     df = spark.createDataFrame(rows, "user_id long, item long")
     rows_out = label_propagation(df, rounds=3).collect()
     assert all(r.label is None for r in rows_out)
+
+
+# ------------------------------------------------------------------- ANOVA ----
+
+def test_anova_hand_computed(spark):
+    """Groups (1,2,3) and (4,5,6): means 2 and 5, grand mean 3.5;
+    SSB = 3*(1.5^2)*2 = 13.5, SSW = 2+2 = 4 -> F = 13.5/(4/4) = 13.5,
+    eta^2 = 13.5/17.5."""
+    from big_data_hw_23_24_spark.operators.grouped import oneway_anova
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)],
+        "g string, v long")
+    r = oneway_anova(df, "g", "v").collect()[0]
+    assert (r.n, r.k) == (6, 2)
+    assert r.f_stat == 13.5
+    assert r.eta_sq == round(13.5 / 17.5, 6)
+
+
+def test_anova_identical_groups_f_zero(spark):
+    from big_data_hw_23_24_spark.operators.grouped import oneway_anova
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 1), ("b", 3)], "g string, v long")
+    r = oneway_anova(df, "g", "v").collect()[0]
+    assert r.f_stat == 0.0 and r.eta_sq == 0.0
+
+
+def test_anova_degenerate_nulls(spark):
+    from big_data_hw_23_24_spark.operators.grouped import oneway_anova
+
+    # single group -> k < 2; constant values -> SSW = 0
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    r = oneway_anova(one, "g", "v").collect()[0]
+    assert r.f_stat is None
+    const = spark.createDataFrame([("a", 5), ("b", 5)], "g string, v long")
+    r = oneway_anova(const, "g", "v").collect()[0]
+    assert r.f_stat is None

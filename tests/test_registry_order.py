@@ -842,6 +842,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   calibration on the bucket grid
         "events_label_propagation",  # r13: clamped-seed majority LPA,
                                      #   3 synchronous rounds
+        "events_anova_value",        # r13: one-way ANOVA, exact
+                                     #   sufficient statistics
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
