@@ -232,6 +232,7 @@ HEADLINE = [
     "events_isotonic_purchase",  # PAV minimax calibration fit
     "events_label_propagation",  # clamped-seed majority LPA, 3 rounds
     "events_anova_value",       # one-way ANOVA, F + eta-squared
+    "events_ccf_view_purchase",  # lead-lag CCF, exact moment sums
     # dedup_eval_lsh_recall is deliberately NOT benched: it runs BOTH
     # the exact setsim join and the banded pipeline on a dual-salted
     # corpus (~9 s at sf0.1) — a run-once rollout gate whose two

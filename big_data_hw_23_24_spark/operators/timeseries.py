@@ -752,3 +752,69 @@ def autocorrelation(df: DataFrame, group_cols: list[str], t_col: str,
     den = n * (n * q_ - s_ * s_)
     return j.select(*group_cols, "lag", "n_days", "n_pairs",
                     F.when(den > 0, F.round(num / den, 6)).alias("acf"))
+
+
+def cross_correlation(dfx: DataFrame, dfy: DataFrame, t_col: str,
+                      y_col: str, lags: list[int]) -> DataFrame:
+    """Lead-lag cross-correlation between two integer-indexed series
+    (E232) → one row per lag with ≥ 1 pair: ``(lag, n_pairs, ccf)``.
+
+    The direction readout the per-series ACF (E219) can't give:
+    ccf(k) correlates x at day t with y at day t+k — a peak at
+    POSITIVE k says x LEADS y by k days (views today, purchases in
+    three days: the funnel latency read from aggregates alone);
+    negative lags probe the reverse direction. Same estimator
+    convention as the ACF: full-series means and variances, so lags
+    are comparable and |ccf| ≤ 1.
+
+    Determinism: integral series only; the expanded numerator
+    n²·Σ(x_t−x̄)(y_{t+k}−ȳ) = n²P − n·Sx·B − n·Sy·A + m·Sx·Sy and the
+    denominator pieces (nQ − S²) accumulate as DECIMAL(38,0) — exact
+    and order-independent — with ONE final double ratio through the
+    same expression in both engines. The two series must share the
+    SAME observation grid length n (enforced: both sides are first
+    inner-joined to the common grid, so x̄/ȳ are over the same days —
+    unequal-support CCF is a different, ill-posed estimator).
+
+    Scale shape: inputs are (t, y) grids (aggregate first); the
+    common grid is one inner join; lag pairing is a grid equi-join on
+    t+lag after a #lags explode; moments are two hash aggregates.
+    """
+    gx = dfx.select(F.col(t_col).cast("long").alias("_t"),
+                    F.col(y_col).cast("long").alias("_x"))
+    gy = dfy.select(F.col(t_col).cast("long").alias("_t"),
+                    F.col(y_col).cast("long").alias("_y"))
+    both = gx.join(gy, "_t").localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    glob = both.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_qx"),
+        F.sum((F.col("_y") * F.col("_y")).cast(dec)).alias("_qy"))
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    left = (both.withColumn("lag", F.explode(lag_arr))
+            .select("lag", F.col("_x").alias("_xl"),
+                    (F.col("_t") + F.col("lag")).alias("_tr")))
+    right = both.select(F.col("_t").alias("_tr"),
+                        F.col("_y").alias("_yr"))
+    pairs = (left.join(right, "_tr")
+             .groupBy("lag")
+             .agg(F.count("*").cast("long").alias("n_pairs"),
+                  F.sum((F.col("_xl") * F.col("_yr")).cast(dec))
+                  .alias("_p"),
+                  F.sum(F.col("_xl").cast(dec)).alias("_a"),
+                  F.sum(F.col("_yr").cast(dec)).alias("_b")))
+    j = pairs.crossJoin(F.broadcast(glob))
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    qx, qy = F.col("_qx").cast("double"), F.col("_qy").cast("double")
+    p_, m_ = F.col("_p").cast("double"), F.col("n_pairs").cast("double")
+    a_, b_ = F.col("_a").cast("double"), F.col("_b").cast("double")
+    num = n * n * p_ - n * sx * b_ - n * sy * a_ + m_ * sx * sy
+    vx = n * qx - sx * sx
+    vy = n * qy - sy * sy
+    return j.select("lag", "n_pairs",
+                    F.when((vx > 0) & (vy > 0),
+                           F.round(num / (n * F.sqrt(vx * vy)), 6))
+                    .alias("ccf"))

@@ -4686,3 +4686,82 @@ def events_anova_value(spark, sf_dir):
         "event_type",
         F.floor(F.col("value") * 100).cast("long").alias("cents"))
     return oneway_anova(ev, "event_type", "cents")
+
+
+# --- E232: lead-lag cross-correlation (view -> purchase) ---------------------------
+@register(
+    "events_ccf_view_purchase",
+    """
+    WITH dx AS (
+      SELECT (epoch_ns(ts) // 1000) // 86400000000 AS t,
+             count(*)::BIGINT AS x
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    dy AS (
+      SELECT (epoch_ns(ts) // 1000) // 86400000000 AS t,
+             count(*)::BIGINT AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    xy AS (SELECT dx.t, dx.x, dy.y FROM dx JOIN dy USING (t)),
+    g AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * x) AS qx,
+             sum(CAST(y AS DECIMAL(38,0)) * y) AS qy
+      FROM xy
+    ),
+    p AS (
+      SELECT k.lag, count(*)::BIGINT AS n_pairs,
+             sum(CAST(l.x AS DECIMAL(38,0)) * r.y) AS p,
+             sum(CAST(l.x AS DECIMAL(38,0))) AS a,
+             sum(CAST(r.y AS DECIMAL(38,0))) AS b
+      FROM xy l
+      CROSS JOIN (VALUES (-7), (-3), (-1), (1), (3), (7)) k(lag)
+      JOIN xy r ON r.t = l.t + k.lag
+      GROUP BY 1
+    )
+    SELECT p.lag, p.n_pairs,
+           CASE WHEN CAST(g.n AS DOUBLE) * CAST(g.qx AS DOUBLE)
+                     - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) > 0
+                 AND CAST(g.n AS DOUBLE) * CAST(g.qy AS DOUBLE)
+                     - CAST(g.sy AS DOUBLE) * CAST(g.sy AS DOUBLE) > 0
+                THEN round(
+                  (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+                     * CAST(p.p AS DOUBLE)
+                   - CAST(g.n AS DOUBLE) * CAST(g.sx AS DOUBLE)
+                     * CAST(p.b AS DOUBLE)
+                   - CAST(g.n AS DOUBLE) * CAST(g.sy AS DOUBLE)
+                     * CAST(p.a AS DOUBLE)
+                   + CAST(p.n_pairs AS DOUBLE) * CAST(g.sx AS DOUBLE)
+                     * CAST(g.sy AS DOUBLE))
+                  / (CAST(g.n AS DOUBLE)
+                     * sqrt((CAST(g.n AS DOUBLE) * CAST(g.qx AS DOUBLE)
+                             - CAST(g.sx AS DOUBLE)
+                               * CAST(g.sx AS DOUBLE))
+                            * (CAST(g.n AS DOUBLE)
+                               * CAST(g.qy AS DOUBLE)
+                               - CAST(g.sy AS DOUBLE)
+                                 * CAST(g.sy AS DOUBLE)))), 6)
+           END AS ccf
+    FROM p, g
+    """,
+    doc="lead-lag cross-correlation of daily view volume vs purchase "
+        "volume at lags +-1/3/7 — a peak at positive lag says views "
+        "LEAD purchases by that many days (funnel latency from "
+        "aggregates alone); the ACF face's exact DECIMAL expansion "
+        "with both series inner-joined to one observation grid, UTC "
+        "pinned",
+)
+def events_ccf_view_purchase(spark, sf_dir):
+    from .operators.timeseries import cross_correlation, ticks_us
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    d = F.floor(ticks_us(ev) / F.lit(86_400_000_000)).cast("long")
+    def daily(tp):
+        return (ev.where(F.col("event_type") == tp)
+                .select(d.alias("t"))
+                .groupBy("t").agg(F.count("*").cast("long").alias("y")))
+    return cross_correlation(daily("view"), daily("purchase"),
+                             "t", "y", [-7, -3, -1, 1, 3, 7])

@@ -1681,3 +1681,38 @@ def test_anova_degenerate_nulls(spark):
     const = spark.createDataFrame([("a", 5), ("b", 5)], "g string, v long")
     r = oneway_anova(const, "g", "v").collect()[0]
     assert r.f_stat is None
+
+
+# --------------------------------------------------------------------- CCF ----
+
+def test_ccf_detects_planted_lead(spark):
+    """y is x shifted by +2 days exactly: ccf peaks at lag 2 with
+    value 1.0 (perfect lead), and the reverse lag is weaker."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        cross_correlation)
+
+    xs = [(t, (t * 7919) % 13) for t in range(30)]
+    dfx = spark.createDataFrame(xs, "t int, y long")
+    dfy = spark.createDataFrame([(t + 2, v) for t, v in xs],
+                                "t int, y long")
+    got = {r.lag: r.ccf for r in
+           cross_correlation(dfx, dfy, "t", "y",
+                             [-2, 0, 2]).collect()}
+    # common grid: t in [2, 29]; at lag +2, x_t pairs with y_{t+2} =
+    # x_t -> near-perfect correlation on the overlapping window
+    # full-series means + truncated pairing window keep it just shy
+    # of 1.0 (the estimator convention, same as the ACF face)
+    assert got[2] is not None and got[2] > 0.9
+    assert got[2] > abs(got[-2])
+
+
+def test_ccf_constant_series_null(spark):
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        cross_correlation)
+
+    dfx = spark.createDataFrame([(t, 5) for t in range(10)],
+                                "t int, y long")
+    dfy = spark.createDataFrame([(t, (t * 31) % 7) for t in range(10)],
+                                "t int, y long")
+    rows = cross_correlation(dfx, dfy, "t", "y", [1]).collect()
+    assert rows[0].ccf is None

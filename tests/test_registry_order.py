@@ -844,6 +844,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   3 synchronous rounds
         "events_anova_value",        # r13: one-way ANOVA, exact
                                      #   sufficient statistics
+        "events_ccf_view_purchase",  # r13: lead-lag cross-correlation
+                                     #   on the shared day grid
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
