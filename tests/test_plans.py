@@ -530,6 +530,10 @@ _CARTESIAN_ALLOWLIST = {
                                      #   the ~50-bucket calibration
                                      #   grid — O(B^3) BY DESIGN, the
                                      #   corpus never enters the joins
+    "events_hits_authority",         # 1-row max-authority broadcast
+                                     #   for the final normalization
+    "events_ccf_view_purchase",      # 1-row global-moments broadcast
+                                     #   onto the #lags-row pair table
 }
 
 
