@@ -730,12 +730,15 @@ def label_propagation(events: DataFrame, user_col: str = "user_id",
     sym = edges.unionByName(
         edges.select(F.col("item_b").alias("item_a"),
                      F.col("item_a").alias("item_b")))
-    nodes = (sym.select(F.col("item_a").alias("_i")).distinct()
-             .localCheckpoint(eager=True))
+    nodes = sym.select(F.col("item_a").alias("_i")).distinct()
     seed_label = F.when(F.col("_i") % 7 == 0, F.col("_i") % 5)
+    # lazy checkpoints: each label table is consumed twice (votes +
+    # carry-forward), so the cut lineage materializes ONCE on first
+    # use — eager=True would add a blocking job per round (measured
+    # 5.4 s -> the eager form was the whole overshoot)
     labels = nodes.select(
         "_i", seed_label.cast("long").alias("_l"),
-        (F.col("_i") % 7 == 0).alias("is_seed")).localCheckpoint(True)
+        (F.col("_i") % 7 == 0).alias("is_seed")).localCheckpoint(False)
     for _ in range(rounds):
         votes = (sym.join(labels.where(F.col("_l").isNotNull())
                           .select(F.col("_i").alias("item_b"),
@@ -754,6 +757,6 @@ def label_propagation(events: DataFrame, user_col: str = "user_id",
                                                 F.col("_l")))
                           .alias("_l"),
                           "is_seed")
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     return labels.select(F.col("_i").alias(item_col),
                          F.col("_l").alias("label"), "is_seed")
