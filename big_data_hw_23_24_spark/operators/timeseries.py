@@ -818,3 +818,51 @@ def cross_correlation(dfx: DataFrame, dfy: DataFrame, t_col: str,
                     F.when((vx > 0) & (vy > 0),
                            F.round(num / (n * F.sqrt(vx * vy)), 6))
                     .alias("ccf"))
+
+
+def time_weighted_average(df: DataFrame, group_col: str, ts_col: str,
+                          value_col: str, id_col: str) -> DataFrame:
+    """Time-weighted average of a step signal per group (E233) → one
+    row per group: ``(group, n_events, span_us, twa)``.
+
+    The average a plain mean gets WRONG whenever observations arrive
+    unevenly: a price that sat at 100 for an hour and ticked to 0 for
+    a second averages ~100, not 50 — the TWAP/OEE/utilization
+    convention (each observation holds until the next one). twa =
+    Σ (t_{i+1} − t_i)·v_i / (t_last − t_first), the step-function
+    integral; the final observation carries no weight (nothing holds
+    after it — the standard right-open convention). Groups with < 2
+    events → null by contract (no interval to integrate).
+
+    Determinism: interval widths are exact integer MICROSECONDS
+    (the ticks_us contract, same-tick ties broken by the id column so
+    both engines order identically — zero-width intervals contribute
+    zero either way) and values are exact integer cents; each term
+    dt·v is an exact product accumulated as DECIMAL(38,0), with ONE
+    double division at the end. Bounds: 30 days ≈ 2.6e12 µs × cents —
+    a 1e25 ceiling per group leaves 13 orders of headroom.
+
+    Scale shape: ONE lag window partitioned by the group key
+    (key-partitioned, never a global window) + one hash aggregate.
+    """
+    w = (Window.partitionBy("_g")
+         .orderBy(F.col("_t"), F.col("_id")))
+    base = df.select(F.col(group_col).alias("_g"),
+                     F.col(ts_col).cast("long").alias("_t"),
+                     F.col(value_col).cast("long").alias("_v"),
+                     F.col(id_col).alias("_id"))
+    stepped = base.withColumn("_tn", F.lead("_t").over(w))
+    dec = "decimal(38,0)"
+    agg = stepped.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("_t") - F.min("_t")).cast("long").alias("span_us"),
+        F.sum(F.when(F.col("_tn").isNotNull(),
+                     ((F.col("_tn") - F.col("_t")) * F.col("_v"))
+                     .cast(dec)).otherwise(F.lit(0).cast(dec)))
+        .alias("_num"))
+    return agg.select(
+        F.col("_g").alias(group_col), "n_events", "span_us",
+        F.when(F.col("span_us") > 0,
+               F.round(F.col("_num").cast("double")
+                       / F.col("span_us").cast("double"), 6))
+        .alias("twa"))

@@ -4765,3 +4765,48 @@ def events_ccf_view_purchase(spark, sf_dir):
                 .groupBy("t").agg(F.count("*").cast("long").alias("y")))
     return cross_correlation(daily("view"), daily("purchase"),
                              "t", "y", [-7, -3, -1, 1, 3, 7])
+
+
+# --- E233: time-weighted average value per event type -------------------------------
+@register(
+    "events_twap_value",
+    """
+    WITH base AS (
+      SELECT event_type AS g, epoch_ns(ts) // 1000 AS t,
+             CAST(floor(value * 100) AS BIGINT) AS v, event_id AS id
+      FROM events
+    ),
+    stepped AS (
+      SELECT g, t, v,
+             lead(t) OVER (PARTITION BY g ORDER BY t, id) AS tn
+      FROM base
+    )
+    SELECT g AS event_type, count(*)::BIGINT AS n_events,
+           (max(t) - min(t))::BIGINT AS span_us,
+           CASE WHEN max(t) - min(t) > 0
+                THEN round(CAST(sum(CASE WHEN tn IS NOT NULL
+                                         THEN CAST((tn - t) AS
+                                              DECIMAL(38,0)) * v
+                                         ELSE 0 END) AS DOUBLE)
+                           / CAST(max(t) - min(t) AS DOUBLE), 6)
+           END AS twa
+    FROM stepped GROUP BY 1
+    """,
+    doc="time-weighted average value (cents) per event type: each "
+        "observation holds until the next (right-open step "
+        "convention), interval widths in exact integer microseconds x "
+        "integer cents accumulated as DECIMAL(38,0), one final double "
+        "division — the average a plain mean gets wrong under uneven "
+        "arrivals; ONE key-partitioned lag window + one hash "
+        "aggregate",
+)
+def events_twap_value(spark, sf_dir):
+    from .operators.timeseries import ticks_us, time_weighted_average
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type",
+                     ticks_us(ev).alias("t"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents"),
+                     F.col("event_id").alias("id"))
+    return time_weighted_average(base, "event_type", "t", "cents", "id")

@@ -1716,3 +1716,43 @@ def test_ccf_constant_series_null(spark):
                                 "t int, y long")
     rows = cross_correlation(dfx, dfy, "t", "y", [1]).collect()
     assert rows[0].ccf is None
+
+
+# -------------------------------------------------------------------- TWAP ----
+
+def test_twap_holds_value_until_next_observation(spark):
+    """100 held for 9 us then 0 for 1 us: twa = 900/10 = 90 — the
+    plain mean (50) is exactly what this operator exists to avoid;
+    the final observation carries no weight."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        time_weighted_average)
+
+    df = spark.createDataFrame(
+        [("a", 0, 100, 1), ("a", 9, 0, 2), ("a", 10, 555, 3)],
+        "g string, t long, v long, id long")
+    r = time_weighted_average(df, "g", "t", "v", "id").collect()[0]
+    assert r.span_us == 10 and r.n_events == 3
+    assert r.twa == 90.0  # (9*100 + 1*0)/10; 555 holds nothing
+
+
+def test_twap_single_event_null(spark):
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        time_weighted_average)
+
+    df = spark.createDataFrame([("a", 5, 100, 1)],
+                               "g string, t long, v long, id long")
+    r = time_weighted_average(df, "g", "t", "v", "id").collect()[0]
+    assert r.twa is None and r.span_us == 0
+
+
+def test_twap_same_tick_zero_width(spark):
+    """Two observations on the same tick: the earlier (by id) holds a
+    zero-width interval — it cannot move the average."""
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        time_weighted_average)
+
+    df = spark.createDataFrame(
+        [("a", 0, 7, 1), ("a", 0, 100, 2), ("a", 4, 0, 3)],
+        "g string, t long, v long, id long")
+    r = time_weighted_average(df, "g", "t", "v", "id").collect()[0]
+    assert r.twa == 100.0  # only the id-2 observation holds width

@@ -846,6 +846,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   sufficient statistics
         "events_ccf_view_purchase",  # r13: lead-lag cross-correlation
                                      #   on the shared day grid
+        "events_twap_value",         # r13: step-function time-weighted
+                                     #   average, exact us x cents
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
