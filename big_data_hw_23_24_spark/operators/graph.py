@@ -675,9 +675,12 @@ def hits_scores(events: DataFrame, user_col: str = "user_id",
     h = (inc.select("_u").distinct()
          .withColumn("_h", F.lit(1).cast(dec)))
     a = None
-    for _ in range(double_rounds):
+    for r in range(double_rounds):
         a = (inc.join(h, "_u")
              .groupBy("_i").agg(F.sum("_h").cast(dec).alias("_a")))
+        if r == double_rounds - 1:
+            break  # only authorities are reported — the final
+            # h-update would be one wasted join + hash aggregate
         h = (inc.join(a, "_i")
              .groupBy("_u").agg(F.sum("_a").cast(dec).alias("_h")))
     amax = a.agg(F.max("_a").alias("_m"))

@@ -912,12 +912,20 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str,
     funnels one reducer (no ``Window.partitionBy(group)`` anywhere).
     ``id_col`` is unused for ranking (ties collapse to mid-ranks) —
     it stays in the signature as the row identity contract.
+
+    NULL contract: rows with a NULL x or y are DROPPED up front (the
+    filter is explicit, not an accident of the stitch-back equi-joins)
+    and the oracle mirrors the same ``WHERE x IS NOT NULL AND y IS NOT
+    NULL`` — a SQL rank() window would otherwise rank NULLs and the
+    two engines would disagree on both n and rho.
     """
     from .ranking import global_cumsum
 
-    base = (df.select(F.col(group_col).alias("_g"),
-                      F.col(x_col).alias("_x"),
-                      F.col(y_col).alias("_y"))
+    base = (df.filter(F.col(x_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+            .select(F.col(group_col).alias("_g"),
+                    F.col(x_col).alias("_x"),
+                    F.col(y_col).alias("_y"))
             .localCheckpoint(eager=True))
 
     def axis_grid(col: str, out: str) -> DataFrame:
@@ -1148,8 +1156,14 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str
     group sufficient statistics (n, Σx, Σx²) are exact BIGINTs from
     ONE map-side-combinable hash aggregate, and the sums of squares
     expand algebraically (SST = ΣΣx² − (ΣΣx)²/n, SSB = Σ(Sg²/ng) −
-    (ΣΣx)²/n) so doubles appear only in the final k-row expression —
-    the same expression in both engines, 6-dp parity structural.
+    (ΣΣx)²/n). The ONE non-integer accumulation — Σ over groups of
+    Sg²/ng — is folded over the k-row array SORTED BY GROUP KEY
+    (``sort_array`` + ``aggregate``), never a distributed double SUM,
+    so the fold order is fixed and run-to-run identical regardless of
+    partitioning. Residual honest surface: the oracle's double sum
+    over the same k terms may associate differently; with k bounded
+    (a handful of group labels) and 6-dp rounding the parity is
+    structural in practice, not bit-proven.
 
     Shape: one corpus-scale aggregate to k rows; everything after is
     k-row arithmetic crossed with a 1-row total.
@@ -1166,7 +1180,12 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str
         F.count("*").cast("long").alias("k"),
         F.sum("_s").cast("long").alias("_ts"),
         F.sum("_q").cast("long").alias("_tq"),
-        F.sum(sg2_over_n).alias("_sg"))
+        F.aggregate(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("_g").alias("g"),
+                         sg2_over_n.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"]).alias("_sg"))
     n = F.col("n").cast("double")
     cm = F.col("_ts").cast("double") * F.col("_ts").cast("double") / n
     sst = F.col("_tq").cast("double") - cm

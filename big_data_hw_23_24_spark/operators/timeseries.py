@@ -838,9 +838,13 @@ def time_weighted_average(df: DataFrame, group_col: str, ts_col: str,
     (the ticks_us contract, same-tick ties broken by the id column so
     both engines order identically — zero-width intervals contribute
     zero either way) and values are exact integer cents; each term
-    dt·v is an exact product accumulated as DECIMAL(38,0), with ONE
-    double division at the end. Bounds: 30 days ≈ 2.6e12 µs × cents —
-    a 1e25 ceiling per group leaves 13 orders of headroom.
+    dt·v is an exact product MULTIPLIED IN DECIMAL(38,0) — the dt
+    operand is cast before the multiply, matching the oracle's
+    ``CAST((tn - t) AS DECIMAL(38,0)) * v``, so a long-held interval
+    times large cents can never wrap in non-ANSI BIGINT arithmetic —
+    and accumulated as DECIMAL(38,0), with ONE double division at the
+    end. Bounds: 30 days ≈ 2.6e12 µs × cents — a 1e25 ceiling per
+    group leaves 13 orders of headroom.
 
     Scale shape: ONE lag window partitioned by the group key
     (key-partitioned, never a global window) + one hash aggregate.
@@ -857,8 +861,9 @@ def time_weighted_average(df: DataFrame, group_col: str, ts_col: str,
         F.count("*").cast("long").alias("n_events"),
         (F.max("_t") - F.min("_t")).cast("long").alias("span_us"),
         F.sum(F.when(F.col("_tn").isNotNull(),
-                     ((F.col("_tn") - F.col("_t")) * F.col("_v"))
-                     .cast(dec)).otherwise(F.lit(0).cast(dec)))
+                     ((F.col("_tn") - F.col("_t")).cast(dec)
+                      * F.col("_v")).cast(dec))
+              .otherwise(F.lit(0).cast(dec)))
         .alias("_num"))
     return agg.select(
         F.col("_g").alias(group_col), "n_events", "span_us",

@@ -4008,6 +4008,7 @@ def customers_dormant_rich(spark, sf_dir):
                + count(*) OVER (PARTITION BY event_type, value) - 1
                AS ry
       FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     a AS (
       SELECT g, count(*)::BIGINT AS n,
