@@ -74,51 +74,21 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r13 rotation: the 19-query r12 queue admitted (none ever
-    # driver-checked), over 19 retired holdovers (each earned ≥2
-    # greens — six 5-green, six 4-green, seven 3-green; all annotated
-    # with their in-window or incoming sibling in
-    # tests/test_registry_order.py::declared_redundant).
-    # Kept multi-green members cover machinery with no other
-    # in-window sibling: tokenizer pre-stats, pinned SimHash,
-    # streaming backfill (the window's only streaming face), oriented
-    # triangle counting.
-    # ---- r9 queue admitted in r10 (E131-E144), kept members ----
-    "streaming_backfill_catchup",
-    "dedup_simhash_pinned",
-    "doc_pretoken_stats",
-    "events_item_triangles",
-    # ---- r10 queue admitted in r11 (E145-E156), 2 greens each ----
-    "events_percentile_drift",
-    "knn_eval_ivf",
-    "media_block_dedup",
-    "parts_skyline",
-    "orders_itemset_triples",
-    "doc_hybrid_rrf",
-    "corpus_drift_psi",
-    "events_attribution",
-    "events_kmv_setops",
-    "corpus_incremental_stats",
-    "parts_hierarchy_rollup",
-    "events_zorder_pruning",
-    # ---- r11 queue admitted in r12 (E157-E171) ----
-    "doc_linkage_blocked",
-    "doc_linkage_snm",
-    "events_calendar_gaps",
-    "orders_benford_audit",
+    # ---- r14 rotation: 30 of the 44-query r13 queue admitted (none
+    # ever driver-checked), over 30 retired holdovers (each earned ≥2
+    # greens — four 4-green, twelve 3-green, fourteen 2-green; all
+    # annotated with their in-window or incoming sibling in
+    # tests/test_registry_order.py::declared_redundant). The one kept
+    # multi-green member covers machinery with no other in-window
+    # sibling: media_header_parse, the multimodal tier's only window
+    # face (the tier the judge tracks as `partial`). The 14 names
+    # still queued (the 8 TPC-H shapes + 6 shape variants of admitted
+    # machinery) wait for the r15 rotation — post-r14 queue depth 14,
+    # inside the ≤15 drain target (VERDICT r13 task 2).
+    # ---- r11 queue admitted in r12, kept member ----
     "media_header_parse",
-    "dedup_eval_bcubed",
-    "doc_homoglyph_scan",
-    "corpus_profile_report",
-    "lineitem_contracts",
-    "knn_reciprocal_best",
-    "corpus_shard_movement",
-    "events_type_trend",
-    "corpus_weighted_median_length",
-    "doc_prefix_completions",
-    "embedding_centroid_drift",
     # ---- r12 queue admitted in r13 (E172-E189 + knn_eval_reciprocal),
-    # never driver-checked before this window ----
+    # first driver-checked (green) in r13 ----
     "knn_reciprocal_ivf",
     "knn_eval_reciprocal",
     "events_interval_join",
@@ -138,6 +108,41 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "customers_typo_pairs",
     "events_ewma_forecast",
     "users_survival_km",
+    # ---- r13 queue admitted in r14 (30 of 44; E190-E233), never
+    # driver-checked before this window. Ordered new-machinery-first
+    # per the r13 verdict: layout/streaming/graph/eval tiers, then
+    # the stats battery. ----
+    "events_hilbert_pruning",
+    "events_label_propagation",
+    "events_hits_authority",
+    "events_peak_concurrency",
+    "streaming_late_data_audit",
+    "orders_ivm_join_view",
+    "events_orc_roundtrip",
+    "knn_hubness",
+    "knn_prefix_dim_eval",
+    "embedding_silhouette",
+    "dedup_eval_lsh_recall",
+    "events_rec_hitrate",
+    "doc_retrieval_mrr",
+    "events_link_prediction",
+    "events_graph_assortativity",
+    "embedding_triplet_mining",
+    "embedding_top_eigen",
+    "corpus_jsd_matrix",
+    "schema_fk_orphans",
+    # the stats battery (exact sufficient statistics tier)
+    "events_cusum_changepoint",
+    "events_theilsen_trend",
+    "events_mannwhitney",
+    "customers_revenue_gini",
+    "events_chisq_independence",
+    "events_spearman_drift",
+    "events_acf_daily",
+    "users_bh_fdr",
+    "events_isotonic_purchase",
+    "events_anova_value",
+    "events_twap_value",
 )
 
 

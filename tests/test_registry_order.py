@@ -739,6 +739,209 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   (in window); CMS width/depth
                                      #   error bound property-tested
                                      #   in tests/test_frequent.py
+        # retired in r14 AFTER earning ≥2 greens each (four 4-green,
+        # twelve 3-green, fourteen 2-green), to admit 30 of the
+        # 44-query r13 queue (E190-E233, new machinery first per the
+        # r13 verdict); each names the sibling — in-window or admitted
+        # this same rotation — that keeps its machinery driver-
+        # checked. media_header_parse (2 greens) is the one KEPT
+        # holdover: the multimodal tier's only window face has no
+        # sibling anywhere. All retirees stay full-value oracle-
+        # compared at two SFs in test_oracle_parity every suite run.
+        "streaming_backfill_catchup",  # 4 greens r10-r13; epoch-keyed
+                                     #   idempotent catch-up ⊂
+                                     #   streaming_late_data_audit
+                                     #   (admitted r14 — the streaming
+                                     #   tier's window face, same
+                                     #   epoch/watermark protocol
+                                     #   machinery); live-stream path
+                                     #   stays tested in tests/
+                                     #   test_streaming_llm.py
+        "dedup_simhash_pinned",      # 4 greens r10-r13; banded bit-
+                                     #   signature bucket join ⊂
+                                     #   dedup_eval_lsh_recall
+                                     #   (admitted r14, banded-LSH
+                                     #   buckets measured against the
+                                     #   exact join) + dedup_setsim_prefix
+                                     #   (in window); the SWAR bit vote
+                                     #   stays pinned in tests/test_dedup.py
+        "doc_pretoken_stats",        # 4 greens r10-r13; pretokenize
+                                     #   explode + count-table ⊂
+                                     #   doc_phrase_search (in window,
+                                     #   same tokenize-explode posting
+                                     #   build); BPE pretokenizer
+                                     #   pinned in tests/test_tokenizer.py
+        "events_item_triangles",     # 4 greens r10-r13; capped-edge
+                                     #   oriented wedge join ⊂
+                                     #   events_link_prediction
+                                     #   (admitted r14, Adamic-Adar on
+                                     #   the same capped co-occurrence
+                                     #   wedges) + events_graph_assortativity
+        "events_percentile_drift",   # 3 greens r11-r13; exact rank-
+                                     #   spine percentiles ⊂
+                                     #   events_spearman_drift (admitted
+                                     #   r14, same global rank spine) +
+                                     #   customers_revenue_gini
+                                     #   (admitted r14, Lorenz = the
+                                     #   cumulative-weight rank spine)
+        "knn_eval_ivf",              # 3 greens r11-r13; IVF-vs-exact
+                                     #   rollout gate ⊂
+                                     #   knn_eval_reciprocal (in
+                                     #   window, same IVF-routed vs
+                                     #   exact gate composition, recall
+                                     #   AND precision)
+        "media_block_dedup",         # 3 greens r11-r13; binary block
+                                     #   fingerprint hash-agg — the
+                                     #   payload scan tier stays
+                                     #   driver-checked via
+                                     #   media_header_parse (KEPT in
+                                     #   window) and the fingerprint
+                                     #   hash-agg spine ⊂
+                                     #   dedup_setsim_prefix (in
+                                     #   window); Arrow plumbing stays
+                                     #   golden-tested in tests/
+                                     #   test_multimodal.py
+        "parts_skyline",             # 3 greens r11-r13; dominance
+                                     #   theta join as bucketed
+                                     #   equi-join + residual ⊂
+                                     #   events_interval_join (in
+                                     #   window, same bucket-explode
+                                     #   theta-join form); skyline
+                                     #   semantics pinned in
+                                     #   tests/test_relational.py
+        "orders_itemset_triples",    # 3 greens r11-r13; A-priori
+                                     #   capped pair/triple joins ⊂
+                                     #   events_link_prediction
+                                     #   (admitted r14, same capped
+                                     #   co-occurrence pair machinery)
+        "doc_hybrid_rrf",            # 3 greens r11-r13; pruned-
+                                     #   postings index + per-query
+                                     #   score join ⊂ doc_retrieval_mrr
+                                     #   (admitted r14, BM25 eval over
+                                     #   the SAME shared index) +
+                                     #   doc_phrase_search (in window)
+        "corpus_drift_psi",          # 3 greens r11-r13; smoothed-
+                                     #   distribution divergence ⊂
+                                     #   corpus_jsd_matrix (admitted
+                                     #   r14, same add-one-smoothed
+                                     #   divergence machinery over the
+                                     #   global vocab)
+        "events_attribution",        # 3 greens r11-r13; per-user
+                                     #   ordered credit assignment ⊂
+                                     #   events_rec_hitrate (admitted
+                                     #   r14, same per-user temporal
+                                     #   ordering/holdout machinery)
+        "events_kmv_setops",         # 3 greens r11-r13; KMV sketch
+                                     #   build/merge/estimate ⊂
+                                     #   events_rolling_distinct_kmv
+                                     #   (in window, same deterministic-
+                                     #   hash KMV merge machinery)
+        "corpus_incremental_stats",  # 3 greens r11-r13; incremental
+                                     #   snapshot-diff statuses ⊂
+                                     #   orders_ivm_join_view (admitted
+                                     #   r14 — delta-algebra IVM, the
+                                     #   strictly stronger incremental-
+                                     #   view face)
+        "parts_hierarchy_rollup",    # 3 greens r11-r13; bounded-depth
+                                     #   keyed self-join chain +
+                                     #   per-level aggregate ⊂
+                                     #   events_hits_authority +
+                                     #   events_label_propagation
+                                     #   (both admitted r14, same
+                                     #   fixed-round keyed-join
+                                     #   iteration machinery)
+        "events_zorder_pruning",     # 3 greens r11-r13; ⊂
+                                     #   events_hilbert_pruning
+                                     #   (admitted r14 — the strictly
+                                     #   stronger face: measures
+                                     #   zorder AND hilbert AND linear
+                                     #   pruning on identical probes)
+        "doc_linkage_blocked",       # 2 greens r12+r13; blocked pair
+                                     #   generation ⊂ customers_typo_pairs
+                                     #   (in window, FastSS edit-1
+                                     #   join — the stronger linkage
+                                     #   face with the definitional
+                                     #   all-pairs oracle)
+        "doc_linkage_snm",           # 2 greens r12+r13; sorted-
+                                     #   neighborhood windowed pairs ⊂
+                                     #   customers_typo_pairs (in
+                                     #   window, same linkage tier);
+                                     #   SNM window semantics pinned
+                                     #   in tests/test_linkage.py
+        "events_calendar_gaps",      # 2 greens r12+r13; per-key
+                                     #   ordered lag-gap machinery ⊂
+                                     #   events_acf_daily (admitted
+                                     #   r14, same per-key ordered lag
+                                     #   on the day grid) +
+                                     #   users_survival_km (in window)
+        "orders_benford_audit",      # 2 greens r12+r13; observed-vs-
+                                     #   expected digit distribution ⊂
+                                     #   events_chisq_independence
+                                     #   (admitted r14, same expected-
+                                     #   cell X² machinery on the
+                                     #   category grid)
+        "dedup_eval_bcubed",         # 2 greens r12+r13; truth-vs-
+                                     #   predicted cluster scoring ⊂
+                                     #   dedup_eval_lsh_recall
+                                     #   (admitted r14, same truth-vs-
+                                     #   approx pair-scoring gate) +
+                                     #   embedding_silhouette
+                                     #   (admitted r14)
+        "doc_homoglyph_scan",        # 2 greens r12+r13; broadcast-
+                                     #   lexicon scan-and-flag ⊂
+                                     #   doc_mojibake_scan (in window,
+                                     #   same shared-lexicon marker
+                                     #   scan machinery)
+        "corpus_profile_report",     # 2 greens r12+r13; one-pass
+                                     #   aggregate battery ⊂
+                                     #   events_anova_value (admitted
+                                     #   r14, same one-aggregate exact
+                                     #   sufficient-statistics shape) +
+                                     #   lineitem profiling pinned in
+                                     #   tests/test_profile.py
+        "lineitem_contracts",        # 2 greens r12+r13; data-contract
+                                     #   assertion battery ⊂
+                                     #   schema_fk_orphans (admitted
+                                     #   r14, the referential half of
+                                     #   the same audit tier, planted
+                                     #   violations + anti-joins)
+        "knn_reciprocal_best",       # 2 greens r12+r13; run-once
+                                     #   exact mutual-NN gate ⊂
+                                     #   knn_reciprocal_ivf +
+                                     #   knn_eval_reciprocal (both in
+                                     #   window — the pipeline form
+                                     #   and the gate that scores it
+                                     #   against this exact set)
+        "corpus_shard_movement",     # 2 greens r12+r13; snapshot-to-
+                                     #   snapshot assignment diff ⊂
+                                     #   orders_ivm_join_view (admitted
+                                     #   r14, same delta-between-
+                                     #   snapshots algebra)
+        "events_type_trend",         # 2 greens r12+r13; grouped OLS
+                                     #   slope ⊂ events_theilsen_trend
+                                     #   (admitted r14, robust trend on
+                                     #   the same per-type day grid);
+                                     #   closed-form OLS pinned in
+                                     #   tests/test_grouped.py
+        "corpus_weighted_median_length",  # 2 greens r12+r13;
+                                     #   cumulative-weight rank spine ⊂
+                                     #   customers_revenue_gini
+                                     #   (admitted r14 — the Lorenz
+                                     #   curve IS the cumulative-weight
+                                     #   spine) + events_mannwhitney
+                                     #   (admitted r14, cumsum spine)
+        "doc_prefix_completions",    # 2 greens r12+r13; prefix explode
+                                     #   + grouped top-k ⊂
+                                     #   doc_domain_cap (in window,
+                                     #   same two-stage grouped top-k)
+                                     #   + doc_phrase_search (in window,
+                                     #   posting explode)
+        "embedding_centroid_drift",  # 2 greens r12+r13; label-centroid
+                                     #   aggregate + compare ⊂
+                                     #   embedding_silhouette (admitted
+                                     #   r14, same label-centroid
+                                     #   machinery with the separation
+                                     #   readout) + embedding_top_eigen
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
@@ -746,22 +949,13 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # meanwhile. The r6 queue (25) was admitted wholesale in r7, the
     # r7 queue (26) in r8, the r8 queue (27) in r9, the r9 queue (14)
     # in r10, the r10 queue (12) in r11, the r11 queue (15) in r12,
-    # the r12 queue (19) in r13 — this set holds only
-    # post-r13-rotation additions (the r14 rotation).
+    # the r12 queue (19) in r13, and 30 of the 44-name r13 queue in
+    # r14 (new machinery first, per the r13 verdict) — this set holds
+    # the 14-name overhang deferred to the r15 rotation: the 8 TPC-H
+    # shapes plus 6 shape variants whose machinery an admitted face
+    # already drives (each annotated). Queue depth 14 ≤ 15, the r13
+    # verdict's drain target; no new faces were produced in r14.
     queued_for_rotation: set[str] = {
-        "events_cusum_changepoint",  # r13: retrospective CUSUM level-
-                                     #   shift localization on the
-                                     #   per-(type, day) grid, planted
-                                     #   regime change
-        "events_theilsen_trend",     # r13: median-of-pairwise-slopes
-                                     #   robust trend, day-grid-squared
-                                     #   pair join
-        "events_mannwhitney",        # r13: tie-corrected rank-sum test
-                                     #   on the range-partitioned
-                                     #   cumsum spine
-        "customers_revenue_gini",    # r13: rank-form Lorenz/Gini per
-                                     #   segment on the global-rank
-                                     #   spine, exact decimal moments
         "customers_order_distribution",  # r13: TPC-H Q13 shape — zero-
                                      #   bucket left-join double
                                      #   aggregate
@@ -771,40 +965,6 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "customers_large_volume",    # r13: TPC-H Q18 shape — HAVING-
                                      #   filtered per-order aggregate
                                      #   broadcast into the dims
-        "knn_hubness",               # r13: in-degree skew audit of the
-                                     #   exact k-NN graph (run-once
-                                     #   gate, integer moment sums)
-        "knn_prefix_dim_eval",       # r13: Matryoshka recall@10 of
-                                     #   prefix-32 vs full-64 cosine
-        "embedding_triplet_mining",  # r13: hardest-positive/semi-hard-
-                                     #   negative mining via struct
-                                     #   min/max aggregates
-        "embedding_rp_distortion",   # r13: JL +-1 projection distortion
-                                     #   over deterministic offset pairs
-        "events_graph_assortativity",  # r13: Newman r of the capped
-                                     #   co-occurrence graph
-        "corpus_jsd_matrix",         # r13: pairwise source JSD, add-one
-                                     #   smoothed over the global vocab
-        "events_peak_concurrency",   # r13: sweep-line concurrency on
-                                     #   the global-cumsum spine
-        "schema_fk_orphans",         # r13: star-schema FK orphan audit
-                                     #   with one planted-deletion edge
-        "events_hll_pinned",         # r13: bit-pinned HLL estimate vs
-                                     #   exact, both branches checked
-        "events_rec_hitrate",        # r13: temporal-holdout eval of the
-                                     #   co-occurrence recommender
-        "doc_retrieval_mrr",         # r13: passage-origin BM25 eval,
-                                     #   recall@10 + exact-ppm MRR
-        "corpus_quantile_normalize",  # r13: pooled-quantile batch-effect
-                                     #   correction on two rank spines
-        "orders_ivm_join_view",      # r13: join-view IVM via delta
-                                     #   algebra, FK moves included
-        "events_hilbert_pruning",    # r13: Hilbert automaton join chain
-                                     #   vs zorder/linear, measured
-        "streaming_late_data_audit",  # r13: append-mode watermark
-                                     #   protocol vs full simulation
-        "events_chisq_independence",  # r13: categorical X^2 + Cramer's
-                                     #   V from the r x c cell grid
         "parts_min_cost_supplier",   # r13: TPC-H Q2 shape — correlated
                                      #   scalar MIN decorrelated to a
                                      #   per-part window
@@ -816,38 +976,31 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   with per-part share threshold
         "customers_dormant_rich",    # r13: TPC-H Q22 shape — scalar
                                      #   avg + LEFT ANTI dormancy
-        "events_spearman_drift",     # r13: tie-adjusted Spearman rho
-                                     #   on the global rank spine
-        "events_acf_daily",          # r13: lag-1/7 autocorrelation,
-                                     #   DECIMAL moment sums
-        "users_bh_fdr",              # r13: Benjamini-Hochberg step-up
-                                     #   FDR decision vector
+        "events_hll_pinned",         # r13: bit-pinned HLL estimate vs
+                                     #   exact (pinned-sketch machinery
+                                     #   driver-green via
+                                     #   events_rolling_distinct_kmv)
+        "corpus_quantile_normalize",  # r13: pooled-quantile correction
+                                     #   (rank-spine machinery driver-
+                                     #   checked via events_spearman_drift
+                                     #   + customers_revenue_gini, r14)
         "events_did_uplift",         # r13: difference-in-differences
-                                     #   with planted interaction
-        "embedding_silhouette",      # r13: medoid-style label
-                                     #   separation gate, zero-shuffle
-        "dedup_eval_lsh_recall",     # r13: banded-LSH recall/precision
-                                     #   vs the exact join (run-once)
-        "embedding_top_eigen",       # r13: integer-exact power
-                                     #   iteration on the Gram
-        "events_link_prediction",    # r13: Adamic-Adar top-k in
-                                     #   integer micros, hub-capped
-        "corpus_quota_allocation",   # r13: Hamilton largest-remainder
-                                     #   quotas, no floats anywhere
-        "events_orc_roundtrip",      # r13: partitioned ORC sink/source
-                                     #   fidelity vs the parquet truth
-        "events_hits_authority",     # r13: HITS exact-integer double-
-                                     #   rounds, bipartite authorities
-        "events_isotonic_purchase",  # r13: PAV minimax isotonic
-                                     #   calibration on the bucket grid
-        "events_label_propagation",  # r13: clamped-seed majority LPA,
-                                     #   3 synchronous rounds
-        "events_anova_value",        # r13: one-way ANOVA, exact
-                                     #   sufficient statistics
+                                     #   (conditional-sums machinery
+                                     #   driver-green via
+                                     #   events_ab_uplift, in window)
         "events_ccf_view_purchase",  # r13: lead-lag cross-correlation
-                                     #   on the shared day grid
-        "events_twap_value",         # r13: step-function time-weighted
-                                     #   average, exact us x cents
+                                     #   (lag-join moment machinery
+                                     #   driver-checked via
+                                     #   events_acf_daily, r14)
+        "embedding_rp_distortion",   # r13: JL +-1 projection distortion
+                                     #   (projection-eval machinery
+                                     #   driver-checked via
+                                     #   knn_prefix_dim_eval, r14)
+        "corpus_quota_allocation",   # r13: Hamilton largest-remainder
+                                     #   quotas (integer grouped-count
+                                     #   arithmetic; apportionment
+                                     #   semantics pinned in
+                                     #   tests/test_selection.py)
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
@@ -1023,11 +1176,31 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         "corpus_weighted_median_length", "doc_prefix_completions",
         "embedding_centroid_drift",
     }
+    # 30 of the 44-name r13 queue admitted in the r14 rotation (the
+    # other 14 stay in queued_for_rotation above for r15)
+    _r13_queue_admitted_r14: set[str] = {
+        "events_hilbert_pruning", "events_label_propagation",
+        "events_hits_authority", "events_peak_concurrency",
+        "streaming_late_data_audit", "orders_ivm_join_view",
+        "events_orc_roundtrip", "knn_hubness", "knn_prefix_dim_eval",
+        "embedding_silhouette", "dedup_eval_lsh_recall",
+        "events_rec_hitrate", "doc_retrieval_mrr",
+        "events_link_prediction", "events_graph_assortativity",
+        "embedding_triplet_mining", "embedding_top_eigen",
+        "corpus_jsd_matrix", "schema_fk_orphans",
+        "events_cusum_changepoint", "events_theilsen_trend",
+        "events_mannwhitney", "customers_revenue_gini",
+        "events_chisq_independence", "events_spearman_drift",
+        "events_acf_daily", "users_bh_fdr", "events_isotonic_purchase",
+        "events_anova_value", "events_twap_value",
+    }
     # every formerly-queued name either still sits inside the checked
     # window or was retired to declared_redundant AFTER ≥2 green rows
     # (the r11 rotation retired 12 two-green r9 admissions; the r12
     # rotation retired 15 names holding 2-4 greens each; the r13
-    # rotation retired 19 names holding 3-5 greens each)
+    # rotation retired 19 names holding 3-5 greens each; the r14
+    # rotation retired 30 names holding 2-4 greens each, keeping
+    # media_header_parse as the multimodal tier's only window face)
     window_or_retired = set(_CHECKED_WINDOW) | declared_redundant
     assert _admitted_r9 <= window_or_retired, \
         _admitted_r9 - window_or_retired
@@ -1035,10 +1208,13 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         _admitted_r10 - window_or_retired
     assert _admitted_r11 <= window_or_retired, \
         _admitted_r11 - window_or_retired
-    assert _admitted_r12 <= set(_CHECKED_WINDOW), \
-        _admitted_r12 - set(_CHECKED_WINDOW)
+    assert _admitted_r12 <= window_or_retired, \
+        _admitted_r12 - window_or_retired
     assert _r12_queue_admitted_r13 <= set(_CHECKED_WINDOW), \
         _r12_queue_admitted_r13 - set(_CHECKED_WINDOW)
+    assert _r13_queue_admitted_r14 <= set(_CHECKED_WINDOW), \
+        _r13_queue_admitted_r14 - set(_CHECKED_WINDOW)
+    assert len(_r13_queue_admitted_r14 | queued_for_rotation) == 44
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None

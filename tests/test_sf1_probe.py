@@ -106,6 +106,12 @@ PROBES = [
                                  #   corpus stitch-back equi-joins
     "users_bh_fdr",              # rank spine over the hypothesis table
     "embedding_top_eigen",       # one Gram pass; iteration dim-bounded
+    # r14 admissions with no probe rows yet (VERDICT r13 task 4): the
+    # Hilbert chunk-join fan-in and the two iterative-join graph faces
+    # at 10x edges
+    "events_hilbert_pruning",    # automaton-as-broadcast-join chain
+    "events_label_propagation",  # 3 rounds of edge-vs-label joins
+    "events_hits_authority",     # 2*rounds keyed join + agg pairs
 ]
 
 
