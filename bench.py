@@ -234,6 +234,8 @@ HEADLINE = [
     "events_anova_value",       # one-way ANOVA, F + eta-squared
     "events_ccf_view_purchase",  # lead-lag CCF, exact moment sums
     "events_twap_value",        # step-function time-weighted average
+    # r14 addition
+    "media_wav_decode",         # REAL WAV decode (stdlib codec, Arrow)
     # dedup_eval_lsh_recall is deliberately NOT benched: it runs BOTH
     # the exact setsim join and the banded pipeline on a dual-salted
     # corpus (~9 s at sf0.1) — a run-once rollout gate whose two

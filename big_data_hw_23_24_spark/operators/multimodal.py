@@ -5,11 +5,14 @@ North-star extension. Images/audio/video ride through the engine as
 extraction runs as Arrow-batched ``mapInPandas`` kernels so bytes
 never round-trip through Python row objects.
 
-The actual codec step is STUBBED (media libraries are not in this
-container): ``decode_media`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic bytes→metadata
-function (md5-derived dims) so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
+Codec status: the AUDIO path is REAL — ``decode_wav`` parses genuine
+RIFF/WAVE containers with the stdlib ``wave`` module (present in this
+container all along) + numpy stats, through the same Arrow kernel
+shape. Image/video codecs remain unavailable here: ``decode_media``
+raises ``NotImplementedError`` unless ``fake=True``, which substitutes
+a deterministic bytes→metadata function (md5-derived dims) so the
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
+shape — is real and tested even for the stubbed modalities.
 """
 
 from __future__ import annotations
@@ -241,6 +244,137 @@ def block_dedup_pairs(media: DataFrame, block_bytes: int = 64,
             .select("media_a", "media_b", "n_shared_blocks",
                     "n_blocks_a", "n_blocks_b",
                     (F.col("_ha") == F.col("_hb")).alias("full_dup")))
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table of GENUINE RIFF/WAVE payloads (E234):
+    one standard 44-byte PCM header + 16-bit mono little-endian
+    samples, assembled entirely Spark-side (hex-string construction →
+    ONE ``unhex``) so the binary write path is real JVM work, no UDF.
+
+    The waveform is a constant-amplitude square wave whose every
+    parameter is a pure function of doc_id — sample_rate = 8000 +
+    (id%3)·4000, n_frames = 40 + id%80, amplitude = 500 + (id%17)·250
+    — which makes the DECODED metadata closed-form for the oracle:
+    peak = rms = amplitude exactly (every sample is ±a, so the mean
+    square is a² and the sqrt is exact in float64 at these
+    magnitudes). Every 13th asset is truncated to 10 bytes (a corrupt
+    upload) so the decoder's quarantine branch is non-vacuous at
+    every SF. These are REAL WAV files — ``wave.open`` parses them.
+    """
+    did = F.col("doc_id").cast("long")
+    rate = (F.lit(8000) + (did % 3) * 4000)
+    n = (F.lit(40) + did % 80)
+    a = (F.lit(500) + (did % 17) * 250)
+
+    def hb(v):  # one byte → two hex chars
+        return F.lpad(F.hex(v.bitwiseAND(F.lit(255))), 2, "0")
+
+    def le16(v):
+        return F.concat(hb(v), hb(F.shiftright(v, 8)))
+
+    def le32(v):
+        return F.concat(hb(v), hb(F.shiftright(v, 8)),
+                        hb(F.shiftright(v, 16)), hb(F.shiftright(v, 24)))
+
+    pos, neg = a, F.lit(65536) - a
+    pair = F.concat(le16(pos), le16(neg))
+    # n samples alternating +a/−a: floor(n/2) pairs + the odd head
+    data_hex = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(1), (n / 2).cast("int")),
+                                 lambda i: pair), ""),
+        F.when(n % 2 == 1, le16(pos)).otherwise(F.lit("")))
+    header_hex = F.concat(
+        F.lit("52494646"), le32(F.lit(36) + n * 2),       # RIFF, chunk size
+        F.lit("57415645"), F.lit("666D7420"),             # WAVE, "fmt "
+        le32(F.lit(16)), le16(F.lit(1)), le16(F.lit(1)),  # PCM, mono
+        le32(rate), le32(rate * 2),                       # rates
+        le16(F.lit(2)), le16(F.lit(16)),                  # align, bits
+        F.lit("64617461"), le32(n * 2))                   # "data", size
+    payload = F.unhex(F.concat(header_hex, data_hex))
+    corrupt = did % 13 == 0
+    return docs.select(
+        did.alias("media_id"),
+        F.when(corrupt, F.substring(payload, 1, 10))
+        .otherwise(payload).alias("media"))
+
+
+def decode_wav(media: DataFrame, id_col: str = "media_id",
+               payload_col: str = "media") -> DataFrame:
+    """REAL audio decode over a binary column (E234) → one row per
+    asset: ``(media_id, ok, sample_rate, n_channels, sample_width,
+    n_frames, peak, rms, n_bytes)``.
+
+    The genuine codec path the tier's stand-ins were staged for: the
+    stdlib ``wave`` module parses the RIFF/WAVE container (no
+    third-party codec needed — it was in the container all along) and
+    numpy computes signal stats over the PCM frames, all inside the
+    SAME Arrow-batched ``mapInPandas`` shape as ``decode_media`` —
+    per-batch pandas in, typed metadata out, payload bytes never
+    round-tripping through Python row objects one by one. Unparseable
+    payloads (truncated uploads, foreign magics) take the quarantine
+    branch: ``ok=false``, null stats — ``wave.Error``/``EOFError``
+    are the contract, any other exception propagates (a decode bug
+    should fail loudly, not quarantine silently).
+
+    rms is the integer-rounded √(mean square) over all samples; peak
+    the max absolute sample. At 100 TB this kernel is
+    embarrassingly parallel (one asset never spans tasks) and the
+    batch size is governed by ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` — size it by bytes for media corpora.
+    """
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_width", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("rms", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {f.name: [] for f in schema.fields}
+            for mid, payload in zip(batch[id_col], batch[payload_col]):
+                raw = bytes(payload)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(raw))
+                try:
+                    w = wave.open(io.BytesIO(raw))
+                    frames = w.readframes(w.getnframes())
+                    arr = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                    ms = int((arr * arr).sum())
+                    out["ok"].append(True)
+                    out["sample_rate"].append(w.getframerate())
+                    out["n_channels"].append(w.getnchannels())
+                    out["sample_width"].append(w.getsampwidth())
+                    out["n_frames"].append(w.getnframes())
+                    out["peak"].append(int(np.abs(arr).max())
+                                       if len(arr) else 0)
+                    out["rms"].append(round(math.sqrt(ms / len(arr)))
+                                      if len(arr) else 0)
+                except (wave.Error, EOFError):
+                    out["ok"].append(False)
+                    for c in ("sample_rate", "n_channels", "sample_width",
+                              "n_frames", "peak", "rms"):
+                        out[c].append(None)
+            df = pd.DataFrame(out)
+            for c, dt in (("sample_rate", "Int32"), ("n_channels", "Int32"),
+                          ("sample_width", "Int32"), ("n_frames", "Int64"),
+                          ("peak", "Int32"), ("rms", "Int32")):
+                df[c] = df[c].astype(dt)
+            yield df[[f.name for f in schema.fields]]
+
+    return media.mapInPandas(kernel, schema)
 
 
 MEDIA_MAGICS = {"PNG8": "png", "JPG1": "jpeg", "RIFF": "wav"}

@@ -939,6 +939,54 @@ def media_header_parse(spark, sf_dir):
     return parse_media_headers(synth_media_headers(docs))
 
 
+# --- E234: REAL WAV decode through the Arrow kernel path ----------------------
+# The media tier's first GENUINE codec face: the payloads are real
+# RIFF/WAVE PCM files assembled Spark-side (44-byte standard header +
+# 16-bit mono samples, hex construction -> one unhex, no UDF on the
+# write path), and the decode is the stdlib `wave` module — a real
+# container parser that was in the container all along — plus numpy
+# signal stats, inside the SAME Arrow-batched mapInPandas shape the
+# tier's stand-in kernels pinned. The waveform is a constant-amplitude
+# square wave whose parameters are pure functions of doc_id, so the
+# oracle states the DECODED metadata in closed form (peak = rms =
+# amplitude exactly; every sample is +-a) and the parity row proves
+# assemble -> real bytes -> real codec -> stats equals the spec.
+# Every 13th asset is truncated to 10 bytes: wave.Error -> the
+# quarantine branch (ok=false, null stats), non-vacuous at every SF.
+@register(
+    "media_wav_decode",
+    """
+    SELECT doc_id AS media_id,
+           (doc_id % 13 <> 0) AS ok,
+           CASE WHEN doc_id % 13 <> 0
+                THEN (8000 + (doc_id % 3) * 4000)::INTEGER END AS sample_rate,
+           CASE WHEN doc_id % 13 <> 0 THEN 1::INTEGER END AS n_channels,
+           CASE WHEN doc_id % 13 <> 0 THEN 2::INTEGER END AS sample_width,
+           CASE WHEN doc_id % 13 <> 0
+                THEN (40 + doc_id % 80)::BIGINT END AS n_frames,
+           CASE WHEN doc_id % 13 <> 0
+                THEN (500 + (doc_id % 17) * 250)::INTEGER END AS peak,
+           CASE WHEN doc_id % 13 <> 0
+                THEN (500 + (doc_id % 17) * 250)::INTEGER END AS rms,
+           CASE WHEN doc_id % 13 <> 0
+                THEN 44 + 2 * (40 + doc_id % 80)
+                ELSE 10 END::BIGINT AS n_bytes
+    FROM documents
+    """,
+    doc="REAL audio decode: Spark-assembled genuine RIFF/WAVE PCM "
+        "payloads parsed by the stdlib wave codec + numpy stats in an "
+        "Arrow-batched mapInPandas kernel; oracle states the synthesis "
+        "spec in closed form, so parity proves the full "
+        "assemble->codec->stats roundtrip; truncated uploads take the "
+        "quarantine branch (ok=false, null stats)",
+)
+def media_wav_decode(spark, sf_dir):
+    from .operators.multimodal import decode_wav, synth_wav_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav(synth_wav_media(docs))
+
+
 # --- E166: reciprocal best match (mutual nearest neighbors) --------------------
 @register(
     "knn_reciprocal_best",

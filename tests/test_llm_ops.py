@@ -195,6 +195,79 @@ def test_multimodal_resize_binary_roundtrip(spark, docs):
         resize_media(media, fake=False).collect()
 
 
+def test_wav_synth_is_genuine_riff_and_decode_is_real(spark):
+    """E234: the Spark-assembled payloads must be REAL WAV files —
+    pulled to the driver and parsed by the stdlib codec DIRECTLY, the
+    bytes must equal a Python-built reference bit for bit; then the
+    distributed decode_wav kernel must recover the closed-form
+    metadata including the quarantine branch (doc_id % 13 truncated)."""
+    import io
+    import wave
+
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        decode_wav, synth_wav_media)
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    payloads = {r.media_id: bytes(r.media)
+                for r in synth_wav_media(ids).collect()}
+
+    def reference(doc_id: int) -> bytes:
+        rate = 8000 + (doc_id % 3) * 4000
+        n = 40 + doc_id % 80
+        a = 500 + (doc_id % 17) * 250
+        le16 = lambda v: bytes([v & 255, (v >> 8) & 255])  # noqa: E731
+        le32 = lambda v: bytes([(v >> (8 * k)) & 255       # noqa: E731
+                                for k in range(4)])
+        data = b"".join(le16(a if i % 2 == 0 else 65536 - a)
+                        for i in range(n))
+        full = (b"RIFF" + le32(36 + 2 * n) + b"WAVE" + b"fmt "
+                + le32(16) + le16(1) + le16(1) + le32(rate)
+                + le32(2 * rate) + le16(2) + le16(16)
+                + b"data" + le32(2 * n) + data)
+        return full[:10] if doc_id % 13 == 0 else full
+
+    for i in range(30):
+        assert payloads[i] == reference(i), f"byte mismatch at id {i}"
+        if i % 13 != 0:  # the stdlib codec itself accepts the bytes
+            w = wave.open(io.BytesIO(payloads[i]))
+            assert w.getnframes() == 40 + i % 80
+
+    rows = {r.media_id: r
+            for r in decode_wav(synth_wav_media(ids)).collect()}
+    for i in range(30):
+        r = rows[i]
+        if i % 13 == 0:
+            assert not r.ok and r.rms is None and r.n_bytes == 10
+        else:
+            a = 500 + (i % 17) * 250
+            assert (r.ok, r.sample_rate, r.n_frames, r.peak, r.rms) == \
+                (True, 8000 + (i % 3) * 4000, 40 + i % 80, a, a)
+            assert r.n_bytes == 44 + 2 * (40 + i % 80)
+
+
+def test_wav_decode_quarantines_foreign_bytes_only_on_wave_error(spark):
+    """Foreign magics and truncations quarantine (ok=false); a
+    well-formed WAV with an ODD frame count (the repeat+head branch)
+    decodes — and non-wave exceptions are not swallowed by design
+    (the kernel catches wave.Error/EOFError only)."""
+    from big_data_hw_23_24_spark.operators.multimodal import (
+        decode_wav, synth_wav_media)
+
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id long")  # 41, 42
+    base = {r.media_id: bytes(r.media)
+            for r in synth_wav_media(ids).collect()}
+    rows = spark.createDataFrame(
+        [(1, base[1]), (2, base[2]),
+         (3, b"OggS" + b"\x00" * 60),   # foreign container
+         (4, b"RI")],                    # 2-byte truncation
+        "media_id long, media binary")
+    got = {r.media_id: r for r in decode_wav(rows).collect()}
+    assert got[1].ok and got[1].n_frames == 41   # odd: repeat + head
+    assert got[2].ok and got[2].n_frames == 42   # even: pairs only
+    assert not got[3].ok and not got[4].ok
+    assert got[3].sample_rate is None
+
+
 def test_frame_sample_plan(spark, docs):
     from big_data_hw_23_24_spark.operators.multimodal import (
         frame_sample_plan, media_from_documents)

@@ -953,8 +953,10 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # r14 (new machinery first, per the r13 verdict) — this set holds
     # the 14-name overhang deferred to the r15 rotation: the 8 TPC-H
     # shapes plus 6 shape variants whose machinery an admitted face
-    # already drives (each annotated). Queue depth 14 ≤ 15, the r13
-    # verdict's drain target; no new faces were produced in r14.
+    # already drives (each annotated), plus the ONE r14 production
+    # (media_wav_decode — the real-codec upgrade the r13 verdict asked
+    # for if a codec appeared; the stdlib wave module qualifies).
+    # Queue depth 15, exactly at the r13 verdict's ≤15 drain target.
     queued_for_rotation: set[str] = {
         "customers_order_distribution",  # r13: TPC-H Q13 shape — zero-
                                      #   bucket left-join double
@@ -1001,6 +1003,16 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   arithmetic; apportionment
                                      #   semantics pinned in
                                      #   tests/test_selection.py)
+        "media_wav_decode",          # r14: the media tier's first
+                                     #   GENUINE codec face — real
+                                     #   RIFF/WAVE payloads assembled
+                                     #   Spark-side, decoded by the
+                                     #   stdlib wave module + numpy in
+                                     #   the tier's Arrow kernel shape;
+                                     #   oracle states the synth spec
+                                     #   closed-form (the ONE r14
+                                     #   addition — queue 15, at the
+                                     #   drain cap)
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
@@ -1214,7 +1226,8 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         _r12_queue_admitted_r13 - set(_CHECKED_WINDOW)
     assert _r13_queue_admitted_r14 <= set(_CHECKED_WINDOW), \
         _r13_queue_admitted_r14 - set(_CHECKED_WINDOW)
-    assert len(_r13_queue_admitted_r14 | queued_for_rotation) == 44
+    assert len((_r13_queue_admitted_r14 | queued_for_rotation)
+               - {"media_wav_decode"}) == 44
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
                     if _REGISTRY[n].oracle is not None
