@@ -317,11 +317,17 @@ def decode_wav(media: DataFrame, id_col: str = "media_id",
     are the contract, any other exception propagates (a decode bug
     should fail loudly, not quarantine silently).
 
-    rms is the integer-rounded √(mean square) over all samples; peak
-    the max absolute sample. At 100 TB this kernel is
-    embarrassingly parallel (one asset never spans tasks) and the
-    batch size is governed by ``spark.sql.execution.arrow.
-    maxRecordsPerBatch`` — size it by bytes for media corpora.
+    rms is the integer-rounded √(mean square) over all samples
+    (channels interleaved — the whole-signal readout); peak the max
+    absolute sample. Signal stats are computed for 16-bit PCM only
+    (``sample_width == 2``, the overwhelmingly common case): other
+    widths still decode their container metadata for real but report
+    null peak/rms — misparsing 8-bit frames as int16 would be a
+    silently wrong number, and this kernel never guesses. At 100 TB
+    the kernel is embarrassingly parallel (one asset never spans
+    tasks) and the batch size is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it by
+    bytes for media corpora.
     """
     import io
     import math
@@ -350,18 +356,23 @@ def decode_wav(media: DataFrame, id_col: str = "media_id",
                 out["n_bytes"].append(len(raw))
                 try:
                     w = wave.open(io.BytesIO(raw))
-                    frames = w.readframes(w.getnframes())
-                    arr = np.frombuffer(frames, dtype="<i2").astype(np.int64)
-                    ms = int((arr * arr).sum())
                     out["ok"].append(True)
                     out["sample_rate"].append(w.getframerate())
                     out["n_channels"].append(w.getnchannels())
                     out["sample_width"].append(w.getsampwidth())
                     out["n_frames"].append(w.getnframes())
-                    out["peak"].append(int(np.abs(arr).max())
-                                       if len(arr) else 0)
-                    out["rms"].append(round(math.sqrt(ms / len(arr)))
-                                      if len(arr) else 0)
+                    if w.getsampwidth() == 2:
+                        frames = w.readframes(w.getnframes())
+                        arr = (np.frombuffer(frames, dtype="<i2")
+                               .astype(np.int64))
+                        ms = int((arr * arr).sum())
+                        out["peak"].append(int(np.abs(arr).max())
+                                           if len(arr) else 0)
+                        out["rms"].append(round(math.sqrt(ms / len(arr)))
+                                          if len(arr) else 0)
+                    else:  # non-16-bit: metadata real, stats withheld
+                        out["peak"].append(None)
+                        out["rms"].append(None)
                 except (wave.Error, EOFError):
                     out["ok"].append(False)
                     for c in ("sample_rate", "n_channels", "sample_width",

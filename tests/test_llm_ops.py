@@ -245,6 +245,54 @@ def test_wav_synth_is_genuine_riff_and_decode_is_real(spark):
             assert r.n_bytes == 44 + 2 * (40 + i % 80)
 
 
+def test_wav_decode_matches_numpy_on_arbitrary_encoder_output(spark):
+    """Property: WAVs written by the stdlib ENCODER (wave.open 'wb') —
+    arbitrary rates, mono/stereo, random int16 samples — must decode
+    to exactly the numpy-computed stats; 8-bit payloads decode their
+    container metadata but withhold peak/rms (never misparse)."""
+    import io
+    import math
+    import random
+    import wave
+
+    import numpy as np
+
+    rng = random.Random(414)
+    rows, expect = [], {}
+    for mid in range(12):
+        rate = rng.choice([8000, 11025, 22050, 44100])
+        ch = rng.choice([1, 2])
+        n = rng.randrange(1, 200)
+        samples = [rng.randrange(-32768, 32768) for _ in range(n * ch)]
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(ch); w.setsampwidth(2); w.setframerate(rate)
+        w.writeframes(np.array(samples, dtype="<i2").tobytes())
+        w.close()
+        rows.append((mid, buf.getvalue()))
+        arr = np.array(samples, dtype=np.int64)
+        expect[mid] = (rate, ch, n, int(np.abs(arr).max()),
+                       round(math.sqrt(int((arr * arr).sum()) / len(arr))))
+    # one 8-bit payload: metadata decodes, stats withheld
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+    w.writeframes(bytes([0, 128, 255, 64]))
+    w.close()
+    rows.append((99, buf.getvalue()))
+
+    from big_data_hw_23_24_spark.operators.multimodal import decode_wav
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r.media_id: r for r in decode_wav(df).collect()}
+    for mid, (rate, ch, n, peak, rms) in expect.items():
+        r = got[mid]
+        assert (r.ok, r.sample_rate, r.n_channels, r.n_frames,
+                r.peak, r.rms) == (True, rate, ch, n, peak, rms), mid
+    r8 = got[99]
+    assert r8.ok and r8.sample_width == 1 and r8.n_frames == 4
+    assert r8.peak is None and r8.rms is None
+
+
 def test_wav_decode_quarantines_foreign_bytes_only_on_wave_error(spark):
     """Foreign magics and truncations quarantine (ok=false); a
     well-formed WAV with an ODD frame count (the repeat+head branch)
