@@ -1167,12 +1167,20 @@ def oneway_anova(df: DataFrame, group_col: str, value_col: str
 
     Shape: one corpus-scale aggregate to k rows; everything after is
     k-row arithmetic crossed with a 1-row total.
+
+    NULL contract: rows with a NULL value are DROPPED up front (the
+    explicit-filter treatment, same as spearman_corr) and the oracle
+    mirrors the WHERE — without it an all-NULL group carries a NULL
+    Sg²/ng term that would poison the fixed-order fold, where a SQL
+    SUM silently skips it (and count(*) vs sum would disagree on n
+    anyway).
     """
     x = F.col(value_col).cast("long")
-    per = df.groupBy(F.col(group_col).alias("_g")).agg(
-        F.count("*").cast("long").alias("_n"),
-        F.sum(x).alias("_s"),
-        F.sum(x * x).alias("_q"))
+    per = (df.filter(F.col(value_col).isNotNull())
+           .groupBy(F.col(group_col).alias("_g"))
+           .agg(F.count("*").cast("long").alias("_n"),
+                F.sum(x).alias("_s"),
+                F.sum(x * x).alias("_q")))
     sg2_over_n = (F.col("_s").cast("double") * F.col("_s").cast("double")
                   / F.col("_n").cast("double"))
     agg = per.agg(

@@ -281,8 +281,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     pair = F.concat(le16(pos), le16(neg))
     # n samples alternating +a/−a: floor(n/2) pairs + the odd head
     data_hex = F.concat(
-        F.array_join(F.transform(F.sequence(F.lit(1), (n / 2).cast("int")),
-                                 lambda i: pair), ""),
+        F.array_join(F.array_repeat(pair, (n / 2).cast("int")), ""),
         F.when(n % 2 == 1, le16(pos)).otherwise(F.lit("")))
     header_hex = F.concat(
         F.lit("52494646"), le32(F.lit(36) + n * 2),       # RIFF, chunk size
@@ -351,18 +350,31 @@ def decode_wav(media: DataFrame, id_col: str = "media_id",
         for batch in batches:
             out = {f.name: [] for f in schema.fields}
             for mid, payload in zip(batch[id_col], batch[payload_col]):
-                raw = bytes(payload)
+                # NULL payload = nothing to decode → quarantine, not a
+                # task-killing TypeError
+                raw = bytes(payload) if payload is not None else b""
                 out["media_id"].append(mid)
                 out["n_bytes"].append(len(raw))
                 try:
                     w = wave.open(io.BytesIO(raw))
+                    n, ch, sw = (w.getnframes(), w.getnchannels(),
+                                 w.getsampwidth())
+                    frames = w.readframes(n)
+                    # the header's declared frame count is a CLAIM —
+                    # readframes silently returns whatever bytes
+                    # survive, so a payload truncated mid-data (any
+                    # width) parses but under-delivers; that is a
+                    # corrupt upload → the quarantine branch, never
+                    # ok=true stats over partial samples
+                    if len(frames) != n * ch * sw:
+                        raise wave.Error("data chunk shorter than "
+                                         "header-declared frames")
                     out["ok"].append(True)
                     out["sample_rate"].append(w.getframerate())
-                    out["n_channels"].append(w.getnchannels())
-                    out["sample_width"].append(w.getsampwidth())
-                    out["n_frames"].append(w.getnframes())
-                    if w.getsampwidth() == 2:
-                        frames = w.readframes(w.getnframes())
+                    out["n_channels"].append(ch)
+                    out["sample_width"].append(sw)
+                    out["n_frames"].append(n)
+                    if sw == 2:
                         arr = (np.frombuffer(frames, dtype="<i2")
                                .astype(np.int64))
                         ms = int((arr * arr).sum())

@@ -81,10 +81,12 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     # tests/test_registry_order.py::declared_redundant). The one kept
     # multi-green member covers machinery with no other in-window
     # sibling: media_header_parse, the multimodal tier's only window
-    # face (the tier the judge tracks as `partial`). The 14 names
+    # face (the tier the judge tracks as `partial`). The 15 names
     # still queued (the 8 TPC-H shapes + 6 shape variants of admitted
-    # machinery) wait for the r15 rotation — post-r14 queue depth 14,
-    # inside the ≤15 drain target (VERDICT r13 task 2).
+    # machinery + the one r14 production, media_wav_decode) wait for
+    # the r15 rotation — post-r14 queue depth 15, EXACTLY at the ≤15
+    # drain target (VERDICT r13 task 2): no headroom for further
+    # additions before the next rotation retires.
     # ---- r11 queue admitted in r12, kept member ----
     "media_header_parse",
     # ---- r12 queue admitted in r13 (E172-E189 + knn_eval_reciprocal),

@@ -4631,7 +4631,7 @@ def events_label_propagation(spark, sf_dir):
              sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS s,
              sum(CAST(floor(value * 100) AS BIGINT)
                  * CAST(floor(value * 100) AS BIGINT))::BIGINT AS q
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     a AS (
       SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,

@@ -307,13 +307,23 @@ def test_wav_decode_quarantines_foreign_bytes_only_on_wave_error(spark):
     rows = spark.createDataFrame(
         [(1, base[1]), (2, base[2]),
          (3, b"OggS" + b"\x00" * 60),   # foreign container
-         (4, b"RI")],                    # 2-byte truncation
+         (4, b"RI"),                     # 2-byte truncation
+         (5, base[1][:45]),   # valid header, ODD data bytes — passes
+                              #   wave.open, must quarantine, never
+                              #   ValueError the task (frombuffer)
+         (6, base[1][:48]),   # valid header, EVEN but short data —
+                              #   readframes under-delivers vs the
+                              #   header claim; quarantine, never
+                              #   ok=true stats over partial samples
+         (7, None)],          # NULL payload — quarantine, never a
+                              #   task-killing TypeError
         "media_id long, media binary")
     got = {r.media_id: r for r in decode_wav(rows).collect()}
     assert got[1].ok and got[1].n_frames == 41   # odd: repeat + head
     assert got[2].ok and got[2].n_frames == 42   # even: pairs only
-    assert not got[3].ok and not got[4].ok
-    assert got[3].sample_rate is None
+    for mid in (3, 4, 5, 6, 7):
+        assert not got[mid].ok and got[mid].sample_rate is None, mid
+    assert got[7].n_bytes == 0
 
 
 def test_frame_sample_plan(spark, docs):

@@ -61,6 +61,23 @@ def test_anova_partition_invariant_double_fold(spark):
     assert results[0].eta_sq == 0.983146
 
 
+def test_anova_null_values_cannot_poison_the_fold(spark):
+    """Self-review follow-up to the fold fix: an all-NULL group's
+    Sg^2/ng term is NULL and `acc + NULL` would null the whole fold —
+    NULL values are dropped by an explicit filter (mirrored in the
+    oracle's WHERE), so the statistics stay finite and n counts only
+    non-NULL rows."""
+    from big_data_hw_23_24_spark.operators.grouped import oneway_anova
+
+    rows = ([("a", 10), ("a", 12), ("a", 11),
+             ("b", 20), ("b", 22), ("b", 21),
+             ("c", None), ("c", None), ("a", None)])
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = oneway_anova(df, "g", "v").collect()[0]
+    assert (out.n, out.k) == (6, 2)  # the all-NULL group is gone
+    assert out.f_stat is not None and out.eta_sq is not None
+
+
 def test_spearman_drops_null_axes_explicitly(spark):
     """Rows with NULL x or y are excluded by contract — n counts only
     complete pairs, and rho is computed over them (pre-fix the drop
