@@ -95,6 +95,85 @@ def test_spearman_drops_null_axes_explicitly(spark):
     assert out[0].rho == 1.0  # perfectly monotone on the 3 kept rows
 
 
+def test_twap_property_matches_python_reference(spark):
+    """Property: on random (t, v) sets with duplicate ticks, the TWAP
+    must equal the pure-Python step-integral computed over the same
+    (t, id) order — exercising tie-breaking, zero-width intervals and
+    the DECIMAL accumulation together."""
+    import random
+
+    from big_data_hw_23_24_spark.operators.timeseries import (
+        time_weighted_average)
+
+    rng = random.Random(1414)
+    rows, want = [], {}
+    for g in range(8):
+        n = rng.randrange(2, 25)
+        ts = sorted(rng.randrange(0, 10**7) for _ in range(n))
+        if rng.random() < 0.5 and n >= 3:
+            ts[1] = ts[2]  # planted same-tick tie
+        evs = [(f"g{g}", t, rng.randrange(-5000, 5000), f"id{g}_{i:03d}")
+               for i, t in enumerate(ts)]
+        rows += evs
+        o = sorted(evs, key=lambda e: (e[1], e[3]))
+        num = sum((o[i + 1][1] - o[i][1]) * o[i][2]
+                  for i in range(len(o) - 1))
+        span = o[-1][1] - o[0][1]
+        want[f"g{g}"] = (round(num / span, 6) if span > 0 else None)
+    df = spark.createDataFrame(rows, "g string, t long, v long, id string")
+    got = {r.g: r.twa
+           for r in time_weighted_average(df, "g", "t", "v", "id")
+           .collect()}
+    assert got == want
+
+
+def test_spearman_property_matches_python_reference(spark):
+    """Property: tie-adjusted Spearman on random integer data with
+    heavy ties must equal a pure-Python mid-rank Pearson — the
+    distinct-value-grid spine vs the definitional per-row ranking."""
+    import math
+    import random
+
+    from big_data_hw_23_24_spark.operators.grouped import spearman_corr
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and \
+                    vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            mid = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                r[order[k]] = mid
+            i = j + 1
+        return r
+
+    rng = random.Random(99)
+    rows, want = [], {}
+    for g in range(6):
+        n = rng.randrange(3, 40)
+        xs = [rng.randrange(0, 8) for _ in range(n)]   # heavy ties
+        ys = [rng.randrange(0, 8) for _ in range(n)]
+        rows += [(f"g{g}", x, y, f"i{g}_{i}")
+                 for i, (x, y) in enumerate(zip(xs, ys))]
+        rx, ry = midranks(xs), midranks(ys)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        want[f"g{g}"] = (round((n * sxy - sx * sy)
+                               / math.sqrt(vx * vy), 6)
+                         if vx > 0 and vy > 0 else None)
+    df = spark.createDataFrame(rows, "g string, x int, y int, id string")
+    got = {r.g: r.rho
+           for r in spearman_corr(df, "g", "x", "y", "id").collect()}
+    assert got == want
+
+
 def test_hits_loop_stops_at_last_authority_update(spark):
     """Values pin the alternating iteration (h0=1, a1, h1, a2 for
     double_rounds=2) — the loop must end on the authority update the
