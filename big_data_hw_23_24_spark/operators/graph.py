@@ -657,11 +657,14 @@ def hits_scores(events: DataFrame, user_col: str = "user_id",
            .agg(F.count("*").alias("_n")))
     w = Window.partitionBy(user_col).orderBy(F.col("_n").desc(),
                                              F.col(item_col))
+    # lazy pin: the overflow-guard aggregate right below is a full
+    # scan that materializes the incidence as a side effect; the
+    # 2·rounds loop joins then read the persisted blocks
     inc = (per.withColumn("_rk", F.row_number().over(w))
            .where(F.col("_rk") <= cap)
            .select(F.col(user_col).alias("_u"),
                    F.col(item_col).alias("_i"))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     # runtime overflow guard: per double-round growth ≤ cap · max
     # item degree (h picks up ≤ cap authorities, a ≤ deg_i hubs)
     max_ideg = (inc.groupBy("_i").count()

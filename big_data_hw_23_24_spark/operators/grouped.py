@@ -921,12 +921,16 @@ def spearman_corr(df: DataFrame, group_col: str, x_col: str,
     """
     from .ranking import global_cumsum
 
+    # lazy pin: the first consumer is the x-axis cumsum's per-partition
+    # collect — a sequential full-scan job that materializes base as a
+    # side effect; the y-axis grid and both stitch-back joins then read
+    # the persisted blocks (eager burned one extra blocking job here)
     base = (df.filter(F.col(x_col).isNotNull()
                       & F.col(y_col).isNotNull())
             .select(F.col(group_col).alias("_g"),
                     F.col(x_col).alias("_x"),
                     F.col(y_col).alias("_y"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
 
     def axis_grid(col: str, out: str) -> DataFrame:
         counts = base.groupBy("_g", col).agg(

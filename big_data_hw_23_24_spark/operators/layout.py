@@ -138,9 +138,11 @@ def layout_pruning_audit(df: DataFrame, cx_col: str, cy_col: str,
         # spine plus the rows-match probe, and without a pin each
         # consumer re-executes the join subtree (root-cause 4,
         # SCALING.md — measured 12.9 s -> 2.4 s at sf0.1 with the
-        # checkpoint)
+        # checkpoint). Lazy: the first ntile spine's per-partition
+        # collect is a sequential full scan that materializes base —
+        # eager would prepend one more full base pass
         base = with_hilbert(base, "cx", "cy", bits=bits,
-                            out_col="_h").localCheckpoint(eager=True)
+                            out_col="_h").localCheckpoint(eager=False)
         layouts = [
             ("zorder", [F.col("_z"), F.col("_o")]),
             ("hilbert", [F.col("_h"), F.col("_o")]),
@@ -259,33 +261,25 @@ def _hilbert_chunk_table(c: int) -> list[tuple[int, int, int]]:
 
 
 def _hilbert_chunk_table_df(spark, c: int) -> DataFrame:
-    """The chunk table computed IN SPARK: run the per-level 16-row
-    automaton chain over ``range(4·4^c)`` decoded keys. A 4^c-row
-    ``createDataFrame`` would serialize driver-side on every call
-    (measured ~2 s at c=6); the range form is a handful of tiny
-    broadcast joins, all JVM-side."""
-    base = F.broadcast(spark.createDataFrame(
-        list(HILBERT_TABLE), "k int, digit int, nxt int"))
-    mask = F.lit((1 << c) - 1)
-    t = (spark.range(4 << (2 * c))
-         .select(F.col("id").cast("int").alias("k0")))
-    xc = F.shiftright(F.col("k0"), c).bitwiseAND(mask)
-    yc = F.col("k0").bitwiseAND(mask)
-    cur = (t.withColumn("_st", F.shiftright(F.col("k0"), 2 * c))
-           .withColumn("_d", F.lit(0)))
-    for i in range(c - 1, -1, -1):
-        key = (F.col("_st") * 4
-               + F.shiftright(xc, i).bitwiseAND(F.lit(1)) * 2
-               + F.shiftright(yc, i).bitwiseAND(F.lit(1)))
-        cur = (cur.withColumn("_bk", key.cast("int"))
-               .join(base, F.col("_bk") == F.col("k"))
-               .withColumn("_d", F.shiftleft(F.col("_d"), 2)
-                           + F.col("digit"))
-               .withColumn("_st", F.col("nxt"))
-               .drop("k", "digit", "nxt", "_bk"))
-    return cur.select(F.col("k0").alias("k"),
-                      F.col("_d").alias("dchunk"),
-                      F.col("_st").alias("nxt"))
+    """The composed chunk table shipped to Spark via ONE Arrow
+    ``createDataFrame`` of the test-verified Python table (guide §6:
+    Arrow driver transfers). The previous form ran the per-level
+    16-row automaton as a chain of ``c`` broadcast joins over
+    ``spark.range`` per call — ~7 operators × c in every consumer
+    plan, rebuilt each invocation; the "~2 s createDataFrame"
+    measurement that motivated it was the row-pickling path
+    (list-of-tuples), not Arrow. 4·4^c rows of three ints is ~260 KB
+    at c=6 — a trivial Arrow transfer, and the broadcast build no
+    longer carries a join chain."""
+    import pandas as pd
+
+    # runtime-settable; the driver may hand us a session without
+    # session.py's Arrow default
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    rows = _hilbert_chunk_table(c)
+    pdf = pd.DataFrame(rows, columns=["k", "dchunk", "nxt"],
+                       dtype="int32")
+    return spark.createDataFrame(pdf)
 
 
 def with_hilbert(df: DataFrame, x_col: str, y_col: str, bits: int = 12,

@@ -7,11 +7,20 @@ table, fatal on a corpus. The classic cure (what ``RDD.zipWithIndex``
 does internally) is implemented here DataFrame-first:
 
 1. ``repartitionByRange`` on the sort keys — one parallel shuffle that
-   makes partition order == global order;
-2. pin the partitioning (``localCheckpoint``) so the counting job and
-   the ranking job see byte-identical partitions (range boundaries
-   come from sampling, so two separate actions on unpinned lineage
-   could disagree);
+   makes partition order == global order. When the caller does not
+   pin ``num_partitions``, the expression form (no explicit N) is
+   used so AQE sizes the post-shuffle partition count from the DATA
+   (REPARTITION_BY_COL origin → coalescePartitions applies): the
+   spine is scale-adaptive instead of tuned to one core count, and
+   every result below is partition-count-independent by
+   construction;
+2. pin the partitioning (LAZY ``localCheckpoint``) so the counting
+   job and the ranking job see byte-identical partitions (range
+   boundaries come from sampling, so two separate actions on
+   unpinned lineage could disagree). The checkpoint is lazy: the
+   counting collect in step 3 is a full-scan aggregate, so its job
+   both computes and persists every partition — an eager checkpoint
+   would burn one extra blocking job per call for nothing;
 3. count rows per partition — a bounded collect of one long per
    partition (the L·K-coreset driver-state bound again);
 4. rank = per-partition prefix offset (compiled into the plan as a
@@ -32,15 +41,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _range_pinned(df: DataFrame, cols: list[Column],
+                  num_partitions: int | None) -> DataFrame:
+    """Range-partition on ``cols`` and pin the partitioning with a
+    LAZY localCheckpoint (materialized by the caller's first full-scan
+    action — one job computes AND persists). No explicit partition
+    count unless the caller pins one: the expression form lets AQE
+    coalesce the post-shuffle count from data size (scale-adaptive;
+    every spine result is partition-count-independent)."""
+    if num_partitions is not None:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    return ranged.localCheckpoint(eager=False)
+
+
 def _ranked_with_total(df: DataFrame, order_by: list[Column | str],
                        rank_col: str,
                        num_partitions: int | None) -> tuple[DataFrame, int]:
-    spark = df.sparkSession
-    num_partitions = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = (df.repartitionByRange(num_partitions, *cols)
-              .localCheckpoint(eager=True))
+    ranged = _range_pinned(df, cols, num_partitions)
     counts = {r.pid: r.cnt for r in
               (ranged.groupBy(F.spark_partition_id().alias("pid"))
                .agg(F.count("*").alias("cnt")).collect())}
@@ -98,11 +118,8 @@ def global_cumsum(df: DataFrame, order_by: list[Column | str],
     result partition-dependent through summation order.
     """
     spark = df.sparkSession
-    num_partitions = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = (df.repartitionByRange(num_partitions, *cols)
-              .localCheckpoint(eager=True))
+    ranged = _range_pinned(df, cols, num_partitions)
     sums = {r.pid: r.s for r in
             (ranged.groupBy(F.spark_partition_id().alias("pid"))
              .agg(F.sum(value_col).alias("s")).collect())}
@@ -171,11 +188,8 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str, id_col: str,
     window max — two parallel shuffles, never a single-reducer window.
     """
     spark = df.sparkSession
-    num_partitions = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(x_col).asc(), F.col(y_col).desc(), F.col(id_col).asc()]
-    ranged = (df.repartitionByRange(num_partitions, *cols)
-              .localCheckpoint(eager=True))
+    ranged = _range_pinned(df, cols, num_partitions)
     maxes = {r.pid: r.m for r in
              (ranged.groupBy(F.spark_partition_id().alias("pid"))
               .agg(F.max(y_col).alias("m")).collect())}

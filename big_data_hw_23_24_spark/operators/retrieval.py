@@ -53,32 +53,43 @@ def build_query_index(docs: DataFrame, queries: DataFrame,
     (qid, term).
 
     Building it ONCE and passing it to both :func:`bm25_search_many`
-    and :func:`ql_search_many` bounds hybrid retrieval at TWO corpus
-    passes total — the postings pin and the stats aggregate, which
-    must cover ALL docs (not just matched ones) so it cannot derive
-    from the pruned postings — with ZERO further scans per retriever
-    (measured 3.3 s → 2.x s at sf0.1 for doc_hybrid_rrf).
+    and :func:`ql_search_many` bounds hybrid retrieval at ONE corpus
+    tokenize pass total (was two: the postings pin and a separate
+    stats aggregate re-tokenized everything for one row). The query
+    vocabulary is bounded — it IS the query workload — so it is
+    collected once and compiled into the scan projection as an array
+    literal; the scan emits the narrow (id, dl, matched-terms) frame,
+    LAZILY pinned, which the stats aggregate materializes as a side
+    effect (dl covers ALL docs, matched or not, so stats cannot
+    derive from the pruned postings). The postings aggregate then
+    reads the persisted narrow blocks — no second tokenize.
     """
     from .util import lowered_words
 
     words = lowered_words(text_col)
-    base = docs.select(F.col(id_col), words.alias("_w"))
     qterms = (queries.select("qid", F.explode("terms").alias("term"))
               .select("qid", F.lower("term").alias("term"))
               .distinct())
-    terms_only = qterms.select("term").distinct()
-    postings = (base.select(F.col(id_col), F.size("_w").alias("dl"),
-                            F.explode("_w").alias("term"))
-                .join(F.broadcast(terms_only), "term")
-                .groupBy(id_col, "term")
-                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-                .localCheckpoint(eager=True))
-    srow = base.agg(F.count("*").alias("_n"),
-                    F.sum(F.size("_w")).alias("_sumdl")).first()
+    term_list = sorted(r.term for r in
+                       qterms.select("term").distinct().collect())
+    members = (F.array(*[F.lit(t) for t in term_list]) if term_list
+               else F.array().cast("array<string>"))
+    narrow = (docs.select(
+        F.col(id_col), F.size(words).alias("dl"),
+        F.filter(words,
+                 lambda w: F.array_contains(members, w)).alias("_m"))
+        .localCheckpoint(eager=False))
+    srow = narrow.agg(F.count("*").alias("_n"),
+                      F.sum("dl").alias("_sumdl")).first()
     stats = docs.sparkSession.range(1).select(
         F.lit(srow["_n"]).cast("long").alias("_n"),
         F.lit(srow["_sumdl"] if srow["_sumdl"] is not None else 0)
         .cast("long").alias("_sumdl"))
+    postings = (narrow.select(F.col(id_col), "dl",
+                              F.explode("_m").alias("term"))
+                .groupBy(id_col, "term")
+                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+                .localCheckpoint(eager=True))
     return postings, stats, qterms
 
 

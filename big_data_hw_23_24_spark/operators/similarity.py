@@ -765,10 +765,13 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # tree (measured: step times 1.7 → 3.3 → OOM at k=5, sf0.01).
     # localCheckpoint truncates the lineage each round — the
     # connected_components / MRFFT iterative contract (SURVEY §3.2);
-    # the checkpointed state is ≤ queries × k tiny rows.
+    # the checkpointed state is ≤ queries × k tiny rows. LAZY (the
+    # label_propagation treatment): the plan is truncated immediately
+    # either way, but eager ran k blocking driver round-trips — lazy
+    # lets the caller's single action materialize the whole chain.
     sel = _pick(pool.withColumn(
         "score", F.lit(lam) * F.col("rel") - F.lit(lam1) * F.lit(0.0)),
-        1).localCheckpoint()
+        1).localCheckpoint(eager=False)
     for i in range(2, k + 1):
         rem = pool.join(sel.select("query_id", "cand_id"),
                         ["query_id", "cand_id"], "left_anti")
@@ -783,7 +786,7 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                             F.lit(lam) * F.col("rel")
                             - F.lit(lam1) * F.coalesce("_m", F.lit(0.0)))
                 .drop("_m"))
-        sel = sel.unionByName(_pick(cand, i)).localCheckpoint()
+        sel = sel.unionByName(_pick(cand, i)).localCheckpoint(eager=False)
     return sel.select("query_id",
                       F.col("cand_id").alias("neighbor_id"),
                       F.col("mmr_rank").cast("long").alias("mmr_rank"),
@@ -890,7 +893,11 @@ def reciprocal_best_match(side_a: DataFrame, side_b: DataFrame,
     """
     # fwd is ≤|A| rows but consumed twice (candidate semi-join + the
     # mutuality join) — un-checkpointed, the whole forward scan of the
-    # big side re-runs per consumer (the subtree-reuse lesson)
+    # big side re-runs per consumer (the subtree-reuse lesson). EAGER
+    # deliberately (r14 A/B): both consumers are broadcast build sides
+    # that race to materialize a lazy checkpoint concurrently — the
+    # cache-population race re-ran the expensive forward scan and
+    # measured as a regression; one blocking job is the cheaper form.
     fwd = (cosine_topk(side_b, side_a, k=1, id_col=id_col,
                        vec_col=vec_col)
            .select(F.col("query_id").alias("id_a"),
@@ -937,6 +944,8 @@ def reciprocal_best_match_ivf(side_a: DataFrame, side_b: DataFrame,
                    F.col("neighbor_id").alias("id_b"),
                    F.col("cosine").alias("cosine"))
            .localCheckpoint(eager=True))  # ≤|A| rows, two consumers
+    # (eager deliberately — the consumers race a lazy checkpoint; see
+    # reciprocal_best_match)
     cand = (side_b.join(
         fwd.select(F.col("id_b").alias(id_col)).distinct(), id_col))
     back = (ivf_topk_pinned(side_a, cand, k=1, nprobe=nprobe,

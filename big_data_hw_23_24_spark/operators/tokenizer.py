@@ -189,9 +189,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    # LAZY checkpoints (1 job/round instead of 2): each round's take(1)
+    # is a global sort-limit — a full-scan action that materializes the
+    # current vocab as a side effect. The PREVIOUS round's blocks can
+    # only be dropped after that materialization (its partitions are
+    # the current vocab's input), so unpersist trails by one round.
     vocab = (word_counts(docs, text_col)
              .select(F.split("word", "").alias("syms"), "n_occ")
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
+    prev: DataFrame | None = None
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -205,18 +211,22 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
             best = (pairs.groupBy("a", "b")
                     .agg(F.sum("n_occ").cast("long").alias("cnt"))
                     .orderBy(F.col("cnt").desc(), "a", "b")
-                    .take(1))
+                    .take(1))  # materializes vocab; prev now unread
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             a, b, cnt = best[0].a, best[0].b, best[0].cnt
             merges.append((a, b, int(cnt)))
             nxt = vocab.select(
                 _merge_pair(F.col("syms"), a, b).alias("syms"), "n_occ") \
-                .localCheckpoint(eager=True)
-            vocab.unpersist()
-            vocab = nxt
+                .localCheckpoint(eager=False)
+            prev, vocab = vocab, nxt
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
