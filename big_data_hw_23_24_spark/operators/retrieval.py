@@ -246,6 +246,12 @@ def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
     """
     if index is not None:
         postings, stats, qterms = index
+    elif materialize:
+        # the one-tokenize index build (r14): the standalone path ran
+        # TWO corpus tokenize passes — the pruned-postings pin and a
+        # separate (n, sumdl) aggregate; build_query_index does one
+        postings, stats, qterms = build_query_index(
+            docs, queries, text_col=text_col, id_col=id_col)
     else:
         from .util import lowered_words
 
@@ -262,22 +268,13 @@ def bm25_search_many(docs: DataFrame, queries: DataFrame, k: int = 20,
         # aggregate: the corpus-side shuffle carries only matching
         # tokens, and dl rides along (functionally dependent on doc)
         # instead of joining a second corpus-wide table back
-        # NOTE: no ensure_fanout on the postings explode — measured at
-        # sf0.1 it doesn't move the needle (the cost is the multi-stage
-        # job structure, not the single-word explode; same finding as
-        # tfidf_top_terms)
+        # (materialize=False: fully lazy for plan inspection)
         postings = (base.select(F.col(id_col), F.size("_w").alias("dl"),
                                 F.explode("_w").alias("term"))
                     .join(F.broadcast(terms_only), "term")
                     .groupBy(id_col, "term")
                     .agg(F.count("*").alias("tf"),
                          F.first("dl").alias("dl")))
-        if materialize:
-            # both the per-term df aggregate (broadcast back) and the
-            # scoring probe read the pruned postings; Catalyst does not
-            # reuse the explode+join+aggregate subtree across branches
-            # (the E52 localCheckpoint move)
-            postings = postings.localCheckpoint(eager=True)
     df_q = postings.groupBy("term").agg(F.count("*").alias("_df"))
 
     hits = (postings
