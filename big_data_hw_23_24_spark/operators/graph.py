@@ -73,6 +73,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                   .persist())
     pr = (nodes.crossJoin(F.broadcast(n_row))
           .select("node", (F.lit(1.0) / F.col("_n")).alias("pr")))
+    # pr is deliberately NOT checkpointed per round (r14 opt round
+    # A/B): the 3-round plan names 173 parquet scans, but at runtime
+    # AQE reuses every duplicated exchange, and lazy per-round
+    # localCheckpoints measured 1.77 -> 2.35 s (jobs 21 -> 27) — the
+    # cuts split one overlapped AQE query into serial round-trips
     for _ in range(iterations):
         contrib = (e_norm.join(pr.withColumnRenamed("node", "_src"),
                                "_src")
@@ -521,6 +526,11 @@ def rec_hitrate(events: DataFrame, split_day: int, k: int = 3,
     day = F.dayofmonth(ts_col)
     train = events.where(day < split_day)
     test = events.where(day >= split_day)
+    # NOT pinned, deliberately (r14 opt round A/B): an eager
+    # localCheckpoint here measured 1.83 -> 3.67 s — the union's two
+    # sim consumers already share every exchange at runtime (AQE
+    # ReusedExchange), so the pin only serialized work the unpinned
+    # plan overlapped inside one job
     sim = item_cooccurrence(train, item_col=item_col, user_col=user_col,
                             cap=cap, min_co=min_co)
     edges = sim.select(F.col("item_a").alias("_src"),
@@ -715,10 +725,11 @@ def label_propagation(events: DataFrame, user_col: str = "user_id",
     corpus sources through the affinity graph.
 
     Determinism: votes are integer COUNTS; the winner is picked by
-    (max count, then smallest label) through an explicit two-step
-    max-count join + min-label aggregate — never an engine's
-    unspecified arg_max tie behavior; round count is fixed, so both
-    engines run the identical unrolled computation. Nodes with no
+    (max count, then smallest label) through one max over
+    (count, -label) structs — lexicographic on exact integers, so the
+    tie rule is explicit, never an engine's unspecified arg_max
+    behavior; round count is fixed, so both engines run the identical
+    unrolled computation. Nodes with no
     labeled neighbor stay null that round (and may resolve later).
 
     Scale shape: rides the capped co-occurrence edges; each round is
@@ -752,10 +763,17 @@ def label_propagation(events: DataFrame, user_col: str = "user_id",
                           "item_b")
                  .groupBy(F.col("item_a").alias("_i"), "_nl")
                  .agg(F.count("*").alias("_c")))
-        best_c = votes.groupBy("_i").agg(F.max("_c").alias("_bc"))
-        winner = (votes.join(best_c, "_i")
-                  .where(F.col("_c") == F.col("_bc"))
-                  .groupBy("_i").agg(F.min("_nl").alias("_wl")))
+        # (max count, then smallest label) as ONE aggregate: the max
+        # over structs ordered by (_c, -_nl) IS that election — struct
+        # comparison is field-order lexicographic and both fields are
+        # exact integers, so the winner is identical to the former
+        # max-count join + min-label aggregate while dropping a join
+        # and a grid aggregate from every round (r14 opt round)
+        winner = (votes.groupBy("_i")
+                  .agg(F.max(F.struct(F.col("_c"),
+                                      (-F.col("_nl")).alias("_nn")))
+                       .alias("_m"))
+                  .select("_i", (-F.col("_m._nn")).alias("_wl")))
         labels = (labels.join(winner, "_i", "left")
                   .select("_i",
                           F.when(F.col("is_seed"), F.col("_l"))

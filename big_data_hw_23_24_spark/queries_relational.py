@@ -3252,8 +3252,16 @@ def events_graph_assortativity(spark, sf_dir):
           .select("user_id",
                   F.get_json_object("props", "$.k").try_cast("long")
                   .alias("item")))
-    edges = item_cooccurrence(ev).select(
-        F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    # pin the slim edge list before handing it to the operator:
+    # degree_assortativity consumes its input 4x (sym's two union
+    # branches feed both the degree aggregate and the end-pair join),
+    # and unpinned that re-plans the whole co-occurrence build per
+    # consumer — 64 parquet scans in one plan (the item_triangles
+    # subtree-reuse lesson; r14 opt round)
+    edges = (item_cooccurrence(ev)
+             .select(F.col("item_a").alias("src"),
+                     F.col("item_b").alias("dst"))
+             .localCheckpoint(eager=True))
     return degree_assortativity(edges)
 
 
