@@ -331,15 +331,22 @@ def rerank_features(docs: DataFrame, queries: DataFrame, k: int = 20,
     qn = queries.select(
         "qid",
         F.array_distinct(F.transform("terms", F.lower)).alias("_terms"))
-    corpus = docs.select(F.col(id_col), lowered_words(text_col).alias("_w"))
+    # tokenize AFTER the shortlist join, not before: the broadcast
+    # hash probe drops non-shortlisted rows first, so only Q·k docs
+    # ever build their token array (the pre-join projection tokenized
+    # the whole corpus and then threw ~all of it away — guide §2.3
+    # "project before the exchange" read in reverse: defer expensive
+    # projections until after the cheap filter; r14 opt round)
     hit = lambda w: F.exists("_terms", lambda t: t == w)  # noqa: E731
     tf_total = F.size(F.filter("_w", hit))
     first_pos = F.array_min(F.filter(
         F.sequence(F.lit(1), F.size("_w")),
         lambda i: hit(F.element_at("_w", i))))
     dl = F.size("_w")
-    return (corpus.join(F.broadcast(short), id_col)
+    return (docs.join(F.broadcast(short), id_col)
             .join(F.broadcast(qn), "qid")
+            .select("qid", F.col(id_col), "rank", "score", "n_hits",
+                    "_terms", lowered_words(text_col).alias("_w"))
             .select("qid", id_col, "rank", "score",
                     F.size("_terms").cast("long").alias("n_terms"),
                     "n_hits",
