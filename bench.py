@@ -330,16 +330,26 @@ def main() -> None:
         pass
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    print(format_output_line(timings, float(sf)))
+    print(format_output_line(timings, float(sf), load_start=load_start))
 
 
 def format_output_line(timings: dict[str, float], sf: float,
-                       limit: int = 1900) -> str:
+                       limit: int = 1900,
+                       load_start: float | None = None) -> str:
     """One compact JSON line, guaranteed under the driver's 2000-char
     tail-capture buffer. The estimator is named in the output so
     cross-round comparisons can't silently conflate a methodology
-    change (r4 median→r5 min) with a real speedup."""
+    change (r4 median→r5 min) with a real speedup.
+
+    ``load_start`` (r15, additions-only per the r14 verdict): the
+    1-minute loadavg sampled before the JVM spun up rides the one-line
+    JSON so downstream PERF diffs are self-describing about host
+    contention — both r13 and r14 driver benches started loaded
+    (2.25 / 4.15) and the detail file's record was overwritten by the
+    later c8 pass, leaving the comparison un-qualifiable."""
     total = round(sum(timings.values()), 3)
+    extra = ({"load_start": round(load_start, 2)}
+             if load_start is not None else {})
     line = json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -348,6 +358,7 @@ def format_output_line(timings: dict[str, float], sf: float,
                                      # per-query warm run at target sf
         "queries": timings,
         "sf": sf,
+        **extra,
     }, separators=(",", ":"))
     if len(line) > limit:  # hard guard: never outgrow the tail buffer
         slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
@@ -356,6 +367,7 @@ def format_output_line(timings: dict[str, float], sf: float,
             "value": total, "unit": "sec", "estimator": "min3_warmed",
             "n_queries": len(timings), "queries": slowest,
             "queries_full": "BENCH_DETAIL.json", "sf": sf,
+            **extra,
         }, separators=(",", ":"))
     return line
 

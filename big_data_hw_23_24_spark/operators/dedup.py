@@ -336,11 +336,11 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.8,
     boilerplate mining's). The shuffle key is always the shingle,
     never a document pair.
 
-    The exploded table is fanout-guarded (a sub-row-group scan must
+    The pinned table is fanout-guarded (a sub-row-group scan must
     not serialize a 50x explode onto two cores; pass ``fanout=False``
     for non-scan-rooted inputs, the remove_repeated_spans contract)
-    and materialized once — the size aggregate, the df guard and the
-    pair join are three consumers of the same explode (the E52
+    and materialized once — the size projection, the df guard and the
+    pair join are three consumers of the same shingle build (the E52
     localCheckpoint pattern). Shingles are HASHED IN PLACE —
     ``xxhash64(w_i, …, w_{i+n-1})`` straight off the word array, no
     n-gram string ever built — so the index rows are two longs and
@@ -348,12 +348,20 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.8,
     equality stands in for word-tuple equality exactly as in the LSH
     band hash, with the same measure-zero 64-bit collision caveat
     (and no concat-separator ambiguity, since the words are hashed as
-    separate arguments). Set sizes |A| ride a per-doc count of the
-    exploded rows joined onto the (few) surviving pairs, not a column
-    carried through the index — an alias-indirected array column here
-    made Catalyst plan the whole explode into the exchange's map side
-    (one task); the single inline projection keeps it post-shuffle
-    (measured 19 -> 1.5 s at sf0.1 all told).
+    separate arguments).
+
+    The pin holds ONE ROW PER DOC ``(id, shingle array)`` (r15; same
+    bytes as the exploded rows, 50x fewer of them): set sizes |A| are
+    then ``size(arr)`` — a zero-shuffle map over the pin replacing a
+    corpus-scale count aggregate (its Exchange appeared twice in the
+    plan, once per pair side) — and each consumer explodes from the
+    pinned blocks in place. The r8 caveat about alias-indirected
+    array columns (Catalyst planned the whole explode into the
+    exchange's map side, 19 s) does not bite here: the checkpoint is
+    an optimizer barrier, so the explode stays a post-pin map and the
+    fanout guard's partitioning is preserved by the pin. Interleaved
+    min-of-6 A/B at sf0.1: 1.85 -> 1.71 s median, identical 1040-row
+    output.
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -365,13 +373,16 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.8,
         lambda x: F.xxhash64(*[x[str(j)] for j in range(n)])))
     arr = F.when(F.size(words) >= n, hashes) \
         .otherwise(F.array().cast("array<bigint>"))
-    sh = ((ensure_fanout(docs) if fanout else docs)
-          .select(F.col(id_col), F.explode(arr).alias("_s")))
+    sh_docs = ((ensure_fanout(docs) if fanout else docs)
+               .select(F.col(id_col), arr.alias("_arr")))
     if materialize:
-        sh = sh.localCheckpoint(eager=True)
-    # denominators from the UNFILTERED shingle sets (rows are distinct
-    # per doc by construction, so the count IS the set size)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+        sh_docs = sh_docs.localCheckpoint(eager=True)
+    # denominators from the UNFILTERED shingle sets (the arrays are
+    # distinct by construction, so size(arr) IS the set size; docs
+    # with an empty set get a 0 row that no pair can ever join)
+    sizes = sh_docs.select(F.col(id_col),
+                           F.size("_arr").cast("long").alias("_sz"))
+    sh = sh_docs.select(F.col(id_col), F.explode("_arr").alias("_s"))
     if max_df is not None:
         # anti-join against the STOP set, not semi against the keep
         # set: survivors are ~every distinct shingle (corpus-scale

@@ -77,7 +77,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # A/B): the 3-round plan names 173 parquet scans, but at runtime
     # AQE reuses every duplicated exchange, and lazy per-round
     # localCheckpoints measured 1.77 -> 2.35 s (jobs 21 -> 27) — the
-    # cuts split one overlapped AQE query into serial round-trips
+    # cuts split one overlapped AQE query into serial round-trips.
+    # The edge build `e` is ALSO deliberately not pinned (r15 A/B):
+    # an eager localCheckpoint below the loop measured 1.35 -> 1.74 s
+    # median (interleaved min-of-6) — the three persists above already
+    # dedupe the runtime work, so the pin only added a blocking job
+    # that serialized the overlapped cache population
     for _ in range(iterations):
         contrib = (e_norm.join(pr.withColumnRenamed("node", "_src"),
                                "_src")

@@ -46,23 +46,30 @@ def build_query_index(docs: DataFrame, queries: DataFrame,
                       id_col: str = "doc_id"):
     """The pruned inverted index every lexical retriever here consumes:
     ``(postings, stats, qterms)`` with postings = (id, term, tf, dl)
-    restricted to query terms (eagerly pinned — several scorers read
-    it), stats = a 1-row LITERAL (n, sumdl) relation (collected once
-    here — a lazy aggregate would make every consumer re-scan and
-    re-tokenize the corpus for one row), qterms = lowercased distinct
-    (qid, term).
+    restricted to query terms, stats = a 1-row LITERAL (n, sumdl)
+    relation (collected once here — a lazy aggregate would make every
+    consumer re-scan and re-tokenize the corpus for one row), qterms =
+    lowercased distinct (qid, term).
 
     Building it ONCE and passing it to both :func:`bm25_search_many`
     and :func:`ql_search_many` bounds hybrid retrieval at ONE corpus
-    tokenize pass total (was two: the postings pin and a separate
-    stats aggregate re-tokenized everything for one row). The query
-    vocabulary is bounded — it IS the query workload — so it is
-    collected once and compiled into the scan projection as an array
-    literal; the scan emits the narrow (id, dl, matched-terms) frame,
-    LAZILY pinned, which the stats aggregate materializes as a side
-    effect (dl covers ALL docs, matched or not, so stats cannot
-    derive from the pruned postings). The postings aggregate then
-    reads the persisted narrow blocks — no second tokenize.
+    tokenize pass total. The query vocabulary is bounded — it IS the
+    query workload — so it is collected once and compiled into the
+    scan projection as an array literal; the scan emits the narrow
+    (id, dl, matched-terms) frame, LAZILY pinned, which the stats
+    aggregate materializes as a side effect (dl covers ALL docs,
+    matched or not, so stats cannot derive from the pruned postings).
+
+    Postings are a ZERO-SHUFFLE map over the pinned narrow blocks
+    (r15): per doc, tf for each distinct matched term is computed
+    in-place from the matched-token array (``transform(array_distinct
+    (_m), t -> (t, size(filter(_m, = t))))`` + explode) — the former
+    ``explode → groupBy(id, term)`` aggregate paid a corpus-scale
+    Exchange plus an EAGER pin (a blocking job) for values that are
+    per-row derivable (guide §2.4 "remove shuffles outright": the
+    group key (id, term) never leaves its row's partition). Consumers
+    re-derive the map from the pinned narrow blocks for the price of
+    an array scan — no shuffle, no blocking job, one less pin.
     """
     from .util import lowered_words
 
@@ -85,11 +92,16 @@ def build_query_index(docs: DataFrame, queries: DataFrame,
         F.lit(srow["_n"]).cast("long").alias("_n"),
         F.lit(srow["_sumdl"] if srow["_sumdl"] is not None else 0)
         .cast("long").alias("_sumdl"))
-    postings = (narrow.select(F.col(id_col), "dl",
-                              F.explode("_m").alias("term"))
-                .groupBy(id_col, "term")
-                .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-                .localCheckpoint(eager=True))
+    postings = (narrow.select(
+        F.col(id_col), "dl",
+        F.explode(F.transform(
+            F.array_distinct("_m"),
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter("_m", lambda w: w == t))
+                .cast("long").alias("tf")))).alias("_p"))
+        .select(F.col(id_col), F.col("_p.term").alias("term"),
+                F.col("_p.tf").alias("tf"), "dl"))
     return postings, stats, qterms
 
 
@@ -453,6 +465,7 @@ def rrf_fuse(*ranked: DataFrame, k: int = 10, rrf_k: int = 60,
           .alias(f"rank_{i}") for i in range(len(slim))])
     return grouped_topk(out, ["qid"], [F.col("rrf").desc(), F.col(id_col)],
                         k)
+
 
 
 def phrase_search(docs: DataFrame, phrases: list[str],

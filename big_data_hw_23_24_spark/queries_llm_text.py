@@ -2012,6 +2012,17 @@ def doc_pretoken_stats(spark, sf_dir):
         "query; fusion joins only bounded shortlists",
 )
 def doc_hybrid_rrf(spark, sf_dir):
+    # r15 fusion experiment (VERDICT r14 task 5), NEGATIVE — kept as
+    # the two-retriever composition: computing both scores in ONE
+    # (qid, doc) aggregate requires pinning the scored frame (Catalyst
+    # otherwise re-splits the aggregate per top-k consumer and prunes
+    # each copy back to the un-fused plan — and the pruned copies are
+    # no longer identical subtrees, so AQE ReusedExchange cannot
+    # collapse them), and the pin's blocking job measured SLOWER than
+    # the overlapped duplicated aggregates it removed (interleaved
+    # min-of-6 A/B: orig 2.49/3.12 vs fused+pin 2.68/3.42 — the
+    # rec_hitrate lesson again). The index build itself was optimized
+    # instead (zero-shuffle postings map in build_query_index).
     from .operators.retrieval import (bm25_search_many, ql_search_many,
                                       rrf_fuse)
 

@@ -46,3 +46,23 @@ def test_overflow_falls_back_to_slowest_20():
     # reflects ALL queries
     assert min(parsed["queries"].values()) >= 0.180
     assert parsed["value"] == round(sum(timings.values()), 3)
+
+
+def test_load_start_rides_the_line_when_sampled():
+    # r15 (r14 verdict item 2): the 1-min loadavg at bench start must
+    # ride the one-line JSON so PERF diffs are load-qualifiable without
+    # BENCH_DETAIL (which later passes overwrite). Additions-only: the
+    # field appears only when sampled, existing keys are untouched.
+    timings = {n: 1.234 for n in HEADLINE}
+    line = format_output_line(timings, 0.1, load_start=4.1467)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["load_start"] == 4.15
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    # overflow fallback carries it too
+    big = {f"query_with_a_long_descriptive_name_{i:03d}": i / 1000.0
+           for i in range(200)}
+    over = json.loads(format_output_line(big, 0.1, load_start=0.3))
+    assert over["load_start"] == 0.3
+    # and absent when not sampled (old callers unchanged)
+    assert "load_start" not in json.loads(format_output_line(timings, 0.1))

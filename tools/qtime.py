@@ -75,9 +75,10 @@ def main() -> None:
             rec["noop_min"] = round(min(noops), 3)
         out[name] = rec
         if args.plan:
-            os.makedirs("plans/r14", exist_ok=True)
+            plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "plans/r15")
+            os.makedirs(plan_dir, exist_ok=True)
             tag = args.tag or "probe"
-            path = f"plans/r14/{name}_{tag}.txt"
+            path = f"{plan_dir}/{name}_{tag}.txt"
             df = fn(spark, args.sf)
             with open(path, "w") as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
