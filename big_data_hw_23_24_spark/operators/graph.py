@@ -246,11 +246,20 @@ def item_triangles(events: DataFrame, user_col: str = "user_id",
     pipeline per consumer MULTIPLICATIVELY (136 parquet scans in one
     plan; the subtree-reuse lesson at its worst).
     """
+    # edges pin LAZY (r15): the degree aggregate right below is the
+    # first consumer and scans the pin exactly ONCE (explode of both
+    # endpoints per edge row — the former two-branch unionAll would
+    # have raced its branches to materialize each partition twice),
+    # so deg's eager pin job computes AND persists the co-occurrence
+    # build as a side effect: one blocking job instead of two, with
+    # the build still computed exactly once at any scale (guide §5;
+    # interleaved A/B neutral at sf0.1 — min 1.96 vs 1.95 s — the
+    # saving is the driver round-trip, deterministic jobs 19 -> 18)
     edges = (item_cooccurrence(events, item_col=item_col,
                                user_col=user_col, cap=cap, min_co=min_co)
-             .select("item_a", "item_b").localCheckpoint(eager=True))
-    deg = (edges.select(F.col("item_a").alias("item"))
-           .unionAll(edges.select(F.col("item_b").alias("item")))
+             .select("item_a", "item_b").localCheckpoint(eager=False))
+    deg = (edges.select(F.explode(F.array("item_a", "item_b"))
+                        .alias("item"))
            .groupBy("item").agg(F.count("*").cast("long").alias("degree"))
            .localCheckpoint(eager=True))
     da = deg.select(F.col("item").alias("item_a"),

@@ -898,6 +898,12 @@ def reciprocal_best_match(side_a: DataFrame, side_b: DataFrame,
     # that race to materialize a lazy checkpoint concurrently — the
     # cache-population race re-ran the expensive forward scan and
     # measured as a regression; one blocking job is the cheaper form.
+    # r15 A/B (VERDICT r14 task 7): collecting fwd to a driver-local
+    # relation (collect + createDataFrame, broadcast to both
+    # consumers) is ALSO a regression — exact 2.69 -> 2.93 s median,
+    # IVF 3.15 -> 3.81 (interleaved min-of-6) — the Python->JVM
+    # literal round-trip costs more than the checkpoint job it
+    # replaces. Both alternatives now measured; eager stands.
     fwd = (cosine_topk(side_b, side_a, k=1, id_col=id_col,
                        vec_col=vec_col)
            .select(F.col("query_id").alias("id_a"),

@@ -1328,12 +1328,22 @@ def rake_keyphrases(docs: DataFrame, stopwords: list[str], k: int = 3,
     ulp could flip a near-tie differently in different engines. Ties
     break on the phrase text.
 
-    Scale shape: positional explode, two doc-keyed windows (position
-    rank, island id), one vocabulary-scale word aggregate joined back
-    by word key, and the two-stage grouped top-k (never a per-doc
-    reducer funnel). Repeated phrase instances in one doc score and
-    rank independently only once (distinct phrase per doc before the
-    final rank).
+    Scale shape (r15 array-grouped form): positional explode, ONE
+    doc-keyed window (island id), then ONE ``(doc, pid)`` aggregate
+    collecting each candidate's ordered word array — pinned, because
+    everything else derives from it by exploding in place: members
+    are ``explode(_ws)`` (the former members equi-join back to the
+    token stream — a corpus-scale Exchange — is gone, guide §2.4),
+    the vocabulary aggregate and the per-phrase score both ride that
+    map, and phrase text/length are ``array_join``/``size`` column
+    maps. Un-pinned, Catalyst re-planned the explode+window subtree
+    once per consumer (10 parquet scans in the r15 before-plan;
+    ReusedExchange shares only the exchange bytes, the window re-ran
+    per copy). Interleaved min-of-6 A/B at sf0.1: 2.90 -> 2.47 s
+    median, identical 14587-row output. The two-stage grouped top-k
+    stays (never a per-doc reducer funnel); repeated phrase instances
+    in one doc score and rank independently only once (distinct
+    phrase per doc before the final rank).
     """
     from .grouped import grouped_topk
 
@@ -1349,24 +1359,29 @@ def rake_keyphrases(docs: DataFrame, stopwords: list[str], k: int = 3,
     w = w.withColumn("pid", F.sum(F.col("is_stop").cast("int")).over(run))
     cand = (w.where(~F.col("is_stop"))
             .groupBy(id_col, "pid")
-            .agg(F.array_join(F.transform(
+            .agg(F.transform(
                 F.sort_array(F.collect_list(F.struct("i", "word"))),
-                lambda s: s.word), " ").alias("phrase"),
-                F.count("*").cast("long").alias("n_words")))
-    # corpus-wide word stats over candidate members
-    members = (w.where(~F.col("is_stop"))
-               .join(cand.select(id_col, "pid", "n_words"),
-                     [id_col, "pid"]))
-    wstats = (members.groupBy("word")
+                lambda s: s.word).alias("_ws"))
+            .localCheckpoint(eager=True))
+    # corpus-wide word stats over candidate members — an in-place
+    # explode of the pinned arrays, not a join back to the token
+    # stream
+    mem = cand.select(F.col(id_col), "pid",
+                      F.size("_ws").cast("long").alias("n_words"),
+                      F.explode("_ws").alias("word"))
+    wstats = (mem.groupBy("word")
               .agg(F.count("*").alias("_freq"),
                    F.sum("n_words").alias("_deg")))
     wm = wstats.withColumn(
         "_milli", F.floor(F.col("_deg") * 1000 / F.col("_freq"))
         .cast("long"))
-    scored = (members.join(wm.select("word", "_milli"), "word")
+    scored = (mem.join(wm.select("word", "_milli"), "word")
               .groupBy(id_col, "pid")
               .agg(F.sum("_milli").cast("long").alias("score_milli")))
-    phrases = (cand.join(scored, [id_col, "pid"])
+    phrases = (cand.select(F.col(id_col), "pid",
+                           F.array_join("_ws", " ").alias("phrase"),
+                           F.size("_ws").cast("long").alias("n_words"))
+               .join(scored, [id_col, "pid"])
                .select(id_col, "phrase", "n_words", "score_milli")
                .distinct())
     return grouped_topk(phrases, [id_col],
