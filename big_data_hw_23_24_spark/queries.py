@@ -74,44 +74,32 @@ _LOADED = False
 # stay oracle-compared in tests/test_oracle_parity.py.
 # tests/test_registry_order.py pins the invariants.
 _CHECKED_WINDOW: tuple[str, ...] = (
-    # ---- r14 rotation: 30 of the 44-query r13 queue admitted (none
-    # ever driver-checked), over 30 retired holdovers (each earned ≥2
-    # greens — four 4-green, twelve 3-green, fourteen 2-green; all
-    # annotated with their in-window or incoming sibling in
-    # tests/test_registry_order.py::declared_redundant). The one kept
-    # multi-green member covers machinery with no other in-window
-    # sibling: media_header_parse, the multimodal tier's only window
-    # face (the tier the judge tracks as `partial`). The 15 names
-    # still queued (the 8 TPC-H shapes + 6 shape variants of admitted
-    # machinery + the one r14 production, media_wav_decode) wait for
-    # the r15 rotation — post-r14 queue depth 15, EXACTLY at the ≤15
-    # drain target (VERDICT r13 task 2): no headroom for further
-    # additions before the next rotation retires.
-    # ---- r11 queue admitted in r12, kept member ----
-    "media_header_parse",
-    # ---- r12 queue admitted in r13 (E172-E189 + knn_eval_reciprocal),
-    # first driver-checked (green) in r13 ----
-    "knn_reciprocal_ivf",
+    # ---- r15 rotation (VERDICT r14 task 8): the full 15-name queue
+    # admitted (the 8 TPC-H shapes + 6 shape variants + the r14
+    # production media_wav_decode — queue now EMPTY), over 15 retired
+    # multi-green holdovers (media_header_parse with 3 greens, now
+    # that media_wav_decode gives the multimodal tier a stronger
+    # window face, + fourteen 2-green r13 admissions; every retiree
+    # annotated with its in-window or incoming sibling in
+    # tests/test_registry_order.py::declared_redundant and still
+    # oracle-compared at two SFs every suite run). The 5 kept
+    # 2-green members each anchor machinery no other window face
+    # covers: customers_typo_pairs (the linkage tier's named sibling
+    # for both r14 linkage retirees), knn_eval_reciprocal (the
+    # mutual-NN gate both reciprocal retirees point at),
+    # doc_phrase_search (positional-adjacency postings, named by
+    # three r14 retirees), events_interval_join (bucket-explode
+    # range join, parts_skyline's named sibling), doc_context_fit
+    # (the zero-shuffle doc-map tier face, doc_readability's
+    # sibling).
+    # ---- r12 queue admitted in r13, kept members (2 greens) ----
     "knn_eval_reciprocal",
     "events_interval_join",
-    "doc_readability",
-    "doc_domain_cap",
-    "corpus_labeler_agreement",
-    "corpus_compaction_plan",
     "doc_phrase_search",
-    "events_ab_uplift",
-    "events_rolling_distinct_kmv",
     "doc_context_fit",
-    "dedup_setsim_prefix",
-    "events_bootstrap_ci",
-    "doc_mojibake_scan",
-    "suppliers_sole_delay",
-    "corpus_preference_pairs",
     "customers_typo_pairs",
-    "events_ewma_forecast",
-    "users_survival_km",
-    # ---- r13 queue admitted in r14 (30 of 44; E190-E233), never
-    # driver-checked before this window. Ordered new-machinery-first
+    # ---- r13 queue admitted in r14 (30 of 44; E190-E233), first
+    # driver-checked (green) in r14. Ordered new-machinery-first
     # per the r13 verdict: layout/streaming/graph/eval tiers, then
     # the stats battery. ----
     "events_hilbert_pruning",
@@ -145,6 +133,24 @@ _CHECKED_WINDOW: tuple[str, ...] = (
     "events_isotonic_purchase",
     "events_anova_value",
     "events_twap_value",
+    # ---- r13/r14 queue admitted in r15: the TPC-H shape octet, the
+    # six shape variants of already-admitted machinery, and the
+    # multimodal tier's real-codec face ----
+    "customers_order_distribution",
+    "parts_small_qty_revenue",
+    "customers_large_volume",
+    "parts_min_cost_supplier",
+    "parts_value_share",
+    "supplier_top_revenue",
+    "suppliers_dominant_share",
+    "customers_dormant_rich",
+    "events_hll_pinned",
+    "corpus_quantile_normalize",
+    "events_did_uplift",
+    "events_ccf_view_purchase",
+    "embedding_rp_distortion",
+    "corpus_quota_allocation",
+    "media_wav_decode",
 )
 
 

@@ -942,6 +942,118 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
                                      #   r14, same label-centroid
                                      #   machinery with the separation
                                      #   readout) + embedding_top_eigen
+        # ---- retired in the r15 rotation (VERDICT r14 task 8): 15
+        # multi-green holdovers make room for the full 15-name queue
+        # (8 TPC-H shapes + 6 shape variants + media_wav_decode);
+        # each names the sibling — in-window or admitted this same
+        # rotation — that keeps its machinery driver-checked. The 5
+        # kept 2-green members (customers_typo_pairs,
+        # knn_eval_reciprocal, doc_phrase_search, events_interval_join,
+        # doc_context_fit) each anchor machinery referenced by prior
+        # retirees' annotations and covered by no other window face.
+        # All retirees stay full-value oracle-compared at two SFs in
+        # test_oracle_parity every suite run and remain in the bench.
+        "media_header_parse",        # 3 greens r12-r14; binary
+                                     #   magic/dims sniff + quarantine
+                                     #   ⊂ media_wav_decode (admitted
+                                     #   r15 — the strictly stronger
+                                     #   multimodal face: REAL RIFF
+                                     #   container parse through the
+                                     #   stdlib codec, same Arrow
+                                     #   kernel shape, same quarantine
+                                     #   branch); header table pinned
+                                     #   in tests/test_multimodal.py
+        "knn_reciprocal_ivf",        # 2 greens r13+r14; IVF-routed
+                                     #   mutual NN ⊂ knn_eval_reciprocal
+                                     #   (KEPT in window — the gate
+                                     #   runs this same routed pipeline
+                                     #   AND scores it against the
+                                     #   exact mutual set)
+        "doc_readability",           # 2 greens r13+r14; zero-shuffle
+                                     #   per-doc text-metric map ⊂
+                                     #   doc_context_fit (KEPT in
+                                     #   window, same zero-shuffle
+                                     #   narrow-map tier); syllable
+                                     #   heuristic pinned in
+                                     #   tests/test_llm_ops.py
+        "doc_domain_cap",            # 2 greens r13+r14; two-stage
+                                     #   grouped top-k cap ⊂
+                                     #   doc_retrieval_mrr (in window,
+                                     #   grouped top-k over the shared
+                                     #   postings) + doc_phrase_search
+                                     #   (KEPT in window)
+        "corpus_labeler_agreement",  # 2 greens r13+r14; detector-vs-
+                                     #   label confusion-cell grid ⊂
+                                     #   events_chisq_independence (in
+                                     #   window, same observed/expected
+                                     #   cell-grid machinery)
+        "corpus_compaction_plan",    # 2 greens r13+r14; small-files
+                                     #   planner on the cumsum spine ⊂
+                                     #   events_peak_concurrency (in
+                                     #   window, same global-cumsum
+                                     #   spine) + corpus_quantile_normalize
+                                     #   (admitted r15, rank spine)
+        "events_ab_uplift",          # 2 greens r13+r14; hash-assigned
+                                     #   arms + Welch conditional sums
+                                     #   ⊂ events_did_uplift (admitted
+                                     #   r15, same conditional-sum
+                                     #   uplift machinery with the
+                                     #   planted-effect oracle) +
+                                     #   events_mannwhitney (in window)
+        "events_rolling_distinct_kmv",  # 2 greens r13+r14; pinned
+                                     #   KMV register merge ⊂
+                                     #   events_hll_pinned (admitted
+                                     #   r15, same bit-pinned sketch
+                                     #   register machinery vs exact)
+        "dedup_setsim_prefix",       # 2 greens r13+r14; prefix-filtered
+                                     #   exact Jaccard join ⊂
+                                     #   dedup_eval_lsh_recall (in
+                                     #   window — its ground-truth side
+                                     #   IS this exact setsim join, run
+                                     #   on a dual-salted corpus)
+        "events_bootstrap_ci",       # 2 greens r13+r14; md5-replicate
+                                     #   Poisson weights + grouped sums
+                                     #   ⊂ events_anova_value (in
+                                     #   window, grouped exact
+                                     #   sufficient statistics) +
+                                     #   embedding_rp_distortion
+                                     #   (admitted r15, same
+                                     #   deterministic-hash replicate
+                                     #   machinery)
+        "doc_mojibake_scan",         # 2 greens r13+r14; byte-table
+                                     #   decode scan + repair branch ⊂
+                                     #   media_wav_decode (admitted
+                                     #   r15, byte-payload decode with
+                                     #   quarantine branch); the cp1252
+                                     #   table stays pinned in
+                                     #   tests/test_llm_ops.py
+        "suppliers_sole_delay",      # 2 greens r13+r14; TPC-H Q21
+                                     #   shape decorrelated to windows
+                                     #   ⊂ parts_small_qty_revenue +
+                                     #   customers_dormant_rich (both
+                                     #   admitted r15 — per-key window
+                                     #   decorrelation and scalar +
+                                     #   anti-join, the same Q-shape
+                                     #   machinery split across the
+                                     #   octet)
+        "corpus_preference_pairs",   # 2 greens r13+r14; margin-gated
+                                     #   pair mining ⊂
+                                     #   embedding_triplet_mining (in
+                                     #   window, same grouped hardest-
+                                     #   pair mining machinery)
+        "events_ewma_forecast",      # 2 greens r13+r14; ordered
+                                     #   recursive scan + backtest ⊂
+                                     #   events_twap_value (in window,
+                                     #   step-function time-weighted
+                                     #   scan) + events_cusum_changepoint
+                                     #   (in window, ordered cumulative
+                                     #   scan)
+        "users_survival_km",         # 2 greens r13+r14; ordered
+                                     #   cumulative-product day grid ⊂
+                                     #   users_bh_fdr (in window,
+                                     #   ordered cumulative step-up
+                                     #   decision) + events_acf_daily
+                                     #   (in window, day-grid moments)
     }
     # genuinely-new ops added after this round's window filled; each
     # waits for the next rotation (once the current window earns its
@@ -957,62 +1069,27 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
     # (media_wav_decode — the real-codec upgrade the r13 verdict asked
     # for if a codec appeared; the stdlib wave module qualifies).
     # Queue depth 15, exactly at the r13 verdict's ≤15 drain target.
-    queued_for_rotation: set[str] = {
-        "customers_order_distribution",  # r13: TPC-H Q13 shape — zero-
-                                     #   bucket left-join double
-                                     #   aggregate
-        "parts_small_qty_revenue",   # r13: TPC-H Q17 shape — correlated
-                                     #   scalar avg decorrelated to a
-                                     #   per-part window on one scan
-        "customers_large_volume",    # r13: TPC-H Q18 shape — HAVING-
-                                     #   filtered per-order aggregate
-                                     #   broadcast into the dims
-        "parts_min_cost_supplier",   # r13: TPC-H Q2 shape — correlated
-                                     #   scalar MIN decorrelated to a
-                                     #   per-part window
-        "parts_value_share",         # r13: TPC-H Q11 shape — global-
-                                     #   scalar HAVING in exact cents
-        "supplier_top_revenue",      # r13: TPC-H Q15 shape — view +
-                                     #   max, integer-cents equality
-        "suppliers_dominant_share",  # r13: TPC-H Q20 shape — nested IN
-                                     #   with per-part share threshold
-        "customers_dormant_rich",    # r13: TPC-H Q22 shape — scalar
-                                     #   avg + LEFT ANTI dormancy
-        "events_hll_pinned",         # r13: bit-pinned HLL estimate vs
-                                     #   exact (pinned-sketch machinery
-                                     #   driver-green via
-                                     #   events_rolling_distinct_kmv)
-        "corpus_quantile_normalize",  # r13: pooled-quantile correction
-                                     #   (rank-spine machinery driver-
-                                     #   checked via events_spearman_drift
-                                     #   + customers_revenue_gini, r14)
-        "events_did_uplift",         # r13: difference-in-differences
-                                     #   (conditional-sums machinery
-                                     #   driver-green via
-                                     #   events_ab_uplift, in window)
-        "events_ccf_view_purchase",  # r13: lead-lag cross-correlation
-                                     #   (lag-join moment machinery
-                                     #   driver-checked via
-                                     #   events_acf_daily, r14)
-        "embedding_rp_distortion",   # r13: JL +-1 projection distortion
-                                     #   (projection-eval machinery
-                                     #   driver-checked via
-                                     #   knn_prefix_dim_eval, r14)
-        "corpus_quota_allocation",   # r13: Hamilton largest-remainder
-                                     #   quotas (integer grouped-count
-                                     #   arithmetic; apportionment
-                                     #   semantics pinned in
-                                     #   tests/test_selection.py)
-        "media_wav_decode",          # r14: the media tier's first
-                                     #   GENUINE codec face — real
-                                     #   RIFF/WAVE payloads assembled
-                                     #   Spark-side, decoded by the
-                                     #   stdlib wave module + numpy in
-                                     #   the tier's Arrow kernel shape;
-                                     #   oracle states the synth spec
-                                     #   closed-form (the ONE r14
-                                     #   addition — queue 15, at the
-                                     #   drain cap)
+    queued_for_rotation: set[str] = set()
+    # the r15 rotation admitted the ENTIRE 15-name queue (the 8 TPC-H
+    # shapes + 6 shape variants + media_wav_decode) — the queue is
+    # EMPTY for the first time since r5, per the feature freeze of the
+    # optimization rounds (no new faces were produced in r15)
+    _r14_queue_admitted_r15: set[str] = {
+        "customers_order_distribution",  # TPC-H Q13 shape
+        "parts_small_qty_revenue",   # TPC-H Q17 shape
+        "customers_large_volume",    # TPC-H Q18 shape
+        "parts_min_cost_supplier",   # TPC-H Q2 shape
+        "parts_value_share",         # TPC-H Q11 shape
+        "supplier_top_revenue",      # TPC-H Q15 shape
+        "suppliers_dominant_share",  # TPC-H Q20 shape
+        "customers_dormant_rich",    # TPC-H Q22 shape
+        "events_hll_pinned",         # bit-pinned HLL vs exact
+        "corpus_quantile_normalize",  # pooled-quantile rank spine
+        "events_did_uplift",         # difference-in-differences
+        "events_ccf_view_purchase",  # lead-lag cross-correlation
+        "embedding_rp_distortion",   # JL +-1 projection distortion
+        "corpus_quota_allocation",   # Hamilton largest-remainder
+        "media_wav_decode",          # REAL WAV decode (stdlib codec)
     }
     _r12_queue_admitted_r13: set[str] = {
         "knn_reciprocal_ivf",        # r12: mutual NN with both
@@ -1222,11 +1299,13 @@ def test_every_oracle_bearing_query_outside_window_is_documented():
         _admitted_r11 - window_or_retired
     assert _admitted_r12 <= window_or_retired, \
         _admitted_r12 - window_or_retired
-    assert _r12_queue_admitted_r13 <= set(_CHECKED_WINDOW), \
-        _r12_queue_admitted_r13 - set(_CHECKED_WINDOW)
+    assert _r12_queue_admitted_r13 <= window_or_retired, \
+        _r12_queue_admitted_r13 - window_or_retired
     assert _r13_queue_admitted_r14 <= set(_CHECKED_WINDOW), \
         _r13_queue_admitted_r14 - set(_CHECKED_WINDOW)
-    assert len((_r13_queue_admitted_r14 | queued_for_rotation)
+    assert _r14_queue_admitted_r15 <= set(_CHECKED_WINDOW), \
+        _r14_queue_admitted_r15 - set(_CHECKED_WINDOW)
+    assert len((_r13_queue_admitted_r14 | _r14_queue_admitted_r15)
                - {"media_wav_decode"}) == 44
     tail = list(_REGISTRY)[len(_CHECKED_WINDOW):]
     undocumented = [n for n in tail
