@@ -288,6 +288,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert not (out_ids & losers)
 
 
+@pytest.mark.slow  # r15 budget: stage variant of the default e2e run
 def test_corpus_pipeline_lm_band_filter(spark, tmp_path):
     """The r6 stage: --lm-band drops both perplexity-proxy tails after
     dedup. Non-vacuous (some docs drop, some survive) and exact: the
@@ -364,6 +365,7 @@ def test_corpus_pipeline_mix_and_pack_path(spark, tmp_path):
         assert r.t == 32 or r.bin_id == last[r.shard]
 
 
+@pytest.mark.slow  # r15 budget: stage variant of the default e2e run
 def test_corpus_pipeline_c4_clean_stage(spark, tmp_path):
     """The --clean stage: line dedup + C4 filter replace the text that
     every later stage sees. Exact: surviving ids and cleaned texts
@@ -425,6 +427,7 @@ def test_corpus_pipeline_c4_clean_stage(spark, tmp_path):
     assert got_chunks == want_chunks
 
 
+@pytest.mark.slow  # r15 budget: stage variant of the default e2e run
 def test_corpus_pipeline_classifier_and_dsir_stages(spark, tmp_path):
     """Late-r6 stages: --classifier-min gates on the hashed linear
     model's prob, --dsir-target keeps docs whose importance weight
@@ -470,6 +473,7 @@ def test_corpus_pipeline_classifier_and_dsir_stages(spark, tmp_path):
     assert out_ids <= want_ids
 
 
+@pytest.mark.slow  # r15 budget: stage variant of the default e2e run
 def test_corpus_pipeline_best_survivor_and_span_strip(spark, tmp_path):
     """--survivor best keeps the argmax-quality member per dup
     component (exactly the best_survivors keep set); --strip-spans
@@ -529,6 +533,7 @@ def test_corpus_pipeline_rejects_bad_survivor(spark, tmp_path):
             str(tmp_path / "out"), survivor="bogus")
 
 
+@pytest.mark.slow  # r15 budget: stage variant of the default e2e run
 def test_corpus_pipeline_contamination_strip_mode(spark, tmp_path):
     """--contamination-mode strip keeps contaminated DOCUMENTS but
     removes the overlapping spans: post-run, no surviving text shares

@@ -2,9 +2,21 @@
 on Spark AND its DuckDB oracle, compared order-insensitively on sorted
 column names and exact values. Queries without an oracle get a
 rows-runnable check (deterministic schema, ≥0 rows).
+
+Default budget (r15, VERDICT r14 task 1 — the driver's serial pytest
+outgrew its verify budget and was cut at ~86% in r14): each query runs
+at ONE scale factor per suite run — sf0.01 for the names declared
+partition-boundary-sensitive (``_SF01_SCALE_SENSITIVE``, whose
+machinery only stretches across partitions past the smallest SF),
+sf0.001 for the rest. Every query keeps its full-value oracle
+comparison every run; only the redundant second SF moves behind
+``SPARK_GRAFT_FULL_PARITY=1`` (the builder-side sweep, run before
+every round close along with the sf0.1 opt-in).
 """
 
 from __future__ import annotations
+
+import os
 
 import duckdb
 import pandas as pd
@@ -62,27 +74,6 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
-@pytest.mark.parametrize("sf_dir", SF_DIRS)
-@pytest.mark.parametrize("name", sorted(_REGISTRY))
-def test_query_matches_oracle(spark, name, sf_dir):
-    q = _REGISTRY[name]
-    got = q.spark_fn(spark, sf_dir).toPandas()
-    if q.oracle is None:
-        assert got.shape[0] >= 0  # runnable + stable schema
-        assert list(got.columns)
-        return
-    con = _duck(sf_dir)
-    want = con.sql(q.oracle).df()
-    con.close()
-    assert sorted(got.columns) == sorted(want.columns), \
-        f"{name}: column mismatch {got.columns} vs {want.columns}"
-    _assert_dtype_kinds(name, got, want[got.columns])
-    g, w = _normalize(got), _normalize(want)
-    assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
-    pd.testing.assert_frame_equal(g, w, check_exact=True,
-                                  check_dtype=False, obj=name)
 
 
 # Scale-up parity: the driver checks sf0.01, but partition-boundary
@@ -215,6 +206,38 @@ _SF01_SCALE_SENSITIVE = [
     "orders_ivm_join_view", "events_hilbert_pruning",
     "streaming_late_data_audit",
 ]
+
+
+# ONE SF per query per default run (see module docstring): the
+# partition-boundary-sensitive names get the larger checked SF, the
+# rest the smallest; SPARK_GRAFT_FULL_PARITY=1 restores the full
+# two-SF matrix.
+if os.environ.get("SPARK_GRAFT_FULL_PARITY") == "1":
+    _PARITY_PARAMS = [(n, sf) for sf in SF_DIRS for n in sorted(_REGISTRY)]
+else:
+    _PARITY_PARAMS = [
+        (n, SF_DIRS[1] if n in set(_SF01_SCALE_SENSITIVE) else SF_DIRS[0])
+        for n in sorted(_REGISTRY)]
+
+
+@pytest.mark.parametrize("name,sf_dir", _PARITY_PARAMS)
+def test_query_matches_oracle(spark, name, sf_dir):
+    q = _REGISTRY[name]
+    got = q.spark_fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert got.shape[0] >= 0  # runnable + stable schema
+        assert list(got.columns)
+        return
+    con = _duck(sf_dir)
+    want = con.sql(q.oracle).df()
+    con.close()
+    assert sorted(got.columns) == sorted(want.columns), \
+        f"{name}: column mismatch {got.columns} vs {want.columns}"
+    _assert_dtype_kinds(name, got, want[got.columns])
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"
+    pd.testing.assert_frame_equal(g, w, check_exact=True,
+                                  check_dtype=False, obj=name)
 
 
 @pytest.mark.skipif("not __import__('os').environ.get('SPARK_GRAFT_SF01_PARITY')")

@@ -383,6 +383,10 @@ _VOCAB_SCALE_WINDOW_ALLOWLIST = {
     # HITS' final rank window runs AFTER TakeOrderedAndProject — at
     # most k = 20 rows, independent of data size
     "events_hits_authority",
+    # the per-language offset prefix sum (r15) runs on the #langs-row
+    # aggregate — bounded by the language inventory, not the corpus;
+    # the corpus-scale rank rides the range-partitioned spine below it
+    "doc_lm_quality_buckets",
 }
 
 
