@@ -745,6 +745,12 @@ def label_propagation(events: DataFrame, user_col: str = "user_id",
     behavior; round count is fixed, so both engines run the identical
     unrolled computation. Nodes with no
     labeled neighbor stay null that round (and may resolve later).
+    Label-domain assumption (ADVICE r14): the ``-label`` negation in
+    the election struct requires labels to be negatable longs — here
+    they are by construction (seeded internally as ``item % 5``,
+    small non-negative ints); a variant seeding arbitrary external
+    labels must not reuse the negation trick verbatim (Long.MIN_VALUE
+    has no negation, and the ordering inverts).
 
     Scale shape: rides the capped co-occurrence edges; each round is
     ONE join of the symmetric edge list against the current label

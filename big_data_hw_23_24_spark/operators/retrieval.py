@@ -355,7 +355,15 @@ def rerank_features(docs: DataFrame, queries: DataFrame, k: int = 20,
         F.sequence(F.lit(1), F.size("_w")),
         lambda i: hit(F.element_at("_w", i))))
     dl = F.size("_w")
-    return (docs.join(F.broadcast(short), id_col)
+    # project docs to (id, text) BEFORE the join (r15, ADVICE r14):
+    # the function is a generic operator API, and a caller whose docs
+    # carry a column named qid/rank/score/n_hits/_terms/_w would hit
+    # ambiguity or silent shadowing; the projection restores namespace
+    # isolation while keeping the deferred-tokenization win (the
+    # expensive lowered_words still evaluates only on the shortlist,
+    # after the broadcast hash probe drops non-shortlisted rows)
+    return (docs.select(F.col(id_col), F.col(text_col))
+            .join(F.broadcast(short), id_col)
             .join(F.broadcast(qn), "qid")
             .select("qid", F.col(id_col), "rank", "score", "n_hits",
                     "_terms", lowered_words(text_col).alias("_w"))
